@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import graft.sources.Tables.{davg, dsum}
+
+/**
+ * Relational query surface — what Trino's engine executes on top of the
+ * reference connector (joins, aggregation, sort, window, set ops). Expressed
+ * Spark-first: declarative DataFrame plans so Catalyst picks shuffle vs
+ * broadcast, pushes filters, and keeps everything in whole-stage codegen.
+ *
+ * Scale notes (100 TB):
+ *  - `join_broadcast` explicitly broadcasts the O(100-row) dims
+ *    (nation/region) so the fact side never shuffles.
+ *  - `join_shuffle` is a key-partitioned sort-merge/shuffled-hash join on
+ *    the join key with map-side partial aggregation after it.
+ *  - Window queries partition by a high-cardinality key (customer/user), so
+ *    state per partition stays bounded.
+ */
+object RelationalQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1-style pricing summary: multi-aggregate group-by.
+    "q1_agg" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.filter(l("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(l("l_quantity")).as("sum_qty"),
+          dsum(l("l_extendedprice")).as("sum_base_price"),
+          dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("sum_disc_price"),
+          davg(l("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "agg_multi" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          dsum(o("o_totalprice")).as("sum_price"),
+          countDistinct("o_custkey").as("n_customers"))
+        .orderBy("o_orderpriority")
+    }),
+    "agg_distinct" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"))
+        .orderBy("l_returnflag")
+    }),
+    // Fact ⋈ fact on the natural key: shuffle (sort-merge) join + partial agg.
+    "join_shuffle" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+          dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderstatus")
+    }),
+    // Dim joins: broadcast nation+region so customer never shuffles for the join.
+    "join_broadcast" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum(c("c_acctbal")).as("sum_bal"))
+        .orderBy("r_name", "n_name")
+    }),
+    "join_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(o("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }),
+    "join_semi" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val big = o.filter(o("o_totalprice") > 300000)
+      c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "join_anti" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "sort_multi" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      p.select("p_partkey", "p_brand", "p_size", "p_retailprice")
+        .orderBy(col("p_brand").asc, col("p_retailprice").desc, col("p_partkey").asc)
+    }),
+    // Top-N: Catalyst turns sort+limit into TakeOrderedAndProject (no full sort).
+    "topn" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(50)
+    }),
+    "window_rank" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    }),
+    "window_running" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("running_value",
+          sum(e("value").cast(DecimalType(18, 4))).over(w).cast("double"))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    }),
+    "agg_rollup" -> ((s, dir) => {
+      // DataFrame-API rollup + grouping() trips the self-join ambiguity
+      // detector (Expand duplicates the grouping attrs); SQL form resolves
+      // cleanly and produces the identical plan.
+      Tables(s, dir, "customer").createOrReplaceTempView("g_customer")
+      Tables(s, dir, "nation").createOrReplaceTempView("g_nation")
+      Tables(s, dir, "region").createOrReplaceTempView("g_region")
+      s.sql(
+        """SELECT
+          |  CASE WHEN grouping(r_name) = 1 THEN '(all)' ELSE r_name END AS region,
+          |  CASE WHEN grouping(n_name) = 1 THEN '(all)' ELSE n_name END AS nation,
+          |  count(*) AS n_customers
+          |FROM g_customer
+          |JOIN g_nation ON c_nationkey = n_nationkey
+          |JOIN g_region ON n_regionkey = r_regionkey
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY region, nation""".stripMargin)
+    }),
+    "agg_having" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_items"), dsum(l("l_quantity")).as("sum_qty"))
+        .filter(col("n_items") >= 20)
+        .orderBy("l_partkey")
+    }),
+    "subquery_scalar" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val threshold = o.agg((max("o_totalprice") * 0.9).as("thr"))
+      o.join(broadcast(threshold))
+        .filter(o("o_totalprice") > col("thr"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+    "set_union" -> ((s, dir) => {
+      val e = Tables(s, dir, "events").select(col("event_type").as("v"))
+      val o = Tables(s, dir, "orders").select(col("o_orderpriority").as("v"))
+      e.union(o).groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")
+    }),
+    "expr_case" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.withColumn("bucket",
+          when(o("o_totalprice") > 300000, "high")
+            .when(o("o_totalprice") > 100000, "mid")
+            .otherwise("low"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+    "expr_scalar" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      p.select(
+          p("p_partkey"),
+          upper(p("p_brand")).as("brand_u"),
+          substring(p("p_name"), 1, 8).as("name_pfx"),
+          length(p("p_name")).as("name_len"),
+          concat_ws("-", p("p_brand"), p("p_type")).as("brand_type"),
+          round(p("p_retailprice")).as("price_round"),
+          floor(p("p_retailprice") / 100).cast("long").as("price_bucket"),
+          abs(p("p_size") - 25).as("size_dist"),
+          (p("p_partkey") % 7).as("key_mod"))
+        .orderBy("p_partkey")
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_multi" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "join_shuffle" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "sort_multi" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice FROM part
+        |ORDER BY p_brand ASC, p_retailprice DESC, p_partkey ASC""".stripMargin,
+    "topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "agg_rollup" ->
+      """SELECT
+        |  CASE WHEN grouping(r_name) = 1 THEN '(all)' ELSE r_name END AS region,
+        |  CASE WHEN grouping(n_name) = 1 THEN '(all)' ELSE n_name END AS nation,
+        |  count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "agg_having" ->
+      """SELECT l_partkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_partkey HAVING count(*) >= 20
+        |ORDER BY l_partkey""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT max(o_totalprice) * 0.9 FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "set_union" ->
+      """SELECT v, count(*) AS n FROM (
+        |  SELECT event_type AS v FROM events
+        |  UNION ALL
+        |  SELECT o_orderpriority AS v FROM orders) t
+        |GROUP BY v ORDER BY v""".stripMargin,
+    "expr_case" ->
+      """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+        |            WHEN o_totalprice > 100000 THEN 'mid'
+        |            ELSE 'low' END AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "expr_scalar" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name_pfx,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  concat_ws('-', p_brand, p_type) AS brand_type,
+        |  round(p_retailprice) AS price_round,
+        |  CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket,
+        |  CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
+        |  p_partkey % 7 AS key_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+  )
+}
