@@ -10,6 +10,7 @@ object SparkEntry {
     Seq(
       (ScanQueries.queries, ScanQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),
+      (TypeQueries.queries, TypeQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
