@@ -11,6 +11,7 @@ object SparkEntry {
       (ScanQueries.queries, ScanQueries.oracle),
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TypeQueries.queries, TypeQueries.oracle),
+      (DedupQueries.queries, DedupQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-vector primitives for similarity search and cosine near-dedup.
+ *
+ * Determinism contract (SURVEY.md §4): float embeddings are quantized to
+ * integers (`floor(x*1000 + 0.5)`), so dot products and squared norms are
+ * exact integer values (< 2^53) in any summation order — both Spark and
+ * DuckDB produce bit-identical cosines from them.
+ */
+object VectorOps {
+
+  /** Quantize array<float> to array<bigint> at 3 decimal places. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+
+  /** Cosine similarity from quantized vectors + precomputed squared norms:
+    * one IEEE division and sqrt over exact integers — deterministic. */
+  def qcosine(dot: Column, normSqA: Column, normSqB: Column): Column =
+    dot.cast("double") / sqrt((normSqA * normSqB).cast("double"))
+
+  /**
+   * Random-hyperplane LSH sign bands for a quantized vector: `bands` bands
+   * of `bits` sign bits each. Plane coefficients are deterministic
+   * (seeded), integer-valued in [-1000, 1000], so the sign of the integer
+   * dot product is exact. Cosine-similar vectors agree on most signs, so
+   * near-dup pairs collide on at least one band with high probability.
+   * Returns array<struct<band:int, bval:bigint>>.
+   */
+  def lshSignBands(qv: Column, dim: Int, bands: Int, bits: Int, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * bits, dim)((rnd.nextInt(2001) - 1000).toLong)
+    array((0 until bands).map { b =>
+      val bval = (0 until bits).map { i =>
+        val plane = planes(b * bits + i)
+        val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
+        when(qdot(qv, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bval.as("bval"))
+    }: _*)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextHash, VectorOps}
+
+/**
+ * Reusable dedup pipelines — the library API the registered queries (and
+ * tests) build on. Each returns a DataFrame; nothing is collected on the
+ * driver. See DedupQueries for the 100 TB design notes.
+ */
+object Dedup {
+
+  /** Exact Jaccard between two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b)))
+
+  /** Keep-first exact dedup by content digest. Output: idCol, digest. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("digest").orderBy(idCol)
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("digest"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(idCol, "digest")
+  }
+
+  /** Candidate pairs (d1 < d2) from an exploded (id, band, bval) table —
+    * a bucketed equi-join, never an all-pairs cross join. */
+  private def bucketPairs(banded: DataFrame, idCol: String): DataFrame =
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+      .distinct()
+
+  /** id → distinct 3-shingle set (docs with <3 tokens dropped). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextHash.shingles(col(textCol), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /**
+   * MinHash+LSH near-dup pairs with exact-Jaccard verify stage.
+   * Output: d1, d2, jac (only pairs with jac ≥ tau).
+   */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
+      k: Int = 128, bands: Int = 32, r: Int = 4): DataFrame = {
+    val docs = shingleSets(df, idCol, textCol)
+      .withColumn("sig", TextHash.minhashSignature(col("sh"), k))
+    val banded = docs
+      .select(col(idCol), explode(TextHash.lshBands(col("sig"), bands, r)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val pairs = bucketPairs(banded, idCol)
+    val left = docs.select(col(idCol).as("d1"), col("sh").as("sh1"))
+    val right = docs.select(col(idCol).as("d2"), col("sh").as("sh2"))
+    pairs.join(left, "d1").join(right, "d2")
+      .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jac"))
+      .filter(col("jac") >= tau)
+  }
+
+  /** Per-doc MinHash signatures (for estimation / tests). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 128): DataFrame =
+    shingleSets(df, idCol, textCol)
+      .select(col(idCol), TextHash.minhashSignature(col("sh"), k).as("sig"))
+
+  /**
+   * SimHash near-dup pairs: exact for hamming ≤ bands-1 (pigeonhole).
+   * Output: d1, d2, hamming.
+   */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, bands: Int = 4, bits: Int = 15): DataFrame = {
+    require(maxHamming <= bands - 1, "banding only exhaustive for radius ≤ bands-1")
+    val sims = df.select(col(idCol),
+      TextHash.simhash60(TextHash.tokenHashes(col(textCol))).as("sim"))
+    val banded = sims
+      .select(col(idCol), explode(TextHash.simhashBands(col("sim"), bands, bits)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val pairs = bucketPairs(banded, idCol)
+    val s1 = sims.select(col(idCol).as("d1"), col("sim").as("sim1"))
+    val s2 = sims.select(col(idCol).as("d2"), col("sim").as("sim2"))
+    pairs.join(s1, "d1").join(s2, "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs via hyperplane-sign LSH + exact
+   * quantized-cosine verify. Output: d1, d2, cos (cos ≥ tau).
+   */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      bands: Int = 8, bits: Int = 8): DataFrame = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val q = df.select(col(idCol), VectorOps.quantize(col(vecCol)).as("qv"))
+      .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
+    val banded = q
+      .select(col(idCol),
+        explode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val pairs = bucketPairs(banded, idCol)
+    val v1 = q.select(col(idCol).as("d1"), col("qv").as("qv1"), col("nn").as("nn1"))
+    val v2 = q.select(col(idCol).as("d2"), col("qv").as("qv2"), col("nn").as("nn2"))
+    pairs.join(v1, "d1").join(v2, "d2")
+      .select(col("d1"), col("d2"),
+        VectorOps.qcosine(VectorOps.qdot(col("qv1"), col("qv2")),
+          col("nn1"), col("nn2")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/**
+ * Deduplication family for LLM training-data pipelines: exact content-hash
+ * dedup, MinHash+LSH near-dedup with an exact n-gram Jaccard verify stage,
+ * SimHash with hamming banding, and embedding-cosine near-dedup. Pipelines
+ * live in [[Dedup]]; this pack registers them over the `documents` /
+ * `embeddings` tables with DuckDB oracles.
+ *
+ * 100 TB design notes:
+ *  - Exact dedup is a hash-partitioned window (one shuffle on the digest).
+ *  - MinHash signatures/bands are per-row expression work in the scan
+ *    stage; candidate generation is a bucketed self-join on (band, bval) —
+ *    never an all-pairs cross join. Bucket sizes are bounded because a
+ *    band value is a 60-bit hash of r=4 minhashes.
+ *  - SimHash banding (4 bands × 15 bits) has guaranteed recall for
+ *    hamming radius ≤ 3 by pigeonhole, so the bucketed join is exhaustive,
+ *    not probabilistic.
+ *  - The oracle for `dedup_minhash` is all-pairs exact Jaccard: sound
+ *    because the verify stage recomputes exact Jaccard on candidates, and
+ *    at τ=0.75 the probability an LSH band misses a qualifying pair is
+ *    (1-0.75^4)^32 ≈ 1.5e-15 per pair. (The oracle's all-pairs join is
+ *    DuckDB-side only — the Spark plan never does it.)
+ */
+object DedupQueries {
+
+  private val Tau = 0.75      // minhash near-dup threshold (corpus gap: 0.5–0.9 empty)
+  private val CosTau = 0.8    // embedding near-dup threshold
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "dedup_stats" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5(d("text").cast("binary"))).as("n_unique"),
+          (count(lit(1)) - countDistinct(md5(d("text").cast("binary")))).as("n_dup_rows"))
+    }),
+    // Exact 3-gram Jaccard over a bounded sample (all pairs of 20 docs) —
+    // the verify-stage kernel, oracle-checked with non-trivial values.
+    "dedup_ngram_pairs" -> ((s, dir) => {
+      val a = Dedup.shingleSets(Tables(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20).select(col("doc_id").as("d1"), col("sh").as("sh1"))
+      val b = Dedup.shingleSets(Tables(s, dir, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 20).select(col("doc_id").as("d2"), col("sh").as("sh2"))
+      a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jac"))
+        .orderBy("d1", "d2")
+    }),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text", Tau)
+        .orderBy("d1", "d2")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("d1", "d2")),
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosTau)
+        .orderBy("d1", "d2")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, digest FROM (
+        |  SELECT doc_id, md5(text) AS digest,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+        |FROM documents""".stripMargin,
+    "dedup_ngram_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM documents WHERE doc_id < 20
+        |    AND len(regexp_extract_all(text, '[a-z]+')) >= 3)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  len(list_intersect(a.s, b.s)) * 1.0
+        |    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM documents WHERE len(regexp_extract_all(text, '[a-z]+')) >= 3),
+        |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |          FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT d1, d2, c * 1.0 / (sa.n + sb.n - c) AS jac
+        |FROM inter
+        |JOIN sizes sa ON d1 = sa.doc_id
+        |JOIN sizes sb ON d2 = sb.doc_id
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.75
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_simhash" ->
+      """WITH hs AS (
+        |  SELECT doc_id, list_transform(
+        |    list_distinct(regexp_extract_all(text, '[a-z]+')),
+        |    t -> CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)) AS h
+        |  FROM documents),
+        |sims AS (
+        |  SELECT doc_id, list_sum(list_transform(range(0, 60), j ->
+        |    CASE WHEN list_sum(list_transform(h, v ->
+        |      CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+        |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sim
+        |  FROM hs)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_embedding" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nn FROM q)
+        |SELECT a.vec_id AS d1, b.vec_id AS d2,
+        |  list_dot_product(a.v, b.v) / sqrt(a.nn * b.nn) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / sqrt(a.nn * b.nn) >= 0.8
+        |ORDER BY d1, d2""".stripMargin,
+  )
+}

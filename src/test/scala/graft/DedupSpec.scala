@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextHash
+
+/** Recall/precision checks for the dedup family on planted duplicates —
+  * the probabilistic behavior the SQL oracle can't certify. */
+class DedupSpec extends SparkSpecBase {
+
+  private val vocab = Array("alpha", "bravo", "charlie", "delta", "echo",
+    "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima", "mike",
+    "november", "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+
+  /** Deterministic base doc of `n` words from seed. */
+  private def doc(seed: Int, n: Int = 60): Array[String] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n)(vocab(rnd.nextInt(vocab.length)))
+  }
+
+  /** Mutate `frac` of the words — a controlled near-duplicate. */
+  private def mutate(words: Array[String], frac: Double, seed: Int): Array[String] = {
+    val rnd = new scala.util.Random(seed)
+    words.map(w => if (rnd.nextDouble() < frac) vocab(rnd.nextInt(vocab.length)) else w)
+  }
+
+  private def corpus(): DataFrame = {
+    import spark.implicits._
+    // 30 unrelated docs + 5 planted near-dup pairs (low mutation) + 1 exact dup.
+    val base = (0 until 30).map(i => (i.toLong, doc(i).mkString(" ")))
+    val nearDups = (0 until 5).map { i =>
+      (100L + i, mutate(doc(i), 0.04, 1000 + i).mkString(" "))
+    }
+    val exactDup = Seq((200L, doc(0).mkString(" ")))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps first occurrence per digest") {
+    val kept = Dedup.exact(corpus(), "doc_id", "text")
+    assert(kept.count() === 36 - 1) // one exact dup removed
+    assert(kept.filter(col("doc_id") === 200L).count() === 0)
+    assert(kept.filter(col("doc_id") === 0L).count() === 1)
+  }
+
+  test("minhash signature estimates jaccard within 0.15") {
+    val sigs = Dedup.minhashSignatures(corpus(), "doc_id", "text", k = 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sh = Dedup.shingleSets(corpus(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    for (i <- 0 until 5) {
+      val (a, b) = (i.toLong, 100L + i)
+      val trueJ = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      val estJ = sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+      assert(math.abs(trueJ - estJ) < 0.15, s"pair $a-$b: true=$trueJ est=$estJ")
+    }
+  }
+
+  test("minhash LSH finds all planted near-dup pairs above tau") {
+    val pairs = Dedup.minhashPairs(corpus(), "doc_id", "text", tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Recall is judged against each planted pair's TRUE jaccard: a pair
+    // mutated below tau is correctly absent (verify stage is exact).
+    val sh = Dedup.shingleSets(corpus(), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    var checked = 0
+    for (i <- 0 until 5) {
+      val (a, b) = (i.toLong, 100L + i)
+      val trueJ = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if (trueJ >= 0.65) { // margin above tau: LSH miss prob < 0.2%
+        assert(pairs.contains((a, b)), s"missing planted pair $i (j=$trueJ)")
+        checked += 1
+      }
+    }
+    assert(checked >= 3, s"corpus too mutated: only $checked pairs above 0.65")
+    // Exact dup pair must be found too (jaccard 1.0).
+    assert(pairs.contains((0L, 200L)))
+  }
+
+  test("minhash LSH precision: no unrelated pair passes the verify stage") {
+    val pairs = Dedup.minhashPairs(corpus(), "doc_id", "text", tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 5).map(i => (i.toLong, 100L + i)).toSet +
+      ((0L, 200L)) + ((100L, 200L)) // 100 ~ 0 ~ 200 are mutually similar
+    assert(pairs.subsetOf(planted), s"false positives: ${pairs.diff(planted)}")
+  }
+
+  test("simhash: exact dups at hamming 0; banding finds radius<=3 pairs") {
+    val pairs = Dedup.simhashPairs(corpus(), "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 200L)).contains(0), "exact dup must have hamming 0")
+    // Verify banding is exhaustive: brute-force the corpus' simhashes.
+    val sims = corpus().select(col("doc_id"),
+        TextHash.simhash60(TextHash.tokenHashes(col("text"))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (id1, s1) <- sims; (id2, s2) <- sims if id1 < id2
+      h = java.lang.Long.bitCount(s1 ^ s2) if h <= 3
+    } yield ((id1, id2), h)).toMap
+    assert(pairs === brute, "banding must equal brute force for radius<=3")
+  }
+
+  test("embedding LSH finds planted high-cosine pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]): Array[Float] = v.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+    val bases = (0 until 20).map(i => (i.toLong, vec()))
+    val dups = bases.take(4).map { case (id, v) => (500L + id, jitter(v)) }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding", tau = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 4)
+      assert(pairs.contains((i.toLong, 500L + i)), s"missing planted vector pair $i")
+    assert(pairs.size === 4, s"false positives: $pairs")
+  }
+}
