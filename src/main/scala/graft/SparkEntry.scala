@@ -12,6 +12,7 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracle),
       (TypeQueries.queries, TypeQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
+      (AnnQueries.queries, AnnQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

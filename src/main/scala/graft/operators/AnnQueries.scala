@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/**
+ * Similarity-search query pack over the `embeddings` table. Query set =
+ * every 10th vector (bounded probe side). `ann_bruteforce` and
+ * `ann_scalable` share one oracle — proving the bounded-state path is
+ * bit-identical to the declarative baseline. `ann_lsh` is probabilistic
+ * (recall measured in AnnSpec), so it registers without an oracle.
+ */
+object AnnQueries {
+
+  private val K = 10
+
+  private def qc(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val all = Similarity.quantized(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+    (all, all.filter(col("id") % 10 === 0))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      Similarity.bruteForceTopK(cands, qs, K).orderBy("qid", "rank")
+    }),
+    "ann_scalable" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      Similarity.topKScalable(cands, qs, K).orderBy("qid", "rank")
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      Similarity.lshTopK(cands, qs, K).orderBy("qid", "rank")
+    }),
+  )
+
+  private val annOracle =
+    """WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nn FROM q),
+      |qs AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+      |p AS (SELECT qs.vec_id AS qid, n.vec_id AS cand,
+      |        list_dot_product(qs.v, n.v) / sqrt(qs.nn * n.nn) AS cos
+      |      FROM qs JOIN n ON n.vec_id <> qs.vec_id)
+      |SELECT qid, rank, cand, cos FROM (
+      |  SELECT qid, cand, cos, CAST(row_number() OVER (
+      |    PARTITION BY qid ORDER BY cos DESC, cand ASC) AS INTEGER) AS rank
+      |  FROM p) t
+      |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "ann_bruteforce" -> annOracle,
+    "ann_scalable" -> annOracle,
+  )
+}

