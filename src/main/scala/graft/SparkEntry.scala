@@ -13,6 +13,7 @@ object SparkEntry {
       (TypeQueries.queries, TypeQueries.oracle),
       (DedupQueries.queries, DedupQueries.oracle),
       (AnnQueries.queries, AnnQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextHash
+import graft.sources.Tables
+
+/**
+ * Text-analysis pack for LLM data pipelines: token statistics, quality
+ * scoring, stopword-profile language scoring, and document fingerprinting
+ * (normalized digest + winnowing). All per-row expression work — zero
+ * shuffles besides the final presentation sort; at 100 TB these run in the
+ * scan stage at full parallelism.
+ *
+ * Everything is oracle-checked in DuckDB: regex counts are integers,
+ * ratios are single IEEE divisions of integers, winnowing hashes are
+ * md5-derived (portable bit-for-bit).
+ */
+object TextQueries {
+
+  private def nTokens(c: Column): Column = regexp_count(c, lit("\\S+"))
+
+  /** Count standalone words from `words` (alternation inside \b...\b). */
+  private def stopCount(c: Column, words: Seq[String]): Column =
+    regexp_count(c, lit("\\b(" + words.mkString("|") + ")\\b"))
+
+  private val stopwords = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "de", "que", "y", "una"),
+    "fr" -> Seq("le", "les", "et", "est", "une", "dans"),
+    "zh" -> Seq("de", "shi", "bu", "zai", "le"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = TextHash.tokens(d("text"))
+      d.select(
+          d("doc_id"),
+          nTokens(d("text")).as("n_tokens"),
+          size(array_distinct(toks)).as("n_types"),
+          (size(array_distinct(toks)).cast("double") /
+            greatest(nTokens(d("text")), lit(1))).as("type_token_ratio"),
+          length(d("text")).as("n_chars_measured"),
+          (length(d("text")) === d("n_chars")).as("n_chars_consistent"))
+        .orderBy("doc_id")
+    }),
+    "text_quality" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val t = d("text")
+      val nt = nTokens(t)
+      val stops = stopCount(t, stopwords("en"))
+      d.select(
+          d("doc_id"),
+          nt.as("n_tokens"),
+          (regexp_count(t, lit("[.,;:!?]")).cast("double") / length(t)).as("punct_ratio"),
+          (regexp_count(t, lit("[A-Z]")).cast("double") / length(t)).as("upper_ratio"),
+          (stops.cast("double") / greatest(nt, lit(1))).as("stop_ratio"),
+          when(nt < 30, "short")
+            .when(stops.cast("double") / greatest(nt, lit(1)) > 0.02, "good")
+            .otherwise("low_stop").as("quality"))
+        .orderBy("doc_id")
+    }),
+    // Stopword-profile language scores + argmax (fixed tie-break order).
+    "text_langid" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val t = lower(d("text"))
+      val scores = Seq("en", "de", "es", "fr", "zh").map(l =>
+        stopCount(t, stopwords(l)).as(s"s_$l"))
+      val withScores = d.select((d("doc_id") +: scores): _*)
+      withScores.withColumn("pred",
+          when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
+            .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
+            .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+            .when(col("s_fr") >= col("s_zh"), "fr")
+            .otherwise("zh"))
+        .orderBy("doc_id")
+    }),
+    "text_fingerprint" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val norm = trim(regexp_replace(lower(d("text")), "\\s+", " "))
+      d.select(d("doc_id"), md5(norm.cast("binary")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // Winnowing (Schleimer et al.): k=5 char-gram hashes, min per w=4
+    // window, distinct selected fingerprints — the standard local-fingerprint
+    // scheme for plagiarism/near-dup detection, here summarized per doc.
+    "text_winnow" -> ((s, dir) => {
+      val k = 5
+      val w = 4
+      val d = Tables(s, dir, "documents")
+      val norm = trim(regexp_replace(lower(d("text")), "\\s+", " "))
+      val base = d.select(d("doc_id"), norm.as("s"))
+        .filter(length(col("s")) >= k + w - 1)
+      val grams = transform(sequence(lit(1), length(col("s")) - (k - 1)),
+        i => TextHash.hash60(col("s").substr(i, lit(k))))
+      val withG = base.select(col("doc_id"), grams.as("h"))
+      val fps = transform(sequence(lit(1), size(col("h")) - (w - 1)),
+        j => array_min(slice(col("h"), j, lit(w))))
+      withG.select(col("doc_id"), array_distinct(fps).as("fps"))
+        .select(
+          col("doc_id"),
+          size(col("fps")).as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          array_max(col("fps")).as("fp_max"))
+        .orderBy("doc_id")
+    }),
+    // Multimodal metadata probe: opaque binary column + header-byte fields.
+    "media_metadata" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val bin = d("text").cast("binary")
+      d.select(
+          d("doc_id"),
+          length(bin).as("n_bytes"),
+          ascii(substring(d("text"), 1, 1)).as("hdr_w"),
+          ascii(substring(d("text"), 2, 1)).as("hdr_h"),
+          md5(bin).as("digest"))
+        .orderBy("doc_id")
+    }),
+  )
+
+  private def sqlStops(l: String): String = "\\b(" + stopwords(l).mkString("|") + ")\\b"
+
+  def oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS INTEGER) AS n_types,
+         |  len(list_distinct(regexp_extract_all(text, '[a-z]+'))) * 1.0
+         |    / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS type_token_ratio,
+         |  CAST(length(text) AS INTEGER) AS n_chars_measured,
+         |  length(text) = n_chars AS n_chars_consistent
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+         |  len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / length(text) AS punct_ratio,
+         |  len(regexp_extract_all(text, '[A-Z]')) * 1.0 / length(text) AS upper_ratio,
+         |  len(regexp_extract_all(text, '${sqlStops("en")}')) * 1.0
+         |    / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS stop_ratio,
+         |  CASE WHEN len(regexp_extract_all(text, '\\S+')) < 30 THEN 'short'
+         |       WHEN len(regexp_extract_all(text, '${sqlStops("en")}')) * 1.0
+         |         / greatest(len(regexp_extract_all(text, '\\S+')), 1) > 0.02 THEN 'good'
+         |       ELSE 'low_stop' END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      s"""SELECT doc_id, s_en, s_de, s_es, s_fr, s_zh,
+         |  CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pred
+         |FROM (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '${sqlStops("en")}')) AS INTEGER) AS s_en,
+         |  CAST(len(regexp_extract_all(lower(text), '${sqlStops("de")}')) AS INTEGER) AS s_de,
+         |  CAST(len(regexp_extract_all(lower(text), '${sqlStops("es")}')) AS INTEGER) AS s_es,
+         |  CAST(len(regexp_extract_all(lower(text), '${sqlStops("fr")}')) AS INTEGER) AS s_fr,
+         |  CAST(len(regexp_extract_all(lower(text), '${sqlStops("zh")}')) AS INTEGER) AS s_zh
+         |  FROM documents) t ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_winnow" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_transform(range(1, length(s) - 5 + 2),
+        |    i -> CAST('0x' || substring(md5(substring(s, i, 5)), 1, 15) AS BIGINT)) AS h
+        |  FROM n WHERE length(s) >= 8),
+        |f AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(h) - 4 + 2),
+        |    j -> list_min(h[j:j+3]))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "media_metadata" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS hdr_w,
+        |  CAST(ascii(substring(text, 2, 1)) AS INTEGER) AS hdr_h,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.LangId
+import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaBlob
+
+/** LangId accuracy on constructed multilingual text + multimodal plumbing. */
+class TextSpec extends SparkSpecBase {
+
+  test("langid classifies constructed sentences per language") {
+    val samples = Seq(
+      "en" -> "the weather is nice today and we should go to the park with the dog",
+      "en" -> "this is a simple test of the language identification that should work",
+      "de" -> "das wetter ist heute schoen und wir sollten mit dem hund in den park gehen",
+      "de" -> "dies ist ein einfacher test der erkennung der funktionieren sollte",
+      "es" -> "el clima esta agradable hoy y deberiamos ir al parque con el perro",
+      "fr" -> "le temps est agreable aujourd hui et nous devrions aller au parc avec le chien",
+      "zh" -> "jin tian tian qi hen hao wo men ying gai dai gou qu gong yuan")
+    val correct = samples.count { case (lang, text) => LangId.classify(text) == lang }
+    assert(correct >= samples.size - 1, s"only $correct/${samples.size} correct")
+  }
+
+  test("langid predict runs distributed over a DataFrame") {
+    import spark.implicits._
+    val df = Seq((1L, "the cat sat on the mat with the hat"),
+      (2L, "der hund lief durch den wald und ueber die wiese")).toDF("id", "text")
+    val out = LangId.predict(df, "id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "de")
+  }
+
+  test("langid handles degenerate input") {
+    assert(LangId.classify("") === "und")
+    assert(LangId.classify("123 456 !!!") === "und")
+  }
+
+  test("multimodal decode extracts header metadata per partition") {
+    import spark.implicits._
+    val blobs = Seq(
+      MediaBlob(1L, "image", Array[Byte](64, 48, 0, 100, 9, 9)),
+      MediaBlob(2L, "video", Array[Byte](-128, 72, 1, 0)), // 128 via unsigned
+      MediaBlob(3L, "image", Array[Byte](1, 2))            // too short -> invalid
+    ).toDS().repartition(2)
+    val metas = Multimodal.decodeBatch(blobs).collect().map(m => m.id -> m).toMap
+    assert(metas(1L).width === 64 && metas(1L).height === 48 && metas(1L).durationMs === 100)
+    assert(metas(1L).valid)
+    assert(metas(2L).width === 128 && metas(2L).durationMs === 256)
+    assert(!metas(3L).valid && metas(3L).nBytes === 2)
+  }
+
+  test("multimodal resize bounds the longer side") {
+    import spark.implicits._
+    val blobs = Seq(MediaBlob(1L, "image", Array[Byte](-56, 100, 0, 0))).toDS() // 200x100
+    val m = Multimodal.decodeAndResize(blobs, maxSide = 50).collect().head
+    assert(m.width === 50 && m.height === 25)
+  }
+
+  test("blobsFromText round-trips document bytes") {
+    val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
+    val blobs = Multimodal.blobsFromText(d, "doc_id", "text", "text")
+    val metas = Multimodal.decodeBatch(blobs).collect()
+    assert(metas.length === 10)
+    assert(metas.forall(_.valid))
+    val texts = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(metas.forall(m => m.nBytes === texts(m.id).getBytes("UTF-8").length))
+  }
+}
