@@ -1,0 +1,339 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/**
+ * Versioned table catalog over a warehouse directory — the Spark-native
+ * analog of the reference's metadata surface:
+ *
+ *  - schema ops (create/list/drop):        TrinoMetadataBase.java:88–114
+ *  - table ops (create/list/rename/drop):  TrinoMetadataBase.java:165–241
+ *  - column DDL (add/rename/drop):         TrinoMetadataBase.java:290–328
+ *  - time travel (snapshot-id / as-of-ms): TrinoSessionProperties.java:36–37,
+ *                                          TrinoTableHandle.java:138
+ *  - table options persisted in DDL:       TrinoTableOptionUtils.java
+ *
+ * Layout: `<warehouse>/<schema>/<table>/manifest.json` + immutable
+ * `snap-<id>/` parquet dirs. Snapshots reference the cumulative file list,
+ * so reads are O(files referenced), appends are O(new data), and nothing
+ * is ever rewritten in place — the same immutability contract Paimon's
+ * snapshot log gives the reference connector.
+ *
+ * Schema evolution is metadata-only (stable field ids, Paimon-style):
+ * renames/drops/adds never rewrite data; reads map each file's
+ * write-time schema onto the current schema by field id (missing → null).
+ *
+ * All I/O goes through Hadoop FileSystem, so the same code runs on local
+ * disk, HDFS, or object stores on a real cluster.
+ */
+class GraftCatalog(spark: SparkSession, warehouse: String) {
+
+  import GraftCatalog._
+
+  private val mapper = new ObjectMapper()
+
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def schemaPath(schema: String) = new Path(warehouse, schema)
+  private def tablePath(schema: String, table: String) = new Path(schemaPath(schema), table)
+  private def manifestPath(schema: String, table: String) =
+    new Path(tablePath(schema, table), "manifest.json")
+
+  // ---- schema (namespace) ops -------------------------------------------
+
+  def createSchema(schema: String): Unit = { fs.mkdirs(schemaPath(schema)); () }
+
+  def listSchemas(): Seq[String] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  def dropSchema(schema: String): Unit = {
+    require(listTables(schema).isEmpty, s"schema $schema is not empty")
+    fs.delete(schemaPath(schema), true)
+    ()
+  }
+
+  // ---- table ops ---------------------------------------------------------
+
+  def createTable(schema: String, table: String, structType: StructType,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(fs.exists(schemaPath(schema)), s"schema $schema does not exist")
+    require(!fs.exists(manifestPath(schema, table)), s"table $schema.$table exists")
+    fs.mkdirs(tablePath(schema, table))
+    val m = mapper.createObjectNode()
+    m.put("name", table)
+    val opts = m.putObject("options")
+    options.foreach { case (k, v) => opts.put(k, v) }
+    val schemas = m.putArray("schemas")
+    val v0 = schemas.addObject()
+    v0.put("version", 0)
+    val fields = v0.putArray("fields")
+    structType.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("type", TypeMapping.toTrinoType(f.dataType))
+    }
+    m.put("currentSchemaVersion", 0)
+    m.put("lastFieldId", structType.fields.length)
+    m.putArray("snapshots")
+    writeManifest(schema, table, m)
+  }
+
+  def listTables(schema: String): Seq[String] = {
+    val p = schemaPath(schema)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(t => fs.exists(manifestPath(schema, t)))
+      .toSeq.sorted
+  }
+
+  def dropTable(schema: String, table: String): Unit = {
+    require(fs.exists(manifestPath(schema, table)), s"no table $schema.$table")
+    fs.delete(tablePath(schema, table), true)
+    ()
+  }
+
+  def renameTable(schema: String, from: String, to: String): Unit = {
+    require(fs.exists(manifestPath(schema, from)), s"no table $schema.$from")
+    require(!fs.exists(tablePath(schema, to)), s"table $schema.$to exists")
+    fs.rename(tablePath(schema, from), tablePath(schema, to))
+    val m = readManifest(schema, to)
+    m.put("name", to)
+    writeManifest(schema, to, m)
+  }
+
+  def tableOptions(schema: String, table: String): Map[String, String] = {
+    val opts = readManifest(schema, table).get("options").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, String]()
+    opts.fieldNames().forEachRemaining(k => out += k -> opts.get(k).asText())
+    out.toMap
+  }
+
+  // ---- column DDL (metadata-only, stable field ids) ----------------------
+
+  def currentSchema(schema: String, table: String): StructType = {
+    val m = readManifest(schema, table)
+    StructType(currentFields(m).map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+  }
+
+  def addColumn(schema: String, table: String, field: StructField): Unit =
+    evolveSchema(schema, table) { (m, fields) =>
+      require(!fields.exists(_.name == field.name), s"column ${field.name} exists")
+      val nextId = m.get("lastFieldId").asInt() + 1
+      m.put("lastFieldId", nextId)
+      fields :+ FieldInfo(nextId, field.name, TypeMapping.toTrinoType(field.dataType))
+    }
+
+  def renameColumn(schema: String, table: String, from: String, to: String): Unit =
+    evolveSchema(schema, table) { (_, fields) =>
+      require(fields.exists(_.name == from), s"no column $from")
+      require(!fields.exists(_.name == to), s"column $to exists")
+      fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    }
+
+  def dropColumn(schema: String, table: String, name: String): Unit =
+    evolveSchema(schema, table) { (_, fields) =>
+      require(fields.exists(_.name == name), s"no column $name")
+      require(fields.length > 1, "cannot drop the last column")
+      fields.filterNot(_.name == name)
+    }
+
+  private def evolveSchema(schema: String, table: String)(
+      f: (ObjectNode, Seq[FieldInfo]) => Seq[FieldInfo]): Unit = {
+    val m = readManifest(schema, table)
+    val next = f(m, currentFields(m))
+    val version = m.get("currentSchemaVersion").asInt() + 1
+    val schemas = m.get("schemas").asInstanceOf[ArrayNode]
+    val vn = schemas.addObject()
+    vn.put("version", version)
+    val fields = vn.putArray("fields")
+    next.foreach { fi =>
+      val fn = fields.addObject()
+      fn.put("id", fi.id); fn.put("name", fi.name); fn.put("type", fi.trinoType)
+    }
+    m.put("currentSchemaVersion", version)
+    writeManifest(schema, table, m)
+  }
+
+  // ---- writes ------------------------------------------------------------
+
+  def append(schema: String, table: String, df: DataFrame): Long =
+    commit(schema, table, df, keepExisting = true)
+
+  def overwrite(schema: String, table: String, df: DataFrame): Long =
+    commit(schema, table, df, keepExisting = false)
+
+  private def commit(schema: String, table: String, df: DataFrame,
+      keepExisting: Boolean): Long = {
+    val m = readManifest(schema, table)
+    val cur = currentSchema(schema, table)
+    require(df.schema.fieldNames.sameElements(cur.fieldNames),
+      s"dataframe columns ${df.schema.fieldNames.mkString(",")} != table ${cur.fieldNames.mkString(",")}")
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
+    val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
+    val id = lastId + 1
+    val ts = math.max(System.currentTimeMillis(), lastTs + 1) // strictly increasing
+    val dir = s"snap-$id"
+    df.write.mode("overwrite").parquet(new Path(tablePath(schema, table), dir).toString)
+    val prevFiles: Seq[(String, Int)] =
+      if (keepExisting && snaps.size() > 0) filesOf(snaps.get(snaps.size() - 1)) else Seq.empty
+    val sn = snaps.addObject()
+    sn.put("id", id)
+    sn.put("timestampMillis", ts)
+    val fArr = sn.putArray("files")
+    (prevFiles :+ (dir, m.get("currentSchemaVersion").asInt())).foreach { case (d, v) =>
+      val e = fArr.addObject(); e.put("dir", d); e.put("schemaVersion", v)
+    }
+    writeManifest(schema, table, m)
+    id
+  }
+
+  // ---- reads + time travel ----------------------------------------------
+
+  def snapshots(schema: String, table: String): Seq[SnapshotInfo] = {
+    val snaps = readManifest(schema, table).get("snapshots").asInstanceOf[ArrayNode]
+    (0 until snaps.size()).map { i =>
+      val s = snaps.get(i)
+      SnapshotInfo(s.get("id").asLong(), s.get("timestampMillis").asLong())
+    }
+  }
+
+  /**
+   * Read a table at the latest snapshot, a specific snapshot id, or the
+   * latest snapshot with timestamp ≤ `asOfMillis`. When neither parameter
+   * is given, session-level defaults [[GraftOptions.ScanSnapshotId]] /
+   * [[GraftOptions.ScanTimestampMillis]] apply (the session-property flow
+   * of TrinoSessionProperties.java:36–37).
+   */
+  def read(schema: String, table: String, snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): DataFrame = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val sessionSnap = spark.conf.getOption(GraftOptions.ScanSnapshotId).map(_.toLong)
+    val sessionAsOf = spark.conf.getOption(GraftOptions.ScanTimestampMillis).map(_.toLong)
+    val wantId = snapshotId.orElse(sessionSnap)
+    val wantTs = asOfMillis.orElse(sessionAsOf)
+    val all = (0 until snaps.size()).map(snaps.get)
+    val chosen: Option[JsonNode] = (wantId, wantTs) match {
+      case (Some(id), _) =>
+        val s = all.find(_.get("id").asLong() == id)
+        require(s.isDefined, s"no snapshot $id for $schema.$table")
+        s
+      case (None, Some(ts)) => all.reverse.find(_.get("timestampMillis").asLong() <= ts)
+      case _ => all.lastOption
+    }
+    val curFields = currentFields(m)
+    val target = StructType(curFields.map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    chosen match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+      case Some(s) =>
+        val bySchemaVersion = filesOf(s).groupBy(_._2)
+        val allSchemas = schemaVersions(m)
+        val parts = bySchemaVersion.toSeq.sortBy(_._1).map { case (ver, files) =>
+          val writeFields = allSchemas(ver)
+          val dfs = files.map { case (d, _) =>
+            spark.read.parquet(new Path(tablePath(schema, table), d).toString)
+          }
+          val raw = dfs.reduce(_ unionByName _)
+          // Map write-time schema → current schema by field id.
+          val byId = writeFields.map(f => f.id -> f).toMap
+          val cols = curFields.map { cf =>
+            byId.get(cf.id) match {
+              case Some(wf) => col(wf.name).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+              case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+            }
+          }
+          raw.select(cols: _*)
+        }
+        parts.reduce(_ unionByName _)
+    }
+  }
+
+  // ---- manifest plumbing -------------------------------------------------
+
+  private def currentFields(m: ObjectNode): Seq[FieldInfo] =
+    schemaVersions(m)(m.get("currentSchemaVersion").asInt())
+
+  private def schemaVersions(m: ObjectNode): Map[Int, Seq[FieldInfo]] = {
+    val schemas = m.get("schemas").asInstanceOf[ArrayNode]
+    (0 until schemas.size()).map { i =>
+      val s = schemas.get(i)
+      val fields = s.get("fields").asInstanceOf[ArrayNode]
+      s.get("version").asInt() -> (0 until fields.size()).map { j =>
+        val f = fields.get(j)
+        FieldInfo(f.get("id").asInt(), f.get("name").asText(), f.get("type").asText())
+      }
+    }.toMap
+  }
+
+  private def filesOf(snap: JsonNode): Seq[(String, Int)] = {
+    val fArr = snap.get("files").asInstanceOf[ArrayNode]
+    (0 until fArr.size()).map { i =>
+      val e = fArr.get(i)
+      (e.get("dir").asText(), e.get("schemaVersion").asInt())
+    }
+  }
+
+  private def readManifest(schema: String, table: String): ObjectNode = {
+    val p = manifestPath(schema, table)
+    require(fs.exists(p), s"no table $schema.$table")
+    val in = fs.open(p)
+    try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+  }
+
+  private def writeManifest(schema: String, table: String, m: ObjectNode): Unit = {
+    val out = fs.create(manifestPath(schema, table), true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+  }
+}
+
+object GraftCatalog {
+  case class FieldInfo(id: Int, name: String, trinoType: String)
+  case class SnapshotInfo(id: Long, timestampMillis: Long)
+}
+
+/**
+ * Session-level scan options — the analog of TrinoSessionProperties:
+ * `scan_snapshot_id`, `scan_timestamp_millis` (:36–37) and the split
+ * sizing knob (`minimum_split_weight`, :38). Split planning itself is
+ * Spark's file-source machinery (the TrinoSplitManagerBase analog);
+ * [[withSplitTargetBytes]] steers how many splits a scan produces.
+ */
+object GraftOptions {
+  val ScanSnapshotId = "graft.scan.snapshot-id"
+  val ScanTimestampMillis = "graft.scan.timestamp-millis"
+
+  def setSnapshot(spark: SparkSession, id: Long): Unit =
+    spark.conf.set(ScanSnapshotId, id.toString)
+
+  def setAsOf(spark: SparkSession, millis: Long): Unit =
+    spark.conf.set(ScanTimestampMillis, millis.toString)
+
+  def clearScanOptions(spark: SparkSession): Unit = {
+    spark.conf.unset(ScanSnapshotId)
+    spark.conf.unset(ScanTimestampMillis)
+  }
+
+  /** Target bytes per input split (smaller → more, finer-grained splits). */
+  def withSplitTargetBytes(spark: SparkSession, bytes: Long): Unit = {
+    spark.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", math.min(bytes / 4, 4194304).toString)
+  }
+}

@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.{GraftCatalog, GraftOptions}
+
+/** DDL, snapshots, time travel, schema evolution, options — the connector
+  * metadata surface (TrinoMetadataBase / TrinoSessionProperties analogs). */
+class GraftCatalogSpec extends SparkSpecBase {
+
+  private def freshCatalog(): GraftCatalog =
+    new GraftCatalog(spark, Files.createTempDirectory("graft-wh").toString)
+
+  private val abSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  test("schema ops: create, list, drop") {
+    val cat = freshCatalog()
+    cat.createSchema("s1"); cat.createSchema("s2")
+    assert(cat.listSchemas() === Seq("s1", "s2"))
+    cat.dropSchema("s2")
+    assert(cat.listSchemas() === Seq("s1"))
+  }
+
+  test("table ops: create, list, rename, drop; options round-trip") {
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t1", abSchema, Map("bucket" -> "4", "file.format" -> "parquet"))
+    cat.createTable("db", "t2", abSchema)
+    assert(cat.listTables("db") === Seq("t1", "t2"))
+    assert(cat.tableOptions("db", "t1") === Map("bucket" -> "4", "file.format" -> "parquet"))
+    cat.renameTable("db", "t2", "t3")
+    assert(cat.listTables("db") === Seq("t1", "t3"))
+    cat.dropTable("db", "t3")
+    assert(cat.listTables("db") === Seq("t1"))
+    intercept[IllegalArgumentException](cat.createTable("db", "t1", abSchema))
+    intercept[IllegalArgumentException](cat.dropSchema("db")) // non-empty
+  }
+
+  test("append snapshots and time travel by id and timestamp") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    cat.append("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.append("db", "t", Seq((3L, "c")).toDF("id", "name"))
+    cat.overwrite("db", "t", Seq((9L, "z")).toDF("id", "name"))
+    val snaps = cat.snapshots("db", "t")
+    assert(snaps.map(_.id) === Seq(1L, 2L, 3L))
+    assert(snaps.map(_.timestampMillis) === snaps.map(_.timestampMillis).sorted)
+    assert(cat.read("db", "t").count() === 1) // latest = overwrite
+    assert(cat.read("db", "t", snapshotId = Some(1L)).count() === 2)
+    assert(cat.read("db", "t", snapshotId = Some(2L)).count() === 3)
+    // as-of between snapshot 2 and 3 → sees snapshot 2
+    val ts2 = snaps(1).timestampMillis
+    assert(cat.read("db", "t", asOfMillis = Some(ts2)).count() === 3)
+    assert(cat.read("db", "t", asOfMillis = Some(snaps(2).timestampMillis)).count() === 1)
+    intercept[IllegalArgumentException](cat.read("db", "t", snapshotId = Some(99L)))
+  }
+
+  test("session properties steer the scan (TrinoSessionProperties analog)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    cat.append("db", "t", Seq((1L, "a")).toDF("id", "name"))
+    cat.append("db", "t", Seq((2L, "b")).toDF("id", "name"))
+    GraftOptions.setSnapshot(spark, 1L)
+    try assert(cat.read("db", "t").count() === 1)
+    finally GraftOptions.clearScanOptions(spark)
+    assert(cat.read("db", "t").count() === 2)
+  }
+
+  test("add column: old files read as null, new data carries values") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    cat.append("db", "t", Seq((1L, "a")).toDF("id", "name"))
+    cat.addColumn("db", "t", StructField("score", DoubleType))
+    assert(cat.currentSchema("db", "t").fieldNames === Array("id", "name", "score"))
+    cat.append("db", "t", Seq((2L, "b", 0.5)).toDF("id", "name", "score"))
+    val rows = cat.read("db", "t").orderBy("id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getDouble(2) === 0.5)
+  }
+
+  test("rename column: maps old files by field id") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    cat.append("db", "t", Seq((1L, "a")).toDF("id", "name"))
+    cat.renameColumn("db", "t", "name", "label")
+    assert(cat.currentSchema("db", "t").fieldNames === Array("id", "label"))
+    cat.append("db", "t", Seq((2L, "b")).toDF("id", "label"))
+    val rows = cat.read("db", "t").orderBy("id").collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b"))
+  }
+
+  test("drop column: disappears from reads of old files") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", StructType(abSchema.fields :+ StructField("extra", IntegerType)))
+    cat.append("db", "t", Seq((1L, "a", 7)).toDF("id", "name", "extra"))
+    cat.dropColumn("db", "t", "extra")
+    assert(cat.currentSchema("db", "t").fieldNames === Array("id", "name"))
+    val rows = cat.read("db", "t").collect()
+    assert(rows.head.length === 2)
+    intercept[IllegalArgumentException](cat.dropColumn("db", "t", "missing"))
+  }
+
+  test("type matrix survives catalog round-trip") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    val st = StructType(Seq(
+      StructField("id", LongType),
+      StructField("d", DecimalType(12, 3)),
+      StructField("arr", ArrayType(IntegerType)),
+      StructField("m", MapType(StringType, DoubleType)),
+      StructField("row", StructType(Seq(StructField("x", IntegerType))))))
+    cat.createTable("db", "t", st)
+    assert(cat.currentSchema("db", "t") === st)
+  }
+
+  test("split target bytes controls scan parallelism (split-planning analog)") {
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      GraftOptions.withSplitTargetBytes(spark, 16L * 1024)
+      val fine = spark.read.parquet(s"$sfDir/lineitem.parquet").rdd.getNumPartitions
+      GraftOptions.withSplitTargetBytes(spark, 1L << 30)
+      val coarse = spark.read.parquet(s"$sfDir/lineitem.parquet").rdd.getNumPartitions
+      assert(fine > coarse, s"fine=$fine coarse=$coarse")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+    }
+  }
+}
