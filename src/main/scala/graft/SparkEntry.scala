@@ -14,6 +14,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracle),
       (AnnQueries.queries, AnnQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
+      (StreamQueries.queries, StreamQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

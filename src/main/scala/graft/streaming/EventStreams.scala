@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Streaming surface over the `events` table shape
+ * (event_id, ts, user_id, event_type, value[, ts_ns]).
+ *
+ * The transforms are plain DataFrame functions, so the SAME code runs as a
+ * batch query (oracle-checked in DuckDB) and under `readStream` with
+ * watermarks (StreamingSpec drives it through MemoryStream). This is the
+ * Structured Streaming idiom: one declarative plan, two execution modes.
+ */
+object EventStreams {
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, total_value: Double)
+
+  /** Open-session state for [[sessionizeStateful]] (public: the state
+    * encoder's generated code must be able to construct it). */
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+
+  /**
+   * Tumbling 1-hour windowed aggregation with a 2-hour watermark. In batch
+   * mode the watermark is a no-op and this is an ordinary group-by; in
+   * streaming mode state is evicted once the watermark passes a window.
+   */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("window_start_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /**
+   * Batch sessionization: a session breaks after `gapMinutes` of user
+   * inactivity. lag + running-sum session ids — the declarative twin of
+   * the stateful streaming version below, and SQL-expressible for the
+   * oracle. Uses exact ns timestamps (`ts_ns`) for ordering parity.
+   */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val gapNs = gapMinutes * 60L * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val cume = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum("brk").over(cume))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        // integer `div`: double division rounds up across integer boundaries
+        // for ns remainders near 999999 (engines would then disagree by 1ms)
+        expr("min(ts_ns) div 1000000").as("start_ms"),
+        expr("max(ts_ns) div 1000000").as("end_ms"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
+  }
+
+  /**
+   * Stateful streaming sessionization via flatMapGroupsWithState: per-user
+   * state holds the open session; a new event either extends it or closes
+   * it (emitting the finished session) and opens the next. State size is
+   * O(active users); no timeout is used so results are deterministic for
+   * tests (open sessions simply remain in state).
+   */
+  def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = Seq.newBuilder[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+              case Some(s) =>
+                closed += Session(user, s.start, s.last, s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}

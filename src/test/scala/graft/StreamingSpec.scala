@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, Session}
+
+/** Drives the streaming transforms through real readStream execution
+  * (MemoryStream source) and checks them against batch semantics. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("windowed aggregation: streaming result equals batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Ev(1, ts(5), 1, "click", 1.0), Ev(2, ts(20), 1, "view", 2.0),
+      Ev(3, ts(65), 2, "click", 3.0), Ev(4, ts(70), 2, "click", 4.0),
+      Ev(5, ts(130), 1, "view", 5.0))
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      stream.addData(events.take(3))
+      query.processAllAvailable()
+      stream.addData(events.drop(3))
+      query.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventStreams.windowedCounts(events.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed === batch)
+      assert(batch.exists { case (w, t, n, _) => w == 3600 && t == "click" && n == 2 })
+    } finally query.stop()
+  }
+
+  test("stateful sessionization closes sessions across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.sessionizeStateful(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: two events close together, then a 40-minute gap.
+      stream.addData(Seq(Ev(1, ts(0), 1, "a", 1.0), Ev(2, ts(10), 1, "a", 2.0)))
+      query.processAllAvailable()
+      assert(spark.table("sess_out").count() === 0) // session still open
+      stream.addData(Seq(Ev(3, ts(50), 1, "a", 4.0)))
+      query.processAllAvailable()
+      val sessions = spark.table("sess_out").as[Session].collect()
+      assert(sessions.length === 1)
+      val s = sessions.head
+      assert(s.user_id === 1 && s.n_events === 2)
+      assert(s.start_ms === 0L && s.end_ms === 600000L)
+      assert(s.total_value === 3.0)
+    } finally query.stop()
+  }
+
+  test("batch sessionization splits on the gap and aggregates per session") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 1.0, 0L), (2L, 1L, 2.0, 10L),  // session 1: minutes 0,10
+      (3L, 1L, 4.0, 50L),                      // session 2: minute 50 (gap 40)
+      (4L, 2L, 8.0, 5L))                       // user 2: one session
+      .map { case (id, u, v, m) => (id, u, v, m * 60000000000L) }
+      .toDF("event_id", "user_id", "value", "ts_ns")
+    val out = EventStreams.sessionizeBatch(df, gapMinutes = 30)
+      .orderBy("user_id", "session_id").collect()
+    assert(out.length === 3)
+    assert(out(0).getAs[Long]("n_events") === 2)
+    assert(out(0).getAs[Double]("total_value") === 3.0)
+    assert(out(1).getAs[Long]("n_events") === 1)
+    assert(out(2).getAs[Long]("user_id") === 2)
+  }
+}
