@@ -24,16 +24,12 @@ object TextHash {
   def tokens(text: Column): Column =
     regexp_extract_all(text, lit("[a-z]+"), lit(0))
 
-  /** Distinct n-word shingles joined with single spaces; empty array when
-    * the doc has fewer than n tokens (sequence() would run backwards). */
-  def shingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    array_distinct(
-      when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => concat_ws(" ", slice(t, i, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Distinct n-word shingles joined with single spaces (single-pass
+    * native kernel; empty array when the doc has fewer than n tokens). */
+  def shingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.WordShingles(
+        org.apache.spark.sql.GraftColumnBridge.expression(tokens(text)), n))
 
   /** 60-bit hash of a string: first 15 hex digits of md5, parsed base-16.
     * Portable: DuckDB equivalent is CAST('0x' || substring(md5(s),1,15) AS BIGINT). */
@@ -56,14 +52,12 @@ object TextHash {
    */
   def minhashSignature(shingleCol: Column, k: Int): Column = {
     val (a, b) = minhashCoeffs(k)
-    val aArr = array(a.map(lit(_)).toIndexedSeq: _*)
-    val bArr = array(b.map(lit(_)).toIndexedSeq: _*)
-    // Hash each shingle once, then run all K permutations over the hashes.
-    val hs = transform(shingleCol, g => pmod(hash60(g), lit(P)))
-    when(size(shingleCol) > 0,
-      zip_with(aArr, bArr, (ak, bk) =>
-        array_min(transform(hs, h => pmod(ak * h + bk, lit(P))))))
-      .otherwise(array(Array.fill(k)(lit(P)).toIndexedSeq: _*))
+    // Hash each shingle once, then one fused native pass for all K slots
+    // (graft.plans.MinHashSig; empty input → all-P signature).
+    val hs = transform(shingleCol, g => hash60(g))
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.MinHashSig(
+        org.apache.spark.sql.GraftColumnBridge.expression(hs), a, b))
   }
 
   /**
@@ -84,12 +78,9 @@ object TextHash {
    * rule). Unrolled over the 60 bits so every shift amount is a literal.
    */
   def simhash60(hashArr: Column): Column =
-    (0 until 60).map { j =>
-      when(
-        aggregate(hashArr, lit(0L),
-          (s, h) => s + when(shiftright(h, j) % 2 === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.SimHash60(
+        org.apache.spark.sql.GraftColumnBridge.expression(hashArr)))
 
   /** Distinct-token 60-bit hashes for a text column (simhash input). */
   def tokenHashes(text: Column): Column =

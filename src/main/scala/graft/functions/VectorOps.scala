@@ -17,9 +17,13 @@ object VectorOps {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast("double") * 1000 + 0.5).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors (native kernel —
+    * a fused codegen loop instead of interpreted zip_with + aggregate). */
   def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, v) => s + v)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.LongArrayDot(
+        org.apache.spark.sql.GraftColumnBridge.expression(a),
+        org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Cosine similarity from quantized vectors + precomputed squared norms:
     * one IEEE division and sqrt over exact integers — deterministic. */

@@ -46,8 +46,10 @@ object Dedup {
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
       k: Int = 128, bands: Int = 32, r: Int = 4): DataFrame = {
+    // cached: referenced by the band explode AND both verify-join sides
     val docs = shingleSets(df, idCol, textCol)
       .withColumn("sig", TextHash.minhashSignature(col("sh"), k))
+      .persist()
     val banded = docs
       .select(col(idCol), explode(TextHash.lshBands(col("sig"), bands, r)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
@@ -74,6 +76,7 @@ object Dedup {
     require(maxHamming <= bands - 1, "banding only exhaustive for radius ≤ bands-1")
     val sims = df.select(col(idCol),
       TextHash.simhash60(TextHash.tokenHashes(col(textCol))).as("sim"))
+      .persist() // referenced by band explode and both join sides
     val banded = sims
       .select(col(idCol), explode(TextHash.simhashBands(col("sim"), bands, bits)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
@@ -95,6 +98,7 @@ object Dedup {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol), VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
+      .persist() // referenced by band explode and both join sides
     val banded = q
       .select(col(idCol),
         explode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as("bb"))

@@ -44,10 +44,14 @@ object DedupQueries {
     // Exact 3-gram Jaccard over a bounded sample (all pairs of 20 docs) —
     // the verify-stage kernel, oracle-checked with non-trivial values.
     "dedup_ngram_pairs" -> ((s, dir) => {
+      // persist: stops CollapseProject from re-inlining the (interpreted)
+      // shingle expression into every reference inside the pair jaccard
       val a = Dedup.shingleSets(Tables(s, dir, "documents"), "doc_id", "text")
         .filter(col("doc_id") < 20).select(col("doc_id").as("d1"), col("sh").as("sh1"))
+        .persist()
       val b = Dedup.shingleSets(Tables(s, dir, "documents"), "doc_id", "text")
         .filter(col("doc_id") < 20).select(col("doc_id").as("d2"), col("sh").as("sh2"))
+        .persist()
       a.join(b, col("d1") < col("d2"))
         .select(col("d1"), col("d2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jac"))
         .orderBy("d1", "d2")

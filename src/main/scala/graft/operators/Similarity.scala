@@ -31,6 +31,7 @@ object Similarity {
   def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).as("id"), VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
+      .persist() // reused as both candidate and query side downstream
 
   private def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Minimal bridge into the `private[sql]` Column↔Expression conversions —
+ * the standard pattern for libraries that ship custom Catalyst
+ * expressions (the public API deliberately hides Expression).
+ */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
