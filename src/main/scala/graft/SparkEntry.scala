@@ -15,6 +15,7 @@ object SparkEntry {
       (AnnQueries.queries, AnnQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
       (StreamQueries.queries, StreamQueries.oracle),
+      (ExtQueries.queries, ExtQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
