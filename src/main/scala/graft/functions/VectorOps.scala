@@ -40,14 +40,12 @@ object VectorOps {
    */
   def lshSignBands(qv: Column, dim: Int, bands: Int, bits: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * bits, dim)((rnd.nextInt(2001) - 1000).toLong)
+    val planes = Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong)
+    val bvals = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.HyperplaneSignBands(
+        org.apache.spark.sql.GraftColumnBridge.expression(qv), planes, dim, bands, bits))
     array((0 until bands).map { b =>
-      val bval = (0 until bits).map { i =>
-        val plane = planes(b * bits + i)
-        val planeCol = array(plane.map(lit(_)).toIndexedSeq: _*)
-        when(qdot(qv, planeCol) > 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), bval.as("bval"))
+      struct(lit(b).as("band"), element_at(bvals, b + 1).as("bval"))
     }: _*)
   }
 }

@@ -95,8 +95,11 @@ object TextQueries {
       val grams = transform(sequence(lit(1), length(col("s")) - (k - 1)),
         i => TextHash.hash60(col("s").substr(i, lit(k))))
       val withG = base.select(col("doc_id"), grams.as("h"))
-      val fps = transform(sequence(lit(1), size(col("h")) - (w - 1)),
-        j => array_min(slice(col("h"), j, lit(w))))
+      // native sliding-window minimum (monotone deque) — the interpreted
+      // slice+array_min form allocates O(n·w) arrays per doc
+      val fps = org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.SlidingMin(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("h")), w))
       withG.select(col("doc_id"), array_distinct(fps).as("fps"))
         .select(
           col("doc_id"),

@@ -154,6 +154,136 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 /**
+ * All hyperplane-LSH sign bands in one pass: for band b and bit i, bit i
+ * of band b's value is set iff dot(qv, plane[b*bits+i]) > 0. `planes` is
+ * row-major (bands*bits × dim). Output: array<bigint> of length `bands`.
+ * Replaces per-plane literal-array construction (interpreted per row) with
+ * one fused loop.
+ */
+case class HyperplaneSignBands(child: Expression, planes: Array[Long],
+    dim: Int, bands: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(planes.length == bands * bits * dim, "planes must be (bands*bits) x dim row-major")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sign_bands"
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBands =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val qv = input.asInstanceOf[ArrayData]
+    val n = math.min(dim, qv.numElements())
+    val out = new Array[Long](bands)
+    var p = 0
+    while (p < bands * bits) {
+      var dot = 0L
+      var i = 0
+      val off = p * dim
+      while (i < n) { dot += planes(off + i) * qv.getLong(i); i += 1 }
+      if (dot > 0) out(p / bits) |= 1L << (p % bits)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "long[]")
+    nullSafeCodeGen(ctx, ev, qv => {
+      val out = ctx.freshName("out")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      s"""
+         |long[] $out = new long[$bands];
+         |int $n = java.lang.Math.min($dim, $qv.numElements());
+         |for (int $p = 0; $p < ${bands * bits}; $p++) {
+         |  long $dot = 0L;
+         |  int $off = $p * $dim;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $planesRef[$off + $i] * $qv.getLong($i);
+         |  }
+         |  if ($dot > 0) $out[$p / $bits] |= 1L << ($p % $bits);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+}
+
+/**
+ * Sliding-window minimum over array<bigint>: output[j] = min(input[j..j+w-1])
+ * for j = 0..n-w (the winnowing selection step). Monotone-deque algorithm:
+ * O(n) total instead of O(n·w) interpreted slice+min allocations.
+ */
+case class SlidingMin(child: Expression, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(w >= 1, "window must be >= 1")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sliding_min"
+
+  override protected def withNewChildInternal(newChild: Expression): SlidingMin =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < w) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - w + 1)
+    val deque = new Array[Int](n) // indices, increasing values
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(deque(tail - 1)) >= v) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(deque(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val deque = ctx.freshName("deque")
+      val head = ctx.freshName("head")
+      val tail = ctx.freshName("tail")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $out;
+         |if ($n < $w) {
+         |  $out = new long[0];
+         |} else {
+         |  $out = new long[$n - $w + 1];
+         |  int[] $deque = new int[$n];
+         |  int $head = 0, $tail = 0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $v = $arr.getLong($i);
+         |    while ($tail > $head && $arr.getLong($deque[$tail - 1]) >= $v) $tail--;
+         |    $deque[$tail++] = $i;
+         |    if ($deque[$head] <= $i - $w) $head++;
+         |    if ($i >= $w - 1) $out[$i - $w + 1] = $arr.getLong($deque[$head]);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+}
+
+/**
  * 60-bit SimHash from an array of 60-bit token hashes: bit j set iff the
  * ±1 vote sum over tokens for bit j is positive. Single pass, 60 counters.
  */
