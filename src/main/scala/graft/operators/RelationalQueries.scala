@@ -178,6 +178,14 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
     }),
+    "agg_median" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy("o_orderpriority")
+        .agg(
+          percentile(o("o_totalprice"), lit(0.5)).as("median_price"),
+          percentile(o("o_totalprice"), lit(0.9)).as("p90_price"))
+        .orderBy("o_orderpriority")
+    }),
     "expr_scalar" -> ((s, dir) => {
       val p = Tables(s, dir, "part")
       p.select(
@@ -290,6 +298,11 @@ object RelationalQueries {
         |            WHEN o_totalprice > 100000 THEN 'mid'
         |            ELSE 'low' END AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "agg_median" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "expr_scalar" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         |  substring(p_name, 1, 8) AS name_pfx,
