@@ -33,6 +33,10 @@ object AnnQueries {
       val (cands, qs) = qc(s, dir)
       Similarity.lshTopK(cands, qs, K).orderBy("qid", "rank")
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      Similarity.ivfTopK(cands, qs, K).orderBy("qid", "rank")
+    }),
   )
 
   private val annOracle =

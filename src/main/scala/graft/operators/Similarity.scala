@@ -102,6 +102,100 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) top-k: a coarse quantizer — cosine k-means trained
+   * on a bounded, deterministic sample — partitions candidates into
+   * `nlist` cells; each query probes its `nprobe` nearest cells and only
+   * rescored cell members compete. The cell assignment is a bucketed
+   * equi-join on cell id (never a product), and training state is bounded
+   * (≤4096 sample vectors on the driver), so the path scales with the
+   * scan. Probabilistic recall, like every IVF index (see AnnSpec).
+   */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+
+    // 1. Deterministic bounded sample (every m-th id, ordered).
+    val n = candidates.count()
+    val step = math.max(1L, n / 4096L)
+    val sample = candidates.filter(col("id") % step === 0)
+      .orderBy("id").select("id", "qv", "nn")
+      .as[(Long, Array[Long], Long)].collect()
+      .map { case (_, qv, nn) =>
+        val norm = math.sqrt(nn.toDouble)
+        qv.map(_ / norm)
+      }
+
+    // 2. Lloyd iterations with cosine assignment (argmax dot, lowest cell
+    // id on ties); empty cells keep their previous centroid.
+    var centroids = sample.take(nlist)
+    require(centroids.nonEmpty, "not enough vectors to train IVF")
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        val c = nearestCell(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = sums(c).map(_ / counts(c))
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0) centroids(c) else m.map(_ / norm)
+        }
+      }.toArray
+    }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    // 3. Distributed cell assignment (1 cell per candidate, nprobe per query).
+    def assign(df: DataFrame, probes: Int): DataFrame =
+      df.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
+        .mapPartitions { iter =>
+          val cs = bc.value
+          iter.flatMap { case (id, qv, nn) =>
+            val norm = math.sqrt(nn.toDouble)
+            val v = qv.map(_ / norm)
+            cells(v, cs, probes).map(c => (c, id, qv, nn))
+          }
+        }.toDF("cell", "id", "qv", "nn")
+
+    val ca = assign(candidates, 1)
+    val qa = broadcast(assign(queries, nprobe)
+      .select(col("cell"), col("id").as("qid"), col("qv").as("qqv"), col("nn").as("qnn")))
+    val scored = ca.join(qa, "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cand"),
+        VectorOps.qcosine(VectorOps.qdot(col("qv"), col("qqv")), col("nn"), col("qnn"))
+          .as("cos"))
+    // no dedup needed: each candidate lives in exactly one cell, so a
+    // (qid, cand) pair meets at most once even with nprobe > 1
+    ranked(scored, k)
+  }
+
+  private def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int =
+    cells(v, cs, 1).head
+
+  /** Indices of the `probes` nearest centroids by dot product (ties →
+    * lower index), deterministic. */
+  private def cells(v: Array[Double], cs: Array[Array[Double]], probes: Int): Seq[Int] =
+    cs.indices
+      .map(c => (c, dot(v, cs(c))))
+      .sortBy { case (c, d) => (-d, c) }
+      .take(probes)
+      .map(_._1)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /**
    * LSH-bucketed top-k: candidates considered only when they share at
    * least one sign-band with the query. Bounded candidates per bucket;
    * exact rescoring of survivors. Probabilistic recall (see AnnSpec).

@@ -42,7 +42,11 @@ object TextQueries {
           (size(array_distinct(toks)).cast("double") /
             greatest(nTokens(d("text")), lit(1))).as("type_token_ratio"),
           length(d("text")).as("n_chars_measured"),
-          (length(d("text")) === d("n_chars")).as("n_chars_consistent"))
+          (length(d("text")) === d("n_chars")).as("n_chars_consistent"),
+          // BPE-style pre-tokenizer count: letter runs / digit runs /
+          // punctuation runs, each with optional leading space
+          regexp_count(d("text"),
+            lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+")).as("n_bpeish"))
         .orderBy("doc_id")
     }),
     "text_quality" -> ((s, dir) => {
@@ -132,7 +136,9 @@ object TextQueries {
          |  len(list_distinct(regexp_extract_all(text, '[a-z]+'))) * 1.0
          |    / greatest(len(regexp_extract_all(text, '\\S+')), 1) AS type_token_ratio,
          |  CAST(length(text) AS INTEGER) AS n_chars_measured,
-         |  length(text) = n_chars AS n_chars_consistent
+         |  length(text) = n_chars AS n_chars_consistent,
+         |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
+         |    AS INTEGER) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,

@@ -43,6 +43,26 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.9, s"lsh recall $recall < 0.9")
   }
 
+  test("ivf top-k recall >= 0.8 on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield ((c * 25 + m).toLong,
+      center.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val all = Similarity.quantized(df, "vec_id", "embedding")
+    val qs = all.filter(col("id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(all, qs, 10, nlist = 32, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ivf recall $recall < 0.8")
+  }
+
   test("lsh prunes: candidate pairs well below all-pairs") {
     val (cands, qs) = realVectors()
     val k = 5
