@@ -168,6 +168,14 @@ object RelationalQueries {
       val o = Tables(s, dir, "orders").select(col("o_orderpriority").as("v"))
       e.union(o).groupBy("v").agg(count(lit(1)).as("n")).orderBy("v")
     }),
+    // INTERSECT / EXCEPT set semantics over key projections.
+    "set_intersect_except" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+      val both = c.intersect(o).withColumn("src", lit("both"))
+      val only = c.except(o).withColumn("src", lit("customer_only"))
+      both.union(only).orderBy("src", "k")
+    }),
     "expr_case" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
       o.withColumn("bucket",
@@ -293,6 +301,13 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT o_orderpriority AS v FROM orders) t
         |GROUP BY v ORDER BY v""".stripMargin,
+    "set_intersect_except" ->
+      """SELECT k, 'both' AS src FROM
+        |  (SELECT c_custkey AS k FROM customer INTERSECT SELECT o_custkey FROM orders) t1
+        |UNION ALL
+        |SELECT k, 'customer_only' AS src FROM
+        |  (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) t2
+        |ORDER BY src, k""".stripMargin,
     "expr_case" ->
       """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
         |            WHEN o_totalprice > 100000 THEN 'mid'

@@ -19,6 +19,8 @@ object SparkSpecBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
