@@ -17,6 +17,9 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries: drop persisted intermediates from earlier queries
+      // so later ones aren't taxed by cache memory pressure
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
