@@ -130,6 +130,55 @@ object RelationalQueries {
         .select("user_id", "event_id", "running_value")
         .orderBy("user_id", "event_id")
     }),
+    // Window family II: dense_rank / percent_rank / ntile / cume_dist.
+    "window_ranks" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          percent_rank().over(w).as("prank"),
+          ntile(4).over(w).as("quartile"),
+          cume_dist().over(w).as("cdist"))
+        .filter(col("drank") <= 20)
+        .orderBy("o_orderpriority", "drank", "o_orderkey")
+    }),
+    // lead/lag/first/last navigation within a partition.
+    "window_lead_lag" -> ((s, dir) => {
+      // µs precision both sides: DuckDB truncates parquet ns timestamps to
+      // µs on read, so ns-exact gaps can't hash-match.
+      val e = Tables(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      e.select(col("user_id"), col("event_id"),
+          lag("event_id", 1).over(w).as("prev_event"),
+          lead("event_id", 1).over(w).as("next_event"),
+          first("event_id").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_event"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .filter(col("user_id") < 10)
+        .orderBy("user_id", "event_id")
+    }),
+    // RANGE frame: sum of nearby-priced orders per priority.
+    "window_range_frame" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 1000L)
+      o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_nearby"))
+        .filter(col("o_orderkey") < 2000)
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+    "agg_cube" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val base = o.select(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      base.cube("st", "pr")
+        .agg(count(lit(1)).as("n"), grouping(col("st")).as("g_s"), grouping(col("pr")).as("g_p"))
+        .select(
+          when(col("g_s") === 1, "(all)").otherwise(col("st")).as("status"),
+          when(col("g_p") === 1, "(all)").otherwise(col("pr")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    }),
     "agg_rollup" -> ((s, dir) => {
       // DataFrame-API rollup + grouping() trips the self-join ambiguity
       // detector (Expand duplicates the grouping attrs); SQL form resolves
@@ -185,6 +234,30 @@ object RelationalQueries {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    }),
+    // coalesce / nullif / least / greatest conditional family.
+    "expr_cond" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
+          least(col("l_quantity"), col("l_discount") * 100).as("least_v"),
+          greatest(col("l_quantity"), lit(25.0)).as("greatest_v"),
+          nvl2(nullif(col("l_linestatus"), lit("O")), lit("closed"), lit("open")).as("status_kind"))
+        .filter(col("l_orderkey") < 500)
+        .orderBy("l_orderkey", "l_linenumber", "least_v")
+    }),
+    // date arithmetic: datediff / date_add / last_day / day extraction.
+    "expr_datemath" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val d = to_date(col("o_orderdate"))
+      o.select(col("o_orderkey"),
+          datediff(lit("1999-01-01").cast("date"), d).as("days_to_1999"),
+          date_format(date_add(d, 30), "yyyy-MM-dd").as("plus30"),
+          date_format(last_day(d), "yyyy-MM-dd").as("month_end"),
+          dayofmonth(d).as("dom"),
+          quarter(d).as("qtr"))
+        .filter(col("o_orderkey") < 2000)
+        .orderBy("o_orderkey")
     }),
     "agg_median" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
@@ -276,6 +349,43 @@ object RelationalQueries {
         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS DOUBLE) AS running_value
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_ranks" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey ASC)
+        |QUALIFY dense_rank() OVER w <= 20
+        |ORDER BY o_orderpriority, drank, o_orderkey""".stripMargin,
+    "window_lead_lag" ->
+      """SELECT user_id, event_id,
+        |  lag(event_id, 1) OVER w AS prev_event,
+        |  lead(event_id, 1) OVER w AS next_event,
+        |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event,
+        |  epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |QUALIFY user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin,
+    "window_range_frame" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_nearby
+        |FROM orders
+        |QUALIFY o_orderkey < 2000
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "agg_cube" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "agg_rollup" ->
       """SELECT
         |  CASE WHEN grouping(r_name) = 1 THEN '(all)' ELSE r_name END AS region,
@@ -313,6 +423,24 @@ object RelationalQueries {
         |            WHEN o_totalprice > 100000 THEN 'mid'
         |            ELSE 'low' END AS bucket, count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "expr_cond" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  least(l_quantity, l_discount * 100) AS least_v,
+        |  greatest(l_quantity, 25.0) AS greatest_v,
+        |  CASE WHEN nullif(l_linestatus, 'O') IS NOT NULL
+        |       THEN 'closed' ELSE 'open' END AS status_kind
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber, least_v""".stripMargin,
+    "expr_datemath" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER) AS days_to_1999,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "agg_median" ->
       """SELECT o_orderpriority,
         |  quantile_cont(o_totalprice, 0.5) AS median_price,
