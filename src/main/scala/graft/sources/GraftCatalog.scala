@@ -66,12 +66,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   // ---- table ops ---------------------------------------------------------
 
   def createTable(schema: String, table: String, structType: StructType,
-      options: Map[String, String] = Map.empty): Unit = {
+      options: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     require(fs.exists(schemaPath(schema)), s"schema $schema does not exist")
     require(!fs.exists(manifestPath(schema, table)), s"table $schema.$table exists")
+    partitionBy.foreach(p => require(structType.fieldNames.contains(p),
+      s"partition column $p not in schema"))
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
     m.put("name", table)
+    val parts = m.putArray("partitions")
+    partitionBy.foreach(parts.add)
     val opts = m.putObject("options")
     options.foreach { case (k, v) => opts.put(k, v) }
     val schemas = m.putArray("schemas")
@@ -188,7 +193,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val id = lastId + 1
     val ts = math.max(System.currentTimeMillis(), lastTs + 1) // strictly increasing
     val dir = s"snap-$id"
-    df.write.mode("overwrite").parquet(new Path(tablePath(schema, table), dir).toString)
+    val writer = df.write.mode("overwrite")
+    val parted = partitionColumns(m)
+    (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
+      .parquet(new Path(tablePath(schema, table), dir).toString)
     val prevFiles: Seq[(String, Int)] =
       if (keepExisting && snaps.size() > 0) filesOf(snaps.get(snaps.size() - 1)) else Seq.empty
     val sn = snaps.addObject()
@@ -266,6 +274,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   // ---- manifest plumbing -------------------------------------------------
+
+  /** Partition columns declared at create time (empty for old manifests). */
+  def partitionColumnsOf(schema: String, table: String): Seq[String] =
+    partitionColumns(readManifest(schema, table))
+
+  private def partitionColumns(m: ObjectNode): Seq[String] = m.get("partitions") match {
+    case arr: ArrayNode => (0 until arr.size()).map(arr.get(_).asText())
+    case _ => Seq.empty
+  }
 
   private def currentFields(m: ObjectNode): Seq[FieldInfo] =
     schemaVersions(m)(m.get("currentSchemaVersion").asInt())

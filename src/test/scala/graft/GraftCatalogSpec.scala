@@ -128,6 +128,29 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.currentSchema("db", "t") === st)
   }
 
+  test("partitioned table: layout written, pruning on filtered read") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t",
+      StructType(Seq(StructField("id", LongType), StructField("region", StringType),
+        StructField("v", DoubleType))),
+      partitionBy = Seq("region"))
+    assert(cat.partitionColumnsOf("db", "t") === Seq("region"))
+    val df = Seq((1L, "eu", 1.0), (2L, "us", 2.0), (3L, "eu", 3.0), (4L, "ap", 4.0))
+      .toDF("id", "region", "v")
+    cat.append("db", "t", df)
+    val filtered = cat.read("db", "t").filter(col("region") === "eu")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("region"),
+      s"expected partition pruning:\n$plan")
+    assert(filtered.count() === 2)
+    // schema/order preserved despite partition columns moving to directories
+    assert(cat.read("db", "t").columns === Array("id", "region", "v"))
+    assert(cat.read("db", "t").orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("eu", "us", "eu", "ap"))
+  }
+
   test("split target bytes controls scan parallelism (split-planning analog)") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
