@@ -40,6 +40,37 @@ object ExtQueries {
         .agg(approx_count_distinct("l_partkey").as("approx_parts"))
         .orderBy("l_returnflag")
     }),
+    // Approximate quantile sketch (no oracle: engine-specific sketch).
+    "agg_approx_quantile" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"))
+        .orderBy("l_returnflag")
+    }),
+    // Correlated scalar subquery: orders above their own customer's mean.
+    "subquery_correlated" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("g_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM g_orders o
+          |WHERE o_totalprice > 1.5 * (
+          |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+          |         / count(*)
+          |  FROM g_orders i WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+    // Null semantics: nulls manufactured via nullif, then counted/summed.
+    "expr_nulls" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val maybe = nullif(l("l_returnflag"), lit("N"))
+      l.groupBy("l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(maybe).as("n_flagged"),
+          (count(lit(1)) - count(maybe)).as("n_null"),
+          countDistinct(maybe).as("n_flag_kinds"),
+          max(coalesce(maybe, lit("zz"))).as("max_or_zz"))
+        .orderBy("l_linestatus")
+    }),
     // As-of join: latest order (by date, then orderkey) of the mapped
     // customer at-or-before each event's timestamp.
     "join_asof" -> ((s, dir) => {
@@ -57,6 +88,20 @@ object ExtQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "subquery_correlated" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(*)
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "expr_nulls" ->
+      """SELECT l_linestatus, count(*) AS n_rows,
+        |  count(nullif(l_returnflag, 'N')) AS n_flagged,
+        |  count(*) - count(nullif(l_returnflag, 'N')) AS n_null,
+        |  count(DISTINCT nullif(l_returnflag, 'N')) AS n_flag_kinds,
+        |  max(coalesce(nullif(l_returnflag, 'N'), 'zz')) AS max_or_zz
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
     "expr_json" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,

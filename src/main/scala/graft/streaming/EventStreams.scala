@@ -44,6 +44,14 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
 
   /**
+   * Streaming exact deduplication by event id: state is bounded by the
+   * watermark horizon (ids older than the watermark are evicted). In batch
+   * mode this degenerates to a plain dropDuplicates.
+   */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /**
    * Batch sessionization: a session breaks after `gapMinutes` of user
    * inactivity. lag + running-sum session ids — the declarative twin of
    * the stateful streaming version below, and SQL-expressible for the

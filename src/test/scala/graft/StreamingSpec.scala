@@ -61,6 +61,26 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming dedup drops duplicate ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Ev]
+    val query = EventStreams.dedupStream(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 2.0)))
+      query.processAllAvailable()
+      // same ids again (a replay) plus one new id
+      stream.addData(Seq(Ev(1, ts(1), 1, "a", 1.0), Ev(2, ts(2), 1, "a", 2.0),
+        Ev(3, ts(3), 1, "a", 3.0)))
+      query.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("batch sessionization splits on the gap and aggregates per session") {
     import spark.implicits._
     val df = Seq(
