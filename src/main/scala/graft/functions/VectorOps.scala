@@ -26,9 +26,12 @@ object VectorOps {
         org.apache.spark.sql.GraftColumnBridge.expression(b)))
 
   /** Cosine similarity from quantized vectors + precomputed squared norms:
-    * one IEEE division and sqrt over exact integers — deterministic. */
+    * one IEEE division and sqrt over exact integers — deterministic.
+    * Each norm is cast to double BEFORE multiplying: the long product would
+    * overflow for non-unit embeddings (nn is only bounded by 2^53), and the
+    * DuckDB oracle's list_dot_product norms are doubles already. */
   def qcosine(dot: Column, normSqA: Column, normSqB: Column): Column =
-    dot.cast("double") / sqrt((normSqA * normSqB).cast("double"))
+    dot.cast("double") / sqrt(normSqA.cast("double") * normSqB.cast("double"))
 
   /**
    * Random-hyperplane LSH sign bands for a quantized vector: `bands` bands

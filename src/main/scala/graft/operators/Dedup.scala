@@ -12,10 +12,12 @@ import graft.functions.{TextHash, VectorOps}
  */
 object Dedup {
 
-  /** Exact Jaccard between two distinct-element array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b)))
+  /** Exact Jaccard between two distinct-element array columns (intersection
+    * computed once — it is the hot kernel of the verify stage). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") / (size(a) + size(b) - inter)
+  }
 
   /** Keep-first exact dedup by content digest. Output: idCol, digest. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -122,8 +122,10 @@ object RelationalQueries {
         .orderBy("o_custkey", "rn")
     }),
     "window_running" -> ((s, dir) => {
-      val e = Tables(s, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      // order by µs + event_id: DuckDB truncates parquet ns timestamps to
+      // µs on read, so ns-exact ordering could disagree on same-µs ties
+      val e = Tables(s, dir, "events").withColumn("ts_us", unix_micros(col("ts")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.withColumn("running_value",
           sum(e("value").cast(DecimalType(18, 4))).over(w).cast("double"))

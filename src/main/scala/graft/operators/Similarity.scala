@@ -84,7 +84,7 @@ object Similarity {
                 var dot = 0L
                 var i = 0
                 while (i < cqv.length) { dot += cqv(i) * qqv(i); i += 1 }
-                val cos = dot.toDouble / math.sqrt((cnn * qnn).toDouble)
+                val cos = dot.toDouble / math.sqrt(cnn.toDouble * qnn.toDouble)
                 val h = heaps(qi)
                 if (h.size < k) h.enqueue((cos, cid))
                 else if (worstFirst.compare((cos, cid), h.head) < 0) {

@@ -28,19 +28,19 @@ object StreamQueries {
         |FROM events GROUP BY 1, 2 ORDER BY window_start_epoch, event_type""".stripMargin,
     "stream_sessions" ->
       """WITH w AS (
-        |  SELECT user_id, event_id, value, epoch_ns(ts) AS ts_ns,
-        |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ns
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
         |  FROM events),
         |b AS (
-        |  SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END AS brk
+        |  SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS brk
         |  FROM w),
         |sid AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM b)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-        |  CAST(min(ts_ns) // 1000000 AS BIGINT) AS start_ms,
-        |  CAST(max(ts_ns) // 1000000 AS BIGINT) AS end_ms,
+        |  CAST(min(ts_us) // 1000 AS BIGINT) AS start_ms,
+        |  CAST(max(ts_us) // 1000 AS BIGINT) AS end_ms,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         |FROM sid GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,

@@ -143,16 +143,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
 
   def renameColumn(schema: String, table: String, from: String, to: String): Unit =
-    evolveSchema(schema, table) { (_, fields) =>
+    evolveSchema(schema, table) { (m, fields) =>
       require(fields.exists(_.name == from), s"no column $from")
       require(!fields.exists(_.name == to), s"column $to exists")
+      // keep the partition list consistent with the rename, or future
+      // commits would partitionBy a column that no longer exists
+      val parts = partitionColumns(m)
+      if (parts.contains(from)) {
+        val arr = m.putArray("partitions")
+        parts.foreach(p => arr.add(if (p == from) to else p))
+      }
       fields.map(f => if (f.name == from) f.copy(name = to) else f)
     }
 
   def dropColumn(schema: String, table: String, name: String): Unit =
-    evolveSchema(schema, table) { (_, fields) =>
+    evolveSchema(schema, table) { (m, fields) =>
       require(fields.exists(_.name == name), s"no column $name")
       require(fields.length > 1, "cannot drop the last column")
+      require(!partitionColumns(m).contains(name),
+        s"cannot drop partition column $name")
       fields.filterNot(_.name == name)
     }
 
@@ -255,8 +264,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val allSchemas = schemaVersions(m)
         val parts = bySchemaVersion.toSeq.sortBy(_._1).map { case (ver, files) =>
           val writeFields = allSchemas(ver)
+          // Explicit write-time schema: without it, Spark's partition-dir
+          // type inference would coerce string partition values that look
+          // numeric ("0123" -> 123) and corrupt the round-trip.
+          val writeSchema = StructType(writeFields.map(f =>
+            StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
           val dfs = files.map { case (d, _) =>
-            spark.read.parquet(new Path(tablePath(schema, table), d).toString)
+            spark.read.schema(writeSchema)
+              .parquet(new Path(tablePath(schema, table), d).toString)
           }
           val raw = dfs.reduce(_ unionByName _)
           // Map write-time schema → current schema by field id.

@@ -17,15 +17,19 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which the vectorized parquet
     // reader rejects; read nanos as long and expose both a µs-truncated
-    // timestamp `ts` and the exact `ts_ns` (for ns-precise ordering parity
-    // with engines that keep full nanos).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts_ns", col("ts"))
+    // timestamp `ts` and the exact `ts_ns`. The legacy flag is session-wide,
+    // so it is only touched for the one table that needs it (and only when
+    // not already set — entrypoint sessions set it at build time).
+    if (name == "events") {
+      if (spark.conf.getOption(NanosAsLong).forall(_ != "true"))
+        spark.conf.set(NanosAsLong, "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts_ns", col("ts"))
         .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: doubles lose ns precision at 2024 epoch-nanos magnitude
-    else df
+    } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  private val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
   /**
    * Deterministic double aggregation for DuckDB hash-parity: sum in exact

@@ -58,22 +58,25 @@ object EventStreams {
    * oracle. Uses exact ns timestamps (`ts_ns`) for ordering parity.
    */
   def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
-    val gapNs = gapMinutes * 60L * 1000000000L
-    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    // µs precision throughout: DuckDB truncates parquet ns timestamps to µs
+    // on read, so ns-exact gaps/ordering could disagree at µs boundaries.
+    // Integer `div` everywhere — double division rounds up across integer
+    // boundaries (engines would then disagree by 1 unit).
+    val gapUs = gapMinutes * 60L * 1000000L
+    val withUs = events.withColumn("ts_us", expr("ts_ns div 1000"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     val cume = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    events
-      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+    withUs
+      .withColumn("prev_us", lag("ts_us", 1).over(byUser))
       .withColumn("brk",
-        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1)
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1)
           .otherwise(0))
       .withColumn("session_id", sum("brk").over(cume))
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),
-        // integer `div`: double division rounds up across integer boundaries
-        // for ns remainders near 999999 (engines would then disagree by 1ms)
-        expr("min(ts_ns) div 1000000").as("start_ms"),
-        expr("max(ts_ns) div 1000000").as("end_ms"),
+        expr("min(ts_us) div 1000").as("start_ms"),
+        expr("max(ts_us) div 1000").as("end_ms"),
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("total_value"))
   }
 

@@ -151,6 +151,24 @@ class GraftCatalogSpec extends SparkSpecBase {
       Seq("eu", "us", "eu", "ap"))
   }
 
+  test("partition column DDL: rename follows, drop refused, numeric-looking strings survive") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t",
+      StructType(Seq(StructField("id", LongType), StructField("region", StringType))),
+      partitionBy = Seq("region"))
+    // numeric-looking string partition value must round-trip unchanged
+    cat.append("db", "t", Seq((1L, "0123"), (2L, "eu")).toDF("id", "region"))
+    assert(cat.read("db", "t").orderBy("id").collect().map(_.getString(1)).toSeq ===
+      Seq("0123", "eu"))
+    intercept[IllegalArgumentException](cat.dropColumn("db", "t", "region"))
+    cat.renameColumn("db", "t", "region", "zone")
+    assert(cat.partitionColumnsOf("db", "t") === Seq("zone"))
+    cat.append("db", "t", Seq((3L, "ap")).toDF("id", "zone")) // append still works
+    assert(cat.read("db", "t").count() === 3)
+  }
+
   test("split target bytes controls scan parallelism (split-planning analog)") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
