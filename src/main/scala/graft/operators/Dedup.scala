@@ -39,7 +39,8 @@ object Dedup {
 
   /** id → distinct 3-shingle set (docs with <3 tokens dropped). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), TextHash.shingles(col(textCol), 3).as("sh"))
+    graft.sources.Tables.spread(df)
+      .select(col(idCol), TextHash.shingles(col(textCol), 3).as("sh"))
       .filter(size(col("sh")) > 0)
 
   /**

@@ -94,7 +94,7 @@ object TextQueries {
       val w = 4
       val d = Tables(s, dir, "documents")
       val norm = trim(regexp_replace(lower(d("text")), "\\s+", " "))
-      val base = d.select(d("doc_id"), norm.as("s"))
+      val base = graft.sources.Tables.spread(d).select(d("doc_id"), norm.as("s"))
         .filter(length(col("s")) >= k + w - 1)
       val grams = transform(sequence(lit(1), length(col("s")) - (k - 1)),
         i => TextHash.hash60(col("s").substr(i, lit(k))))

@@ -32,6 +32,18 @@ object Tables {
   private val NanosAsLong = "spark.sql.legacy.parquet.nanosAsLong"
 
   /**
+   * Ensure at least default-parallelism partitions for compute-bound
+   * per-row stages (hashing, signatures, winnowing). Small tables arrive
+   * as one file split and would otherwise serialize the kernel work on a
+   * single core; at cluster scale real tables have many splits and this
+   * is a no-op.
+   */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
    * Deterministic double aggregation for DuckDB hash-parity: sum in exact
    * decimal (order-independent), then one IEEE cast back to double.
    * See SURVEY.md §4.
