@@ -112,6 +112,34 @@ object TextQueries {
           array_max(col("fps")).as("fp_max"))
         .orderBy("doc_id")
     }),
+    // Corpus statistics: top terms by document frequency. explode → agg
+    // has map-side partial aggregation, so the shuffle carries one row per
+    // (partition, term), not per token occurrence.
+    "text_top_terms" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(d("doc_id"), explode(array_distinct(TextHash.tokens(d("text")))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(col("doc_freq").desc, col("term").asc)
+        .limit(25)
+    }),
+    // Document length histogram (fixed 100-char buckets, capped at 9).
+    "text_length_hist" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.select(least(floor(d("n_chars") / 100), lit(9)).cast("int").as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket")
+    }),
+    // Normalization pass: lowercase, strip non-alphanumerics, collapse
+    // whitespace — the canonical pre-dedup cleanup.
+    "text_normalize" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(d("text")), "[^a-z0-9 ]", " "), " +", " "))
+      d.select(d("doc_id"), norm.as("norm_text"), length(norm).as("norm_len"))
+        .orderBy("doc_id")
+    }),
     // Multimodal metadata probe: opaque binary column + header-byte fields.
     "media_metadata" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -184,6 +212,22 @@ object TextQueries {
         |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fp,
         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
         |FROM f ORDER BY doc_id""".stripMargin,
+    "text_top_terms" ->
+      """SELECT term, count(*) AS doc_freq FROM (
+        |  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS term
+        |  FROM documents) t
+        |GROUP BY term ORDER BY doc_freq DESC, term ASC LIMIT 25""".stripMargin,
+    "text_length_hist" ->
+      """SELECT CAST(least(floor(n_chars / 100), 9) AS INTEGER) AS bucket,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g')) AS norm_text,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |       ' +', ' ', 'g'))) AS INTEGER) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
