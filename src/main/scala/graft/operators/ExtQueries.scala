@@ -71,6 +71,10 @@ object ExtQueries {
           max(coalesce(maybe, lit("zz"))).as("max_or_zz"))
         .orderBy("l_linestatus")
     }),
+    // The capstone composition: the full cleaning pipeline end-to-end.
+    "pipeline_clean_corpus" -> ((s, dir) =>
+      Pipelines.cleanCorpus(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // As-of join: latest order (by date, then orderkey) of the mapped
     // customer at-or-before each event's timestamp.
     "join_asof" -> ((s, dir) => {
@@ -88,6 +92,46 @@ object ExtQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    // Mirrors Pipelines.cleanCorpus stage by stage. The near-dup stage is
+    // all-pairs exact Jaccard >= tau, sound against the Spark LSH path for
+    // the same reason as the dedup_minhash oracle (miss prob ~1e-15/pair).
+    "pipeline_clean_corpus" ->
+      """WITH normalized AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS norm_text
+        |  FROM documents),
+        |quality AS (
+        |  SELECT doc_id, norm_text,
+        |    CAST(len(regexp_extract_all(norm_text, '[a-z]+')) AS INTEGER) AS n_tokens
+        |  FROM normalized
+        |  WHERE len(regexp_extract_all(norm_text, '[a-z]+')) >= 20),
+        |exact_kept AS (
+        |  SELECT doc_id, norm_text, n_tokens, digest FROM (
+        |    SELECT *, md5(norm_text) AS digest,
+        |      row_number() OVER (PARTITION BY md5(norm_text) ORDER BY doc_id) AS rn
+        |    FROM quality) t
+        |  WHERE rn = 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(norm_text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(norm_text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM exact_kept
+        |  WHERE len(regexp_extract_all(norm_text, '[a-z]+')) >= 3),
+        |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |          FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |near_drop AS (
+        |  SELECT DISTINCT d2 FROM inter
+        |  JOIN sizes sa ON d1 = sa.doc_id
+        |  JOIN sizes sb ON d2 = sb.doc_id
+        |  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.75)
+        |SELECT doc_id, norm_text, n_tokens, digest
+        |FROM exact_kept
+        |WHERE doc_id NOT IN (SELECT d2 FROM near_drop)
+        |ORDER BY doc_id""".stripMargin,
     "subquery_correlated" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
         |WHERE o_totalprice > 1.5 * (
