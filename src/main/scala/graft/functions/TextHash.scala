@@ -27,9 +27,7 @@ object TextHash {
   /** Distinct n-word shingles joined with single spaces (single-pass
     * native kernel; empty array when the doc has fewer than n tokens). */
   def shingles(text: Column, n: Int): Column =
-    org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.WordShingles(
-        org.apache.spark.sql.GraftColumnBridge.expression(tokens(text)), n))
+    graft.plans.kernels.wordShingles(tokens(text), n)
 
   /** 60-bit hash of a string: first 15 hex digits of md5, parsed base-16.
     * Portable: DuckDB equivalent is CAST('0x' || substring(md5(s),1,15) AS BIGINT). */
@@ -55,9 +53,7 @@ object TextHash {
     // Hash each shingle once, then one fused native pass for all K slots
     // (graft.plans.MinHashSig; empty input → all-P signature).
     val hs = transform(shingleCol, g => hash60(g))
-    org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.MinHashSig(
-        org.apache.spark.sql.GraftColumnBridge.expression(hs), a, b))
+    graft.plans.kernels.minhashSig(hs, a, b)
   }
 
   /**
@@ -78,9 +74,7 @@ object TextHash {
    * rule). Unrolled over the 60 bits so every shift amount is a literal.
    */
   def simhash60(hashArr: Column): Column =
-    org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.SimHash60(
-        org.apache.spark.sql.GraftColumnBridge.expression(hashArr)))
+    graft.plans.kernels.simhash60(hashArr)
 
   /** Distinct-token 60-bit hashes for a text column (simhash input). */
   def tokenHashes(text: Column): Column =

@@ -20,10 +20,7 @@ object VectorOps {
   /** Exact integer dot product of two quantized vectors (native kernel —
     * a fused codegen loop instead of interpreted zip_with + aggregate). */
   def qdot(a: Column, b: Column): Column =
-    org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.LongArrayDot(
-        org.apache.spark.sql.GraftColumnBridge.expression(a),
-        org.apache.spark.sql.GraftColumnBridge.expression(b)))
+    graft.plans.kernels.longArrayDot(a, b)
 
   /** Cosine similarity from quantized vectors + precomputed squared norms:
     * one IEEE division and sqrt over exact integers — deterministic.
@@ -44,9 +41,7 @@ object VectorOps {
   def lshSignBands(qv: Column, dim: Int, bands: Int, bits: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong)
-    val bvals = org.apache.spark.sql.GraftColumnBridge.column(
-      graft.plans.HyperplaneSignBands(
-        org.apache.spark.sql.GraftColumnBridge.expression(qv), planes, dim, bands, bits))
+    val bvals = graft.plans.kernels.hyperplaneSignBands(qv, planes, dim, bands, bits)
     array((0 until bands).map { b =>
       struct(lit(b).as("band"), element_at(bvals, b + 1).as("bval"))
     }: _*)

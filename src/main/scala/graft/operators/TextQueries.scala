@@ -101,9 +101,7 @@ object TextQueries {
       val withG = base.select(col("doc_id"), grams.as("h"))
       // native sliding-window minimum (monotone deque) — the interpreted
       // slice+array_min form allocates O(n·w) arrays per doc
-      val fps = org.apache.spark.sql.GraftColumnBridge.column(
-        graft.plans.SlidingMin(
-          org.apache.spark.sql.GraftColumnBridge.expression(col("h")), w))
+      val fps = graft.plans.kernels.slidingMin(col("h"), w)
       withG.select(col("doc_id"), array_distinct(fps).as("fps"))
         .select(
           col("doc_id"),

@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+/** Column-API facade over the native kernels, so call sites don't repeat
+  * the Expression↔Column bridging. */
+object kernels {
+
+  def longArrayDot(a: Column, b: Column): Column =
+    column(LongArrayDot(expression(a), expression(b)))
+
+  def minhashSig(hashes: Column, a: Array[Long], b: Array[Long]): Column =
+    column(MinHashSig(expression(hashes), a, b))
+
+  def wordShingles(tokens: Column, n: Int): Column =
+    column(WordShingles(expression(tokens), n))
+
+  def simhash60(hashes: Column): Column =
+    column(SimHash60(expression(hashes)))
+
+  def hyperplaneSignBands(qv: Column, planes: Array[Long], dim: Int,
+      bands: Int, bits: Int): Column =
+    column(HyperplaneSignBands(expression(qv), planes, dim, bands, bits))
+
+  def slidingMin(arr: Column, w: Int): Column =
+    column(SlidingMin(expression(arr), w))
+}
