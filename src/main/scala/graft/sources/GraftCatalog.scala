@@ -219,6 +219,31 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     id
   }
 
+  /**
+   * Streaming ingestion: append each micro-batch as a catalog snapshot —
+   * the Spark-native analog of Paimon's streaming table writes (the
+   * reference connector reads tables a Flink stream writes; here the
+   * stream and the table store are one system). Returns the started query;
+   * each batch becomes one immutable, time-travelable snapshot.
+   */
+  def streamAppend(schema: String, table: String, stream: DataFrame,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) { append(schema, table, batch.toDF()); () }
+      }
+      .start()
+
+  /**
+   * Compaction: rewrite the current snapshot's (possibly many, possibly
+   * schema-heterogeneous) files into one fresh snapshot at the current
+   * schema — Paimon's small-file compaction, expressed as an ordinary
+   * overwrite commit. Old snapshots remain time-travelable.
+   */
+  def compact(schema: String, table: String): Long =
+    overwrite(schema, table, read(schema, table))
+
   // ---- reads + time travel ----------------------------------------------
 
   def snapshots(schema: String, table: String): Seq[SnapshotInfo] = {

@@ -81,6 +81,30 @@ object EventStreams {
   }
 
   /**
+   * Stream-stream inner join with event-time bounds: pair each user's
+   * click with their first qualifying purchase within `withinMinutes`.
+   * Both sides carry watermarks so join state is evicted once the range
+   * condition can no longer match (Spark's watermark-bounded state).
+   */
+  def clickToPurchase(clickEvents: DataFrame, purchaseEvents: DataFrame,
+      withinMinutes: Int): DataFrame = {
+    val clicks = clickEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = purchaseEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"),
+        col("purchase_value"))
+  }
+
+  /**
    * Stateful streaming sessionization via flatMapGroupsWithState: per-user
    * state holds the open session; a new event either extends it or closes
    * it (emitting the finished session) and opens the next. State size is

@@ -81,6 +81,61 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("stream-stream join pairs clicks with in-window purchases") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // modern timestamps: near-epoch event times collide with the initial
+    // watermark and get state-pruned before they can match
+    val base = 1000
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val query = EventStreams.clickToPurchase(
+        clicks.toDF(), purchases.toDF(), withinMinutes = 30)
+      .writeStream.format("memory").queryName("ss_join_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Seq(
+        Ev(1, ts(base + 0), 1, "click", 0.0),
+        Ev(4, ts(base + 5), 2, "click", 0.0)))     // user 2: no purchase
+      purchases.addData(Seq(
+        Ev(2, ts(base + 10), 1, "purchase", 9.99), // within 30 min of click 1
+        Ev(3, ts(base + 50), 1, "purchase", 5.0))) // outside the window
+      query.processAllAvailable()
+      val rows = spark.table("ss_join_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows === Set((1L, 1L, 2L)))
+    } finally query.stop()
+  }
+
+  test("streaming ingestion into the catalog creates time-travelable snapshots") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.sources.GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft-stream-wh").toString)
+    cat.createSchema("db")
+    cat.createTable("db", "t", org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType))))
+    val stream = MemoryStream[(Long, Double)]
+    val query = cat.streamAppend("db", "t",
+      stream.toDF().toDF("event_id", "value"),
+      java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString)
+    try {
+      stream.addData(Seq((1L, 1.0), (2L, 2.0)))
+      query.processAllAvailable()
+      stream.addData(Seq((3L, 3.0)))
+      query.processAllAvailable()
+      assert(cat.snapshots("db", "t").map(_.id) === Seq(1L, 2L))
+      assert(cat.read("db", "t").count() === 3)
+      assert(cat.read("db", "t", snapshotId = Some(1L)).count() === 2)
+      // compaction adds a third snapshot with identical contents
+      cat.compact("db", "t")
+      assert(cat.snapshots("db", "t").map(_.id) === Seq(1L, 2L, 3L))
+      assert(cat.read("db", "t").count() === 3)
+      assert(cat.read("db", "t", snapshotId = Some(2L)).count() === 3)
+    } finally query.stop()
+  }
+
   test("batch sessionization splits on the gap and aggregates per session") {
     import spark.implicits._
     val df = Seq(
