@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, row_number}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /**
@@ -67,16 +67,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   def createTable(schema: String, table: String, structType: StructType,
       options: Map[String, String] = Map.empty,
-      partitionBy: Seq[String] = Seq.empty): Unit = {
+      partitionBy: Seq[String] = Seq.empty,
+      primaryKey: Seq[String] = Seq.empty): Unit = {
     require(fs.exists(schemaPath(schema)), s"schema $schema does not exist")
     require(!fs.exists(manifestPath(schema, table)), s"table $schema.$table exists")
     partitionBy.foreach(p => require(structType.fieldNames.contains(p),
       s"partition column $p not in schema"))
+    primaryKey.foreach(p => require(structType.fieldNames.contains(p),
+      s"primary-key column $p not in schema"))
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
     m.put("name", table)
     val parts = m.putArray("partitions")
     partitionBy.foreach(parts.add)
+    val pks = m.putArray("primaryKey")
+    primaryKey.foreach(pks.add)
     val opts = m.putObject("options")
     options.foreach { case (k, v) => opts.put(k, v) }
     val schemas = m.putArray("schemas")
@@ -146,12 +151,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     evolveSchema(schema, table) { (m, fields) =>
       require(fields.exists(_.name == from), s"no column $from")
       require(!fields.exists(_.name == to), s"column $to exists")
-      // keep the partition list consistent with the rename, or future
-      // commits would partitionBy a column that no longer exists
+      // keep the partition and primary-key lists consistent with the
+      // rename, or future commits/reads would reference a stale name
       val parts = partitionColumns(m)
       if (parts.contains(from)) {
         val arr = m.putArray("partitions")
         parts.foreach(p => arr.add(if (p == from) to else p))
+      }
+      val pk = primaryKey(m)
+      if (pk.contains(from)) {
+        val arr = m.putArray("primaryKey")
+        pk.foreach(p => arr.add(if (p == from) to else p))
       }
       fields.map(f => if (f.name == from) f.copy(name = to) else f)
     }
@@ -162,6 +172,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(fields.length > 1, "cannot drop the last column")
       require(!partitionColumns(m).contains(name),
         s"cannot drop partition column $name")
+      require(!primaryKey(m).contains(name),
+        s"cannot drop primary-key column $name")
       fields.filterNot(_.name == name)
     }
 
@@ -285,20 +297,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
       case Some(s) =>
-        val bySchemaVersion = filesOf(s).groupBy(_._2)
         val allSchemas = schemaVersions(m)
-        val parts = bySchemaVersion.toSeq.sortBy(_._1).map { case (ver, files) =>
+        val frames = filesOf(s).map { case (d, ver) =>
           val writeFields = allSchemas(ver)
           // Explicit write-time schema: without it, Spark's partition-dir
           // type inference would coerce string partition values that look
           // numeric ("0123" -> 123) and corrupt the round-trip.
           val writeSchema = StructType(writeFields.map(f =>
             StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
-          val dfs = files.map { case (d, _) =>
-            spark.read.schema(writeSchema)
-              .parquet(new Path(tablePath(schema, table), d).toString)
-          }
-          val raw = dfs.reduce(_ unionByName _)
+          val raw = spark.read.schema(writeSchema)
+            .parquet(new Path(tablePath(schema, table), d).toString)
           // Map write-time schema → current schema by field id.
           val byId = writeFields.map(f => f.id -> f).toMap
           val cols = curFields.map { cf =>
@@ -307,9 +315,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
               case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
             }
           }
-          raw.select(cols: _*)
+          // snapshot ordinal for merge-on-read resolution
+          raw.select(cols :+ lit(d.stripPrefix("snap-").toLong).as("__ord"): _*)
         }
-        parts.reduce(_ unionByName _)
+        val all = frames.reduce(_ unionByName _)
+        val pk = primaryKey(m)
+        if (pk.isEmpty) all.drop("__ord")
+        else {
+          // Merge-on-read: latest snapshot wins per primary key.
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+          all.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1)
+            .drop("__ord", "__rn")
+        }
     }
   }
 
@@ -318,6 +337,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   /** Partition columns declared at create time (empty for old manifests). */
   def partitionColumnsOf(schema: String, table: String): Seq[String] =
     partitionColumns(readManifest(schema, table))
+
+  /** Primary-key columns declared at create time (empty = append-only). */
+  def primaryKeyOf(schema: String, table: String): Seq[String] =
+    primaryKey(readManifest(schema, table))
+
+  private def primaryKey(m: ObjectNode): Seq[String] = m.get("primaryKey") match {
+    case arr: ArrayNode => (0 until arr.size()).map(arr.get(_).asText())
+    case _ => Seq.empty
+  }
+
+  /**
+   * Upsert into a primary-key table: the batch is committed as a new
+   * snapshot and reads resolve each key to its latest version
+   * (merge-on-read, Paimon's PK-table semantics — writes never rewrite
+   * existing data; [[compact]] materializes the resolution). The batch
+   * itself must be PK-unique.
+   */
+  def upsert(schema: String, table: String, df: DataFrame): Long = {
+    require(primaryKeyOf(schema, table).nonEmpty,
+      s"$schema.$table has no primary key — use append")
+    append(schema, table, df)
+  }
 
   private def partitionColumns(m: ObjectNode): Seq[String] = m.get("partitions") match {
     case arr: ArrayNode => (0 until arr.size()).map(arr.get(_).asText())

@@ -169,6 +169,32 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.read("db", "t").count() === 3)
   }
 
+  test("primary-key table: merge-on-read upserts, time travel, compaction") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema, primaryKey = Seq("id"))
+    assert(cat.primaryKeyOf("db", "t") === Seq("id"))
+    cat.upsert("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.upsert("db", "t", Seq((2L, "b2"), (3L, "c")).toDF("id", "name"))
+    val now = cat.read("db", "t").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(now.toSeq === Seq(1L -> "a", 2L -> "b2", 3L -> "c"))
+    // time travel sees the pre-upsert value
+    val v1 = cat.read("db", "t", snapshotId = Some(1L)).orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(v1.toSeq === Seq(1L -> "a", 2L -> "b"))
+    // compaction materializes the resolution; results unchanged
+    cat.compact("db", "t")
+    val compacted = cat.read("db", "t").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(compacted.toSeq === now.toSeq)
+    // append-only tables refuse upsert
+    cat.createTable("db", "plain", abSchema)
+    intercept[IllegalArgumentException](
+      cat.upsert("db", "plain", Seq((1L, "x")).toDF("id", "name")))
+  }
+
   test("split target bytes controls scan parallelism (split-planning analog)") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
