@@ -36,7 +36,10 @@ object AsOfJoin {
     val payload = struct(rightVals.map { case (c, out) => col(c).as(out) }: _*)
     // Right rows get tag 0 so they order BEFORE left rows at equal time
     // (inclusive ≤ semantics); tie-break ascends so last() takes the max.
-    val taggedRight = right.select(
+    // NULL keys never match in an equality join (and in DuckDB's ASOF JOIN),
+    // but Window.partitionBy groups NULLs together — so drop null-key right
+    // rows up front; null-key left rows then carry nothing, as they should.
+    val taggedRight = right.filter(col(rightKey).isNotNull).select(
       (col(rightKey).as("__k") +: col(rightTime).as("__t") +: lit(0).as("__tag") +:
         col(rightTieBreak).as("__tie") +: payload.as("__r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)

@@ -95,9 +95,17 @@ object Dedup {
   /**
    * Embedding-cosine near-dup pairs via hyperplane-sign LSH + exact
    * quantized-cosine verify. Output: d1, d2, cos (cos ≥ tau).
+   *
+   * Recall bound: a pair at cosine c shares one b-bit band with probability
+   * (1-acos(c)/π)^b, so the miss probability is (1-(1-acos(c)/π)^b)^bands.
+   * At the default 32 bands × 6 bits that is ≈ 9e-5 for c = 0.8 and
+   * ≈ 1e-7 for c ≥ 0.9. Data contract for oracle-exact parity (mirroring
+   * the minhash Tau gap): planted near-dups should sit well above tau
+   * (≥ 0.9 for tau = 0.8) so the per-pair miss bound is negligible —
+   * boundary pairs at exactly tau carry the ~1e-4 bound instead.
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      bands: Int = 8, bits: Int = 8): DataFrame = {
+      bands: Int = 32, bits: Int = 6): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol), VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))

@@ -83,7 +83,9 @@ object Similarity {
               if (qid != cid) {
                 var dot = 0L
                 var i = 0
-                while (i < cqv.length) { dot += cqv(i) * qqv(i); i += 1 }
+                // common-prefix semantics, matching LongArrayDot/bruteForceTopK
+                val n = math.min(cqv.length, qqv.length)
+                while (i < n) { dot += cqv(i) * qqv(i); i += 1 }
                 val cos = dot.toDouble / math.sqrt(cnn.toDouble * qnn.toDouble)
                 val h = heaps(qi)
                 if (h.size < k) h.enqueue((cos, cid))

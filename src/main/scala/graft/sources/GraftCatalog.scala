@@ -203,7 +203,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     commit(schema, table, df, keepExisting = false)
 
   private def commit(schema: String, table: String, df: DataFrame,
-      keepExisting: Boolean): Long = {
+      keepExisting: Boolean, streamBatchId: Option[Long] = None): Long = {
     val m = readManifest(schema, table)
     val cur = currentSchema(schema, table)
     require(df.schema.fieldNames.sameElements(cur.fieldNames),
@@ -227,8 +227,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     (prevFiles :+ (dir, m.get("currentSchemaVersion").asInt())).foreach { case (d, v) =>
       val e = fArr.addObject(); e.put("dir", d); e.put("schemaVersion", v)
     }
+    streamBatchId.foreach(b => m.put("lastStreamBatchId", b))
     writeManifest(schema, table, m)
     id
+  }
+
+  /** Highest streaming batchId committed to this table (-1 = none). */
+  def lastStreamBatchId(schema: String, table: String): Long = {
+    val m = readManifest(schema, table)
+    if (m.has("lastStreamBatchId")) m.get("lastStreamBatchId").asLong() else -1L
+  }
+
+  /**
+   * Idempotent micro-batch append: commits the batch as one snapshot and
+   * records its batchId in the manifest atomically, so a batch replayed
+   * after a failure/restart (same checkpoint, same batchId) is skipped
+   * instead of committed twice — exactly-once table contents on top of
+   * foreachBatch's at-least-once delivery. Returns true iff committed.
+   */
+  def appendStreamBatch(schema: String, table: String, df: DataFrame,
+      batchId: Long): Boolean = {
+    if (batchId <= lastStreamBatchId(schema, table)) false
+    else { commit(schema, table, df, keepExisting = true, streamBatchId = Some(batchId)); true }
   }
 
   /**
@@ -236,14 +256,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * the Spark-native analog of Paimon's streaming table writes (the
    * reference connector reads tables a Flink stream writes; here the
    * stream and the table store are one system). Returns the started query;
-   * each batch becomes one immutable, time-travelable snapshot.
+   * each batch becomes one immutable, time-travelable snapshot. Replayed
+   * batches (failure/restart) are skipped via [[appendStreamBatch]]'s
+   * batchId bookkeeping, so table contents are exactly-once.
    */
   def streamAppend(schema: String, table: String, stream: DataFrame,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        if (!batch.isEmpty) { append(schema, table, batch.toDF()); () }
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) { appendStreamBatch(schema, table, batch.toDF(), batchId); () }
       }
       .start()
 
@@ -395,10 +417,38 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
   }
 
+  /**
+   * Atomic, conflict-checked manifest commit: serialize to a temp file and
+   * rename over the old manifest (readers always see a complete manifest;
+   * a crash mid-write leaves at worst an orphan temp file). Concurrent
+   * writers are detected optimistically: each manifest carries a
+   * `commitVersion`, and a commit whose basis version no longer matches
+   * the on-disk version fails with ConcurrentModificationException instead
+   * of silently dropping the other writer's snapshots. (A CAS against the
+   * file between re-read and rename is still a race window on stores
+   * without atomic rename; on HDFS/posix the rename itself is atomic.)
+   */
   private def writeManifest(schema: String, table: String, m: ObjectNode): Unit = {
-    val out = fs.create(manifestPath(schema, table), true)
+    val dst = fs.makeQualified(manifestPath(schema, table))
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    if (fs.exists(dst)) {
+      val onDisk = readManifest(schema, table)
+      val cur = if (onDisk.has("commitVersion")) onDisk.get("commitVersion").asLong() else 0L
+      if (cur != basis) throw new java.util.ConcurrentModificationException(
+        s"$schema.$table manifest changed underneath this commit " +
+          s"(read version $basis, on-disk version $cur) — re-read and retry")
+    } else {
+      require(basis == 0L, s"$schema.$table manifest disappeared mid-commit")
+    }
+    m.put("commitVersion", basis + 1)
+    val tmp = new Path(dst.getParent,
+      s".manifest.json.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      dst.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }
 

@@ -74,4 +74,17 @@ class EdgeCasesSpec extends SparkSpecBase {
       Seq("tag" -> "rtag"), "tag").collect()
     assert(out.head.isNullAt(out.head.fieldIndex("rtag")))
   }
+
+  test("asof join: null keys never match (equality-join semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option(5L), 10L), (2L, Option.empty[Long], 10L))
+      .toDF("id", "k", "t")
+    val right = Seq((Option(5L), 1L, "real"), (Option.empty[Long], 1L, "ghost"))
+      .toDF("k", "t", "tag")
+    val out = AsOfJoin.asof(left, right, "k", "k", "t", "t",
+      Seq("tag" -> "rtag"), "tag").orderBy("id").collect()
+    assert(out(0).getString(out(0).fieldIndex("rtag")) === "real")
+    // the null-key left row must NOT pick up the null-key right row
+    assert(out(1).isNullAt(out(1).fieldIndex("rtag")))
+  }
 }

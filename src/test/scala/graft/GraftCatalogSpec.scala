@@ -195,6 +195,43 @@ class GraftCatalogSpec extends SparkSpecBase {
       cat.upsert("db", "plain", Seq((1L, "x")).toDF("id", "name")))
   }
 
+  test("stream-batch appends are idempotent under replay") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    assert(cat.lastStreamBatchId("db", "t") === -1L)
+    assert(cat.appendStreamBatch("db", "t", Seq((1L, "a")).toDF("id", "name"), 0L))
+    assert(cat.appendStreamBatch("db", "t", Seq((2L, "b")).toDF("id", "name"), 1L))
+    // replay of batch 1 after a simulated restart: must be skipped
+    assert(!cat.appendStreamBatch("db", "t", Seq((2L, "b")).toDF("id", "name"), 1L))
+    assert(!cat.appendStreamBatch("db", "t", Seq((1L, "a")).toDF("id", "name"), 0L))
+    assert(cat.read("db", "t").count() === 2)
+    assert(cat.lastStreamBatchId("db", "t") === 1L)
+    assert(cat.snapshots("db", "t").map(_.id) === Seq(1L, 2L))
+    // normal batch appends are unaffected by the bookkeeping
+    cat.append("db", "t", Seq((3L, "c")).toDF("id", "name"))
+    assert(cat.read("db", "t").count() === 3)
+    assert(cat.lastStreamBatchId("db", "t") === 1L)
+  }
+
+  test("manifest commits are atomic: temp+rename, monotonic commitVersion") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    (1 to 5).foreach(i => cat.append("db", "t", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    val tableDir = new java.io.File(s"$wh/db/t")
+    val leftovers = tableDir.listFiles().map(_.getName).filter(_.contains("manifest.json.tmp"))
+    assert(leftovers.isEmpty, s"orphan temp manifests: ${leftovers.mkString(",")}")
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(new java.io.File(tableDir, "manifest.json"))
+    // createTable + 5 appends = 6 commits
+    assert(m.get("commitVersion").asLong() === 6L)
+    assert(cat.read("db", "t").count() === 5)
+  }
+
   test("split target bytes controls scan parallelism (split-planning analog)") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {
