@@ -36,14 +36,15 @@ object VectorOps {
    * (seeded), integer-valued in [-1000, 1000], so the sign of the integer
    * dot product is exact. Cosine-similar vectors agree on most signs, so
    * near-dup pairs collide on at least one band with high probability.
-   * Returns array<struct<band:int, bval:bigint>>.
+   *
+   * Returns array<bigint> of length `bands` (index = band). Consume with
+   * `posexplode` so the signing kernel runs ONCE per row — wrapping each
+   * element in a per-band struct via element_at re-evaluates the whole
+   * O(bands·bits·dim) kernel per element, turning it O(bands²·bits·dim).
    */
   def lshSignBands(qv: Column, dim: Int, bands: Int, bits: Int, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong)
-    val bvals = graft.plans.kernels.hyperplaneSignBands(qv, planes, dim, bands, bits)
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"), element_at(bvals, b + 1).as("bval"))
-    }: _*)
+    graft.plans.kernels.hyperplaneSignBands(qv, planes, dim, bands, bits)
   }
 }

@@ -98,22 +98,29 @@ object Dedup {
    *
    * Recall bound: a pair at cosine c shares one b-bit band with probability
    * (1-acos(c)/π)^b, so the miss probability is (1-(1-acos(c)/π)^b)^bands.
-   * At the default 32 bands × 6 bits that is ≈ 9e-5 for c = 0.8 and
-   * ≈ 1e-7 for c ≥ 0.9. Data contract for oracle-exact parity (mirroring
-   * the minhash Tau gap): planted near-dups should sit well above tau
-   * (≥ 0.9 for tau = 0.8) so the per-pair miss bound is negligible —
-   * boundary pairs at exactly tau carry the ~1e-4 bound instead.
+   * Bands must be NARROW-AND-MANY (high bits, high bands), not few-and-wide:
+   * at 16 bits a band match is ~24× more likely for a pair at c=0.9 than at
+   * c=0.5 (0.084 vs 0.0035), so candidate sets stay near-empty on ordinary
+   * corpora (the observed all-pairs max here is c≈0.6), while wide 4-8-bit
+   * buckets admit O(n²/2^bits) moderately-similar pairs and degenerate
+   * toward the all-pairs join this operator exists to avoid.
+   *
+   * At the default 128 bands × 16 bits the miss probability is ≈ 1.4e-5
+   * for c ≥ 0.9 (and ≈ 3% at exactly c = 0.8). Data contract for
+   * oracle-exact parity (mirroring the minhash Tau gap): planted near-dups
+   * must sit well above tau — ≥ 0.9 for tau = 0.8 — with the band between
+   * tau and the plant empty; boundary pairs at exactly tau carry the ~3%
+   * bound instead.
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      bands: Int = 32, bits: Int = 6): DataFrame = {
+      bands: Int = 128, bits: Int = 16): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol), VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
       .persist() // referenced by band explode and both join sides
     val banded = q
       .select(col(idCol),
-        explode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
+        posexplode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as(Seq("band", "bval")))
     val pairs = bucketPairs(banded, idCol)
     val v1 = q.select(col(idCol).as("d1"), col("qv").as("qv1"), col("nn").as("nn1"))
     val v2 = q.select(col(idCol).as("d2"), col("qv").as("qv2"), col("nn").as("nn2"))

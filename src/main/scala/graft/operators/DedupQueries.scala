@@ -59,6 +59,22 @@ object DedupQueries {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text", Tau)
         .orderBy("d1", "d2")),
+    // Edit-distance verify kernel (fuzzy dedup's second stage): pairwise
+    // levenshtein over normalized 80-char prefixes. Registered on a bounded
+    // sample (all pairs of 20 docs) so the oracle stays cheap; at scale the
+    // same kernel runs only inside LSH candidate buckets, never all-pairs.
+    "dedup_levenshtein" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val norm = trim(regexp_replace(lower(d("text")), "\\s+", " "))
+      val pre = d.filter(d("doc_id") < 20)
+        .select(d("doc_id"), substring(norm, 1, 80).as("s"))
+      val a = pre.select(col("doc_id").as("d1"), col("s").as("s1"))
+      val b = pre.select(col("doc_id").as("d2"), col("s").as("s2"))
+      a.join(b, col("d1") < col("d2"))
+        .select(col("d1"), col("d2"), levenshtein(col("s1"), col("s2")).as("dist"))
+        .filter(col("dist") <= 55)
+        .orderBy("d1", "d2")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("d1", "d2")),
@@ -106,6 +122,16 @@ object DedupQueries {
         |JOIN sizes sa ON d1 = sa.doc_id
         |JOIN sizes sb ON d2 = sb.doc_id
         |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.75
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_levenshtein" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    substring(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 80) AS s
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 55
         |ORDER BY d1, d2""".stripMargin,
     "dedup_simhash" ->
       """WITH hs AS (

@@ -283,6 +283,71 @@ object RelationalQueries {
           (p("p_partkey") % 7).as("key_mod"))
         .orderBy("p_partkey")
     }),
+    // TPC-H Q3: shipping-priority top-10. Two fact joins on their natural
+    // keys (shuffle at scale; AQE may broadcast the filtered customer side)
+    // with all three filters pushed to the scans; sort+limit collapses to
+    // TakeOrderedAndProject — no full sort of the aggregate output.
+    "q3_shipping" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+    // TPC-H Q5: local-supplier revenue per nation. region/nation broadcast;
+    // the customer=supplier nation constraint rides on the supplier join.
+    "q5_local_supplier" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+    // Range (non-equi band) join: fact rows matched to a broadcast band
+    // table by value interval — broadcast nested-loop with 3 bands, never
+    // a shuffle of the fact side.
+    "join_range" -> ((s, dir) => {
+      import s.implicits._
+      val l = Tables(s, dir, "lineitem")
+      val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 30.0), ("high", 30.0, 51.0))
+        .toDF("band", "lo", "hi")
+      l.join(broadcast(bands), l("l_quantity") >= col("lo") && l("l_quantity") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_items"), dsum(l("l_extendedprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+    // Explicit GROUPING SETS (beyond rollup/cube): three chosen groupings.
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders").createOrReplaceTempView("g_orders_gs")
+      s.sql(
+        """SELECT
+          |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+          |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM g_orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+          |                        (o_orderstatus, o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -458,5 +523,47 @@ object RelationalQueries {
         |  CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
         |  p_partkey % 7 AS key_mod
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "join_range" ->
+      """SELECT band, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0))
+        |  b(band, lo, hi) ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
+        |  CASE WHEN grouping(o_orderpriority) = 1 THEN '(all)' ELSE o_orderpriority END AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
   )
 }

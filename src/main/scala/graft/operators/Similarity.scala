@@ -207,8 +207,7 @@ object Similarity {
     val dim = candidates.select(size(col("qv"))).head().getInt(0)
     def banded(df: DataFrame, idAs: String) = df
       .select(col("id").as(idAs),
-        explode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as("bb"))
-      .select(col(idAs), col("bb.band").as("band"), col("bb.bval").as("bval"))
+        posexplode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as(Seq("band", "bval")))
     val cb = banded(candidates, "cand")
     val qb = broadcast(banded(queries, "qid"))
     val pairs = cb.join(qb, Seq("band", "bval"))

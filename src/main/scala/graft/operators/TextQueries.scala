@@ -138,6 +138,52 @@ object TextQueries {
       d.select(d("doc_id"), norm.as("norm_text"), length(norm).as("norm_len"))
         .orderBy("doc_id")
     }),
+    // Gopher-style repetition stats: duplicate-token fraction, top-token
+    // fraction, top-bigram fraction. explode → two-level aggregation keeps
+    // the shuffle at one row per (doc, term), with map-side partial agg —
+    // never a per-doc O(n²) lambda re-evaluation.
+    "text_repetition" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val base = d.select(d("doc_id"), TextHash.tokens(d("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+      val tokAgg = base.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"), max("c").as("top_tok"))
+      val bigrams = transform(sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))
+      val biAgg = base.filter(size(col("toks")) > 1)
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bi"), sum("c").as("n_bigrams"))
+      tokAgg.join(biAgg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_types"),
+          (lit(1.0) - col("n_types").cast("double") / col("n_tokens")).as("dup_token_frac"),
+          (col("top_tok").cast("double") / col("n_tokens")).as("top_token_frac"),
+          coalesce(col("top_bi").cast("double") / col("n_bigrams"), lit(0.0)).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+    // PII redaction: emails/phones scrubbed with global regexp_replace at
+    // the scan stage (zero shuffles). The synthetic corpus carries no PII,
+    // so the contact string is composed from customer keys — the scrub
+    // kernel itself is what is exercised and oracle-checked.
+    "text_pii_scrub" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val contact = concat(
+        col("c_name"), lit(" can be reached at user"),
+        col("c_custkey").cast("string"),
+        lit("@example.com or +1-555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+      c.select(col("c_custkey"), contact.as("contact"))
+        .select(col("c_custkey"),
+          regexp_replace(regexp_replace(col("contact"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>").as("scrubbed"),
+          regexp_count(col("contact"), lit(EmailRe)).as("n_emails"),
+          regexp_count(col("contact"), lit(PhoneRe)).as("n_phones"))
+        .orderBy("c_custkey")
+    }),
     // Multimodal metadata probe: opaque binary column + header-byte fields.
     "media_metadata" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -151,6 +197,10 @@ object TextQueries {
         .orderBy("doc_id")
     }),
   )
+
+  // RE2-compatible (DuckDB) and java.util.regex-compatible (Spark) alike.
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
   private def sqlStops(l: String): String = "\\b(" + stopwords(l).mkString("|") + ")\\b"
 
@@ -226,6 +276,44 @@ object TextQueries {
         |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |       ' +', ' ', 'g'))) AS INTEGER) AS norm_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents
+        |  WHERE len(regexp_extract_all(text, '[a-z]+')) > 0),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |tc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY 1, 2),
+        |ta AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_types, CAST(max(c) AS BIGINT) AS top_tok
+        |       FROM tc GROUP BY 1),
+        |bg AS (SELECT doc_id, list_transform(range(1, len(toks)),
+        |         i -> toks[i] || ' ' || toks[i+1]) AS bis
+        |       FROM t WHERE len(toks) > 1),
+        |bu AS (SELECT doc_id, unnest(bis) AS bi FROM bg),
+        |bc AS (SELECT doc_id, bi, count(*) AS c FROM bu GROUP BY 1, 2),
+        |ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bi,
+        |         CAST(sum(c) AS BIGINT) AS n_bigrams FROM bc GROUP BY 1)
+        |SELECT ta.doc_id, n_tokens, n_types,
+        |  1.0 - CAST(n_types AS DOUBLE) / n_tokens AS dup_token_frac,
+        |  CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+        |  coalesce(CAST(top_bi AS DOUBLE) / n_bigrams, 0.0) AS top_bigram_frac
+        |FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+        |ORDER BY ta.doc_id""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    c_name || ' can be reached at user' || CAST(c_custkey AS VARCHAR)
+        |      || '@example.com or +1-555-'
+        |      || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(contact,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(contact,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones
+        |FROM c ORDER BY c_custkey""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
