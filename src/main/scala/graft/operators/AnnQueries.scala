@@ -37,6 +37,16 @@ object AnnQueries {
       val (cands, qs) = qc(s, dir)
       Similarity.ivfTopK(cands, qs, K).orderBy("qid", "rank")
     }),
+    // Embedding clustering (standalone IVF partitioner): per-cell census.
+    // No SQL oracle (iterative k-means isn't SQL-expressible); cluster
+    // quality/ determinism asserted in AnnSpec.
+    "cluster_kmeans" -> ((s, dir) => {
+      val (cands, _) = qc(s, dir)
+      Similarity.kmeansAssign(cands)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vectors"), min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("cell")
+    }),
   )
 
   private val annOracle =

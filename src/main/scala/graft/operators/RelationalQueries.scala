@@ -334,6 +334,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_items"), dsum(l("l_extendedprice")).as("sum_price"))
         .orderBy("band")
     }),
+    // TPC-H Q10: returned-item losses per customer, top 20. Same join/
+    // aggregate shape as Q3 with the nation dim broadcast.
+    "q10_returned_items" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
     // Explicit GROUPING SETS (beyond rollup/cube): three chosen groupings.
     "agg_grouping_sets" -> ((s, dir) => {
       Tables(s, dir, "orders").createOrReplaceTempView("g_orders_gs")
@@ -555,6 +572,18 @@ object RelationalQueries {
         |JOIN (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 30.0), ('high', 30.0, 51.0))
         |  b(band, lo, hi) ON l_quantity >= lo AND l_quantity < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT
         |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,

@@ -112,12 +112,17 @@ object Similarity {
    * (≤4096 sample vectors on the driver), so the path scales with the
    * scan. Probabilistic recall, like every IVF index (see AnnSpec).
    */
-  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+  /**
+   * Cosine k-means trainer shared by [[ivfTopK]] and [[kmeansAssign]]:
+   * a deterministic bounded sample (every m-th id, ordered, ≤4096 vectors
+   * on the driver) trained with Lloyd iterations under cosine assignment
+   * (argmax dot, lowest cell id on ties); empty cells keep their previous
+   * centroid. Returns unit-norm centroids.
+   */
+  def trainCosineKmeans(candidates: DataFrame, nlist: Int,
+      iters: Int): Array[Array[Double]] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-
-    // 1. Deterministic bounded sample (every m-th id, ordered).
     val n = candidates.count()
     val step = math.max(1L, n / 4096L)
     val sample = candidates.filter(col("id") % step === 0)
@@ -127,11 +132,8 @@ object Similarity {
         val norm = math.sqrt(nn.toDouble)
         qv.map(_ / norm)
       }
-
-    // 2. Lloyd iterations with cosine assignment (argmax dot, lowest cell
-    // id on ties); empty cells keep their previous centroid.
     var centroids = sample.take(nlist)
-    require(centroids.nonEmpty, "not enough vectors to train IVF")
+    require(centroids.nonEmpty, "not enough vectors to train k-means")
     for (_ <- 0 until iters) {
       val sums = Array.fill(centroids.length)(new Array[Double](sample.head.length))
       val counts = new Array[Long](centroids.length)
@@ -150,19 +152,44 @@ object Similarity {
         }
       }.toArray
     }
-    val bc = spark.sparkContext.broadcast(centroids)
+    centroids
+  }
 
-    // 3. Distributed cell assignment (1 cell per candidate, nprobe per query).
+  /** Distributed cell assignment: `probes` nearest cells per row.
+    * Output columns: cell, id, qv, nn. */
+  def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+      probes: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
+      .mapPartitions { iter =>
+        val cs = bc.value
+        iter.flatMap { case (id, qv, nn) =>
+          val norm = math.sqrt(nn.toDouble)
+          val v = qv.map(_ / norm)
+          cells(v, cs, probes).map(c => (c, id, qv, nn))
+        }
+      }.toDF("cell", "id", "qv", "nn")
+  }
+
+  /**
+   * Embedding clustering: train the cosine k-means coarse quantizer and
+   * assign every vector to its nearest cell — the standalone form of the
+   * IVF partitioner (corpus bucketing / topic sharding for training-data
+   * pipelines). Bounded driver state (≤4096 sample vectors); assignment is
+   * one scan-stage pass, no shuffle. Output: id, cell.
+   */
+  def kmeansAssign(candidates: DataFrame, nlist: Int = 16,
+      iters: Int = 5): DataFrame =
+    assignCells(candidates, trainCosineKmeans(candidates, nlist, iters), 1)
+      .select("id", "cell")
+
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    val centroids = trainCosineKmeans(candidates, nlist, iters)
     def assign(df: DataFrame, probes: Int): DataFrame =
-      df.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
-        .mapPartitions { iter =>
-          val cs = bc.value
-          iter.flatMap { case (id, qv, nn) =>
-            val norm = math.sqrt(nn.toDouble)
-            val v = qv.map(_ / norm)
-            cells(v, cs, probes).map(c => (c, id, qv, nn))
-          }
-        }.toDF("cell", "id", "qv", "nn")
+      assignCells(df, centroids, probes)
 
     val ca = assign(candidates, 1)
     val qa = broadcast(assign(queries, nprobe)

@@ -184,6 +184,37 @@ object TextQueries {
           regexp_count(col("contact"), lit(PhoneRe)).as("n_phones"))
         .orderBy("c_custkey")
     }),
+    // TF-IDF top-3 terms per doc. Log-free rational idf variant
+    // ((N+1)/(df+1)) so the score is one exact integer product and one
+    // IEEE division — ln() is not bit-portable across engines (§4).
+    "text_tfidf" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val terms = d.select(d("doc_id"), explode(TextHash.tokens(d("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = d.agg(countDistinct("doc_id").as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term").asc)
+      tf.join(dfreq, "term").join(broadcast(nDocs))
+        .withColumn("tfidf",
+          (col("tf") * (col("n_docs") + 1)).cast("double") / (col("df") + 1))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    }),
+    // Multimodal decode + bounded resize through the typed batch pipeline
+    // (Multimodal.decodeAndResize over mapPartitions) — oracle-checked:
+    // the stub codec's header math is SQL-expressible byte arithmetic.
+    "media_decode" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val blobs = Multimodal.blobsFromText(d, "doc_id", "text", "image")
+      Multimodal.decodeAndResize(blobs, maxSide = 64).toDF()
+        .select(col("id"), col("kind"), col("nBytes").as("n_bytes"),
+          col("width"), col("height"), col("durationMs").as("duration_ms"),
+          col("valid"))
+        .orderBy("id")
+    }),
     // Multimodal metadata probe: opaque binary column + header-byte fields.
     "media_metadata" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -314,6 +345,41 @@ object TextQueries {
         |  CAST(len(regexp_extract_all(contact,
         |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones
         |FROM c ORDER BY c_custkey""".stripMargin,
+    "text_tfidf" ->
+      """WITH u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) AS tfidf
+        |       FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+        |SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tf, df, tfidf FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+        |  FROM sc) t
+        |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "media_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, 'image' AS kind,
+        |    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |    octet_length(encode(text)) >= 4 AS valid,
+        |    CASE WHEN octet_length(encode(text)) >= 4
+        |         THEN ascii(substring(text, 1, 1)) ELSE 0 END AS w0,
+        |    CASE WHEN octet_length(encode(text)) >= 4
+        |         THEN ascii(substring(text, 2, 1)) ELSE 0 END AS h0,
+        |    CASE WHEN octet_length(encode(text)) >= 4
+        |         THEN ascii(substring(text, 3, 1)) * 256 + ascii(substring(text, 4, 1))
+        |         ELSE 0 END AS dur
+        |  FROM documents)
+        |SELECT id, kind, n_bytes,
+        |  CAST(CASE WHEN greatest(w0, h0) <= 64 THEN w0
+        |       ELSE floor(w0 * (64.0 / greatest(w0, h0))) END AS INTEGER) AS width,
+        |  CAST(CASE WHEN greatest(w0, h0) <= 64 THEN h0
+        |       ELSE floor(h0 * (64.0 / greatest(w0, h0))) END AS INTEGER) AS height,
+        |  CAST(dur AS INTEGER) AS duration_ms, valid
+        |FROM m ORDER BY id""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

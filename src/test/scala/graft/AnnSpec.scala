@@ -63,6 +63,20 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"ivf recall $recall < 0.8")
   }
 
+  test("kmeans assignment: exhaustive, deterministic, within nlist cells") {
+    val (cands, _) = realVectors()
+    val n = cands.count()
+    val a1 = Similarity.kmeansAssign(cands, nlist = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    assert(a1.length === n)                      // every vector assigned once
+    assert(a1.map(_._1).distinct.length === n)
+    assert(a1.forall { case (_, c) => c >= 0 && c < 8 })
+    assert(a1.map(_._2).distinct.length > 1, "degenerate single-cell clustering")
+    val a2 = Similarity.kmeansAssign(cands, nlist = 8).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sortBy(_._1)
+    assert(a1.toSeq === a2.toSeq)                // deterministic trainer
+  }
+
   test("lsh prunes: candidate pairs well below all-pairs") {
     val (cands, qs) = realVectors()
     val k = 5
