@@ -203,11 +203,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     commit(schema, table, df, keepExisting = false)
 
   private def commit(schema: String, table: String, df: DataFrame,
-      keepExisting: Boolean, streamBatchId: Option[Long] = None): Long = {
+      keepExisting: Boolean, streamBatchId: Option[Long] = None,
+      kind: String = "data"): Long = {
     val m = readManifest(schema, table)
-    val cur = currentSchema(schema, table)
-    require(df.schema.fieldNames.sameElements(cur.fieldNames),
-      s"dataframe columns ${df.schema.fieldNames.mkString(",")} != table ${cur.fieldNames.mkString(",")}")
+    if (kind == "data") {
+      val cur = currentSchema(schema, table)
+      require(df.schema.fieldNames.sameElements(cur.fieldNames),
+        s"dataframe columns ${df.schema.fieldNames.mkString(",")} != table ${cur.fieldNames.mkString(",")}")
+    }
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
     val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
@@ -215,17 +218,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val ts = math.max(System.currentTimeMillis(), lastTs + 1) // strictly increasing
     val dir = s"snap-$id"
     val writer = df.write.mode("overwrite")
-    val parted = partitionColumns(m)
+    val parted = if (kind == "data") partitionColumns(m) else Seq.empty
     (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
       .parquet(new Path(tablePath(schema, table), dir).toString)
-    val prevFiles: Seq[(String, Int)] =
+    val prevFiles: Seq[FileEntry] =
       if (keepExisting && snaps.size() > 0) filesOf(snaps.get(snaps.size() - 1)) else Seq.empty
     val sn = snaps.addObject()
     sn.put("id", id)
     sn.put("timestampMillis", ts)
     val fArr = sn.putArray("files")
-    (prevFiles :+ (dir, m.get("currentSchemaVersion").asInt())).foreach { case (d, v) =>
-      val e = fArr.addObject(); e.put("dir", d); e.put("schemaVersion", v)
+    (prevFiles :+ FileEntry(dir, m.get("currentSchemaVersion").asInt(), kind)).foreach { fe =>
+      val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
+      if (fe.kind != "data") e.put("kind", fe.kind)
     }
     streamBatchId.foreach(b => m.put("lastStreamBatchId", b))
     writeManifest(schema, table, m)
@@ -318,40 +322,68 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     chosen match {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-      case Some(s) =>
-        val allSchemas = schemaVersions(m)
-        val frames = filesOf(s).map { case (d, ver) =>
-          val writeFields = allSchemas(ver)
-          // Explicit write-time schema: without it, Spark's partition-dir
-          // type inference would coerce string partition values that look
-          // numeric ("0123" -> 123) and corrupt the round-trip.
-          val writeSchema = StructType(writeFields.map(f =>
-            StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
-          val raw = spark.read.schema(writeSchema)
-            .parquet(new Path(tablePath(schema, table), d).toString)
-          // Map write-time schema → current schema by field id.
-          val byId = writeFields.map(f => f.id -> f).toMap
-          val cols = curFields.map { cf =>
-            byId.get(cf.id) match {
-              case Some(wf) => col(wf.name).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
-              case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
-            }
-          }
-          // snapshot ordinal for merge-on-read resolution
-          raw.select(cols :+ lit(d.stripPrefix("snap-").toLong).as("__ord"): _*)
-        }
-        val all = frames.reduce(_ unionByName _)
-        val pk = primaryKey(m)
-        if (pk.isEmpty) all.drop("__ord")
-        else {
-          // Merge-on-read: latest snapshot wins per primary key.
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
-          all.withColumn("__rn", row_number().over(w))
-            .filter(col("__rn") === 1)
-            .drop("__ord", "__rn")
-        }
+      case Some(s) => resolveFrames(schema, table, m, filesOf(s))
+        .getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
     }
+  }
+
+  /**
+   * Map one snapshot file entry onto the current schema: every current
+   * column (by stable field id; missing → null) plus the snapshot ordinal
+   * `__ord` and the tombstone flag `__del` used for merge-on-read.
+   */
+  private def frameFor(schema: String, table: String, m: ObjectNode,
+      fe: FileEntry): DataFrame = {
+    val curFields = currentFields(m)
+    val allSchemas = schemaVersions(m)
+    val writeFieldsAll = allSchemas(fe.schemaVersion)
+    // Delete files carry only the primary-key columns (write-time names).
+    val writeFields =
+      if (fe.kind == "delete") {
+        val pkIds = curFields.filter(f => primaryKey(m).contains(f.name)).map(_.id).toSet
+        writeFieldsAll.filter(f => pkIds.contains(f.id))
+      } else writeFieldsAll
+    // Explicit write-time schema: without it, Spark's partition-dir
+    // type inference would coerce string partition values that look
+    // numeric ("0123" -> 123) and corrupt the round-trip.
+    val writeSchema = StructType(writeFields.map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    val raw = spark.read.schema(writeSchema)
+      .parquet(new Path(tablePath(schema, table), fe.dir).toString)
+    // Map write-time schema → current schema by field id.
+    val byId = writeFields.map(f => f.id -> f).toMap
+    val cols = curFields.map { cf =>
+      byId.get(cf.id) match {
+        case Some(wf) => col(wf.name).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+        case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+      }
+    }
+    raw.select(cols ++ Seq(
+      lit(fe.dir.stripPrefix("snap-").toLong).as("__ord"),
+      lit(fe.kind == "delete").as("__del")): _*)
+  }
+
+  /**
+   * Union the mapped frames and resolve merge-on-read state: for PK
+   * tables the latest ordinal wins per key, and a winning tombstone
+   * removes the key. Append-only tables have no tombstones — plain union.
+   */
+  private def resolveFrames(schema: String, table: String, m: ObjectNode,
+      entries: Seq[FileEntry]): Option[DataFrame] = {
+    if (entries.isEmpty) return None
+    val all = entries.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
+    val pk = primaryKey(m)
+    Some(if (pk.isEmpty) all.drop("__ord", "__del")
+    else {
+      // Merge-on-read: latest snapshot wins per primary key; a tombstone
+      // as the latest version deletes the key.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && !col("__del"))
+        .drop("__ord", "__rn", "__del")
+    })
   }
 
   // ---- manifest plumbing -------------------------------------------------
@@ -382,6 +414,134 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     append(schema, table, df)
   }
 
+  /**
+   * Row-level DELETE on a primary-key table (merge-on-read, Paimon-style):
+   * commits a tombstone snapshot holding only the primary keys of matching
+   * rows — no data file is rewritten. Reads resolve the tombstone as the
+   * key's latest version and drop it; [[compact]] materializes the
+   * deletion and retires the tombstone file. Returns the snapshot id.
+   */
+  def deleteWhere(schema: String, table: String,
+      condition: org.apache.spark.sql.Column): Long = {
+    val pk = primaryKeyOf(schema, table)
+    require(pk.nonEmpty, s"$schema.$table has no primary key — row-level " +
+      "delete needs one (append-only tables: filter at read or overwrite)")
+    val victims = read(schema, table).filter(condition).select(pk.map(col): _*)
+    commit(schema, table, victims, keepExisting = true, kind = "delete")
+  }
+
+  /**
+   * Row-level UPDATE on a primary-key table: reads the current image of
+   * matching rows, applies the assignments, and commits them as an
+   * ordinary upsert snapshot (merge-on-read — the old versions stay
+   * time-travelable). Returns the snapshot id.
+   */
+  def update(schema: String, table: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    require(primaryKeyOf(schema, table).nonEmpty,
+      s"$schema.$table has no primary key — use overwrite")
+    val cur = currentSchema(schema, table)
+    assignments.keys.foreach(c => require(cur.fieldNames.contains(c),
+      s"unknown column $c"))
+    val updated = assignments.foldLeft(read(schema, table).filter(condition)) {
+      case (df, (c, expr)) => df.withColumn(c, expr)
+    }.select(cur.fieldNames.map(col).toSeq: _*)
+    upsert(schema, table, updated)
+  }
+
+  /**
+   * Incremental read: the rows added between `fromSnapshotId` (exclusive)
+   * and `toSnapshotId` (inclusive) — Paimon's `incremental-between` scan,
+   * the thing a downstream consumer uses to process only the delta instead
+   * of rescanning 100 TB. Only the delta files are opened, so cost is
+   * O(new data). For PK tables the delta is resolved merge-on-read within
+   * the range (latest version per key; keys whose latest change in range
+   * is a delete are omitted).
+   */
+  def readIncremental(schema: String, table: String, fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId <= toSnapshotId,
+      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    def entriesAt(id: Long): Seq[FileEntry] =
+      if (id == 0) Seq.empty
+      else {
+        val s = all.find(_.get("id").asLong() == id)
+        require(s.isDefined, s"no snapshot $id for $schema.$table")
+        filesOf(s.get)
+      }
+    val before = entriesAt(fromSnapshotId).map(_.dir).toSet
+    val delta = entriesAt(toSnapshotId).filterNot(fe => before.contains(fe.dir))
+    val target = StructType(currentFields(m).map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    resolveFrames(schema, table, m, delta).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+  }
+
+  // ---- metadata tables (the `table$snapshots`-style system tables the
+  // reference surfaces through Trino; Paimon: SnapshotsTable/FilesTable/
+  // SchemasTable/OptionsTable) -------------------------------------------
+
+  /** One row per snapshot: id, commit time, cumulative + added file dirs. */
+  def snapshotsTable(schema: String, table: String): DataFrame = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val rows = (0 until snaps.size()).map { i =>
+      val s = snaps.get(i)
+      val n = filesOf(s).size
+      val prev = if (i == 0) 0 else filesOf(snaps.get(i - 1)).size
+      (s.get("id").asLong(), s.get("timestampMillis").asLong(), n, n - prev)
+    }
+    spark.createDataFrame(rows).toDF(
+      "snapshot_id", "timestamp_millis", "n_file_dirs", "n_added_dirs")
+  }
+
+  /** One row per file dir referenced by the current (or given) snapshot:
+    * dir, kind, schema version, part-file count, bytes on disk. */
+  def filesTable(schema: String, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    val chosen = snapshotId match {
+      case Some(id) =>
+        val s = all.find(_.get("id").asLong() == id)
+        require(s.isDefined, s"no snapshot $id for $schema.$table"); s
+      case None => all.lastOption
+    }
+    val rows = chosen.map(filesOf).getOrElse(Seq.empty).map { fe =>
+      val p = new Path(tablePath(schema, table), fe.dir)
+      val summary = fs.getContentSummary(p)
+      val parts = fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
+      (fe.dir, fe.kind, fe.schemaVersion, parts, summary.getLength)
+    }
+    spark.createDataFrame(rows).toDF(
+      "file_dir", "kind", "schema_version", "n_part_files", "size_bytes")
+  }
+
+  /** One row per (schema version, field): the full evolution history. */
+  def schemasTable(schema: String, table: String): DataFrame = {
+    val m = readManifest(schema, table)
+    val rows = schemaVersions(m).toSeq.sortBy(_._1).flatMap { case (v, fields) =>
+      fields.map(f => (v, f.id, f.name, f.trinoType))
+    }
+    spark.createDataFrame(rows).toDF(
+      "schema_version", "field_id", "field_name", "field_type")
+  }
+
+  /** One row per table option (plus partition/primary-key declarations). */
+  def optionsTable(schema: String, table: String): DataFrame = {
+    val m = readManifest(schema, table)
+    val declared = Seq(
+      "partition-by" -> partitionColumns(m).mkString(","),
+      "primary-key" -> primaryKey(m).mkString(",")).filter(_._2.nonEmpty)
+    val rows = declared ++ tableOptions(schema, table).toSeq
+    spark.createDataFrame(rows).toDF("key", "value")
+  }
+
   private def partitionColumns(m: ObjectNode): Seq[String] = m.get("partitions") match {
     case arr: ArrayNode => (0 until arr.size()).map(arr.get(_).asText())
     case _ => Seq.empty
@@ -402,11 +562,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }.toMap
   }
 
-  private def filesOf(snap: JsonNode): Seq[(String, Int)] = {
+  private def filesOf(snap: JsonNode): Seq[FileEntry] = {
     val fArr = snap.get("files").asInstanceOf[ArrayNode]
     (0 until fArr.size()).map { i =>
       val e = fArr.get(i)
-      (e.get("dir").asText(), e.get("schemaVersion").asInt())
+      FileEntry(e.get("dir").asText(), e.get("schemaVersion").asInt(),
+        if (e.has("kind")) e.get("kind").asText() else "data")
     }
   }
 
@@ -455,6 +616,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 object GraftCatalog {
   case class FieldInfo(id: Int, name: String, trinoType: String)
   case class SnapshotInfo(id: Long, timestampMillis: Long)
+  /** One snapshot file-list entry; kind is "data" or "delete" (tombstone). */
+  case class FileEntry(dir: String, schemaVersion: Int, kind: String)
 }
 
 /**

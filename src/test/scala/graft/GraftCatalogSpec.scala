@@ -195,6 +195,103 @@ class GraftCatalogSpec extends SparkSpecBase {
       cat.upsert("db", "plain", Seq((1L, "x")).toDF("id", "name")))
   }
 
+  test("row-level delete: tombstone snapshot, time travel, compaction retires it") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema, primaryKey = Seq("id"))
+    cat.upsert("db", "t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    val delSnap = cat.deleteWhere("db", "t", col("name") === "b")
+    assert(cat.read("db", "t").orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a", 3L -> "c"))
+    // the pre-delete snapshot still shows the row (no data was rewritten)
+    assert(cat.read("db", "t", snapshotId = Some(delSnap - 1)).count() === 3)
+    // re-inserting the key after the tombstone resurrects it (newest wins)
+    cat.upsert("db", "t", Seq((2L, "b-again")).toDF("id", "name"))
+    assert(cat.read("db", "t").count() === 3)
+    cat.deleteWhere("db", "t", col("id") === 2L)
+    // compaction rewrites the live image and retires tombstone files
+    cat.compact("db", "t")
+    assert(cat.read("db", "t").orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a", 3L -> "c"))
+    val kinds = cat.filesTable("db", "t").select("kind")
+      .collect().map(_.getString(0)).toSet
+    assert(kinds === Set("data"), s"tombstones survive compaction: $kinds")
+    // delete on an append-only table is refused
+    cat.createTable("db", "plain", abSchema)
+    intercept[IllegalArgumentException](
+      cat.deleteWhere("db", "plain", col("id") === 1L))
+  }
+
+  test("row-level update: assignments applied, old versions time-travelable") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema, primaryKey = Seq("id"))
+    cat.upsert("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val snap = cat.update("db", "t", col("id") === 2L,
+      Map("name" -> concat(col("name"), lit("!"))))
+    assert(cat.read("db", "t").orderBy("id").as[(Long, String)].collect().toSeq
+      === Seq(1L -> "a", 2L -> "b!"))
+    assert(cat.read("db", "t", snapshotId = Some(snap - 1))
+      .filter(col("id") === 2L).as[(Long, String)].collect().head._2 === "b")
+    intercept[IllegalArgumentException](
+      cat.update("db", "t", col("id") === 1L, Map("nope" -> lit("x"))))
+  }
+
+  test("incremental read returns only the delta between snapshots") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    // append-only: delta = the appended rows, nothing else rescanned
+    cat.createTable("db", "t", abSchema)
+    val s1 = cat.append("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val s2 = cat.append("db", "t", Seq((3L, "c")).toDF("id", "name"))
+    val s3 = cat.append("db", "t", Seq((4L, "d")).toDF("id", "name"))
+    assert(cat.readIncremental("db", "t", s1, s3).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq(3L -> "c", 4L -> "d"))
+    assert(cat.readIncremental("db", "t", 0L, s1).count() === 2)
+    assert(cat.readIncremental("db", "t", s2, s2).count() === 0)
+    // PK table: delta is merge-on-read-resolved within the range;
+    // a delete as the key's last change in range drops the key
+    cat.createTable("db", "p", abSchema, primaryKey = Seq("id"))
+    val p1 = cat.upsert("db", "p", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.upsert("db", "p", Seq((2L, "b2"), (3L, "c")).toDF("id", "name"))
+    cat.deleteWhere("db", "p", col("id") === 3L)
+    val p3 = cat.upsert("db", "p", Seq((2L, "b3")).toDF("id", "name"))
+    assert(cat.readIncremental("db", "p", p1, p3).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq(2L -> "b3"))
+  }
+
+  test("metadata tables: snapshots, files, schemas, options") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema, options = Map("write-buffer" -> "256mb"),
+      primaryKey = Seq("id"))
+    cat.upsert("db", "t", Seq((1L, "a")).toDF("id", "name"))
+    cat.upsert("db", "t", Seq((2L, "b")).toDF("id", "name"))
+    cat.addColumn("db", "t", StructField("extra", IntegerType))
+    val snaps = cat.snapshotsTable("db", "t").orderBy("snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(snaps.map(_.getInt(2)).toSeq === Seq(1, 2))    // cumulative dirs
+    assert(snaps.map(_.getInt(3)).toSeq === Seq(1, 1))    // added per commit
+    assert(snaps.map(_.getLong(1)).toSeq.sliding(2).forall(w => w.head < w.last))
+    val files = cat.filesTable("db", "t").orderBy("file_dir").collect()
+    assert(files.map(_.getString(0)).toSeq === Seq("snap-1", "snap-2"))
+    assert(files.forall(_.getString(1) == "data"))
+    assert(files.forall(_.getLong(4) > 0L))               // size_bytes
+    val schemas = cat.schemasTable("db", "t")
+    assert(schemas.filter(col("schema_version") === 0).count() === 2)
+    assert(schemas.filter(col("schema_version") === 1).count() === 3)
+    assert(schemas.filter(col("field_name") === "extra")
+      .select("field_id").head().getInt(0) === 3)
+    val opts = cat.optionsTable("db", "t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(opts("primary-key") === "id")
+    assert(opts("write-buffer") === "256mb")
+  }
+
   test("stream-batch appends are idempotent under replay") {
     import spark.implicits._
     val cat = freshCatalog()
