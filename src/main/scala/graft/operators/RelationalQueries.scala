@@ -351,6 +351,49 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
+    // TPC-H Q18: large-volume customers — the shuffle-heavy "aggregate a
+    // fact table, then join the aggregate back" shape. The pre-aggregation
+    // shrinks lineitem ~4x before the join; both joins shuffle on their
+    // natural keys; top-100 collapses to TakeOrderedAndProject.
+    "q18_large_orders" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(dsum(l("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(big, o("o_orderkey") === big("l_orderkey"))
+        .select(c("c_name"), c("c_custkey"), o("o_orderkey"), o("o_orderdate"),
+          o("o_totalprice"), col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+    }),
+    // UNPIVOT (wide metrics -> long form): one Expand over the aggregate,
+    // no extra shuffle beyond the group-by.
+    "agg_unpivot" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.groupBy("o_orderstatus")
+        .agg(dsum(o("o_totalprice")).as("sum_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"))
+        .unpivot(Array(col("o_orderstatus")),
+          Array(col("sum_price"), col("min_price"), col("max_price")),
+          "metric", "value")
+        .orderBy("o_orderstatus", "metric")
+    }),
+    // String aggregation (listagg/string_agg): deterministic via
+    // sort-before-join (array_sort + array_join == ORDER BY inside the agg).
+    "agg_listagg" -> ((s, dir) => {
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    }),
     // Explicit GROUPING SETS (beyond rollup/cube): three chosen groupings.
     "agg_grouping_sets" -> ((s, dir) => {
       Tables(s, dir, "orders").createOrReplaceTempView("g_orders_gs")
@@ -584,6 +627,36 @@ object RelationalQueries {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN (SELECT l_orderkey,
+        |        CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 150
+        |     ) b ON o_orderkey = b.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "agg_unpivot" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |    min(o_totalprice) AS min_price,
+        |    max(o_totalprice) AS max_price
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, 'sum_price' AS metric, sum_price AS value FROM b
+        |UNION ALL
+        |SELECT o_orderstatus, 'min_price' AS metric, min_price AS value FROM b
+        |UNION ALL
+        |SELECT o_orderstatus, 'max_price' AS metric, max_price AS value FROM b
+        |ORDER BY o_orderstatus, metric""".stripMargin,
+    "agg_listagg" ->
+      """SELECT r_name,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT
         |  CASE WHEN grouping(o_orderstatus) = 1 THEN '(all)' ELSE o_orderstatus END AS status,
