@@ -17,7 +17,13 @@ object Bench {
     // timed query isn't charged for JVM cold start.
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 benches a
+    // subset. Unset (the driver's path) benches the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // min of 2 runs: single-shot times on this container are dominated by
       // co-tenant load / stage-scheduling jitter (observed 64-114 s totals
       // for identical code); the min is the reproducible steady-state cost.

@@ -27,11 +27,17 @@ object Pipelines {
       regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
     val normalized = df.select(col(idCol), norm.as("norm_text"))
       .withColumn("n_tokens", size(TextHash.tokens(col("norm_text"))))
-    // 2. quality filter
-    val quality = normalized.filter(col("n_tokens") >= minTokens)
+    // 2. quality filter. Persisted: the regex normalization is the most
+    // expensive narrow stage and is consumed by three branches (exact-dedup
+    // digests, the minhash pipeline, and the final projection) — without
+    // the persist each branch re-scans parquet and re-runs the regexes.
+    // MEMORY_AND_DISK (the default) spills under pressure, so this holds
+    // at cluster scale; on a real 100 TB run this materialization point is
+    // where you'd checkpoint to the warehouse instead.
+    val quality = normalized.filter(col("n_tokens") >= minTokens).persist()
     // 3. exact dedup (keep-first per digest)
     val exactKept = Dedup.exact(quality, idCol, "norm_text")
-    val survivors = quality.join(exactKept.select(idCol), idCol)
+    val survivors = quality.join(exactKept.select(idCol), idCol).persist()
     // 4. near-dedup: drop any doc with a near-duplicate of smaller id
     val nearPairs = Dedup.minhashPairs(survivors, idCol, "norm_text", tau)
     val drop = nearPairs.select(col("d2").as(idCol)).distinct()
