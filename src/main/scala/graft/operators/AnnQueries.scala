@@ -37,6 +37,20 @@ object AnnQueries {
       val (cands, qs) = qc(s, dir)
       Similarity.ivfTopK(cands, qs, K).orderBy("qid", "rank")
     }),
+    // Per-label centroids (class prototypes / cluster seeds): exact
+    // integer sums over quantized components — one shuffle on
+    // (label, pos) after a scan-stage posexplode; the mean is a single
+    // IEEE division, so the oracle matches bit-exactly.
+    "emb_label_centroids" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      e.select(col("label"),
+          posexplode(graft.functions.VectorOps.quantize(col("embedding")))
+            .as(Seq("pos", "q")))
+        .groupBy("label", "pos")
+        .agg(sum("q").as("sum_q"), count(lit(1)).as("n_vectors"))
+        .withColumn("centroid", col("sum_q").cast("double") / col("n_vectors"))
+        .orderBy("label", "pos")
+    }),
     // Embedding clustering (standalone IVF partitioner): per-cell census.
     // No SQL oracle (iterative k-means isn't SQL-expressible); cluster
     // quality/ determinism asserted in AnnSpec.
@@ -68,5 +82,18 @@ object AnnQueries {
   def oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annOracle,
     "ann_scalable" -> annOracle,
+    "emb_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(list_transform(embedding,
+        |      e -> CAST(floor(CAST(e AS DOUBLE) * 1000 + 0.5) AS BIGINT))) AS q,
+        |    unnest(range(0, len(embedding))) AS pos
+        |  FROM embeddings)
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  count(*) AS n_vectors,
+        |  CAST(sum(q) AS DOUBLE) / count(*) AS centroid
+        |FROM x GROUP BY label, pos
+        |ORDER BY label, pos""".stripMargin,
   )
 }

@@ -130,4 +130,52 @@ object Dedup {
           col("nn1"), col("nn2")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /**
+   * Connected components over near-dup pairs: every document gets the
+   * minimum doc id reachable through the pair graph (its cluster id) —
+   * the transitive-closure step a keep-one-per-cluster dedup needs, since
+   * near-duplicate similarity is not transitive (A~B, B~C, A≁C must still
+   * collapse to one cluster).
+   *
+   * Min-label propagation: each round, every node takes the min of its own
+   * label and its neighbors' labels; converged when no label changes.
+   * Rounds = graph diameter; near-dup components are small and dense
+   * (diameter ≲ 3 in practice), so a handful of bounded shuffles — never a
+   * transitive self-join explosion. Each round persists its labels and
+   * drops the previous round's (lineage stays O(1) deep per round; a
+   * 1000-executor run would checkpoint every ~10 rounds). For adversarial
+   * long-chain graphs, alternate large-star/small-star (Kiveris et al.)
+   * to converge in O(log n) rounds — not needed for near-dup clusters.
+   *
+   * @param nodes  one row per document (only `idCol` is read)
+   * @param pairs  undirected near-dup pairs (columns d1, d2)
+   * @return idCol, cluster (min reachable id; singletons keep their own id)
+   */
+  def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("a"), col(idCol).as("lbl")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("a").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy("a").agg(min("nlbl").as("nmin"))
+      val next = labels.join(nbrMin, Seq("a"), "left")
+        .select(col("a"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "a")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("a").as(idCol), col("lbl").as("cluster"))
+  }
 }

@@ -81,6 +81,14 @@ object DedupQueries {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosTau)
         .orderBy("d1", "d2")),
+    // Transitive closure of the minhash near-dup graph: cluster id per doc
+    // (min reachable id). Oracle = recursive CTE over the exact-Jaccard
+    // pair graph.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", Tau).select("d1", "d2")
+      Dedup.connectedComponents(d, "doc_id", pairs).orderBy("doc_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -161,5 +169,31 @@ object DedupQueries {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / sqrt(a.nn * b.nn) >= 0.8
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM documents WHERE len(regexp_extract_all(text, '[a-z]+')) >= 3),
+        |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |          FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN sizes sa ON d1 = sa.doc_id
+        |          JOIN sizes sb ON d2 = sb.doc_id
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.75),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cmin AS (SELECT a, min(b) AS mn FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster
+        |FROM documents d LEFT JOIN cmin c ON d.doc_id = c.a
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

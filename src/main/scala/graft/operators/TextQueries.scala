@@ -215,6 +215,22 @@ object TextQueries {
           col("valid"))
         .orderBy("id")
     }),
+    // Benchmark decontamination: flag training docs sharing any 8-token
+    // shingle with the eval set (doc_id % 50 == 0 stands in for the
+    // benchmark). The eval shingle set is tiny relative to the corpus, so
+    // it broadcasts — the 100 TB training side never shuffles; shingling
+    // runs in the scan stage.
+    "text_decontaminate" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sh = d.select(col("doc_id"),
+        explode(TextHash.shingles(col("text"), 8)).as("g"))
+      val evalSet = sh.filter(col("doc_id") % 50 === 0).select("g").distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSet), "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_shared"))
+        .orderBy("doc_id")
+    }),
     // Multimodal metadata probe: opaque binary column + header-byte fields.
     "media_metadata" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -380,6 +396,19 @@ object TextQueries {
         |       ELSE floor(h0 * (64.0 / greatest(w0, h0))) END AS INTEGER) AS height,
         |  CAST(dur AS INTEGER) AS duration_ms, valid
         |FROM m ORDER BY id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 6, 1)),
+        |    i -> array_to_string(toks[i:i+7], ' ')))) AS g
+        |  FROM t WHERE len(toks) >= 8),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, g FROM sh WHERE doc_id % 50 <> 0)
+        |SELECT doc_id, count(DISTINCT g) AS n_shared
+        |FROM tr JOIN ev USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -114,4 +114,20 @@ class DedupSpec extends SparkSpecBase {
       assert(pairs.contains((i.toLong, 500L + i)), s"missing planted vector pair $i")
     assert(pairs.size === 4, s"false positives: $pairs")
   }
+
+  test("connected components: chains collapse transitively, singletons keep own id") {
+    import spark.implicits._
+    // A~B, B~C (A!~C) must still cluster together; separate component 10-11;
+    // 20 is a singleton.
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+    // a longer chain (diameter 4) still converges to the global min
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    val ccChain = Dedup.connectedComponents((1L to 5L).toDF("doc_id"), "doc_id", chain)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(ccChain.toSeq === Seq(1L))
+  }
 }
