@@ -302,20 +302,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def read(schema: String, table: String, snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None): DataFrame = {
     val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val sessionSnap = spark.conf.getOption(GraftOptions.ScanSnapshotId).map(_.toLong)
-    val sessionAsOf = spark.conf.getOption(GraftOptions.ScanTimestampMillis).map(_.toLong)
-    val wantId = snapshotId.orElse(sessionSnap)
-    val wantTs = asOfMillis.orElse(sessionAsOf)
-    val all = (0 until snaps.size()).map(snaps.get)
-    val chosen: Option[JsonNode] = (wantId, wantTs) match {
-      case (Some(id), _) =>
-        val s = all.find(_.get("id").asLong() == id)
-        require(s.isDefined, s"no snapshot $id for $schema.$table")
-        s
-      case (None, Some(ts)) => all.reverse.find(_.get("timestampMillis").asLong() <= ts)
-      case _ => all.lastOption
-    }
+    val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
     val curFields = currentFields(m)
     val target = StructType(curFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
@@ -385,6 +372,40 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .drop("__ord", "__rn", "__del")
     })
   }
+
+  /** Snapshot selection shared by reads and the SQL catalog: explicit
+    * id/timestamp beats session defaults beats latest. */
+  private def chooseSnapshot(m: ObjectNode, schema: String, table: String,
+      snapshotId: Option[Long], asOfMillis: Option[Long]): Option[JsonNode] = {
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val sessionSnap = spark.conf.getOption(GraftOptions.ScanSnapshotId).map(_.toLong)
+    val sessionAsOf = spark.conf.getOption(GraftOptions.ScanTimestampMillis).map(_.toLong)
+    val wantId = snapshotId.orElse(sessionSnap)
+    val wantTs = asOfMillis.orElse(sessionAsOf)
+    val all = (0 until snaps.size()).map(snaps.get)
+    (wantId, wantTs) match {
+      case (Some(id), _) =>
+        val s = all.find(_.get("id").asLong() == id)
+        require(s.isDefined, s"no snapshot $id for $schema.$table")
+        s
+      case (None, Some(ts)) => all.reverse.find(_.get("timestampMillis").asLong() <= ts)
+      case _ => all.lastOption
+    }
+  }
+
+  /** File entries of the selected snapshot (empty before any commit) —
+    * the split-source surface the SQL catalog plans scans from. */
+  def snapshotFileEntries(schema: String, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): Seq[FileEntry] = {
+    val m = readManifest(schema, table)
+    chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+      .map(filesOf).getOrElse(Seq.empty)
+  }
+
+  /** Current schema version number (increments per column DDL). */
+  def currentSchemaVersionOf(schema: String, table: String): Int =
+    readManifest(schema, table).get("currentSchemaVersion").asInt()
 
   // ---- manifest plumbing -------------------------------------------------
 

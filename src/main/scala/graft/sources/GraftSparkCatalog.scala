@@ -1,0 +1,247 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * DataSource V2 catalog plugin over [[GraftCatalog]] — the piece that makes
+ * the library a *connector* in the same sense as the reference (a Trino
+ * plugin wiring Paimon tables into a SQL engine's catalog;
+ * TrinoMetadataBase.java end to end). Register and query:
+ *
+ * {{{
+ *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftSparkCatalog")
+ *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/path/to/warehouse")
+ *   spark.sql("SELECT * FROM graft.db.t WHERE id > 5")           // pushdown
+ *   spark.sql("SELECT * FROM graft.db.t VERSION AS OF 2")        // time travel
+ *   spark.sql("CREATE TABLE graft.db.u (id BIGINT, name STRING)")
+ * }}}
+ *
+ * Scans delegate to Spark's native V2 parquet table over the snapshot's
+ * file list, so filter/projection pushdown, vectorized reading, and split
+ * planning are the engine's own (the plan shows PushedFilters/ReadSchema
+ * exactly like a direct parquet read). The exposed table is read-only:
+ * writes must go through [[GraftCatalog]] commits (append/upsert/
+ * deleteWhere) so every change is an atomic, time-travelable snapshot —
+ * a raw SQL INSERT writing into the file dirs would corrupt the manifest
+ * contract, exactly like writing directly into a Paimon table's object
+ * store behind the connector's back.
+ *
+ * Tables whose current snapshot needs merge-on-read resolution (PK tables
+ * with multiple deltas, tombstones, or files on older schema versions)
+ * are served after [[GraftCatalog.compact]]; loadTable tells the user so
+ * rather than silently returning unresolved rows.
+ */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null,
+      s"spark.sql.catalog.$name.warehouse must be set")
+  }
+
+  override def name(): String = catalogName
+
+  private def ns1(namespace: Array[String]): String = {
+    // RENAME TO targets arrive catalog-qualified (Spark passes the raw
+    // multipart name through): accept and strip our own catalog prefix.
+    val ns = if (namespace.length == 2 && namespace.head == catalogName)
+      namespace.tail else namespace
+    require(ns.length == 1,
+      s"graft namespaces are single-level, got ${namespace.mkString(".")}")
+    ns.head
+  }
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    gc.listSchemas().map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else Array.empty // single-level: nothing below a schema
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && gc.listSchemas().contains(namespace.head)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new IllegalArgumentException(s"no schema ${namespace.mkString(".")}")
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    gc.createSchema(ns1(namespace))
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val s = ns1(namespace)
+    if (!gc.listSchemas().contains(s)) false
+    else {
+      if (cascade) gc.listTables(s).foreach(gc.dropTable(s, _))
+      gc.dropSchema(s)
+      true
+    }
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    gc.listTables(ns1(namespace)).map(Identifier.of(namespace, _)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace.length == 1 &&
+      gc.listTables(ident.namespace.head).contains(ident.name)
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, snapshotId = None, asOfMillis = None)
+
+  /** `VERSION AS OF <snapshot-id>` (TrinoTableHandle.java:138 analog). */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, snapshotId = Some(version.toLong), asOfMillis = None)
+
+  /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    loadAt(ident, snapshotId = None, asOfMillis = Some(timestampMicros / 1000L))
+
+  private def loadAt(ident: Identifier, snapshotId: Option[Long],
+      asOfMillis: Option[Long]): Table = {
+    val (schemaName, tableName) = (ns1(ident.namespace), ident.name)
+    if (!tableExists(ident))
+      throw new IllegalArgumentException(s"no table $schemaName.$tableName")
+    val entries = gc.snapshotFileEntries(schemaName, tableName, snapshotId, asOfMillis)
+    val curVersion = gc.currentSchemaVersionOf(schemaName, tableName)
+    val pk = gc.primaryKeyOf(schemaName, tableName)
+    val resolvedAsFiles =
+      entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
+        (pk.isEmpty || entries.size <= 1)
+    // Unresolvable state must not fail here: the analyzer loads tables for
+    // DDL too (ALTER/DESCRIBE/DROP resolve the relation first). Defer the
+    // error to scan planning so only SELECT hits it.
+    val scanError = if (resolvedAsFiles) None else Some(
+      s"$schemaName.$tableName needs merge-on-read resolution at this snapshot " +
+        "(PK deltas, tombstones, or pre-evolution files); run " +
+        "GraftCatalog.compact() to materialize it for SQL scans, or read " +
+        "through GraftCatalog.read()")
+    val paths = if (resolvedAsFiles) entries.map(e =>
+      new Path(new Path(new Path(warehouse, schemaName), tableName), e.dir).toString)
+      else Seq.empty
+    val schema = gc.currentSchema(schemaName, tableName)
+    val parquet = ParquetTable(s"$catalogName.$schemaName.$tableName",
+      spark.asInstanceOf[classic.SparkSession],
+      new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
+      paths, Some(schema), classOf[ParquetFileFormat])
+    new GraftReadOnlyTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
+      gc.tableOptions(schemaName, tableName) ++
+        (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
+      scanError)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partitionCols = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
+      case t => throw new UnsupportedOperationException(
+        s"only identity partitioning is supported, got $t")
+    }
+    val props = properties.asScala.toMap
+    val pk = props.get("primary-key").map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(Seq.empty)
+    val opts = props -- Seq("primary-key", "provider", "owner", "location")
+    gc.createTable(ns1(ident.namespace), ident.name, schema,
+      options = opts, partitionBy = partitionCols, primaryKey = pk)
+    // freshly created: zero snapshots -> empty parquet table over no paths
+    new GraftReadOnlyTable(
+      ParquetTable(s"$catalogName.${ident.namespace.head}.${ident.name}",
+        spark.asInstanceOf[classic.SparkSession],
+        new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
+        Seq.empty, Some(schema), classOf[ParquetFileFormat]),
+      partitionCols, opts, None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    if (!tableExists(ident)) false
+    else { gc.dropTable(ns1(ident.namespace), ident.name); true }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(ns1(oldIdent.namespace) == ns1(newIdent.namespace),
+      "cross-schema rename is not supported")
+    gc.renameTable(ns1(oldIdent.namespace), oldIdent.name, newIdent.name)
+  }
+
+  /** ALTER TABLE column DDL routed to the metadata-only evolution ops
+    * (TrinoMetadataBase.java:290–328 analog). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (s, t) = (ns1(ident.namespace), ident.name)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1, "nested adds not supported")
+        gc.addColumn(s, t, org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1, "nested renames not supported")
+        gc.renameColumn(s, t, ren.fieldNames.head, ren.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1, "nested drops not supported")
+        gc.dropColumn(s, t, del.fieldNames.head)
+      case other => throw new UnsupportedOperationException(s"change $other")
+    }
+    // Return a schema-only handle: the data files may now predate the new
+    // schema version (loadTable would demand compaction, which ALTER must
+    // not force — evolution is metadata-only).
+    val schema = gc.currentSchema(s, t)
+    new GraftReadOnlyTable(
+      ParquetTable(s"$catalogName.$s.$t",
+        spark.asInstanceOf[classic.SparkSession],
+        new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
+        Seq.empty, Some(schema), classOf[ParquetFileFormat]),
+      gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None)
+  }
+}
+
+/**
+ * Read-only V2 table: scans delegate to the engine's parquet
+ * implementation (vectorized read + pushdown); write capabilities are
+ * deliberately absent so INSERT fails fast instead of bypassing the
+ * snapshot commit protocol.
+ */
+private[sources] class GraftReadOnlyTable(delegate: ParquetTable,
+    partitionCols: Seq[String], props: Map[String, String],
+    scanError: Option[String])
+  extends Table with SupportsRead {
+
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def partitioning(): Array[Transform] =
+    partitionCols.map(Expressions.identity).toArray
+  override def properties(): util.Map[String, String] = props.asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    scanError.foreach(msg => throw new UnsupportedOperationException(msg))
+    delegate.newScanBuilder(options)
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.GraftCatalog
+
+/**
+ * The SQL-connector surface: `spark.sql` against a registered
+ * `graft.sources.GraftSparkCatalog` — DDL, scans with pushdown, time
+ * travel, ALTER TABLE column evolution, and the read-only write guard.
+ */
+class GraftSparkCatalogSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-sqlwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.g", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.g.warehouse", warehouse)
+  }
+
+  test("SQL DDL + scan: create namespace/table, library write, SQL read") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE g.db")
+    spark.sql("CREATE TABLE g.db.t (id BIGINT, name STRING)")
+    assert(spark.sql("SHOW TABLES IN g.db").collect().map(_.getString(1)).toSeq === Seq("t"))
+    // empty table scans as zero rows with the declared schema
+    assert(spark.sql("SELECT * FROM g.db.t").count() === 0)
+    gc.append("db", "t", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    assert(spark.sql("SELECT name FROM g.db.t WHERE id >= 2 ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("b", "c"))
+    // pushdown reaches the parquet scan
+    val plan = spark.sql("SELECT name FROM g.db.t WHERE id >= 2")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.tt (id BIGINT, name STRING)")
+    gc.append("db", "tt", Seq((1L, "a")).toDF("id", "name"))
+    gc.append("db", "tt", Seq((2L, "b")).toDF("id", "name"))
+    assert(spark.sql("SELECT count(*) FROM g.db.tt").head().getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM g.db.tt VERSION AS OF 1").head().getLong(0) === 1)
+    val ts1 = gc.snapshots("db", "tt").head.timestampMillis
+    val lit = new java.sql.Timestamp(ts1).toInstant.toString
+    assert(spark.sql(s"SELECT count(*) FROM g.db.tt TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) === 1)
+  }
+
+  test("ALTER TABLE column DDL routes through metadata-only evolution") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.ev (id BIGINT, name STRING)")
+    gc.append("db", "ev", Seq((1L, "a")).toDF("id", "name"))
+    spark.sql("ALTER TABLE g.db.ev ADD COLUMN extra INT")
+    spark.sql("ALTER TABLE g.db.ev RENAME COLUMN name TO label")
+    assert(gc.currentSchema("db", "ev").fieldNames.toSeq === Seq("id", "label", "extra"))
+    // pre-evolution files need compaction before raw-parquet SQL scans
+    val e = intercept[UnsupportedOperationException](
+      spark.sql("SELECT * FROM g.db.ev").collect())
+    assert(e.getMessage.contains("compact"))
+    gc.compact("db", "ev")
+    val row = spark.sql("SELECT id, label, extra FROM g.db.ev").head()
+    assert(row.getLong(0) === 1L && row.getString(1) === "a" && row.isNullAt(2))
+    spark.sql("ALTER TABLE g.db.ev DROP COLUMN extra")
+    gc.compact("db", "ev")
+    assert(spark.sql("SELECT * FROM g.db.ev").columns.toSeq === Seq("id", "label"))
+  }
+
+  test("PK tables scan via SQL once compacted; writes are refused") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.pk (id BIGINT, name STRING) TBLPROPERTIES ('primary-key'='id')")
+    assert(gc.primaryKeyOf("db", "pk") === Seq("id"))
+    gc.upsert("db", "pk", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    gc.upsert("db", "pk", Seq((2L, "b2")).toDF("id", "name"))
+    // two unresolved deltas: refuse rather than return duplicate keys
+    assert(intercept[UnsupportedOperationException](
+      spark.sql("SELECT * FROM g.db.pk").collect()).getMessage.contains("compact"))
+    gc.compact("db", "pk")
+    assert(spark.sql("SELECT name FROM g.db.pk WHERE id = 2").head().getString(0) === "b2")
+    // INSERT INTO must not bypass the snapshot commit protocol
+    intercept[Exception](spark.sql("INSERT INTO g.db.pk VALUES (9, 'x')"))
+    assert(gc.snapshots("db", "pk").size === 3) // nothing was committed
+  }
+
+  test("partitioned tables: identity transform round-trip + pruning") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.pt (id BIGINT, region STRING) PARTITIONED BY (region)")
+    assert(gc.partitionColumnsOf("db", "pt") === Seq("region"))
+    gc.append("db", "pt",
+      Seq((1L, "emea"), (2L, "apac"), (3L, "emea")).toDF("id", "region"))
+    assert(spark.sql("SELECT id FROM g.db.pt WHERE region = 'emea' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    val plan = spark.sql("SELECT id FROM g.db.pt WHERE region = 'emea'")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter [region"), s"partition filter not pruned:\n$plan")
+  }
+
+  test("drop/rename via SQL") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.r1 (id BIGINT)")
+    spark.sql("ALTER TABLE g.db.r1 RENAME TO g.db.r2")
+    assert(gc.listTables("db").contains("r2") && !gc.listTables("db").contains("r1"))
+    spark.sql("DROP TABLE g.db.r2")
+    assert(!gc.listTables("db").contains("r2"))
+  }
+}
