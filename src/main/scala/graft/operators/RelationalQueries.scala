@@ -351,6 +351,58 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),
+    // IGNORE NULLS window navigation (gap-filling / carry-forward — the
+    // sibling of the as-of join): last non-null value per order so far.
+    "window_ignore_nulls" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+      val x = when(col("l_returnflag") === "N", lit(null)).otherwise(col("l_extendedprice"))
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      l.select(col("l_orderkey"), col("l_linenumber"), x.as("x"))
+        .withColumn("carried", last(col("x"), ignoreNulls = true).over(w))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // Bitwise expression family (&, |, xor, shifts, popcount).
+    "expr_bitwise" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      o.select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("k_and"),
+          col("o_orderkey").bitwiseOR(lit(4096L)).as("k_or"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("k_xor"),
+          shiftleft(col("o_orderkey").bitwiseAND(lit(15L)), 2).as("k_shl"),
+          shiftright(col("o_orderkey"), 3).as("k_shr"),
+          bit_count(col("o_orderkey")).as("n_bits"))
+        .orderBy("o_orderkey")
+    }),
+    // Exact second-moment statistics (variance / stddev / correlation)
+    // from integer sums: quantities are integral, prices quantized ×100,
+    // so every sum is an exact decimal in any order; the closed-form
+    // moments are then one fixed IEEE expression — unlike native
+    // corr()/stddev(), whose float accumulation is order-dependent and
+    // can never hash-match across engines (§4 discipline at work).
+    "agg_stats_exact" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      // floor before the decimal cast: double→decimal rounding modes
+      // differ across engines, floor of an integral-valued double doesn't
+      val x = col("l_quantity").cast("decimal(18,0)")
+      val y = floor(col("l_extendedprice") * 100 + 0.5).cast("decimal(18,0)")
+      val g = l.select(col("l_returnflag"), x.as("x"), y.as("y"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).cast("double").as("sx"),
+          sum(col("y")).cast("double").as("sy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"))
+      val n = col("n").cast("double")
+      g.select(col("l_returnflag"), col("n"),
+          ((col("sxx") * n - col("sx") * col("sx")) / (n * (n - 1))).as("var_x"),
+          sqrt((col("sxx") * n - col("sx") * col("sx")) / (n * (n - 1))).as("stddev_x"),
+          ((col("sxy") * n - col("sx") * col("sy")) /
+            sqrt((col("sxx") * n - col("sx") * col("sx")) *
+              (col("syy") * n - col("sy") * col("sy")))).as("corr_xy"))
+        .orderBy("l_returnflag")
+    }),
     // TPC-H Q18: large-volume customers — the shuffle-heavy "aggregate a
     // fact table, then join the aggregate back" shape. The pre-aggregation
     // shrinks lineitem ~4x before the join; both joins shuffle on their
@@ -627,6 +679,44 @@ object RelationalQueries {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "window_ignore_nulls" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_extendedprice END AS x,
+        |  last_value(CASE WHEN l_returnflag = 'N' THEN NULL ELSE l_extendedprice END
+        |    IGNORE NULLS) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "expr_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS k_and,
+        |  o_orderkey | 4096 AS k_or,
+        |  xor(o_orderkey, o_custkey) AS k_xor,
+        |  (o_orderkey & 15) << 2 AS k_shl,
+        |  o_orderkey >> 3 AS k_shr,
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS n_bits
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
+    "agg_stats_exact" ->
+      """WITH q AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,0)) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(18,0)) AS y
+        |  FROM lineitem),
+        |s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM q GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  (sxx * n - sx * sx) / (n * (n - 1)) AS var_x,
+        |  sqrt((sxx * n - sx * sx) / (n * (n - 1))) AS stddev_x,
+        |  (sxy * n - sx * sy)
+        |    / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy)) AS corr_xy
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
         |FROM customer
