@@ -403,6 +403,33 @@ object RelationalQueries {
               (col("syy") * n - col("sy") * col("sy")))).as("corr_xy"))
         .orderBy("l_returnflag")
     }),
+    // TPC-H Q7: trade volume between two nation pairs by ship year. Both
+    // nation dims broadcast twice (supplier side, customer side); the
+    // two fact joins shuffle on their natural keys; the pair filter
+    // applies right after the broadcasts so the fact side shrinks early.
+    "q7_nation_volume" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      val o = Tables(s, dir, "orders")
+      val su = Tables(s, dir, "supplier")
+      val c = Tables(s, dir, "customer")
+      val n1 = Tables(s, dir, "nation").select(
+        col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation").select(
+        col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(l("l_shipdate")).as("l_year"))
+        .agg(dsum(l("l_extendedprice") * (lit(1) - l("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
     // TPC-H Q18: large-volume customers — the shuffle-heavy "aggregate a
     // fact table, then join the aggregate back" shape. The pre-aggregation
     // shrinks lineitem ~4x before the join; both joins shuffle on their
@@ -717,6 +744,22 @@ object RelationalQueries {
         |  (sxy * n - sx * sy)
         |    / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy)) AS corr_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
         |FROM customer

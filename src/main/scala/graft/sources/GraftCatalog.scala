@@ -274,6 +274,41 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .start()
 
   /**
+   * Streaming read of an append-only table: a Structured Streaming
+   * DataFrame that emits rows as new snapshots commit — the consumer half
+   * of Paimon's streaming tables (a downstream job follows the table
+   * instead of rescanning it). Built on Spark's file-stream source
+   * watching the immutable `snap-*` dirs: snapshots only ever ADD files,
+   * so file discovery is exactly snapshot discovery, and the source's
+   * checkpointed file log gives exactly-once per file. Combine with
+   * [[streamAppend]] on the producer side for an end-to-end exactly-once
+   * table-to-table pipeline.
+   *
+   * Restrictions (refused, not silently wrong): PK tables (merge-on-read
+   * resolution is a table-level, not file-level, operation — follow those
+   * with [[readIncremental]] between explicit snapshots) and evolved
+   * tables (the file source applies one fixed schema; compact first).
+   * The followed table must stay pure-append while streamed: [[compact]]
+   * and [[overwrite]] rewrite rows into fresh dirs (the old dirs stay on
+   * disk for time travel), which a file-level follower would re-emit.
+   */
+  def readStream(schema: String, table: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    require(primaryKeyOf(schema, table).isEmpty,
+      s"$schema.$table has a primary key — streaming reads need append-only " +
+        "semantics; follow PK tables with readIncremental between snapshots")
+    val m = readManifest(schema, table)
+    require(m.get("currentSchemaVersion").asInt() == 0,
+      s"$schema.$table has evolved schemas — compact() before streaming reads")
+    val target = StructType(currentFields(m).map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    val reader = spark.readStream.schema(target)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.option("pathGlobFilter", "*.parquet")
+      .parquet(new Path(tablePath(schema, table), "snap-*").toString)
+  }
+
+  /**
    * Compaction: rewrite the current snapshot's (possibly many, possibly
    * schema-heterogeneous) files into one fresh snapshot at the current
    * schema — Paimon's small-file compaction, expressed as an ordinary

@@ -312,6 +312,35 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.lastStreamBatchId("db", "t") === 1L)
   }
 
+  test("streaming read follows appended snapshots exactly-once") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    cat.append("db", "t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = cat.readStream("db", "t").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-stream-ck").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.synchronized { seen ++= batch.collect().map(r => r.getLong(0) -> r.getString(1)) }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.sorted === Seq(1L -> "a", 2L -> "b"))
+      cat.append("db", "t", Seq((3L, "c")).toDF("id", "name"))
+      q.processAllAvailable()
+      assert(seen.sorted === Seq(1L -> "a", 2L -> "b", 3L -> "c")) // no re-emit
+    } finally q.stop()
+    // PK and evolved tables are refused
+    cat.createTable("db", "pk2", abSchema, primaryKey = Seq("id"))
+    intercept[IllegalArgumentException](cat.readStream("db", "pk2"))
+    cat.createTable("db", "ev2", abSchema)
+    cat.addColumn("db", "ev2", StructField("x", IntegerType))
+    intercept[IllegalArgumentException](cat.readStream("db", "ev2"))
+  }
+
   test("manifest commits are atomic: temp+rename, monotonic commitVersion") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-wh").toString
