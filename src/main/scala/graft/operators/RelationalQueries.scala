@@ -403,6 +403,27 @@ object RelationalQueries {
               (col("syy") * n - col("sy") * col("sy")))).as("corr_xy"))
         .orderBy("l_returnflag")
     }),
+    // Event-time range join (the batch-parity form of the stream-stream
+    // join): clicks within the hour before each purchase, same user.
+    // The equi-key (user_id) makes this a hash join with the time range
+    // as a residual predicate — per-user state only, never a time-cross
+    // product (at stream runtime the same shape is the watermark-bounded
+    // interval join in StreamingSpec).
+    "join_event_range" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      purchases.join(clicks,
+          col("user_id") === col("cu") &&
+            col("cts") >= col("ts") - expr("INTERVAL 1 HOUR") &&
+            col("cts") <= col("ts"),
+          "left")
+        .groupBy("event_id", "user_id")
+        .agg(count(col("cts")).as("n_clicks_1h"))
+        .orderBy("event_id")
+    }),
     // TPC-H Q7: trade volume between two nation pairs by ship year. Both
     // nation dims broadcast twice (supplier side, customer side); the
     // two fact joins shuffle on their natural keys; the pair filter
@@ -744,6 +765,16 @@ object RelationalQueries {
         |  (sxy * n - sx * sy)
         |    / sqrt((sxx * n - sx * sx) * (syy * n - sy * sy)) AS corr_xy
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "join_event_range" ->
+      """WITH c AS (
+        |  SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT event_id, user_id, count(cts) AS n_clicks_1h
+        |FROM p LEFT JOIN c
+        |  ON user_id = cu AND cts >= ts - INTERVAL 1 HOUR AND cts <= ts
+        |GROUP BY event_id, user_id
+        |ORDER BY event_id""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
