@@ -157,15 +157,20 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
-    var labels = nodes.select(col(idCol).as("a"), col(idCol).as("lbl")).persist()
+    // Propagate only over nodes that appear in an edge: singletons (the
+    // overwhelming majority of a near-dup corpus) can't change label, so
+    // they join the result once at the end instead of riding every round.
+    var labels = edges.select(col("a")).distinct()
+      .select(col("a"), col("a").as("lbl")).persist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("a").as("b"), col("lbl").as("nlbl")), "b")
         .groupBy("a").agg(min("nlbl").as("nmin"))
-      val next = labels.join(nbrMin, Seq("a"), "left")
-        .select(col("a"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // inner join is total here: every propagated node has ≥1 neighbor
+      val next = labels.join(nbrMin, "a")
+        .select(col("a"), least(col("lbl"), col("nmin")).as("lbl"))
         .persist()
       val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "a")
         .filter(col("lbl") =!= col("prev")).count()
@@ -176,6 +181,8 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("a").as(idCol), col("lbl").as("cluster"))
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("a", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
   }
 }
