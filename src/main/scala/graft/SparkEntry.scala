@@ -16,6 +16,7 @@ object SparkEntry {
       (TextQueries.queries, TextQueries.oracle),
       (StreamQueries.queries, StreamQueries.oracle),
       (ExtQueries.queries, ExtQueries.oracle),
+      (CatalogQueries.queries, CatalogQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
