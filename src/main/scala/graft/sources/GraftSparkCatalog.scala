@@ -10,6 +10,7 @@ import org.apache.spark.sql.classic
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -32,12 +33,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * Scans delegate to Spark's native V2 parquet table over the snapshot's
  * file list, so filter/projection pushdown, vectorized reading, and split
  * planning are the engine's own (the plan shows PushedFilters/ReadSchema
- * exactly like a direct parquet read). The exposed table is read-only:
- * writes must go through [[GraftCatalog]] commits (append/upsert/
- * deleteWhere) so every change is an atomic, time-travelable snapshot —
- * a raw SQL INSERT writing into the file dirs would corrupt the manifest
- * contract, exactly like writing directly into a Paimon table's object
- * store behind the connector's back.
+ * exactly like a direct parquet read). Writes go through the snapshot
+ * commit protocol, never raw file writes: `INSERT INTO` is an atomic
+ * append commit (an upsert on PK tables — the batch must be PK-unique,
+ * the same contract as [[GraftCatalog.upsert]]), `INSERT OVERWRITE` is
+ * an overwrite commit; both leave every prior snapshot time-travelable.
  *
  * Tables whose current snapshot needs merge-on-read resolution (PK tables
  * with multiple deltas, tombstones, or files on older schema versions)
@@ -154,10 +154,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       spark.asInstanceOf[classic.SparkSession],
       new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
       paths, Some(schema), classOf[ParquetFileFormat])
-    new GraftReadOnlyTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
+    new GraftSqlTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
       gc.tableOptions(schemaName, tableName) ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
-      scanError)
+      scanError, commitInsert(schemaName, tableName) _)
+  }
+
+  /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
+    * upsert for PK tables, plain append otherwise. */
+  private def commitInsert(schemaName: String, tableName: String)(
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    if (overwrite) gc.overwrite(schemaName, tableName, data)
+    else if (gc.primaryKeyOf(schemaName, tableName).nonEmpty)
+      gc.upsert(schemaName, tableName, data)
+    else gc.append(schemaName, tableName, data)
+    ()
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -174,12 +185,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     gc.createTable(ns1(ident.namespace), ident.name, schema,
       options = opts, partitionBy = partitionCols, primaryKey = pk)
     // freshly created: zero snapshots -> empty parquet table over no paths
-    new GraftReadOnlyTable(
+    new GraftSqlTable(
       ParquetTable(s"$catalogName.${ident.namespace.head}.${ident.name}",
         spark.asInstanceOf[classic.SparkSession],
         new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
-      partitionCols, opts, None)
+      partitionCols, opts, None, commitInsert(ns1(ident.namespace), ident.name) _)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -213,30 +224,34 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // schema version (loadTable would demand compaction, which ALTER must
     // not force — evolution is metadata-only).
     val schema = gc.currentSchema(s, t)
-    new GraftReadOnlyTable(
+    new GraftSqlTable(
       ParquetTable(s"$catalogName.$s.$t",
         spark.asInstanceOf[classic.SparkSession],
         new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
-      gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None)
+      gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None,
+      commitInsert(s, t) _)
   }
 }
 
 /**
- * Read-only V2 table: scans delegate to the engine's parquet
- * implementation (vectorized read + pushdown); write capabilities are
- * deliberately absent so INSERT fails fast instead of bypassing the
- * snapshot commit protocol.
+ * V2 table over a catalog snapshot: scans delegate to the engine's
+ * parquet implementation (vectorized read + pushdown); writes route
+ * through the snapshot commit protocol via the V1 write bridge (the
+ * insert arrives as a resolved DataFrame and becomes one atomic
+ * append/upsert/overwrite commit — never a raw file write).
  */
-private[sources] class GraftReadOnlyTable(delegate: ParquetTable,
+private[sources] class GraftSqlTable(delegate: ParquetTable,
     partitionCols: Seq[String], props: Map[String, String],
-    scanError: Option[String])
-  extends Table with SupportsRead {
+    scanError: Option[String],
+    commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray
   override def properties(): util.Map[String, String] = props.asJava
@@ -244,4 +259,14 @@ private[sources] class GraftReadOnlyTable(delegate: ParquetTable,
     scanError.foreach(msg => throw new UnsupportedOperationException(msg))
     delegate.newScanBuilder(options)
   }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ovr: Boolean) =>
+            commitInsert(data.toDF(), overwrite || ovr)
+      }
+    }
 }

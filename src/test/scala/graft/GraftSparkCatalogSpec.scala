@@ -73,7 +73,7 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT * FROM g.db.ev").columns.toSeq === Seq("id", "label"))
   }
 
-  test("PK tables scan via SQL once compacted; writes are refused") {
+  test("PK tables scan via SQL once compacted; INSERT upserts") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.pk (id BIGINT, name STRING) TBLPROPERTIES ('primary-key'='id')")
@@ -85,9 +85,25 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       spark.sql("SELECT * FROM g.db.pk").collect()).getMessage.contains("compact"))
     gc.compact("db", "pk")
     assert(spark.sql("SELECT name FROM g.db.pk WHERE id = 2").head().getString(0) === "b2")
-    // INSERT INTO must not bypass the snapshot commit protocol
-    intercept[Exception](spark.sql("INSERT INTO g.db.pk VALUES (9, 'x')"))
-    assert(gc.snapshots("db", "pk").size === 3) // nothing was committed
+    // SQL INSERT routes through the upsert commit (merge-on-read)
+    spark.sql("INSERT INTO g.db.pk VALUES (2, 'b3'), (9, 'x')")
+    gc.compact("db", "pk")
+    assert(spark.sql("SELECT name FROM g.db.pk WHERE id IN (2, 9) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("b3", "x"))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE are atomic snapshot commits") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.w (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO g.db.w VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO g.db.w SELECT id + 10, name FROM g.db.w")
+    assert(spark.sql("SELECT count(*) FROM g.db.w").head().getLong(0) === 4)
+    assert(gc.snapshots("db", "w").map(_.id) === Seq(1L, 2L))
+    // every prior state stays time-travelable
+    assert(spark.sql("SELECT count(*) FROM g.db.w VERSION AS OF 1").head().getLong(0) === 2)
+    spark.sql("INSERT OVERWRITE g.db.w VALUES (99, 'z')")
+    assert(spark.sql("SELECT id FROM g.db.w").collect().map(_.getLong(0)).toSeq === Seq(99L))
+    assert(spark.sql("SELECT count(*) FROM g.db.w VERSION AS OF 2").head().getLong(0) === 4)
   }
 
   test("partitioned tables: identity transform round-trip + pruning") {
