@@ -11,6 +11,8 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.{functions => F, Column}
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
@@ -157,7 +159,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
       gc.tableOptions(schemaName, tableName) ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
-      scanError, commitInsert(schemaName, tableName) _)
+      scanError, commitInsert(schemaName, tableName) _,
+      cond => { gc.deleteWhere(schemaName, tableName, cond); () })
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -190,7 +193,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         spark.asInstanceOf[classic.SparkSession],
         new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
-      partitionCols, opts, None, commitInsert(ns1(ident.namespace), ident.name) _)
+      partitionCols, opts, None, commitInsert(ns1(ident.namespace), ident.name) _,
+      cond => { gc.deleteWhere(ns1(ident.namespace), ident.name, cond); () })
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -230,8 +234,38 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
       gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None,
-      commitInsert(s, t) _)
+      commitInsert(s, t) _, cond => { gc.deleteWhere(s, t, cond); () })
   }
+}
+
+/** Translate DSv2 source filters to Column predicates (the supported
+  * subset mirrors the reference's TrinoFilterConverter.java:81–215 —
+  * =, <, <=, >, >=, IN, IS NULL, AND/OR/NOT). */
+private[sources] object FilterTranslation {
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
+    case EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
+    case GreaterThan(a, v) => Some(F.col(a) > F.lit(v))
+    case GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+    case LessThan(a, v) => Some(F.col(a) < F.lit(v))
+    case LessThanOrEqual(a, v) => Some(F.col(a) <= F.lit(v))
+    case In(a, vs) => Some(F.col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(F.col(a).isNull)
+    case IsNotNull(a) => Some(F.col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(F.col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(F.col(a).endsWith(v))
+    case StringContains(a, v) => Some(F.col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case AlwaysTrue() => Some(F.lit(true))
+    case AlwaysFalse() => Some(F.lit(false))
+    case _ => None
+  }
+  def toCondition(filters: Array[Filter]): Option[Column] =
+    filters.foldLeft(Option(F.lit(true))) { (acc, f) =>
+      for (a <- acc; c <- toColumn(f)) yield a && c
+    }
 }
 
 /**
@@ -244,8 +278,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 private[sources] class GraftSqlTable(delegate: ParquetTable,
     partitionCols: Seq[String], props: Map[String, String],
     scanError: Option[String],
-    commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit)
-  extends Table with SupportsRead with SupportsWrite {
+    commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
+    commitDelete: Column => Unit)
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as
+    * in [[GraftCatalog.deleteWhere]]); unsupported predicates are
+    * rejected at analysis via canDeleteWhere. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FilterTranslation.toCondition(filters).isDefined
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    commitDelete(FilterTranslation.toCondition(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"untranslatable delete predicates: ${filters.mkString(", ")}")))
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema

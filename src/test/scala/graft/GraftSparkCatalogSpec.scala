@@ -106,6 +106,24 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) FROM g.db.w VERSION AS OF 2").head().getLong(0) === 4)
   }
 
+  test("DELETE FROM commits a tombstone snapshot on PK tables") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.del (id BIGINT, name STRING) TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "del", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    gc.compact("db", "del")
+    spark.sql("DELETE FROM g.db.del WHERE id = 2")
+    gc.compact("db", "del")
+    assert(spark.sql("SELECT id FROM g.db.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the delete added a snapshot; pre-delete state is still time-travelable
+    assert(gc.read("db", "del", snapshotId = Some(2L)).count() === 3)
+    // append-only tables refuse row-level delete (no PK to tombstone)
+    spark.sql("CREATE TABLE g.db.del2 (id BIGINT)")
+    spark.sql("INSERT INTO g.db.del2 VALUES (1)")
+    intercept[Exception](spark.sql("DELETE FROM g.db.del2 WHERE id = 1"))
+  }
+
   test("partitioned tables: identity transform round-trip + pruning") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
