@@ -33,6 +33,17 @@ object CatalogQueries {
       cat.append("q", "docs", d.filter(col("doc_id") % 2 =!= 0))
       cat.read("q", "docs", snapshotId = Some(snap1)).orderBy("doc_id")
     }),
+    // Incremental read between the two commits must surface ONLY the
+    // second snapshot's delta (odd ids) — and open only its files.
+    "catalog_incremental" -> ((s, dir) => {
+      val cat = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
+      cat.createTable("q", "docs", d.schema)
+      val s1 = cat.append("q", "docs", d.filter(col("doc_id") % 2 === 0))
+      val s2 = cat.append("q", "docs", d.filter(col("doc_id") % 2 =!= 0))
+      cat.readIncremental("q", "docs", s1, s2).orderBy("doc_id")
+    }),
     // PK table: full upsert, partial re-upsert (lang rewritten), tombstone
     // delete — the merge-on-read read must resolve newest-wins minus
     // deleted keys.
@@ -53,6 +64,9 @@ object CatalogQueries {
     "catalog_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
+    "catalog_incremental" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 2 <> 0 ORDER BY doc_id""".stripMargin,
     "catalog_upsert_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
