@@ -215,6 +215,21 @@ object TextQueries {
           col("valid"))
         .orderBy("id")
     }),
+    // Stratified systematic sampling: every 10th doc per language by
+    // doc_id rank — the deterministic, resumable way to draw a balanced
+    // subsample (random sampling isn't reproducible across engines or
+    // re-runs; rank-based systematic sampling is). One shuffle on the
+    // stratum key; at scale the window state per language is a counter.
+    "text_sample_stratified" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      d.select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") - 1) % 10 === 0)
+        .drop("rn")
+        .orderBy("doc_id")
+    }),
     // Benchmark decontamination: flag training docs sharing any 8-token
     // shingle with the eval set (doc_id % 50 == 0 stands in for the
     // benchmark). The eval shingle set is tiny relative to the corpus, so
@@ -396,6 +411,12 @@ object TextQueries {
         |       ELSE floor(h0 * (64.0 / greatest(w0, h0))) END AS INTEGER) AS height,
         |  CAST(dur AS INTEGER) AS duration_ms, valid
         |FROM m ORDER BY id""".stripMargin,
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE (rn - 1) % 10 = 0 ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents),

@@ -106,6 +106,18 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) FROM g.db.w VERSION AS OF 2").head().getLong(0) === 4)
   }
 
+  test("INSERT after ALTER writes at the evolved schema") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.evw (id BIGINT, name STRING)")
+    spark.sql("INSERT INTO g.db.evw VALUES (1, 'a')")
+    spark.sql("ALTER TABLE g.db.evw ADD COLUMN score INT")
+    spark.sql("INSERT INTO g.db.evw VALUES (2, 'b', 7)")
+    gc.compact("db", "evw")
+    val rows = spark.sql("SELECT id, name, score FROM g.db.evw ORDER BY id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows.head.isNullAt(2) && rows.last.getInt(2) === 7)
+  }
+
   test("DELETE FROM commits a tombstone snapshot on PK tables") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
