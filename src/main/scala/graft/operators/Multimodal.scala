@@ -63,6 +63,31 @@ object Multimodal {
     })
   }
 
+  /** One sampled frame reference: payload id, frame ordinal, timestamp. */
+  case class FrameRef(id: Long, frameIdx: Int, tsMs: Int)
+
+  /**
+   * Deterministic frame sampling for video-kind payloads: one frame every
+   * `stepMs` from t=0 through the decoded duration, capped at `maxFrames`
+   * per payload (bounded output regardless of clip length — the cap is
+   * what keeps a 10-hour outlier from exploding a partition). Emits frame
+   * REFERENCES (id, index, timestamp); the real frame-pixel extraction
+   * belongs to the codec binding, exactly like [[StubCodec.decode]].
+   * Invalid payloads emit nothing.
+   */
+  def frameSample(blobs: Dataset[MediaBlob], stepMs: Int,
+      maxFrames: Int): Dataset[FrameRef] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.flatMap { b =>
+      val meta = StubCodec.decode(b.kind, b.bytes)
+      if (!meta.valid) Iterator.empty
+      else {
+        val n = math.min(meta.durationMs / stepMs + 1, maxFrames)
+        (0 until n).iterator.map(i => FrameRef(b.id, i, i * stepMs))
+      }
+    })
+  }
+
   /** Wrap a string column as a media-blob Dataset (test/demo source). */
   def blobsFromText(df: DataFrame, idCol: String, textCol: String,
       kind: String): Dataset[MediaBlob] = {

@@ -246,6 +246,16 @@ object TextQueries {
         .agg(countDistinct("g").as("n_shared"))
         .orderBy("doc_id")
     }),
+    // Multimodal frame sampling: bounded deterministic frame references
+    // per video payload (every 250 ms, ≤ 8 frames) through the typed
+    // batch pipeline; the stub codec's duration math is SQL-expressible.
+    "media_frames" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val blobs = Multimodal.blobsFromText(d, "doc_id", "text", "video")
+      Multimodal.frameSample(blobs, stepMs = 250, maxFrames = 8).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"), col("tsMs").as("ts_ms"))
+        .orderBy("id", "frame_idx")
+    }),
     // Multimodal metadata probe: opaque binary column + header-byte fields.
     "media_metadata" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
@@ -430,6 +440,17 @@ object TextQueries {
         |SELECT doc_id, count(DISTINCT g) AS n_shared
         |FROM tr JOIN ev USING (g)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN octet_length(encode(text)) >= 4
+        |         THEN ascii(substring(text, 3, 1)) * 256 + ascii(substring(text, 4, 1))
+        |         ELSE 0 END AS dur,
+        |    octet_length(encode(text)) >= 4 AS valid
+        |  FROM documents)
+        |SELECT id, CAST(i AS INTEGER) AS frame_idx, CAST(i * 250 AS INTEGER) AS ts_ms
+        |FROM m, unnest(range(0, least(dur // 250 + 1, 8))) AS t(i)
+        |WHERE valid ORDER BY id, frame_idx""".stripMargin,
     "media_metadata" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
