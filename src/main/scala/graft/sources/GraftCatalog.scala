@@ -317,6 +317,48 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def compact(schema: String, table: String): Long =
     overwrite(schema, table, read(schema, table))
 
+  /**
+   * Compact only when the current snapshot references more than
+   * `maxFileDirs` file dirs — the Paimon-style small-file trigger
+   * (num-sorted-run threshold) a streaming ingest loop calls after each
+   * batch without paying a rewrite every time. Returns the new snapshot
+   * id when compaction ran.
+   */
+  def compactIfNeeded(schema: String, table: String,
+      maxFileDirs: Int = 10): Option[Long] = {
+    require(maxFileDirs >= 1, "maxFileDirs must be >= 1")
+    if (snapshotFileEntries(schema, table).size > maxFileDirs)
+      Some(compact(schema, table))
+    else None
+  }
+
+  /**
+   * Snapshot expiration (Paimon's snapshot.num-retained): keep the last
+   * `keepLast` snapshots, drop the older entries from the manifest, and
+   * delete file dirs no surviving snapshot references. Time travel to
+   * expired snapshots fails thereafter; the current image is untouched.
+   * This is the maintenance op that bounds storage at 100 TB — without
+   * it every overwrite/compact doubles the footprint forever.
+   */
+  def expireSnapshots(schema: String, table: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    if (all.size <= keepLast) return Seq.empty
+    val (dropped, kept) = all.splitAt(all.size - keepLast)
+    val keptDirs = kept.flatMap(filesOf).map(_.dir).toSet
+    val orphanDirs = dropped.flatMap(filesOf).map(_.dir).distinct
+      .filterNot(keptDirs.contains)
+    val arr = m.putArray("snapshots")
+    kept.foreach(arr.add)
+    // Manifest first (atomic commit), orphan deletion after: a crash
+    // between the two leaves unreferenced dirs, never a dangling manifest.
+    writeManifest(schema, table, m)
+    orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
+    dropped.map(_.get("id").asLong())
+  }
+
   // ---- reads + time travel ----------------------------------------------
 
   def snapshots(schema: String, table: String): Seq[SnapshotInfo] = {

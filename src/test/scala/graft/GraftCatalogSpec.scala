@@ -312,6 +312,49 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.lastStreamBatchId("db", "t") === 1L)
   }
 
+  test("snapshot expiration keeps the tail, deletes orphan dirs, preserves current image") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-exp-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    (1 to 4).foreach(i => cat.append("db", "t", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    cat.compact("db", "t") // snapshot 5 references ONLY its own dir
+    val expired = cat.expireSnapshots("db", "t", keepLast = 2)
+    assert(expired === Seq(1L, 2L, 3L))
+    assert(cat.snapshots("db", "t").map(_.id) === Seq(4L, 5L))
+    // current image intact; expired snapshot unreadable; orphans gone
+    assert(cat.read("db", "t").count() === 4)
+    intercept[IllegalArgumentException](cat.read("db", "t", snapshotId = Some(2L)))
+    val dirs = new java.io.File(s"$wh/db/t").listFiles().map(_.getName)
+      .filter(_.startsWith("snap-")).sorted
+    // snap-1..3 still referenced by kept snapshot 4 (cumulative file list);
+    // nothing kept references a dropped-only dir here, so all dirs survive
+    assert(dirs.toSeq === Seq("snap-1", "snap-2", "snap-3", "snap-4", "snap-5"))
+    // expire down to ONLY the compacted snapshot: snap-1..4 become orphans
+    assert(cat.expireSnapshots("db", "t", keepLast = 1) === Seq(4L))
+    val dirs2 = new java.io.File(s"$wh/db/t").listFiles().map(_.getName)
+      .filter(_.startsWith("snap-")).sorted
+    assert(dirs2.toSeq === Seq("snap-5"))
+    assert(cat.read("db", "t").count() === 4)
+    // no-op when nothing to expire
+    assert(cat.expireSnapshots("db", "t", keepLast = 5) === Seq.empty)
+  }
+
+  test("compactIfNeeded triggers only past the small-file threshold") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    (1 to 3).foreach(i => cat.append("db", "t", Seq((i.toLong, "x")).toDF("id", "name")))
+    assert(cat.compactIfNeeded("db", "t", maxFileDirs = 3).isEmpty)
+    cat.append("db", "t", Seq((4L, "x")).toDF("id", "name"))
+    val snap = cat.compactIfNeeded("db", "t", maxFileDirs = 3)
+    assert(snap.contains(5L))
+    assert(cat.snapshotFileEntries("db", "t").size === 1)
+    assert(cat.read("db", "t").count() === 4)
+  }
+
   test("streaming read follows appended snapshots exactly-once") {
     import spark.implicits._
     val cat = freshCatalog()
