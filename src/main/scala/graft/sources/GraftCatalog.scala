@@ -346,7 +346,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val all = (0 until snaps.size()).map(snaps.get)
     if (all.size <= keepLast) return Seq.empty
-    val (dropped, kept) = all.splitAt(all.size - keepLast)
+    // Tagged snapshots are pinned: a tag is a retention promise
+    // (Paimon's tags survive snapshot expiration).
+    val tagged = tags(schema, table).values.toSet
+    val (candidates, kept0) = all.splitAt(all.size - keepLast)
+    val (pinned, dropped) = candidates.partition(s => tagged.contains(s.get("id").asLong()))
+    val kept = (pinned ++ kept0).sortBy(_.get("id").asLong())
     val keptDirs = kept.flatMap(filesOf).map(_.dir).toSet
     val orphanDirs = dropped.flatMap(filesOf).map(_.dir).distinct
       .filterNot(keptDirs.contains)
@@ -357,6 +362,52 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     writeManifest(schema, table, m)
     orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
     dropped.map(_.get("id").asLong())
+  }
+
+  // ---- tags (named snapshots, Paimon-style) ------------------------------
+
+  /** Pin a snapshot under a name ("release-2026-08"): readable via
+    * [[readTag]] and protected from [[expireSnapshots]] until untagged. */
+  def createTag(schema: String, table: String, tag: String,
+      snapshotId: Option[Long] = None): Long = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    require(snaps.size() > 0, s"$schema.$table has no snapshots to tag")
+    val id = snapshotId.getOrElse(snaps.get(snaps.size() - 1).get("id").asLong())
+    require((0 until snaps.size()).exists(i => snaps.get(i).get("id").asLong() == id),
+      s"no snapshot $id for $schema.$table")
+    val t = if (m.has("tags")) m.get("tags").asInstanceOf[ObjectNode]
+      else m.putObject("tags")
+    require(!t.has(tag), s"tag $tag already exists")
+    t.put(tag, id)
+    writeManifest(schema, table, m)
+    id
+  }
+
+  def deleteTag(schema: String, table: String, tag: String): Unit = {
+    val m = readManifest(schema, table)
+    require(m.has("tags") && m.get("tags").has(tag), s"no tag $tag")
+    m.get("tags").asInstanceOf[ObjectNode].remove(tag)
+    writeManifest(schema, table, m)
+  }
+
+  /** All tags → snapshot ids. */
+  def tags(schema: String, table: String): Map[String, Long] = {
+    val m = readManifest(schema, table)
+    if (!m.has("tags")) Map.empty
+    else {
+      val t = m.get("tags").asInstanceOf[ObjectNode]
+      val out = mutable.LinkedHashMap[String, Long]()
+      t.fieldNames().forEachRemaining(k => out += k -> t.get(k).asLong())
+      out.toMap
+    }
+  }
+
+  /** Read the snapshot a tag pins. */
+  def readTag(schema: String, table: String, tag: String): DataFrame = {
+    val id = tags(schema, table).getOrElse(tag,
+      throw new IllegalArgumentException(s"no tag $tag on $schema.$table"))
+    read(schema, table, snapshotId = Some(id))
   }
 
   // ---- reads + time travel ----------------------------------------------

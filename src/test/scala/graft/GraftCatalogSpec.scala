@@ -341,6 +341,29 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.expireSnapshots("db", "t", keepLast = 5) === Seq.empty)
   }
 
+  test("tags pin snapshots by name and survive expiration") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "t", abSchema)
+    (1 to 3).foreach(i => cat.append("db", "t", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    assert(cat.createTag("db", "t", "v1", Some(1L)) === 1L)
+    assert(cat.createTag("db", "t", "latest") === 3L) // defaults to current
+    assert(cat.tags("db", "t") === Map("v1" -> 1L, "latest" -> 3L))
+    assert(cat.readTag("db", "t", "v1").count() === 1)
+    intercept[IllegalArgumentException](cat.createTag("db", "t", "v1")) // duplicate
+    intercept[IllegalArgumentException](cat.createTag("db", "t", "x", Some(99L)))
+    // expiration must keep the tagged snapshot 1 even though it's old
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(cat.snapshots("db", "t").map(_.id) === Seq(1L, 3L))
+    assert(cat.readTag("db", "t", "v1").count() === 1)
+    // untag then expire again: now it goes
+    cat.deleteTag("db", "t", "v1")
+    cat.expireSnapshots("db", "t", keepLast = 1)
+    assert(cat.snapshots("db", "t").map(_.id) === Seq(3L))
+    assert(cat.read("db", "t").count() === 3)
+  }
+
   test("compactIfNeeded triggers only past the small-file threshold") {
     import spark.implicits._
     val cat = freshCatalog()
