@@ -130,6 +130,17 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
     // the delete added a snapshot; pre-delete state is still time-travelable
     assert(gc.read("db", "del", snapshotId = Some(2L)).count() === 3)
+    // richer predicate shapes route through the filter translation
+    // (SQL DELETE, like SELECT, plans a scan — so the table must be in a
+    // SQL-scannable state: compact after the library-side upsert)
+    gc.upsert("db", "del", Seq((10L, "j"), (11L, "k"), (12L, "l")).toDF("id", "name"))
+    gc.compact("db", "del")
+    spark.sql("DELETE FROM g.db.del WHERE id IN (10, 11) AND name IS NOT NULL")
+    gc.compact("db", "del") // each delete adds a tombstone delta
+    spark.sql("DELETE FROM g.db.del WHERE id > 11 AND name = 'l'")
+    gc.compact("db", "del")
+    assert(spark.sql("SELECT id FROM g.db.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
     // append-only tables refuse row-level delete (no PK to tombstone)
     spark.sql("CREATE TABLE g.db.del2 (id BIGINT)")
     spark.sql("INSERT INTO g.db.del2 VALUES (1)")
