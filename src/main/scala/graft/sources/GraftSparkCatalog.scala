@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.{functions => F, Column}
 import org.apache.spark.sql.sources._
@@ -129,9 +129,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
     loadAt(ident, snapshotId = None, asOfMillis = Some(timestampMicros / 1000L))
 
+  /** Metadata-table suffixes served via `t$snapshots`-style names
+    * (the reference surfaces the same system tables through Trino). */
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options)$".r
+
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
     val (schemaName, tableName) = (ns1(ident.namespace), ident.name)
+    tableName match {
+      case MetadataSuffix(base, kind) =>
+        require(gc.listTables(schemaName).contains(base),
+          s"no table $schemaName.$base")
+        val df = kind match {
+          case "snapshots" => gc.snapshotsTable(schemaName, base)
+          case "files" => gc.filesTable(schemaName, base)
+          case "schemas" => gc.schemasTable(schemaName, base)
+          case "options" => gc.optionsTable(schemaName, base)
+        }
+        return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
+      case _ => ()
+    }
     if (!tableExists(ident))
       throw new IllegalArgumentException(s"no table $schemaName.$tableName")
     val entries = gc.snapshotFileEntries(schemaName, tableName, snapshotId, asOfMillis)
@@ -236,6 +253,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None,
       commitInsert(s, t) _, cond => { gc.deleteWhere(s, t, cond); () })
   }
+}
+
+/**
+ * Driver-local V2 table for the `t$snapshots`-family system tables: the
+ * metadata is manifest-sized (not data-sized), so a [[LocalScan]] serving
+ * pre-collected rows is the right execution shape — no executors touched.
+ */
+private[sources] class GraftMetadataTable(tableName: String,
+    df: org.apache.spark.sql.DataFrame) extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = df.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          df.queryExecution.executedPlan.executeCollect()
+        override def readSchema(): StructType = df.schema
+      }
+    }
 }
 
 /** Translate DSv2 source filters to Column predicates (the supported

@@ -161,6 +161,24 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(!plan.contains("Filter [region"), s"partition filter not pruned:\n$plan")
   }
 
+  test("metadata tables via SQL suffix: t$snapshots / t$files / t$schemas / t$options") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.md (id BIGINT, name STRING) TBLPROPERTIES ('retention'='30d')")
+    gc.append("db", "md", Seq((1L, "a")).toDF("id", "name"))
+    gc.append("db", "md", Seq((2L, "b")).toDF("id", "name"))
+    val snaps = spark.sql("SELECT snapshot_id, n_added_dirs FROM g.db.`md$snapshots` ORDER BY snapshot_id").collect()
+    assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(snaps.map(_.getInt(1)).toSeq === Seq(1, 1))
+    assert(spark.sql("SELECT count(*) FROM g.db.`md$files`").head().getLong(0) === 2)
+    assert(spark.sql("SELECT field_name FROM g.db.`md$schemas` ORDER BY field_id")
+      .collect().map(_.getString(0)).toSeq === Seq("id", "name"))
+    val opts = spark.sql("SELECT key, value FROM g.db.`md$options`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(opts("retention") === "30d")
+    intercept[Exception](spark.sql("SELECT * FROM g.db.`nope$snapshots`").collect())
+  }
+
   test("drop/rename via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.r1 (id BIGINT)")
