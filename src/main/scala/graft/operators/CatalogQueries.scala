@@ -18,45 +18,58 @@ import graft.sources.{GraftCatalog, Tables}
  */
 object CatalogQueries {
 
-  private def freshCat(s: SparkSession): GraftCatalog = new GraftCatalog(s,
-    java.nio.file.Files.createTempDirectory("graft-query-wh").toString)
+  // One JVM-wide warehouse root (deleted on exit), a unique table per
+  // invocation: repeated bench/verify runs don't strand temp data copies.
+  private lazy val whRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-query-wh")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  private def freshCat(s: SparkSession): (GraftCatalog, String) =
+    (new GraftCatalog(s, whRoot.toString), s"docs_${seq.incrementAndGet()}")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Two snapshot commits; read back the FIRST — time travel must see
     // exactly the even-id half despite the later append.
     "catalog_timetravel" -> ((s, dir) => {
-      val cat = freshCat(s)
+      val (cat, t) = freshCat(s)
       cat.createSchema("q")
       val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
-      cat.createTable("q", "docs", d.schema)
-      val snap1 = cat.append("q", "docs", d.filter(col("doc_id") % 2 === 0))
-      cat.append("q", "docs", d.filter(col("doc_id") % 2 =!= 0))
-      cat.read("q", "docs", snapshotId = Some(snap1)).orderBy("doc_id")
+      cat.createTable("q", t, d.schema)
+      val snap1 = cat.append("q", t, d.filter(col("doc_id") % 2 === 0))
+      cat.append("q", t, d.filter(col("doc_id") % 2 =!= 0))
+      cat.read("q", t, snapshotId = Some(snap1)).orderBy("doc_id")
     }),
     // Incremental read between the two commits must surface ONLY the
     // second snapshot's delta (odd ids) — and open only its files.
     "catalog_incremental" -> ((s, dir) => {
-      val cat = freshCat(s)
+      val (cat, t) = freshCat(s)
       cat.createSchema("q")
       val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
-      cat.createTable("q", "docs", d.schema)
-      val s1 = cat.append("q", "docs", d.filter(col("doc_id") % 2 === 0))
-      val s2 = cat.append("q", "docs", d.filter(col("doc_id") % 2 =!= 0))
-      cat.readIncremental("q", "docs", s1, s2).orderBy("doc_id")
+      cat.createTable("q", t, d.schema)
+      val s1 = cat.append("q", t, d.filter(col("doc_id") % 2 === 0))
+      val s2 = cat.append("q", t, d.filter(col("doc_id") % 2 =!= 0))
+      cat.readIncremental("q", t, s1, s2).orderBy("doc_id")
     }),
     // PK table: full upsert, partial re-upsert (lang rewritten), tombstone
     // delete — the merge-on-read read must resolve newest-wins minus
     // deleted keys.
     "catalog_upsert_mor" -> ((s, dir) => {
-      val cat = freshCat(s)
+      val (cat, t) = freshCat(s)
       cat.createSchema("q")
       val d = Tables(s, dir, "documents").select("doc_id", "lang")
-      cat.createTable("q", "docs", d.schema, primaryKey = Seq("doc_id"))
-      cat.upsert("q", "docs", d)
-      cat.upsert("q", "docs",
+      cat.createTable("q", t, d.schema, primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
         d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
-      cat.deleteWhere("q", "docs", col("doc_id") % 7 === 3)
-      cat.read("q", "docs").orderBy("doc_id")
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.read("q", t).orderBy("doc_id")
     }),
   )
 

@@ -33,7 +33,10 @@ object Pipelines {
     // the persist each branch re-scans parquet and re-runs the regexes.
     // MEMORY_AND_DISK (the default) spills under pressure, so this holds
     // at cluster scale; on a real 100 TB run this materialization point is
-    // where you'd checkpoint to the warehouse instead.
+    // where you'd checkpoint to the warehouse instead. Cache lifetime: the
+    // returned plan references these caches, so they stay registered until
+    // the caller drops them (spark.catalog.clearCache() or unpersist after
+    // materializing) — the bench clears caches between queries.
     val quality = normalized.filter(col("n_tokens") >= minTokens).persist()
     // 3. exact dedup (keep-first per digest)
     val exactKept = Dedup.exact(quality, idCol, "norm_text")

@@ -158,10 +158,16 @@ object Similarity {
   /** Distributed cell assignment: `probes` nearest cells per row.
     * Output columns: cell, id, qv, nn. */
   def assignCells(df: DataFrame, centroids: Array[Array[Double]],
+      probes: Int): DataFrame =
+    assignCellsBc(df, df.sparkSession.sparkContext.broadcast(centroids), probes)
+
+  /** Broadcast-sharing variant so callers assigning several frames (IVF:
+    * candidates AND queries) ship the centroids once. */
+  private def assignCellsBc(df: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       probes: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(centroids)
     df.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
       .mapPartitions { iter =>
         val cs = bc.value
@@ -188,8 +194,9 @@ object Similarity {
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     val centroids = trainCosineKmeans(candidates, nlist, iters)
+    val bc = candidates.sparkSession.sparkContext.broadcast(centroids)
     def assign(df: DataFrame, probes: Int): DataFrame =
-      assignCells(df, centroids, probes)
+      assignCellsBc(df, bc, probes)
 
     val ca = assign(candidates, 1)
     val qa = broadcast(assign(queries, nprobe)

@@ -297,6 +297,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(primaryKeyOf(schema, table).isEmpty,
       s"$schema.$table has a primary key — streaming reads need append-only " +
         "semantics; follow PK tables with readIncremental between snapshots")
+    require(partitionColumnsOf(schema, table).isEmpty,
+      s"$schema.$table is partitioned — partition values live in dir names, " +
+        "which the glob file stream cannot resolve; stream unpartitioned tables")
     val m = readManifest(schema, table)
     require(m.get("currentSchemaVersion").asInt() == 0,
       s"$schema.$table has evolved schemas — compact() before streaming reads")
@@ -588,11 +591,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def update(schema: String, table: String,
       condition: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    require(primaryKeyOf(schema, table).nonEmpty,
-      s"$schema.$table has no primary key — use overwrite")
+    val pk = primaryKeyOf(schema, table)
+    require(pk.nonEmpty, s"$schema.$table has no primary key — use overwrite")
     val cur = currentSchema(schema, table)
-    assignments.keys.foreach(c => require(cur.fieldNames.contains(c),
-      s"unknown column $c"))
+    assignments.keys.foreach { c =>
+      require(cur.fieldNames.contains(c), s"unknown column $c")
+      // Assigning a PK column would upsert under the NEW key and leave the
+      // old row alive — a silent duplicate, not an update.
+      require(!pk.contains(c),
+        s"cannot update primary-key column $c (delete + insert instead)")
+    }
     val updated = assignments.foldLeft(read(schema, table).filter(condition)) {
       case (df, (c, expr)) => df.withColumn(c, expr)
     }.select(cur.fieldNames.map(col).toSeq: _*)
@@ -640,9 +648,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val rows = (0 until snaps.size()).map { i =>
       val s = snaps.get(i)
-      val n = filesOf(s).size
-      val prev = if (i == 0) 0 else filesOf(snaps.get(i - 1)).size
-      (s.get("id").asLong(), s.get("timestampMillis").asLong(), n, n - prev)
+      val dirs = filesOf(s).map(_.dir).toSet
+      // set difference, not count difference: overwrite/compact snapshots
+      // reference fewer dirs than their predecessor but still ADD one
+      val prev = if (i == 0) Set.empty[String]
+        else filesOf(snaps.get(i - 1)).map(_.dir).toSet
+      (s.get("id").asLong(), s.get("timestampMillis").asLong(), dirs.size,
+        (dirs -- prev).size)
     }
     spark.createDataFrame(rows).toDF(
       "snapshot_id", "timestamp_millis", "n_file_dirs", "n_added_dirs")
@@ -664,7 +676,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val rows = chosen.map(filesOf).getOrElse(Seq.empty).map { fe =>
       val p = new Path(tablePath(schema, table), fe.dir)
       val summary = fs.getContentSummary(p)
-      val parts = fs.listStatus(p).count(s => s.getPath.getName.endsWith(".parquet"))
+      // recursive: partitioned dirs nest part-files under col=value/
+      var parts = 0
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) parts += 1 }
       (fe.dir, fe.kind, fe.schemaVersion, parts, summary.getLength)
     }
     spark.createDataFrame(rows).toDF(

@@ -7,6 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.classic
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
@@ -87,7 +88,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     if (!namespaceExists(namespace))
-      throw new IllegalArgumentException(s"no schema ${namespace.mkString(".")}")
+      throw new NoSuchNamespaceException(namespace)
     Map.empty[String, String].asJava
   }
 
@@ -138,8 +139,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val (schemaName, tableName) = (ns1(ident.namespace), ident.name)
     tableName match {
       case MetadataSuffix(base, kind) =>
-        require(gc.listTables(schemaName).contains(base),
-          s"no table $schemaName.$base")
+        if (!gc.listTables(schemaName).contains(base))
+          throw new NoSuchTableException(Seq(schemaName, base))
         val df = kind match {
           case "snapshots" => gc.snapshotsTable(schemaName, base)
           case "files" => gc.filesTable(schemaName, base)
@@ -149,8 +150,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
       case _ => ()
     }
+    // NoSuchTableException, not IllegalArgument: Spark's resolution
+    // catches only the former to produce TABLE_OR_VIEW_NOT_FOUND and to
+    // fall through to CREATE paths (saveAsTable / createOrReplace).
     if (!tableExists(ident))
-      throw new IllegalArgumentException(s"no table $schemaName.$tableName")
+      throw new NoSuchTableException(Seq(schemaName, tableName))
     val entries = gc.snapshotFileEntries(schemaName, tableName, snapshotId, asOfMillis)
     val curVersion = gc.currentSchemaVersionOf(schemaName, tableName)
     val pk = gc.primaryKeyOf(schemaName, tableName)
@@ -177,7 +181,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       gc.tableOptions(schemaName, tableName) ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
       scanError, commitInsert(schemaName, tableName) _,
-      cond => { gc.deleteWhere(schemaName, tableName, cond); () })
+      cond => { gc.deleteWhere(schemaName, tableName, cond); () },
+      canDelete = pk.nonEmpty)
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -211,7 +216,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
       partitionCols, opts, None, commitInsert(ns1(ident.namespace), ident.name) _,
-      cond => { gc.deleteWhere(ns1(ident.namespace), ident.name, cond); () })
+      cond => { gc.deleteWhere(ns1(ident.namespace), ident.name, cond); () },
+      canDelete = pk.nonEmpty)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -251,7 +257,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
       gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None,
-      commitInsert(s, t) _, cond => { gc.deleteWhere(s, t, cond); () })
+      commitInsert(s, t) _, cond => { gc.deleteWhere(s, t, cond); () },
+      canDelete = gc.primaryKeyOf(s, t).nonEmpty)
   }
 }
 
@@ -317,14 +324,15 @@ private[sources] class GraftSqlTable(delegate: ParquetTable,
     partitionCols: Seq[String], props: Map[String, String],
     scanError: Option[String],
     commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
-    commitDelete: Column => Unit)
+    commitDelete: Column => Unit,
+    canDelete: Boolean)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as
-    * in [[GraftCatalog.deleteWhere]]); unsupported predicates are
-    * rejected at analysis via canDeleteWhere. */
+    * in [[GraftCatalog.deleteWhere]]); append-only tables and
+    * unsupported predicates are rejected at analysis via canDeleteWhere. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    FilterTranslation.toCondition(filters).isDefined
+    canDelete && FilterTranslation.toCondition(filters).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit =
     commitDelete(FilterTranslation.toCondition(filters).getOrElse(
       throw new UnsupportedOperationException(

@@ -237,6 +237,10 @@ class GraftCatalogSpec extends SparkSpecBase {
       .filter(col("id") === 2L).as[(Long, String)].collect().head._2 === "b")
     intercept[IllegalArgumentException](
       cat.update("db", "t", col("id") === 1L, Map("nope" -> lit("x"))))
+    // assigning the PK would upsert under the new key and leave the old
+    // row alive — refused
+    intercept[IllegalArgumentException](
+      cat.update("db", "t", col("id") === 1L, Map("id" -> lit(5L))))
   }
 
   test("incremental read returns only the delta between snapshots") {
@@ -290,6 +294,12 @@ class GraftCatalogSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(opts("primary-key") === "id")
     assert(opts("write-buffer") === "256mb")
+    // a compact snapshot references FEWER dirs but still adds one (set
+    // difference, not count difference)
+    cat.compact("db", "t")
+    val afterCompact = cat.snapshotsTable("db", "t")
+      .orderBy("snapshot_id").collect().last
+    assert(afterCompact.getInt(2) === 1 && afterCompact.getInt(3) === 1)
   }
 
   test("stream-batch appends are idempotent under replay") {
@@ -405,6 +415,9 @@ class GraftCatalogSpec extends SparkSpecBase {
     cat.createTable("db", "ev2", abSchema)
     cat.addColumn("db", "ev2", StructField("x", IntegerType))
     intercept[IllegalArgumentException](cat.readStream("db", "ev2"))
+    cat.createTable("db", "pt2", StructType(abSchema.fields :+
+      StructField("region", StringType)), partitionBy = Seq("region"))
+    intercept[IllegalArgumentException](cat.readStream("db", "pt2"))
   }
 
   test("manifest commits are atomic: temp+rename, monotonic commitVersion") {
