@@ -40,6 +40,19 @@ object TypeQueries {
             .as("month_start"))
         .orderBy("y", "m")
     }),
+    // Higher-order array lambdas (filter/transform/aggregate/exists) —
+    // all codegen-friendly scan-stage expressions, zero shuffle.
+    "expr_lambda" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val toks = regexp_extract_all(d("text"), lit("[a-z]+"), lit(0))
+      d.select(
+          d("doc_id"),
+          size(filter(toks, t => length(t) > 5)).as("n_long"),
+          aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+            .as("total_len"),
+          exists(toks, t => t === "the").as("has_the"))
+        .orderBy("doc_id")
+    }),
     "types_array" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val toks = regexp_extract_all(d("text"), lit("[a-z]+"), lit(0))
@@ -93,6 +106,15 @@ object TypeQueries {
         |  strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_day,
         |  strftime(max(CAST(date_trunc('month', o_orderdate) AS DATE)), '%Y-%m-%d') AS month_start
         |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "expr_lambda" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> length(t) > 5)) AS INTEGER) AS n_long,
+        |  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+        |    AS INTEGER) AS total_len,
+        |  list_contains(toks, 'the') AS has_the
+        |FROM t ORDER BY doc_id""".stripMargin,
     "types_array" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_tokens,
