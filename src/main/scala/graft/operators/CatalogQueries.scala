@@ -71,6 +71,23 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Same merge-on-read state, read through the SQL catalog surface with
+    // THREE uncompacted deltas (two upserts + a tombstone): `SELECT` must
+    // resolve newest-wins minus deletes at read time, like the reference's
+    // Paimon PK reads (TrinoPageSourceBase.java merges, never refuses).
+    "catalog_sql_mor" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -81,6 +98,10 @@ object CatalogQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 2 <> 0 ORDER BY doc_id""".stripMargin,
     "catalog_upsert_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_sql_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.classic
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.{functions => F, Column}
 import org.apache.spark.sql.sources._
@@ -44,8 +44,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  *
  * Tables whose current snapshot needs merge-on-read resolution (PK tables
  * with multiple deltas, tombstones, or files on older schema versions)
- * are served after [[GraftCatalog.compact]]; loadTable tells the user so
- * rather than silently returning unresolved rows.
+ * are served by a read-time merge scan: the same keep-latest-per-key +
+ * tombstone plan [[GraftCatalog.read]] builds, bridged into the DSv2 scan
+ * via [[V1Scan]] — a distributed plan, nothing driver-side. SELECT works
+ * immediately after INSERT upserts, no compact prerequisite (the
+ * reference behaves the same: Paimon PK reads merge at read time,
+ * TrinoPageSourceBase.java). Pushed filters are applied on the merged
+ * view (Catalyst then pushes them through the merge window into the
+ * parquet scans where legal — PK predicates prune before the merge).
  */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
@@ -161,14 +167,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val resolvedAsFiles =
       entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
         (pk.isEmpty || entries.size <= 1)
-    // Unresolvable state must not fail here: the analyzer loads tables for
-    // DDL too (ALTER/DESCRIBE/DROP resolve the relation first). Defer the
-    // error to scan planning so only SELECT hits it.
-    val scanError = if (resolvedAsFiles) None else Some(
-      s"$schemaName.$tableName needs merge-on-read resolution at this snapshot " +
-        "(PK deltas, tombstones, or pre-evolution files); run " +
-        "GraftCatalog.compact() to materialize it for SQL scans, or read " +
-        "through GraftCatalog.read()")
+    // MoR-pending state (PK deltas, tombstones, pre-evolution files) is
+    // served through the read-time merge scan; fully-resolved snapshots
+    // keep the native vectorized parquet path (raw file scans + pushdown).
+    val morRead = if (resolvedAsFiles) None else Some(
+      () => gc.read(schemaName, tableName, snapshotId, asOfMillis))
     val paths = if (resolvedAsFiles) entries.map(e =>
       new Path(new Path(new Path(warehouse, schemaName), tableName), e.dir).toString)
       else Seq.empty
@@ -180,7 +183,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     new GraftSqlTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
       gc.tableOptions(schemaName, tableName) ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
-      scanError, commitInsert(schemaName, tableName) _,
+      morRead, commitInsert(schemaName, tableName) _,
       cond => { gc.deleteWhere(schemaName, tableName, cond); () },
       canDelete = pk.nonEmpty)
   }
@@ -247,18 +250,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         gc.dropColumn(s, t, del.fieldNames.head)
       case other => throw new UnsupportedOperationException(s"change $other")
     }
-    // Return a schema-only handle: the data files may now predate the new
-    // schema version (loadTable would demand compaction, which ALTER must
-    // not force — evolution is metadata-only).
-    val schema = gc.currentSchema(s, t)
-    new GraftSqlTable(
-      ParquetTable(s"$catalogName.$s.$t",
-        spark.asInstanceOf[classic.SparkSession],
-        new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
-        Seq.empty, Some(schema), classOf[ParquetFileFormat]),
-      gc.partitionColumnsOf(s, t), gc.tableOptions(s, t), None,
-      commitInsert(s, t) _, cond => { gc.deleteWhere(s, t, cond); () },
-      canDelete = gc.primaryKeyOf(s, t).nonEmpty)
+    // Evolution is metadata-only; loadTable serves files that predate the
+    // new schema version through the read-time merge scan (field-id
+    // mapping), so the fresh handle is immediately scannable.
+    loadTable(ident)
   }
 }
 
@@ -322,7 +317,7 @@ private[sources] object FilterTranslation {
  */
 private[sources] class GraftSqlTable(delegate: ParquetTable,
     partitionCols: Seq[String], props: Map[String, String],
-    scanError: Option[String],
+    morRead: Option[() => org.apache.spark.sql.DataFrame],
     commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
     commitDelete: Column => Unit,
     canDelete: Boolean)
@@ -346,10 +341,11 @@ private[sources] class GraftSqlTable(delegate: ParquetTable,
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray
   override def properties(): util.Map[String, String] = props.asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    scanError.foreach(msg => throw new UnsupportedOperationException(msg))
-    delegate.newScanBuilder(options)
-  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    morRead match {
+      case Some(reader) => new GraftMorScanBuilder(delegate.schema, reader)
+      case None => delegate.newScanBuilder(options)
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -360,4 +356,48 @@ private[sources] class GraftSqlTable(delegate: ParquetTable,
             commitInsert(data.toDF(), overwrite || ovr)
       }
     }
+}
+
+/**
+ * Read-time merge scan for MoR-pending snapshots (PK deltas, tombstones,
+ * files on older schema versions): bridges the distributed keep-latest +
+ * tombstone-anti plan [[GraftCatalog.read]] builds into the DSv2 scan via
+ * the [[V1Scan]] fallback — `buildScan` hands Spark the plan's RDD, so
+ * execution stays on the executors (no driver materialization, unlike the
+ * [[LocalScan]] metadata tables). Filter and column pushdown are honored
+ * on the merged view: accepted filters and the pruned projection are
+ * applied to the DataFrame, where Catalyst pushes them through the merge
+ * window into the underlying parquet scans when semantics allow.
+ */
+private[sources] class GraftMorScanBuilder(fullSchema: StructType,
+    reader: () => org.apache.spark.sql.DataFrame)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(FilterTranslation.toColumn(_).isDefined)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new V1Scan {
+    override def readSchema(): StructType = required
+    override def toV1TableScan[T <: BaseRelation with TableScan](
+        context: org.apache.spark.sql.SQLContext): T =
+      new BaseRelation with TableScan {
+        override def sqlContext: org.apache.spark.sql.SQLContext = context
+        override def schema: StructType = required
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+          val merged = reader()
+          val filtered = FilterTranslation.toCondition(pushed)
+            .map(merged.filter).getOrElse(merged)
+          filtered.select(required.fieldNames.toSeq.map(F.col): _*).rdd
+        }
+      }.asInstanceOf[T]
+  }
 }

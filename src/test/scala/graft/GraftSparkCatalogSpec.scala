@@ -61,35 +61,53 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("ALTER TABLE g.db.ev ADD COLUMN extra INT")
     spark.sql("ALTER TABLE g.db.ev RENAME COLUMN name TO label")
     assert(gc.currentSchema("db", "ev").fieldNames.toSeq === Seq("id", "label", "extra"))
-    // pre-evolution files need compaction before raw-parquet SQL scans
-    val e = intercept[UnsupportedOperationException](
-      spark.sql("SELECT * FROM g.db.ev").collect())
-    assert(e.getMessage.contains("compact"))
-    gc.compact("db", "ev")
+    // pre-evolution files are served immediately via the read-time merge
+    // scan (field-id mapping) — no compact prerequisite
     val row = spark.sql("SELECT id, label, extra FROM g.db.ev").head()
     assert(row.getLong(0) === 1L && row.getString(1) === "a" && row.isNullAt(2))
     spark.sql("ALTER TABLE g.db.ev DROP COLUMN extra")
-    gc.compact("db", "ev")
     assert(spark.sql("SELECT * FROM g.db.ev").columns.toSeq === Seq("id", "label"))
   }
 
-  test("PK tables scan via SQL once compacted; INSERT upserts") {
+  test("PK tables merge at read time via SQL; INSERT upserts") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.pk (id BIGINT, name STRING) TBLPROPERTIES ('primary-key'='id')")
     assert(gc.primaryKeyOf("db", "pk") === Seq("id"))
     gc.upsert("db", "pk", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
     gc.upsert("db", "pk", Seq((2L, "b2")).toDF("id", "name"))
-    // two unresolved deltas: refuse rather than return duplicate keys
-    assert(intercept[UnsupportedOperationException](
-      spark.sql("SELECT * FROM g.db.pk").collect()).getMessage.contains("compact"))
-    gc.compact("db", "pk")
+    // two unresolved deltas: SELECT merges at read time, newest wins
     assert(spark.sql("SELECT name FROM g.db.pk WHERE id = 2").head().getString(0) === "b2")
     // SQL INSERT routes through the upsert commit (merge-on-read)
     spark.sql("INSERT INTO g.db.pk VALUES (2, 'b3'), (9, 'x')")
-    gc.compact("db", "pk")
     assert(spark.sql("SELECT name FROM g.db.pk WHERE id IN (2, 9) ORDER BY id")
       .collect().map(_.getString(0)).toSeq === Seq("b3", "x"))
+    // compaction materializes the same image back onto the fast raw path
+    gc.compact("db", "pk")
+    assert(spark.sql("SELECT id, name FROM g.db.pk ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b3"), (9L, "x")))
+  }
+
+  test("uncompacted 3-delta PK table with tombstones scans via SQL") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.mor (id BIGINT, name STRING) TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "mor", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    gc.upsert("db", "mor", Seq((2L, "b2"), (4L, "d")).toDF("id", "name"))
+    gc.deleteWhere("db", "mor", col("id") === 3L)
+    // three deltas (two upserts + a tombstone), zero compactions
+    assert(spark.sql("SELECT id, name FROM g.db.mor ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (4L, "d")))
+    // count(*) exercises the empty-projection path of the merge scan
+    assert(spark.sql("SELECT count(*) FROM g.db.mor").head().getLong(0) === 3L)
+    // time travel still resolves MoR at the pinned snapshot
+    assert(spark.sql("SELECT count(*) FROM g.db.mor VERSION AS OF 2").head().getLong(0) === 4L)
+    // pushed filters are honored on the MERGED view: id=2 must be b2, and
+    // the tombstoned key must not resurface under a filter
+    assert(spark.sql("SELECT name FROM g.db.mor WHERE id = 2").head().getString(0) === "b2")
+    assert(spark.sql("SELECT count(*) FROM g.db.mor WHERE id = 3").head().getLong(0) === 0L)
   }
 
   test("INSERT INTO / INSERT OVERWRITE are atomic snapshot commits") {
@@ -112,7 +130,6 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("INSERT INTO g.db.evw VALUES (1, 'a')")
     spark.sql("ALTER TABLE g.db.evw ADD COLUMN score INT")
     spark.sql("INSERT INTO g.db.evw VALUES (2, 'b', 7)")
-    gc.compact("db", "evw")
     val rows = spark.sql("SELECT id, name, score FROM g.db.evw ORDER BY id").collect()
     assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(rows.head.isNullAt(2) && rows.last.getInt(2) === 7)
@@ -123,22 +140,16 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.del (id BIGINT, name STRING) TBLPROPERTIES ('primary-key'='id')")
     gc.upsert("db", "del", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
-    gc.compact("db", "del")
     spark.sql("DELETE FROM g.db.del WHERE id = 2")
-    gc.compact("db", "del")
     assert(spark.sql("SELECT id FROM g.db.del ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
     // the delete added a snapshot; pre-delete state is still time-travelable
-    assert(gc.read("db", "del", snapshotId = Some(2L)).count() === 3)
-    // richer predicate shapes route through the filter translation
-    // (SQL DELETE, like SELECT, plans a scan — so the table must be in a
-    // SQL-scannable state: compact after the library-side upsert)
+    assert(gc.read("db", "del", snapshotId = Some(1L)).count() === 3)
+    // richer predicate shapes route through the filter translation; every
+    // scan below rides the read-time merge (tombstone deltas uncompacted)
     gc.upsert("db", "del", Seq((10L, "j"), (11L, "k"), (12L, "l")).toDF("id", "name"))
-    gc.compact("db", "del")
     spark.sql("DELETE FROM g.db.del WHERE id IN (10, 11) AND name IS NOT NULL")
-    gc.compact("db", "del") // each delete adds a tombstone delta
     spark.sql("DELETE FROM g.db.del WHERE id > 11 AND name = 'l'")
-    gc.compact("db", "del")
     assert(spark.sql("SELECT id FROM g.db.del ORDER BY id")
       .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
     // append-only tables refuse row-level delete (no PK to tombstone)
