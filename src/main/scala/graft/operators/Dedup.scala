@@ -28,14 +28,42 @@ object Dedup {
       .select(idCol, "digest")
   }
 
-  /** Candidate pairs (d1 < d2) from an exploded (id, band, bval) table —
-    * a bucketed equi-join, never an all-pairs cross join. */
-  private def bucketPairs(banded: DataFrame, idCol: String): DataFrame =
-    banded.as("x").join(banded.as("y"),
+  /**
+   * Candidate pairs (d1 < d2) from an exploded (id, band, bval) table —
+   * a bucketed equi-join, never an all-pairs cross join.
+   *
+   * 100 TB skew guard: a bucket's self-join is O(m²) in its membership m,
+   * so one pathological band value (boilerplate families that survive
+   * exact dedup) would hand a single task a quadratic pair set. Buckets
+   * above `maxBucket` members switch from all-pairs to a STAR — every
+   * member paired with the bucket's minimum id — which is O(m) pairs,
+   * preserves reachability through the bucket (what downstream
+   * connected-components clustering needs), and leaves no member silently
+   * uncovered. The tradeoff is pair-level, not cluster-level: within an
+   * oversized bucket only member↔representative pairs reach the verify
+   * stage, so a member whose similarity to the representative is below
+   * tau no longer surfaces its other in-bucket pairs (honest near-dups in
+   * ordinary-sized buckets are unaffected). Both window functions share
+   * one partitioning, so the sizing adds no extra shuffle over the join's
+   * own exchange.
+   */
+  private def bucketPairs(banded: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy("band", "bval")
+    val sized = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col(idCol)).over(w))
+    val small = sized.filter(col("bsz") <= maxBucket)
+      .select(col(idCol), col("band"), col("bval"))
+    val smallPairs = small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
-      .distinct()
+    val starPairs = sized
+      .filter(col("bsz") > maxBucket && col(idCol) =!= col("rep"))
+      .select(col("rep").as("d1"), col(idCol).as("d2"))
+    smallPairs.union(starPairs).distinct()
+  }
 
   /** id → distinct 3-shingle set (docs with <3 tokens dropped). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -48,7 +76,8 @@ object Dedup {
    * Output: d1, d2, jac (only pairs with jac ≥ tau).
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
-      k: Int = 128, bands: Int = 32, r: Int = 4): DataFrame = {
+      k: Int = 128, bands: Int = 32, r: Int = 4,
+      maxBucket: Int = 1024): DataFrame = {
     // cached: referenced by the band explode AND both verify-join sides
     val docs = shingleSets(df, idCol, textCol)
       .withColumn("sig", TextHash.minhashSignature(col("sh"), k))
@@ -56,7 +85,7 @@ object Dedup {
     val banded = docs
       .select(col(idCol), explode(TextHash.lshBands(col("sig"), bands, r)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val pairs = bucketPairs(banded, idCol)
+    val pairs = bucketPairs(banded, idCol, maxBucket)
     val left = docs.select(col(idCol).as("d1"), col("sh").as("sh1"))
     val right = docs.select(col(idCol).as("d2"), col("sh").as("sh2"))
     pairs.join(left, "d1").join(right, "d2")
@@ -75,7 +104,8 @@ object Dedup {
    * Output: d1, d2, hamming.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, bands: Int = 4, bits: Int = 15): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4, bits: Int = 15,
+      maxBucket: Int = 1024): DataFrame = {
     require(maxHamming <= bands - 1, "banding only exhaustive for radius ≤ bands-1")
     val sims = df.select(col(idCol),
       TextHash.simhash60(TextHash.tokenHashes(col(textCol))).as("sim"))
@@ -83,7 +113,7 @@ object Dedup {
     val banded = sims
       .select(col(idCol), explode(TextHash.simhashBands(col("sim"), bands, bits)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val pairs = bucketPairs(banded, idCol)
+    val pairs = bucketPairs(banded, idCol, maxBucket)
     val s1 = sims.select(col(idCol).as("d1"), col("sim").as("sim1"))
     val s2 = sims.select(col(idCol).as("d2"), col("sim").as("sim2"))
     pairs.join(s1, "d1").join(s2, "d2")
@@ -113,7 +143,7 @@ object Dedup {
    * bound instead.
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
-      bands: Int = 128, bits: Int = 16): DataFrame = {
+      bands: Int = 128, bits: Int = 16, maxBucket: Int = 1024): DataFrame = {
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol), VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
@@ -121,7 +151,7 @@ object Dedup {
     val banded = q
       .select(col(idCol),
         posexplode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as(Seq("band", "bval")))
-    val pairs = bucketPairs(banded, idCol)
+    val pairs = bucketPairs(banded, idCol, maxBucket)
     val v1 = q.select(col(idCol).as("d1"), col("qv").as("qv1"), col("nn").as("nn1"))
     val v2 = q.select(col(idCol).as("d2"), col("qv").as("qv2"), col("nn").as("nn2"))
     pairs.join(v1, "d1").join(v2, "d2")

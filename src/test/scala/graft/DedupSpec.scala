@@ -115,6 +115,29 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.size === 4, s"false positives: $pairs")
   }
 
+  test("oversized LSH buckets star-bound pair counts; honest near-dups keep recall") {
+    import spark.implicits._
+    // 10k-identical-doc family: every band bucket holds all 10k members, so
+    // unbounded all-pairs would enumerate ~50M candidate pairs. The star
+    // bound must cap it at exactly family-1 pairs (all to the min id),
+    // while planted near-dups in ordinary buckets are still found.
+    val family = (0L until 10000L).map(i =>
+      (i, "the same boilerplate sentence repeated across an entire scraped site template"))
+    val honestA = (20000L, doc(77).mkString(" "))
+    val honestB = (20001L, mutate(doc(77), 0.03, 99).mkString(" "))
+    val df = (family ++ Seq(honestA, honestB)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text", tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val famPairs = pairs.filter(_._2 < 20000L)
+    assert(famPairs.size === 9999, s"expected star-bounded 9999, got ${famPairs.size}")
+    assert(famPairs.forall(_._1 == 0L), "family pairs must all touch the representative")
+    assert(pairs.contains((20000L, 20001L)), "honest near-dup pair lost to the bucket bound")
+    // star pairs preserve reachability: clustering still collapses the family
+    val cc = Dedup.connectedComponents(df.select("doc_id"), "doc_id",
+      Dedup.minhashPairs(df, "doc_id", "text", tau = 0.6).select("d1", "d2"))
+    assert(cc.filter(col("doc_id") < 20000L).select("cluster").distinct().count() === 1)
+  }
+
   test("connected components: chains collapse transitively, singletons keep own id") {
     import spark.implicits._
     // A~B, B~C (A!~C) must still cluster together; separate component 10-11;
