@@ -41,10 +41,11 @@ object VectorOps {
    * `posexplode` so the signing kernel runs ONCE per row — wrapping each
    * element in a per-band struct via element_at re-evaluates the whole
    * O(bands·bits·dim) kernel per element, turning it O(bands²·bits·dim).
+   *
+   * The plane set is derived inside the kernel from each row's vector
+   * length (seeded, deterministic per dim) — callers don't probe the
+   * dimension, so no extra Spark job precedes the scan.
    */
-  def lshSignBands(qv: Column, dim: Int, bands: Int, bits: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong)
-    graft.plans.kernels.hyperplaneSignBands(qv, planes, dim, bands, bits)
-  }
+  def lshSignBands(qv: Column, bands: Int, bits: Int, seed: Long = 42L): Column =
+    graft.plans.kernels.hyperplaneSignBands(qv, seed, bands, bits)
 }

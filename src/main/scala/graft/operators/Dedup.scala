@@ -144,13 +144,12 @@ object Dedup {
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
       bands: Int = 128, bits: Int = 16, maxBucket: Int = 1024): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
     val q = df.select(col(idCol), VectorOps.quantize(col(vecCol)).as("qv"))
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
       .persist() // referenced by band explode and both join sides
     val banded = q
       .select(col(idCol),
-        posexplode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as(Seq("band", "bval")))
+        posexplode(VectorOps.lshSignBands(col("qv"), bands, bits)).as(Seq("band", "bval")))
     val pairs = bucketPairs(banded, idCol, maxBucket)
     val v1 = q.select(col(idCol).as("d1"), col("qv").as("qv1"), col("nn").as("nn1"))
     val v2 = q.select(col(idCol).as("d2"), col("qv").as("qv2"), col("nn").as("nn2"))

@@ -114,19 +114,21 @@ object Similarity {
    */
   /**
    * Cosine k-means trainer shared by [[ivfTopK]] and [[kmeansAssign]]:
-   * a deterministic bounded sample (every m-th id, ordered, ≤4096 vectors
-   * on the driver) trained with Lloyd iterations under cosine assignment
-   * (argmax dot, lowest cell id on ties); empty cells keep their previous
-   * centroid. Returns unit-norm centroids.
+   * a deterministic bounded sample — the top 4096 rows by (xxhash64(id),
+   * id), i.e. a pseudo-random-but-reproducible draw taken with ONE
+   * TakeOrdered job (no pre-`count()` pass over the corpus) — trained
+   * with Lloyd iterations under cosine assignment (argmax dot, lowest
+   * cell id on ties); empty cells keep their previous centroid. Returns
+   * unit-norm centroids.
    */
   def trainCosineKmeans(candidates: DataFrame, nlist: Int,
       iters: Int): Array[Array[Double]] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val n = candidates.count()
-    val step = math.max(1L, n / 4096L)
-    val sample = candidates.filter(col("id") % step === 0)
-      .orderBy("id").select("id", "qv", "nn")
+    val sample = candidates
+      .orderBy(xxhash64(col("id")), col("id"))
+      .limit(4096)
+      .select("id", "qv", "nn")
       .as[(Long, Array[Long], Long)].collect()
       .map { case (_, qv, nn) =>
         val norm = math.sqrt(nn.toDouble)
@@ -238,10 +240,9 @@ object Similarity {
    */
   def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       bands: Int = 16, bits: Int = 4): DataFrame = {
-    val dim = candidates.select(size(col("qv"))).head().getInt(0)
     def banded(df: DataFrame, idAs: String) = df
       .select(col("id").as(idAs),
-        posexplode(VectorOps.lshSignBands(col("qv"), dim, bands, bits)).as(Seq("band", "bval")))
+        posexplode(VectorOps.lshSignBands(col("qv"), bands, bits)).as(Seq("band", "bval")))
     val cb = banded(candidates, "cand")
     val qb = broadcast(banded(queries, "qid"))
     val pairs = cb.join(qb, Seq("band", "bval"))

@@ -160,11 +160,9 @@ case class WordShingles(child: Expression, n: Int)
  * Replaces per-plane literal-array construction (interpreted per row) with
  * one fused loop.
  */
-case class HyperplaneSignBands(child: Expression, planes: Array[Long],
-    dim: Int, bands: Int, bits: Int)
+case class HyperplaneSignBands(child: Expression, seed: Long,
+    bands: Int, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
-
-  require(planes.length == bands * bits * dim, "planes must be (bands*bits) x dim row-major")
 
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -173,15 +171,37 @@ case class HyperplaneSignBands(child: Expression, planes: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBands =
     copy(child = newChild)
 
+  // Plane coefficients are derived from the OBSERVED vector length instead
+  // of a caller-probed dim — the probe was an extra Spark job per
+  // invocation (a full stage launch to read one row's array length). The
+  // seeded generation is deterministic per (seed, dim), so every row of
+  // the same length signs against the same planes — identical results to
+  // the static-dim variant on fixed-dim corpora. The cache is a volatile
+  // (dim, planes) pair: races regenerate the same array (benign), and the
+  // fast path is one volatile read per row against an O(bands·bits·dim)
+  // signing loop.
+  @transient @volatile private var cached: (Int, Array[Long]) = _
+
+  def planesFor(dim: Int): Array[Long] = {
+    var c = cached
+    if (c == null || c._1 != dim) {
+      val rnd = new scala.util.Random(seed)
+      c = (dim, Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong))
+      cached = c
+    }
+    c._2
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val qv = input.asInstanceOf[ArrayData]
-    val n = math.min(dim, qv.numElements())
+    val n = qv.numElements()
+    val planes = planesFor(n)
     val out = new Array[Long](bands)
     var p = 0
     while (p < bands * bits) {
       var dot = 0L
       var i = 0
-      val off = p * dim
+      val off = p * n
       while (i < n) { dot += planes(off + i) * qv.getLong(i); i += 1 }
       if (dot > 0) out(p / bits) |= 1L << (p % bits)
       p += 1
@@ -190,7 +210,8 @@ case class HyperplaneSignBands(child: Expression, planes: Array[Long],
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "long[]")
+    val selfRef = ctx.addReferenceObj("lshExpr", this,
+      "graft.plans.HyperplaneSignBands")
     nullSafeCodeGen(ctx, ev, qv => {
       val out = ctx.freshName("out")
       val p = ctx.freshName("p")
@@ -198,14 +219,16 @@ case class HyperplaneSignBands(child: Expression, planes: Array[Long],
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val off = ctx.freshName("off")
+      val planes = ctx.freshName("planes")
       s"""
          |long[] $out = new long[$bands];
-         |int $n = java.lang.Math.min($dim, $qv.numElements());
+         |int $n = $qv.numElements();
+         |long[] $planes = $selfRef.planesFor($n);
          |for (int $p = 0; $p < ${bands * bits}; $p++) {
          |  long $dot = 0L;
-         |  int $off = $p * $dim;
+         |  int $off = $p * $n;
          |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $planesRef[$off + $i] * $qv.getLong($i);
+         |    $dot += $planes[$off + $i] * $qv.getLong($i);
          |  }
          |  if ($dot > 0) $out[$p / $bits] |= 1L << ($p % $bits);
          |}

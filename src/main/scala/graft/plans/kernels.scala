@@ -19,9 +19,9 @@ object kernels {
   def simhash60(hashes: Column): Column =
     column(SimHash60(expression(hashes)))
 
-  def hyperplaneSignBands(qv: Column, planes: Array[Long], dim: Int,
+  def hyperplaneSignBands(qv: Column, seed: Long,
       bands: Int, bits: Int): Column =
-    column(HyperplaneSignBands(expression(qv), planes, dim, bands, bits))
+    column(HyperplaneSignBands(expression(qv), seed, bands, bits))
 
   def slidingMin(arr: Column, w: Int): Column =
     column(SlidingMin(expression(arr), w))
