@@ -51,12 +51,14 @@ object AnnQueries {
         .withColumn("centroid", col("sum_q").cast("double") / col("n_vectors"))
         .orderBy("label", "pos")
     }),
-    // Embedding clustering (standalone IVF partitioner): per-cell census.
-    // No SQL oracle (iterative k-means isn't SQL-expressible); cluster
-    // quality/ determinism asserted in AnnSpec.
+    // Embedding clustering: per-cell census over the fully-declarative
+    // Lloyd path (smallest-id seeds, 2 unrolled rounds, exact integer
+    // centroid sums) — SQL-replayable, so unlike the driver-sample
+    // trainer it carries a full rows+schema+hash oracle. The sampled
+    // trainer behind ivfTopK stays statistically gated in AnnSpec.
     "cluster_kmeans" -> ((s, dir) => {
       val (cands, _) = qc(s, dir)
-      Similarity.kmeansAssign(cands)
+      Similarity.lloydAssign(cands)
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vectors"), min("id").as("min_id"), max("id").as("max_id"))
         .orderBy("cell")
@@ -79,9 +81,44 @@ object AnnQueries {
       |  FROM p) t
       |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // Unrolled Lloyd replay: assignment = argmax of dot(qv, cv)/|cv| (the
+  // per-cell mean's divisor cancels under cosine, so centroids stay raw
+  // integer sum vectors — every value an exact integer < 2^53 in both
+  // engines). Ties break to the lowest cell, mirroring lloydAssign.
+  private def lloydAssignSql(centCte: String) =
+    s"""SELECT id, qv, cell FROM (
+       |  SELECT v.id, v.qv, c.cell, row_number() OVER (PARTITION BY v.id
+       |    ORDER BY list_dot_product(v.qv, c.cv)
+       |             / sqrt(list_dot_product(c.cv, c.cv)) DESC, c.cell ASC) AS rn
+       |  FROM v CROSS JOIN $centCte c) x WHERE rn = 1""".stripMargin
+
+  private def lloydMeansSql(assignCte: String) =
+    s"""SELECT cell, list(s ORDER BY pos) AS cv FROM (
+       |  SELECT cell, pos, sum(q) AS s FROM (
+       |    SELECT cell, unnest(qv) AS q, unnest(range(0, len(qv))) AS pos
+       |    FROM $assignCte) u GROUP BY cell, pos) g GROUP BY cell""".stripMargin
+
+  private val kmeansOracle =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+       |         qv AS cv
+       |  FROM (SELECT * FROM v ORDER BY id LIMIT 16) t),
+       |a1 AS (${lloydAssignSql("seeds")}),
+       |c1 AS (${lloydMeansSql("a1")}),
+       |a2 AS (${lloydAssignSql("c1")}),
+       |c2 AS (${lloydMeansSql("a2")}),
+       |a3 AS (${lloydAssignSql("c2")})
+       |SELECT cell, count(*) AS n_vectors, min(id) AS min_id, max(id) AS max_id
+       |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annOracle,
     "ann_scalable" -> annOracle,
+    "cluster_kmeans" -> kmeansOracle,
     "emb_label_centroids" ->
       """WITH x AS (
         |  SELECT label,

@@ -56,8 +56,15 @@ object DedupQueries {
         .select(col("d1"), col("d2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jac"))
         .orderBy("d1", "d2")
     }),
+    // Oracle contract: these three pin maxBucket ABOVE any natural band
+    // bucket in the verified corpora (sf0.1 simhash max ≈ 1.6k members),
+    // because the DuckDB oracle enumerates ALL qualifying pairs — the
+    // star bound would under-report inside a capped bucket. The library
+    // default (1024) is the production scale guard; its gate is the
+    // DedupSpec 10k-family test.
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text", Tau)
+      Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text", Tau,
+          maxBucket = 8192)
         .orderBy("d1", "d2")),
     // Edit-distance verify kernel (fuzzy dedup's second stage): pairwise
     // levenshtein over normalized 80-char prefixes. Registered on a bounded
@@ -76,17 +83,20 @@ object DedupQueries {
         .orderBy("d1", "d2")
     }),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          maxBucket = 8192)
         .orderBy("d1", "d2")),
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosTau)
+      Dedup.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosTau,
+          maxBucket = 8192)
         .orderBy("d1", "d2")),
     // Transitive closure of the minhash near-dup graph: cluster id per doc
     // (min reachable id). Oracle = recursive CTE over the exact-Jaccard
     // pair graph.
     "dedup_clusters" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text", Tau).select("d1", "d2")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", Tau, maxBucket = 8192)
+        .select("d1", "d2")
       Dedup.connectedComponents(d, "doc_id", pairs).orderBy("doc_id")
     }),
   )

@@ -193,6 +193,53 @@ object Similarity {
     assignCells(candidates, trainCosineKmeans(candidates, nlist, iters), 1)
       .select("id", "cell")
 
+  /**
+   * Fully-declarative distributed Lloyd k-means over quantized vectors —
+   * the oracle-checkable clustering path (unlike [[trainCosineKmeans]],
+   * whose driver-side training is gated statistically). Seeds are the
+   * `nlist` smallest-id vectors; each unrolled round assigns every vector
+   * to its argmax-cosine centroid (ties → lowest cell) and recomputes
+   * centroids as EXACT integer component sums (cell means cancel in the
+   * cosine normalization, so the un-divided sum vector is the centroid —
+   * no float accumulation anywhere). Every quantity both engines touch is
+   * an integer below 2^53, so a SQL engine replays the rounds bit-exactly.
+   *
+   * Scale shape: one broadcast of ≤nlist centroid rows per round; the
+   * n×nlist scoring is map-side (broadcast NL join with a bounded side);
+   * the argmax is a max_by partial aggregation (shuffles ~n rows, not
+   * n×nlist); centroid recompute shuffles nlist×dim partial sums per
+   * partition. No driver state, no corpus-sized collect, plan depth is
+   * O(rounds). Output: id, cell.
+   */
+  def lloydAssign(candidates: DataFrame, nlist: Int = 16,
+      rounds: Int = 2): DataFrame = {
+    import graft.plans.kernels
+    val w = Window.orderBy("id")
+    var cent = candidates.orderBy("id").limit(nlist)
+      .select((row_number().over(w) - 1).as("cell"), col("qv").as("cv"))
+    def assign(c: DataFrame): DataFrame = {
+      val cb = broadcast(c.select(col("cell"), col("cv"),
+        kernels.longArrayDot(col("cv"), col("cv")).cast("double").as("cn")))
+      candidates.select("id", "qv").crossJoin(cb)
+        .select(col("id"), col("qv"), col("cell"),
+          (kernels.longArrayDot(col("qv"), col("cv")).cast("double") / sqrt(col("cn")))
+            .as("score"))
+        .groupBy("id")
+        .agg(max_by(col("cell"), struct(col("score"), -col("cell"))).as("cell"),
+          any_value(col("qv")).as("qv"))
+    }
+    for (_ <- 0 until rounds) {
+      val assigned = assign(cent)
+      cent = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "q")))
+        .groupBy("cell", "pos").agg(sum("q").as("s"))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("s")))),
+          x => x.getField("s")).as("cv"))
+    }
+    assign(cent).select("id", "cell")
+  }
+
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     val centroids = trainCosineKmeans(candidates, nlist, iters)

@@ -79,6 +79,22 @@ object TypeQueries {
           upper(col("info.seg")).as("seg_u"))
         .orderBy("c_custkey")
     }),
+    // Map: build map<string,string>, then element access, keys/values, and
+    // cardinality back out as flat columns (TrinoTypeUtils.java:236 map cell).
+    "types_map" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      c.select(c("c_custkey"),
+          map(lit("seg"), c("c_mktsegment"),
+            lit("nation"), c("c_nationkey").cast("string")).as("m"))
+        .select(
+          col("c_custkey"),
+          element_at(col("m"), "seg").as("seg_val"),
+          element_at(col("m"), "nation").as("nation_val"),
+          size(col("m")).as("n_entries"),
+          array_join(map_keys(col("m")), ",").as("keys_csv"),
+          array_join(map_values(col("m")), ",").as("vals_csv"))
+        .orderBy("c_custkey")
+    }),
     "types_binary" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val bin = d("text").cast("binary")
@@ -132,6 +148,17 @@ object TypeQueries {
         |FROM (SELECT c_custkey, struct_pack(name := c_name, bal := c_acctbal,
         |             seg := c_mktsegment) AS info
         |      FROM customer) t ORDER BY c_custkey""".stripMargin,
+    "types_map" ->
+      """SELECT c_custkey,
+        |  (m['seg'])[1] AS seg_val,
+        |  (m['nation'])[1] AS nation_val,
+        |  CAST(cardinality(m) AS INTEGER) AS n_entries,
+        |  array_to_string(map_keys(m), ',') AS keys_csv,
+        |  array_to_string(map_values(m), ',') AS vals_csv
+        |FROM (SELECT c_custkey,
+        |        MAP {'seg': c_mktsegment, 'nation': CAST(c_nationkey AS VARCHAR)} AS m
+        |      FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
     "types_binary" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
