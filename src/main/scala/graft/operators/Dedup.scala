@@ -167,15 +167,19 @@ object Dedup {
    * near-duplicate similarity is not transitive (A~B, B~C, A≁C must still
    * collapse to one cluster).
    *
-   * Min-label propagation: each round, every node takes the min of its own
-   * label and its neighbors' labels; converged when no label changes.
-   * Rounds = graph diameter; near-dup components are small and dense
-   * (diameter ≲ 3 in practice), so a handful of bounded shuffles — never a
-   * transitive self-join explosion. Each round persists its labels and
-   * drops the previous round's (lineage stays O(1) deep per round; a
-   * 1000-executor run would checkpoint every ~10 rounds). For adversarial
-   * long-chain graphs, alternate large-star/small-star (Kiveris et al.)
-   * to converge in O(log n) rounds — not needed for near-dup clusters.
+   * Alternating large-star / small-star (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", 2014): each round rewires every
+   * node toward the minimum of its neighborhood, halving component
+   * diameters — O(log n) rounds even on adversarial chain graphs, where
+   * plain min-label propagation needs diameter rounds. Each round is two
+   * bounded groupBy+join shuffles over the current edge set (which only
+   * shrinks toward one star edge per non-root node — never grows), with
+   * per-round persist/unpersist so lineage stays O(1) deep. Convergence
+   * is an exact edge-set fingerprint (count + order-independent hash
+   * sum), one tiny aggregate per round.
+   *
+   * Singletons (the overwhelming majority of a near-dup corpus) never
+   * enter the edge rounds: they join the star labels once at the end.
    *
    * @param nodes  one row per document (only `idCol` is read)
    * @param pairs  undirected near-dup pairs (columns d1, d2)
@@ -183,35 +187,60 @@ object Dedup {
    */
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .persist()
-    // Propagate only over nodes that appear in an edge: singletons (the
-    // overwhelming majority of a near-dup corpus) can't change label, so
-    // they join the result once at the end instead of riding every round.
-    var labels = edges.select(col("a")).distinct()
-      .select(col("a"), col("a").as("lbl")).persist()
+    // large-star: for each node u, attach every LARGER neighbor to
+    // min(Γ(u) ∪ {u}); small-star: orient edges large→small and attach
+    // each node's smaller neighbors (and itself) to its minimum neighbor.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("a"), col("mb")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mins = or.groupBy("a").agg(min("b").as("m"))
+      val joined = or.join(mins, "a")
+      joined.select(col("b").as("a"), col("m").as("b"))
+        .union(joined.select(col("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+    }
+    // order-independent exact fingerprint: count + XOR of per-edge hashes
+    // (edges are distinct, so XOR never self-cancels; no overflow under ANSI)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    // Eager localCheckpoint, not persist: each round's plan embeds the
+    // previous round's twice (union of two star joins), so lineage grows
+    // exponentially and planning itself OOMs after ~10 rounds. Truncating
+    // to the materialized result keeps every round's plan O(1). A
+    // multi-executor deployment would use reliable checkpoint() instead
+    // (localCheckpoint is lost with an executor); superseded rounds are
+    // freed by the ContextCleaner once unreferenced.
+    var edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var sig = fingerprint(edges)
     var iter = 0
-    var converged = false
+    var converged = edges.isEmpty
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("a").as("b"), col("lbl").as("nlbl")), "b")
-        .groupBy("a").agg(min("nlbl").as("nmin"))
-      // inner join is total here: every propagated node has ≥1 neighbor
-      val next = labels.join(nbrMin, "a")
-        .select(col("a"), least(col("lbl"), col("nmin")).as("lbl"))
-        .persist()
-      val changed = next.join(labels.withColumnRenamed("lbl", "prev"), "a")
-        .filter(col("lbl") =!= col("prev")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val nextSig = fingerprint(next)
+      edges = next
+      converged = nextSig == sig
+      sig = nextSig
       iter += 1
     }
-    edges.unpersist()
-    require(converged, s"label propagation did not converge in $maxIters rounds")
+    require(converged, s"star contraction did not converge in $maxIters rounds")
+    // Fixed point is a star forest: every non-root points at its
+    // component minimum; roots (and singletons) label themselves.
     nodes.select(col(idCol))
-      .join(labels.withColumnRenamed("a", idCol), Seq(idCol), "left")
+      .join(edges.select(col("a").as(idCol), col("b").as("lbl")), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lbl"), col(idCol)).as("cluster"))
   }
 }

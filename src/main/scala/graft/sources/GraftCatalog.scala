@@ -93,6 +93,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fn.put("id", i + 1)
       fn.put("name", f.name)
       fn.put("type", TypeMapping.toTrinoType(f.dataType))
+      // column comments persist in the manifest schema nodes
+      // (TrinoMetadataBase.java:212 carries column.getComment() the same way)
+      f.getComment().foreach(fn.put("comment", _))
     }
     m.put("currentSchemaVersion", 0)
     m.put("lastFieldId", structType.fields.length)
@@ -135,8 +138,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   def currentSchema(schema: String, table: String): StructType = {
     val m = readManifest(schema, table)
-    StructType(currentFields(m).map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    StructType(currentFields(m).map { f =>
+      val sf = StructField(f.name, TypeMapping.toSparkType(f.trinoType))
+      f.comment.map(sf.withComment).getOrElse(sf)
+    })
   }
 
   def addColumn(schema: String, table: String, field: StructField): Unit =
@@ -144,7 +149,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(!fields.exists(_.name == field.name), s"column ${field.name} exists")
       val nextId = m.get("lastFieldId").asInt() + 1
       m.put("lastFieldId", nextId)
-      fields :+ FieldInfo(nextId, field.name, TypeMapping.toTrinoType(field.dataType))
+      fields :+ FieldInfo(nextId, field.name,
+        TypeMapping.toTrinoType(field.dataType), field.getComment())
+    }
+
+  /** Set (Some) or clear (None) a column's comment — metadata-only, a new
+    * schema version like any other evolution step. */
+  def setColumnComment(schema: String, table: String, name: String,
+      comment: Option[String]): Unit =
+    evolveSchema(schema, table) { (_, fields) =>
+      require(fields.exists(_.name == name), s"no column $name")
+      fields.map(f => if (f.name == name) f.copy(comment = comment) else f)
     }
 
   def renameColumn(schema: String, table: String, from: String, to: String): Unit =
@@ -189,6 +204,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     next.foreach { fi =>
       val fn = fields.addObject()
       fn.put("id", fi.id); fn.put("name", fi.name); fn.put("type", fi.trinoType)
+      fi.comment.foreach(fn.put("comment", _))
     }
     m.put("currentSchemaVersion", version)
     writeManifest(schema, table, m)
@@ -690,10 +706,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def schemasTable(schema: String, table: String): DataFrame = {
     val m = readManifest(schema, table)
     val rows = schemaVersions(m).toSeq.sortBy(_._1).flatMap { case (v, fields) =>
-      fields.map(f => (v, f.id, f.name, f.trinoType))
+      fields.map(f => (v, f.id, f.name, f.trinoType, f.comment))
     }
     spark.createDataFrame(rows).toDF(
-      "schema_version", "field_id", "field_name", "field_type")
+      "schema_version", "field_id", "field_name", "field_type", "field_comment")
   }
 
   /** One row per table option (plus partition/primary-key declarations). */
@@ -721,7 +737,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val fields = s.get("fields").asInstanceOf[ArrayNode]
       s.get("version").asInt() -> (0 until fields.size()).map { j =>
         val f = fields.get(j)
-        FieldInfo(f.get("id").asInt(), f.get("name").asText(), f.get("type").asText())
+        FieldInfo(f.get("id").asInt(), f.get("name").asText(), f.get("type").asText(),
+          if (f.has("comment")) Some(f.get("comment").asText()) else None)
       }
     }.toMap
   }
@@ -778,7 +795,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 }
 
 object GraftCatalog {
-  case class FieldInfo(id: Int, name: String, trinoType: String)
+  case class FieldInfo(id: Int, name: String, trinoType: String,
+      comment: Option[String] = None)
   case class SnapshotInfo(id: Long, timestampMillis: Long)
   /** One snapshot file-list entry; kind is "data" or "delete" (tombstone). */
   case class FileEntry(dir: String, schemaVersion: Int, kind: String)

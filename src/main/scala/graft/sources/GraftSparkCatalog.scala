@@ -240,8 +240,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1, "nested adds not supported")
-        gc.addColumn(s, t, org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType))
+        val sf = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType)
+        gc.addColumn(s, t,
+          Option(add.comment).map(sf.withComment).getOrElse(sf))
+      case cmt: TableChange.UpdateColumnComment =>
+        require(cmt.fieldNames.length == 1, "nested comments not supported")
+        gc.setColumnComment(s, t, cmt.fieldNames.head, Option(cmt.newComment))
       case ren: TableChange.RenameColumn =>
         require(ren.fieldNames.length == 1, "nested renames not supported")
         gc.renameColumn(s, t, ren.fieldNames.head, ren.newName)

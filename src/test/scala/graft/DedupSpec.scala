@@ -153,4 +153,16 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(1)).distinct
     assert(ccChain.toSeq === Seq(1L))
   }
+
+  test("star contraction: chain of 1000 converges within log-bounded rounds") {
+    import spark.implicits._
+    // Adversarial diameter-999 chain: min-label propagation would need
+    // ~1000 rounds; large-star/small-star must finish in O(log n) — the
+    // maxIters=12 budget (≳ log2 1000) is the assertion.
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = Dedup.connectedComponents((1L to 1000L).toDF("doc_id"), "doc_id",
+        chain, maxIters = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(cc.length === 1000 && cc.forall(_._2 == 1L))
+  }
 }

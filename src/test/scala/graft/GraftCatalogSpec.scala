@@ -302,6 +302,35 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(afterCompact.getInt(2) === 1 && afterCompact.getInt(3) === 1)
   }
 
+  test("column comments persist in DDL and survive evolution") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "c", StructType(Seq(
+      StructField("id", LongType).withComment("row id"),
+      StructField("name", StringType))))
+    assert(cat.currentSchema("db", "c")("id").getComment().contains("row id"))
+    assert(cat.currentSchema("db", "c")("name").getComment().isEmpty)
+    // comments ride adds, renames, and targeted updates
+    cat.addColumn("db", "c", StructField("score", IntegerType).withComment("quality"))
+    cat.renameColumn("db", "c", "id", "doc_id")
+    cat.setColumnComment("db", "c", "name", Some("display name"))
+    val cur = cat.currentSchema("db", "c")
+    assert(cur("doc_id").getComment().contains("row id")) // rename keeps it
+    assert(cur("score").getComment().contains("quality"))
+    assert(cur("name").getComment().contains("display name"))
+    cat.setColumnComment("db", "c", "name", None)
+    assert(cat.currentSchema("db", "c")("name").getComment().isEmpty)
+    // $schemas surfaces the comment history per version
+    val schemas = cat.schemasTable("db", "c")
+    assert(schemas.columns.contains("field_comment"))
+    assert(schemas.filter(col("field_name") === "score" && col("schema_version") === 1)
+      .select("field_comment").head().getString(0) === "quality")
+    // data still reads through the evolved, commented schema
+    cat.append("db", "c", Seq((1L, "a", 5)).toDF("doc_id", "name", "score"))
+    assert(cat.read("db", "c").count() === 1)
+  }
+
   test("stream-batch appends are idempotent under replay") {
     import spark.implicits._
     val cat = freshCatalog()

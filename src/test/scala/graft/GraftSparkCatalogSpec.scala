@@ -190,6 +190,23 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("SELECT * FROM g.db.`nope$snapshots`").collect())
   }
 
+  test("column comments flow through SQL DDL (CREATE / ALTER / DESCRIBE)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.cmt (id BIGINT COMMENT 'row id', name STRING)")
+    assert(gc.currentSchema("db", "cmt")("id").getComment().contains("row id"))
+    spark.sql("ALTER TABLE g.db.cmt ADD COLUMN score INT COMMENT 'quality'")
+    spark.sql("ALTER TABLE g.db.cmt ALTER COLUMN name COMMENT 'display name'")
+    val cur = gc.currentSchema("db", "cmt")
+    assert(cur("score").getComment().contains("quality"))
+    assert(cur("name").getComment().contains("display name"))
+    val desc = spark.sql("DESCRIBE TABLE g.db.cmt").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("id") === "row id" && desc("score") === "quality")
+    // $schemas metadata table shows the comment column
+    assert(spark.sql("SELECT field_comment FROM g.db.`cmt$schemas` WHERE field_name = 'id'")
+      .collect().map(_.getString(0)).distinct.toSeq === Seq("row id"))
+  }
+
   test("drop/rename via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.r1 (id BIGINT)")
