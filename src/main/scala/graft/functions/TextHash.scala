@@ -48,12 +48,17 @@ object TextHash {
    * Per-row only — the 100 TB path computes signatures in the scan stage
    * with zero shuffle.
    */
-  def minhashSignature(shingleCol: Column, k: Int): Column = {
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    minhashSignatureFromHashes(transform(shingleCol, g => hash60(g)), k)
+
+  /** Signature from PRE-HASHED shingles (array<bigint> of [[hash60]]
+    * values) — for callers that reuse the hashed sets downstream (the
+    * minhash verify stage) and hash only once. */
+  def minhashSignatureFromHashes(hashCol: Column, k: Int): Column = {
     val (a, b) = minhashCoeffs(k)
-    // Hash each shingle once, then one fused native pass for all K slots
-    // (graft.plans.MinHashSig; empty input → all-P signature).
-    val hs = transform(shingleCol, g => hash60(g))
-    graft.plans.kernels.minhashSig(hs, a, b)
+    // One fused native pass for all K slots (graft.plans.MinHashSig;
+    // empty input → all-P signature).
+    graft.plans.kernels.minhashSig(hashCol, a, b)
   }
 
   /**

@@ -74,20 +74,30 @@ object Dedup {
   /**
    * MinHash+LSH near-dup pairs with exact-Jaccard verify stage.
    * Output: d1, d2, jac (only pairs with jac ≥ tau).
+   *
+   * The shingle sets are md5-hashed to 60-bit longs ONCE in the scan
+   * stage and shared by both consumers: the signature kernel takes the
+   * hashes directly (no second md5 pass), and the verify stage
+   * intersects long arrays instead of shipping string shingles through
+   * the pair join — same jaccard (shingles are distinct per doc; a
+   * 60-bit collision within one pair's union is ~1e-14), ~8× less
+   * verify-shuffle volume, half the md5 work. Only hashed columns are
+   * persisted, so the cache is compact too.
    */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, tau: Double,
       k: Int = 128, bands: Int = 32, r: Int = 4,
       maxBucket: Int = 1024): DataFrame = {
     // cached: referenced by the band explode AND both verify-join sides
     val docs = shingleSets(df, idCol, textCol)
-      .withColumn("sig", TextHash.minhashSignature(col("sh"), k))
+      .select(col(idCol), transform(col("sh"), g => TextHash.hash60(g)).as("shh"))
+      .withColumn("sig", TextHash.minhashSignatureFromHashes(col("shh"), k))
       .persist()
     val banded = docs
       .select(col(idCol), explode(TextHash.lshBands(col("sig"), bands, r)).as("bb"))
       .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
     val pairs = bucketPairs(banded, idCol, maxBucket)
-    val left = docs.select(col(idCol).as("d1"), col("sh").as("sh1"))
-    val right = docs.select(col(idCol).as("d2"), col("sh").as("sh2"))
+    val left = docs.select(col(idCol).as("d1"), col("shh").as("sh1"))
+    val right = docs.select(col(idCol).as("d2"), col("shh").as("sh2"))
     pairs.join(left, "d1").join(right, "d2")
       .select(col("d1"), col("d2"), jaccard(col("sh1"), col("sh2")).as("jac"))
       .filter(col("jac") >= tau)
