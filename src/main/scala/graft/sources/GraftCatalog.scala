@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, row_number}
+import org.apache.spark.sql.functions.{col, lit, pmod, row_number, xxhash64}
 import org.apache.spark.sql.types.{StructField, StructType}
 
 /**
@@ -75,6 +75,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       s"partition column $p not in schema"))
     primaryKey.foreach(p => require(structType.fieldNames.contains(p),
       s"primary-key column $p not in schema"))
+    options.get("bucket").foreach { b =>
+      require(primaryKey.nonEmpty, "bucket option requires a primary key")
+      require(b.toInt >= 1, s"bucket must be >= 1, got $b")
+      require(partitionBy.isEmpty,
+        "bucketed tables cannot also be partitioned (the bucket IS the physical partition)")
+    }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
     m.put("name", table)
@@ -233,8 +239,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val id = lastId + 1
     val ts = math.max(System.currentTimeMillis(), lastTs + 1) // strictly increasing
     val dir = s"snap-$id"
-    val writer = df.write.mode("overwrite")
-    val parted = if (kind == "data") partitionColumns(m) else Seq.empty
+    // Bucketed PK tables (Paimon's bucket layout): every commit — data,
+    // delete tombstones, compaction rewrites alike — lands rows in
+    // `__bucket=k` subdirs by primary-key hash, so a key lives in exactly
+    // one bucket across ALL deltas and merge-on-read never crosses
+    // buckets (see bucketedResolve). Delete frames carry the PK columns,
+    // so the same hash applies.
+    val buckets = bucketCount(m).filter(_ => primaryKey(m).nonEmpty)
+    val (toWrite, bucketPart) = buckets match {
+      case Some(n) =>
+        (df.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
+      case None => (df, Seq.empty)
+    }
+    val writer = toWrite.write.mode("overwrite")
+    val parted =
+      (if (kind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
     (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
       .parquet(new Path(tablePath(schema, table), dir).toString)
     val prevFiles: Seq[FileEntry] =
@@ -468,7 +487,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * `__ord` and the tombstone flag `__del` used for merge-on-read.
    */
   private def frameFor(schema: String, table: String, m: ObjectNode,
-      fe: FileEntry): DataFrame = {
+      fe: FileEntry, pathOverride: Option[Path] = None): DataFrame = {
     val curFields = currentFields(m)
     val allSchemas = schemaVersions(m)
     val writeFieldsAll = allSchemas(fe.schemaVersion)
@@ -484,7 +503,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val writeSchema = StructType(writeFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val raw = spark.read.schema(writeSchema)
-      .parquet(new Path(tablePath(schema, table), fe.dir).toString)
+      .parquet(pathOverride.getOrElse(new Path(tablePath(schema, table), fe.dir)).toString)
     // Map write-time schema → current schema by field id.
     val byId = writeFields.map(f => f.id -> f).toMap
     val cols = curFields.map { cf =>
@@ -506,6 +525,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def resolveFrames(schema: String, table: String, m: ObjectNode,
       entries: Seq[FileEntry]): Option[DataFrame] = {
     if (entries.isEmpty) return None
+    bucketCount(m) match {
+      case Some(n) if primaryKey(m).nonEmpty =>
+        return bucketedResolve(schema, table, m, entries, n)
+      case _ => ()
+    }
     val all = entries.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val pk = primaryKey(m)
     Some(if (pk.isEmpty) all.drop("__ord", "__del")
@@ -518,6 +542,45 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .filter(col("__rn") === 1 && !col("__del"))
         .drop("__ord", "__rn", "__del")
     })
+  }
+
+  /**
+   * Shuffle-free merge-on-read for bucketed PK tables — the Paimon read
+   * model: a key lives in exactly one `__bucket=k` subdir across every
+   * delta (the write path hashes each commit the same way), so merge
+   * resolution never crosses buckets. Each bucket becomes one
+   * single-partition leg — the union of that bucket's delta files,
+   * `coalesce(1)` (a narrow dependency, no exchange), then an in-task
+   * hash-merge keeping the highest-ordinal version per key and dropping
+   * tombstone winners. The whole read is N independent tasks with ZERO
+   * exchanges, versus the unbucketed path's full-table shuffle through
+   * the keep-latest window. Task memory holds one bucket's keys — the
+   * bucket count is the operator's sizing contract, exactly as in Paimon
+   * (a 100 TB table with 4096 buckets merges ~25 GB per task of raw
+   * input, and only live key versions are retained in the map).
+   */
+  private def bucketedResolve(schema: String, table: String, m: ObjectNode,
+      entries: Seq[FileEntry], n: Int): Option[DataFrame] = {
+    val curFields = currentFields(m)
+    val outSchema = StructType(curFields.map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    val pk = primaryKey(m)
+    val legs = (0 until n).flatMap { k =>
+      val frames = entries.flatMap { fe =>
+        val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")
+        if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p))) else None
+      }
+      if (frames.isEmpty) None
+      else {
+        val all = frames.reduce(_ unionByName _).coalesce(1)
+        val inSchema = all.schema
+        Some(GraftCatalog.mergeBucketInTask(all,
+          pk.map(inSchema.fieldIndex).toArray,
+          inSchema.fieldIndex("__ord"), inSchema.fieldIndex("__del"),
+          curFields.map(f => inSchema.fieldIndex(f.name)).toArray, outSchema))
+      }
+    }
+    legs.reduceOption(_ unionByName _)
   }
 
   /** Snapshot selection shared by reads and the SQL catalog: explicit
@@ -568,6 +631,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     case arr: ArrayNode => (0 until arr.size()).map(arr.get(_).asText())
     case _ => Seq.empty
   }
+
+  /** Bucket count of a bucketed PK table (the `bucket` table option). */
+  def bucketCountOf(schema: String, table: String): Option[Int] =
+    bucketCount(readManifest(schema, table))
+
+  private def bucketCount(m: ObjectNode): Option[Int] = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts != null && opts.has("bucket")) Some(opts.get("bucket").asText().toInt)
+    else None
+  }
+
+  /** The bucket a primary-key tuple hashes to — the same expression on
+    * the write path (commit) and any read-side pruning. */
+  private def bucketExpr(pk: Seq[String], n: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(pk.map(col): _*), lit(n.toLong)).cast("int")
 
   /**
    * Upsert into a primary-key table: the batch is committed as a new
@@ -795,6 +873,31 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 }
 
 object GraftCatalog {
+  /** Physical bucket-partition column of bucketed PK tables (never part
+    * of the logical schema — reads select it away). */
+  val BucketCol = "__bucket"
+
+  /** In-task merge of one bucket's delta rows: highest `__ord` wins per
+    * primary key, a winning tombstone removes the key. Static (object)
+    * method so the task closure captures only index arrays — never the
+    * catalog instance. */
+  private[sources] def mergeBucketInTask(all: DataFrame, pkIdx: Array[Int],
+      ordIdx: Int, delIdx: Int, outIdx: Array[Int],
+      outSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    all.mapPartitions { it =>
+      val best = mutable.HashMap.empty[Seq[Any], Row]
+      it.foreach { r =>
+        val key: Seq[Any] = pkIdx.toIndexedSeq.map(r.get)
+        val prev = best.get(key)
+        if (prev.isEmpty || prev.get.getLong(ordIdx) < r.getLong(ordIdx))
+          best(key) = r
+      }
+      best.valuesIterator.filterNot(_.getBoolean(delIdx))
+        .map(r => Row.fromSeq(outIdx.toIndexedSeq.map(r.get)))
+    }(Encoders.row(outSchema)).toDF()
+  }
+
   case class FieldInfo(id: Int, name: String, trinoType: String,
       comment: Option[String] = None)
   case class SnapshotInfo(id: Long, timestampMillis: Long)

@@ -164,9 +164,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val entries = gc.snapshotFileEntries(schemaName, tableName, snapshotId, asOfMillis)
     val curVersion = gc.currentSchemaVersionOf(schemaName, tableName)
     val pk = gc.primaryKeyOf(schemaName, tableName)
+    // Bucketed PK tables always scan through the merge bridge: their file
+    // layout carries the physical __bucket partition dirs, which a raw
+    // ParquetTable would surface as a column.
+    val bucketed = gc.bucketCountOf(schemaName, tableName).isDefined
     val resolvedAsFiles =
       entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
-        (pk.isEmpty || entries.size <= 1)
+        (pk.isEmpty || (entries.size <= 1 && !bucketed))
     // MoR-pending state (PK deltas, tombstones, pre-evolution files) is
     // served through the read-time merge scan; fully-resolved snapshots
     // keep the native vectorized parquet path (raw file scans + pushdown).

@@ -27,7 +27,9 @@ class GraftCatalogSpec extends SparkSpecBase {
   test("table ops: create, list, rename, drop; options round-trip") {
     val cat = freshCatalog()
     cat.createSchema("db")
-    cat.createTable("db", "t1", abSchema, Map("bucket" -> "4", "file.format" -> "parquet"))
+    // bucket is a SEMANTIC option (requires a PK) since round 4
+    cat.createTable("db", "t1", abSchema, Map("bucket" -> "4", "file.format" -> "parquet"),
+      primaryKey = Seq("id"))
     cat.createTable("db", "t2", abSchema)
     assert(cat.listTables("db") === Seq("t1", "t2"))
     assert(cat.tableOptions("db", "t1") === Map("bucket" -> "4", "file.format" -> "parquet"))
@@ -300,6 +302,47 @@ class GraftCatalogSpec extends SparkSpecBase {
     val afterCompact = cat.snapshotsTable("db", "t")
       .orderBy("snapshot_id").collect().last
     assert(afterCompact.getInt(2) === 1 && afterCompact.getInt(3) === 1)
+  }
+
+  test("bucketed PK tables: hash layout, shuffle-free merge, SQL scan") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-bwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "b", abSchema,
+      options = Map("bucket" -> "4"), primaryKey = Seq("id"))
+    assert(cat.bucketCountOf("db", "b").contains(4))
+    cat.upsert("db", "b", (1L to 100L).map(i => (i, s"v$i")).toDF("id", "name"))
+    cat.upsert("db", "b", Seq((7L, "v7b"), (101L, "x")).toDF("id", "name"))
+    cat.deleteWhere("db", "b", col("id") === 13L)
+    // layout: every commit lands rows under __bucket=k subdirs
+    val snap1 = new java.io.File(s"$wh/db/b/snap-1")
+    assert(snap1.listFiles().map(_.getName).count(_.startsWith("__bucket=")) === 4)
+    // merged image: newest wins, tombstone dropped, __bucket never leaks
+    val df = cat.read("db", "b")
+    assert(df.columns.toSeq === Seq("id", "name"))
+    val got = df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = ((1L to 100L).filterNot(_ == 13L)
+      .map(i => (i, if (i == 7L) "v7b" else s"v$i")) :+ ((101L, "x"))).sortBy(_._1)
+    assert(got === want)
+    // the whole merge is per-bucket in-task: ZERO exchanges in the plan
+    val plan = cat.read("db", "b").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed merge must not shuffle:\n$plan")
+    // time travel resolves at the pinned snapshot through the same path
+    assert(cat.read("db", "b", snapshotId = Some(1L)).count() === 100)
+    // compaction rewrites through the bucketed layout and keeps the image
+    cat.compact("db", "b")
+    assert(new java.io.File(s"$wh/db/b/snap-4")
+      .listFiles().map(_.getName).count(_.startsWith("__bucket=")) === 4)
+    assert(cat.read("db", "b").count() === 100)
+    // SQL path serves bucketed tables via the merge scan (no __bucket column)
+    spark.conf.set("spark.sql.catalog.gb", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gb.warehouse", wh)
+    assert(spark.sql("SELECT * FROM gb.db.b").columns.toSeq === Seq("id", "name"))
+    assert(spark.sql("SELECT name FROM gb.db.b WHERE id = 7").head().getString(0) === "v7b")
+    // bucketed + partitioned is refused (bucket IS the physical partition)
+    intercept[IllegalArgumentException](cat.createTable("db", "bp", abSchema,
+      options = Map("bucket" -> "2"), partitionBy = Seq("name"), primaryKey = Seq("id")))
   }
 
   test("column comments persist in DDL and survive evolution") {
