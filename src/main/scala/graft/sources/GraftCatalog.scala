@@ -560,12 +560,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * input, and only live key versions are retained in the map).
    */
   private def bucketedResolve(schema: String, table: String, m: ObjectNode,
-      entries: Seq[FileEntry], n: Int): Option[DataFrame] = {
+      entries: Seq[FileEntry], n: Int,
+      onlyBucket: Option[Int] = None): Option[DataFrame] = {
     val curFields = currentFields(m)
     val outSchema = StructType(curFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val pk = primaryKey(m)
-    val legs = (0 until n).flatMap { k =>
+    val wanted = onlyBucket.map(Seq(_)).getOrElse(0 until n)
+    val legs = wanted.flatMap { k =>
       val frames = entries.flatMap { fe =>
         val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")
         if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p))) else None
@@ -646,6 +648,45 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * the write path (commit) and any read-side pruning. */
   private def bucketExpr(pk: Seq[String], n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(pk.map(col): _*), lit(n.toLong)).cast("int")
+
+  /** The bucket a concrete primary-key tuple lands in — evaluated with
+    * the write path's own expression over a one-row local relation (a
+    * driver-local job over one row), so hash semantics can never drift
+    * from [[bucketExpr]]. `values` must follow primary-key column order
+    * and are cast to the declared column types before hashing. */
+  def bucketFor(schema: String, table: String, values: Seq[Any]): Int = {
+    val m = readManifest(schema, table)
+    val pk = primaryKey(m)
+    val n = bucketCount(m).getOrElse(
+      throw new IllegalArgumentException(s"$schema.$table is not bucketed"))
+    require(values.length == pk.length, s"expected ${pk.length} pk values")
+    val cur = currentFields(m).map(f => f.name -> f.trinoType).toMap
+    val row = spark.range(1).select(pk.zip(values).map { case (c, v) =>
+      lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
+    }: _*)
+    row.select(bucketExpr(pk, n).as("b")).head().getInt(0)
+  }
+
+  /**
+   * Read ONE bucket of a bucketed PK table, merge-on-read resolved — the
+   * split-level consumer API (a bucket is the unit of parallel work, as
+   * in Paimon): point lookups read 1/N of the table via [[bucketFor]],
+   * and N independent workers can each process one bucket.
+   */
+  def readBucket(schema: String, table: String, bucket: Int,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): DataFrame = {
+    val m = readManifest(schema, table)
+    val n = bucketCount(m).getOrElse(
+      throw new IllegalArgumentException(s"$schema.$table is not bucketed"))
+    require(bucket >= 0 && bucket < n, s"bucket $bucket out of range [0, $n)")
+    val target = StructType(currentFields(m).map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+      .flatMap(s => bucketedResolve(schema, table, m, filesOf(s), n, Some(bucket)))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+  }
 
   /**
    * Upsert into a primary-key table: the batch is committed as a new

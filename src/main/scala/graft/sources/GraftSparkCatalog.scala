@@ -174,8 +174,25 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // MoR-pending state (PK deltas, tombstones, pre-evolution files) is
     // served through the read-time merge scan; fully-resolved snapshots
     // keep the native vectorized parquet path (raw file scans + pushdown).
+    // The reader sees the pushed filters: on a bucketed table, equality
+    // on the FULL primary key prunes the read to that key's single
+    // bucket (1/N of the data — Paimon's point-lookup path). The
+    // equality predicate is still applied post-merge, so pruning is
+    // purely a superset optimization.
     val morRead = if (resolvedAsFiles) None else Some(
-      () => gc.read(schemaName, tableName, snapshotId, asOfMillis))
+      (filters: Array[Filter]) => {
+        val eq = filters.collect {
+          case EqualTo(a, v) if pk.contains(a) => a -> v
+        }.toMap
+        val prunedBucket =
+          if (bucketed && pk.nonEmpty && pk.forall(eq.contains))
+            Some(gc.bucketFor(schemaName, tableName, pk.map(eq)))
+          else None
+        prunedBucket match {
+          case Some(k) => gc.readBucket(schemaName, tableName, k, snapshotId, asOfMillis)
+          case None => gc.read(schemaName, tableName, snapshotId, asOfMillis)
+        }
+      })
     val paths = if (resolvedAsFiles) entries.map(e =>
       new Path(new Path(new Path(warehouse, schemaName), tableName), e.dir).toString)
       else Seq.empty
@@ -326,7 +343,7 @@ private[sources] object FilterTranslation {
  */
 private[sources] class GraftSqlTable(delegate: ParquetTable,
     partitionCols: Seq[String], props: Map[String, String],
-    morRead: Option[() => org.apache.spark.sql.DataFrame],
+    morRead: Option[Array[Filter] => org.apache.spark.sql.DataFrame],
     commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
     commitDelete: Column => Unit,
     canDelete: Boolean)
@@ -379,7 +396,7 @@ private[sources] class GraftSqlTable(delegate: ParquetTable,
  * window into the underlying parquet scans when semantics allow.
  */
 private[sources] class GraftMorScanBuilder(fullSchema: StructType,
-    reader: () => org.apache.spark.sql.DataFrame)
+    reader: Array[Filter] => org.apache.spark.sql.DataFrame)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -402,7 +419,7 @@ private[sources] class GraftMorScanBuilder(fullSchema: StructType,
         override def sqlContext: org.apache.spark.sql.SQLContext = context
         override def schema: StructType = required
         override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-          val merged = reader()
+          val merged = reader(pushed)
           val filtered = FilterTranslation.toCondition(pushed)
             .map(merged.filter).getOrElse(merged)
           filtered.select(required.fieldNames.toSeq.map(F.col): _*).rdd

@@ -335,11 +335,22 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(new java.io.File(s"$wh/db/b/snap-4")
       .listFiles().map(_.getName).count(_.startsWith("__bucket=")) === 4)
     assert(cat.read("db", "b").count() === 100)
+    // bucket pruning: a full-PK point lookup touches exactly one bucket
+    val k7 = cat.bucketFor("db", "b", Seq(7L))
+    val b7 = cat.readBucket("db", "b", k7)
+    assert(b7.rdd.getNumPartitions === 1) // one leg, one task
+    assert(b7.filter(col("id") === 7L).head().getString(1) === "v7b")
+    assert(b7.count() < 100) // a strict subset of the table
+    // every key in the bucket hashes back to it (write/read parity)
+    assert(b7.select("id").collect()
+      .forall(r => cat.bucketFor("db", "b", Seq(r.getLong(0))) == k7))
     // SQL path serves bucketed tables via the merge scan (no __bucket column)
     spark.conf.set("spark.sql.catalog.gb", "graft.sources.GraftSparkCatalog")
     spark.conf.set("spark.sql.catalog.gb.warehouse", wh)
     assert(spark.sql("SELECT * FROM gb.db.b").columns.toSeq === Seq("id", "name"))
     assert(spark.sql("SELECT name FROM gb.db.b WHERE id = 7").head().getString(0) === "v7b")
+    // a tombstoned key stays deleted through the pruned point-lookup path
+    assert(spark.sql("SELECT count(*) FROM gb.db.b WHERE id = 13").head().getLong(0) === 0L)
     // bucketed + partitioned is refused (bucket IS the physical partition)
     intercept[IllegalArgumentException](cat.createTable("db", "bp", abSchema,
       options = Map("bucket" -> "2"), partitionBy = Seq("name"), primaryKey = Seq("id")))
