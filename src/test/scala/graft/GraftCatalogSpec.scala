@@ -405,6 +405,24 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.lastStreamBatchId("db", "t") === 1L)
   }
 
+  test("streaming upserts into a bucketed PK table: exactly-once, merged reads") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "sb", abSchema,
+      options = Map("bucket" -> "2"), primaryKey = Seq("id"))
+    // micro-batches carrying key rewrites land as bucketed upsert snapshots
+    assert(cat.appendStreamBatch("db", "sb", Seq((1L, "a"), (2L, "b")).toDF("id", "name"), 0L))
+    assert(cat.appendStreamBatch("db", "sb", Seq((2L, "b2"), (3L, "c")).toDF("id", "name"), 1L))
+    // replay after restart: skipped, image unchanged
+    assert(!cat.appendStreamBatch("db", "sb", Seq((2L, "b2"), (3L, "c")).toDF("id", "name"), 1L))
+    val got = cat.read("db", "sb").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+    // still the shuffle-free per-bucket merge underneath
+    assert(!cat.read("db", "sb").queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("snapshot expiration keeps the tail, deletes orphan dirs, preserves current image") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-exp-wh").toString
