@@ -15,6 +15,8 @@ import graft.functions.TextHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL UPDATE on graft tables → a catalog upsert commit (GraftDml)
+    ext.injectResolutionRule(_ => new GraftUpdateRewrite)
     register(ext, "long_array_dot", "exact integer dot product of two array<bigint>",
       { args =>
         require(args.length == 2, "long_array_dot(a, b)")

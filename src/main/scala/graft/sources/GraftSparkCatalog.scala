@@ -206,7 +206,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
       morRead, commitInsert(schemaName, tableName) _,
       cond => { gc.deleteWhere(schemaName, tableName, cond); () },
-      canDelete = pk.nonEmpty)
+      canDelete = pk.nonEmpty,
+      coords = Some((warehouse, schemaName, tableName)))
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -341,12 +342,15 @@ private[sources] object FilterTranslation {
  * insert arrives as a resolved DataFrame and becomes one atomic
  * append/upsert/overwrite commit — never a raw file write).
  */
-private[sources] class GraftSqlTable(delegate: ParquetTable,
+private[graft] class GraftSqlTable(delegate: ParquetTable,
     partitionCols: Seq[String], props: Map[String, String],
     morRead: Option[Array[Filter] => org.apache.spark.sql.DataFrame],
     commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
     commitDelete: Column => Unit,
-    canDelete: Boolean)
+    canDelete: Boolean,
+    /** (warehouse, schema, table) — lets the UPDATE rewrite rule route the
+      * statement back into the owning catalog (graft.plans.GraftDml). */
+    private[graft] val coords: Option[(String, String, String)] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as

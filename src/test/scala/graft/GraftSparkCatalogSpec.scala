@@ -190,6 +190,26 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("SELECT * FROM g.db.`nope$snapshots`").collect())
   }
 
+  test("SQL UPDATE commits a merge-on-read upsert snapshot") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.up (id BIGINT, name STRING, score INT) " +
+      "TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "up", Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "name", "score"))
+    spark.sql("UPDATE g.db.up SET score = score + 5, name = upper(name) WHERE id >= 2")
+    val rows = spark.sql("SELECT id, name, score FROM g.db.up ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows === Seq((1L, "a", 10), (2L, "B", 25), (3L, "C", 35)))
+    // the update added ONE upsert snapshot (not a table rewrite); the
+    // pre-update image is still time-travelable
+    assert(gc.snapshots("db", "up").map(_.id) === Seq(1L, 2L))
+    assert(gc.read("db", "up", snapshotId = Some(1L))
+      .filter(col("id") === 2L).head().getInt(2) === 20)
+    // assigning a primary-key column is refused (silent-duplicate hazard)
+    intercept[Exception](spark.sql("UPDATE g.db.up SET id = id + 100"))
+  }
+
   test("column comments flow through SQL DDL (CREATE / ALTER / DESCRIBE)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.cmt (id BIGINT COMMENT 'row id', name STRING)")
