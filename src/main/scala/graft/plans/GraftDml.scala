@@ -1,12 +1,13 @@
 package graft.plans
 
-import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UpdateTable}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.GraftColumnBridge
 import graft.sources.{GraftCatalog, GraftSqlTable}
 
 /**
@@ -48,6 +49,141 @@ class GraftUpdateRewrite extends Rule[LogicalPlan] {
     * re-resolves against the bare column names of the catalog's read. */
   private def sqlOf(e: Expression): String =
     e.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql
+}
+
+/**
+ * SQL `MERGE INTO` for graft PK tables, same rewrite strategy as
+ * [[GraftUpdateRewrite]]: the analyzed MergeIntoTable becomes a command
+ * that computes the action deltas with DataFrame joins and lands them as
+ * ONE atomic snapshot via [[GraftCatalog.mergeCommit]] (updates+inserts
+ * paired with tombstones at the same ordinal) — merge-on-read, no
+ * copy-on-write group rewrite.
+ *
+ * Expression plumbing: the merge/action conditions and assignment values
+ * reference BOTH relations, so attributes are re-qualified by side
+ * (target → `__t`, source → `__s`), serialized as SQL text, and
+ * re-resolved in the command against aliased DataFrames. The source
+ * subplan itself rides along as a plain (non-child) field: it is already
+ * analyzed, the optimizer leaves non-child fields untouched, and the
+ * command re-plans it through `Dataset.ofRows` at execution.
+ */
+class GraftMergeRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution =>
+      m.targetTable.collectFirst { case r: DataSourceV2Relation => r.table } match {
+        case Some(t: GraftSqlTable) if t.coords.isDefined =>
+          val (wh, s, tb) = t.coords.get
+          val srcAttrs = m.sourceTable.outputSet
+          def sqlOf(e: Expression): String = GraftDml.sideQualifiedSql(e, srcAttrs)
+          def actions(as: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
+              : Seq[(String, Option[String], Seq[(String, String)])] = as.map {
+            case UpdateAction(c, assigns, _) => ("update", c.map(sqlOf),
+              assigns.map(a => (GraftDml.nameOf(a.key), sqlOf(a.value))))
+            case DeleteAction(c) => ("delete", c.map(sqlOf), Seq.empty)
+            case InsertAction(c, assigns) => ("insert", c.map(sqlOf),
+              assigns.map(a => (GraftDml.nameOf(a.key), sqlOf(a.value))))
+            case other => throw new UnsupportedOperationException(s"MERGE action $other")
+          }
+          GraftMergeCommand(wh, s, tb, m.sourceTable, sqlOf(m.mergeCondition),
+            actions(m.matchedActions), actions(m.notMatchedActions),
+            actions(m.notMatchedBySourceActions))
+        case _ => m
+      }
+  }
+}
+
+private[plans] object GraftDml {
+  def nameOf(e: Expression): String = e match {
+    case a: AttributeReference => a.name
+    case other => throw new UnsupportedOperationException(
+      s"only top-level columns can be assigned, got $other")
+  }
+
+  /** SQL text with every attribute re-qualified to its side: source
+    * attributes become `__s`.`name`, everything else `__t`.`name`. */
+  def sideQualifiedSql(e: Expression, sourceAttrs: AttributeSet): String =
+    e.transform {
+      case a: AttributeReference if sourceAttrs.contains(a) =>
+        a.withQualifier(Seq("__s"))
+      case a: AttributeReference => a.withQualifier(Seq("__t"))
+    }.sql
+}
+
+/** Executes the rewritten MERGE: per-action deltas by join, one atomic
+  * mergeCommit. Action order is honored by guarding each action with the
+  * negation of every earlier action's condition (first match wins). */
+case class GraftMergeCommand(warehouse: String, schemaName: String,
+    tableName: String, source: LogicalPlan, condSql: String,
+    matched: Seq[(String, Option[String], Seq[(String, String)])],
+    notMatched: Seq[(String, Option[String], Seq[(String, String)])],
+    notMatchedBySource: Seq[(String, Option[String], Seq[(String, String)])])
+  extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val gc = new GraftCatalog(spark, warehouse)
+    val pk = gc.primaryKeyOf(schemaName, tableName)
+    require(pk.nonEmpty, s"MERGE INTO needs a primary-key table, " +
+      s"$schemaName.$tableName has none")
+    val cur = gc.currentSchema(schemaName, tableName)
+    val t = gc.read(schemaName, tableName).alias("__t")
+    val s = GraftColumnBridge.dataFrame(spark, source).alias("__s")
+    val cond = expr(condSql)
+    val emptyFull = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
+    val emptyKeys = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(pk.map(cur(_))))
+
+    /** Rows produced by the given action list over `base`, honoring
+      * first-match-wins ordering; `rowOf` renders one action's output and
+      * `seed` is the matching-schema empty frame to accumulate into. */
+    def applyActions(base: DataFrame,
+        as: Seq[(String, Option[String], Seq[(String, String)])],
+        wanted: String, seed: DataFrame,
+        rowOf: Seq[(String, String)] => Seq[Column]): DataFrame = {
+      var guard: Column = lit(false)
+      var out = seed
+      as.foreach { case (kind, c, assigns) =>
+        val own = c.map(expr).getOrElse(lit(true))
+        if (kind == wanted)
+          out = out.unionByName(base.filter(own && !guard).select(rowOf(assigns): _*))
+        guard = guard || own
+      }
+      out
+    }
+
+    def updatedRow(assigns: Seq[(String, String)]): Seq[Column] = {
+      val byName = assigns.toMap
+      cur.fields.toSeq.map(f =>
+        byName.get(f.name).map(expr).getOrElse(col(s"__t.${f.name}"))
+          .cast(f.dataType).as(f.name))
+    }
+    def insertedRow(assigns: Seq[(String, String)]): Seq[Column] = {
+      val byName = assigns.toMap
+      cur.fields.toSeq.map(f =>
+        byName.get(f.name).map(expr).getOrElse(lit(null))
+          .cast(f.dataType).as(f.name))
+    }
+    def keyRow: Seq[Column] = pk.map(p => col(s"__t.$p").as(p))
+
+    val joined = t.join(s, cond, "inner")
+    val srcOnly = s.join(t, cond, "left_anti")
+    val tgtOnly = t.join(s, cond, "left_anti")
+
+    val upserts = applyActions(joined, matched, "update", emptyFull, updatedRow)
+      .unionByName(applyActions(srcOnly, notMatched, "insert", emptyFull, insertedRow))
+      .unionByName(applyActions(tgtOnly, notMatchedBySource, "update", emptyFull, updatedRow))
+    val deletes = applyActions(joined, matched, "delete", emptyKeys, _ => keyRow)
+      .unionByName(applyActions(tgtOnly, notMatchedBySource, "delete", emptyKeys, _ => keyRow))
+
+    // SQL MERGE cardinality rule: a target row matched by >1 source row
+    // is an error, and the upsert batch must be PK-unique regardless
+    val dupes = upserts.select(pk.map(col): _*).unionByName(deletes)
+      .groupBy(pk.map(col): _*).count().filter(col("count") > 1)
+    require(dupes.isEmpty,
+      "MERGE matched a target row more than once (cardinality violation)")
+
+    gc.mergeCommit(schemaName, tableName, upserts, deletes)
+    Seq.empty
+  }
 }
 
 /** Executes the rewritten UPDATE: one merge-on-read upsert snapshot of

@@ -15,8 +15,9 @@ import graft.functions.TextHash
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // SQL UPDATE on graft tables → a catalog upsert commit (GraftDml)
+    // SQL UPDATE / MERGE INTO on graft tables → catalog commits (GraftDml)
     ext.injectResolutionRule(_ => new GraftUpdateRewrite)
+    ext.injectResolutionRule(_ => new GraftMergeRewrite)
     register(ext, "long_array_dot", "exact integer dot product of two array<bigint>",
       { args =>
         require(args.length == 2, "long_array_dot(a, b)")

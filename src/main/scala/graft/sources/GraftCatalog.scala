@@ -226,7 +226,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   private def commit(schema: String, table: String, df: DataFrame,
       keepExisting: Boolean, streamBatchId: Option[Long] = None,
-      kind: String = "data"): Long = {
+      kind: String = "data", deleteDf: Option[DataFrame] = None): Long = {
     val m = readManifest(schema, table)
     if (kind == "data") {
       val cur = currentSchema(schema, table)
@@ -246,23 +246,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // buckets (see bucketedResolve). Delete frames carry the PK columns,
     // so the same hash applies.
     val buckets = bucketCount(m).filter(_ => primaryKey(m).nonEmpty)
-    val (toWrite, bucketPart) = buckets match {
-      case Some(n) =>
-        (df.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
-      case None => (df, Seq.empty)
+    def write(frame: DataFrame, toDir: String, frameKind: String): Unit = {
+      val (toWrite, bucketPart) = buckets match {
+        case Some(n) =>
+          (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
+        case None => (frame, Seq.empty)
+      }
+      val writer = toWrite.write.mode("overwrite")
+      val parted =
+        (if (frameKind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
+      (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
+        .parquet(new Path(tablePath(schema, table), toDir).toString)
     }
-    val writer = toWrite.write.mode("overwrite")
-    val parted =
-      (if (kind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
-    (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
-      .parquet(new Path(tablePath(schema, table), dir).toString)
+    write(df, dir, kind)
+    // a merge commit pairs the data dir with a tombstone dir inside ONE
+    // snapshot (same ordinal `$id`): updates+inserts and deletes become
+    // visible atomically, never as two observable states
+    val delDir = s"$dir-del"
+    deleteDf.foreach(write(_, delDir, "delete"))
     val prevFiles: Seq[FileEntry] =
       if (keepExisting && snaps.size() > 0) filesOf(snaps.get(snaps.size() - 1)) else Seq.empty
     val sn = snaps.addObject()
     sn.put("id", id)
     sn.put("timestampMillis", ts)
     val fArr = sn.putArray("files")
-    (prevFiles :+ FileEntry(dir, m.get("currentSchemaVersion").asInt(), kind)).foreach { fe =>
+    val sv = m.get("currentSchemaVersion").asInt()
+    val added = FileEntry(dir, sv, kind) +:
+      deleteDf.map(_ => FileEntry(delDir, sv, "delete")).toSeq
+    (prevFiles ++ added).foreach { fe =>
       val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
       if (fe.kind != "data") e.put("kind", fe.kind)
     }
@@ -512,8 +523,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
       }
     }
+    // ordinal = leading digits of the dir name: "snap-7" and a merge
+    // commit's paired "snap-7-del" share ordinal 7 (one atomic snapshot;
+    // a key never appears in both dirs, so the tie is unreachable)
     raw.select(cols ++ Seq(
-      lit(fe.dir.stripPrefix("snap-").toLong).as("__ord"),
+      lit(fe.dir.stripPrefix("snap-").takeWhile(_.isDigit).toLong).as("__ord"),
       lit(fe.kind == "delete").as("__del")): _*)
   }
 
@@ -699,6 +713,23 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(primaryKeyOf(schema, table).nonEmpty,
       s"$schema.$table has no primary key — use append")
     append(schema, table, df)
+  }
+
+  /**
+   * Atomic MERGE commit on a primary-key table: `upserts` (updated +
+   * inserted rows at the current schema) and `deleteKeys` (primary-key
+   * tuples to tombstone) become ONE snapshot — a data dir paired with a
+   * tombstone dir at the same ordinal — so readers never observe the
+   * half-applied state two separate commits would expose. The two sets
+   * must be key-disjoint (SQL MERGE guarantees it: each target row takes
+   * exactly one action). Returns the snapshot id.
+   */
+  def mergeCommit(schema: String, table: String, upserts: DataFrame,
+      deleteKeys: DataFrame): Long = {
+    val pk = primaryKeyOf(schema, table)
+    require(pk.nonEmpty, s"$schema.$table has no primary key — MERGE needs one")
+    commit(schema, table, upserts, keepExisting = true,
+      deleteDf = Some(deleteKeys.select(pk.map(col): _*)))
   }
 
   /**

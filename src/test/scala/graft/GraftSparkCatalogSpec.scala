@@ -210,6 +210,37 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("UPDATE g.db.up SET id = id + 100"))
   }
 
+  test("SQL MERGE INTO lands one atomic snapshot of updates+inserts+deletes") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.mt (id BIGINT, name STRING, score INT) " +
+      "TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "mt", Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "name", "score"))
+    Seq((2L, "B2", 200), (3L, "C2", -1), (9L, "i", 90))
+      .toDF("id", "name", "score").createOrReplaceTempView("src")
+    spark.sql("""
+      MERGE INTO g.db.mt t USING src s ON t.id = s.id
+      WHEN MATCHED AND s.score < 0 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET name = s.name, score = t.score + s.score
+      WHEN NOT MATCHED THEN INSERT (id, name, score) VALUES (s.id, s.name, s.score)
+    """)
+    val rows = spark.sql("SELECT id, name, score FROM g.db.mt ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // 1 untouched, 2 updated (20+200), 3 deleted (score<0), 4 untouched, 9 inserted
+    assert(rows === Seq((1L, "a", 10), (2L, "B2", 220), (4L, "d", 40), (9L, "i", 90)))
+    // ONE new snapshot carries the whole merge (atomic data+tombstone pair)
+    assert(gc.snapshots("db", "mt").map(_.id) === Seq(1L, 2L))
+    assert(gc.read("db", "mt", snapshotId = Some(1L)).count() === 4)
+    // NOT MATCHED BY SOURCE sweeps rows the source no longer covers
+    spark.sql("""
+      MERGE INTO g.db.mt t USING src s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND t.id > 1 THEN DELETE
+    """)
+    assert(spark.sql("SELECT id FROM g.db.mt ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 9L))
+  }
+
   test("column comments flow through SQL DDL (CREATE / ALTER / DESCRIBE)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.cmt (id BIGINT COMMENT 'row id', name STRING)")
