@@ -103,6 +103,33 @@ object CatalogQueries {
       s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // Full SQL MERGE through the catalog: conditional DELETE, UPDATE, and
+    // INSERT in one statement, landed as one atomic data+tombstone
+    // snapshot — then the merged image is hash-compared against a DuckDB
+    // reconstruction. (Disjoint action legs keep MERGE cardinality legal.)
+    "catalog_sql_merge" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      d.filter(col("doc_id") % 10 === 0 && col("doc_id") % 7 =!= 3)
+        .withColumn("lang", lit("UPDATED"))
+        .unionByName(d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"), lit("NEW").as("lang")))
+        .unionByName(d.filter(col("doc_id") % 7 === 3)
+          .withColumn("lang", lit("DEL")))
+        .createOrReplaceTempView(s"merge_src_$t")
+      s.sql(s"""
+        MERGE INTO gq.q.$t t USING merge_src_$t s ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.lang = 'DEL' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET lang = s.lang
+        WHEN NOT MATCHED THEN INSERT (doc_id, lang) VALUES (s.doc_id, s.lang)
+      """)
+      s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -124,5 +151,13 @@ object CatalogQueries {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_sql_merge" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'NEW' FROM documents WHERE doc_id % 97 = 0
+        |) t ORDER BY doc_id""".stripMargin,
   )
 }
