@@ -283,6 +283,61 @@ object RelationalQueries {
           (p("p_partkey") % 7).as("key_mod"))
         .orderBy("p_partkey")
     }),
+    // TPC-H Q6: forecasting-revenue-change — a pure scan-side filter +
+    // single aggregate; every predicate pushes to parquet, no shuffle
+    // beyond the 1-row partial-agg exchange.
+    "q6_forecast" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      l.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast(DecimalType(24, 6))).cast("double").as("revenue"))
+    }),
+    // TPC-H Q4 (adapted: the synthetic lineitem has no commit/receipt
+    // dates, so "late order" = any line shipped ≥60 days after the order
+    // date): EXISTS → left-semi join, count per priority.
+    "q4_priority" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") >= o("o_orderdate") + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q12 (adapted: no l_shipmode column — l_linestatus groups):
+    // high- vs low-priority line counts per group over a one-year window.
+    "q12_shipmode" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+    // TPC-H Q14: promotion revenue share — part join + conditional
+    // aggregate, one exact-decimal ratio.
+    "q14_promo" -> ((s, dir) => {
+      val p = Tables(s, dir, "part")
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(24, 6))
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)
+            .cast(DecimalType(24, 6)))).cast("double") * 100.0 /
+          sum(rev).cast("double")).as("promo_revenue"))
+    }),
     // TPC-H Q3: shipping-priority top-10. Two fact joins on their natural
     // keys (shuffle at scale; AQE may broadcast the filtered customer side)
     // with all three filters pushed to the scans; sort+limit collapses to
@@ -683,6 +738,36 @@ object RelationalQueries {
         |  CAST(abs(p_size - 25) AS INTEGER) AS size_dist,
         |  p_partkey % 7 AS key_mod
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+        |         AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        |              AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_shipmode" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo" ->
+      """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+        |           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+        |           ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) * 100.0
+        |       / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+        |           AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
