@@ -174,14 +174,18 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
     val deletes = applyActions(joined, matched, "delete", emptyKeys, _ => keyRow)
       .unionByName(applyActions(tgtOnly, notMatchedBySource, "delete", emptyKeys, _ => keyRow))
 
-    // SQL MERGE cardinality rule: a target row matched by >1 source row
-    // is an error, and the upsert batch must be PK-unique regardless
-    val dupes = upserts.select(pk.map(col): _*).unionByName(deletes)
-      .groupBy(pk.map(col): _*).count().filter(col("count") > 1)
-    require(dupes.isEmpty,
-      "MERGE matched a target row more than once (cardinality violation)")
-
-    gc.mergeCommit(schemaName, tableName, upserts, deletes)
+    // Persist the deltas: the cardinality check below and the two write
+    // jobs inside mergeCommit would otherwise each recompute the joins.
+    upserts.persist(); deletes.persist()
+    try {
+      // SQL MERGE cardinality rule: a target row matched by >1 source row
+      // is an error, and the upsert batch must be PK-unique regardless
+      val dupes = upserts.select(pk.map(col): _*).unionByName(deletes)
+        .groupBy(pk.map(col): _*).count().filter(col("count") > 1)
+      require(dupes.isEmpty,
+        "MERGE matched a target row more than once (cardinality violation)")
+      gc.mergeCommit(schemaName, tableName, upserts, deletes)
+    } finally { upserts.unpersist(); deletes.unpersist(); () }
     Seq.empty
   }
 }
