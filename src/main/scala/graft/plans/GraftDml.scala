@@ -33,22 +33,18 @@ class GraftUpdateRewrite extends Rule[LogicalPlan] {
         case Some(t: GraftSqlTable) if t.coords.isDefined =>
           val (wh, s, tb) = t.coords.get
           GraftUpdateCommand(wh, s, tb,
-            u.assignments.map(a => (nameOf(a.key), sqlOf(a.value))),
+            u.assignments.map(a => (GraftDml.nameOf(a.key), sqlOf(a.value))),
             u.condition.map(sqlOf))
         case _ => u
       }
   }
 
-  private def nameOf(e: Expression): String = e match {
-    case a: AttributeReference => a.name
-    case other => throw new UnsupportedOperationException(
-      s"only top-level columns can be assigned, got $other")
-  }
-
   /** SQL text with catalog qualifiers stripped, so the expression
     * re-resolves against the bare column names of the catalog's read. */
-  private def sqlOf(e: Expression): String =
+  private def sqlOf(e: Expression): String = {
+    GraftDml.requireSerializable(e)
     e.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql
+  }
 }
 
 /**
@@ -99,14 +95,28 @@ private[plans] object GraftDml {
       s"only top-level columns can be assigned, got $other")
   }
 
+  /** The SQL-text transport cannot round-trip subqueries (`Expression.sql`
+    * renders a ListQuery as `listquery()`, which re-parses as an unknown
+    * function at execution) — refuse them up front with a clear error. */
+  def requireSerializable(e: Expression): Unit =
+    e.foreach {
+      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        throw new UnsupportedOperationException(
+          "subqueries are not supported in graft UPDATE/MERGE conditions " +
+            s"or assignments: ${s.sql}")
+      case _ => ()
+    }
+
   /** SQL text with every attribute re-qualified to its side: source
     * attributes become `__s`.`name`, everything else `__t`.`name`. */
-  def sideQualifiedSql(e: Expression, sourceAttrs: AttributeSet): String =
+  def sideQualifiedSql(e: Expression, sourceAttrs: AttributeSet): String = {
+    requireSerializable(e)
     e.transform {
       case a: AttributeReference if sourceAttrs.contains(a) =>
         a.withQualifier(Seq("__s"))
       case a: AttributeReference => a.withQualifier(Seq("__t"))
     }.sql
+  }
 }
 
 /** Executes the rewritten MERGE: per-action deltas by join, one atomic
@@ -125,8 +135,6 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
     require(pk.nonEmpty, s"MERGE INTO needs a primary-key table, " +
       s"$schemaName.$tableName has none")
     val cur = gc.currentSchema(schemaName, tableName)
-    val t = gc.read(schemaName, tableName).alias("__t")
-    val s = GraftColumnBridge.dataFrame(spark, source).alias("__s")
     val cond = expr(condSql)
     val emptyFull = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
     val emptyKeys = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -164,14 +172,23 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
     }
     def keyRow: Seq[Column] = pk.map(p => col(s"__t.$p").as(p))
 
-    val joined = t.join(s, cond, "inner")
-    val srcOnly = s.join(t, cond, "left_anti")
-    val tgtOnly = t.join(s, cond, "left_anti")
+    // ONE full-outer join feeds all three merge legs (matched,
+    // source-only, target-only) via presence markers — the target's
+    // MoR-resolved read and the source plan each execute once, not once
+    // per leg as separate inner/anti joins would cost at scale.
+    val joined = gc.read(schemaName, tableName).withColumn("__tp", lit(true))
+      .alias("__t")
+      .join(GraftColumnBridge.dataFrame(spark, source)
+        .withColumn("__sp", lit(true)).alias("__s"), cond, "full_outer")
+      .persist()
+    val matchedRows = joined.filter(col("__tp").isNotNull && col("__sp").isNotNull)
+    val srcOnly = joined.filter(col("__tp").isNull)
+    val tgtOnly = joined.filter(col("__sp").isNull)
 
-    val upserts = applyActions(joined, matched, "update", emptyFull, updatedRow)
+    val upserts = applyActions(matchedRows, matched, "update", emptyFull, updatedRow)
       .unionByName(applyActions(srcOnly, notMatched, "insert", emptyFull, insertedRow))
       .unionByName(applyActions(tgtOnly, notMatchedBySource, "update", emptyFull, updatedRow))
-    val deletes = applyActions(joined, matched, "delete", emptyKeys, _ => keyRow)
+    val deletes = applyActions(matchedRows, matched, "delete", emptyKeys, _ => keyRow)
       .unionByName(applyActions(tgtOnly, notMatchedBySource, "delete", emptyKeys, _ => keyRow))
 
     // Persist the deltas: the cardinality check below and the two write
@@ -185,7 +202,7 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
       require(dupes.isEmpty,
         "MERGE matched a target row more than once (cardinality violation)")
       gc.mergeCommit(schemaName, tableName, upserts, deletes)
-    } finally { upserts.unpersist(); deletes.unpersist(); () }
+    } finally { upserts.unpersist(); deletes.unpersist(); joined.unpersist(); () }
     Seq.empty
   }
 }

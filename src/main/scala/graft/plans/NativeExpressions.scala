@@ -185,6 +185,13 @@ case class HyperplaneSignBands(child: Expression, seed: Long,
   def planesFor(dim: Int): Array[Long] = {
     var c = cached
     if (c == null || c._1 != dim) {
+      // Fail fast on ragged corpora: rows of different lengths would sign
+      // against unrelated plane sets (zero cross-dim collisions) while
+      // regenerating the O(bands·bits·dim) plane array per row — surface
+      // the broken assumption instead of silently returning no pairs.
+      if (c != null) throw new IllegalStateException(
+        s"mixed vector dimensions: saw ${c._1} then $dim — hyperplane LSH " +
+          "requires a fixed-dimension embedding column")
       val rnd = new scala.util.Random(seed)
       c = (dim, Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong))
       cached = c

@@ -80,6 +80,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(b.toInt >= 1, s"bucket must be >= 1, got $b")
       require(partitionBy.isEmpty,
         "bucketed tables cannot also be partitioned (the bucket IS the physical partition)")
+      require(!structType.fieldNames.contains(BucketCol),
+        s"column name $BucketCol is reserved on bucketed tables")
     }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
@@ -728,6 +730,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       deleteKeys: DataFrame): Long = {
     val pk = primaryKeyOf(schema, table)
     require(pk.nonEmpty, s"$schema.$table has no primary key — MERGE needs one")
+    // Both dirs share one ordinal, so an overlapping key would resolve to
+    // an arbitrary winner at read time — enforce the contract here (a
+    // delta-sized semi join), not just in the SQL command's guard.
+    require(upserts.join(deleteKeys, pk, "left_semi").isEmpty,
+      "mergeCommit upserts and deleteKeys must be key-disjoint")
     commit(schema, table, upserts, keepExisting = true,
       deleteDf = Some(deleteKeys.select(pk.map(col): _*)))
   }
@@ -767,9 +774,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(!pk.contains(c),
         s"cannot update primary-key column $c (delete + insert instead)")
     }
-    val updated = assignments.foldLeft(read(schema, table).filter(condition)) {
-      case (df, (c, expr)) => df.withColumn(c, expr)
-    }.select(cur.fieldNames.map(col).toSeq: _*)
+    // ONE select evaluating every assignment against the OLD row — SQL
+    // UPDATE semantics. Chained withColumn would feed earlier assignments
+    // into later ones (SET a = b, b = a would fail to swap) with
+    // map-iteration-order nondeterminism on top.
+    val updated = read(schema, table).filter(condition)
+      .select(cur.fieldNames.toSeq.map(c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(schema, table, updated)
   }
 

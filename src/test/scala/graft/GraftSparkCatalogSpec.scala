@@ -208,6 +208,16 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .filter(col("id") === 2L).head().getInt(2) === 20)
     // assigning a primary-key column is refused (silent-duplicate hazard)
     intercept[Exception](spark.sql("UPDATE g.db.up SET id = id + 100"))
+    // SQL semantics: every assignment's RHS sees the OLD row — a swap-like
+    // pair must not feed one assignment into the other
+    spark.sql("UPDATE g.db.up SET name = CAST(score AS STRING), score = length(name) WHERE id = 1")
+    val r1 = spark.sql("SELECT name, score FROM g.db.up WHERE id = 1").head()
+    assert(r1.getString(0) === "10" && r1.getInt(1) === 1) // from old ("a", 10)
+    // subqueries in the condition are refused with a clear error (the
+    // SQL-text transport cannot round-trip them)
+    val e = intercept[Exception](
+      spark.sql("UPDATE g.db.up SET score = 0 WHERE id IN (SELECT id FROM g.db.up)"))
+    assert(e.getMessage.contains("subqueries are not supported"))
   }
 
   test("SQL MERGE INTO lands one atomic snapshot of updates+inserts+deletes") {
