@@ -47,6 +47,8 @@ object Dedup {
    * one partitioning, so the sizing adds no extra shuffle over the join's
    * own exchange.
    */
+  private val starMetricId = new java.util.concurrent.atomic.AtomicLong()
+
   private def bucketPairs(banded: DataFrame, idCol: String,
       maxBucket: Int): DataFrame = {
     val w = Window.partitionBy("band", "bval")
@@ -59,9 +61,16 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"))
+    // The star bound engaging changes pair-level semantics (see scaladoc),
+    // so make it observable: a named CollectMetrics on the star branch
+    // reports the demoted pair count through QueryExecutionListener /
+    // Observation with zero extra jobs. Name is uniquified so a plan that
+    // unions several *Pairs calls doesn't collide.
     val starPairs = sized
       .filter(col("bsz") > maxBucket && col(idCol) =!= col("rep"))
       .select(col("rep").as("d1"), col(idCol).as("d2"))
+      .observe(s"graft_star_bound_${starMetricId.incrementAndGet()}",
+        count(lit(1)).as("star_pairs"))
     smallPairs.union(starPairs).distinct()
   }
 
@@ -74,6 +83,16 @@ object Dedup {
   /**
    * MinHash+LSH near-dup pairs with exact-Jaccard verify stage.
    * Output: d1, d2, jac (only pairs with jac ≥ tau).
+   *
+   * `maxBucket` scale guard (also on [[simhashPairs]]/[[embeddingPairs]]):
+   * band buckets above `maxBucket` members emit only member↔representative
+   * pairs (O(m), reachability preserved) instead of all pairs (O(m²)), so
+   * inside an oversized bucket a qualifying pair between two
+   * non-representative members is NOT emitted — cluster-level results
+   * (via [[connectedComponents]]) are unaffected, pair-level output is.
+   * Engagement is observable via the `graft_star_bound_*` query metric.
+   * Raise `maxBucket` if exhaustive pair enumeration matters more than
+   * skew protection.
    *
    * The shingle sets are md5-hashed to 60-bit longs ONCE in the scan
    * stage and shared by both consumers: the signature kernel takes the
@@ -110,7 +129,9 @@ object Dedup {
       .select(col(idCol), TextHash.minhashSignature(col("sh"), k).as("sig"))
 
   /**
-   * SimHash near-dup pairs: exact for hamming ≤ bands-1 (pigeonhole).
+   * SimHash near-dup pairs: exact for hamming ≤ bands-1 (pigeonhole) in
+   * buckets of ≤ `maxBucket` members; oversized buckets emit only
+   * member↔representative pairs (see [[minhashPairs]] for the contract).
    * Output: d1, d2, hamming.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -151,6 +172,13 @@ object Dedup {
    * must sit well above tau — ≥ 0.9 for tau = 0.8 — with the band between
    * tau and the plant empty; boundary pairs at exactly tau carry the ~3%
    * bound instead.
+   *
+   * Additional contract: the embedding column must be fixed-dimension.
+   * The LSH kernel's ragged-corpus check is best-effort PER TASK
+   * (NativeExpressions.HyperplaneSignBands.planesFor) — dimensions
+   * segregated by partition sign against unrelated plane sets and yield
+   * zero cross-dim candidates without an error. Oversized band buckets
+   * follow the `maxBucket` star-bound contract of [[minhashPairs]].
    */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double,
       bands: Int = 128, bits: Int = 16, maxBucket: Int = 1024): DataFrame = {

@@ -135,6 +135,29 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
     require(pk.nonEmpty, s"MERGE INTO needs a primary-key table, " +
       s"$schemaName.$tableName has none")
     val cur = gc.currentSchema(schemaName, tableName)
+    // Mirror GraftCatalog.update's guard: an UPDATE action assigning a PK
+    // column would land the row under the NEW key while the old key is
+    // never tombstoned — both rows stay visible. (The cardinality check
+    // below groups by POST-update keys, so it cannot catch this.)
+    (matched ++ notMatchedBySource).foreach { case (kind, _, assigns) =>
+      if (kind == "update") {
+        val bad = assigns.map(_._1).filter(pk.contains)
+        require(bad.isEmpty, "MERGE UPDATE may not assign primary-key " +
+          s"column(s) ${bad.mkString(", ")} of $schemaName.$tableName — " +
+          "delete and re-insert instead")
+      }
+    }
+    // The presence markers and side aliases below are reserved names: a
+    // relation already carrying them would break the matched/src-only/
+    // tgt-only partitioning or make the re-parsed side-qualified SQL
+    // ambiguous. Reject up front with a clear error.
+    locally {
+      val reserved = Set("__tp", "__sp", "__t", "__s")
+      val clash = (cur.fieldNames ++ source.output.map(_.name))
+        .filter(reserved.contains).distinct
+      require(clash.isEmpty, "MERGE INTO reserves column names " +
+        s"__tp/__sp/__t/__s; rename ${clash.mkString(", ")} first")
+    }
     val cond = expr(condSql)
     val emptyFull = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
     val emptyKeys = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],

@@ -185,13 +185,20 @@ case class HyperplaneSignBands(child: Expression, seed: Long,
   def planesFor(dim: Int): Array[Long] = {
     var c = cached
     if (c == null || c._1 != dim) {
-      // Fail fast on ragged corpora: rows of different lengths would sign
-      // against unrelated plane sets (zero cross-dim collisions) while
-      // regenerating the O(bands·bits·dim) plane array per row — surface
-      // the broken assumption instead of silently returning no pairs.
+      // Ragged-corpus check — BEST-EFFORT and PER-TASK only: the cache is
+      // @transient, so each task deserializes its own instance and the
+      // throw fires only when a single task sees two different lengths.
+      // If dimensions are segregated by partition no task ever sees both,
+      // nothing throws, and rows sign against unrelated per-dim plane
+      // sets (zero cross-dim candidate pairs). Callers that cannot
+      // guarantee a fixed-dimension column must validate uniformity
+      // themselves (e.g. a distinct-size aggregate) before relying on
+      // the kernel; Dedup.embeddingPairs documents this contract.
       if (c != null) throw new IllegalStateException(
-        s"mixed vector dimensions: saw ${c._1} then $dim — hyperplane LSH " +
-          "requires a fixed-dimension embedding column")
+        s"mixed vector dimensions within one task: saw ${c._1} then $dim — " +
+          "hyperplane LSH requires a fixed-dimension embedding column " +
+          "(this check is best-effort per task; partition-segregated dims " +
+          "pass it silently)")
       val rnd = new scala.util.Random(seed)
       c = (dim, Array.fill(bands * bits * dim)((rnd.nextInt(2001) - 1000).toLong))
       cached = c

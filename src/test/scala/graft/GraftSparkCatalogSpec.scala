@@ -251,6 +251,36 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 9L))
   }
 
+  test("MERGE guards: PK assignment and reserved marker names are refused") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.mg (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "mg", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    Seq((2L, "B")).toDF("id", "name").createOrReplaceTempView("mgsrc")
+    // assigning the primary key in an UPDATE action would upsert under the
+    // NEW key without tombstoning the old one — refused up front
+    val e1 = intercept[Exception](spark.sql("""
+      MERGE INTO g.db.mg t USING mgsrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET id = s.id + 100, name = s.name
+    """))
+    assert(e1.getMessage.contains("primary-key"))
+    // a source carrying a reserved marker column breaks the presence-join
+    // partitioning — refused with a clear error
+    Seq((2L, "B", true)).toDF("id", "name", "__sp").createOrReplaceTempView("mgbad")
+    val e2 = intercept[Exception](spark.sql("""
+      MERGE INTO g.db.mg t USING mgbad s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET name = s.name
+    """))
+    assert(e2.getMessage.contains("__sp") || e2.getMessage.contains("reserve"))
+    // the un-violating merge still works
+    spark.sql("""
+      MERGE INTO g.db.mg t USING mgsrc s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET name = s.name
+    """)
+    assert(spark.sql("SELECT name FROM g.db.mg WHERE id = 2").head().getString(0) === "B")
+  }
+
   test("column comments flow through SQL DDL (CREATE / ALTER / DESCRIBE)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.cmt (id BIGINT COMMENT 'row id', name STRING)")
