@@ -130,9 +130,40 @@ object CatalogQueries {
       """)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // Streaming changelog read of a BUCKETED PK table: the same three
+    // commits as catalog_upsert_mor, consumed as a row-kinded changelog
+    // through a real Structured Streaming query (offset = snapshot id).
+    // One micro-batch covers all three snapshots, so each key surfaces its
+    // latest in-range change: tombstone-won keys as -D (non-key columns
+    // null), everything else as +U.
+    "catalog_stream_changelog" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, options = Map("bucket" -> "8"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      val sink = s"cs_$t"
+      val q = cat.readChangelogStream("q", t).writeStream
+        .format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cs-ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("doc_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    "catalog_stream_changelog" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 7 = 3 THEN '-D' ELSE '+U' END AS "_row_kind"
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

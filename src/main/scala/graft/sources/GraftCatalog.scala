@@ -228,7 +228,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   private def commit(schema: String, table: String, df: DataFrame,
       keepExisting: Boolean, streamBatchId: Option[Long] = None,
-      kind: String = "data", deleteDf: Option[DataFrame] = None): Long = {
+      kind: String = "data", deleteDf: Option[DataFrame] = None,
+      compaction: Boolean = false): Long = {
     val m = readManifest(schema, table)
     if (kind == "data") {
       val cur = currentSchema(schema, table)
@@ -271,6 +272,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val sn = snaps.addObject()
     sn.put("id", id)
     sn.put("timestampMillis", ts)
+    // Compaction rewrites bytes, not logical content — the changelog scan
+    // skips snapshots carrying this marker (Paimon: compaction produces no
+    // changelog entries).
+    if (compaction) sn.put("compaction", true)
     val fArr = sn.putArray("files")
     val sv = m.get("currentSchemaVersion").asInt()
     val added = FileEntry(dir, sv, kind) +:
@@ -332,25 +337,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * [[streamAppend]] on the producer side for an end-to-end exactly-once
    * table-to-table pipeline.
    *
-   * Restrictions (refused, not silently wrong): PK tables (merge-on-read
-   * resolution is a table-level, not file-level, operation — follow those
-   * with [[readIncremental]] between explicit snapshots) and evolved
-   * tables (the file source applies one fixed schema; compact first).
-   * The followed table must stay pure-append while streamed: [[compact]]
-   * and [[overwrite]] rewrite rows into fresh dirs (the old dirs stay on
-   * disk for time travel), which a file-level follower would re-emit.
+   * Restrictions (refused, not silently wrong — [[readChangelogStream]]
+   * serves every refused shape at snapshot granularity): PK tables
+   * (merge-on-read resolution is a table-level, not file-level,
+   * operation), partitioned tables (partition values live in dir names
+   * the glob stream cannot resolve), and evolved tables (the file source
+   * applies one fixed schema). The followed table must stay pure-append
+   * while streamed: [[compact]] and [[overwrite]] rewrite rows into
+   * fresh dirs (the old dirs stay on disk for time travel), which a
+   * file-level follower would re-emit.
    */
   def readStream(schema: String, table: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     require(primaryKeyOf(schema, table).isEmpty,
-      s"$schema.$table has a primary key — streaming reads need append-only " +
-        "semantics; follow PK tables with readIncremental between snapshots")
+      s"$schema.$table has a primary key — use readChangelogStream (PK " +
+        "tables stream as row-kinded upsert changelogs)")
     require(partitionColumnsOf(schema, table).isEmpty,
       s"$schema.$table is partitioned — partition values live in dir names, " +
-        "which the glob file stream cannot resolve; stream unpartitioned tables")
+        "which the glob file stream cannot resolve; use readChangelogStream")
     val m = readManifest(schema, table)
     require(m.get("currentSchemaVersion").asInt() == 0,
-      s"$schema.$table has evolved schemas — compact() before streaming reads")
+      s"$schema.$table has evolved schemas — compact() first or use " +
+        "readChangelogStream (it maps schemas by field id)")
     val target = StructType(currentFields(m).map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val reader = spark.readStream.schema(target)
@@ -366,7 +374,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * overwrite commit. Old snapshots remain time-travelable.
    */
   def compact(schema: String, table: String): Long =
-    overwrite(schema, table, read(schema, table))
+    commit(schema, table, read(schema, table), keepExisting = false,
+      compaction = true)
 
   /**
    * Compact only when the current snapshot references more than
@@ -815,6 +824,111 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
   }
 
+  /**
+   * Changelog between two snapshots — the row-kinded delta a CDC-style
+   * consumer applies downstream (Paimon's flagship consumption pattern:
+   * PK tables read as upsert changelogs). Output: the table's columns
+   * plus `_row_kind`:
+   *
+   *  - append-only tables: every added row as `+I`;
+   *  - PK tables: the latest in-range version per changed key — `+U`
+   *    (upsert: insert-or-update, undistinguished without the pre-image,
+   *    exactly Paimon's default no-changelog-producer semantics) or `-D`
+   *    (delete tombstone won: primary-key columns set, the rest null).
+   *
+   * Cost is O(delta): only file dirs ADDED by in-range snapshots are
+   * opened, never the table image. Compaction snapshots (marker written
+   * by [[compact]]) rewrite bytes, not content, and are skipped; an
+   * [[overwrite]] in range emits its new rows but cannot retract the
+   * replaced image (no per-key tombstones exist) — pause changelog
+   * consumers across overwrites, as in Paimon's default
+   * streaming-read-overwrite behavior.
+   */
+  def readChangelog(schema: String, table: String, fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId <= toSnapshotId,
+      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
+    val m = readManifest(schema, table)
+    val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
+    val target = changelogSchema(m)
+    if (delta.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
+    val pk = primaryKey(m)
+    if (pk.isEmpty)
+      all.drop("__ord", "__del").withColumn(RowKindCol, lit("+I"))
+    else {
+      // Latest in-range version per key wins — the same newest-wins rule
+      // as merge-on-read, restricted to the delta. The shuffle is O(delta),
+      // bounded by the micro-batch, never the table.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn(RowKindCol,
+          org.apache.spark.sql.functions.when(col("__del"), "-D").otherwise("+U"))
+        .drop("__ord", "__rn", "__del")
+    }
+  }
+
+  /** The changelog row type: current table columns + `_row_kind`. */
+  private[sources] def changelogSchema(m: ObjectNode): StructType =
+    StructType(currentFields(m).map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))) :+
+      StructField(RowKindCol, org.apache.spark.sql.types.StringType))
+
+  def changelogSchemaOf(schema: String, table: String): StructType =
+    changelogSchema(readManifest(schema, table))
+
+  /** File entries ADDED by each non-compaction snapshot in
+    * (fromId, toId] — per-snapshot set difference against its immediate
+    * predecessor, so an overwrite inside the range contributes only its
+    * own dirs and a compaction contributes nothing. */
+  private def changelogEntries(m: ObjectNode, schema: String, table: String,
+      fromId: Long, toId: Long): Seq[FileEntry] = {
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    def exists(id: Long) = id == 0 || all.exists(_.get("id").asLong() == id)
+    require(exists(fromId), s"no snapshot $fromId for $schema.$table " +
+      "(expired snapshots cannot be replayed as changelog)")
+    require(exists(toId), s"no snapshot $toId for $schema.$table")
+    all.zipWithIndex
+      .filter { case (s, _) =>
+        val id = s.get("id").asLong(); id > fromId && id <= toId }
+      .filterNot { case (s, _) => s.has("compaction") }
+      .flatMap { case (s, i) =>
+        val prevDirs =
+          if (i == 0) Set.empty[String] else filesOf(all(i - 1)).map(_.dir).toSet
+        filesOf(s).filterNot(fe => prevDirs.contains(fe.dir))
+      }
+  }
+
+  /**
+   * Streaming changelog read — the consumption half Paimon PK tables are
+   * built for, as a Structured Streaming source: each micro-batch is
+   * [[readChangelog]] over the snapshots committed since the last batch
+   * (offset = snapshot id), so PK, bucketed, partitioned, and evolved
+   * tables all stream (lifting [[readStream]]'s file-level refusals).
+   * Exactly-once: offsets ride the query checkpoint, and a restarted
+   * batch recomputes the identical delta because snapshots are immutable
+   * — don't [[expireSnapshots]] past a live consumer's committed offset.
+   * Pair with [[appendStreamBatch]] on the sink side for end-to-end
+   * exactly-once table-to-table CDC.
+   */
+  def readChangelogStream(schema: String, table: String,
+      fromSnapshotId: Long = 0L,
+      maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft.sources.GraftChangelogProvider")
+      .option("warehouse", warehouse)
+      .option("schema", schema)
+      .option("table", table)
+      .option("fromSnapshotId", fromSnapshotId.toString)
+    maxSnapshotsPerTrigger.foreach(n =>
+      r.option("maxSnapshotsPerTrigger", n.toString))
+    r.load()
+  }
+
   // ---- metadata tables (the `table$snapshots`-style system tables the
   // reference surfaces through Trino; Paimon: SnapshotsTable/FilesTable/
   // SchemasTable/OptionsTable) -------------------------------------------
@@ -959,6 +1073,10 @@ object GraftCatalog {
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */
   val BucketCol = "__bucket"
+
+  /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
+    * `-D` delete (Flink/Paimon RowKind shorthand). */
+  val RowKindCol = "_row_kind"
 
   /** In-task merge of one bucket's delta rows: highest `__ord` wins per
     * primary key, a winning tombstone removes the key. Static (object)

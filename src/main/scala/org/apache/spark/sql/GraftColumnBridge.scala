@@ -16,4 +16,15 @@ object GraftColumnBridge {
   def dataFrame(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-tag a batch result as a streaming DataFrame — what a V1 streaming
+    * Source's getBatch must return (the engine asserts streaming leaves,
+    * the contract FileStreamSource meets with isStreaming = true).
+    * `toRdd` is lazy: planning happens here, execution when the
+    * micro-batch runs. */
+  def streamingDataFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

@@ -136,6 +136,82 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("changelog stream of a bucketed PK table: row kinds, restart exactly-once, compaction skipped") {
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "src", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))),
+      options = Map("bucket" -> "4"), primaryKey = Seq("id"))
+    // exactly-once sink: another catalog table via appendStreamBatch
+    cat.createTable("db", "out", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_row_kind", StringType))))
+    import spark.implicits._
+    cat.upsert("db", "src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    cat.deleteWhere("db", "src", org.apache.spark.sql.functions.col("id") === 2L)
+
+    def runOnce(): Unit = {
+      val q = cat.readChangelogStream("db", "src").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) { cat.appendStreamBatch("db", "out", batch.toDF(), batchId); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    def image(): Set[(Long, Option[String], String)] =
+      cat.read("db", "out").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2))).toSet
+    // one batch covering snapshots (0,2]: key 2's latest change is the
+    // tombstone (-D with non-key columns null); 1 and 3 are upserts
+    assert(image() === Set((1L, Some("a"), "+U"), (3L, Some("c"), "+U"),
+      (2L, None, "-D")))
+    // restart from the same checkpoint with new commits: only the delta
+    cat.upsert("db", "src", Seq((2L, "back"), (4L, "d")).toDF("id", "name"))
+    runOnce()
+    assert(image() === Set((1L, Some("a"), "+U"), (3L, Some("c"), "+U"),
+      (2L, None, "-D"), (2L, Some("back"), "+U"), (4L, Some("d"), "+U")))
+    // a replayed restart with no new snapshots adds nothing (exactly-once)
+    runOnce()
+    assert(image().size === 5)
+    // compaction rewrites bytes, not content: the changelog must skip it
+    cat.compact("db", "src")
+    runOnce()
+    assert(image().size === 5)
+    // and a post-compaction commit still streams (delta vs the compacted image)
+    cat.deleteWhere("db", "src", org.apache.spark.sql.functions.col("id") === 1L)
+    runOnce()
+    assert(image().contains((1L, None, "-D")) && image().size === 6)
+  }
+
+  test("changelog stream rate limit: maxSnapshotsPerTrigger bounds each batch") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc2-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "s2", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    (1 to 3).foreach(i => cat.upsert("db", "s2", Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    val batches = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = cat.readChangelogStream("db", "s2", maxSnapshotsPerTrigger = Some(1))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cdc2-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches.synchronized { batches += batch.count() }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // one snapshot per trigger: three one-row batches, never one three-row batch
+    assert(batches.synchronized(batches.toSeq) === Seq(1L, 1L, 1L))
+  }
+
   test("batch sessionization splits on the gap and aggregates per session") {
     import spark.implicits._
     val df = Seq(
