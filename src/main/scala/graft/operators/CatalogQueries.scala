@@ -130,6 +130,34 @@ object CatalogQueries {
       """)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
+    // lacks (n_chars); the analyzer's AUTOMATIC_SCHEMA_EVOLUTION path
+    // routes it through the metadata-only column DDL, then the merge
+    // updates/inserts at the widened schema. Pre-evolution rows serve the
+    // new column as NULL via the field-id mapping.
+    "catalog_sql_merge_evolve" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents")
+      cat.createTable("q", t, d.select("doc_id", "lang").schema,
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d.select("doc_id", "lang"))
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("UPDATED").as("lang"), col("n_chars"))
+        .unionByName(d.filter(col("doc_id") % 97 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("NEW").as("lang"), col("n_chars")))
+        .createOrReplaceTempView(s"evolve_src_$t")
+      s.sql(s"""
+        MERGE WITH SCHEMA EVOLUTION INTO gq.q.$t t USING evolve_src_$t s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+      s.sql(s"SELECT doc_id, lang, n_chars FROM gq.q.$t ORDER BY doc_id")
+    }),
     // Streaming changelog read of a BUCKETED PK table: the same three
     // commits as catalog_upsert_mor, consumed as a row-kinded changelog
     // through a real Structured Streaming query (offset = snapshot id).
@@ -158,6 +186,15 @@ object CatalogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "catalog_sql_merge_evolve" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 10 = 0 THEN n_chars ELSE NULL END AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, 'NEW', n_chars FROM documents WHERE doc_id % 97 = 0
+        |) t ORDER BY doc_id""".stripMargin,
     "catalog_stream_changelog" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 3 THEN NULL

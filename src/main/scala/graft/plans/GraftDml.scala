@@ -1,12 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, AttributeSet, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.FullOuter
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.GraftColumnBridge
 import graft.sources.{GraftCatalog, GraftSqlTable}
 
@@ -15,16 +16,22 @@ import graft.sources.{GraftCatalog, GraftSqlTable}
  * DSv2 row-level-operation API: Spark's group-based `ReplaceData` path
  * demands a V2 `BatchWrite` (a from-scratch executor-side parquet commit
  * protocol), while the catalog already has the better primitive —
- * [[GraftCatalog.update]] commits ONE upsert snapshot holding only the
- * updated rows (merge-on-read), instead of copy-on-write rewriting every
- * group. The analyzed `UpdateTable` node is rewritten to a runnable
- * command that routes back into the owning catalog — the same pattern
- * Delta Lake used for DML before the row-level API existed.
+ * one upsert snapshot holding only the updated rows (merge-on-read),
+ * instead of copy-on-write rewriting every group. The analyzed
+ * `UpdateTable` node is rewritten to a runnable command that routes back
+ * into the owning catalog — the same pattern Delta Lake used for DML
+ * before the row-level API existed.
  *
- * The rewritten expressions travel as SQL text (`Expression.sql` of the
- * analyzed forms): a command carrying live unresolved expressions would
- * fail CheckAnalysis, while text re-parses and re-resolves against the
- * catalog's own read of the table inside `update`.
+ * Expression plumbing: the analyzed condition and assignment expressions
+ * are carried LIVE into the command (inside [[GraftDml.ActionSpec]]-style
+ * wrappers that `QueryPlan.expressions` does not traverse, so the leaf
+ * command stays opaque to CheckAnalysis and the optimizer), and the
+ * matching-rows plan is built at rewrite time over the SAME analyzed
+ * relation, so every attribute binds by exprId — no SQL-text round-trip.
+ * That is what makes subqueries (`WHERE id IN (SELECT ...)`,
+ * `EXISTS (...)`) work in conditions: they travel as resolved
+ * SubqueryExpressions inside an ordinary `Filter` plan and are planned
+ * by Catalyst when the command executes it.
  */
 class GraftUpdateRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
@@ -32,59 +39,103 @@ class GraftUpdateRewrite extends Rule[LogicalPlan] {
       u.table.collectFirst { case r: DataSourceV2Relation => r.table } match {
         case Some(t: GraftSqlTable) if t.coords.isDefined =>
           val (wh, s, tb) = t.coords.get
-          GraftUpdateCommand(wh, s, tb,
-            u.assignments.map(a => (GraftDml.nameOf(a.key), sqlOf(a.value))),
-            u.condition.map(sqlOf))
+          val matching = u.condition.map(Filter(_, u.table)).getOrElse(u.table)
+          GraftUpdateCommand(wh, s, tb, matching,
+            u.assignments.map(a =>
+              GraftDml.Assign(GraftDml.nameOf(a.key), a.value)),
+            u.table.output)
         case _ => u
       }
-  }
-
-  /** SQL text with catalog qualifiers stripped, so the expression
-    * re-resolves against the bare column names of the catalog's read. */
-  private def sqlOf(e: Expression): String = {
-    GraftDml.requireSerializable(e)
-    e.transform { case a: AttributeReference => a.withQualifier(Seq.empty) }.sql
   }
 }
 
 /**
  * SQL `MERGE INTO` for graft PK tables, same rewrite strategy as
  * [[GraftUpdateRewrite]]: the analyzed MergeIntoTable becomes a command
- * that computes the action deltas with DataFrame joins and lands them as
+ * that computes the action deltas with DataFrame transformations over a
+ * plan assembled at REWRITE time — one full-outer join of the analyzed
+ * target and source relations with presence markers — and lands them as
  * ONE atomic snapshot via [[GraftCatalog.mergeCommit]] (updates+inserts
  * paired with tombstones at the same ordinal) — merge-on-read, no
  * copy-on-write group rewrite.
  *
- * Expression plumbing: the merge/action conditions and assignment values
- * reference BOTH relations, so attributes are re-qualified by side
- * (target → `__t`, source → `__s`), serialized as SQL text, and
- * re-resolved in the command against aliased DataFrames. The source
- * subplan itself rides along as a plain (non-child) field: it is already
- * analyzed, the optimizer leaves non-child fields untouched, and the
- * command re-plans it through `Dataset.ofRows` at execution.
+ * Because the join plan reuses the analyzed relations, the merge/action
+ * conditions and assignment values (which reference both sides) bind by
+ * exprId against the command's DataFrame — subqueries included. The
+ * carried plan is a non-child field of a leaf command: the optimizer
+ * leaves it untouched, and `Dataset.ofRows` re-plans it at execution.
  */
-class GraftMergeRewrite extends Rule[LogicalPlan] {
+class GraftMergeRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
-    case m: MergeIntoTable if m.resolved && !m.withSchemaEvolution =>
+    // needSchemaEvolution (not withSchemaEvolution): a MERGE ... WITH
+    // SCHEMA EVOLUTION first passes through the analyzer's
+    // ResolveMergeIntoSchemaEvolution, which alterTable-adds the source's
+    // missing columns (AUTOMATIC_SCHEMA_EVOLUTION capability) and reloads
+    // the relation; this rule fires once nothing is left to evolve.
+    case m: MergeIntoTable if m.resolved && !m.needSchemaEvolution =>
       m.targetTable.collectFirst { case r: DataSourceV2Relation => r.table } match {
         case Some(t: GraftSqlTable) if t.coords.isDefined =>
           val (wh, s, tb) = t.coords.get
-          val srcAttrs = m.sourceTable.outputSet
-          def sqlOf(e: Expression): String = GraftDml.sideQualifiedSql(e, srcAttrs)
+          checkPkAssignments(m, t)
           def actions(as: Seq[org.apache.spark.sql.catalyst.plans.logical.MergeAction])
-              : Seq[(String, Option[String], Seq[(String, String)])] = as.map {
-            case UpdateAction(c, assigns, _) => ("update", c.map(sqlOf),
-              assigns.map(a => (GraftDml.nameOf(a.key), sqlOf(a.value))))
-            case DeleteAction(c) => ("delete", c.map(sqlOf), Seq.empty)
-            case InsertAction(c, assigns) => ("insert", c.map(sqlOf),
-              assigns.map(a => (GraftDml.nameOf(a.key), sqlOf(a.value))))
+              : Seq[GraftDml.ActionSpec] = as.map {
+            case UpdateAction(c, assigns, _) => GraftDml.ActionSpec("update", c,
+              assigns.map(a => GraftDml.Assign(GraftDml.nameOf(a.key), a.value)))
+            case DeleteAction(c) => GraftDml.ActionSpec("delete", c, Seq.empty)
+            case InsertAction(c, assigns) => GraftDml.ActionSpec("insert", c,
+              assigns.map(a => GraftDml.Assign(GraftDml.nameOf(a.key), a.value)))
             case other => throw new UnsupportedOperationException(s"MERGE action $other")
           }
-          GraftMergeCommand(wh, s, tb, m.sourceTable, sqlOf(m.mergeCondition),
+          // Presence markers ride the join legs so the command can split
+          // matched / source-only / target-only without re-deriving the
+          // join. Marker NAMES are reserved (see the guard in run()).
+          val joined = Join(
+            Project(m.targetTable.output :+ Alias(Literal(true), "__tp")(),
+              m.targetTable),
+            Project(m.sourceTable.output :+ Alias(Literal(true), "__sp")(),
+              m.sourceTable),
+            FullOuter, Some(m.mergeCondition), JoinHint.NONE)
+          GraftMergeCommand(wh, s, tb, joined,
+            m.targetTable.output, m.sourceTable.output,
             actions(m.matchedActions), actions(m.notMatchedActions),
             actions(m.notMatchedBySourceActions))
         case _ => m
       }
+  }
+
+  /** Mirror of GraftCatalog.update's PK guard, applied where the analyzed
+    * merge condition is still visible: an UPDATE action assigning a
+    * primary-key column would land the row under the NEW key while the
+    * old key is never tombstoned (the cardinality check groups by
+    * POST-update keys, so it cannot catch it). The one safe shape —
+    * `UPDATE SET *` assigning the pk its join-EQUAL source counterpart
+    * (`ON t.pk = s.pk` ... `SET pk = s.pk`) — is provably a no-op on
+    * matched rows and is allowed. */
+  private def checkPkAssignments(m: MergeIntoTable, t: GraftSqlTable): Unit = {
+    val pk = Option(t.properties.get("primary-key"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq.empty)
+    if (pk.isEmpty) return
+    val tgtByName = m.targetTable.output.map(a => a.name -> a).toMap
+    val eqPairs = splitConjunctivePredicates(m.mergeCondition).collect {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+        a: AttributeReference, b: AttributeReference) =>
+        Seq((a.exprId, b.exprId), (b.exprId, a.exprId))
+    }.flatten.toSet
+    def ok(pkName: String, v: Expression): Boolean = v match {
+      case ar: AttributeReference => tgtByName.get(pkName).exists(ta =>
+        ta.exprId == ar.exprId || eqPairs.contains((ta.exprId, ar.exprId)))
+      case _ => false
+    }
+    (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+      case UpdateAction(_, assigns, _) =>
+        val bad = assigns.map(a => (GraftDml.nameOf(a.key), a.value))
+          .filter { case (n, v) => pk.contains(n) && !ok(n, v) }
+        require(bad.isEmpty, "MERGE UPDATE may not assign primary-key " +
+          s"column(s) ${bad.map(_._1).mkString(", ")} — delete and " +
+          "re-insert instead (SET pk = <join-equal source pk> is allowed)")
+      case _ => ()
+    }
   }
 }
 
@@ -95,38 +146,27 @@ private[plans] object GraftDml {
       s"only top-level columns can be assigned, got $other")
   }
 
-  /** The SQL-text transport cannot round-trip subqueries (`Expression.sql`
-    * renders a ListQuery as `listquery()`, which re-parses as an unknown
-    * function at execution) — refuse them up front with a clear error. */
-  def requireSerializable(e: Expression): Unit =
-    e.foreach {
-      case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
-        throw new UnsupportedOperationException(
-          "subqueries are not supported in graft UPDATE/MERGE conditions " +
-            s"or assignments: ${s.sql}")
-      case _ => ()
-    }
+  /** One column assignment, carried live. A plain Product (not an
+    * Expression, not an Iterable), so `QueryPlan.expressions` does not
+    * collect the payload — the command stays opaque to CheckAnalysis's
+    * subquery placement rules and to optimizer expression rewrites. */
+  case class Assign(name: String, value: Expression)
 
-  /** SQL text with every attribute re-qualified to its side: source
-    * attributes become `__s`.`name`, everything else `__t`.`name`. */
-  def sideQualifiedSql(e: Expression, sourceAttrs: AttributeSet): String = {
-    requireSerializable(e)
-    e.transform {
-      case a: AttributeReference if sourceAttrs.contains(a) =>
-        a.withQualifier(Seq("__s"))
-      case a: AttributeReference => a.withQualifier(Seq("__t"))
-    }.sql
-  }
+  /** One MERGE action (kind = update/delete/insert), carried live —
+    * opaque to plan traversals for the same reason as [[Assign]]. */
+  case class ActionSpec(kind: String, cond: Option[Expression],
+      assigns: Seq[Assign])
 }
 
 /** Executes the rewritten MERGE: per-action deltas by join, one atomic
   * mergeCommit. Action order is honored by guarding each action with the
   * negation of every earlier action's condition (first match wins). */
 case class GraftMergeCommand(warehouse: String, schemaName: String,
-    tableName: String, source: LogicalPlan, condSql: String,
-    matched: Seq[(String, Option[String], Seq[(String, String)])],
-    notMatched: Seq[(String, Option[String], Seq[(String, String)])],
-    notMatchedBySource: Seq[(String, Option[String], Seq[(String, String)])])
+    tableName: String, joined: LogicalPlan,
+    targetOutput: Seq[Attribute], sourceOutput: Seq[Attribute],
+    matched: Seq[GraftDml.ActionSpec],
+    notMatched: Seq[GraftDml.ActionSpec],
+    notMatchedBySource: Seq[GraftDml.ActionSpec])
   extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
@@ -135,30 +175,22 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
     require(pk.nonEmpty, s"MERGE INTO needs a primary-key table, " +
       s"$schemaName.$tableName has none")
     val cur = gc.currentSchema(schemaName, tableName)
-    // Mirror GraftCatalog.update's guard: an UPDATE action assigning a PK
-    // column would land the row under the NEW key while the old key is
-    // never tombstoned — both rows stay visible. (The cardinality check
-    // below groups by POST-update keys, so it cannot catch this.)
-    (matched ++ notMatchedBySource).foreach { case (kind, _, assigns) =>
-      if (kind == "update") {
-        val bad = assigns.map(_._1).filter(pk.contains)
-        require(bad.isEmpty, "MERGE UPDATE may not assign primary-key " +
-          s"column(s) ${bad.mkString(", ")} of $schemaName.$tableName — " +
-          "delete and re-insert instead")
-      }
-    }
-    // The presence markers and side aliases below are reserved names: a
+    // (The PK-assignment guard runs at rewrite time, where the merge
+    // condition's equalities are still visible — see checkPkAssignments.)
+    // The presence markers are located by NAME on the joined frame — a
     // relation already carrying them would break the matched/src-only/
-    // tgt-only partitioning or make the re-parsed side-qualified SQL
-    // ambiguous. Reject up front with a clear error.
+    // tgt-only partitioning. Reject up front with a clear error.
     locally {
-      val reserved = Set("__tp", "__sp", "__t", "__s")
-      val clash = (cur.fieldNames ++ source.output.map(_.name))
+      val reserved = Set("__tp", "__sp")
+      val clash = (targetOutput ++ sourceOutput).map(_.name)
         .filter(reserved.contains).distinct
       require(clash.isEmpty, "MERGE INTO reserves column names " +
-        s"__tp/__sp/__t/__s; rename ${clash.mkString(", ")} first")
+        s"__tp/__sp; rename ${clash.mkString(", ")} first")
     }
-    val cond = expr(condSql)
+    val targetAttr = targetOutput.map(a => a.name -> a).toMap
+    def targetCol(name: String): Column = GraftColumnBridge.column(
+      targetAttr.getOrElse(name, throw new IllegalArgumentException(
+        s"no target column $name")))
     val emptyFull = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], cur)
     val emptyKeys = spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType(pk.map(cur(_))))
@@ -166,47 +198,42 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
     /** Rows produced by the given action list over `base`, honoring
       * first-match-wins ordering; `rowOf` renders one action's output and
       * `seed` is the matching-schema empty frame to accumulate into. */
-    def applyActions(base: DataFrame,
-        as: Seq[(String, Option[String], Seq[(String, String)])],
+    def applyActions(base: DataFrame, as: Seq[GraftDml.ActionSpec],
         wanted: String, seed: DataFrame,
-        rowOf: Seq[(String, String)] => Seq[Column]): DataFrame = {
+        rowOf: Seq[GraftDml.Assign] => Seq[Column]): DataFrame = {
       var guard: Column = lit(false)
       var out = seed
-      as.foreach { case (kind, c, assigns) =>
-        val own = c.map(expr).getOrElse(lit(true))
-        if (kind == wanted)
-          out = out.unionByName(base.filter(own && !guard).select(rowOf(assigns): _*))
+      as.foreach { a =>
+        val own = a.cond.map(GraftColumnBridge.column).getOrElse(lit(true))
+        if (a.kind == wanted)
+          out = out.unionByName(base.filter(own && !guard).select(rowOf(a.assigns): _*))
         guard = guard || own
       }
       out
     }
 
-    def updatedRow(assigns: Seq[(String, String)]): Seq[Column] = {
-      val byName = assigns.toMap
+    def updatedRow(assigns: Seq[GraftDml.Assign]): Seq[Column] = {
+      val byName = assigns.map(a => a.name -> a.value).toMap
       cur.fields.toSeq.map(f =>
-        byName.get(f.name).map(expr).getOrElse(col(s"__t.${f.name}"))
+        byName.get(f.name).map(GraftColumnBridge.column).getOrElse(targetCol(f.name))
           .cast(f.dataType).as(f.name))
     }
-    def insertedRow(assigns: Seq[(String, String)]): Seq[Column] = {
-      val byName = assigns.toMap
+    def insertedRow(assigns: Seq[GraftDml.Assign]): Seq[Column] = {
+      val byName = assigns.map(a => a.name -> a.value).toMap
       cur.fields.toSeq.map(f =>
-        byName.get(f.name).map(expr).getOrElse(lit(null))
+        byName.get(f.name).map(GraftColumnBridge.column).getOrElse(lit(null))
           .cast(f.dataType).as(f.name))
     }
-    def keyRow: Seq[Column] = pk.map(p => col(s"__t.$p").as(p))
+    def keyRow: Seq[Column] = pk.map(p => targetCol(p).as(p))
 
-    // ONE full-outer join feeds all three merge legs (matched,
-    // source-only, target-only) via presence markers — the target's
-    // MoR-resolved read and the source plan each execute once, not once
-    // per leg as separate inner/anti joins would cost at scale.
-    val joined = gc.read(schemaName, tableName).withColumn("__tp", lit(true))
-      .alias("__t")
-      .join(GraftColumnBridge.dataFrame(spark, source)
-        .withColumn("__sp", lit(true)).alias("__s"), cond, "full_outer")
-      .persist()
-    val matchedRows = joined.filter(col("__tp").isNotNull && col("__sp").isNotNull)
-    val srcOnly = joined.filter(col("__tp").isNull)
-    val tgtOnly = joined.filter(col("__sp").isNull)
+    // ONE full-outer join (assembled at rewrite time over the analyzed
+    // relations) feeds all three merge legs via presence markers — the
+    // target's MoR-resolved read and the source plan each execute once,
+    // not once per leg as separate inner/anti joins would cost at scale.
+    val joinedDf = GraftColumnBridge.dataFrame(spark, joined).persist()
+    val matchedRows = joinedDf.filter(col("__tp").isNotNull && col("__sp").isNotNull)
+    val srcOnly = joinedDf.filter(col("__tp").isNull)
+    val tgtOnly = joinedDf.filter(col("__sp").isNull)
 
     val upserts = applyActions(matchedRows, matched, "update", emptyFull, updatedRow)
       .unionByName(applyActions(srcOnly, notMatched, "insert", emptyFull, insertedRow))
@@ -225,24 +252,42 @@ case class GraftMergeCommand(warehouse: String, schemaName: String,
       require(dupes.isEmpty,
         "MERGE matched a target row more than once (cardinality violation)")
       gc.mergeCommit(schemaName, tableName, upserts, deletes)
-    } finally { upserts.unpersist(); deletes.unpersist(); joined.unpersist(); () }
+    } finally { upserts.unpersist(); deletes.unpersist(); joinedDf.unpersist(); () }
     Seq.empty
   }
 }
 
 /** Executes the rewritten UPDATE: one merge-on-read upsert snapshot of
-  * the updated rows via [[GraftCatalog.update]]. */
+  * the updated rows. `matching` is the rewrite-time `Filter(cond, table)`
+  * plan (subqueries included); assignments bind by exprId against it. */
 case class GraftUpdateCommand(warehouse: String, schemaName: String,
-    tableName: String, assignments: Seq[(String, String)],
-    condition: Option[String]) extends LeafRunnableCommand {
+    tableName: String, matching: LogicalPlan,
+    assignments: Seq[GraftDml.Assign], targetOutput: Seq[Attribute])
+  extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
     val gc = new GraftCatalog(spark, warehouse)
-    gc.update(schemaName, tableName,
-      condition.map(org.apache.spark.sql.functions.expr).getOrElse(lit(true)),
-      assignments.map { case (n, e) =>
-        n -> org.apache.spark.sql.functions.expr(e)
-      }.toMap)
+    val pk = gc.primaryKeyOf(schemaName, tableName)
+    require(pk.nonEmpty, s"$schemaName.$tableName has no primary key — use overwrite")
+    val cur = gc.currentSchema(schemaName, tableName)
+    assignments.foreach { a =>
+      require(cur.fieldNames.contains(a.name), s"unknown column ${a.name}")
+      // Assigning a PK column would upsert under the NEW key and leave the
+      // old row alive — a silent duplicate, not an update.
+      require(!pk.contains(a.name),
+        s"cannot update primary-key column ${a.name} (delete + insert instead)")
+    }
+    val targetAttr = targetOutput.map(a => a.name -> a).toMap
+    val byName = assignments.map(a => a.name -> a.value).toMap
+    // ONE select evaluating every assignment against the OLD row — SQL
+    // UPDATE semantics. Chained withColumn would feed earlier assignments
+    // into later ones (SET a = b, b = a would fail to swap).
+    val updated = GraftColumnBridge.dataFrame(spark, matching)
+      .select(cur.fields.toSeq.map(f =>
+        byName.get(f.name).map(GraftColumnBridge.column)
+          .getOrElse(GraftColumnBridge.column(targetAttr(f.name)))
+          .cast(f.dataType).as(f.name)): _*)
+    gc.upsert(schemaName, tableName, updated)
     Seq.empty
   }
 }

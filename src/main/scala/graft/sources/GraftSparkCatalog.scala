@@ -365,9 +365,15 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
+  // AUTOMATIC_SCHEMA_EVOLUTION opts into the analyzer's
+  // ResolveMergeIntoSchemaEvolution: MERGE ... WITH SCHEMA EVOLUTION
+  // diffs source vs target schema and routes the missing columns through
+  // alterTable (the same metadata-only AddColumn path as ALTER TABLE)
+  // before the merge resolves.
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def partitioning(): Array[Transform] =
     partitionCols.map(Expressions.identity).toArray
   override def properties(): util.Map[String, String] = props.asJava

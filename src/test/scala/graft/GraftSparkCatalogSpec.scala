@@ -213,11 +213,44 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("UPDATE g.db.up SET name = CAST(score AS STRING), score = length(name) WHERE id = 1")
     val r1 = spark.sql("SELECT name, score FROM g.db.up WHERE id = 1").head()
     assert(r1.getString(0) === "10" && r1.getInt(1) === 1) // from old ("a", 10)
-    // subqueries in the condition are refused with a clear error (the
-    // SQL-text transport cannot round-trip them)
-    val e = intercept[Exception](
-      spark.sql("UPDATE g.db.up SET score = 0 WHERE id IN (SELECT id FROM g.db.up)"))
-    assert(e.getMessage.contains("subqueries are not supported"))
+    // subqueries in the condition execute as ordinary Catalyst plans
+    // (the live-plan transport carries them through the command)
+    spark.sql("""UPDATE g.db.up SET score = -1
+      WHERE id IN (SELECT id FROM g.db.up WHERE name = 'B')""")
+    assert(spark.sql("SELECT id FROM g.db.up WHERE score = -1")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  test("MERGE/UPDATE conditions accept IN/EXISTS subqueries") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.sq (id BIGINT, name STRING, score INT) " +
+      "TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "sq", Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40))
+      .toDF("id", "name", "score"))
+    Seq((1L, "A1"), (2L, "B1"), (3L, "C1"), (9L, "I1"))
+      .toDF("id", "name").createOrReplaceTempView("sq_src")
+    Seq(2L, 3L, 9L).toDF("k").createOrReplaceTempView("sq_allow")
+    // WHEN MATCHED AND t.id IN (SELECT ...): only allowed matched keys
+    // update; the unlisted match (id=1) is untouched; the insert leg
+    // takes an EXISTS guard too
+    spark.sql("""
+      MERGE INTO g.db.sq t USING sq_src s ON t.id = s.id
+      WHEN MATCHED AND t.id IN (SELECT k FROM sq_allow) THEN UPDATE SET name = s.name
+      WHEN NOT MATCHED AND EXISTS (SELECT 1 FROM sq_allow a WHERE a.k = s.id)
+        THEN INSERT (id, name, score) VALUES (s.id, s.name, 0)
+    """)
+    val rows = spark.sql("SELECT id, name FROM g.db.sq ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "a"), (2L, "B1"), (3L, "C1"), (4L, "d"), (9L, "I1")))
+    // correlated NOT EXISTS in a DELETE action condition
+    spark.sql("""
+      MERGE INTO g.db.sq t USING sq_src s ON t.id = s.id
+      WHEN NOT MATCHED BY SOURCE AND NOT EXISTS
+        (SELECT 1 FROM sq_allow a WHERE a.k = t.id) THEN DELETE
+    """)
+    assert(spark.sql("SELECT id FROM g.db.sq ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 9L))
   }
 
   test("SQL MERGE INTO lands one atomic snapshot of updates+inserts+deletes") {
@@ -279,6 +312,37 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       WHEN MATCHED THEN UPDATE SET name = s.name
     """)
     assert(spark.sql("SELECT name FROM g.db.mg WHERE id = 2").head().getString(0) === "B")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target from the source") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.se (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "se", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // source carries an extra column the target lacks
+    Seq((2L, "B", 20), (5L, "e", 50)).toDF("id", "name", "score")
+      .createOrReplaceTempView("se_src")
+    spark.sql("""
+      MERGE WITH SCHEMA EVOLUTION INTO g.db.se t USING se_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    // the column DDL landed (metadata-only evolution)...
+    assert(gc.currentSchema("db", "se").fieldNames.toSeq === Seq("id", "name", "score"))
+    // ...and the merged image has the widened rows; pre-evolution row 1
+    // serves score as null via the field-id mapping
+    val rows = spark.sql("SELECT id, name, score FROM g.db.se ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)))).toSeq
+    assert(rows === Seq((1L, "a", None), (2L, "B", Some(20)), (5L, "e", Some(50))))
+    // UPDATE SET * assigned pk = s.id — allowed because the merge
+    // condition proves it a no-op; an unproven pk assignment still fails
+    val e = intercept[Exception](spark.sql("""
+      MERGE INTO g.db.se t USING se_src s ON t.name = s.name
+      WHEN MATCHED THEN UPDATE SET id = s.id
+    """))
+    assert(e.getMessage.contains("primary-key"))
   }
 
   test("column comments flow through SQL DDL (CREATE / ALTER / DESCRIBE)") {
