@@ -130,6 +130,23 @@ object CatalogQueries {
       """)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // CHAR(n) pad semantics end-to-end: 2-letter lang codes inserted into
+    // a CHAR(3) column are stored space-padded (write-side rpad), and an
+    // UNPADDED literal predicate still matches (read-side comparison
+    // padding) — DuckDB has no CHAR padding, so the oracle reconstructs
+    // both effects with explicit rpad.
+    "types_char" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      s.sql(s"CREATE TABLE gq.q.$t (doc_id BIGINT, lang CHAR(3))")
+      Tables(s, dir, "documents").select("doc_id", "lang")
+        .createOrReplaceTempView(s"char_src_$t")
+      s.sql(s"INSERT INTO gq.q.$t SELECT doc_id, lang FROM char_src_$t")
+      s.sql(s"""SELECT doc_id, lang, length(lang) AS lang_len
+        FROM gq.q.$t WHERE lang = 'en' ORDER BY doc_id""")
+    }),
     // MERGE WITH SCHEMA EVOLUTION: the source carries a column the target
     // lacks (n_chars); the analyzer's AUTOMATIC_SCHEMA_EVOLUTION path
     // routes it through the metadata-only column DDL, then the merge
@@ -186,6 +203,9 @@ object CatalogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "types_char" ->
+      """SELECT doc_id, rpad(lang, 3, ' ') AS lang, CAST(3 AS INTEGER) AS lang_len
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
     "catalog_sql_merge_evolve" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id,

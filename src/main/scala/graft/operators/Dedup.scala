@@ -254,20 +254,27 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // Eager localCheckpoint, not persist: each round's plan embeds the
+    // Eager checkpoint, not persist: each round's plan embeds the
     // previous round's twice (union of two star joins), so lineage grows
     // exponentially and planning itself OOMs after ~10 rounds. Truncating
-    // to the materialized result keeps every round's plan O(1). A
-    // multi-executor deployment would use reliable checkpoint() instead
-    // (localCheckpoint is lost with an executor); superseded rounds are
-    // freed by the ContextCleaner once unreferenced.
-    var edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // to the materialized result keeps every round's plan O(1). The
+    // strategy follows the session's checkpoint configuration: with
+    // spark.sparkContext.setCheckpointDir set, rounds land as RELIABLE
+    // checkpoints (executor loss survivable — the multi-executor
+    // deployment mode); without one, eager localCheckpoint (fastest, and
+    // the only option in local mode without a shared filesystem).
+    // Superseded rounds are freed by the ContextCleaner once unreferenced.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    var edges = materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .filter(col("a") =!= col("b")).distinct())
     var sig = fingerprint(edges)
     var iter = 0
     var converged = edges.isEmpty
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = materialize(smallStar(largeStar(edges)))
       val nextSig = fingerprint(next)
       edges = next
       converged = nextSig == sig

@@ -100,7 +100,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val fn = fields.addObject()
       fn.put("id", i + 1)
       fn.put("name", f.name)
-      fn.put("type", TypeMapping.toTrinoType(f.dataType))
+      fn.put("type", TypeMapping.fieldTrinoType(f))
       // column comments persist in the manifest schema nodes
       // (TrinoMetadataBase.java:212 carries column.getComment() the same way)
       f.getComment().foreach(fn.put("comment", _))
@@ -147,7 +147,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def currentSchema(schema: String, table: String): StructType = {
     val m = readManifest(schema, table)
     StructType(currentFields(m).map { f =>
-      val sf = StructField(f.name, TypeMapping.toSparkType(f.trinoType))
+      val base = StructField(f.name, TypeMapping.toSparkType(f.trinoType))
+      // char(n) columns surface as StringType + Spark's char metadata, so
+      // the engine's OWN semantics rules engage on the SQL surface:
+      // write-side rpad/length-check (TableOutputResolver) and read-side
+      // comparison padding (ApplyCharTypePadding) — the reference
+      // preserves CharType pad semantics the same way
+      // (TrinoTypeUtils.java:78–80).
+      val sf = TypeMapping.charLength(f.trinoType) match {
+        case Some(n) =>
+          org.apache.spark.sql.catalyst.util.CharVarcharUtils
+            .replaceCharVarcharWithStringInSchema(org.apache.spark.sql.types
+              .StructType(Seq(base.copy(dataType =
+                org.apache.spark.sql.types.CharType(n))))).head
+        case None => base
+      }
       f.comment.map(sf.withComment).getOrElse(sf)
     })
   }
@@ -158,7 +172,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val nextId = m.get("lastFieldId").asInt() + 1
       m.put("lastFieldId", nextId)
       fields :+ FieldInfo(nextId, field.name,
-        TypeMapping.toTrinoType(field.dataType), field.getComment())
+        TypeMapping.fieldTrinoType(field), field.getComment())
     }
 
   /** Set (Some) or clear (None) a column's comment — metadata-only, a new
@@ -975,6 +989,55 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     spark.createDataFrame(rows).toDF(
       "file_dir", "kind", "schema_version", "n_part_files", "size_bytes")
+  }
+
+  /**
+   * One row per partition of the current (or given) snapshot: partition
+   * value(s), live file count, bytes on disk, and footer row count — the
+   * per-partition operational view a warehouse operator reaches for
+   * (Paimon's `$partitions` table; record_count/file_size_in_bytes/
+   * file_count there come from manifest stats the same way). Partition
+   * identity is the `col=value` subdir path: identity-partitioned tables
+   * group by their partition columns, bucketed PK tables by `__bucket=k`,
+   * unpartitioned tables collapse to one row with partition ''.
+   *
+   * Counts are FILE-level (pre-merge): on a MoR-pending PK table the row
+   * count includes superseded versions, and tombstone dirs are reported
+   * under kind='delete' rows so the operator can see compaction debt.
+   * Cost is O(part-files) driver-side footer reads — manifest-scale
+   * metadata work, no executors, same shape as [[filesTable]].
+   */
+  def partitionsTable(schema: String, table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    val m = readManifest(schema, table)
+    val entries = chooseSnapshot(m, schema, table, snapshotId, None)
+      .map(filesOf).getOrElse(Seq.empty)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val agg = mutable.LinkedHashMap[(String, String), (Long, Long, Long)]()
+    entries.foreach { fe =>
+      val base = new Path(tablePath(schema, table), fe.dir)
+      if (fs.exists(base)) {
+        val it = fs.listFiles(base, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            val rel = st.getPath.getParent.toString
+              .stripPrefix(fs.makeQualified(base).toString)
+              .stripPrefix("/")
+            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+            val rows = try rd.getRecordCount finally rd.close()
+            val key = (rel, fe.kind)
+            val (f0, b0, r0) = agg.getOrElse(key, (0L, 0L, 0L))
+            agg(key) = (f0 + 1, b0 + st.getLen, r0 + rows)
+          }
+        }
+      }
+    }
+    val rows = agg.toSeq.map { case ((part, kind), (f, b, r)) =>
+      (part, kind, f, b, r) }
+    spark.createDataFrame(rows).toDF(
+      "partition", "kind", "n_files", "size_bytes", "row_count")
   }
 
   /** One row per (schema version, field): the full evolution history. */

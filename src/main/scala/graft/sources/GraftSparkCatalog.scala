@@ -138,7 +138,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Metadata-table suffixes served via `t$snapshots`-style names
     * (the reference surfaces the same system tables through Trino). */
-  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options)$".r
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions)$".r
 
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
@@ -152,6 +152,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           case "files" => gc.filesTable(schemaName, base)
           case "schemas" => gc.schemasTable(schemaName, base)
           case "options" => gc.optionsTable(schemaName, base)
+          case "partitions" => gc.partitionsTable(schemaName, base)
         }
         return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
       case _ => ()

@@ -59,8 +59,31 @@ object TypeMapping {
     }
   }
 
+  /** CHAR(n) length when the signature is a char type — the physical map
+    * stays StringType; pad semantics ride as Spark char metadata
+    * (see GraftCatalog.currentSchema). */
+  def charLength(trino: String): Option[Int] = {
+    val lower = trino.trim.toLowerCase
+    if (lower.startsWith("char(")) Some(args(trino.trim).trim.toInt) else None
+  }
+
+  /** Trino signature of a created/added column, honoring Spark's char
+    * plumbing: a CharType field, or a StringType field carrying the
+    * analyzer's raw-type metadata (how CHAR(n) DDL reaches a DSv2
+    * catalog), persists as char(n) — the reference keeps CharType the
+    * same way (TrinoTypeUtils.java:78–80). */
+  def fieldTrinoType(f: StructField): String =
+    org.apache.spark.sql.catalyst.util.CharVarcharUtils
+      .getRawType(f.metadata).getOrElse(f.dataType) match {
+      case CharType(n) => s"char($n)"
+      case VarcharType(n) => s"varchar($n)"
+      case t => toTrinoType(t)
+    }
+
   /** Render a Spark type as the Trino signature the reference would use. */
   def toTrinoType(dt: DataType): String = dt match {
+    case CharType(n) => s"char($n)"
+    case VarcharType(n) => s"varchar($n)"
     case BooleanType => "boolean"
     case ByteType => "tinyint"
     case ShortType => "smallint"

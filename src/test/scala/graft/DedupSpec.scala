@@ -154,6 +154,27 @@ class DedupSpec extends SparkSpecBase {
     assert(ccChain.toSeq === Seq(1L))
   }
 
+  test("connected components take the reliable-checkpoint path when a dir is set") {
+    import spark.implicits._
+    // With spark.sparkContext.setCheckpointDir configured, every round
+    // materializes as a RELIABLE checkpoint (executor-loss survivable on
+    // a real cluster) instead of localCheckpoint — same fixed point.
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+      val cc = Dedup.connectedComponents(
+          Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id"), "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+      // the rounds actually wrote reliable checkpoint data
+      def rddFiles(f: java.io.File): Long =
+        Option(f.listFiles()).map(_.map(c =>
+          if (c.isDirectory) rddFiles(c) else 1L).sum).getOrElse(0L)
+      assert(rddFiles(new java.io.File(dir)) > 0, "no reliable checkpoint written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("star contraction: chain of 1000 converges within log-bounded rounds") {
     import spark.implicits._
     // Adversarial diameter-999 chain: min-label propagation would need

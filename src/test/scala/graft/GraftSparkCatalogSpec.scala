@@ -362,6 +362,57 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).distinct.toSeq === Seq("row id"))
   }
 
+  test("$partitions metadata table reports per-partition file stats") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.parts (id BIGINT, region STRING) PARTITIONED BY (region)")
+    gc.append("db", "parts",
+      Seq((1L, "emea"), (2L, "apac"), (3L, "emea")).toDF("id", "region"))
+    gc.append("db", "parts", Seq((4L, "emea")).toDF("id", "region"))
+    val rows = spark.sql(
+      "SELECT partition, n_files, row_count FROM g.db.`parts$partitions` " +
+        "ORDER BY partition").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // two commits hit emea (3 rows total), one hit apac (1 row)
+    val byPart = rows.groupBy(_._1).view.mapValues(v =>
+      (v.map(_._2).sum, v.map(_._3).sum)).toMap
+    assert(byPart("region=apac")._2 === 1L)
+    assert(byPart("region=emea")._2 === 3L && byPart("region=emea")._1 >= 2L)
+    // bucketed PK table: partitions are the __bucket=k dirs, and the
+    // tombstone dir surfaces as kind='delete' (compaction debt visible)
+    spark.sql("CREATE TABLE g.db.bparts (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('primary-key'='id', 'bucket'='2')")
+    gc.upsert("db", "bparts", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    gc.deleteWhere("db", "bparts", col("id") === 2L)
+    val b = spark.sql("SELECT partition, kind, row_count FROM g.db.`bparts$partitions`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(b.filter(_._2 == "data").map(_._3).sum === 3L)
+    assert(b.filter(_._2 == "delete").map(_._3).sum === 1L)
+    assert(b.forall(_._1.startsWith("__bucket=")))
+    // unpartitioned: one '' partition row
+    val u = spark.sql("SELECT partition, row_count FROM g.db.`w$partitions`").collect()
+    assert(u.map(_.getString(0)).distinct.toSeq === Seq(""))
+  }
+
+  test("CHAR(n) columns keep pad-space semantics through the SQL surface") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.ch (id BIGINT, code CHAR(3))")
+    // the declared char type persists in the manifest (round-trip)
+    assert(gc.schemasTable("db", "ch").collect()
+      .find(_.getString(2) == "code").get.getString(3) === "char(3)")
+    spark.sql("INSERT INTO g.db.ch VALUES (1, 'ab'), (2, 'abc')")
+    // write-side padding: the short value is stored space-padded to 3
+    val vals = spark.sql("SELECT code, length(code) FROM g.db.ch ORDER BY id")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(vals.toSeq === Seq(("ab ", 3), ("abc", 3)))
+    // comparison padding: an unpadded literal still matches (char
+    // semantics compare with trailing spaces ignored via rpad-on-compare)
+    assert(spark.sql("SELECT id FROM g.db.ch WHERE code = 'ab'")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // over-length values are rejected, not truncated
+    intercept[Exception](spark.sql("INSERT INTO g.db.ch VALUES (3, 'abcd')"))
+  }
+
   test("drop/rename via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.r1 (id BIGINT)")
