@@ -130,6 +130,26 @@ object CatalogQueries {
       """)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // Bucket-co-located PK join: both tables bucket=8 on doc_id, so the
+    // join runs as 8 independent in-task hash joins — ZERO exchanges
+    // (asserted in GraftCatalogSpec) — over merge-on-read-resolved
+    // inputs (an update delta on the left, a tombstone on the right).
+    "catalog_bucketed_join" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents")
+      val (ta, tb) = (s"${t}_a", s"${t}_b")
+      cat.createTable("q", ta, d.select("doc_id", "lang").schema,
+        options = Map("bucket" -> "8"), primaryKey = Seq("doc_id"))
+      cat.createTable("q", tb, d.select("doc_id", "n_chars").schema,
+        options = Map("bucket" -> "8"), primaryKey = Seq("doc_id"))
+      cat.upsert("q", ta, d.select("doc_id", "lang"))
+      cat.upsert("q", ta, d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("UPDATED").as("lang")))
+      cat.upsert("q", tb, d.select("doc_id", "n_chars"))
+      cat.deleteWhere("q", tb, col("doc_id") % 7 === 3)
+      cat.bucketedJoin("q", ta, tb).orderBy("doc_id")
+    }),
     // CHAR(n) pad semantics end-to-end: 2-letter lang codes inserted into
     // a CHAR(3) column are stored space-padded (write-side rpad), and an
     // UNPADDED literal predicate still matches (read-side comparison
@@ -203,6 +223,11 @@ object CatalogQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "catalog_bucketed_join" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang,
+        |  n_chars
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "types_char" ->
       """SELECT doc_id, rpad(lang, 3, ' ') AS lang, CAST(3 AS INTEGER) AS lang_len
         |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

@@ -728,6 +728,77 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   /**
+   * Bucket-co-located PK join of two bucketed PK tables — the
+   * storage-partitioned join Paimon's bucket layout exists to enable:
+   * when both tables declare the SAME bucket count and hash-compatible
+   * primary keys (same column count and Spark types — the bucket is
+   * `xxhash64(pk) % n` on both write paths), equal keys land in equal
+   * buckets, so the join runs as N independent in-task hash joins with
+   * ZERO exchanges. A shuffle join of the same tables would move BOTH
+   * full tables across the cluster; this moves nothing — at 100 TB per
+   * side the shuffle saved IS the query cost. Each task holds one
+   * bucket's right side in memory (the bucket count is the sizing
+   * contract, as everywhere in the bucketed layout).
+   *
+   * Join keys are the primary keys (the hash contract — arbitrary key
+   * joins still need a shuffle). `joinType`: `inner` or `left` (outer).
+   * Output: left columns ++ right non-key columns; the right table's
+   * non-key column names must not collide with the left's.
+   */
+  def bucketedJoin(schema: String, leftTable: String, rightTable: String,
+      joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType),
+      s"bucketedJoin supports inner/left, got $joinType")
+    val n = bucketCountOf(schema, leftTable).getOrElse(
+      throw new IllegalArgumentException(s"$schema.$leftTable is not bucketed"))
+    val rn = bucketCountOf(schema, rightTable).getOrElse(
+      throw new IllegalArgumentException(s"$schema.$rightTable is not bucketed"))
+    require(n == rn, s"bucket counts differ: $n vs $rn — co-located join " +
+      "requires identical bucketing")
+    val lSchema = currentSchema(schema, leftTable)
+    val rSchema = currentSchema(schema, rightTable)
+    val lPk = primaryKeyOf(schema, leftTable)
+    val rPk = primaryKeyOf(schema, rightTable)
+    require(lPk.length == rPk.length &&
+      lPk.map(lSchema(_).dataType) == rPk.map(rSchema(_).dataType),
+      "primary keys are not hash-compatible (column count/types must match)")
+    val lVal = lSchema.fields.filterNot(f => lPk.contains(f.name)).toSeq
+    val rVal = rSchema.fields.filterNot(f => rPk.contains(f.name)).toSeq
+    rVal.foreach(f => require(!lSchema.fieldNames.contains(f.name),
+      s"right column ${f.name} collides with a left column"))
+    val outSchema = StructType(lSchema.fields.toSeq ++
+      rVal.map(_.copy(nullable = true)))
+    // Tagged union layout: __side, key..., leftVal..., rightVal... (each
+    // side nulls the other's value columns). coalesce(1) over one
+    // bucket's two legs is a narrow dependency — the whole join plans
+    // with no exchange.
+    val names = "__side" +: (lPk.indices.map(i => s"__k$i") ++
+      lVal.map(f => s"__l_${f.name}") ++ rVal.map(f => s"__r_${f.name}"))
+    // out(i) <- tagged-row position for the left-side part of the output
+    val leftOutIdx = lSchema.fields.map { f =>
+      val i = lPk.indexOf(f.name)
+      if (i >= 0) 1 + i else 1 + lPk.length + lVal.indexWhere(_.name == f.name)
+    }
+    val rightStart = 1 + lPk.length + lVal.length
+    val legs = (0 until n).map { k =>
+      val lk = readBucket(schema, leftTable, k)
+      val rk = readBucket(schema, rightTable, k)
+      val tagged = rk.select(lit(1) +: (rPk.map(col) ++
+          lVal.map(f => lit(null).cast(f.dataType)) ++
+          rVal.map(f => col(f.name))): _*).toDF(names: _*)
+        .unionByName(lk.select(lit(0) +: (lPk.map(col) ++
+          lVal.map(f => col(f.name)) ++
+          rVal.map(f => lit(null).cast(f.dataType))): _*).toDF(names: _*))
+        .coalesce(1)
+      GraftCatalog.joinBucketInTask(tagged, lPk.length, leftOutIdx,
+        rightStart, rVal.length, joinType == "left", outSchema)
+    }
+    legs.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        outSchema))
+  }
+
+  /**
    * Upsert into a primary-key table: the batch is committed as a new
    * snapshot and reads resolve each key to its latest version
    * (merge-on-read, Paimon's PK-table semantics — writes never rewrite
@@ -1159,6 +1230,34 @@ object GraftCatalog {
       }
       best.valuesIterator.filterNot(_.getBoolean(delIdx))
         .map(r => Row.fromSeq(outIdx.toIndexedSeq.map(r.get)))
+    }(Encoders.row(outSchema)).toDF()
+  }
+
+  /** In-task hash join of one bucket's tagged union (see bucketedJoin):
+    * side-1 (right) rows build the key→values map, side-0 (left) rows
+    * probe it. Static so the closure captures only index arrays. */
+  private[sources] def joinBucketInTask(tagged: DataFrame, nKeys: Int,
+      leftOutIdx: Array[Int], rightStart: Int, nRight: Int,
+      leftOuter: Boolean, outSchema: StructType): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    tagged.mapPartitions { it =>
+      val build = mutable.HashMap.empty[Seq[Any], mutable.ArrayBuffer[IndexedSeq[Any]]]
+      val probe = mutable.ArrayBuffer.empty[Row]
+      it.foreach { r =>
+        if (r.getInt(0) == 1)
+          build.getOrElseUpdate((1 to nKeys).map(r.get),
+            mutable.ArrayBuffer.empty) += (rightStart until rightStart + nRight).map(r.get)
+        else probe += r
+      }
+      probe.iterator.flatMap { l =>
+        val left = leftOutIdx.toIndexedSeq.map(l.get)
+        build.get((1 to nKeys).map(l.get)) match {
+          case Some(ms) => ms.iterator.map(rv => Row.fromSeq(left ++ rv))
+          case None if leftOuter =>
+            Iterator.single(Row.fromSeq(left ++ Seq.fill(nRight)(null)))
+          case None => Iterator.empty
+        }
+      }
     }(Encoders.row(outSchema)).toDF()
   }
 

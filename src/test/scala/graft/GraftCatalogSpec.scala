@@ -356,6 +356,43 @@ class GraftCatalogSpec extends SparkSpecBase {
       options = Map("bucket" -> "2"), partitionBy = Seq("name"), primaryKey = Seq("id")))
   }
 
+  test("bucketedJoin: co-located PK join with zero exchanges, MoR-resolved inputs") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    val aSchema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val bSchema = StructType(Seq(
+      StructField("id", LongType), StructField("score", IntegerType)))
+    cat.createTable("db", "ja", aSchema, options = Map("bucket" -> "4"),
+      primaryKey = Seq("id"))
+    cat.createTable("db", "jb", bSchema, options = Map("bucket" -> "4"),
+      primaryKey = Seq("id"))
+    cat.upsert("db", "ja", (1L to 20L).map(i => (i, s"n$i")).toDF("id", "name"))
+    cat.upsert("db", "jb", (1L to 15L).map(i => (i, i.toInt * 10)).toDF("id", "score"))
+    // exercise merge-on-read on both inputs: an update delta and a tombstone
+    cat.upsert("db", "ja", Seq((3L, "UPD")).toDF("id", "name"))
+    cat.deleteWhere("db", "jb", col("id") === 5L)
+    val joined = cat.bucketedJoin("db", "ja", "jb")
+    // no exchange anywhere: N independent in-task hash joins
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"co-located join must not shuffle:\n$plan")
+    // equivalence with the ordinary shuffle join of the resolved reads
+    val expected = cat.read("db", "ja").join(cat.read("db", "jb"), "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val got = joined.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got === expected && got.size === 14) // 15 right keys minus tombstoned 5
+    assert(got.contains((3L, "UPD", 30)))
+    // left outer keeps unmatched left keys with nulls
+    val lo = cat.bucketedJoin("db", "ja", "jb", joinType = "left")
+      .collect().map(r => (r.getLong(0), r.isNullAt(2))).toMap
+    assert(lo.size === 20 && lo(5L) && lo(16L) && !lo(1L))
+    // incompatible bucketing is refused
+    cat.createTable("db", "jc", bSchema, options = Map("bucket" -> "8"),
+      primaryKey = Seq("id"))
+    intercept[Exception](cat.bucketedJoin("db", "ja", "jc"))
+  }
+
   test("column comments persist in DDL and survive evolution") {
     import spark.implicits._
     val cat = freshCatalog()
