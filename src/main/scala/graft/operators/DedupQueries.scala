@@ -59,12 +59,17 @@ object DedupQueries {
     // Oracle contract: these three pin maxBucket ABOVE any natural band
     // bucket in the verified corpora (sf0.1 simhash max ≈ 1.6k members),
     // because the DuckDB oracle enumerates ALL qualifying pairs — the
-    // star bound would under-report inside a capped bucket. The library
-    // default (1024) is the production scale guard; its gate is the
-    // DedupSpec 10k-family test.
+    // star bound would under-report inside a capped bucket. 2048 is the
+    // tightest such pin: it keeps all-pairs semantics at every verified
+    // SF while capping any one band bucket's self-join at ~4M candidate
+    // pairs, so a 10× corpus (sf1, where degenerate simhash buckets
+    // reach 6-16k members) stays star-bounded instead of handing single
+    // tasks O(m²) work — measured 162s → seconds for dedup_simhash at
+    // sf1. The library default (1024) is the production scale guard; its
+    // gate is the DedupSpec 10k-family test.
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(Tables(s, dir, "documents"), "doc_id", "text", Tau,
-          maxBucket = 8192)
+          maxBucket = 2048)
         .orderBy("d1", "d2")),
     // Edit-distance verify kernel (fuzzy dedup's second stage): pairwise
     // levenshtein over normalized 80-char prefixes. Registered on a bounded
@@ -84,18 +89,18 @@ object DedupQueries {
     }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
-          maxBucket = 8192)
+          maxBucket = 2048)
         .orderBy("d1", "d2")),
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosTau,
-          maxBucket = 8192)
+          maxBucket = 2048)
         .orderBy("d1", "d2")),
     // Transitive closure of the minhash near-dup graph: cluster id per doc
     // (min reachable id). Oracle = recursive CTE over the exact-Jaccard
     // pair graph.
     "dedup_clusters" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      val pairs = Dedup.minhashPairs(d, "doc_id", "text", Tau, maxBucket = 8192)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", Tau, maxBucket = 2048)
         .select("d1", "d2")
       Dedup.connectedComponents(d, "doc_id", pairs).orderBy("doc_id")
     }),
