@@ -129,10 +129,27 @@ object Dedup {
       .select(col(idCol), TextHash.minhashSignature(col("sh"), k).as("sig"))
 
   /**
-   * SimHash near-dup pairs: exact for hamming ≤ bands-1 (pigeonhole) in
-   * buckets of ≤ `maxBucket` members; oversized buckets emit only
-   * member↔representative pairs (see [[minhashPairs]] for the contract).
+   * SimHash near-dup pairs: exact for hamming ≤ bands-1 (pigeonhole).
    * Output: d1, d2, hamming.
+   *
+   * Candidate generation runs over DISTINCT simhash values, not
+   * documents: identical docs (boilerplate families — the dominant mass
+   * of a scraped corpus) collapse to ONE node before banding, so a
+   * degenerate band value shared by a 100k-member family costs one
+   * bucket row instead of an O(m²) self-join (measured 5× on a 10×
+   * corpus whose buckets crossed ~6k members). Three legs:
+   *
+   *  - intra-family (hamming 0): all pairs within a family of ≤
+   *    `maxBucket` members; larger families emit member↔representative
+   *    stars (the [[minhashPairs]] `maxBucket` contract, applied to
+   *    family size);
+   *  - cross-family: band the distinct sims, candidate (sim1, sim2)
+   *    pairs verified by one `bit_count(xor)` on the 60-bit values
+   *    BEFORE any expansion (star bound engages only when > `maxBucket`
+   *    DISTINCT values share a band — genuinely adversarial data);
+   *  - expansion: verified sim pairs join back to members; output size
+   *    is the true qualifying-pair count, which this operator cannot
+   *    reduce.
    */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, bands: Int = 4, bits: Int = 15,
@@ -140,17 +157,33 @@ object Dedup {
     require(maxHamming <= bands - 1, "banding only exhaustive for radius ≤ bands-1")
     val sims = df.select(col(idCol),
       TextHash.simhash60(TextHash.tokenHashes(col(textCol))).as("sim"))
-      .persist() // referenced by band explode and both join sides
-    val banded = sims
-      .select(col(idCol), explode(TextHash.simhashBands(col("sim"), bands, bits)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val pairs = bucketPairs(banded, idCol, maxBucket)
-    val s1 = sims.select(col(idCol).as("d1"), col("sim").as("sim1"))
-    val s2 = sims.select(col(idCol).as("d2"), col("sim").as("sim2"))
-    pairs.join(s1, "d1").join(s2, "d2")
-      .select(col("d1"), col("d2"),
-        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+      .persist() // referenced by the family rollup and both expansion sides
+    val fams = sims.groupBy("sim")
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("fsz"))
+      .persist() // referenced by the intra legs and the distinct banding
+    val members = sims.join(fams, "sim")
+    val smallFam = members.filter(col("fsz") <= maxBucket)
+      .select(col(idCol), col("sim"))
+    val intraSmall = smallFam.as("x").join(smallFam.as("y"),
+        col("x.sim") === col("y.sim") && col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("d1"), col(s"y.$idCol").as("d2"),
+        lit(0).as("hamming"))
+    val intraStar = members
+      .filter(col("fsz") > maxBucket && col(idCol) =!= col("rep"))
+      .select(col("rep").as("d1"), col(idCol).as("d2"), lit(0).as("hamming"))
+    val banded = fams
+      .select(col("sim"), explode(TextHash.simhashBands(col("sim"), bands, bits)).as("bb"))
+      .select(col("sim"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val simPairs = bucketPairs(banded, "sim", maxBucket)
+      .select(col("d1").as("sim1"), col("d2").as("sim2"),
+        bit_count(col("d1").bitwiseXOR(col("d2"))).as("hamming"))
+      .filter(col("hamming") > 0 && col("hamming") <= maxHamming)
+    val cross = simPairs
+      .join(sims.select(col("sim").as("sim1"), col(idCol).as("i1")), "sim1")
+      .join(sims.select(col("sim").as("sim2"), col(idCol).as("i2")), "sim2")
+      .select(least(col("i1"), col("i2")).as("d1"),
+        greatest(col("i1"), col("i2")).as("d2"), col("hamming"))
+    intraSmall.unionByName(intraStar).unionByName(cross)
   }
 
   /**
