@@ -1111,6 +1111,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       "partition", "kind", "n_files", "size_bytes", "row_count")
   }
 
+  /** One row per tag: name, pinned snapshot id, snapshot commit time
+    * (Paimon's `$tags` table). */
+  def tagsTable(schema: String, table: String): DataFrame = {
+    val byId = snapshots(schema, table).map(s => s.id -> s.timestampMillis).toMap
+    val rows = tags(schema, table).toSeq.map { case (tag, id) =>
+      (tag, id, byId.getOrElse(id, 0L))
+    }
+    spark.createDataFrame(rows).toDF("tag_name", "snapshot_id", "timestamp_millis")
+  }
+
   /** One row per (schema version, field): the full evolution history. */
   def schemasTable(schema: String, table: String): DataFrame = {
     val m = readManifest(schema, table)

@@ -128,9 +128,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, snapshotId = None, asOfMillis = None)
 
-  /** `VERSION AS OF <snapshot-id>` (TrinoTableHandle.java:138 analog). */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, snapshotId = Some(version.toLong), asOfMillis = None)
+  /** `VERSION AS OF <snapshot-id | 'tag-name'>` (TrinoTableHandle.java:138
+    * analog; a non-numeric version resolves through the tag registry,
+    * Paimon's travel-to-tag). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val snapshotId = version.toLongOption.getOrElse {
+      gc.tags(ns1(ident.namespace), ident.name).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"no snapshot or tag '$version' on ${ident.namespace.head}.${ident.name}"))
+    }
+    loadAt(ident, snapshotId = Some(snapshotId), asOfMillis = None)
+  }
 
   /** `TIMESTAMP AS OF` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table =
@@ -138,7 +146,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Metadata-table suffixes served via `t$snapshots`-style names
     * (the reference surfaces the same system tables through Trino). */
-  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions)$".r
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags)$".r
 
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
@@ -153,6 +161,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           case "schemas" => gc.schemasTable(schemaName, base)
           case "options" => gc.optionsTable(schemaName, base)
           case "partitions" => gc.partitionsTable(schemaName, base)
+          case "tags" => gc.tagsTable(schemaName, base)
         }
         return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
       case _ => ()

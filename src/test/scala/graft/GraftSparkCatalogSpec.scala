@@ -413,6 +413,24 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("INSERT INTO g.db.ch VALUES (3, 'abcd')"))
   }
 
+  test("$tags metadata table and VERSION AS OF tag-name time travel") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.tg (id BIGINT)")
+    gc.append("db", "tg", Seq(1L, 2L).toDF("id"))
+    gc.append("db", "tg", Seq(3L).toDF("id"))
+    gc.createTag("db", "tg", "v1", Some(1L))
+    val t = spark.sql("SELECT tag_name, snapshot_id FROM g.db.`tg$tags`").head()
+    assert(t.getString(0) === "v1" && t.getLong(1) === 1L)
+    // travel by tag name resolves through the registry; numeric still works
+    assert(spark.sql("SELECT count(*) FROM g.db.tg VERSION AS OF 'v1'")
+      .head().getLong(0) === 2L)
+    assert(spark.sql("SELECT count(*) FROM g.db.tg VERSION AS OF 2")
+      .head().getLong(0) === 3L)
+    intercept[Exception](
+      spark.sql("SELECT * FROM g.db.tg VERSION AS OF 'nope'").collect())
+  }
+
   test("drop/rename via SQL") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.r1 (id BIGINT)")
