@@ -821,7 +821,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * exactly one action). Returns the snapshot id.
    */
   def mergeCommit(schema: String, table: String, upserts: DataFrame,
-      deleteKeys: DataFrame): Long = {
+      deleteKeys: DataFrame, streamBatchId: Option[Long] = None): Long = {
     val pk = primaryKeyOf(schema, table)
     require(pk.nonEmpty, s"$schema.$table has no primary key — MERGE needs one")
     // Both dirs share one ordinal, so an overlapping key would resolve to
@@ -830,8 +830,52 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(upserts.join(deleteKeys, pk, "left_semi").isEmpty,
       "mergeCommit upserts and deleteKeys must be key-disjoint")
     commit(schema, table, upserts, keepExisting = true,
-      deleteDf = Some(deleteKeys.select(pk.map(col): _*)))
+      deleteDf = Some(deleteKeys.select(pk.map(col): _*)),
+      streamBatchId = streamBatchId)
   }
+
+  /**
+   * Apply one changelog batch (rows carrying `_row_kind`, the
+   * [[readChangelog]] shape) to a PK table as ONE atomic snapshot:
+   * `+I`/`+U` rows upsert, `-D` rows tombstone their keys — the standard
+   * CDC sink. Changelog batches are key-unique by construction (latest
+   * in-range version per key), which is exactly [[mergeCommit]]'s
+   * contract. With `batchId`, replays are skipped via the same manifest
+   * bookkeeping as [[appendStreamBatch]] — exactly-once table contents
+   * under streaming restart. Returns the snapshot id when committed.
+   */
+  def applyChangelog(schema: String, table: String, batch: DataFrame,
+      batchId: Option[Long] = None): Option[Long] = {
+    val pk = primaryKeyOf(schema, table)
+    require(pk.nonEmpty, s"$schema.$table has no primary key — changelogs " +
+      "apply to PK tables (append-only consumers just append)")
+    require(batch.columns.contains(RowKindCol),
+      s"changelog batch needs a $RowKindCol column")
+    if (batchId.exists(_ <= lastStreamBatchId(schema, table))) return None
+    val upserts = batch.filter(col(RowKindCol) =!= "-D").drop(RowKindCol)
+    val deletes = batch.filter(col(RowKindCol) === "-D").select(pk.map(col): _*)
+    Some(mergeCommit(schema, table, upserts, deletes, streamBatchId = batchId))
+  }
+
+  /**
+   * End-to-end CDC mirror: follow `srcTable`'s changelog as a stream and
+   * apply each micro-batch to `dstTable` atomically — the consumer half
+   * of [[streamAppend]], upsert-aware. Exactly-once across restart: the
+   * source replays pending snapshot ranges deterministically and
+   * [[applyChangelog]] skips committed batchIds.
+   */
+  def streamChangelogApply(srcSchema: String, srcTable: String,
+      dstSchema: String, dstTable: String, checkpointDir: String,
+      maxSnapshotsPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    readChangelogStream(srcSchema, srcTable,
+        maxSnapshotsPerTrigger = maxSnapshotsPerTrigger)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) { applyChangelog(dstSchema, dstTable, batch.toDF(), Some(batchId)); () }
+      }
+      .start()
 
   /**
    * Row-level DELETE on a primary-key table (merge-on-read, Paimon-style):
@@ -1012,6 +1056,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     maxSnapshotsPerTrigger.foreach(n =>
       r.option("maxSnapshotsPerTrigger", n.toString))
     r.load()
+  }
+
+  /** [[readIncremental]] between two TAGS (Paimon's
+    * incremental-between-tags scan). */
+  def readIncrementalBetweenTags(schema: String, table: String,
+      fromTag: String, toTag: String): DataFrame = {
+    val t = tags(schema, table)
+    def id(tag: String): Long = t.getOrElse(tag,
+      throw new IllegalArgumentException(s"no tag $tag on $schema.$table"))
+    readIncremental(schema, table, id(fromTag), id(toTag))
   }
 
   // ---- metadata tables (the `table$snapshots`-style system tables the

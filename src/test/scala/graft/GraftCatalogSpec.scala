@@ -496,6 +496,11 @@ class GraftCatalogSpec extends SparkSpecBase {
     cat.createTable("db", "t", abSchema)
     (1 to 3).foreach(i => cat.append("db", "t", Seq((i.toLong, s"v$i")).toDF("id", "name")))
     assert(cat.createTag("db", "t", "v1", Some(1L)) === 1L)
+    cat.createTag("db", "t", "v3", Some(3L))
+    // incremental-between-tags surfaces exactly the delta rows
+    assert(cat.readIncrementalBetweenTags("db", "t", "v1", "v3")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(2L, 3L))
+    cat.deleteTag("db", "t", "v3")
     assert(cat.createTag("db", "t", "latest") === 3L) // defaults to current
     assert(cat.tags("db", "t") === Map("v1" -> 1L, "latest" -> 3L))
     assert(cat.readTag("db", "t", "v1").count() === 1)
