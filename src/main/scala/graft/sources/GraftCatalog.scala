@@ -290,6 +290,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // skips snapshots carrying this marker (Paimon: compaction produces no
     // changelog entries).
     if (compaction) sn.put("compaction", true)
+    // Commit kind for the $snapshots operational view (Paimon's
+    // commitKind): what KIND of change this snapshot represents.
+    sn.put("commitKind",
+      if (compaction) "compact"
+      else if (!keepExisting) "overwrite"
+      else if (deleteDf.isDefined) "merge"
+      else if (kind == "delete") "delete"
+      else "append")
     val fArr = sn.putArray("files")
     val sv = m.get("currentSchemaVersion").asInt()
     val added = FileEntry(dir, sv, kind) +:
@@ -1072,7 +1080,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   // reference surfaces through Trino; Paimon: SnapshotsTable/FilesTable/
   // SchemasTable/OptionsTable) -------------------------------------------
 
-  /** One row per snapshot: id, commit time, cumulative + added file dirs. */
+  /** One row per snapshot: id, commit time, commit kind, cumulative +
+    * added file dirs. */
   def snapshotsTable(schema: String, table: String): DataFrame = {
     val m = readManifest(schema, table)
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
@@ -1083,11 +1092,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // reference fewer dirs than their predecessor but still ADD one
       val prev = if (i == 0) Set.empty[String]
         else filesOf(snaps.get(i - 1)).map(_.dir).toSet
-      (s.get("id").asLong(), s.get("timestampMillis").asLong(), dirs.size,
-        (dirs -- prev).size)
+      val commitKind =
+        if (s.has("commitKind")) s.get("commitKind").asText()
+        else if (s.has("compaction")) "compact" // pre-r5 manifests
+        else "append"
+      (s.get("id").asLong(), s.get("timestampMillis").asLong(), commitKind,
+        dirs.size, (dirs -- prev).size)
     }
     spark.createDataFrame(rows).toDF(
-      "snapshot_id", "timestamp_millis", "n_file_dirs", "n_added_dirs")
+      "snapshot_id", "timestamp_millis", "commit_kind", "n_file_dirs", "n_added_dirs")
   }
 
   /** One row per file dir referenced by the current (or given) snapshot:

@@ -280,8 +280,9 @@ class GraftCatalogSpec extends SparkSpecBase {
     cat.addColumn("db", "t", StructField("extra", IntegerType))
     val snaps = cat.snapshotsTable("db", "t").orderBy("snapshot_id").collect()
     assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
-    assert(snaps.map(_.getInt(2)).toSeq === Seq(1, 2))    // cumulative dirs
-    assert(snaps.map(_.getInt(3)).toSeq === Seq(1, 1))    // added per commit
+    assert(snaps.map(_.getString(2)).toSeq === Seq("append", "append"))
+    assert(snaps.map(_.getInt(3)).toSeq === Seq(1, 2))    // cumulative dirs
+    assert(snaps.map(_.getInt(4)).toSeq === Seq(1, 1))    // added per commit
     assert(snaps.map(_.getLong(1)).toSeq.sliding(2).forall(w => w.head < w.last))
     val files = cat.filesTable("db", "t").orderBy("file_dir").collect()
     assert(files.map(_.getString(0)).toSeq === Seq("snap-1", "snap-2"))
@@ -301,7 +302,14 @@ class GraftCatalogSpec extends SparkSpecBase {
     cat.compact("db", "t")
     val afterCompact = cat.snapshotsTable("db", "t")
       .orderBy("snapshot_id").collect().last
-    assert(afterCompact.getInt(2) === 1 && afterCompact.getInt(3) === 1)
+    assert(afterCompact.getString(2) === "compact")
+    assert(afterCompact.getInt(3) === 1 && afterCompact.getInt(4) === 1)
+    // commit kinds across the DML family
+    cat.deleteWhere("db", "t", col("id") === 2L)
+    cat.overwrite("db", "t", cat.read("db", "t"))
+    assert(cat.snapshotsTable("db", "t").orderBy("snapshot_id")
+      .collect().map(_.getString(2)).toSeq ===
+      Seq("append", "append", "compact", "delete", "overwrite"))
   }
 
   test("bucketed PK tables: hash layout, shuffle-free merge, SQL scan") {
