@@ -17,6 +17,7 @@ object SparkEntry {
       (StreamQueries.queries, StreamQueries.oracle),
       (ExtQueries.queries, ExtQueries.oracle),
       (CatalogQueries.queries, CatalogQueries.oracle),
+      (TpchExtQueries.queries, TpchExtQueries.oracle),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
