@@ -7,7 +7,7 @@ import graft.sources.Tables
 import graft.sources.Tables.{davg, dsum}
 
 /**
- * TPC-H analogs Q8/Q13/Q17/Q19/Q21/Q22 over the synthetic schema —
+ * TPC-H analogs Q8/Q13/Q15/Q17/Q19/Q21/Q22 over the synthetic schema —
  * with Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q18 in RelationalQueries this
  * covers every TPC-H query expressible without `partsupp` (Q2, Q9, Q11,
  * Q16, Q20 need it) and without per-line commit/receipt dates (Q4/Q21
@@ -129,6 +129,25 @@ object TpchExtQueries {
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(100)
     }),
+    // Q15: top supplier — quarterly revenue per supplier, keep the
+    // max-revenue suppliers. The max is a one-row broadcast equality
+    // (both sides of the comparison are the same decimal-sum-to-double
+    // values, so float equality is deterministic here).
+    "q15_top_supplier" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val su = Tables(s, dir, "supplier")
+      val rev = l.groupBy(col("l_suppkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
     // Q22: global sales opportunity (country code = c_nationkey) —
     // rich-but-dormant customers: above-average balance, never placed an
     // URGENT order (anti join — the no-recent-orders analog with a
@@ -212,6 +231,19 @@ object TpchExtQueries {
         |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
         |      AND l3.l_shipdate >= o_orderdate + INTERVAL 60 DAY)
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
     "q22_dormant" ->
       """WITH ab AS (
         |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal)

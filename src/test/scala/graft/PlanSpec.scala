@@ -48,7 +48,8 @@ class PlanSpec extends SparkSpecBase {
       "join_range", "text_tfidf", "dedup_stats",
       "ann_bruteforce",  // the all-pairs baseline the bounded variants beat
       "subquery_scalar", // uncorrelated scalar = 1-row broadcast side
-      "q22_dormant")     // Q22's average balance = 1-row broadcast side
+      "q22_dormant",     // Q22's average balance = 1-row broadcast side
+      "q15_top_supplier") // Q15's max revenue = 1-row broadcast side
     // Iterative/stateful builders execute work at construction; their
     // per-round plans are asserted in their own specs instead.
     val skip = Set("dedup_clusters", "cluster_kmeans", "ann_ivf",
