@@ -103,6 +103,21 @@ object CatalogQueries {
       s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // Zone-map pruned read: three commits with disjoint doc_id ranges,
+    // then a range predicate — readWhere must skip the dirs whose
+    // manifest min/max can't match (asserted by ZonePruneSpec; here the
+    // RESULT is hash-gated against DuckDB running the same predicate on
+    // the original table).
+    "catalog_stats_prune" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema)
+      cat.append("q", t, d.filter(col("doc_id") < 150))
+      cat.append("q", t, d.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+      cat.append("q", t, d.filter(col("doc_id") >= 300))
+      cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
+    }),
     // Full SQL MERGE through the catalog: conditional DELETE, UPDATE, and
     // INSERT in one statement, landed as one atomic data+tombstone
     // snapshot — then the merged image is hash-compared against a DuckDB
@@ -246,6 +261,9 @@ object CatalogQueries {
         |       WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang,
         |  CASE WHEN doc_id % 7 = 3 THEN '-D' ELSE '+U' END AS "_row_kind"
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_stats_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
     "catalog_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

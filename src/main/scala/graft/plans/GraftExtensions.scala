@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO on graft tables → catalog commits (GraftDml)
     ext.injectResolutionRule(_ => new GraftUpdateRewrite)
     ext.injectResolutionRule(_ => new GraftMergeRewrite)
+    // Manifest zone-map pruning + metadata-only count(*) (GraftZoneRules)
+    ext.injectOptimizerRule(_ => new GraftZonePrune)
+    ext.injectOptimizerRule(_ => new GraftCountFromStats)
     register(ext, "long_array_dot", "exact integer dot product of two array<bigint>",
       { args =>
         require(args.length == 2, "long_array_dot(a, b)")

@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.{FileStats, GraftSqlTable}
+
+/**
+ * Planning-time zone-map pruning for graft catalog scans — the optimizer
+ * half of the manifest stats in [[graft.sources.FileStats]]. Runs in the
+ * operator-optimization batch, BEFORE V2ScanRelationPushDown: a `Filter`
+ * directly above a graft relation (predicate pushdown has already
+ * collapsed intervening Projects by this point) is evaluated against each
+ * root dir's manifest min/max, and dirs that provably cannot match are
+ * dropped from the relation's path list. The reference does the same
+ * skip through `TrinoMetadataBase.applyFilter` → Paimon's manifest field
+ * stats; here the surviving filter still reaches the parquet scan for
+ * row-group/page-level skipping — zone pruning only shrinks the file
+ * list the scan ever plans splits for.
+ *
+ * Conservative by construction: paths without stats and predicate shapes
+ * the evaluator doesn't model are kept (see FileStats.mightMatch). The
+ * rewrite fires only when it strictly shrinks the path list, so the
+ * fixed-point batch converges.
+ */
+class GraftZonePrune extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean = SparkSession.active.conf
+    .get("spark.graft.zonePrune.enabled", "true").toBoolean
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case f @ Filter(cond, r: DataSourceV2Relation) => r.table match {
+        case gt: GraftSqlTable if gt.zoneStats.isDefined =>
+          val stats = gt.zoneStats.get
+          val cur = gt.currentPaths
+          val kept = cur.filter(p =>
+            stats.get(p).forall(FileStats.mightMatch(_, cond)))
+          if (kept.size < cur.size) f.copy(child = r.copy(table = gt.pruneTo(kept)))
+          else f
+        case _ => f
+      }
+    }
+}
+
+/**
+ * Metadata-only aggregates: a bare unfiltered `count(*)` / `count(col)` /
+ * `min(col)` / `max(col)` over a graft relation whose manifest stats are
+ * provably exact (append-only snapshot, every dir carries stats)
+ * collapses to a [[LocalRelation]] — zero files opened, zero tasks
+ * launched. The 100 TB `SELECT count(*), min(ts), max(ts) FROM t`
+ * answers from the manifest, like every serious lakehouse format.
+ *
+ * Soundness notes: the whole rewrite bails unless EVERY live dir has a
+ * zone for every referenced column (exactRowCount presence implies full
+ * per-dir stats). Floating-point zones are safe because parquet-mr's
+ * signed comparator orders NaN largest — the same total order Spark's
+ * min/max use. `count(col)` additionally needs known per-dir null
+ * counts. Anything else (distinct, filters, grouping, expressions over
+ * columns) keeps the ordinary scan plan.
+ */
+class GraftCountFromStats extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean = SparkSession.active.conf
+    .get("spark.graft.countFromStats.enabled", "true").toBoolean
+
+  /** The relation under the aggregate, looking through column-pruning
+    * Projects (attribute-only — a Project can't rename without Alias, so
+    * attribute names below are the table's own). */
+  private def relationOf(p: LogicalPlan): Option[GraftSqlTable] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case gt: GraftSqlTable => Some(gt)
+      case _ => None
+    }
+    case Project(projectList, child)
+        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      relationOf(child)
+    case _ => None
+  }
+
+  /** Internal-row value for the global min/max of `name` across dirs, as
+    * the column's Catalyst type. Some(null) = a provably all-null column. */
+  private def minMaxOf(zones: Seq[FileStats.DirStats], name: String,
+      dt: org.apache.spark.sql.types.DataType, wantMin: Boolean): Option[Any] = {
+    if (!zones.forall(_.cols.contains(name))) return None
+    val ends = zones.flatMap(z => if (wantMin) z.cols(name).min else z.cols(name).max)
+    if (ends.isEmpty) return Some(null) // every dir all-null
+    val best = ends.reduce { (a, b) =>
+      val c = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+        case _ => 0
+      }
+      if ((c <= 0) == wantMin) a else b
+    }
+    import org.apache.spark.sql.types._
+    (best, dt) match {
+      case (v: Long, ByteType) => Some(v.toByte)
+      case (v: Long, ShortType) => Some(v.toShort)
+      case (v: Long, IntegerType | DateType) => Some(v.toInt)
+      case (v: Long, LongType | TimestampType | TimestampNTZType) => Some(v)
+      case (v: Double, FloatType) => Some(v.toFloat)
+      case (v: Double, DoubleType) => Some(v)
+      case (v: String, StringType) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      case (v: Boolean, BooleanType) => Some(v)
+      case _ => None
+    }
+  }
+
+  /** Answer one aggregate from the zones, or None to bail. */
+  private def answer(gt: GraftSqlTable, zones: Seq[FileStats.DirStats],
+      rows: Long, e: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Option[Any] = e match {
+    case Alias(AggregateExpression(f, Complete, false, None, _), _) => f match {
+      case Count(Seq(Literal(1, _))) => Some(rows)
+      case Count(Seq(a: AttributeReference)) =>
+        val n = a.name.toLowerCase
+        if (zones.forall(z => z.cols.get(n).exists(_.nulls >= 0L)))
+          Some(zones.map(z => z.rows - z.cols(n).nulls).sum)
+        else None
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Min(a: AttributeReference) =>
+        minMaxOf(zones, a.name.toLowerCase, a.dataType, wantMin = true)
+      case org.apache.spark.sql.catalyst.expressions.aggregate.Max(a: AttributeReference) =>
+        minMaxOf(zones, a.name.toLowerCase, a.dataType, wantMin = false)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformUp {
+      case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
+        (for {
+          gt <- relationOf(child)
+          rows <- gt.exactRowCount // append-only + full per-dir stats
+          zones = gt.zoneStats.getOrElse(Map.empty).values.toSeq
+          vals <- {
+            val answered = aggExprs.map(answer(gt, zones, rows, _))
+            if (answered.forall(_.isDefined)) Some(answered.map(_.get)) else None
+          }
+        } yield LocalRelation(agg.output, Seq(InternalRow(vals: _*)))
+        ).getOrElse(agg)
+    }
+}

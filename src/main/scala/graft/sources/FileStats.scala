@@ -1,0 +1,337 @@
+package graft.sources
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Per-dir column zone maps (min / max / null count + row count), the
+ * Spark-native analog of the per-file field stats Paimon manifests carry
+ * and the reference connector prunes splits with (the `TupleDomain`
+ * handed through `TrinoMetadataBase.applyFilter` reaches Paimon's
+ * `SnapshotReader.withFilter`, which skips whole files on manifest
+ * min/max — this module gives the same planning-time skip to every
+ * catalog scan here).
+ *
+ * Collection reads only parquet FOOTERS of the files a commit just wrote
+ * — O(files-in-commit) driver-side metadata reads, the same cost shape
+ * as the `$partitions` metadata table — and aggregates them to one zone
+ * per commit dir. Dirs are immutable, so stats are computed exactly once
+ * and ride in the manifest (`dirStats` node) for the dir's lifetime.
+ *
+ * Pruning is strictly conservative: a dir is skipped only when the zone
+ * PROVES no row can match. Columns without usable stats (nested types,
+ * decimals, INT96 timestamps, missing footer stats) and predicate shapes
+ * the evaluator doesn't model simply keep the dir.
+ */
+private[graft] object FileStats {
+
+  /** Zone of one column within one dir. `min`/`max` are None when the
+    * dir holds no non-null value for the column (then `nulls == rows`
+    * unless nulls is unknown). `nulls == -1` means the writer footer did
+    * not record null counts. Domain of min/max by column type:
+    * Long (integral/date/timestamp-micros), Double, String, Boolean. */
+  final case class ColZone(min: Option[Any], max: Option[Any], nulls: Long)
+
+  /** Zone map of one commit dir: exact row count + per-column zones
+    * (keyed by lower-cased write-time column name). */
+  final case class DirStats(rows: Long, cols: Map[String, ColZone])
+
+  /** Type tag for JSON round-trip: l=long, d=double, s=string, b=bool. */
+  private def tagOf(v: Any): String = v match {
+    case _: Long => "l"
+    case _: Double => "d"
+    case _: String => "s"
+    case _: Boolean => "b"
+  }
+
+  // ---- collection (commit-time, footers only) ----------------------------
+
+  private sealed trait Domain
+  private case object LongDom extends Domain
+  private case object DoubleDom extends Domain
+  private case object StringDom extends Domain
+  private case object BoolDom extends Domain
+
+  private def domainOf(dt: DataType): Option[Domain] = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType => Some(LongDom)
+    case TimestampType | TimestampNTZType => Some(LongDom) // INT64 micros
+    case FloatType | DoubleType => Some(DoubleDom)
+    case StringType => Some(StringDom)
+    case BooleanType => Some(BoolDom)
+    case _ => None // decimal/binary/nested: not tracked
+  }
+
+  /** Widen a parquet footer min/max value to the column's domain; None
+    * when the physical value is not what the domain expects (e.g. INT96
+    * timestamps) — the column is then dropped from the zone map. */
+  private def widen(dom: Domain, v: AnyRef): Option[Any] = (dom, v) match {
+    case (LongDom, i: java.lang.Integer) => Some(i.longValue())
+    case (LongDom, l: java.lang.Long) => Some(l.longValue())
+    case (DoubleDom, f: java.lang.Float) => Some(f.doubleValue())
+    case (DoubleDom, d: java.lang.Double) => Some(d.doubleValue())
+    case (StringDom, b: org.apache.parquet.io.api.Binary) =>
+      Some(b.toStringUsingUTF8)
+    case (BoolDom, b: java.lang.Boolean) => Some(b.booleanValue())
+    case _ => None
+  }
+
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
+    case (x: String, y: String) => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case _ => false
+  }
+
+  /**
+   * Read the footers of every `.parquet` file under `dir` (recursively —
+   * partition/bucket subdirs included) and aggregate one [[DirStats]].
+   * Returns None if the dir has no parquet files or any footer read
+   * fails (conservative: a dir without stats is never pruned).
+   */
+  def collect(fs: FileSystem, conf: Configuration, dir: Path,
+      schema: StructType): Option[DirStats] = {
+    val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
+      domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
+    var rows = 0L
+    val mins = mutable.HashMap[String, Any]()
+    val maxs = mutable.HashMap[String, Any]()
+    val nulls = mutable.HashMap[String, Long]()
+    val sawValue = mutable.HashSet[String]()
+    val dropped = mutable.HashSet[String]()
+    var nFiles = 0
+    try {
+      if (!fs.exists(dir)) return None
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) {
+          nFiles += 1
+          val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+          try {
+            val blocks = rd.getFooter.getBlocks
+            val bi = blocks.iterator()
+            while (bi.hasNext) {
+              val block = bi.next()
+              rows += block.getRowCount
+              val ci = block.getColumns.iterator()
+              while (ci.hasNext) {
+                val chunk = ci.next()
+                val path = chunk.getPath.toDotString.toLowerCase
+                tracked.get(path).filterNot(_ => dropped.contains(path)).foreach { dom =>
+                  val s = chunk.getStatistics
+                  if (s == null) dropped += path
+                  else {
+                    if (s.isNumNullsSet && nulls.getOrElse(path, 0L) >= 0L)
+                      nulls(path) = nulls.getOrElse(path, 0L) + s.getNumNulls
+                    else nulls(path) = -1L
+                    if (s.hasNonNullValue) {
+                      (widen(dom, s.genericGetMin.asInstanceOf[AnyRef]),
+                          widen(dom, s.genericGetMax.asInstanceOf[AnyRef])) match {
+                        case (Some(mn), Some(mx)) =>
+                          sawValue += path
+                          if (!mins.contains(path) || lt(mn, mins(path))) mins(path) = mn
+                          if (!maxs.contains(path) || lt(maxs(path), mx)) maxs(path) = mx
+                        case _ => dropped += path
+                      }
+                    } else if (!s.isNumNullsSet) {
+                      // no values AND no null count: nothing usable
+                      dropped += path
+                    }
+                  }
+                }
+              }
+            }
+          } finally rd.close()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => return None }
+    if (nFiles == 0) return Some(DirStats(0L, Map.empty))
+    val cols = tracked.keysIterator.filterNot(dropped.contains).flatMap { p =>
+      val nn = nulls.getOrElse(p, -1L)
+      if (sawValue.contains(p))
+        Some(p -> ColZone(Some(mins(p)), Some(maxs(p)), nn))
+      else if (nn >= 0) // all-null column with known null count
+        Some(p -> ColZone(None, None, nn))
+      else None
+    }.toMap
+    Some(DirStats(rows, cols))
+  }
+
+  // ---- manifest JSON round-trip ------------------------------------------
+
+  def toJson(node: ObjectNode, ds: DirStats): Unit = {
+    node.put("rows", ds.rows)
+    val cols = node.putObject("cols")
+    ds.cols.foreach { case (name, z) =>
+      val c = cols.putObject(name)
+      c.put("nulls", z.nulls)
+      z.min.foreach { v =>
+        c.put("t", tagOf(v))
+        v match {
+          case l: Long => c.put("min", l); c.put("max", z.max.get.asInstanceOf[Long])
+          case d: Double => c.put("min", d); c.put("max", z.max.get.asInstanceOf[Double])
+          case s: String => c.put("min", s); c.put("max", z.max.get.asInstanceOf[String])
+          case b: Boolean => c.put("min", b); c.put("max", z.max.get.asInstanceOf[Boolean])
+        }
+      }
+    }
+  }
+
+  def fromJson(node: JsonNode): DirStats = {
+    val rows = node.get("rows").asLong()
+    val cols = mutable.LinkedHashMap[String, ColZone]()
+    val cn = node.get("cols").asInstanceOf[ObjectNode]
+    cn.fieldNames().forEachRemaining { name =>
+      val c = cn.get(name)
+      val nulls = c.get("nulls").asLong()
+      if (c.has("t")) {
+        val (mn, mx) = c.get("t").asText() match {
+          case "l" => (c.get("min").asLong(), c.get("max").asLong())
+          case "d" => (c.get("min").asDouble(), c.get("max").asDouble())
+          case "s" => (c.get("min").asText(), c.get("max").asText())
+          case "b" => (c.get("min").asBoolean(), c.get("max").asBoolean())
+        }
+        cols += name -> ColZone(Some(mn), Some(mx), nulls)
+      } else cols += name -> ColZone(None, None, nulls)
+    }
+    DirStats(rows, cols.toMap)
+  }
+
+  // ---- zone evaluation (planning-time, conservative) ---------------------
+
+  /** Convert a Catalyst literal to the zone domain of its type.
+    * None → predicate shape not modeled, keep the dir. */
+  private def literalDomain(v: Any, dt: DataType): Option[Any] = dt match {
+    case ByteType => Some(v.asInstanceOf[Byte].toLong)
+    case ShortType => Some(v.asInstanceOf[Short].toLong)
+    case IntegerType | DateType => Some(v.asInstanceOf[Int].toLong)
+    case LongType | TimestampType | TimestampNTZType => Some(v.asInstanceOf[Long])
+    case FloatType => Some(v.asInstanceOf[Float].toDouble)
+    case DoubleType => Some(v.asInstanceOf[Double])
+    case StringType => Some(v.asInstanceOf[UTF8String].toString)
+    case BooleanType => Some(v.asInstanceOf[Boolean])
+    case _ => None
+  }
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => 0 // mixed domains: treat as inconclusive
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name.toLowerCase)
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.name.toLowerCase)
+    case _ => None
+  }
+
+  private def litVal(e: Expression): Option[(Any, DataType)] = e match {
+    case Literal(null, _) => None // null literals never prune (ternary logic)
+    case Literal(v, dt) => Some((v, dt))
+    case _ if e.foldable =>
+      // analysis-time coercion casts (`id = 150` wraps the literal in
+      // CAST before constant folding runs) — evaluate driver-side
+      try Option(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty))
+        .map(v => (v, e.dataType))
+      catch { case scala.util.control.NonFatal(_) => None }
+    case _ => None
+  }
+
+  /** Could any row of a dir with zone `z` satisfy `attr op v`? */
+  private def rangeMatch(z: ColZone, v: Any, op: String): Boolean =
+    (z.min, z.max) match {
+      case (Some(mn), Some(mx)) => op match {
+        case "=" => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+        case "<" => cmp(mn, v) < 0 // some value < v
+        case "<=" => cmp(mn, v) <= 0
+        case ">" => cmp(mx, v) > 0
+        case ">=" => cmp(mx, v) >= 0
+      }
+      case _ => false // all-null dir: no non-null value can match
+    }
+
+  /**
+   * Conservative zone-map check: true unless the zone PROVES no row in
+   * the dir can satisfy `pred`. Unknown columns/shapes return true.
+   */
+  def mightMatch(ds: DirStats, pred: Expression): Boolean = pred match {
+    case And(l, r) => mightMatch(ds, l) && mightMatch(ds, r)
+    case Or(l, r) => mightMatch(ds, l) || mightMatch(ds, r)
+    case EqualTo(a, lit) if attrName(a).isDefined => binCheck(ds, a, lit, "=")
+    case EqualTo(lit, a) if attrName(a).isDefined => binCheck(ds, a, lit, "=")
+    case EqualNullSafe(a, lit) if attrName(a).isDefined => binCheck(ds, a, lit, "=")
+    case EqualNullSafe(lit, a) if attrName(a).isDefined => binCheck(ds, a, lit, "=")
+    case LessThan(a, lit) if attrName(a).isDefined => binCheck(ds, a, lit, "<")
+    case LessThan(lit, a) if attrName(a).isDefined => binCheck(ds, a, lit, ">")
+    case LessThanOrEqual(a, lit) if attrName(a).isDefined => binCheck(ds, a, lit, "<=")
+    case LessThanOrEqual(lit, a) if attrName(a).isDefined => binCheck(ds, a, lit, ">=")
+    case GreaterThan(a, lit) if attrName(a).isDefined => binCheck(ds, a, lit, ">")
+    case GreaterThan(lit, a) if attrName(a).isDefined => binCheck(ds, a, lit, "<")
+    case GreaterThanOrEqual(a, lit) if attrName(a).isDefined => binCheck(ds, a, lit, ">=")
+    case GreaterThanOrEqual(lit, a) if attrName(a).isDefined => binCheck(ds, a, lit, "<=")
+    case In(a, list) =>
+      (for (name <- attrName(a); z <- ds.cols.get(name)) yield {
+        val vals = list.flatMap(litVal)
+        if (vals.size != list.size) true // non-literal member: inconclusive
+        else vals.exists { case (v, dt) =>
+          literalDomain(v, dt).forall(rangeMatch(z, _, "="))
+        }
+      }).getOrElse(true)
+    case InSet(a, set) =>
+      (for (name <- attrName(a); z <- ds.cols.get(name); dt <- Some(a.dataType)) yield {
+        set.exists(v => v != null &&
+          literalDomain(v, dt).forall(rangeMatch(z, _, "=")))
+      }).getOrElse(true)
+    case IsNull(a) =>
+      (for (name <- attrName(a); z <- ds.cols.get(name)) yield
+        z.nulls != 0L).getOrElse(true) // -1 (unknown) keeps the dir
+    case IsNotNull(a) =>
+      (for (name <- attrName(a); z <- ds.cols.get(name)) yield
+        z.min.isDefined || z.nulls < ds.rows).getOrElse(true)
+    case StartsWith(a, p) =>
+      (for (name <- attrName(a); z <- ds.cols.get(name);
+            (v, dt) <- litVal(p) if dt == StringType;
+            mn <- z.min; mx <- z.max) yield {
+        val prefix = v.asInstanceOf[UTF8String].toString
+        val n = prefix.length
+        // value starting with `prefix` exists only if
+        // min.take(n) <= prefix <= max.take(n)
+        mn.asInstanceOf[String].take(n) <= prefix &&
+          prefix <= mx.asInstanceOf[String].take(n)
+      }).getOrElse(true)
+    case Not(EqualTo(a, lit)) if attrName(a).isDefined => notEqCheck(ds, a, lit)
+    case Not(EqualTo(lit, a)) if attrName(a).isDefined => notEqCheck(ds, a, lit)
+    case _ => true
+  }
+
+  /** `aExpr` is the attribute side, `litExpr` the literal side — call
+    * sites pass them in canonical order with `op` already oriented as
+    * `attr op lit`. */
+  private def binCheck(ds: DirStats, aExpr: Expression, litExpr: Expression,
+      op: String): Boolean =
+    (for (name <- attrName(aExpr); z <- ds.cols.get(name);
+          (v, dt) <- litVal(litExpr); dv <- literalDomain(v, dt)) yield
+      rangeMatch(z, dv, op)).getOrElse(true)
+
+  /** `a != v` can only be pruned when the whole dir is the single value
+    * v with no nulls. */
+  private def notEqCheck(ds: DirStats, aExpr: Expression,
+      litExpr: Expression): Boolean =
+    (for (name <- attrName(aExpr); z <- ds.cols.get(name);
+          (v, dt) <- litVal(litExpr); dv <- literalDomain(v, dt);
+          mn <- z.min; mx <- z.max) yield
+      !(cmp(mn, dv) == 0 && cmp(mx, dv) == 0 && z.nulls == 0L)).getOrElse(true)
+}

@@ -281,6 +281,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // visible atomically, never as two observable states
     val delDir = s"$dir-del"
     deleteDf.foreach(write(_, delDir, "delete"))
+    // Zone maps: aggregate the new dir's parquet footer stats into the
+    // manifest (Paimon manifests carry per-file field stats the same
+    // way; TrinoMetadataBase.applyFilter prunes splits with them). Dirs
+    // are immutable, so this runs exactly once per dir; cost is
+    // O(files-in-this-commit) driver-side footer reads. Data dirs only —
+    // tombstone dirs are never zone-pruned (MoR must see every delta).
+    if (kind == "data") {
+      FileStats.collect(fs, spark.sparkContext.hadoopConfiguration,
+          new Path(tablePath(schema, table), dir), df.schema).foreach { ds =>
+        val statsNode =
+          if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
+          else m.putObject("dirStats")
+        FileStats.toJson(statsNode.putObject(dir), ds)
+      }
+    }
     val prevFiles: Seq[FileEntry] =
       if (keepExisting && snaps.size() > 0) filesOf(snaps.get(snaps.size() - 1)) else Seq.empty
     val sn = snaps.addObject()
@@ -400,6 +415,79 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       compaction = true)
 
   /**
+   * Sort-compaction (Paimon's `sort-compact` / order-by maintenance):
+   * rewrite the table's current image range-partitioned and sorted by
+   * `by`, landing ONE snapshot that references `ranges` separate file
+   * dirs — each dir covers a disjoint value range, so its manifest zone
+   * map is tight and [[readWhere]]/the SQL GraftZonePrune rule skip all
+   * but the matching dirs at planning time. This is the maintenance op
+   * that turns append-order data into data-skipping layout: a 100 TB
+   * table sort-compacted by event date answers a one-day query by
+   * planning 1/ranges of its files. Within each dir, rows are sorted, so
+   * parquet row-group stats are tight too (scan-time skipping).
+   *
+   * One distributed job: repartitionByRange (a range shuffle) + in-task
+   * sort, written once via a staging dir whose range subdirs are
+   * renamed into per-range dirs driver-side (metadata-only moves).
+   * Refused on bucketed tables (the bucket layout is their contract);
+   * PK tables compact their merged image (rows are key-unique, and all
+   * dirs share the new snapshot's ordinal).
+   */
+  def sortCompact(schema: String, table: String, by: Seq[String],
+      ranges: Int = 16): Long = {
+    require(by.nonEmpty, "sortCompact needs at least one order-by column")
+    require(ranges >= 1, "ranges must be >= 1")
+    val m = readManifest(schema, table)
+    require(bucketCount(m).isEmpty || primaryKey(m).isEmpty,
+      s"$schema.$table is bucketed — its layout is the read contract; " +
+        "use compact() instead")
+    val cur = currentSchema(schema, table)
+    by.foreach(c => require(cur.fieldNames.contains(c), s"unknown column $c"))
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
+    val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
+    val id = lastId + 1
+    val staging = new Path(tablePath(schema, table), s".snap-$id-staging")
+    read(schema, table)
+      .repartitionByRange(ranges, by.map(col): _*)
+      .sortWithinPartitions(by.map(col): _*)
+      .withColumn("__range", org.apache.spark.sql.functions.spark_partition_id())
+      .write.mode("overwrite").partitionBy("__range").parquet(staging.toString)
+    // Promote each __range=i subdir to its own dir entry (rename = O(1)
+    // metadata per dir on HDFS/posix; object stores see a copy per file).
+    val rangeDirs = fs.listStatus(staging).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("__range="))
+      .sortBy(_.stripPrefix("__range=").toInt)
+    val sv = m.get("currentSchemaVersion").asInt()
+    val entries = rangeDirs.map { rd =>
+      val dir = s"snap-$id-r${rd.stripPrefix("__range=")}"
+      fs.rename(new Path(staging, rd), new Path(tablePath(schema, table), dir))
+      FileEntry(dir, sv, "data")
+    }.toSeq
+    fs.delete(staging, true)
+    val sn = snaps.addObject()
+    sn.put("id", id)
+    sn.put("timestampMillis", math.max(System.currentTimeMillis(), lastTs + 1))
+    sn.put("compaction", true) // rewrites bytes, not content: changelog skips it
+    sn.put("commitKind", "compact")
+    val fArr = sn.putArray("files")
+    entries.foreach { fe =>
+      val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
+    }
+    entries.foreach { fe =>
+      FileStats.collect(fs, spark.sparkContext.hadoopConfiguration,
+          new Path(tablePath(schema, table), fe.dir), cur).foreach { ds =>
+        val statsNode =
+          if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
+          else m.putObject("dirStats")
+        FileStats.toJson(statsNode.putObject(fe.dir), ds)
+      }
+    }
+    writeManifest(schema, table, m)
+    id
+  }
+
+  /**
    * Compact only when the current snapshot references more than
    * `maxFileDirs` file dirs — the Paimon-style small-file trigger
    * (num-sorted-run threshold) a streaming ingest loop calls after each
@@ -439,12 +527,58 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .filterNot(keptDirs.contains)
     val arr = m.putArray("snapshots")
     kept.foreach(arr.add)
+    // Zone maps of orphaned dirs leave the manifest with them.
+    if (m.has("dirStats")) {
+      val statsNode = m.get("dirStats").asInstanceOf[ObjectNode]
+      orphanDirs.foreach(statsNode.remove)
+    }
     // Manifest first (atomic commit), orphan deletion after: a crash
     // between the two leaves unreferenced dirs, never a dangling manifest.
     writeManifest(schema, table, m)
     orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
     dropped.map(_.get("id").asLong())
   }
+
+  /**
+   * Roll the table back to `snapshotId` (Paimon's rollback-to): snapshots
+   * NEWER than the target are dropped from the manifest and their
+   * newly-orphaned file dirs deleted — the emergency undo for a bad
+   * write. History up to the target is untouched (time travel within it
+   * still works). Refused while a tag pins a newer snapshot: delete the
+   * tag first (a tag is a retention promise, same as in expiration).
+   */
+  def rollbackTo(schema: String, table: String, snapshotId: Long): Unit = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    require(all.exists(_.get("id").asLong() == snapshotId),
+      s"no snapshot $snapshotId for $schema.$table")
+    val (kept, dropped) = all.partition(_.get("id").asLong() <= snapshotId)
+    if (dropped.isEmpty) return
+    val droppedIds = dropped.map(_.get("id").asLong()).toSet
+    val pinning = tags(schema, table).filter(kv => droppedIds.contains(kv._2))
+    require(pinning.isEmpty, s"cannot roll back $schema.$table past tagged " +
+      s"snapshot(s) ${pinning.map(kv => s"${kv._1}→${kv._2}").mkString(", ")} — " +
+      "delete the tag(s) first")
+    val keptDirs = kept.flatMap(filesOf).map(_.dir).toSet
+    val orphanDirs = dropped.flatMap(filesOf).map(_.dir).distinct
+      .filterNot(keptDirs.contains)
+    val arr = m.putArray("snapshots")
+    kept.foreach(arr.add)
+    if (m.has("dirStats")) {
+      val statsNode = m.get("dirStats").asInstanceOf[ObjectNode]
+      orphanDirs.foreach(statsNode.remove)
+    }
+    // Manifest first, orphan deletion after (same crash contract as
+    // expireSnapshots: at worst unreferenced dirs, never a broken manifest).
+    writeManifest(schema, table, m)
+    orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
+  }
+
+  /** Roll back to the snapshot a tag pins (rollback-to-tag). */
+  def rollbackToTag(schema: String, table: String, tag: String): Unit =
+    rollbackTo(schema, table, tags(schema, table).getOrElse(tag,
+      throw new IllegalArgumentException(s"no tag $tag on $schema.$table")))
 
   // ---- tags (named snapshots, Paimon-style) ------------------------------
 
@@ -523,6 +657,90 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
     }
+  }
+
+  /** Zone maps of every live dir (dir name → stats); empty map for
+    * pre-stats manifests — those dirs are simply never pruned. */
+  def dirStats(schema: String, table: String): Map[String, FileStats.DirStats] =
+    dirStatsFrom(readManifest(schema, table))
+
+  private def dirStatsFrom(m: ObjectNode): Map[String, FileStats.DirStats] = {
+    if (!m.has("dirStats")) return Map.empty
+    val node = m.get("dirStats").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, FileStats.DirStats]()
+    node.fieldNames().forEachRemaining(d => out += d -> FileStats.fromJson(node.get(d)))
+    out.toMap
+  }
+
+  /** Can a snapshot's dirs be zone-pruned independently? Append-only
+    * current-schema snapshots only: on a MoR-pending PK table, pruning
+    * the dir holding a key's LATEST version while an older dir survives
+    * would resurrect the old version at merge time. */
+  private def zonePrunable(m: ObjectNode, entries: Seq[FileEntry]): Boolean = {
+    val cur = m.get("currentSchemaVersion").asInt()
+    entries.forall(e => e.kind == "data" && e.schemaVersion == cur) &&
+      primaryKey(m).isEmpty
+  }
+
+  /**
+   * Read with planning-time zone-map pruning: dirs whose manifest
+   * min/max stats prove `condition` unsatisfiable are never listed,
+   * opened, or planned — the Spark-native analog of the reference's
+   * manifest-stats split skip (TrinoMetadataBase.applyFilter →
+   * SnapshotReader.withFilter). On a 100 TB table where commits arrive
+   * time-ordered, a date-range query plans O(matching dirs) instead of
+   * O(all dirs). Falls back to `read(...).filter` whenever pruning is
+   * unsafe (PK merge state, evolved files) or stats are missing —
+   * results are identical either way; only the file list shrinks.
+   */
+  def readWhere(schema: String, table: String,
+      condition: org.apache.spark.sql.Column,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): DataFrame = {
+    val m = readManifest(schema, table)
+    val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+    val entries = chosen.map(filesOf).getOrElse(Seq.empty)
+    val full = read(schema, table, snapshotId, asOfMillis).filter(condition)
+    if (entries.isEmpty || !zonePrunable(m, entries)) return full
+    // The Column's tree is unresolved (plain name + raw literal); the zone
+    // evaluator needs the analyzer's output — typed literals, coercion
+    // casts folded in — so pull the resolved predicate off the analyzed
+    // filter (driver-side analysis only, no job).
+    val resolved = full.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+    if (resolved.isEmpty) return full
+    val stats = dirStatsFrom(m)
+    val kept = entries.filter(fe =>
+      stats.get(fe.dir).forall(FileStats.mightMatch(_, resolved.get)))
+    if (kept.size == entries.size) return full
+    val target = StructType(currentFields(m).map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    resolveFrames(schema, table, m, kept)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+      .filter(condition)
+  }
+
+  /**
+   * Metadata-only row count: `count(*)` answered from manifest zone-map
+   * row counts — zero files opened, zero executor work (the O(1)
+   * planning answer a 100 TB `SELECT count(*)` deserves). Some only when
+   * provably exact: every live dir is plain current-schema append data
+   * with recorded stats, and the table has no primary key (MoR merge
+   * changes the visible count).
+   */
+  def countRows(schema: String, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): Option[Long] = {
+    val m = readManifest(schema, table)
+    val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+    if (chosen.isEmpty) return Some(0L)
+    val entries = filesOf(chosen.get)
+    if (!zonePrunable(m, entries)) return None
+    val stats = dirStatsFrom(m)
+    val counts = entries.map(fe => stats.get(fe.dir).map(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
   }
 
   /**

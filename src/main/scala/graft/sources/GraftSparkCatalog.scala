@@ -203,21 +203,33 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           case None => gc.read(schemaName, tableName, snapshotId, asOfMillis)
         }
       })
-    val paths = if (resolvedAsFiles) entries.map(e =>
-      new Path(new Path(new Path(warehouse, schemaName), tableName), e.dir).toString)
-      else Seq.empty
+    def dirPath(dir: String): String =
+      new Path(new Path(new Path(warehouse, schemaName), tableName), dir).toString
+    val paths = if (resolvedAsFiles) entries.map(e => dirPath(e.dir)) else Seq.empty
     val schema = gc.currentSchema(schemaName, tableName)
     val parquet = ParquetTable(s"$catalogName.$schemaName.$tableName",
       spark.asInstanceOf[classic.SparkSession],
       new CaseInsensitiveStringMap(Map.empty[String, String].asJava),
       paths, Some(schema), classOf[ParquetFileFormat])
+    // Manifest zone maps, threaded into the table so the optimizer can
+    // skip whole dirs at planning time (GraftZonePrune) and answer bare
+    // count(*) without a scan (GraftCountFromStats).
+    val dirStats = gc.dirStats(schemaName, tableName)
+    val zoneStats = if (resolvedAsFiles)
+      Some(entries.flatMap(e => dirStats.get(e.dir).map(dirPath(e.dir) -> _)).toMap)
+      else None
+    val exactRowCount =
+      if (resolvedAsFiles && pk.isEmpty && entries.forall(e => dirStats.contains(e.dir)))
+        Some(entries.map(e => dirStats(e.dir).rows).sum)
+      else None
     new GraftSqlTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
       gc.tableOptions(schemaName, tableName) ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
       morRead, commitInsert(schemaName, tableName) _,
       cond => { gc.deleteWhere(schemaName, tableName, cond); () },
       canDelete = pk.nonEmpty,
-      coords = Some((warehouse, schemaName, tableName)))
+      coords = Some((warehouse, schemaName, tableName)),
+      zoneStats = zoneStats, exactRowCount = exactRowCount)
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -360,8 +372,25 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     canDelete: Boolean,
     /** (warehouse, schema, table) — lets the UPDATE rewrite rule route the
       * statement back into the owning catalog (graft.plans.GraftDml). */
-    private[graft] val coords: Option[(String, String, String)] = None)
+    private[graft] val coords: Option[(String, String, String)] = None,
+    /** Zone maps keyed by root path — set only when per-dir pruning is
+      * provably safe (resolved file scans; see GraftCatalog.readWhere's
+      * MoR caveat). Paths absent from the map are never pruned. */
+    private[graft] val zoneStats: Option[Map[String, FileStats.DirStats]] = None,
+    /** Exact row count from manifest stats — set only when provably
+      * exact (append-only, every dir has stats); lets `count(*)` answer
+      * without touching a single file. */
+    private[graft] val exactRowCount: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private[graft] def currentPaths: Seq[String] = delegate.paths
+
+  /** Same table over a zone-pruned subset of its root paths (the DSv2
+    * split-skip analog of the reference's manifest-stats pruning). */
+  private[graft] def pruneTo(kept: Seq[String]): GraftSqlTable =
+    new GraftSqlTable(delegate.copy(paths = kept), partitionCols, props,
+      morRead, commitInsert, commitDelete, canDelete, coords,
+      zoneStats.map(_.filter(kv => kept.contains(kv._1))), exactRowCount = None)
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as
     * in [[GraftCatalog.deleteWhere]]); append-only tables and

@@ -621,6 +621,38 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.read("db", "t").count() === 5)
   }
 
+  test("rollback drops newer snapshots, deletes orphans, respects tags") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "rb", abSchema)
+    val s1 = cat.append("db", "rb", Seq((1L, "a")).toDF("id", "name"))
+    val s2 = cat.append("db", "rb", Seq((2L, "b")).toDF("id", "name"))
+    cat.append("db", "rb", Seq((3L, "c")).toDF("id", "name"))
+    cat.overwrite("db", "rb", Seq((9L, "oops")).toDF("id", "name"))
+    assert(cat.read("db", "rb").count() === 1) // the bad overwrite
+    cat.rollbackTo("db", "rb", s2)
+    assert(cat.read("db", "rb").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L))
+    assert(cat.snapshots("db", "rb").map(_.id) === Seq(s1, s2))
+    // time travel within surviving history still works
+    assert(cat.read("db", "rb", snapshotId = Some(s1)).count() === 1)
+    // orphan dirs of dropped snapshots are gone; stats pruned with them
+    assert(cat.dirStats("db", "rb").keySet === Set("snap-1", "snap-2"))
+    // a tag on a newer snapshot blocks rollback until deleted
+    cat.append("db", "rb", Seq((4L, "d")).toDF("id", "name"))
+    cat.createTag("db", "rb", "keep")
+    intercept[IllegalArgumentException](cat.rollbackTo("db", "rb", s2))
+    cat.deleteTag("db", "rb", "keep")
+    cat.rollbackTo("db", "rb", s2)
+    assert(cat.read("db", "rb").count() === 2)
+    // rollback-to-tag resolves through the tag registry
+    cat.createTag("db", "rb", "base", Some(s1))
+    cat.append("db", "rb", Seq((5L, "e")).toDF("id", "name"))
+    cat.rollbackToTag("db", "rb", "base")
+    assert(cat.read("db", "rb").count() === 1)
+  }
+
   test("split target bytes controls scan parallelism (split-planning analog)") {
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try {

@@ -1,0 +1,200 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * Manifest zone maps: commit-time footer stats, planning-time dir
+ * pruning (library readWhere + SQL GraftZonePrune), and metadata-only
+ * count(*) (GraftCountFromStats).
+ */
+class ZonePruneSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-zpwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gz", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gz.warehouse", warehouse)
+    import spark.implicits._
+    gc.createSchema("db")
+    gc.createTable("db", "zp", spark.range(0).selectExpr(
+      "id", "'x' AS name", "CAST(id AS DOUBLE) AS score").schema)
+    // three commits with disjoint id ranges -> three dirs with disjoint zones
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .selectExpr("id", "concat('n', id) AS name", "CAST(id AS DOUBLE) / 10 AS score")
+    gc.append("db", "zp", batch(1, 100).toDF())
+    gc.append("db", "zp", batch(101, 200).toDF())
+    gc.append("db", "zp", batch(201, 300).toDF())
+  }
+
+  private def scannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.inputFiles.map(f => f.split("/").reverse.dropWhile(!_.startsWith("snap-")).head).toSet
+
+  /** Root dirs of the physical V2 parquet scan (Dataset.inputFiles can't
+    * see through a non-FileTable DSv2 relation). */
+  private def sqlScanRoots(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fs.fileIndex.rootPaths.map(_.getName)
+          case _ => Seq.empty
+        }
+    }.flatten.toSet
+
+  test("manifest carries per-dir zone maps with exact row counts") {
+    val stats = gc.dirStats("db", "zp")
+    assert(stats.keySet === Set("snap-1", "snap-2", "snap-3"))
+    val s1 = stats("snap-1")
+    assert(s1.rows === 100)
+    assert(s1.cols("id").min.contains(1L) && s1.cols("id").max.contains(100L))
+    assert(s1.cols("score").min.contains(0.1) && s1.cols("score").max.contains(10.0))
+    assert(s1.cols("name").min.contains("n1") && s1.cols("name").max.contains("n99"))
+    assert(s1.cols("id").nulls === 0)
+  }
+
+  test("library readWhere prunes dirs the predicate cannot match") {
+    val pruned = gc.readWhere("db", "zp", col("id") === 150L)
+    assert(scannedDirs(pruned) === Set("snap-2"))
+    assert(pruned.count() === 1)
+    // range predicate spanning two dirs keeps exactly those two
+    val range = gc.readWhere("db", "zp", col("id") > 90L && col("id") <= 110L)
+    assert(scannedDirs(range) === Set("snap-1", "snap-2"))
+    assert(range.count() === 20)
+    // IN list across dirs
+    val in = gc.readWhere("db", "zp", col("id").isin(5L, 205L))
+    assert(scannedDirs(in) === Set("snap-1", "snap-3"))
+    assert(in.count() === 2)
+    // string predicate on the name zone: "n250" sorts inside snap-1's
+    // ["n1","n99"] range too (lexicographic), so only snap-2 is skipped
+    val s = gc.readWhere("db", "zp", col("name") === "n250")
+    assert(scannedDirs(s) === Set("snap-1", "snap-3"))
+    assert(s.count() === 1)
+    // nothing matches -> zero dirs, empty result, correct schema
+    val none = gc.readWhere("db", "zp", col("id") > 10000L)
+    assert(none.inputFiles.isEmpty && none.count() === 0)
+    assert(none.columns.toSeq === Seq("id", "name", "score"))
+  }
+
+  test("readWhere matches unpruned results exactly") {
+    val cond = col("score") >= 9.5 && col("score") < 20.5
+    val pruned = gc.readWhere("db", "zp", cond).orderBy("id").collect()
+    val full = gc.read("db", "zp").filter(cond).orderBy("id").collect()
+    assert(pruned.toSeq === full.toSeq)
+  }
+
+  test("SQL scans zone-prune through the optimizer rule") {
+    val one = spark.sql("SELECT * FROM gz.db.zp WHERE id = 150")
+    assert(sqlScanRoots(one) === Set("snap-2"))
+    assert(one.count() === 1)
+    val two = spark.sql("SELECT name FROM gz.db.zp WHERE id BETWEEN 95 AND 105")
+    assert(sqlScanRoots(two) === Set("snap-1", "snap-2"))
+    assert(two.count() === 11)
+    // disabled -> all dirs planned, same answer
+    spark.conf.set("spark.graft.zonePrune.enabled", "false")
+    try {
+      val full = spark.sql("SELECT * FROM gz.db.zp WHERE id = 150")
+      assert(sqlScanRoots(full) === Set("snap-1", "snap-2", "snap-3"))
+      assert(full.count() === 1)
+    } finally spark.conf.unset("spark.graft.zonePrune.enabled")
+  }
+
+  test("bare count(*) answers from the manifest with no scan") {
+    val df = spark.sql("SELECT count(*) FROM gz.db.zp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"count(*) was not answered from stats:\n$plan")
+    assert(df.head().getLong(0) === 300L)
+    // time travel counts the chosen snapshot's manifest
+    assert(spark.sql("SELECT count(*) FROM gz.db.zp VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    // filtered counts still scan (and still zone-prune)
+    val filtered = spark.sql("SELECT count(*) FROM gz.db.zp WHERE id = 150")
+    assert(filtered.head().getLong(0) === 1L)
+    assert(gc.countRows("db", "zp") === Some(300L))
+    assert(gc.countRows("db", "zp", snapshotId = Some(2)) === Some(200L))
+  }
+
+  test("bare min/max/count(col) answer from zones with no scan") {
+    val df = spark.sql(
+      "SELECT min(id), max(id), min(score), max(score), min(name), count(id) FROM gz.db.zp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"aggregates were not answered from stats:\n$plan")
+    val r = df.head()
+    assert(r.getLong(0) === 1L && r.getLong(1) === 300L)
+    assert(r.getDouble(2) === 0.1 && r.getDouble(3) === 30.0)
+    assert(r.getString(4) === "n1")
+    assert(r.getLong(5) === 300L)
+    // avg is not answerable -> the whole aggregate keeps its scan
+    val mixed = spark.sql("SELECT min(id), avg(id) FROM gz.db.zp")
+    assert(mixed.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(mixed.head().getLong(0) === 1L)
+  }
+
+  test("count(*) never fires on merge-on-read state") {
+    import spark.implicits._
+    gc.createTable("db", "zpk",
+      Seq((1L, "a")).toDF("id", "v").schema, primaryKey = Seq("id"))
+    gc.upsert("db", "zpk", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    gc.upsert("db", "zpk", Seq((2L, "b2"), (3L, "c")).toDF("id", "v"))
+    assert(gc.countRows("db", "zpk") === None)
+    val df = spark.sql("SELECT count(*) FROM gz.db.zpk")
+    assert(df.head().getLong(0) === 3L) // merged image, counted by scan
+  }
+
+  test("sortCompact rewrites into range dirs that zone-prune tightly") {
+    import spark.implicits._
+    // interleaved commits: every dir spans the full id range -> no pruning
+    gc.createTable("db", "sc", Seq((1L, "x")).toDF("id", "v").schema)
+    def batch(r: Long) = spark.range(0, 300).filter(col("id") % 3 === r)
+      .selectExpr("id", "concat('v', id) AS v")
+    gc.append("db", "sc", batch(0).toDF())
+    gc.append("db", "sc", batch(1).toDF())
+    gc.append("db", "sc", batch(2).toDF())
+    val before = gc.readWhere("db", "sc", col("id") === 150L)
+    assert(scannedDirs(before).size === 3, "interleaved zones should not prune")
+    val full = gc.read("db", "sc").orderBy("id").collect().toSeq
+    // sort-compact by id into 4 range dirs
+    gc.sortCompact("db", "sc", Seq("id"), ranges = 4)
+    // old dirs keep their zones (still time-travelable); the current
+    // snapshot references exactly the 4 new range dirs
+    val stats = gc.dirStats("db", "sc")
+    val rangeStats = stats.filter(_._1.startsWith("snap-4-r"))
+    assert(rangeStats.size === 4)
+    assert(rangeStats.values.map(_.rows).sum === 300)
+    // zones are now disjoint: a point query plans exactly one dir
+    val after = gc.readWhere("db", "sc", col("id") === 150L)
+    assert(scannedDirs(after).size === 1)
+    assert(after.count() === 1)
+    // content identical to the pre-compact image
+    assert(gc.read("db", "sc").orderBy("id").collect().toSeq === full)
+    // SQL scans prune the compacted layout the same way
+    val sql = spark.sql("SELECT * FROM gz.db.sc WHERE id >= 290")
+    assert(sqlScanRoots(sql).size === 1)
+    assert(sql.count() === 10)
+    // bucketed PK tables refuse sort-compaction (layout is the contract)
+    gc.createTable("db", "scb", Seq((1L, "x")).toDF("id", "v").schema,
+      options = Map("bucket" -> "4"), primaryKey = Seq("id"))
+    intercept[IllegalArgumentException](
+      gc.sortCompact("db", "scb", Seq("id")))
+  }
+
+  test("zone pruning survives schema evolution conservatively") {
+    import spark.implicits._
+    gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
+    gc.append("db", "zev", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    gc.renameColumn("db", "zev", "v", "w")
+    gc.append("db", "zev", Seq((10L, "x"), (20L, "y")).toDF("id", "w"))
+    // pre-rename dir has stats under the OLD name -> never pruned on `w`;
+    // readWhere falls back to read().filter when versions are mixed.
+    val r = gc.readWhere("db", "zev", col("w") === "a")
+    assert(r.count() === 1)
+    val all = gc.readWhere("db", "zev", col("id") >= 0L)
+    assert(all.count() === 4)
+  }
+}
