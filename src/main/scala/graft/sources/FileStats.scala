@@ -92,16 +92,36 @@ private[graft] object FileStats {
     case _ => false
   }
 
+  /** Parse one `col=value` partition-path value into the zone domain of
+    * the column's type. None → unparseable, drop the column. */
+  private def partitionValue(dom: Domain, dt: DataType, raw: String): Option[Any] = {
+    val v = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .unescapePathName(raw)
+    try dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some(v.toLong)
+      case DateType => Some(java.time.LocalDate.parse(v).toEpochDay)
+      case FloatType | DoubleType => Some(v.toDouble)
+      case StringType => Some(v)
+      case BooleanType => Some(v.toBoolean)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /**
    * Read the footers of every `.parquet` file under `dir` (recursively —
    * partition/bucket subdirs included) and aggregate one [[DirStats]].
-   * Returns None if the dir has no parquet files or any footer read
-   * fails (conservative: a dir without stats is never pruned).
+   * Partition columns never appear in the files themselves, so their
+   * zones come from the `col=value` path segments instead (null
+   * partitions conservatively drop the column). Returns None if the dir
+   * has no parquet files or any footer read fails (conservative: a dir
+   * without stats is never pruned).
    */
   def collect(fs: FileSystem, conf: Configuration, dir: Path,
       schema: StructType): Option[DirStats] = {
     val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
       domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
+    val typeByName: Map[String, DataType] =
+      schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
     var rows = 0L
     val mins = mutable.HashMap[String, Any]()
     val maxs = mutable.HashMap[String, Any]()
@@ -116,6 +136,30 @@ private[graft] object FileStats {
         val st = it.next()
         if (st.getPath.getName.endsWith(".parquet")) {
           nFiles += 1
+          // partition-column zones from the col=value path segments
+          var seg = st.getPath.getParent
+          val qualifiedDir = fs.makeQualified(dir)
+          while (seg != null && fs.makeQualified(seg) != qualifiedDir) {
+            val name = seg.getName
+            val eq = name.indexOf('=')
+            if (eq > 0) {
+              val colName = org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(name.take(eq)).toLowerCase
+              tracked.get(colName).filterNot(_ => dropped.contains(colName)).foreach { dom =>
+                val raw = name.drop(eq + 1)
+                if (raw == "__HIVE_DEFAULT_PARTITION__") dropped += colName
+                else partitionValue(dom, typeByName(colName), raw) match {
+                  case Some(v) =>
+                    sawValue += colName
+                    nulls.getOrElseUpdate(colName, 0L)
+                    if (!mins.contains(colName) || lt(v, mins(colName))) mins(colName) = v
+                    if (!maxs.contains(colName) || lt(maxs(colName), v)) maxs(colName) = v
+                  case None => dropped += colName
+                }
+              }
+            }
+            seg = seg.getParent
+          }
           val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
           try {
             val blocks = rd.getFooter.getBlocks

@@ -178,9 +178,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // layout carries the physical __bucket partition dirs, which a raw
     // ParquetTable would surface as a column.
     val bucketed = gc.bucketCountOf(schemaName, tableName).isDefined
+    // A partitioned table spanning several snapshot dirs cannot feed one
+    // ParquetTable: Spark's partition discovery requires all col=value
+    // leaves to share a single non-kv base dir, and N roots give N bases
+    // (CONFLICTING_DIRECTORY_STRUCTURES). Those read through the V1
+    // bridge, which unions the dirs per-entry and zone-prunes via
+    // readWhere.
+    val partitioned = gc.partitionColumnsOf(schemaName, tableName).nonEmpty
     val resolvedAsFiles =
       entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
-        (pk.isEmpty || (entries.size <= 1 && !bucketed))
+        (pk.isEmpty || (entries.size <= 1 && !bucketed)) &&
+        (!partitioned || entries.size <= 1)
     // MoR-pending state (PK deltas, tombstones, pre-evolution files) is
     // served through the read-time merge scan; fully-resolved snapshots
     // keep the native vectorized parquet path (raw file scans + pushdown).
@@ -200,7 +208,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           else None
         prunedBucket match {
           case Some(k) => gc.readBucket(schemaName, tableName, k, snapshotId, asOfMillis)
-          case None => gc.read(schemaName, tableName, snapshotId, asOfMillis)
+          case None => FilterTranslation.toCondition(filters) match {
+            // readWhere zone-prunes whole dirs when provably safe
+            // (append-only current-schema snapshots) and degrades to
+            // read().filter otherwise — the filter is re-applied by the
+            // V1 scan either way, so this is purely a file-list shrink.
+            case Some(cond) if filters.nonEmpty =>
+              gc.readWhere(schemaName, tableName, cond, snapshotId, asOfMillis)
+            case _ => gc.read(schemaName, tableName, snapshotId, asOfMillis)
+          }
         }
       })
     def dirPath(dir: String): String =

@@ -184,6 +184,31 @@ class ZonePruneSpec extends SparkSpecBase {
       gc.sortCompact("db", "scb", Seq("id")))
   }
 
+  test("partition-column zones prune dirs from path segments") {
+    import spark.implicits._
+    gc.createTable("db", "zpart", Seq((1L, "en")).toDF("id", "lang").schema,
+      partitionBy = Seq("lang"))
+    gc.append("db", "zpart",
+      Seq((1L, "aa"), (2L, "bb"), (3L, "cc")).toDF("id", "lang"))
+    gc.append("db", "zpart",
+      Seq((4L, "xx"), (5L, "yy"), (6L, "zz")).toDF("id", "lang"))
+    val stats = gc.dirStats("db", "zpart")
+    assert(stats("snap-1").cols("lang").min.contains("aa") &&
+      stats("snap-1").cols("lang").max.contains("cc"))
+    // partition columns never appear in footers — zone must come from paths
+    val pruned = gc.readWhere("db", "zpart", col("lang") === "yy")
+    assert(scannedDirs(pruned) === Set("snap-2"))
+    assert(pruned.count() === 1)
+    // Multi-dir partitioned tables read through the V1 merge bridge
+    // (Spark partition discovery can't span several snapshot roots);
+    // the bridge routes pushed filters into readWhere, so the same
+    // dir-level zone pruning applies inside its plan.
+    val sql = spark.sql("SELECT * FROM gz.db.zpart WHERE lang = 'yy'")
+    assert(sql.count() === 1)
+    assert(spark.sql("SELECT id FROM gz.db.zpart ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === (1L to 6L))
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
