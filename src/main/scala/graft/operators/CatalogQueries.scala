@@ -118,6 +118,48 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // partial-update merge engine: a patch batch with NULL fields updates
+    // only its non-null fields (Paimon's merge-engine=partial-update).
+    "catalog_merge_partial" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "partial-update"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("PATCHED"))
+        .withColumn("n_chars", lit(null).cast("bigint")))
+      cat.read("q", t).orderBy("doc_id")
+    }),
+    // aggregation merge engine: per-field sum / last_non_null folding
+    // across upserts (Paimon's merge-engine=aggregation).
+    "catalog_merge_agg" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.n_chars.aggregate-function" -> "sum"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("AGAIN")))
+      cat.read("q", t).orderBy("doc_id")
+    }),
+    // first-row merge engine: the EARLIEST version of a key wins.
+    "catalog_merge_firstrow" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "first-row"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.withColumn("lang", lit("LATER")))
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // Full SQL MERGE through the catalog: conditional DELETE, UPDATE, and
     // INSERT in one statement, landed as one atomic data+tombstone
     // snapshot — then the merged image is hash-compared against a DuckDB
@@ -264,6 +306,18 @@ object CatalogQueries {
     "catalog_stats_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
+    "catalog_merge_partial" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'PATCHED' ELSE lang END AS lang,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_merge_agg" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'AGAIN' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN 2 * n_chars ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_merge_firstrow" ->
+      """SELECT doc_id, lang FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

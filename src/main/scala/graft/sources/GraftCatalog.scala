@@ -83,6 +83,26 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(!structType.fieldNames.contains(BucketCol),
         s"column name $BucketCol is reserved on bucketed tables")
     }
+    // Paimon merge engines: how a PK table resolves multiple versions of
+    // one key. The in-task bucketed merge implements deduplicate only,
+    // so the two options are mutually exclusive here.
+    options.get("merge-engine").foreach { e =>
+      require(MergeEngines.contains(e),
+        s"merge-engine must be one of ${MergeEngines.mkString(", ")}, got $e")
+      require(primaryKey.nonEmpty, "merge-engine requires a primary key")
+      require(e == "deduplicate" || !options.contains("bucket"),
+        "bucketed tables support only the deduplicate merge engine")
+    }
+    options.keys.filter(_.startsWith("fields.")).foreach { k =>
+      require(options.get("merge-engine").contains("aggregation"),
+        s"$k requires merge-engine=aggregation")
+      val f = k.stripPrefix("fields.").stripSuffix(".aggregate-function")
+      require(k == s"fields.$f.aggregate-function" &&
+        structType.fieldNames.contains(f) && !primaryKey.contains(f),
+        s"bad aggregate-function option $k (unknown or primary-key field)")
+      require(FieldAggregates.contains(options(k)),
+        s"$k must be one of ${FieldAggregates.mkString(", ")}, got ${options(k)}")
+    }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
     m.put("name", table)
@@ -174,6 +194,38 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fields :+ FieldInfo(nextId, field.name,
         TypeMapping.fieldTrinoType(field), field.getComment())
     }
+
+  /**
+   * Widen a column's type — metadata-only, like every evolution step
+   * (Paimon/Trino column type evolution): the manifest records the new
+   * type under the same stable field id, and reads cast each file's
+   * write-time type to the current one. Only lossless widenings are
+   * allowed: tinyint→smallint→integer→bigint, real→double, decimal
+   * precision growth at equal scale, varchar length growth.
+   */
+  def alterColumnType(schema: String, table: String, name: String,
+      newTrinoType: String): Unit =
+    evolveSchema(schema, table) { (_, fields) =>
+      val f = fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+      require(typeWidens(f.trinoType, newTrinoType),
+        s"cannot change $name from ${f.trinoType} to $newTrinoType — " +
+          "only lossless widenings are supported")
+      fields.map(x => if (x.name == name) x.copy(trinoType = newTrinoType) else x)
+    }
+
+  private def typeWidens(from: String, to: String): Boolean = {
+    def intRank(t: String) = Seq("tinyint", "smallint", "integer", "bigint").indexOf(t)
+    val dec = """decimal\((\d+),\s*(\d+)\)""".r
+    val vch = """varchar(?:\((\d+)\))?""".r
+    (from, to) match {
+      case (f, t) if intRank(f) >= 0 && intRank(t) >= 0 => intRank(f) < intRank(t)
+      case ("real", "double") => true
+      case (dec(p1, s1), dec(p2, s2)) => s1 == s2 && p2.toInt > p1.toInt
+      case (vch(n1), vch(n2)) => n2 == null || (n1 != null && n2.toInt > n1.toInt)
+      case _ => false
+    }
+  }
 
   /** Set (Some) or clear (None) a column's comment — metadata-only, a new
     * schema version like any other evolution step. */
@@ -783,9 +835,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   /**
-   * Union the mapped frames and resolve merge-on-read state: for PK
-   * tables the latest ordinal wins per key, and a winning tombstone
-   * removes the key. Append-only tables have no tombstones — plain union.
+   * Union the mapped frames and resolve merge-on-read state per the
+   * table's merge engine (Paimon's `merge-engine`, default deduplicate):
+   *
+   *  - `deduplicate`: latest ordinal wins per key; a winning tombstone
+   *    removes the key (the only engine that accepts deletes).
+   *  - `first-row`: EARLIEST ordinal wins per key.
+   *  - `partial-update`: per field, the latest NON-NULL value wins — a
+   *    row upserting (id, NULL, x) patches only its non-null fields.
+   *  - `aggregation`: per field, the configured `fields.<f>.
+   *    aggregate-function` (sum/min/max/last_non_null) folds versions.
+   *
+   * Append-only tables have no tombstones — plain union. All engines are
+   * one hash shuffle on the key (groupBy aggregation for the field-wise
+   * engines — partial map-side combine, no sort; window for the
+   * ordinal-wise ones).
    */
   private def resolveFrames(schema: String, table: String, m: ObjectNode,
       entries: Seq[FileEntry]): Option[DataFrame] = {
@@ -797,17 +861,54 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     val all = entries.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val pk = primaryKey(m)
-    Some(if (pk.isEmpty) all.drop("__ord", "__del")
-    else {
-      // Merge-on-read: latest snapshot wins per primary key; a tombstone
-      // as the latest version deletes the key.
+    if (pk.isEmpty) return Some(all.drop("__ord", "__del"))
+    val names = currentFields(m).map(_.name)
+    def ordinalPick(earliest: Boolean): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+        .partitionBy(pk.map(col): _*)
+        .orderBy(if (earliest) col("__ord").asc else col("__ord").desc)
       all.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && !col("__del"))
         .drop("__ord", "__rn", "__del")
+    }
+    /** Latest non-null value of `f` across a key's versions: max over
+      * structs ordered by ordinal, built only when `f` is non-null so
+      * `max` skips null versions entirely. Deterministic — ordinals are
+      * unique per key (one version per commit). */
+    def lastNonNull(f: String) =
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.when(col(f).isNotNull,
+          org.apache.spark.sql.functions.struct(col("__ord").as("o"), col(f).as("v"))))
+        .getField("v")
+    Some(mergeEngine(m) match {
+      case "deduplicate" => ordinalPick(earliest = false)
+      case "first-row" => ordinalPick(earliest = true)
+      case engine => // partial-update | aggregation
+        val cur = currentFields(m)
+        val aggs = cur.filterNot(f => pk.contains(f.name)).map { f =>
+          val dt = TypeMapping.toSparkType(f.trinoType)
+          val e = if (engine == "partial-update") lastNonNull(f.name)
+          else fieldAggregate(m, f.name) match {
+            case "sum" => org.apache.spark.sql.functions.sum(col(f.name)).cast(dt)
+            case "min" => org.apache.spark.sql.functions.min(col(f.name))
+            case "max" => org.apache.spark.sql.functions.max(col(f.name))
+            case "last_non_null" => lastNonNull(f.name)
+          }
+          e.as(f.name)
+        }
+        if (aggs.isEmpty) all.select(pk.map(col): _*).distinct()
+        else all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(names.map(col): _*)
     })
   }
+
+  /** Ops whose semantics assume latest-version-wins (tombstones,
+    * changelogs, in-range merges) are deduplicate-only — same restriction
+    * Paimon places on the field-wise merge engines. */
+  private def requireDeduplicate(m: ObjectNode, table: String, op: String): Unit =
+    require(mergeEngine(m) == "deduplicate",
+      s"$op on $table requires merge-engine=deduplicate, " +
+        s"table uses ${mergeEngine(m)}")
 
   /**
    * Shuffle-free merge-on-read for bucketed PK tables — the Paimon read
@@ -907,6 +1008,26 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("bucket")) Some(opts.get("bucket").asText().toInt)
     else None
+  }
+
+  /** PK-table merge engine (Paimon's `merge-engine` option): how multiple
+    * versions of one key resolve at read/compaction. */
+  def mergeEngineOf(schema: String, table: String): String =
+    mergeEngine(readManifest(schema, table))
+
+  private def mergeEngine(m: ObjectNode): String = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts != null && opts.has("merge-engine")) opts.get("merge-engine").asText()
+    else "deduplicate"
+  }
+
+  /** Per-field aggregate function of the `aggregation` merge engine
+    * (Paimon's `fields.<name>.aggregate-function`); default carries the
+    * latest non-null value (`last_non_null`). */
+  private def fieldAggregate(m: ObjectNode, field: String): String = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    val key = s"fields.$field.aggregate-function"
+    if (opts != null && opts.has(key)) opts.get(key).asText() else "last_non_null"
   }
 
   /** The bucket a primary-key tuple hashes to — the same expression on
@@ -1050,6 +1171,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       deleteKeys: DataFrame, streamBatchId: Option[Long] = None): Long = {
     val pk = primaryKeyOf(schema, table)
     require(pk.nonEmpty, s"$schema.$table has no primary key — MERGE needs one")
+    requireDeduplicate(readManifest(schema, table), s"$schema.$table", "mergeCommit")
     // Both dirs share one ordinal, so an overlapping key would resolve to
     // an arbitrary winner at read time — enforce the contract here (a
     // delta-sized semi join), not just in the SQL command's guard.
@@ -1115,6 +1237,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val pk = primaryKeyOf(schema, table)
     require(pk.nonEmpty, s"$schema.$table has no primary key — row-level " +
       "delete needs one (append-only tables: filter at read or overwrite)")
+    requireDeduplicate(readManifest(schema, table), s"$schema.$table", "deleteWhere")
     val victims = read(schema, table).filter(condition).select(pk.map(col): _*)
     commit(schema, table, victims, keepExisting = true, kind = "delete")
   }
@@ -1162,6 +1285,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(fromSnapshotId <= toSnapshotId,
       s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
     val m = readManifest(schema, table)
+    if (primaryKey(m).nonEmpty)
+      requireDeduplicate(m, s"$schema.$table", "readIncremental")
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val all = (0 until snaps.size()).map(snaps.get)
     def entriesAt(id: Long): Seq[FileEntry] =
@@ -1204,6 +1329,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(fromSnapshotId <= toSnapshotId,
       s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
     val m = readManifest(schema, table)
+    if (primaryKey(m).nonEmpty)
+      requireDeduplicate(m, s"$schema.$table", "readChangelog")
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
     val target = changelogSchema(m)
     if (delta.isEmpty)
@@ -1274,6 +1401,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def readChangelogStream(schema: String, table: String,
       fromSnapshotId: Long = 0L,
       maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+    // fail at stream definition, not first micro-batch
+    val m0 = readManifest(schema, table)
+    if (primaryKey(m0).nonEmpty)
+      requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
     val r = spark.readStream.format("graft.sources.GraftChangelogProvider")
       .option("warehouse", warehouse)
       .option("schema", schema)
@@ -1502,6 +1633,13 @@ object GraftCatalog {
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */
   val BucketCol = "__bucket"
+
+  /** PK-table merge engines (Paimon's `merge-engine` table option). */
+  val MergeEngines: Set[String] =
+    Set("deduplicate", "partial-update", "aggregation", "first-row")
+
+  /** Per-field functions of the `aggregation` merge engine. */
+  val FieldAggregates: Set[String] = Set("sum", "min", "max", "last_non_null")
 
   /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
     * `-D` delete (Flink/Paimon RowKind shorthand). */

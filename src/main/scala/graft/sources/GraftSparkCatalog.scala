@@ -313,6 +313,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       case del: TableChange.DeleteColumn =>
         require(del.fieldNames.length == 1, "nested drops not supported")
         gc.dropColumn(s, t, del.fieldNames.head)
+      case up: TableChange.UpdateColumnType =>
+        require(up.fieldNames.length == 1, "nested type changes not supported")
+        gc.alterColumnType(s, t, up.fieldNames.head,
+          graft.sources.TypeMapping.fieldTrinoType(
+            org.apache.spark.sql.types.StructField(up.fieldNames.head, up.newDataType)))
       case other => throw new UnsupportedOperationException(s"change $other")
     }
     // Evolution is metadata-only; loadTable serves files that predate the

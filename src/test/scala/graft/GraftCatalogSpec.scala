@@ -621,6 +621,28 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(cat.read("db", "t").count() === 5)
   }
 
+  test("column type widening is metadata-only; old files cast on read") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "tw", StructType(Seq(
+      StructField("id", LongType), StructField("v", IntegerType),
+      StructField("r", FloatType))))
+    cat.append("db", "tw", Seq((1L, 10, 1.5f), (2L, 20, 2.5f)).toDF("id", "v", "r"))
+    cat.alterColumnType("db", "tw", "v", "bigint")
+    cat.alterColumnType("db", "tw", "r", "double")
+    // new schema serves immediately; the pre-evolution file casts by field id
+    val sch = cat.currentSchema("db", "tw")
+    assert(sch("v").dataType === LongType && sch("r").dataType === DoubleType)
+    cat.append("db", "tw", Seq((3L, 3000000000L, 3.5d)).toDF("id", "v", "r"))
+    val got = cat.read("db", "tw").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 10L, 1.5d), (2L, 20L, 2.5d), (3L, 3000000000L, 3.5d)))
+    // narrowings and cross-kind changes refuse
+    intercept[IllegalArgumentException](cat.alterColumnType("db", "tw", "v", "integer"))
+    intercept[IllegalArgumentException](cat.alterColumnType("db", "tw", "id", "varchar"))
+  }
+
   test("rollback drops newer snapshots, deletes orphans, respects tags") {
     import spark.implicits._
     val cat = freshCatalog()

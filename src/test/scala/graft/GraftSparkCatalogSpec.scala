@@ -69,6 +69,18 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT * FROM g.db.ev").columns.toSeq === Seq("id", "label"))
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; narrowing refuses") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.tw (id BIGINT, v INT)")
+    gc.append("db", "tw", Seq((1L, 7)).toDF("id", "v"))
+    spark.sql("ALTER TABLE g.db.tw ALTER COLUMN v TYPE BIGINT")
+    assert(spark.sql("SELECT v FROM g.db.tw").schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT v FROM g.db.tw WHERE id = 1").head().getLong(0) === 7L)
+    intercept[Exception](spark.sql("ALTER TABLE g.db.tw ALTER COLUMN v TYPE INT"))
+  }
+
   test("PK tables merge at read time via SQL; INSERT upserts") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")

@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * PK-table merge engines (Paimon's `merge-engine` option): partial-update,
+ * aggregation, first-row — plus the deduplicate-only guards on tombstone /
+ * changelog / incremental paths.
+ */
+class MergeEngineSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mewh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gm", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gm.warehouse", warehouse)
+    gc.createSchema("db")
+  }
+
+  private def rows(t: String): Seq[(Long, Any, Any)] =
+    gc.read("db", t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSeq
+
+  test("partial-update: latest non-null field value wins per key") {
+    import spark.implicits._
+    gc.createTable("db", "pu", Seq((1L, "x", 1L)).toDF("id", "a", "b").schema,
+      options = Map("merge-engine" -> "partial-update"), primaryKey = Seq("id"))
+    gc.upsert("db", "pu", Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("x"), Some(1L)), (2L, Some("y"), Some(5L))).toDF("id", "a", "b"))
+    // patch row: null fields leave the current value in place
+    gc.upsert("db", "pu", Seq((1L, Option.empty[String], Some(7L)),
+      (3L, Some("z"), Option.empty[Long])).toDF("id", "a", "b"))
+    assert(rows("pu") === Seq((1L, "x", 7L), (2L, "y", 5L), (3L, "z", null)))
+    // a later non-null overwrites; null still doesn't
+    gc.upsert("db", "pu", Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("x2"), None)).toDF("id", "a", "b"))
+    assert(rows("pu") === Seq((1L, "x2", 7L), (2L, "y", 5L), (3L, "z", null)))
+    // SQL reads resolve through the same engine
+    assert(spark.sql("SELECT a FROM gm.db.pu WHERE id = 1").head().getString(0) === "x2")
+    // compaction materializes the merged image; later patches still merge
+    gc.compact("db", "pu")
+    assert(rows("pu") === Seq((1L, "x2", 7L), (2L, "y", 5L), (3L, "z", null)))
+    gc.upsert("db", "pu", Seq((3L, Option.empty[String], Some(9L)))
+      .toDF("id", "a", "b"))
+    assert(rows("pu") === Seq((1L, "x2", 7L), (2L, "y", 5L), (3L, "z", 9L)))
+  }
+
+  test("aggregation: per-field sum/max/last_non_null fold versions") {
+    import spark.implicits._
+    gc.createTable("db", "ag",
+      Seq((1L, 1L, 1L, "s")).toDF("id", "total", "hi", "note").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum",
+        "fields.hi.aggregate-function" -> "max"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "ag", Seq((1L, 10L, 3L, "a"), (2L, 20L, 9L, "b"))
+      .toDF("id", "total", "hi", "note"))
+    gc.upsert("db", "ag", Seq((1L, 5L, 8L, "a2"), (2L, 1L, 2L, "b2"))
+      .toDF("id", "total", "hi", "note"))
+    val got = gc.read("db", "ag").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got === Seq((1L, 15L, 8L, "a2"), (2L, 21L, 9L, "b2")))
+  }
+
+  test("first-row: earliest version wins per key") {
+    import spark.implicits._
+    gc.createTable("db", "fr", Seq((1L, "x", 0L)).toDF("id", "a", "b").schema,
+      options = Map("merge-engine" -> "first-row"), primaryKey = Seq("id"))
+    gc.upsert("db", "fr", Seq((1L, "first", 1L)).toDF("id", "a", "b"))
+    gc.upsert("db", "fr", Seq((1L, "later", 2L), (2L, "new", 3L))
+      .toDF("id", "a", "b"))
+    assert(rows("fr") === Seq((1L, "first", 1L), (2L, "new", 3L)))
+  }
+
+  test("deduplicate-only operations refuse the field-wise engines") {
+    import spark.implicits._
+    intercept[IllegalArgumentException](gc.deleteWhere("db", "pu", col("id") === 1L))
+    intercept[IllegalArgumentException](gc.mergeCommit("db", "pu",
+      Seq[(Long, Option[String], Option[Long])]((9L, Some("q"), Some(1L)))
+        .toDF("id", "a", "b"),
+      Seq(Tuple1(1L)).toDF("id")))
+    intercept[IllegalArgumentException](gc.readChangelog("db", "pu", 0L, 1L))
+    intercept[IllegalArgumentException](gc.readChangelogStream("db", "pu"))
+    intercept[IllegalArgumentException](gc.readIncremental("db", "pu", 1L, 2L))
+  }
+
+  test("createTable validates engine names, bucket exclusivity, field options") {
+    import spark.implicits._
+    val sch = Seq((1L, 1L)).toDF("id", "v").schema
+    intercept[IllegalArgumentException](gc.createTable("db", "bad1", sch,
+      options = Map("merge-engine" -> "upsert"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "bad2", sch,
+      options = Map("merge-engine" -> "partial-update")))
+    intercept[IllegalArgumentException](gc.createTable("db", "bad3", sch,
+      options = Map("merge-engine" -> "partial-update", "bucket" -> "4"),
+      primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "bad4", sch,
+      options = Map("merge-engine" -> "partial-update",
+        "fields.v.aggregate-function" -> "sum"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "bad5", sch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.id.aggregate-function" -> "sum"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "bad6", sch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "avg"), primaryKey = Seq("id")))
+  }
+}
