@@ -92,14 +92,8 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
     val ends = zones.flatMap(z => if (wantMin) z.cols(name).min else z.cols(name).max)
     if (ends.isEmpty) return Some(null) // every dir all-null
     val best = ends.reduce { (a, b) =>
-      val c = (a, b) match {
-        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
-        case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-        case _ => 0
-      }
-      if ((c <= 0) == wantMin) a else b
+      // FileStats.cmp: the one domain comparator (strings by UTF-8 bytes)
+      if ((FileStats.cmp(a, b) <= 0) == wantMin) a else b
     }
     import org.apache.spark.sql.types._
     (best, dt) match {

@@ -84,13 +84,19 @@ private[graft] object FileStats {
     case _ => None
   }
 
-  private def lt(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: Long, y: Long) => x < y
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y) < 0
-    case (x: String, y: String) => x < y
-    case (x: Boolean, y: Boolean) => !x && y
-    case _ => false
-  }
+  private def lt(a: Any, b: Any): Boolean = cmp(a, b) < 0
+
+  /** Zone literals for timestamp columns are micros; accept footer stats
+    * only when the file's logical type annotation says MICROS too
+    * (TIMESTAMP_MILLIS files would make zones 1000x too small and
+    * mis-prune; INT96 has no annotation and is dropped by widen). */
+  private def isMicrosTimestamp(
+      chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Boolean =
+    chunk.getPrimitiveType.getLogicalTypeAnnotation match {
+      case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ts.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => false
+    }
 
   /** Parse one `col=value` partition-path value into the zone domain of
     * the column's type. None → unparseable, drop the column. */
@@ -172,8 +178,11 @@ private[graft] object FileStats {
                 val chunk = ci.next()
                 val path = chunk.getPath.toDotString.toLowerCase
                 tracked.get(path).filterNot(_ => dropped.contains(path)).foreach { dom =>
+                  val sparkDt = typeByName(path)
                   val s = chunk.getStatistics
-                  if (s == null) dropped += path
+                  if ((sparkDt == TimestampType || sparkDt == TimestampNTZType) &&
+                      !isMicrosTimestamp(chunk)) dropped += path
+                  else if (s == null) dropped += path
                   else {
                     if (s.isNumNullsSet && nulls.getOrElse(path, 0L) >= 0L)
                       nulls(path) = nulls.getOrElse(path, 0L) + s.getNumNulls
@@ -267,12 +276,34 @@ private[graft] object FileStats {
     case _ => None
   }
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  /** Domain comparator. Strings compare as UNSIGNED UTF-8 BYTES — the
+    * order parquet's binary comparator wrote the footer min/max in and
+    * the order Spark's UTF8String comparisons use; java.lang.String's
+    * UTF-16 order disagrees for supplementary characters (U+10000 and
+    * up sort below [U+E000, U+FFFF] there), which would mis-prune. */
+  private[graft] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
     case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y))
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case _ => 0 // mixed domains: treat as inconclusive
+  }
+
+  /** Unsigned byte-wise compare of `s` truncated to `prefix`'s byte
+    * length vs `prefix` — UTF-8 is prefix-preserving, so this is the
+    * byte-order analog of `s.take(n) <=> prefix`. */
+  private def prefixCmp(s: String, prefix: Array[Byte]): Int = {
+    val sb = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(sb.length, prefix.length)
+    var i = 0
+    while (i < n) {
+      val c = java.lang.Integer.compare(sb(i) & 0xff, prefix(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    // s truncated to prefix length: shorter s sorts first
+    java.lang.Integer.compare(math.min(sb.length, prefix.length), prefix.length)
   }
 
   private def attrName(e: Expression): Option[String] = e match {
@@ -334,10 +365,10 @@ private[graft] object FileStats {
           literalDomain(v, dt).forall(rangeMatch(z, _, "="))
         }
       }).getOrElse(true)
-    case InSet(a, set) =>
-      (for (name <- attrName(a); z <- ds.cols.get(name); dt <- Some(a.dataType)) yield {
+    case InSet(a: AttributeReference, set) => // resolved attrs only: .dataType
+      (for (name <- attrName(a); z <- ds.cols.get(name)) yield {
         set.exists(v => v != null &&
-          literalDomain(v, dt).forall(rangeMatch(z, _, "=")))
+          literalDomain(v, a.dataType).forall(rangeMatch(z, _, "=")))
       }).getOrElse(true)
     case IsNull(a) =>
       (for (name <- attrName(a); z <- ds.cols.get(name)) yield
@@ -349,12 +380,12 @@ private[graft] object FileStats {
       (for (name <- attrName(a); z <- ds.cols.get(name);
             (v, dt) <- litVal(p) if dt == StringType;
             mn <- z.min; mx <- z.max) yield {
-        val prefix = v.asInstanceOf[UTF8String].toString
-        val n = prefix.length
-        // value starting with `prefix` exists only if
-        // min.take(n) <= prefix <= max.take(n)
-        mn.asInstanceOf[String].take(n) <= prefix &&
-          prefix <= mx.asInstanceOf[String].take(n)
+        val pb = v.asInstanceOf[UTF8String].toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        // a value starting with `prefix` exists only if
+        // min.takeBytes(n) <= prefix <= max.takeBytes(n) (byte order)
+        prefixCmp(mn.asInstanceOf[String], pb) <= 0 &&
+          prefixCmp(mx.asInstanceOf[String], pb) >= 0
       }).getOrElse(true)
     case Not(EqualTo(a, lit)) if attrName(a).isDefined => notEqCheck(ds, a, lit)
     case Not(EqualTo(lit, a)) if attrName(a).isDefined => notEqCheck(ds, a, lit)

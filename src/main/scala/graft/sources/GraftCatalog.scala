@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit, pmod, row_number, xxhash64}
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{NumericType, StructField, StructType}
 
 /**
  * Versioned table catalog over a warehouse directory — the Spark-native
@@ -102,6 +102,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"bad aggregate-function option $k (unknown or primary-key field)")
       require(FieldAggregates.contains(options(k)),
         s"$k must be one of ${FieldAggregates.mkString(", ")}, got ${options(k)}")
+      if (options(k) == "sum") {
+        val dt = structType(f).dataType
+        require(dt.isInstanceOf[NumericType],
+          s"$k: sum requires a numeric field, $f is ${dt.simpleString}")
+      }
     }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
@@ -222,7 +227,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case (f, t) if intRank(f) >= 0 && intRank(t) >= 0 => intRank(f) < intRank(t)
       case ("real", "double") => true
       case (dec(p1, s1), dec(p2, s2)) => s1 == s2 && p2.toInt > p1.toInt
-      case (vch(n1), vch(n2)) => n2 == null || (n1 != null && n2.toInt > n1.toInt)
+      case (vch(n1), vch(n2)) =>
+        if (n2 == null) n1 != null // to unbounded: widens unless already unbounded
+        else n1 != null && n2.toInt > n1.toInt
       case _ => false
     }
   }
@@ -500,11 +507,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
     val id = lastId + 1
     val staging = new Path(tablePath(schema, table), s".snap-$id-staging")
+    // __range leads the partition spec so each range subdir still nests
+    // the table's own col=value layout inside it (renamed dirs keep the
+    // identity-partition structure $partitions and pruning expect).
     read(schema, table)
       .repartitionByRange(ranges, by.map(col): _*)
       .sortWithinPartitions(by.map(col): _*)
       .withColumn("__range", org.apache.spark.sql.functions.spark_partition_id())
-      .write.mode("overwrite").partitionBy("__range").parquet(staging.toString)
+      .write.mode("overwrite")
+      .partitionBy(("__range" +: partitionColumns(m)): _*)
+      .parquet(staging.toString)
     // Promote each __range=i subdir to its own dir entry (rename = O(1)
     // metadata per dir on HDFS/posix; object stores see a copy per file).
     val rangeDirs = fs.listStatus(staging).filter(_.isDirectory)
@@ -513,7 +525,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val sv = m.get("currentSchemaVersion").asInt()
     val entries = rangeDirs.map { rd =>
       val dir = s"snap-$id-r${rd.stripPrefix("__range=")}"
-      fs.rename(new Path(staging, rd), new Path(tablePath(schema, table), dir))
+      val dst = new Path(tablePath(schema, table), dir)
+      // a crashed earlier attempt may have left dst behind (the id is
+      // reused until a manifest commit) — renaming onto an existing dir
+      // would nest the source inside it, so clear it first and check
+      // the rename actually happened
+      if (fs.exists(dst)) fs.delete(dst, true)
+      require(fs.rename(new Path(staging, rd), dst),
+        s"sortCompact: rename of $rd to $dir failed")
       FileEntry(dir, sv, "data")
     }.toSeq
     fs.delete(staging, true)
@@ -574,21 +593,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val (candidates, kept0) = all.splitAt(all.size - keepLast)
     val (pinned, dropped) = candidates.partition(s => tagged.contains(s.get("id").asLong()))
     val kept = (pinned ++ kept0).sortBy(_.get("id").asLong())
+    dropSnapshots(schema, table, m, kept, dropped)
+    dropped.map(_.get("id").asLong())
+  }
+
+  /** Shared tail of [[expireSnapshots]] and [[rollbackTo]]: rewrite the
+    * snapshot list to `kept`, remove the zone maps of newly-orphaned
+    * dirs, commit the manifest FIRST and delete orphan dirs after (a
+    * crash between the two leaves unreferenced dirs, never a dangling
+    * manifest). */
+  private def dropSnapshots(schema: String, table: String, m: ObjectNode,
+      kept: Seq[JsonNode], dropped: Seq[JsonNode]): Unit = {
     val keptDirs = kept.flatMap(filesOf).map(_.dir).toSet
     val orphanDirs = dropped.flatMap(filesOf).map(_.dir).distinct
       .filterNot(keptDirs.contains)
     val arr = m.putArray("snapshots")
     kept.foreach(arr.add)
-    // Zone maps of orphaned dirs leave the manifest with them.
     if (m.has("dirStats")) {
       val statsNode = m.get("dirStats").asInstanceOf[ObjectNode]
       orphanDirs.foreach(statsNode.remove)
     }
-    // Manifest first (atomic commit), orphan deletion after: a crash
-    // between the two leaves unreferenced dirs, never a dangling manifest.
     writeManifest(schema, table, m)
     orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
-    dropped.map(_.get("id").asLong())
   }
 
   /**
@@ -612,19 +638,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(pinning.isEmpty, s"cannot roll back $schema.$table past tagged " +
       s"snapshot(s) ${pinning.map(kv => s"${kv._1}→${kv._2}").mkString(", ")} — " +
       "delete the tag(s) first")
-    val keptDirs = kept.flatMap(filesOf).map(_.dir).toSet
-    val orphanDirs = dropped.flatMap(filesOf).map(_.dir).distinct
-      .filterNot(keptDirs.contains)
-    val arr = m.putArray("snapshots")
-    kept.foreach(arr.add)
-    if (m.has("dirStats")) {
-      val statsNode = m.get("dirStats").asInstanceOf[ObjectNode]
-      orphanDirs.foreach(statsNode.remove)
-    }
-    // Manifest first, orphan deletion after (same crash contract as
-    // expireSnapshots: at worst unreferenced dirs, never a broken manifest).
-    writeManifest(schema, table, m)
-    orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
+    dropSnapshots(schema, table, m, kept, dropped)
   }
 
   /** Roll back to the snapshot a tag pins (rollback-to-tag). */

@@ -229,8 +229,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       paths, Some(schema), classOf[ParquetFileFormat])
     // Manifest zone maps, threaded into the table so the optimizer can
     // skip whole dirs at planning time (GraftZonePrune) and answer bare
-    // count(*) without a scan (GraftCountFromStats).
-    val dirStats = gc.dirStats(schemaName, tableName)
+    // count(*) without a scan (GraftCountFromStats). Parsed only when a
+    // resolved file scan can use them — the V1-bridge paths get their
+    // pruning inside readWhere instead, so loading stats here would be
+    // per-query metadata I/O thrown away.
+    val dirStats =
+      if (resolvedAsFiles) gc.dirStats(schemaName, tableName)
+      else Map.empty[String, graft.sources.FileStats.DirStats]
     val zoneStats = if (resolvedAsFiles)
       Some(entries.flatMap(e => dirStats.get(e.dir).map(dirPath(e.dir) -> _)).toMap)
       else None

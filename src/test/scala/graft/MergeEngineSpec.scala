@@ -108,5 +108,10 @@ class MergeEngineSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](gc.createTable("db", "bad6", sch,
       options = Map("merge-engine" -> "aggregation",
         "fields.v.aggregate-function" -> "avg"), primaryKey = Seq("id")))
+    // sum over a non-numeric field fails at CREATE, not first read
+    val strSch = Seq((1L, "s")).toDF("id", "note").schema
+    intercept[IllegalArgumentException](gc.createTable("db", "bad7", strSch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.note.aggregate-function" -> "sum"), primaryKey = Seq("id")))
   }
 }

@@ -209,6 +209,51 @@ class ZonePruneSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSeq === (1L to 6L))
   }
 
+  test("string zones compare as UTF-8 bytes, not UTF-16 chars") {
+    import spark.implicits._
+    // U+1F600 sorts ABOVE U+E000 in UTF-8 byte order (Spark semantics)
+    // but BELOW it in java.lang.String UTF-16 order — a char-order zone
+    // check would wrongly prune this dir.
+    gc.createTable("db", "zutf", Seq((1L, "x")).toDF("id", "name").schema)
+    gc.append("db", "zutf", Seq((1L, "😀")).toDF("id", "name"))
+    val r = gc.readWhere("db", "zutf", col("name") >= "\uE000")
+    assert(r.count() === 1)
+  }
+
+  test("non-micros timestamp footers are excluded from zones") {
+    import spark.implicits._
+    gc.createTable("db", "zts", spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS id, TIMESTAMP'2020-01-01 00:00:00' AS ts").schema)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try gc.append("db", "zts", spark.sql(
+      "SELECT CAST(1 AS BIGINT) AS id, TIMESTAMP'2020-01-01 00:00:00' AS ts"))
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    // millis-encoded stats would make zones 1000x too small -> dropped
+    val z = gc.dirStats("db", "zts")("snap-1")
+    assert(!z.cols.contains("ts") && z.cols.contains("id"))
+    // and the dir is therefore never pruned on ts
+    val r = gc.readWhere("db", "zts",
+      col("ts") >= java.sql.Timestamp.valueOf("2019-01-01 00:00:00"))
+    assert(r.count() === 1)
+  }
+
+  test("sortCompact preserves identity-partition layout") {
+    import spark.implicits._
+    gc.createTable("db", "scp", Seq((1L, "en")).toDF("id", "lang").schema,
+      partitionBy = Seq("lang"))
+    gc.append("db", "scp", Seq((1L, "aa"), (2L, "bb")).toDF("id", "lang"))
+    gc.append("db", "scp", Seq((3L, "aa"), (4L, "cc")).toDF("id", "lang"))
+    gc.sortCompact("db", "scp", Seq("id"), ranges = 2)
+    // col=value subdirs survive inside each range dir -> $partitions
+    // still reports per-partition rows, and reads round-trip
+    val parts = gc.partitionsTable("db", "scp").collect()
+      .map(r => (r.getString(0), r.getLong(4))).toMap
+    assert(parts.keySet.forall(_.startsWith("lang=")))
+    assert(parts.values.sum === 4)
+    assert(gc.read("db", "scp").orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L))
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
