@@ -488,12 +488,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * One distributed job: repartitionByRange (a range shuffle) + in-task
    * sort, written once via a staging dir whose range subdirs are
    * renamed into per-range dirs driver-side (metadata-only moves).
+   * With `zorder = true`, clustering is by the interleaved-bit z-value
+   * of the `by` columns instead of their lexicographic order — every
+   * listed dimension gets a tight per-dir zone (multi-dimensional data
+   * skipping: a query on the SECOND column alone still prunes, which a
+   * lexicographic sort cannot give). Numeric/date/timestamp columns only.
    * Refused on bucketed tables (the bucket layout is their contract);
    * PK tables compact their merged image (rows are key-unique, and all
    * dirs share the new snapshot's ordinal).
    */
   def sortCompact(schema: String, table: String, by: Seq[String],
-      ranges: Int = 16): Long = {
+      ranges: Int = 16, zorder: Boolean = false): Long = {
     require(by.nonEmpty, "sortCompact needs at least one order-by column")
     require(ranges >= 1, "ranges must be >= 1")
     val m = readManifest(schema, table)
@@ -507,12 +512,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
     val id = lastId + 1
     val staging = new Path(tablePath(schema, table), s".snap-$id-staging")
+    // Linear order: range-partition + sort by the columns themselves.
+    // Z-order: range-partition + sort by the interleaved-bit z-value, so
+    // EVERY `by` column gets a tight per-dir zone (a lexicographic sort
+    // only tightens the leading column; a query on the second column
+    // alone would prune nothing). The z-value is a scratch column
+    // computed from 16-bit quantized ranks (min/max from one agg job)
+    // and dropped before write.
+    val img = read(schema, table)
+    val clustered =
+      if (!zorder) img.repartitionByRange(ranges, by.map(col): _*)
+        .sortWithinPartitions(by.map(col): _*)
+      else {
+        val z = zValueColumn(img, by, cur)
+        img.withColumn("__z", z)
+          .repartitionByRange(ranges, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
     // __range leads the partition spec so each range subdir still nests
     // the table's own col=value layout inside it (renamed dirs keep the
     // identity-partition structure $partitions and pruning expect).
-    read(schema, table)
-      .repartitionByRange(ranges, by.map(col): _*)
-      .sortWithinPartitions(by.map(col): _*)
+    clustered
       .withColumn("__range", org.apache.spark.sql.functions.spark_partition_id())
       .write.mode("overwrite")
       .partitionBy(("__range" +: partitionColumns(m)): _*)
@@ -556,6 +577,44 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     writeManifest(schema, table, m)
     id
+  }
+
+  /**
+   * Interleaved-bit z-value for [[sortCompact]]'s `zorder` mode: each
+   * `by` column is quantized to a 16-bit rank between its global min and
+   * max (one agg job), and the ranks' bits are interleaved into one
+   * bigint — points close in EVERY dimension get close z-values, so
+   * range-partitioning by z gives every dimension a tight per-dir zone.
+   * Pure bitwise/arithmetic Column expressions (shiftleft/and/or), fully
+   * inside whole-stage codegen; numeric/date/timestamp columns only.
+   */
+  private def zValueColumn(df: DataFrame, by: Seq[String],
+      schema: StructType): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{floor, greatest, least, lit, max, min, shiftleft, shiftright, unix_date}
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    def numeric(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
+      case DateType => unix_date(col(c)).cast("double")
+      case TimestampType | TimestampNTZType => col(c).cast("double")
+      case _: NumericType => col(c).cast("double")
+      case dt => throw new IllegalArgumentException(
+        s"zorder column $c must be numeric/date/timestamp, got ${dt.simpleString}")
+    }
+    val aggs = by.flatMap(c =>
+      Seq(min(numeric(c)).as(s"__mn_$c"), max(numeric(c)).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bits = 16
+    val n = by.size
+    by.zipWithIndex.map { case (c, ci) =>
+      val mn = Option(row.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0d)
+      val mx = Option(row.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0d)
+      val q =
+        if (mx <= mn) lit(0L)
+        else least(greatest(floor((numeric(c) - lit(mn)) / lit(mx - mn) * lit(65535d)),
+          lit(0d)), lit(65535d)).cast("bigint")
+      (0 until bits).map(b =>
+        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + ci))
+        .reduce(_ bitwiseOR _)
+    }.reduce(_ bitwiseOR _)
   }
 
   /**

@@ -254,6 +254,31 @@ class ZonePruneSpec extends SparkSpecBase {
       === Seq(1L, 2L, 3L, 4L))
   }
 
+  test("zorder sortCompact gives every dimension a prunable zone") {
+    // 32x32 grid: x = id / 32, y = id % 32, appended in x-major order
+    def grid = spark.range(0, 1024).selectExpr("id DIV 32 AS x", "id % 32 AS y")
+    gc.createTable("db", "zlin", grid.schema)
+    gc.append("db", "zlin", grid.toDF())
+    gc.createTable("db", "zzo", grid.schema)
+    gc.append("db", "zzo", grid.toDF())
+    // 1-D sort by x: every dir spans the full y range -> y queries keep all dirs
+    gc.sortCompact("db", "zlin", Seq("x"), ranges = 16)
+    assert(scannedDirs(gc.readWhere("db", "zlin", col("y") === 5L)).size === 16)
+    // z-order by (x, y): a y-only query prunes most dirs, x-only still prunes
+    gc.sortCompact("db", "zzo", Seq("x", "y"), ranges = 16, zorder = true)
+    val yDirs = scannedDirs(gc.readWhere("db", "zzo", col("y") === 5L))
+    assert(yDirs.size <= 8, s"y=5 kept ${yDirs.size} of 16 dirs")
+    val xDirs = scannedDirs(gc.readWhere("db", "zzo", col("x") === 5L))
+    assert(xDirs.size <= 8, s"x=5 kept ${xDirs.size} of 16 dirs")
+    // content identical to the linear table
+    assert(gc.read("db", "zzo").orderBy("x", "y").collect().toSeq ===
+      gc.read("db", "zlin").orderBy("x", "y").collect().toSeq)
+    // strings refuse z-ordering
+    assert(intercept[Exception](
+      gc.sortCompact("db", "zp", Seq("name"), zorder = true))
+      .getMessage.contains("zorder"))
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
