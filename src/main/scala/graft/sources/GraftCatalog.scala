@@ -656,6 +656,31 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     dropped.map(_.get("id").asLong())
   }
 
+  /**
+   * Time-based snapshot expiration (Paimon's `snapshot.time-retained`):
+   * drop snapshots whose commit timestamp is older than `olderThanMillis`,
+   * always keeping the current snapshot and any tag-pinned ones — the
+   * companion retention policy to [[expireSnapshots]]'s count-based one
+   * (production tables typically run both: keep N days AND at most M
+   * snapshots). Returns the dropped snapshot ids.
+   */
+  def expireSnapshotsOlderThan(schema: String, table: String,
+      olderThanMillis: Long): Seq[Long] = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val all = (0 until snaps.size()).map(snaps.get)
+    if (all.isEmpty) return Seq.empty
+    val tagged = tags(schema, table).values.toSet
+    val currentId = all.last.get("id").asLong()
+    val (dropped, kept) = all.partition(s =>
+      s.get("timestampMillis").asLong() < olderThanMillis &&
+        s.get("id").asLong() != currentId &&
+        !tagged.contains(s.get("id").asLong()))
+    if (dropped.isEmpty) return Seq.empty
+    dropSnapshots(schema, table, m, kept, dropped)
+    dropped.map(_.get("id").asLong())
+  }
+
   /** Shared tail of [[expireSnapshots]] and [[rollbackTo]]: rewrite the
     * snapshot list to `kept`, remove the zone maps of newly-orphaned
     * dirs, commit the manifest FIRST and delete orphan dirs after (a

@@ -643,6 +643,25 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](cat.alterColumnType("db", "tw", "id", "varchar"))
   }
 
+  test("time-based expiration drops old snapshots, keeps current and tags") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "te", abSchema)
+    val s1 = cat.append("db", "te", Seq((1L, "a")).toDF("id", "name"))
+    val s2 = cat.append("db", "te", Seq((2L, "b")).toDF("id", "name"))
+    val s3 = cat.append("db", "te", Seq((3L, "c")).toDF("id", "name"))
+    cat.createTag("db", "te", "pin", Some(s2))
+    val ts3 = cat.snapshots("db", "te").find(_.id == s3).get.timestampMillis
+    // cutoff after every commit: s1 drops, s2 survives (tag), s3 survives (current)
+    val dropped = cat.expireSnapshotsOlderThan("db", "te", ts3 + 1)
+    assert(dropped === Seq(s1))
+    assert(cat.snapshots("db", "te").map(_.id) === Seq(s2, s3))
+    assert(cat.read("db", "te").count() === 3) // current image intact
+    // nothing older than epoch zero: no-op
+    assert(cat.expireSnapshotsOlderThan("db", "te", 0L) === Seq.empty)
+  }
+
   test("rollback drops newer snapshots, deletes orphans, respects tags") {
     import spark.implicits._
     val cat = freshCatalog()
