@@ -646,11 +646,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val all = (0 until snaps.size()).map(snaps.get)
     if (all.size <= keepLast) return Seq.empty
-    // Tagged snapshots are pinned: a tag is a retention promise
-    // (Paimon's tags survive snapshot expiration).
+    // Tagged snapshots are pinned (a tag is a retention promise), and so
+    // is everything a registered consumer has not yet processed
+    // (Paimon's consumer-id: never expire unread history).
     val tagged = tags(schema, table).values.toSet
+    val minUnconsumed = consumerOffsetsFrom(m).values.minOption.getOrElse(Long.MaxValue)
     val (candidates, kept0) = all.splitAt(all.size - keepLast)
-    val (pinned, dropped) = candidates.partition(s => tagged.contains(s.get("id").asLong()))
+    val (pinned, dropped) = candidates.partition { s =>
+      val id = s.get("id").asLong()
+      tagged.contains(id) || id >= minUnconsumed
+    }
     val kept = (pinned ++ kept0).sortBy(_.get("id").asLong())
     dropSnapshots(schema, table, m, kept, dropped)
     dropped.map(_.get("id").asLong())
@@ -671,11 +676,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val all = (0 until snaps.size()).map(snaps.get)
     if (all.isEmpty) return Seq.empty
     val tagged = tags(schema, table).values.toSet
+    val minUnconsumed = consumerOffsetsFrom(m).values.minOption.getOrElse(Long.MaxValue)
     val currentId = all.last.get("id").asLong()
-    val (dropped, kept) = all.partition(s =>
+    val (dropped, kept) = all.partition { s =>
+      val id = s.get("id").asLong()
       s.get("timestampMillis").asLong() < olderThanMillis &&
-        s.get("id").asLong() != currentId &&
-        !tagged.contains(s.get("id").asLong()))
+        id != currentId && !tagged.contains(id) && id < minUnconsumed
+    }
     if (dropped.isEmpty) return Seq.empty
     dropSnapshots(schema, table, m, kept, dropped)
     dropped.map(_.get("id").asLong())
@@ -729,6 +736,52 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def rollbackToTag(schema: String, table: String, tag: String): Unit =
     rollbackTo(schema, table, tags(schema, table).getOrElse(tag,
       throw new IllegalArgumentException(s"no tag $tag on $schema.$table")))
+
+  // ---- consumers (durable reader offsets, Paimon consumer-id) ------------
+
+  /**
+   * Record a named consumer's progress: `nextSnapshotId` is the first
+   * snapshot the consumer has NOT yet processed (Paimon's consumer-id
+   * mechanism). Both expiration policies treat every snapshot with
+   * `id >= nextSnapshotId` of any registered consumer as pinned, so a
+   * lagging downstream job can never have unread history expired from
+   * under it. Unregister with [[dropConsumer]] when the consumer retires.
+   */
+  def commitConsumerOffset(schema: String, table: String, consumerId: String,
+      nextSnapshotId: Long): Unit = {
+    val m = readManifest(schema, table)
+    val c = if (m.has("consumers")) m.get("consumers").asInstanceOf[ObjectNode]
+      else m.putObject("consumers")
+    c.put(consumerId, nextSnapshotId)
+    writeManifest(schema, table, m)
+  }
+
+  def dropConsumer(schema: String, table: String, consumerId: String): Unit = {
+    val m = readManifest(schema, table)
+    if (m.has("consumers")) {
+      m.get("consumers").asInstanceOf[ObjectNode].remove(consumerId)
+      writeManifest(schema, table, m)
+    }
+  }
+
+  /** All registered consumers → next unprocessed snapshot id. */
+  def consumerOffsets(schema: String, table: String): Map[String, Long] =
+    consumerOffsetsFrom(readManifest(schema, table))
+
+  private def consumerOffsetsFrom(m: ObjectNode): Map[String, Long] = {
+    if (!m.has("consumers")) return Map.empty
+    val c = m.get("consumers").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, Long]()
+    c.fieldNames().forEachRemaining(k => out += k -> c.get(k).asLong())
+    out.toMap
+  }
+
+  /** One row per consumer: id + next unprocessed snapshot (Paimon's
+    * `$consumers` table). */
+  def consumersTable(schema: String, table: String): DataFrame = {
+    val rows = consumerOffsets(schema, table).toSeq
+    spark.createDataFrame(rows).toDF("consumer_id", "next_snapshot_id")
+  }
 
   // ---- tags (named snapshots, Paimon-style) ------------------------------
 

@@ -146,7 +146,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Metadata-table suffixes served via `t$snapshots`-style names
     * (the reference surfaces the same system tables through Trino). */
-  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags)$".r
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|audit_log)$".r
 
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
@@ -155,6 +155,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       case MetadataSuffix(base, kind) =>
         if (!gc.listTables(schemaName).contains(base))
           throw new NoSuchTableException(Seq(schemaName, base))
+        // audit_log is DATA-sized (the full row-kinded changelog, Paimon's
+        // `t$audit_log`), so it reads through the distributed V1 bridge —
+        // never the driver-local LocalScan the manifest-sized tables use.
+        if (kind == "audit_log") {
+          val cur = gc.snapshots(schemaName, base).lastOption.map(_.id).getOrElse(0L)
+          def changelog() = gc.readChangelog(schemaName, base, 0L, cur)
+          return new GraftV1ReadTable(s"$catalogName.$schemaName.$tableName",
+            changelog().schema, () => changelog())
+        }
         val df = kind match {
           case "snapshots" => gc.snapshotsTable(schemaName, base)
           case "files" => gc.filesTable(schemaName, base)
@@ -162,6 +171,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           case "options" => gc.optionsTable(schemaName, base)
           case "partitions" => gc.partitionsTable(schemaName, base)
           case "tags" => gc.tagsTable(schemaName, base)
+          case "consumers" => gc.consumersTable(schemaName, base)
         }
         return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
       case _ => ()
@@ -351,6 +361,21 @@ private[sources] class GraftMetadataTable(tableName: String,
         override def readSchema(): StructType = df.schema
       }
     }
+}
+
+/** Read-only V2 table over a lazily-built DataFrame, executed through the
+  * [[GraftMorScanBuilder]] V1 bridge — distributed (executors run the
+  * frame's plan), with filter/column pushdown honored on the result.
+  * Used for data-sized system tables like `t$audit_log`. */
+private[sources] class GraftV1ReadTable(tableName: String,
+    schema0: StructType, reader: () => org.apache.spark.sql.DataFrame)
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftMorScanBuilder(schema0, _ => reader())
 }
 
 /** Translate DSv2 source filters to Column predicates (the supported

@@ -643,6 +643,28 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](cat.alterColumnType("db", "tw", "id", "varchar"))
   }
 
+  test("consumer offsets pin unread snapshots through expiration") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "co", abSchema)
+    val ids = (1 to 5).map(i =>
+      cat.append("db", "co", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    // a lagging consumer has processed snapshots < 2 only
+    cat.commitConsumerOffset("db", "co", "etl-job", nextSnapshotId = 2L)
+    assert(cat.consumerOffsets("db", "co") === Map("etl-job" -> 2L))
+    // count-based expiration may drop only snapshot 1 (consumed)
+    val dropped = cat.expireSnapshots("db", "co", keepLast = 1)
+    assert(dropped === Seq(ids.head))
+    assert(cat.snapshots("db", "co").map(_.id) === ids.tail)
+    // consumer advances past everything -> expiration proceeds
+    cat.commitConsumerOffset("db", "co", "etl-job", nextSnapshotId = 6L)
+    assert(cat.expireSnapshots("db", "co", keepLast = 1).size === 3)
+    // retire the consumer; $consumers empties
+    cat.dropConsumer("db", "co", "etl-job")
+    assert(cat.consumersTable("db", "co").count() === 0)
+  }
+
   test("time-based expiration drops old snapshots, keeps current and tags") {
     import spark.implicits._
     val cat = freshCatalog()

@@ -69,6 +69,24 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT * FROM g.db.ev").columns.toSeq === Seq("id", "label"))
   }
 
+  test("$audit_log serves the row-kinded changelog as a distributed table") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    gc.createTable("db", "aud", Seq((1L, "a")).toDF("id", "v").schema,
+      primaryKey = Seq("id"))
+    gc.upsert("db", "aud", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    gc.upsert("db", "aud", Seq((2L, "b2")).toDF("id", "v"))
+    gc.deleteWhere("db", "aud", col("id") === 1L)
+    val rows = spark.sql(
+      "SELECT id, v, _row_kind FROM g.db.`aud$audit_log` ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.get(1), r.getString(2))).toSeq
+    assert(rows === Seq((1L, null, "-D"), (2L, "b2", "+U")))
+    // filters push into the bridge
+    assert(spark.sql(
+      "SELECT count(*) FROM g.db.`aud$audit_log` WHERE _row_kind = '-D'")
+      .head().getLong(0) === 1L)
+  }
+
   test("ALTER COLUMN TYPE widens metadata-only; narrowing refuses") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
