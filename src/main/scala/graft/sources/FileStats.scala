@@ -222,7 +222,14 @@ private[graft] object FileStats {
 
   // ---- manifest JSON round-trip ------------------------------------------
 
+  /** Stats format version. Bump when zone semantics change so stale
+    * manifest entries written by older code are ignored (treated as
+    * no-stats -> never pruned) instead of mis-pruning — e.g. v2 added
+    * the timestamp-unit and UTF-8 string-order guarantees. */
+  val FormatVersion = 2
+
   def toJson(node: ObjectNode, ds: DirStats): Unit = {
+    node.put("v", FormatVersion)
     node.put("rows", ds.rows)
     val cols = node.putObject("cols")
     ds.cols.foreach { case (name, z) =>

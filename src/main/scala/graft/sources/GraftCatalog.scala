@@ -602,15 +602,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val aggs = by.flatMap(c =>
       Seq(min(numeric(c)).as(s"__mn_$c"), max(numeric(c)).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val bits = 16
     val n = by.size
+    // total interleaved width must fit a signed long: 16 bits per
+    // dimension up to 3 dims, then 63/n (4 dims -> 15 bits, 8 -> 7, ...)
+    val bits = math.min(16, 63 / n)
+    require(bits >= 1, s"zorder supports at most 63 columns, got $n")
+    val maxRank = (1 << bits) - 1
     by.zipWithIndex.map { case (c, ci) =>
       val mn = Option(row.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0d)
       val mx = Option(row.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0d)
       val q =
         if (mx <= mn) lit(0L)
-        else least(greatest(floor((numeric(c) - lit(mn)) / lit(mx - mn) * lit(65535d)),
-          lit(0d)), lit(65535d)).cast("bigint")
+        else least(greatest(floor((numeric(c) - lit(mn)) / lit(mx - mn) * lit(maxRank.toDouble)),
+          lit(0d)), lit(maxRank.toDouble)).cast("bigint")
       (0 until bits).map(b =>
         shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + ci))
         .reduce(_ bitwiseOR _)
@@ -656,6 +660,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val id = s.get("id").asLong()
       tagged.contains(id) || id >= minUnconsumed
     }
+    if (dropped.isEmpty) return Seq.empty
     val kept = (pinned ++ kept0).sortBy(_.get("id").asLong())
     dropSnapshots(schema, table, m, kept, dropped)
     dropped.map(_.get("id").asLong())
@@ -871,7 +876,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (!m.has("dirStats")) return Map.empty
     val node = m.get("dirStats").asInstanceOf[ObjectNode]
     val out = mutable.LinkedHashMap[String, FileStats.DirStats]()
-    node.fieldNames().forEachRemaining(d => out += d -> FileStats.fromJson(node.get(d)))
+    node.fieldNames().forEachRemaining { d =>
+      val n = node.get(d)
+      // entries from older stats formats are ignored, not trusted
+      if (n.has("v") && n.get("v").asInt() >= FileStats.FormatVersion)
+        out += d -> FileStats.fromJson(n)
+    }
     out.toMap
   }
 

@@ -159,10 +159,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         // `t$audit_log`), so it reads through the distributed V1 bridge —
         // never the driver-local LocalScan the manifest-sized tables use.
         if (kind == "audit_log") {
-          val cur = gc.snapshots(schemaName, base).lastOption.map(_.id).getOrElse(0L)
-          def changelog() = gc.readChangelog(schemaName, base, 0L, cur)
+          // honor time travel: the changelog spans 0..chosen snapshot
+          val snaps = gc.snapshots(schemaName, base)
+          val upTo = snapshotId
+            .orElse(asOfMillis.map(ms =>
+              snaps.filter(_.timestampMillis <= ms).lastOption.map(_.id).getOrElse(0L)))
+            .getOrElse(snaps.lastOption.map(_.id).getOrElse(0L))
           return new GraftV1ReadTable(s"$catalogName.$schemaName.$tableName",
-            changelog().schema, () => changelog())
+            gc.changelogSchemaOf(schemaName, base), // manifest-only, no plan built
+            () => gc.readChangelog(schemaName, base, 0L, upTo))
         }
         val df = kind match {
           case "snapshots" => gc.snapshotsTable(schemaName, base)

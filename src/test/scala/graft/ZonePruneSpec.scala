@@ -277,6 +277,14 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(intercept[Exception](
       gc.sortCompact("db", "zp", Seq("name"), zorder = true))
       .getMessage.contains("zorder"))
+    // 4+ dimensions: per-dim bit budget caps so the z-value fits a long
+    def g4 = spark.range(0, 256).selectExpr("id % 4 AS a",
+      "(id DIV 4) % 4 AS b", "(id DIV 16) % 4 AS c", "(id DIV 64) % 4 AS d")
+    gc.createTable("db", "z4", g4.schema)
+    gc.append("db", "z4", g4.toDF())
+    gc.sortCompact("db", "z4", Seq("a", "b", "c", "d"), ranges = 4, zorder = true)
+    assert(gc.read("db", "z4").count() === 256)
+    assert(gc.read("db", "z4").distinct().count() === 256)
   }
 
   test("zone pruning survives schema evolution conservatively") {
