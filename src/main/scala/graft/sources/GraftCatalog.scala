@@ -742,6 +742,47 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     rollbackTo(schema, table, tags(schema, table).getOrElse(tag,
       throw new IllegalArgumentException(s"no tag $tag on $schema.$table")))
 
+  /**
+   * Latest snapshot (optionally ≤ `upTo`) whose file set needs NO
+   * merge-on-read work: every entry is current-schema data, and for PK
+   * tables all dirs share one commit ordinal (exactly the post-compact /
+   * post-overwrite state). None when no such snapshot exists yet.
+   */
+  def resolvedSnapshotId(schema: String, table: String,
+      upTo: Option[Long] = None): Option[Long] = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val cur = m.get("currentSchemaVersion").asInt()
+    val pk = primaryKey(m)
+    def ordinal(dir: String) = dir.stripPrefix("snap-").takeWhile(_.isDigit)
+    (0 until snaps.size()).reverseIterator.map(snaps.get).collectFirst {
+      case s if upTo.forall(s.get("id").asLong() <= _) && {
+        val entries = filesOf(s)
+        entries.nonEmpty &&
+          entries.forall(e => e.kind == "data" && e.schemaVersion == cur) &&
+          (pk.isEmpty || entries.map(e => ordinal(e.dir)).distinct.size == 1)
+      } => s.get("id").asLong()
+    }
+  }
+
+  /**
+   * Read-optimized read (Paimon's `table$ro`): the table as of its
+   * latest fully-compacted snapshot — zero merge work, the raw
+   * vectorized-scan path, at the cost of not seeing deltas committed
+   * since the last [[compact]]/[[sortCompact]]/overwrite. The
+   * speed-over-freshness trade for batch consumers over PK tables.
+   * Empty until a resolved snapshot exists.
+   */
+  def readOptimized(schema: String, table: String): DataFrame =
+    resolvedSnapshotId(schema, table) match {
+      case Some(id) => read(schema, table, snapshotId = Some(id))
+      case None =>
+        val m = readManifest(schema, table)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(currentFields(m).map(f =>
+            StructField(f.name, TypeMapping.toSparkType(f.trinoType)))))
+    }
+
   // ---- consumers (durable reader offsets, Paimon consumer-id) ------------
 
   /**

@@ -146,7 +146,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   /** Metadata-table suffixes served via `t$snapshots`-style names
     * (the reference surfaces the same system tables through Trino). */
-  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|audit_log)$".r
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|audit_log|ro)$".r
 
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
@@ -158,6 +158,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         // audit_log is DATA-sized (the full row-kinded changelog, Paimon's
         // `t$audit_log`), so it reads through the distributed V1 bridge —
         // never the driver-local LocalScan the manifest-sized tables use.
+        // read-optimized (Paimon's table$ro): the base table AT its
+        // latest fully-compacted snapshot — loads through the normal
+        // resolved path (native vectorized scan + zone pruning), never
+        // the merge bridge. Empty until something resolved exists.
+        if (kind == "ro") {
+          return gc.resolvedSnapshotId(schemaName, base, snapshotId) match {
+            case Some(id) =>
+              loadAt(Identifier.of(Array(schemaName), base), Some(id), None)
+            case None => new GraftV1ReadTable(
+              s"$catalogName.$schemaName.$tableName",
+              gc.currentSchema(schemaName, base),
+              () => gc.readOptimized(schemaName, base))
+          }
+        }
         if (kind == "audit_log") {
           // honor time travel: the changelog spans 0..chosen snapshot
           val snaps = gc.snapshots(schemaName, base)

@@ -643,6 +643,25 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](cat.alterColumnType("db", "tw", "id", "varchar"))
   }
 
+  test("read-optimized reads serve the latest fully-compacted snapshot") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "ro", abSchema, primaryKey = Seq("id"))
+    cat.upsert("db", "ro", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // snapshot 1 is a single-ordinal file set: resolved
+    assert(cat.resolvedSnapshotId("db", "ro") === Some(1L))
+    cat.upsert("db", "ro", Seq((2L, "b2"), (3L, "c")).toDF("id", "name"))
+    // live read merges; read-optimized serves the pre-delta state, fast
+    assert(cat.read("db", "ro").count() === 3)
+    assert(cat.readOptimized("db", "ro").orderBy("id").collect()
+      .map(_.getString(1)).toSeq === Seq("a", "b"))
+    cat.compact("db", "ro")
+    // compaction re-resolves: read-optimized catches up to the full image
+    assert(cat.readOptimized("db", "ro").orderBy("id").collect()
+      .map(_.getString(1)).toSeq === Seq("a", "b2", "c"))
+  }
+
   test("consumer offsets pin unread snapshots through expiration") {
     import spark.implicits._
     val cat = freshCatalog()

@@ -87,6 +87,24 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       .head().getLong(0) === 1L)
   }
 
+  test("$ro serves the read-optimized snapshot through the native path") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    gc.createTable("db", "rot", Seq((1L, "a")).toDF("id", "v").schema,
+      primaryKey = Seq("id"))
+    gc.upsert("db", "rot", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    gc.upsert("db", "rot", Seq((2L, "b2")).toDF("id", "v"))
+    // live table merges the delta; $ro serves the last resolved snapshot
+    assert(spark.sql("SELECT v FROM g.db.rot WHERE id = 2").head().getString(0) === "b2")
+    assert(spark.sql("SELECT v FROM g.db.`rot$ro` WHERE id = 2").head().getString(0) === "b")
+    // $ro is the raw parquet path: BatchScan, no V1 merge bridge
+    val plan = spark.sql("SELECT * FROM g.db.`rot$ro`")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), s"expected native scan:\n$plan")
+    gc.compact("db", "rot")
+    assert(spark.sql("SELECT v FROM g.db.`rot$ro` WHERE id = 2").head().getString(0) === "b2")
+  }
+
   test("ALTER COLUMN TYPE widens metadata-only; narrowing refuses") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
