@@ -773,14 +773,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * speed-over-freshness trade for batch consumers over PK tables.
    * Empty until a resolved snapshot exists.
    */
-  def readOptimized(schema: String, table: String): DataFrame =
-    resolvedSnapshotId(schema, table) match {
+  def readOptimized(schema: String, table: String,
+      upTo: Option[Long] = None): DataFrame =
+    resolvedSnapshotId(schema, table, upTo) match {
       case Some(id) => read(schema, table, snapshotId = Some(id))
-      case None =>
-        val m = readManifest(schema, table)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          StructType(currentFields(m).map(f =>
-            StructField(f.name, TypeMapping.toSparkType(f.trinoType)))))
+      case None => emptyFrame(readManifest(schema, table))
     }
 
   // ---- consumers (durable reader offsets, Paimon consumer-id) ------------
@@ -896,15 +893,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       asOfMillis: Option[Long] = None): DataFrame = {
     val m = readManifest(schema, table)
     val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
-    val curFields = currentFields(m)
-    val target = StructType(curFields.map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     chosen match {
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+      case None => emptyFrame(m)
       case Some(s) => resolveFrames(schema, table, m, filesOf(s))
-        .getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+        .getOrElse(emptyFrame(m))
     }
   }
 
@@ -919,8 +911,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val out = mutable.LinkedHashMap[String, FileStats.DirStats]()
     node.fieldNames().forEachRemaining { d =>
       val n = node.get(d)
-      // entries from older stats formats are ignored, not trusted
-      if (n.has("v") && n.get("v").asInt() >= FileStats.FormatVersion)
+      // entries from ANY other stats format are ignored, not trusted —
+      // older writers lack this format's guarantees, newer writers may
+      // have changed zone semantics this reader would misinterpret
+      if (n.has("v") && n.get("v").asInt() == FileStats.FormatVersion)
         out += d -> FileStats.fromJson(n)
     }
     out.toMap
@@ -968,11 +962,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val kept = entries.filter(fe =>
       stats.get(fe.dir).forall(FileStats.mightMatch(_, resolved.get)))
     if (kept.size == entries.size) return full
-    val target = StructType(currentFields(m).map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     resolveFrames(schema, table, m, kept)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+      .getOrElse(emptyFrame(m))
       .filter(condition)
   }
 
@@ -1155,6 +1146,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   /** Snapshot selection shared by reads and the SQL catalog: explicit
     * id/timestamp beats session defaults beats latest. */
+  /** The snapshot id an explicit/session-level travel request selects —
+    * the same resolution [[read]] uses (explicit args win, then the
+    * GraftOptions session properties, then latest). None = empty table. */
+  def chosenSnapshotId(schema: String, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): Option[Long] = {
+    val m = readManifest(schema, table)
+    chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+      .map(_.get("id").asLong())
+  }
+
   private def chooseSnapshot(m: ObjectNode, schema: String, table: String,
       snapshotId: Option[Long], asOfMillis: Option[Long]): Option[JsonNode] = {
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
@@ -1500,10 +1502,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
     val before = entriesAt(fromSnapshotId).map(_.dir).toSet
     val delta = entriesAt(toSnapshotId).filterNot(fe => before.contains(fe.dir))
-    val target = StructType(currentFields(m).map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
-    resolveFrames(schema, table, m, delta).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
+    resolveFrames(schema, table, m, delta).getOrElse(emptyFrame(m))
   }
 
   /**
@@ -1779,6 +1778,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
     }.toMap
   }
+
+  /** Zero-row DataFrame with the table's current schema. */
+  private def emptyFrame(m: ObjectNode): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(currentFields(m).map(f =>
+        StructField(f.name, TypeMapping.toSparkType(f.trinoType)))))
 
   private def filesOf(snap: JsonNode): Seq[FileEntry] = {
     val fArr = snap.get("files").asInstanceOf[ArrayNode]

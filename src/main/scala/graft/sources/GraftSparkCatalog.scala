@@ -132,10 +132,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     * analog; a non-numeric version resolves through the tag registry,
     * Paimon's travel-to-tag). */
   override def loadTable(ident: Identifier, version: String): Table = {
+    // tags live on the BASE table — resolve through it for `t$suffix` too
+    val baseName = ident.name match {
+      case MetadataSuffix(base, _) => base
+      case n => n
+    }
     val snapshotId = version.toLongOption.getOrElse {
-      gc.tags(ns1(ident.namespace), ident.name).getOrElse(version,
+      gc.tags(ns1(ident.namespace), baseName).getOrElse(version,
         throw new IllegalArgumentException(
-          s"no snapshot or tag '$version' on ${ident.namespace.head}.${ident.name}"))
+          s"no snapshot or tag '$version' on ${ident.namespace.head}.$baseName"))
     }
     loadAt(ident, snapshotId = Some(snapshotId), asOfMillis = None)
   }
@@ -163,22 +168,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         // resolved path (native vectorized scan + zone pruning), never
         // the merge bridge. Empty until something resolved exists.
         if (kind == "ro") {
-          return gc.resolvedSnapshotId(schemaName, base, snapshotId) match {
+          // travel bound: explicit VERSION/TIMESTAMP AS OF or the session
+          // scan properties, resolved exactly like a base-table read
+          val bound = gc.chosenSnapshotId(schemaName, base, snapshotId, asOfMillis)
+          return gc.resolvedSnapshotId(schemaName, base, bound) match {
             case Some(id) =>
-              loadAt(Identifier.of(Array(schemaName), base), Some(id), None)
+              loadAt(Identifier.of(Array(schemaName), base), Some(id), None) match {
+                case gt: GraftSqlTable => gt.asReadOnly // $ro never writes the base
+                case t => t
+              }
             case None => new GraftV1ReadTable(
               s"$catalogName.$schemaName.$tableName",
               gc.currentSchema(schemaName, base),
-              () => gc.readOptimized(schemaName, base))
+              // bound frozen at load: a compaction landing between load
+              // and scan cannot leak a newer image past AS OF
+              () => gc.readOptimized(schemaName, base, upTo = bound))
           }
         }
         if (kind == "audit_log") {
-          // honor time travel: the changelog spans 0..chosen snapshot
-          val snaps = gc.snapshots(schemaName, base)
-          val upTo = snapshotId
-            .orElse(asOfMillis.map(ms =>
-              snaps.filter(_.timestampMillis <= ms).lastOption.map(_.id).getOrElse(0L)))
-            .getOrElse(snaps.lastOption.map(_.id).getOrElse(0L))
+          // honor time travel (explicit AS OF or session scan properties):
+          // the changelog spans 0..chosen snapshot
+          val upTo = gc.chosenSnapshotId(schemaName, base, snapshotId, asOfMillis)
+            .getOrElse(0L)
           return new GraftV1ReadTable(s"$catalogName.$schemaName.$tableName",
             gc.changelogSchemaOf(schemaName, base), // manifest-only, no plan built
             () => gc.readChangelog(schemaName, base, 0L, upTo))
@@ -450,8 +461,17 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     /** Exact row count from manifest stats — set only when provably
       * exact (append-only, every dir has stats); lets `count(*)` answer
       * without touching a single file. */
-    private[graft] val exactRowCount: Option[Long] = None)
+    private[graft] val exactRowCount: Option[Long] = None,
+    /** Read-only views (e.g. `t$ro`) must never route DML to the base
+      * table: capabilities shrink to BATCH_READ and deletes refuse. */
+    private val readOnly: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** This table as a read-only view (same scan, no write surface). */
+  private[graft] def asReadOnly: GraftSqlTable =
+    new GraftSqlTable(delegate, partitionCols, props, morRead, commitInsert,
+      commitDelete, canDelete, coords, zoneStats, exactRowCount,
+      readOnly = true)
 
   private[graft] def currentPaths: Seq[String] = delegate.paths
 
@@ -466,7 +486,7 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     * in [[GraftCatalog.deleteWhere]]); append-only tables and
     * unsupported predicates are rejected at analysis via canDeleteWhere. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    canDelete && FilterTranslation.toCondition(filters).isDefined
+    !readOnly && canDelete && FilterTranslation.toCondition(filters).isDefined
   override def deleteWhere(filters: Array[Filter]): Unit =
     commitDelete(FilterTranslation.toCondition(filters).getOrElse(
       throw new UnsupportedOperationException(
@@ -480,7 +500,8 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
   // alterTable (the same metadata-only AddColumn path as ALTER TABLE)
   // before the merge resolves.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (readOnly) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def partitioning(): Array[Transform] =
@@ -491,7 +512,9 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       case Some(reader) => new GraftMorScanBuilder(delegate.schema, reader)
       case None => delegate.newScanBuilder(options)
     }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    if (readOnly) throw new UnsupportedOperationException(
+      s"${name()} is a read-only view")
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
@@ -501,6 +524,7 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
             commitInsert(data.toDF(), overwrite || ovr)
       }
     }
+  }
 }
 
 /**

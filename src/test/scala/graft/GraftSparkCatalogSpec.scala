@@ -103,6 +103,17 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(plan.contains("BatchScan"), s"expected native scan:\n$plan")
     gc.compact("db", "rot")
     assert(spark.sql("SELECT v FROM g.db.`rot$ro` WHERE id = 2").head().getString(0) === "b2")
+    // $ro is read-only: DML must not silently mutate the base table
+    intercept[Exception](spark.sql("INSERT INTO g.db.`rot$ro` VALUES (9, 'x')"))
+    assert(spark.sql("SELECT count(*) FROM g.db.rot").head().getLong(0) === 2L)
+    // VERSION AS OF bounds the resolved snapshot ($ro at snapshot 1)
+    assert(spark.sql("SELECT v FROM g.db.`rot$ro` VERSION AS OF 2 WHERE id = 2")
+      .head().getString(0) === "b")
+    // travel-to-tag resolves against the BASE table for suffixed names
+    gc.createTag("db", "rot", "before-compact", Some(1L))
+    assert(spark.sql(
+      "SELECT v FROM g.db.`rot$ro` VERSION AS OF 'before-compact' WHERE id = 2")
+      .head().getString(0) === "b")
   }
 
   test("ALTER COLUMN TYPE widens metadata-only; narrowing refuses") {
