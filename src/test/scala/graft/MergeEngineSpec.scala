@@ -77,6 +77,23 @@ class MergeEngineSpec extends SparkSpecBase {
     assert(rows("fr") === Seq((1L, "first", 1L), (2L, "new", 3L)))
   }
 
+  test("merge engines resolve across schema evolution by field id") {
+    import spark.implicits._
+    gc.createTable("db", "puev", Seq((1L, "x")).toDF("id", "a").schema,
+      options = Map("merge-engine" -> "partial-update"), primaryKey = Seq("id"))
+    gc.upsert("db", "puev", Seq((1L, "x"), (2L, "y")).toDF("id", "a"))
+    gc.addColumn("db", "puev",
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType))
+    gc.renameColumn("db", "puev", "a", "a2")
+    // pre-evolution rows surface null for b; the patch fills it per key
+    gc.upsert("db", "puev", Seq[(Long, Option[String], Option[Long])](
+      (1L, None, Some(7L)), (3L, Some("z"), Some(9L))).toDF("id", "a2", "b"))
+    val got = gc.read("db", "puev").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+    assert(got === Seq((1L, "x", 7L), (2L, "y", null), (3L, "z", 9L)))
+  }
+
   test("deduplicate-only operations refuse the field-wise engines") {
     import spark.implicits._
     intercept[IllegalArgumentException](gc.deleteWhere("db", "pu", col("id") === 1L))
