@@ -107,6 +107,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         require(dt.isInstanceOf[NumericType],
           s"$k: sum requires a numeric field, $f is ${dt.simpleString}")
       }
+      if (options(k) == "bool_and" || options(k) == "bool_or")
+        require(structType(f).dataType == org.apache.spark.sql.types.BooleanType,
+          s"$k: ${options(k)} requires a boolean field")
     }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
@@ -1085,6 +1088,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             case "sum" => org.apache.spark.sql.functions.sum(col(f.name)).cast(dt)
             case "min" => org.apache.spark.sql.functions.min(col(f.name))
             case "max" => org.apache.spark.sql.functions.max(col(f.name))
+            case "bool_and" => org.apache.spark.sql.functions.bool_and(col(f.name))
+            case "bool_or" => org.apache.spark.sql.functions.bool_or(col(f.name))
             case "last_non_null" => lastNonNull(f.name)
           }
           e.as(f.name)
@@ -1846,7 +1851,8 @@ object GraftCatalog {
     Set("deduplicate", "partial-update", "aggregation", "first-row")
 
   /** Per-field functions of the `aggregation` merge engine. */
-  val FieldAggregates: Set[String] = Set("sum", "min", "max", "last_non_null")
+  val FieldAggregates: Set[String] =
+    Set("sum", "min", "max", "last_non_null", "bool_and", "bool_or")
 
   /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
     * `-D` delete (Flink/Paimon RowKind shorthand). */

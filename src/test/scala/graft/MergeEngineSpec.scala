@@ -67,6 +67,28 @@ class MergeEngineSpec extends SparkSpecBase {
     assert(got === Seq((1L, 15L, 8L, "a2"), (2L, 21L, 9L, "b2")))
   }
 
+  test("aggregation: bool_and/bool_or fold boolean fields") {
+    import spark.implicits._
+    gc.createTable("db", "agb",
+      Seq((1L, true, true)).toDF("id", "all_ok", "any_flag").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.all_ok.aggregate-function" -> "bool_and",
+        "fields.any_flag.aggregate-function" -> "bool_or"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "agb", Seq((1L, true, false), (2L, true, true))
+      .toDF("id", "all_ok", "any_flag"))
+    gc.upsert("db", "agb", Seq((1L, false, true), (2L, true, false))
+      .toDF("id", "all_ok", "any_flag"))
+    val got = gc.read("db", "agb").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((1L, false, true), (2L, true, true)))
+    // non-boolean field refuses at create
+    intercept[IllegalArgumentException](gc.createTable("db", "agbad",
+      Seq((1L, 1L)).toDF("id", "v").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "bool_and"), primaryKey = Seq("id")))
+  }
+
   test("first-row: earliest version wins per key") {
     import spark.implicits._
     gc.createTable("db", "fr", Seq((1L, "x", 0L)).toDF("id", "a", "b").schema,

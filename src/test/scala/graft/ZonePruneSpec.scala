@@ -287,6 +287,20 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(gc.read("db", "z4").distinct().count() === 256)
   }
 
+  test("empty commits carry zero-row zones and never break pruning") {
+    import spark.implicits._
+    gc.createTable("db", "zempty", Seq((1L, "x")).toDF("id", "v").schema)
+    gc.append("db", "zempty", Seq((1L, "a")).toDF("id", "v"))
+    gc.append("db", "zempty",
+      Seq.empty[(Long, String)].toDF("id", "v")) // zero-row commit
+    val stats = gc.dirStats("db", "zempty")
+    assert(stats("snap-2").rows === 0)
+    // reads and pruned reads stay correct through the empty dir
+    assert(gc.read("db", "zempty").count() === 1)
+    assert(gc.readWhere("db", "zempty", col("id") === 1L).count() === 1)
+    assert(gc.countRows("db", "zempty") === Some(1L))
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
