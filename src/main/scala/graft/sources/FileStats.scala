@@ -288,13 +288,19 @@ private[graft] object FileStats {
     * the order Spark's UTF8String comparisons use; java.lang.String's
     * UTF-16 order disagrees for supplementary characters (U+10000 and
     * up sort below [U+E000, U+FFFF] there), which would mis-prune. */
-  private[graft] def cmp(a: Any, b: Any): Int = (a, b) match {
-    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+  private[graft] def cmp(a: Any, b: Any): Int =
+    cmpOpt(a, b).getOrElse(0) // same-domain callers only (zone vs zone of one column)
+
+  /** None = mixed domains — INCONCLUSIVE, never a proof. Encoding it as 0
+    * would let strict-inequality checks (`cmp(mn, v) < 0` for op "<")
+    * read "inconclusive" as "false" and mis-prune a dir. */
+  private def cmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
     case (x: String, y: String) =>
-      UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y))
-    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
-    case _ => 0 // mixed domains: treat as inconclusive
+      Some(UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y)))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
   }
 
   /** Unsigned byte-wise compare of `s` truncated to `prefix`'s byte
@@ -332,16 +338,21 @@ private[graft] object FileStats {
     case _ => None
   }
 
-  /** Could any row of a dir with zone `z` satisfy `attr op v`? */
+  /** Could any row of a dir with zone `z` satisfy `attr op v`? Mixed
+    * literal/zone domains are inconclusive → keep the dir. */
   private def rangeMatch(z: ColZone, v: Any, op: String): Boolean =
     (z.min, z.max) match {
-      case (Some(mn), Some(mx)) => op match {
-        case "=" => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
-        case "<" => cmp(mn, v) < 0 // some value < v
-        case "<=" => cmp(mn, v) <= 0
-        case ">" => cmp(mx, v) > 0
-        case ">=" => cmp(mx, v) >= 0
-      }
+      case (Some(mn), Some(mx)) =>
+        (cmpOpt(mn, v), cmpOpt(mx, v)) match {
+          case (Some(cMn), Some(cMx)) => op match {
+            case "=" => cMn <= 0 && cMx >= 0
+            case "<" => cMn < 0 // some value < v
+            case "<=" => cMn <= 0
+            case ">" => cMx > 0
+            case ">=" => cMx >= 0
+          }
+          case _ => true // inconclusive: never a proof
+        }
       case _ => false // all-null dir: no non-null value can match
     }
 
@@ -415,5 +426,6 @@ private[graft] object FileStats {
     (for (name <- attrName(aExpr); z <- ds.cols.get(name);
           (v, dt) <- litVal(litExpr); dv <- literalDomain(v, dt);
           mn <- z.min; mx <- z.max) yield
-      !(cmp(mn, dv) == 0 && cmp(mx, dv) == 0 && z.nulls == 0L)).getOrElse(true)
+      !(cmpOpt(mn, dv).contains(0) && cmpOpt(mx, dv).contains(0) &&
+        z.nulls == 0L)).getOrElse(true)
 }

@@ -213,7 +213,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   def alterColumnType(schema: String, table: String, name: String,
       newTrinoType: String): Unit =
-    evolveSchema(schema, table) { (_, fields) =>
+    evolveSchema(schema, table) { (m, fields) =>
+      // Primary-key columns never change type (Paimon forbids the same):
+      // bucket placement hashes the PK at its CURRENT declared type and
+      // Spark's xxhash64 hashes INT and BIGINT differently, so widening a
+      // bucket-key column would route new versions of an existing key to
+      // a DIFFERENT __bucket=k dir — the per-bucket merge would surface
+      // the key twice and point lookups would miss pre-widening rows.
+      require(!primaryKey(m).contains(name),
+        s"cannot change the type of primary-key column $name — bucket " +
+          "placement and merge-on-read key identity depend on it")
       val f = fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name"))
       require(typeWidens(f.trinoType, newTrinoType),
@@ -505,6 +514,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(by.nonEmpty, "sortCompact needs at least one order-by column")
     require(ranges >= 1, "ranges must be >= 1")
     val m = readManifest(schema, table)
+    // __range / __z are scratch columns of this rewrite (mirrors the
+    // BucketCol reservation in createTable): a user column with either
+    // name would be silently overwritten by withColumn and corrupted in
+    // the rewritten snapshot.
+    currentFields(m).map(_.name).foreach { n =>
+      require(n != "__range" && !(zorder && n == "__z"),
+        s"sortCompact reserves column name $n (rename the column first)")
+    }
     require(bucketCount(m).isEmpty || primaryKey(m).isEmpty,
       s"$schema.$table is bucketed — its layout is the read contract; " +
         "use compact() instead")

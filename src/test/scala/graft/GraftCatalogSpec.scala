@@ -643,6 +643,31 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](cat.alterColumnType("db", "tw", "id", "varchar"))
   }
 
+  test("primary-key columns refuse type changes (bucket/key identity)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    // bucketed: widening the bucket-key column would re-route existing
+    // keys to a different __bucket=k dir (xxhash64(INT) != xxhash64(BIGINT))
+    cat.createTable("db", "pkb", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", IntegerType))),
+      options = Map("bucket" -> "4"), primaryKey = Seq("id"))
+    cat.upsert("db", "pkb", Seq((1, 10), (2, 20)).toDF("id", "v"))
+    val e = intercept[IllegalArgumentException](
+      cat.alterColumnType("db", "pkb", "id", "bigint"))
+    assert(e.getMessage.contains("primary-key"))
+    // unbucketed PK tables refuse too (Paimon forbids PK type changes)
+    cat.createTable("db", "pku", StructType(Seq(
+      StructField("id", IntegerType), StructField("v", IntegerType))),
+      primaryKey = Seq("id"))
+    intercept[IllegalArgumentException](
+      cat.alterColumnType("db", "pku", "id", "bigint"))
+    // non-key columns of the same tables still widen
+    cat.alterColumnType("db", "pkb", "v", "bigint")
+    assert(cat.read("db", "pkb").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq === Seq((1, 10L), (2, 20L)))
+  }
+
   test("read-optimized reads serve the latest fully-compacted snapshot") {
     import spark.implicits._
     val cat = freshCatalog()

@@ -287,6 +287,45 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(gc.read("db", "z4").distinct().count() === 256)
   }
 
+  test("mixed literal/zone domains are inconclusive, never a prune proof") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.sources.FileStats
+    // a LONG-domain zone probed with a STRING literal (format drift /
+    // future caller at a different schema version): every op must KEEP
+    val z = FileStats.DirStats(10L,
+      Map("x" -> FileStats.ColZone(Some(1L), Some(5L), 0L)))
+    val a = UnresolvedAttribute("x")
+    val s = Literal.create("abc", org.apache.spark.sql.types.StringType)
+    for (p <- Seq[Expression](EqualTo(a, s), LessThan(a, s),
+        LessThanOrEqual(a, s), GreaterThan(a, s), GreaterThanOrEqual(a, s),
+        Not(EqualTo(a, s)), In(a, Seq(s))))
+      assert(FileStats.mightMatch(z, p), s"mixed-domain $p must keep the dir")
+    // sanity: the same shapes with a long literal still prune
+    val big = Literal.create(100L, org.apache.spark.sql.types.LongType)
+    assert(!FileStats.mightMatch(z, EqualTo(a, big)))
+    assert(!FileStats.mightMatch(z, GreaterThan(a, big)))
+  }
+
+  test("sortCompact reserves its scratch column names") {
+    import spark.implicits._
+    gc.createTable("db", "zres",
+      Seq((1L, 2L)).toDF("id", "__range").schema)
+    gc.append("db", "zres", Seq((1L, 2L)).toDF("id", "__range"))
+    assert(intercept[IllegalArgumentException](
+      gc.sortCompact("db", "zres", Seq("id")))
+      .getMessage.contains("__range"))
+    gc.createTable("db", "zresz", Seq((1L, 2L)).toDF("id", "__z").schema)
+    gc.append("db", "zresz", Seq((1L, 2L)).toDF("id", "__z"))
+    // __z is only scratch in zorder mode; linear sort still works
+    assert(intercept[IllegalArgumentException](
+      gc.sortCompact("db", "zresz", Seq("id"), zorder = true))
+      .getMessage.contains("__z"))
+    gc.sortCompact("db", "zresz", Seq("id"))
+    assert(gc.read("db", "zresz").collect().toSeq ===
+      Seq(org.apache.spark.sql.Row(1L, 2L)))
+  }
+
   test("empty commits carry zero-row zones and never break pruning") {
     import spark.implicits._
     gc.createTable("db", "zempty", Seq((1L, "x")).toDF("id", "v").schema)
