@@ -39,10 +39,39 @@ class GraftZonePrune extends Rule[LogicalPlan] {
       case f @ Filter(cond, r: DataSourceV2Relation) => r.table match {
         case gt: GraftSqlTable if gt.zoneStats.isDefined =>
           val stats = gt.zoneStats.get
+          val fz = gt.fileZones.getOrElse(Map.empty)
           val cur = gt.currentPaths
-          val kept = cur.filter(p =>
+          val keptDirs = cur.filter(p =>
             stats.get(p).forall(FileStats.mightMatch(_, cond)))
-          if (kept.size < cur.size) f.copy(child = r.copy(table = gt.pruneTo(kept)))
+          var changed = keptDirs.size < cur.size
+          // Per-FILE refinement (the reference's skip unit): a surviving
+          // dir whose per-file zones rule out SOME files is replaced by
+          // its matching file paths. The rewrite re-keys the zone map to
+          // the new paths, so the fixed-point re-run finds nothing more
+          // to drop and converges.
+          var newStats = Map.empty[String, FileStats.DirStats]
+          var newFz = Map.empty[String, Map[String, FileStats.DirStats]]
+          val paths = keptDirs.flatMap { p =>
+            fz.get(p).filter(_.nonEmpty) match {
+              case Some(files) =>
+                val keptFiles = files.filter { case (_, z) =>
+                  FileStats.mightMatch(z, cond) }
+                if (keptFiles.size < files.size) {
+                  changed = true
+                  newStats ++= keptFiles
+                  keptFiles.keys.toSeq.sorted
+                } else {
+                  stats.get(p).foreach(s => newStats += p -> s)
+                  newFz += p -> files
+                  Seq(p)
+                }
+              case None =>
+                stats.get(p).foreach(s => newStats += p -> s)
+                Seq(p)
+            }
+          }
+          if (changed)
+            f.copy(child = r.copy(table = gt.pruneTo(paths, newStats, newFz)))
           else f
         case _ => f
       }

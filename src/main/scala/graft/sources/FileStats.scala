@@ -21,16 +21,26 @@ import org.apache.spark.unsafe.types.UTF8String
  * min/max — this module gives the same planning-time skip to every
  * catalog scan here).
  *
- * Collection reads only parquet FOOTERS of the files a commit just wrote
- * — O(files-in-commit) driver-side metadata reads, the same cost shape
- * as the `$partitions` metadata table — and aggregates them to one zone
- * per commit dir. Dirs are immutable, so stats are computed exactly once
- * and ride in the manifest (`dirStats` node) for the dir's lifetime.
+ * Collection reads only parquet FOOTERS of the files a commit just wrote,
+ * IN A DISTRIBUTED JOB: the driver lists the new dir (one metadata
+ * listing, the same RPC shape as the write that created it) and the
+ * footer reads fan out over the executors ([[collectWithFiles]]), so a
+ * bulk load landing 10⁴–10⁵ files in one snapshot never serializes
+ * footer round-trips on the driver — the commit-side cost Paimon avoids
+ * by having its writers emit per-file stats. A sequential driver-side
+ * pass ([[collect]]) is kept only as the fallback when no job can run;
+ * it counts its reads in [[driverFooterReads]] so tests can assert the
+ * commit path never takes it. Dirs are immutable, so stats are computed
+ * exactly once and ride in the manifest (`dirStats` node) for the dir's
+ * lifetime — BOTH per-dir aggregates (cheap planning-time dir skip) and
+ * per-file zones (the reference's actual skip unit: Paimon manifests
+ * carry per-file field stats, and `TrinoMetadataBase.applyFilter` →
+ * `SnapshotReader.withFilter` skips single files on them).
  *
- * Pruning is strictly conservative: a dir is skipped only when the zone
- * PROVES no row can match. Columns without usable stats (nested types,
- * decimals, INT96 timestamps, missing footer stats) and predicate shapes
- * the evaluator doesn't model simply keep the dir.
+ * Pruning is strictly conservative: a dir/file is skipped only when the
+ * zone PROVES no row can match. Columns without usable stats (nested
+ * types, decimals, INT96 timestamps, missing footer stats) and predicate
+ * shapes the evaluator doesn't model simply keep the dir.
  */
 private[graft] object FileStats {
 
@@ -113,102 +123,98 @@ private[graft] object FileStats {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Footer reads performed by the sequential DRIVER-side fallback path —
+    * the commit path must never grow this (asserted in ZonePruneSpec). */
+  private[graft] val driverFooterReads = new java.util.concurrent.atomic.AtomicLong
+
+  /** Hadoop Configuration is not Serializable; standard write/readFields
+    * envelope so executor tasks can open footers with the session conf. */
+  private class SerConf(@transient var value: Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject(); value = new Configuration(false); value.readFields(in)
+    }
+  }
+
   /**
-   * Read the footers of every `.parquet` file under `dir` (recursively —
-   * partition/bucket subdirs included) and aggregate one [[DirStats]].
-   * Partition columns never appear in the files themselves, so their
-   * zones come from the `col=value` path segments instead (null
-   * partitions conservatively drop the column). Returns None if the dir
-   * has no parquet files or any footer read fails (conservative: a dir
-   * without stats is never pruned).
+   * Zone of ONE parquet file: footer min/max/nullCount/rowCount for data
+   * columns plus `col=value` zones parsed from the file's partition-path
+   * `segments` (partition columns never appear in the file itself; null
+   * partitions conservatively drop the column). Pure function of the
+   * file — runs in executor tasks ([[collectWithFiles]]) or on the
+   * driver ([[collect]] fallback). None = footer unreadable.
    */
-  def collect(fs: FileSystem, conf: Configuration, dir: Path,
-      schema: StructType): Option[DirStats] = {
-    val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
-      domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
-    val typeByName: Map[String, DataType] =
-      schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+  private def fileZone(conf: Configuration, absPath: String,
+      segments: Seq[String], tracked: Map[String, Domain],
+      typeByName: Map[String, DataType]): Option[DirStats] = {
     var rows = 0L
     val mins = mutable.HashMap[String, Any]()
     val maxs = mutable.HashMap[String, Any]()
     val nulls = mutable.HashMap[String, Long]()
     val sawValue = mutable.HashSet[String]()
     val dropped = mutable.HashSet[String]()
-    var nFiles = 0
     try {
-      if (!fs.exists(dir)) return None
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) {
-          nFiles += 1
-          // partition-column zones from the col=value path segments
-          var seg = st.getPath.getParent
-          val qualifiedDir = fs.makeQualified(dir)
-          while (seg != null && fs.makeQualified(seg) != qualifiedDir) {
-            val name = seg.getName
-            val eq = name.indexOf('=')
-            if (eq > 0) {
-              val colName = org.apache.spark.sql.catalyst.catalog
-                .ExternalCatalogUtils.unescapePathName(name.take(eq)).toLowerCase
-              tracked.get(colName).filterNot(_ => dropped.contains(colName)).foreach { dom =>
-                val raw = name.drop(eq + 1)
-                if (raw == "__HIVE_DEFAULT_PARTITION__") dropped += colName
-                else partitionValue(dom, typeByName(colName), raw) match {
-                  case Some(v) =>
-                    sawValue += colName
-                    nulls.getOrElseUpdate(colName, 0L)
-                    if (!mins.contains(colName) || lt(v, mins(colName))) mins(colName) = v
-                    if (!maxs.contains(colName) || lt(maxs(colName), v)) maxs(colName) = v
-                  case None => dropped += colName
-                }
-              }
+      segments.foreach { name =>
+        val eq = name.indexOf('=')
+        if (eq > 0) {
+          val colName = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(name.take(eq)).toLowerCase
+          tracked.get(colName).filterNot(_ => dropped.contains(colName)).foreach { dom =>
+            val raw = name.drop(eq + 1)
+            if (raw == "__HIVE_DEFAULT_PARTITION__") dropped += colName
+            else partitionValue(dom, typeByName(colName), raw) match {
+              case Some(v) =>
+                sawValue += colName
+                nulls.getOrElseUpdate(colName, 0L)
+                if (!mins.contains(colName) || lt(v, mins(colName))) mins(colName) = v
+                if (!maxs.contains(colName) || lt(maxs(colName), v)) maxs(colName) = v
+              case None => dropped += colName
             }
-            seg = seg.getParent
           }
-          val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
-          try {
-            val blocks = rd.getFooter.getBlocks
-            val bi = blocks.iterator()
-            while (bi.hasNext) {
-              val block = bi.next()
-              rows += block.getRowCount
-              val ci = block.getColumns.iterator()
-              while (ci.hasNext) {
-                val chunk = ci.next()
-                val path = chunk.getPath.toDotString.toLowerCase
-                tracked.get(path).filterNot(_ => dropped.contains(path)).foreach { dom =>
-                  val sparkDt = typeByName(path)
-                  val s = chunk.getStatistics
-                  if ((sparkDt == TimestampType || sparkDt == TimestampNTZType) &&
-                      !isMicrosTimestamp(chunk)) dropped += path
-                  else if (s == null) dropped += path
-                  else {
-                    if (s.isNumNullsSet && nulls.getOrElse(path, 0L) >= 0L)
-                      nulls(path) = nulls.getOrElse(path, 0L) + s.getNumNulls
-                    else nulls(path) = -1L
-                    if (s.hasNonNullValue) {
-                      (widen(dom, s.genericGetMin.asInstanceOf[AnyRef]),
-                          widen(dom, s.genericGetMax.asInstanceOf[AnyRef])) match {
-                        case (Some(mn), Some(mx)) =>
-                          sawValue += path
-                          if (!mins.contains(path) || lt(mn, mins(path))) mins(path) = mn
-                          if (!maxs.contains(path) || lt(maxs(path), mx)) maxs(path) = mx
-                        case _ => dropped += path
-                      }
-                    } else if (!s.isNumNullsSet) {
-                      // no values AND no null count: nothing usable
-                      dropped += path
-                    }
-                  }
-                }
-              }
-            }
-          } finally rd.close()
         }
       }
+      val rd = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(absPath), conf))
+      try {
+        val bi = rd.getFooter.getBlocks.iterator()
+        while (bi.hasNext) {
+          val block = bi.next()
+          rows += block.getRowCount
+          val ci = block.getColumns.iterator()
+          while (ci.hasNext) {
+            val chunk = ci.next()
+            val path = chunk.getPath.toDotString.toLowerCase
+            tracked.get(path).filterNot(_ => dropped.contains(path)).foreach { dom =>
+              val sparkDt = typeByName(path)
+              val s = chunk.getStatistics
+              if ((sparkDt == TimestampType || sparkDt == TimestampNTZType) &&
+                  !isMicrosTimestamp(chunk)) dropped += path
+              else if (s == null) dropped += path
+              else {
+                if (s.isNumNullsSet && nulls.getOrElse(path, 0L) >= 0L)
+                  nulls(path) = nulls.getOrElse(path, 0L) + s.getNumNulls
+                else nulls(path) = -1L
+                if (s.hasNonNullValue) {
+                  (widen(dom, s.genericGetMin.asInstanceOf[AnyRef]),
+                      widen(dom, s.genericGetMax.asInstanceOf[AnyRef])) match {
+                    case (Some(mn), Some(mx)) =>
+                      sawValue += path
+                      if (!mins.contains(path) || lt(mn, mins(path))) mins(path) = mn
+                      if (!maxs.contains(path) || lt(maxs(path), mx)) maxs(path) = mx
+                    case _ => dropped += path
+                  }
+                } else if (!s.isNumNullsSet) {
+                  // no values AND no null count: nothing usable
+                  dropped += path
+                }
+              }
+            }
+          }
+        }
+      } finally rd.close()
     } catch { case scala.util.control.NonFatal(_) => return None }
-    if (nFiles == 0) return Some(DirStats(0L, Map.empty))
     val cols = tracked.keysIterator.filterNot(dropped.contains).flatMap { p =>
       val nn = nulls.getOrElse(p, -1L)
       if (sawValue.contains(p))
@@ -220,6 +226,113 @@ private[graft] object FileStats {
     Some(DirStats(rows, cols))
   }
 
+  /** Fold per-file zones into the dir aggregate. A column survives only
+    * when EVERY file tracks it (a file that dropped it proves nothing
+    * about its rows); null counts go unknown (-1) if any file's are. */
+  private def mergeZones(files: Seq[DirStats]): DirStats = {
+    if (files.isEmpty) return DirStats(0L, Map.empty)
+    val rows = files.map(_.rows).sum
+    val names = files.map(_.cols.keySet).reduce(_ intersect _)
+    val cols = names.iterator.map { n =>
+      val zs = files.map(_.cols(n))
+      val nn = if (zs.exists(_.nulls < 0)) -1L else zs.map(_.nulls).sum
+      val mns = zs.flatMap(_.min)
+      val mxs = zs.flatMap(_.max)
+      if (mns.isEmpty) n -> ColZone(None, None, nn)
+      else n -> ColZone(Some(mns.reduce((a, b) => if (lt(a, b)) a else b)),
+        Some(mxs.reduce((a, b) => if (lt(a, b)) b else a)), nn)
+    }.collect {
+      // a valueless column with unknown null count carries nothing usable
+      case (n, z) if z.min.isDefined || z.nulls >= 0 => n -> z
+    }.toMap
+    DirStats(rows, cols)
+  }
+
+  /** List every `.parquet` file under `dir` recursively as
+    * (relative-path, absolute-path) — one metadata listing, no footer
+    * reads. None = dir missing or listing failed. */
+  private def listParquet(fs: FileSystem, dir: Path): Option[Seq[(String, String)]] =
+    try {
+      if (!fs.exists(dir)) return None
+      val qdir = fs.makeQualified(dir).toString
+      val out = mutable.ArrayBuffer[(String, String)]()
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        if (p.getName.endsWith(".parquet")) {
+          val abs = p.toString
+          val rel = abs.stripPrefix(qdir).stripPrefix("/")
+          out += ((rel, abs))
+        }
+      }
+      Some(out.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * Collect the dir's zone map AND its per-file zones, reading footers in
+   * a DISTRIBUTED job (the driver does one listing; executors read the
+   * footers — a 10⁵-file bulk-load commit costs one short Spark job, not
+   * 10⁵ sequential driver round-trips). Per-file partition segments come
+   * from each file's relative path, so the `col=value` zones match the
+   * sequential path exactly. Returns None if the dir has no readable
+   * stats (any unreadable footer poisons the whole dir — conservative:
+   * it is then never pruned). Falls back to the sequential driver pass
+   * if the job itself cannot run.
+   */
+  def collectWithFiles(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      dir: Path, schema: StructType): Option[(DirStats, Map[String, DirStats])] = {
+    val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
+      domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
+    val typeByName: Map[String, DataType] =
+      schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val files = listParquet(fs, dir) match {
+      case None => return None
+      case Some(fl) if fl.isEmpty => return Some((DirStats(0L, Map.empty), Map.empty))
+      case Some(fl) => fl
+    }
+    val sc = spark.sparkContext
+    val conf = new SerConf(sc.hadoopConfiguration)
+    val perFile: Seq[(String, Option[DirStats])] =
+      try {
+        val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
+        sc.parallelize(files, slices).map { case (rel, abs) =>
+          rel -> fileZone(conf.value, abs, rel.split('/').toSeq.dropRight(1),
+            tracked, typeByName)
+        }.collect().toSeq
+      } catch { case scala.util.control.NonFatal(_) =>
+        // no job could run (e.g. stopped context): sequential fallback
+        return collect(fs, sc.hadoopConfiguration, dir, schema).map(_ -> Map.empty)
+      }
+    if (perFile.exists(_._2.isEmpty)) return None
+    val fileMap = perFile.map { case (rel, z) => rel -> z.get }.toMap
+    Some((mergeZones(fileMap.values.toSeq), fileMap))
+  }
+
+  /**
+   * Sequential DRIVER-side aggregation — the fallback for files no write
+   * job produced (externally-written dirs, stopped contexts). The commit
+   * path uses [[collectWithFiles]] instead; [[driverFooterReads]] counts
+   * this path's reads so tests can prove commits never take it.
+   */
+  def collect(fs: FileSystem, conf: Configuration, dir: Path,
+      schema: StructType): Option[DirStats] = {
+    val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
+      domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
+    val typeByName: Map[String, DataType] =
+      schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val files = listParquet(fs, dir) match {
+      case None => return None
+      case Some(fl) if fl.isEmpty => return Some(DirStats(0L, Map.empty))
+      case Some(fl) => fl
+    }
+    val zones = files.map { case (rel, abs) =>
+      driverFooterReads.incrementAndGet()
+      fileZone(conf, abs, rel.split('/').toSeq.dropRight(1), tracked, typeByName)
+    }
+    if (zones.exists(_.isEmpty)) None else Some(mergeZones(zones.map(_.get)))
+  }
+
   // ---- manifest JSON round-trip ------------------------------------------
 
   /** Stats format version. Bump when zone semantics change so stale
@@ -228,8 +341,7 @@ private[graft] object FileStats {
     * the timestamp-unit and UTF-8 string-order guarantees. */
   val FormatVersion = 2
 
-  def toJson(node: ObjectNode, ds: DirStats): Unit = {
-    node.put("v", FormatVersion)
+  private def statsToJson(node: ObjectNode, ds: DirStats): Unit = {
     node.put("rows", ds.rows)
     val cols = node.putObject("cols")
     ds.cols.foreach { case (name, z) =>
@@ -247,7 +359,23 @@ private[graft] object FileStats {
     }
   }
 
-  def fromJson(node: JsonNode): DirStats = {
+  /** Write one dir's manifest node: the per-dir aggregate plus (when
+    * available) per-file zones under `files` — the reference's skip unit
+    * (Paimon manifests are per-file). Pre-files manifest entries simply
+    * lack the node, so readers degrade to dir-level pruning. */
+  def toJson(node: ObjectNode, ds: DirStats,
+      files: Map[String, DirStats] = Map.empty): Unit = {
+    node.put("v", FormatVersion)
+    statsToJson(node, ds)
+    if (files.nonEmpty) {
+      val fn = node.putObject("files")
+      files.toSeq.sortBy(_._1).foreach { case (rel, fz) =>
+        statsToJson(fn.putObject(rel), fz)
+      }
+    }
+  }
+
+  private def statsFromJson(node: JsonNode): DirStats = {
     val rows = node.get("rows").asLong()
     val cols = mutable.LinkedHashMap[String, ColZone]()
     val cn = node.get("cols").asInstanceOf[ObjectNode]
@@ -265,6 +393,17 @@ private[graft] object FileStats {
       } else cols += name -> ColZone(None, None, nulls)
     }
     DirStats(rows, cols.toMap)
+  }
+
+  def fromJson(node: JsonNode): DirStats = statsFromJson(node)
+
+  /** Per-file zones of one dir node (empty for pre-files entries). */
+  def filesFromJson(node: JsonNode): Map[String, DirStats] = {
+    if (!node.has("files")) return Map.empty
+    val fn = node.get("files").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, DirStats]()
+    fn.fieldNames().forEachRemaining { rel => out += rel -> statsFromJson(fn.get(rel)) }
+    out.toMap
   }
 
   // ---- zone evaluation (planning-time, conservative) ---------------------

@@ -355,16 +355,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // Zone maps: aggregate the new dir's parquet footer stats into the
     // manifest (Paimon manifests carry per-file field stats the same
     // way; TrinoMetadataBase.applyFilter prunes splits with them). Dirs
-    // are immutable, so this runs exactly once per dir; cost is
-    // O(files-in-this-commit) driver-side footer reads. Data dirs only —
+    // are immutable, so this runs exactly once per dir. The footer reads
+    // run in a DISTRIBUTED job (one driver listing, executor-side
+    // footers), so a bulk load landing 10⁴–10⁵ files in one snapshot
+    // never stalls the commit on sequential driver round-trips; per-FILE
+    // zones ride along for file-granular skipping. Data dirs only —
     // tombstone dirs are never zone-pruned (MoR must see every delta).
     if (kind == "data") {
-      FileStats.collect(fs, spark.sparkContext.hadoopConfiguration,
-          new Path(tablePath(schema, table), dir), df.schema).foreach { ds =>
-        val statsNode =
-          if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
-          else m.putObject("dirStats")
-        FileStats.toJson(statsNode.putObject(dir), ds)
+      FileStats.collectWithFiles(spark, fs,
+          new Path(tablePath(schema, table), dir), df.schema).foreach {
+        case (ds, fileZones) =>
+          val statsNode =
+            if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
+            else m.putObject("dirStats")
+          FileStats.toJson(statsNode.putObject(dir), ds, fileZones)
       }
     }
     val prevFiles: Seq[FileEntry] =
@@ -587,12 +591,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
     }
     entries.foreach { fe =>
-      FileStats.collect(fs, spark.sparkContext.hadoopConfiguration,
-          new Path(tablePath(schema, table), fe.dir), cur).foreach { ds =>
-        val statsNode =
-          if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
-          else m.putObject("dirStats")
-        FileStats.toJson(statsNode.putObject(fe.dir), ds)
+      FileStats.collectWithFiles(spark, fs,
+          new Path(tablePath(schema, table), fe.dir), cur).foreach {
+        case (ds, fileZones) =>
+          val statsNode =
+            if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
+            else m.putObject("dirStats")
+          FileStats.toJson(statsNode.putObject(fe.dir), ds, fileZones)
       }
     }
     writeManifest(schema, table, m)
@@ -940,6 +945,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     out.toMap
   }
 
+  /** Per-FILE zones of every live dir (dir → relative file path → stats)
+    * — the reference's actual skip unit (Paimon manifests carry per-file
+    * field stats). Empty inner maps for entries written before per-file
+    * zones existed; those dirs prune at dir granularity only. */
+  def fileStats(schema: String, table: String): Map[String, Map[String, FileStats.DirStats]] =
+    fileStatsFrom(readManifest(schema, table))
+
+  private def fileStatsFrom(m: ObjectNode): Map[String, Map[String, FileStats.DirStats]] = {
+    if (!m.has("dirStats")) return Map.empty
+    val node = m.get("dirStats").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, Map[String, FileStats.DirStats]]()
+    node.fieldNames().forEachRemaining { d =>
+      val n = node.get(d)
+      if (n.has("v") && n.get("v").asInt() == FileStats.FormatVersion)
+        out += d -> FileStats.filesFromJson(n)
+    }
+    out.toMap
+  }
+
   /** Can a snapshot's dirs be zone-pruned independently? Append-only
     * current-schema snapshots only: on a MoR-pending PK table, pruning
     * the dir holding a key's LATEST version while an older dir survives
@@ -981,10 +1005,35 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val stats = dirStatsFrom(m)
     val kept = entries.filter(fe =>
       stats.get(fe.dir).forall(FileStats.mightMatch(_, resolved.get)))
-    if (kept.size == entries.size) return full
-    resolveFrames(schema, table, m, kept)
-      .getOrElse(emptyFrame(m))
-      .filter(condition)
+    // Per-FILE refinement inside surviving dirs — the reference's skip
+    // unit (Paimon per-file field stats). A large append dir whose files
+    // were written range-clustered (or just time-ordered) prunes to the
+    // matching files instead of all-or-nothing; dirs without per-file
+    // zones (pre-files manifests) keep all their files.
+    val perFile = fileStatsFrom(m)
+    val selections: Seq[(FileEntry, Option[Seq[String]])] = kept.map { fe =>
+      perFile.get(fe.dir).filter(_.nonEmpty) match {
+        case Some(fm) =>
+          val keptFiles = fm.collect {
+            case (rel, z) if FileStats.mightMatch(z, resolved.get) => rel
+          }.toSeq.sorted
+          if (keptFiles.size < fm.size) (fe, Some(keptFiles)) else (fe, None)
+        case None => (fe, None)
+      }
+    }
+    if (kept.size == entries.size && selections.forall(_._2.isEmpty)) return full
+    val frames = selections.flatMap {
+      case (fe, Some(keptFiles)) =>
+        if (keptFiles.isEmpty) None // every file in the dir is provably out
+        else Some(frameFor(schema, table, m, fe,
+          fileSubset = Some(keptFiles.map(rel =>
+            new Path(new Path(tablePath(schema, table), fe.dir), rel).toString))))
+      case (fe, None) => Some(frameFor(schema, table, m, fe))
+    }
+    // zonePrunable ⇒ append-only (no PK, no tombstones): the frames union
+    // without merge resolution, exactly resolveFrames' no-PK arm.
+    if (frames.isEmpty) emptyFrame(m).filter(condition)
+    else frames.reduce(_ unionByName _).drop("__ord", "__del").filter(condition)
   }
 
   /**
@@ -1014,7 +1063,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * `__ord` and the tombstone flag `__del` used for merge-on-read.
    */
   private def frameFor(schema: String, table: String, m: ObjectNode,
-      fe: FileEntry, pathOverride: Option[Path] = None): DataFrame = {
+      fe: FileEntry, pathOverride: Option[Path] = None,
+      fileSubset: Option[Seq[String]] = None): DataFrame = {
     val curFields = currentFields(m)
     val allSchemas = schemaVersions(m)
     val writeFieldsAll = allSchemas(fe.schemaVersion)
@@ -1029,8 +1079,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // numeric ("0123" -> 123) and corrupt the round-trip.
     val writeSchema = StructType(writeFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
-    val raw = spark.read.schema(writeSchema)
-      .parquet(pathOverride.getOrElse(new Path(tablePath(schema, table), fe.dir)).toString)
+    val base = pathOverride.getOrElse(new Path(tablePath(schema, table), fe.dir))
+    val raw = fileSubset match {
+      // zone-pruned file list: explicit files with basePath so `col=value`
+      // partition segments between the dir root and each file still
+      // resolve as partition columns of the declared schema
+      case Some(files) => spark.read.schema(writeSchema)
+        .option("basePath", base.toString).parquet(files: _*)
+      case None => spark.read.schema(writeSchema).parquet(base.toString)
+    }
     // Map write-time schema → current schema by field id.
     val byId = writeFields.map(f => f.id -> f).toMap
     val cols = curFields.map { cf =>

@@ -279,18 +279,30 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val zoneStats = if (resolvedAsFiles)
       Some(entries.flatMap(e => dirStats.get(e.dir).map(dirPath(e.dir) -> _)).toMap)
       else None
+    val partitionCols = gc.partitionColumnsOf(schemaName, tableName)
+    // Per-file zones for the optimizer's finer cut — unpartitioned only
+    // (file paths lose the col=value segments partitioned scans need).
+    val fileZones = if (resolvedAsFiles && partitionCols.isEmpty) {
+      val pf = gc.fileStats(schemaName, tableName)
+      Some(entries.flatMap { e =>
+        pf.get(e.dir).filter(_.nonEmpty).map(fm =>
+          dirPath(e.dir) -> fm.map { case (rel, z) =>
+            new Path(dirPath(e.dir), rel).toString -> z })
+      }.toMap).filter(_.nonEmpty)
+    } else None
     val exactRowCount =
       if (resolvedAsFiles && pk.isEmpty && entries.forall(e => dirStats.contains(e.dir)))
         Some(entries.map(e => dirStats(e.dir).rows).sum)
       else None
-    new GraftSqlTable(parquet, gc.partitionColumnsOf(schemaName, tableName),
+    new GraftSqlTable(parquet, partitionCols,
       gc.tableOptions(schemaName, tableName) ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
       morRead, commitInsert(schemaName, tableName) _,
       cond => { gc.deleteWhere(schemaName, tableName, cond); () },
       canDelete = pk.nonEmpty,
       coords = Some((warehouse, schemaName, tableName)),
-      zoneStats = zoneStats, exactRowCount = exactRowCount)
+      zoneStats = zoneStats, exactRowCount = exactRowCount,
+      fileZones = fileZones)
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -464,23 +476,35 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     private[graft] val exactRowCount: Option[Long] = None,
     /** Read-only views (e.g. `t$ro`) must never route DML to the base
       * table: capabilities shrink to BATCH_READ and deletes refuse. */
-    private val readOnly: Boolean = false)
+    private val readOnly: Boolean = false,
+    /** Per-FILE zones (dir root path → absolute file path → zone) — set
+      * only for UNPARTITIONED tables: replacing a dir root with file
+      * paths would lose the `col=value` partition segments a partitioned
+      * scan derives partition columns from. Lets GraftZonePrune expand a
+      * surviving dir into only its matching files. */
+    private[graft] val fileZones: Option[Map[String, Map[String, FileStats.DirStats]]] = None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** This table as a read-only view (same scan, no write surface). */
   private[graft] def asReadOnly: GraftSqlTable =
     new GraftSqlTable(delegate, partitionCols, props, morRead, commitInsert,
       commitDelete, canDelete, coords, zoneStats, exactRowCount,
-      readOnly = true)
+      readOnly = true, fileZones = fileZones)
 
   private[graft] def currentPaths: Seq[String] = delegate.paths
 
-  /** Same table over a zone-pruned subset of its root paths (the DSv2
-    * split-skip analog of the reference's manifest-stats pruning). */
-  private[graft] def pruneTo(kept: Seq[String]): GraftSqlTable =
+  /** Same table over a zone-pruned subset of its root paths — dirs, or
+    * single files where per-file zones allowed a finer cut (the DSv2
+    * split-skip analog of the reference's manifest-stats pruning).
+    * `newStats` re-keys the zones to the surviving paths so the rule's
+    * fixed-point re-run evaluates them and converges. */
+  private[graft] def pruneTo(kept: Seq[String],
+      newStats: Map[String, FileStats.DirStats],
+      newFileZones: Map[String, Map[String, FileStats.DirStats]]): GraftSqlTable =
     new GraftSqlTable(delegate.copy(paths = kept), partitionCols, props,
       morRead, commitInsert, commitDelete, canDelete, coords,
-      zoneStats.map(_.filter(kv => kept.contains(kv._1))), exactRowCount = None)
+      Some(newStats), exactRowCount = None, readOnly = readOnly,
+      fileZones = Some(newFileZones).filter(_.nonEmpty))
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as
     * in [[GraftCatalog.deleteWhere]]); append-only tables and

@@ -34,17 +34,23 @@ class ZonePruneSpec extends SparkSpecBase {
   private def scannedDirs(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.inputFiles.map(f => f.split("/").reverse.dropWhile(!_.startsWith("snap-")).head).toSet
 
-  /** Root dirs of the physical V2 parquet scan (Dataset.inputFiles can't
-    * see through a non-FileTable DSv2 relation). */
-  private def sqlScanRoots(df: org.apache.spark.sql.DataFrame): Set[String] =
+  /** Root paths of the physical V2 parquet scan (Dataset.inputFiles can't
+    * see through a non-FileTable DSv2 relation) — full path strings;
+    * after per-file pruning a root can be a single part-file. */
+  private def sqlScanRootPaths(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {
           case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
-            fs.fileIndex.rootPaths.map(_.getName)
+            fs.fileIndex.rootPaths.map(_.toString)
           case _ => Seq.empty
         }
     }.flatten.toSet
+
+  /** The snap-* dir each scan root (dir or single file) lives in. */
+  private def sqlScanRoots(df: org.apache.spark.sql.DataFrame): Set[String] =
+    sqlScanRootPaths(df).map(p =>
+      p.split("/").reverse.dropWhile(!_.startsWith("snap-")).head)
 
   test("manifest carries per-dir zone maps with exact row counts") {
     val stats = gc.dirStats("db", "zp")
@@ -149,10 +155,12 @@ class ZonePruneSpec extends SparkSpecBase {
 
   test("sortCompact rewrites into range dirs that zone-prune tightly") {
     import spark.implicits._
-    // interleaved commits: every dir spans the full id range -> no pruning
+    // interleaved commits: every dir spans the full id range -> no
+    // pruning (coalesce(1): one file per dir, so per-FILE zones span the
+    // same full range and cannot prune either)
     gc.createTable("db", "sc", Seq((1L, "x")).toDF("id", "v").schema)
     def batch(r: Long) = spark.range(0, 300).filter(col("id") % 3 === r)
-      .selectExpr("id", "concat('v', id) AS v")
+      .selectExpr("id", "concat('v', id) AS v").coalesce(1)
     gc.append("db", "sc", batch(0).toDF())
     gc.append("db", "sc", batch(1).toDF())
     gc.append("db", "sc", batch(2).toDF())
@@ -285,6 +293,84 @@ class ZonePruneSpec extends SparkSpecBase {
     gc.sortCompact("db", "z4", Seq("a", "b", "c", "d"), ranges = 4, zorder = true)
     assert(gc.read("db", "z4").count() === 256)
     assert(gc.read("db", "z4").distinct().count() === 256)
+  }
+
+  test("commit-time stat collection is distributed: no driver footer reads") {
+    import graft.sources.FileStats
+    gc.createTable("db", "zbulk",
+      spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v").schema)
+    val before = FileStats.driverFooterReads.get()
+    // a bulk load landing ONE snapshot with 1000 part-files — the shape
+    // that would stall a sequential driver footer pass for minutes on an
+    // object store
+    gc.append("db", "zbulk", spark.range(0, 10000)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(1000).toDF())
+    assert(FileStats.driverFooterReads.get() === before,
+      "commit read parquet footers on the driver")
+    val ds = gc.dirStats("db", "zbulk")("snap-1")
+    assert(ds.rows === 10000)
+    assert(ds.cols("id").min.contains(0L) && ds.cols("id").max.contains(9999L))
+    assert(ds.cols("id").nulls === 0)
+    // per-file zones rode along: one per part-file, row counts add up
+    val pf = gc.fileStats("db", "zbulk")("snap-1")
+    assert(pf.size === 1000)
+    assert(pf.values.map(_.rows).sum === 10000L)
+  }
+
+  test("per-file zones prune a multi-file append dir to matching files") {
+    gc.createTable("db", "zpf",
+      spark.range(0).selectExpr("id", "concat('n', id) AS name").schema)
+    // ONE commit whose 8 files are range-clustered on id (disjoint zones)
+    gc.append("db", "zpf", spark.range(0, 800)
+      .selectExpr("id", "concat('n', id) AS name")
+      .repartitionByRange(8, col("id")).toDF())
+    val point = gc.readWhere("db", "zpf", col("id") === 5L)
+    assert(point.inputFiles.length === 1,
+      s"point query planned ${point.inputFiles.length} of 8 files")
+    assert(point.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    val band = gc.readWhere("db", "zpf", col("id") >= 95L && col("id") <= 105L)
+    assert(band.inputFiles.length <= 2,
+      s"11-row band planned ${band.inputFiles.length} of 8 files")
+    // parity with the unpruned read
+    assert(band.orderBy("id").collect().toSeq ===
+      gc.read("db", "zpf").filter(col("id") >= 95L && col("id") <= 105L)
+        .orderBy("id").collect().toSeq)
+    // a predicate no file can match plans zero files
+    assert(gc.readWhere("db", "zpf", col("id") === -1L).count() === 0)
+  }
+
+  test("SQL scans prune to single files via the optimizer rule") {
+    gc.createTable("db", "zpfsql",
+      spark.range(0).selectExpr("id", "concat('n', id) AS name").schema)
+    gc.append("db", "zpfsql", spark.range(0, 800)
+      .selectExpr("id", "concat('n', id) AS name")
+      .repartitionByRange(8, col("id")).toDF())
+    val sql = spark.sql("SELECT * FROM gz.db.zpfsql WHERE id = 5")
+    val roots = sqlScanRootPaths(sql)
+    assert(roots.size === 1 && roots.head.endsWith(".parquet"),
+      s"expected one file root, got $roots")
+    assert(sql.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // parity on a band crossing a file boundary
+    val band = spark.sql(
+      "SELECT * FROM gz.db.zpfsql WHERE id BETWEEN 95 AND 105 ORDER BY id")
+    assert(band.count() === 11)
+  }
+
+  test("per-file pruning keeps partition columns intact") {
+    gc.createTable("db", "zpfp",
+      spark.range(0).selectExpr("id", "id % 2 AS p").schema,
+      partitionBy = Seq("p"))
+    gc.append("db", "zpfp", spark.range(0, 400)
+      .selectExpr("id", "id % 2 AS p")
+      .repartitionByRange(8, col("id")).toDF().sortWithinPartitions("id"))
+    // data-column predicate prunes files under BOTH p=0 and p=1 subdirs;
+    // the basePath read keeps the partition column resolvable
+    val got = gc.readWhere("db", "zpfp", col("id") < 10L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === (0L until 10L).map(i => (i, i % 2)))
+    val planned = gc.readWhere("db", "zpfp", col("id") < 10L).inputFiles.length
+    val total = gc.read("db", "zpfp").inputFiles.length
+    assert(planned < total, s"planned $planned of $total files")
   }
 
   test("mixed literal/zone domains are inconclusive, never a prune proof") {
