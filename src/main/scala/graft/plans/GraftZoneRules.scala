@@ -39,7 +39,12 @@ class GraftZonePrune extends Rule[LogicalPlan] {
       case f @ Filter(cond, r: DataSourceV2Relation) => r.table match {
         case gt: GraftSqlTable if gt.zoneStats.isDefined =>
           val stats = gt.zoneStats.get
-          val fz = gt.fileZones.getOrElse(Map.empty)
+          // File-path expansion only for unpartitioned tables: replacing
+          // a dir root with file paths would lose the col=value segments
+          // a partitioned scan derives partition columns from.
+          val fz = if (gt.partitionCols.isEmpty)
+            gt.fileZones.getOrElse(Map.empty)
+          else Map.empty[String, Map[String, FileStats.DirStats]]
           val cur = gt.currentPaths
           val keptDirs = cur.filter(p =>
             stats.get(p).forall(FileStats.mightMatch(_, cond)))
@@ -79,12 +84,15 @@ class GraftZonePrune extends Rule[LogicalPlan] {
 }
 
 /**
- * Metadata-only aggregates: a bare unfiltered `count(*)` / `count(col)` /
- * `min(col)` / `max(col)` over a graft relation whose manifest stats are
- * provably exact (append-only snapshot, every dir carries stats)
- * collapses to a [[LocalRelation]] — zero files opened, zero tasks
- * launched. The 100 TB `SELECT count(*), min(ts), max(ts) FROM t`
- * answers from the manifest, like every serious lakehouse format.
+ * Metadata-only aggregates: a bare `count(*)` / `count(col)` / `min(col)`
+ * / `max(col)` over a graft relation whose manifest stats are provably
+ * exact (append-only snapshot, every dir carries stats) collapses to a
+ * [[LocalRelation]] — zero files opened, zero tasks launched. The 100 TB
+ * `SELECT count(*), min(ts), max(ts) FROM t` answers from the manifest,
+ * like every serious lakehouse format. PARTITION-predicate-only filters
+ * are answerable too: per-file zones make partition membership total per
+ * file (the `p=x` path segment fixes the value for every row), so
+ * `count(*) WHERE p = 'x'` sums exactly the matching files' row counts.
  *
  * Soundness notes: the whole rewrite bails unless EVERY live dir has a
  * zone for every referenced column (exactRowCount presence implies full
@@ -112,6 +120,18 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
       relationOf(child)
     case _ => None
   }
+
+  /** Like [[relationOf]] but also peels one Filter: (condition, table).
+    * Projects may sit above or below the Filter after pruning. */
+  private def filteredRelationOf(p: LogicalPlan)
+      : Option[(Option[org.apache.spark.sql.catalyst.expressions.Expression], GraftSqlTable)] =
+    p match {
+      case Filter(cond, child) => relationOf(child).map(gt => (Some(cond), gt))
+      case Project(projectList, child)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        filteredRelationOf(child)
+      case other => relationOf(other).map(gt => (None, gt))
+    }
 
   /** Internal-row value for the global min/max of `name` across dirs, as
     * the column's Catalyst type. Some(null) = a provably all-null column. */
@@ -164,9 +184,13 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
     else plan.transformUp {
       case agg @ Aggregate(Nil, aggExprs, child, _) if aggExprs.nonEmpty =>
         (for {
-          gt <- relationOf(child)
-          rows <- gt.exactRowCount // append-only + full per-dir stats
-          zones = gt.zoneStats.getOrElse(Map.empty).values.toSeq
+          (cond, gt) <- filteredRelationOf(child)
+          rows0 <- gt.exactRowCount // append-only + full per-dir stats
+          zones <- cond match {
+            case None => Some(gt.zoneStats.getOrElse(Map.empty).values.toSeq)
+            case Some(c) => selectFiles(gt, c)
+          }
+          rows = cond.fold(rows0)(_ => zones.map(_.rows).sum)
           vals <- {
             val answered = aggExprs.map(answer(gt, zones, rows, _))
             if (answered.forall(_.isDefined)) Some(answered.map(_.get)) else None
@@ -174,4 +198,27 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
         } yield LocalRelation(agg.output, Seq(InternalRow(vals: _*)))
         ).getOrElse(agg)
     }
+
+  /**
+   * Per-file zones of exactly the files whose rows ALL satisfy `cond`,
+   * or None to bail and keep the scan. Sound only when every file's
+   * membership is TOTAL — [[FileStats.decides]] answers for uniform
+   * (point-zone) columns, i.e. partition predicates: `count(*) WHERE
+   * p = 'x'` is answerable from the manifest because a file's `p=...`
+   * path segment fixes the value for every row in it. Any file the
+   * zones cannot decide (a data-column predicate, a missing zone)
+   * poisons the whole rewrite — conservative, the scan plan stands.
+   */
+  private def selectFiles(gt: GraftSqlTable,
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Seq[FileStats.DirStats]] =
+    for {
+      // fileZones is threaded only with full live-dir coverage (zero-row
+      // dirs exempt — they contribute nothing to any aggregate), so the
+      // flattened values enumerate EVERY visible row's file exactly once
+      fz <- gt.fileZones
+      decisions = fz.values.flatMap(_.values).toSeq
+        .map(z => FileStats.decides(z, cond).map(z -> _))
+      if decisions.forall(_.isDefined)
+    } yield decisions.flatten.collect { case (z, true) => z }
 }

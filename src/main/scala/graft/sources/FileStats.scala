@@ -549,6 +549,89 @@ private[graft] object FileStats {
     case _ => true
   }
 
+  /**
+   * Three-valued EXACT decision: does `pred` hold for EVERY row of the
+   * zone's file (Some(true)), for NO row (Some(false)), or is the zone
+   * insufficient to prove either (None)? Unlike [[mightMatch]] this is
+   * never conservative — it answers only when the decision is total for
+   * the whole file, which is what metadata-only FILTERED aggregates
+   * need (`count(*) WHERE p = 'x'` sums exactly the matching files).
+   * Comparison leaves decide only on UNIFORM columns — null-free with
+   * min == max, i.e. partition columns (path-segment zones are the
+   * exact value for every row in the file) or constant data columns.
+   */
+  def decides(ds: DirStats, pred: Expression): Option[Boolean] = pred match {
+    case And(l, r) => (decides(ds, l), decides(ds, r)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (decides(ds, l), decides(ds, r)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(e) => decides(ds, e).map(!_)
+    case EqualTo(a, lit) if attrName(a).isDefined => decideCmp(ds, a, lit, "=")
+    case EqualTo(lit, a) if attrName(a).isDefined => decideCmp(ds, a, lit, "=")
+    case EqualNullSafe(a, lit) if attrName(a).isDefined => decideCmp(ds, a, lit, "=")
+    case EqualNullSafe(lit, a) if attrName(a).isDefined => decideCmp(ds, a, lit, "=")
+    case LessThan(a, lit) if attrName(a).isDefined => decideCmp(ds, a, lit, "<")
+    case LessThan(lit, a) if attrName(a).isDefined => decideCmp(ds, a, lit, ">")
+    case LessThanOrEqual(a, lit) if attrName(a).isDefined => decideCmp(ds, a, lit, "<=")
+    case LessThanOrEqual(lit, a) if attrName(a).isDefined => decideCmp(ds, a, lit, ">=")
+    case GreaterThan(a, lit) if attrName(a).isDefined => decideCmp(ds, a, lit, ">")
+    case GreaterThan(lit, a) if attrName(a).isDefined => decideCmp(ds, a, lit, "<")
+    case GreaterThanOrEqual(a, lit) if attrName(a).isDefined => decideCmp(ds, a, lit, ">=")
+    case GreaterThanOrEqual(lit, a) if attrName(a).isDefined => decideCmp(ds, a, lit, "<=")
+    case In(a, list) if attrName(a).isDefined =>
+      val vals = list.flatMap(litVal)
+      if (vals.size != list.size) None // non-literal / null member
+      else {
+        val perVal = vals.map { case (v, dt) =>
+          literalDomain(v, dt).flatMap(dv =>
+            pointOf(ds, attrName(a).get).flatMap(pv =>
+              cmpOpt(pv, dv).map(_ == 0)))
+        }
+        if (perVal.exists(_.contains(true))) Some(true)
+        else if (perVal.forall(_.contains(false))) Some(false)
+        else None
+      }
+    case IsNull(a) if attrName(a).isDefined =>
+      ds.cols.get(attrName(a).get).flatMap { z =>
+        if (z.nulls == 0L) Some(false)
+        else if (z.min.isEmpty && z.nulls == ds.rows) Some(true)
+        else None
+      }
+    case IsNotNull(a) if attrName(a).isDefined =>
+      ds.cols.get(attrName(a).get).flatMap { z =>
+        if (z.nulls == 0L) Some(true)
+        else if (z.min.isEmpty && z.nulls == ds.rows) Some(false)
+        else None
+      }
+    case _ => None
+  }
+
+  /** The single value every row of the file holds in column `name`, if
+    * the zone proves uniformity (null-free, min == max). */
+  private def pointOf(ds: DirStats, name: String): Option[Any] =
+    ds.cols.get(name).flatMap { z =>
+      for (mn <- z.min; mx <- z.max; c <- cmpOpt(mn, mx)
+           if c == 0 && z.nulls == 0L) yield mn
+    }
+
+  private def decideCmp(ds: DirStats, aExpr: Expression, litExpr: Expression,
+      op: String): Option[Boolean] =
+    for (name <- attrName(aExpr); pv <- pointOf(ds, name);
+         (v, dt) <- litVal(litExpr); dv <- literalDomain(v, dt);
+         c <- cmpOpt(pv, dv)) yield op match {
+      case "=" => c == 0
+      case "<" => c < 0
+      case "<=" => c <= 0
+      case ">" => c > 0
+      case ">=" => c >= 0
+    }
+
   /** `aExpr` is the attribute side, `litExpr` the literal side — call
     * sites pass them in canonical order with `op` already oriented as
     * `attr op lit`. */

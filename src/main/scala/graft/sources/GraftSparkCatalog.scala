@@ -273,25 +273,45 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // resolved file scan can use them — the V1-bridge paths get their
     // pruning inside readWhere instead, so loading stats here would be
     // per-query metadata I/O thrown away.
+    // Manifest stats are sound whenever the snapshot is plain
+    // current-schema append data and no MoR merge can change the visible
+    // rows — INDEPENDENT of whether the physical scan is a raw file scan
+    // or the V1 bridge (a multi-dir partitioned append table reads
+    // through the bridge purely for Spark's partition-discovery
+    // limitation; its stats are as exact as any). Single-dir PK tables
+    // keep their zones too (the raw files ARE the image), matching the
+    // old resolvedAsFiles gate.
+    val statsSound =
+      entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
+        (pk.isEmpty || resolvedAsFiles)
     val dirStats =
-      if (resolvedAsFiles) gc.dirStats(schemaName, tableName)
+      if (statsSound) gc.dirStats(schemaName, tableName)
       else Map.empty[String, graft.sources.FileStats.DirStats]
-    val zoneStats = if (resolvedAsFiles)
+    val zoneStats = if (statsSound)
       Some(entries.flatMap(e => dirStats.get(e.dir).map(dirPath(e.dir) -> _)).toMap)
       else None
     val partitionCols = gc.partitionColumnsOf(schemaName, tableName)
-    // Per-file zones for the optimizer's finer cut — unpartitioned only
-    // (file paths lose the col=value segments partitioned scans need).
-    val fileZones = if (resolvedAsFiles && partitionCols.isEmpty) {
+    // Per-file zones serve two rules: GraftZonePrune's finer path cut
+    // (unpartitioned tables only — gated in the rule, since file paths
+    // lose the col=value segments partitioned scans need) and
+    // GraftCountFromStats' metadata-only answers to partition-filtered
+    // aggregates (partition segments give every file an exact point
+    // zone). Threaded only when EVERY live dir carries per-file zones
+    // (zero-row dirs exempt), so consumers may assume full coverage.
+    val fileZones = if (statsSound) {
       val pf = gc.fileStats(schemaName, tableName)
-      Some(entries.flatMap { e =>
-        pf.get(e.dir).filter(_.nonEmpty).map(fm =>
-          dirPath(e.dir) -> fm.map { case (rel, z) =>
-            new Path(dirPath(e.dir), rel).toString -> z })
-      }.toMap).filter(_.nonEmpty)
+      val covered = entries.forall(e => pf.get(e.dir).exists(_.nonEmpty) ||
+        dirStats.get(e.dir).exists(_.rows == 0L))
+      if (covered)
+        Some(entries.flatMap { e =>
+          pf.get(e.dir).filter(_.nonEmpty).map(fm =>
+            dirPath(e.dir) -> fm.map { case (rel, z) =>
+              new Path(dirPath(e.dir), rel).toString -> z })
+        }.toMap).filter(_.nonEmpty)
+      else None
     } else None
     val exactRowCount =
-      if (resolvedAsFiles && pk.isEmpty && entries.forall(e => dirStats.contains(e.dir)))
+      if (statsSound && pk.isEmpty && entries.forall(e => dirStats.contains(e.dir)))
         Some(entries.map(e => dirStats(e.dir).rows).sum)
       else None
     new GraftSqlTable(parquet, partitionCols,
@@ -458,7 +478,7 @@ private[sources] object FilterTranslation {
  * append/upsert/overwrite commit — never a raw file write).
  */
 private[graft] class GraftSqlTable(delegate: ParquetTable,
-    partitionCols: Seq[String], props: Map[String, String],
+    private[graft] val partitionCols: Seq[String], props: Map[String, String],
     morRead: Option[Array[Filter] => org.apache.spark.sql.DataFrame],
     commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
     commitDelete: Column => Unit,

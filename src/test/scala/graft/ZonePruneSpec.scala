@@ -373,6 +373,39 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(planned < total, s"planned $planned of $total files")
   }
 
+  test("partition-filtered aggregates answer from the manifest, no scan") {
+    gc.createTable("db", "zmc",
+      spark.range(0).selectExpr("id", "id % 4 AS p").schema,
+      partitionBy = Seq("p"))
+    gc.append("db", "zmc", spark.range(0, 400).selectExpr("id", "id % 4 AS p").toDF())
+    gc.append("db", "zmc", spark.range(400, 500).selectExpr("id", "id % 4 AS p").toDF())
+    def planOf(q: String) = spark.sql(q).queryExecution.executedPlan.toString
+    // count(*) with a partition-only predicate: LocalTableScan, no files
+    val q1 = "SELECT count(*) AS n FROM gz.db.zmc WHERE p = 1"
+    assert(planOf(q1).contains("LocalTableScan") && !planOf(q1).contains("BatchScan"),
+      s"partition-filtered count was not answered from stats:\n${planOf(q1)}")
+    assert(spark.sql(q1).head().getLong(0) === 125L)
+    // compound partition predicates (IN, range, AND) answer too
+    val q2 = "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx " +
+      "FROM gz.db.zmc WHERE p IN (0, 3)"
+    assert(planOf(q2).contains("LocalTableScan"), planOf(q2))
+    val r2 = spark.sql(q2).head()
+    assert(r2.getLong(0) === 250L)
+    assert(r2.getLong(1) === 0L && r2.getLong(2) === 499L)
+    val q3 = "SELECT count(*) AS n FROM gz.db.zmc WHERE p >= 2 AND p <= 3"
+    assert(planOf(q3).contains("LocalTableScan"), planOf(q3))
+    assert(spark.sql(q3).head().getLong(0) === 250L)
+    // a DATA-column predicate is not total per file: the scan stands
+    // (this table reads through the V1 merge bridge — "Scan graft...")
+    val q4 = "SELECT count(*) FROM gz.db.zmc WHERE id < 100"
+    assert(!planOf(q4).contains("LocalTableScan"), planOf(q4))
+    assert(spark.sql(q4).head().getLong(0) === 100L)
+    // oracle parity: the full-scan answer matches the metadata answer
+    spark.conf.set("spark.graft.countFromStats.enabled", "false")
+    try assert(spark.sql(q1).head().getLong(0) === 125L)
+    finally spark.conf.unset("spark.graft.countFromStats.enabled")
+  }
+
   test("mixed literal/zone domains are inconclusive, never a prune proof") {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
