@@ -7,13 +7,16 @@ import graft.sources.Tables
 import graft.sources.Tables.{davg, dsum}
 
 /**
- * TPC-H analogs Q8/Q13/Q15/Q17/Q19/Q21/Q22 over the synthetic schema —
- * with Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q18 in RelationalQueries this
- * covers every TPC-H query expressible without `partsupp` (Q2, Q9, Q11,
- * Q16, Q20 need it) and without per-line commit/receipt dates (Q4/Q21
- * adapt "late" to shipped ≥60 days after the order date). Columns the
+ * TPC-H analogs Q2/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q19/Q20/Q21/Q22 over the
+ * synthetic schema — with Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q18 in
+ * RelationalQueries this covers all 22 TPC-H queries. The partsupp
+ * family (Q2/Q9/Q11/Q16/Q20) runs over [[partsupp]], a deterministic
+ * dbgen-style derivation (the driver testdata ships no partsupp table);
+ * queries without per-line commit/receipt dates adapt (Q4/Q21 define
+ * "late" as shipped ≥60 days after the order date). Columns the
  * synthetic tables lack are adapted: no `c_phone` → country code is
- * `c_nationkey`; no `o_comment`/`p_container` → priority/size filters.
+ * `c_nationkey`; no `o_comment`/`p_container` → priority/size filters;
+ * no `s_comment` → Q16's complaint suppliers are `s_acctbal < 0`.
  *
  * Scale notes: every dimension side (nation, region, the one-row
  * average) is broadcast; fact-fact joins shuffle on their natural keys;
@@ -22,7 +25,166 @@ import graft.sources.Tables.{davg, dsum}
  */
 object TpchExtQueries {
 
+  /**
+   * Deterministic `partsupp` derived from part × supplier-count, dbgen
+   * style (reference spec: TPC-H dbgen assigns each part 4 suppliers at
+   * stride S/4; cf. paimon-trino's TPC-H test fixtures): for replica
+   * i ∈ 0..3, `ps_suppkey = (p_partkey + i·(S div 4 + 1)) mod S` (S =
+   * supplier count, keys 0-based), availqty/supplycost from integer
+   * hashes of the pair. Every expression is integer arithmetic (one
+   * final exact /100.0), so Spark and the DuckDB oracle CTE
+   * ([[psCte]]) produce bit-identical rows at any scale factor. Narrow
+   * map over part × a broadcast one-row count — no shuffle, scales to
+   * any |part|.
+   */
+  def partsupp(s: SparkSession, dir: String): DataFrame = {
+    val sCnt = Tables(s, dir, "supplier").agg(count(lit(1)).as("s_cnt"))
+    Tables(s, dir, "part").select("p_partkey")
+      .crossJoin(broadcast(sCnt))
+      .select(col("p_partkey"), col("s_cnt"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("ps_suppkey",
+        (col("p_partkey") + col("i") * (expr("s_cnt div 4") + lit(1))) % col("s_cnt"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        col("ps_suppkey"),
+        ((col("p_partkey") * 47 + col("ps_suppkey") * 31 + col("i") * 7) % 9999 + 1)
+          .as("ps_availqty"),
+        (((col("p_partkey") * 13 + col("ps_suppkey") * 19 + col("i") * 5) % 19900 + 100)
+          .cast("double") / 100.0).as("ps_supplycost"))
+  }
+
+  /** DuckDB CTE mirroring [[partsupp]] bit-for-bit (prepended to the
+    * partsupp-family oracles). */
+  private val psCte: String =
+    """WITH ps0 AS (
+      |  SELECT p_partkey, i,
+      |    (p_partkey + i * ((SELECT count(*) FROM supplier)//4 + 1))
+      |      % (SELECT count(*) FROM supplier) AS ps_suppkey
+      |  FROM part, (SELECT unnest(range(4)) AS i) r),
+      |partsupp AS (
+      |  SELECT p_partkey AS ps_partkey, ps_suppkey,
+      |    (p_partkey * 47 + ps_suppkey * 31 + i * 7) % 9999 + 1 AS ps_availqty,
+      |    CAST((p_partkey * 13 + ps_suppkey * 19 + i * 5) % 19900 + 100 AS DOUBLE)
+      |      / 100.0 AS ps_supplycost
+      |  FROM ps0)
+      |""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q2: min-cost supplier — the correlated "cheapest EUROPE supplier
+    // of this part" subquery decorrelates to a per-part min over the
+    // region-restricted partsupp, joined back on (partkey, cost).
+    // Double equality is safe: min() returns one of the exact derived
+    // values. Dim joins broadcast; the min join shuffles on partkey.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val ps = partsupp(s, dir)
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val p = Tables(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey")
+      val euro = ps.join(broadcast(su), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      val minCost = euro.groupBy(col("ps_partkey").as("m_key"))
+        .agg(min(col("ps_supplycost")).as("m_cost"))
+      euro.join(broadcast(p), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(minCost, col("ps_partkey") === col("m_key") &&
+          col("ps_supplycost") === col("m_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("ps_partkey").as("p_partkey"), col("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    // Q9: product-type profit — 6-way join; part filter broadcast, the
+    // partsupp join shuffles on its composite natural key. Profit terms
+    // cast to DECIMAL(18,4) pre-sum (oracle-parity aggregation rule).
+    "q9_product_profit" -> ((s, dir) => {
+      val ps = partsupp(s, dir)
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part").filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val su = Tables(s, dir, "supplier")
+      val o = Tables(s, dir, "orders")
+      val n = Tables(s, dir, "nation")
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity")).cast(DecimalType(18, 4))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // Q11: important stock — value per part over two nations' suppliers,
+    // kept when above 1.5× the mean per-part share (scale-invariant
+    // analog of TPC-H's 0.0001/SF threshold). The threshold is a
+    // broadcast one-row cross join, same shape as Q15/Q22.
+    "q11_important_stock" -> ((s, dir) => {
+      val ps = partsupp(s, dir)
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_18"))
+      val filtered = ps.join(broadcast(su), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("ps_partkey"),
+          (col("ps_supplycost") * col("ps_availqty")).as("v"))
+      val byPart = filtered.groupBy("ps_partkey").agg(dsum(col("v")).as("value"))
+      val thresh = filtered
+        .agg((dsum(col("v")) / countDistinct(col("ps_partkey")) * lit(1.5)).as("thr"))
+      byPart.crossJoin(broadcast(thresh))
+        .filter(col("value") > col("thr"))
+        .select("ps_partkey", "value")
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+    // Q16: supplier count per (brand, type, size) — NOT IN over the
+    // never-null complaint-supplier set is a left-anti join; distinct
+    // count shuffles once on the grouping key.
+    "q16_parts_suppliers" -> ((s, dir) => {
+      val ps = partsupp(s, dir)
+      val p = Tables(s, dir, "part").filter(col("p_brand") =!= "Brand#11" &&
+        !col("p_type").like("MEDIUM%") &&
+        col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+      val excl = Tables(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select("s_suppkey")
+      ps.join(broadcast(excl), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("ps_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+    // Q20: promotion-candidate suppliers — the correlated "half of this
+    // pair's shipped quantity" subquery becomes ONE lineitem aggregate
+    // on (partkey, suppkey) inner-joined back (inner ≡ the oracle's
+    // NULL-comparison exclusion when no lines match); nested INs become
+    // semi joins.
+    "q20_promotion" -> ((s, dir) => {
+      val ps = partsupp(s, dir)
+      val red = Tables(s, dir, "part").filter(col("p_name").like("red%"))
+        .select("p_partkey")
+      val qty = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(dsum(col("l_quantity")).as("qty"))
+      val cand = ps
+        .join(broadcast(red), col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(qty, col("ps_partkey") === col("l_partkey") &&
+          col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty") > lit(0.5) * col("qty"))
+        .select(col("ps_suppkey"))
+      val su = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_3", "NATION_8"))
+      su.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(cand, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy("s_name")
+    }),
     // Q8: national market share — NATION_1 suppliers' share of AMERICA
     // customers' ECONOMY-part revenue, per order year. Two decimal sums
     // per year, ONE double division (oracle-parity division rule).
@@ -170,6 +332,70 @@ object TpchExtQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> (psCte +
+      """SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+        |FROM part
+        |JOIN partsupp ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT min(ps2.ps_supplycost) FROM partsupp ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+    "q9_product_profit" -> (psCte +
+      """SELECT nation, o_year, sum_profit FROM (
+        |  SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |        - ps_supplycost * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+        |  FROM lineitem
+        |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  JOIN part ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE 'red%'
+        |  GROUP BY 1, 2) t
+        |ORDER BY nation, o_year DESC""".stripMargin),
+    "q11_important_stock" -> (psCte +
+      """, filtered AS (
+        |  SELECT ps_partkey, ps_supplycost, ps_availqty FROM partsupp
+        |  JOIN supplier ON s_suppkey = ps_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name IN ('NATION_3', 'NATION_18'))
+        |SELECT ps_partkey,
+        |  CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE) AS value
+        |FROM filtered GROUP BY ps_partkey
+        |HAVING CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE) > (
+        |  SELECT CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) AS DOUBLE)
+        |         / count(DISTINCT ps_partkey) * 1.5 FROM filtered)
+        |ORDER BY value DESC, ps_partkey""".stripMargin),
+    "q16_parts_suppliers" -> (psCte +
+      """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+        |FROM partsupp JOIN part ON p_partkey = ps_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+    "q20_promotion" -> (psCte +
+      """SELECT s_name, s_acctbal FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name IN ('NATION_3', 'NATION_8')
+        |  AND s_suppkey IN (
+        |    SELECT ps_suppkey FROM partsupp
+        |    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |      AND ps_availqty > (
+        |        SELECT 0.5 * CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |        FROM lineitem
+        |        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |          AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |          AND l_shipdate < TIMESTAMP '1997-01-01'))
+        |ORDER BY s_name""".stripMargin),
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |  CAST(sum(CASE WHEN n2.n_name = 'NATION_1'

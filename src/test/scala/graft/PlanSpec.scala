@@ -49,7 +49,12 @@ class PlanSpec extends SparkSpecBase {
       "ann_bruteforce",  // the all-pairs baseline the bounded variants beat
       "subquery_scalar", // uncorrelated scalar = 1-row broadcast side
       "q22_dormant",     // Q22's average balance = 1-row broadcast side
-      "q15_top_supplier") // Q15's max revenue = 1-row broadcast side
+      "q15_top_supplier", // Q15's max revenue = 1-row broadcast side
+      // partsupp family: the derivation crossJoins the 1-row broadcast
+      // supplier count (TpchExtQueries.partsupp); Q11 additionally
+      // broadcasts its 1-row threshold.
+      "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
+      "q16_parts_suppliers", "q20_promotion")
     // Iterative/stateful builders execute work at construction; their
     // per-round plans are asserted in their own specs instead.
     val skip = Set("dedup_clusters", "cluster_kmeans", "ann_ivf",
