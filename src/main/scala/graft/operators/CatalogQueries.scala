@@ -277,6 +277,30 @@ object CatalogQueries {
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy("doc_id")
     }),
+    // Full-mode changelog: rate-limited to ONE snapshot per micro-batch
+    // so the update and delete batches consult a real before image —
+    // the memory sink accumulates +I (initial load), -U/+U (retraction
+    // pair per updated key), and -D carrying the pre-delete row.
+    "catalog_stream_changelog_full" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, options = Map("bucket" -> "8"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      val sink = s"csf_$t"
+      val q = cat.readChangelogStream("q", t,
+          maxSnapshotsPerTrigger = Some(1), mode = "full").writeStream
+        .format("memory").queryName(sink)
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-csf-ckpt").toString)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("doc_id", "_row_kind")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -303,6 +327,17 @@ object CatalogQueries {
         |       WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang,
         |  CASE WHEN doc_id % 7 = 3 THEN '-D' ELSE '+U' END AS "_row_kind"
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_stream_changelog_full" ->
+      """SELECT doc_id, lang, '+I' AS "_row_kind" FROM documents
+        |UNION ALL
+        |SELECT doc_id, lang, '-U' FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, 'UPDATED', '+U' FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END, '-D'
+        |FROM documents WHERE doc_id % 7 = 3
+        |ORDER BY doc_id, "_row_kind"""".stripMargin,
     "catalog_stats_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,

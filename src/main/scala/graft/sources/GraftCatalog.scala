@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, pmod, row_number, xxhash64}
+import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, row_number, struct, when, xxhash64}
 import org.apache.spark.sql.types.{NumericType, StructField, StructType}
 
 /**
@@ -1467,13 +1467,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   /**
    * Apply one changelog batch (rows carrying `_row_kind`, the
-   * [[readChangelog]] shape) to a PK table as ONE atomic snapshot:
-   * `+I`/`+U` rows upsert, `-D` rows tombstone their keys — the standard
-   * CDC sink. Changelog batches are key-unique by construction (latest
-   * in-range version per key), which is exactly [[mergeCommit]]'s
-   * contract. With `batchId`, replays are skipped via the same manifest
-   * bookkeeping as [[appendStreamBatch]] — exactly-once table contents
-   * under streaming restart. Returns the snapshot id when committed.
+   * [[readChangelog]] / [[readChangelogFull]] shape) to a PK table as
+   * ONE atomic snapshot: `+I`/`+U` rows upsert, `-D` rows tombstone
+   * their keys, `-U` retraction images are IGNORED (a replica needs only
+   * the after image; retractions exist for aggregate-maintaining
+   * consumers) — the standard CDC sink. Changelog batches are key-unique
+   * per kind by construction (latest in-range version per key), which is
+   * exactly [[mergeCommit]]'s contract. With `batchId`, replays are
+   * skipped via the same manifest bookkeeping as [[appendStreamBatch]] —
+   * exactly-once table contents under streaming restart. Returns the
+   * snapshot id when committed.
    */
   def applyChangelog(schema: String, table: String, batch: DataFrame,
       batchId: Option[Long] = None): Option[Long] = {
@@ -1483,7 +1486,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(batch.columns.contains(RowKindCol),
       s"changelog batch needs a $RowKindCol column")
     if (batchId.exists(_ <= lastStreamBatchId(schema, table))) return None
-    val upserts = batch.filter(col(RowKindCol) =!= "-D").drop(RowKindCol)
+    val upserts = batch.filter(col(RowKindCol).isin("+I", "+U")).drop(RowKindCol)
     val deletes = batch.filter(col(RowKindCol) === "-D").select(pk.map(col): _*)
     Some(mergeCommit(schema, table, upserts, deletes, streamBatchId = batchId))
   }
@@ -1634,6 +1637,75 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /**
+   * Full changelog between two snapshots — like [[readChangelog]] but
+   * with UPDATE_BEFORE images (Paimon's `full-compaction` / `lookup`
+   * changelog-producer row kinds), so a downstream consumer maintaining
+   * an AGGREGATE (not just a replica) can retract the old contribution
+   * before adding the new one:
+   *
+   *  - `+I` — key did not exist at `fromSnapshotId` (a true insert,
+   *    distinguishable here because the before image is consulted);
+   *  - `-U`/`+U` — retraction pair for an updated key: the row as of
+   *    `fromSnapshotId`, then the new version (pair them by key);
+   *  - `-D` — deleted key, carrying the full before image (not the
+   *    pk-only tombstone of upsert mode).
+   *
+   * Cost: O(delta) for the new side plus ONE merge-on-read scan of the
+   * table at `fromSnapshotId` for the before image (a read-time lookup —
+   * Paimon pays this at write time in the `lookup` producer and at
+   * compaction in `full-compaction`; a snapshot reader must pay it on
+   * read). The two sides meet in a single left equi-join on the primary
+   * key; per-row output is a ≤2-element exploded array, so the whole
+   * plan stays codegen. PK deduplicate-engine tables only (the before
+   * image is the resolved prior version; append-only tables have no
+   * before image — use [[readChangelog]]).
+   */
+  def readChangelogFull(schema: String, table: String, fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId <= toSnapshotId,
+      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
+    val m = readManifest(schema, table)
+    val pk = primaryKey(m)
+    require(pk.nonEmpty, s"$schema.$table is append-only — full changelog " +
+      "needs a primary-key table (no before image exists); use readChangelog")
+    requireDeduplicate(m, s"$schema.$table", "readChangelogFull")
+    val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
+    val target = changelogSchema(m)
+    if (delta.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    val names = currentFields(m).map(_.name)
+    // Latest in-range version per key — same newest-wins rule as
+    // readChangelog; __del marks keys whose last in-range change is a
+    // tombstone.
+    val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+    val news = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__ord", "__rn")
+    // Before image: the resolved table at fromSnapshotId (renamed so the
+    // join output carries both versions side by side).
+    val pre =
+      if (fromSnapshotId == 0) emptyFrame(m)
+      else read(schema, table, snapshotId = Some(fromSnapshotId))
+    val preR = pre.select(names.map(c => col(c).as(s"__pre_$c")): _*)
+    val joined = news.join(preR,
+      pk.map(k => news(k) === col(s"__pre_$k")).reduce(_ && _), "left")
+    val preExists = col(s"__pre_${pk.head}").isNotNull // pk never null in stored rows
+    def ev(kind: String, fromPre: Boolean) = struct(
+      names.map(c => (if (fromPre) col(s"__pre_$c") else col(c)).as(c)) :+
+        lit(kind).as(RowKindCol): _*)
+    joined
+      // a key inserted and deleted entirely inside the range is net nothing
+      .filter(!col("__del") || preExists)
+      .select(explode(
+        when(col("__del"), array(ev("-D", fromPre = true)))
+          .when(preExists, array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
+          .otherwise(array(ev("+I", fromPre = false)))).as("__e"))
+      .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
+  }
+
   /** The changelog row type: current table columns + `_row_kind`. */
   private[sources] def changelogSchema(m: ObjectNode): StructType =
     StructType(currentFields(m).map(f =>
@@ -1680,15 +1752,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   def readChangelogStream(schema: String, table: String,
       fromSnapshotId: Long = 0L,
-      maxSnapshotsPerTrigger: Option[Int] = None): DataFrame = {
+      maxSnapshotsPerTrigger: Option[Int] = None,
+      mode: String = "upsert"): DataFrame = {
+    require(mode == "upsert" || mode == "full",
+      s"changelog mode must be 'upsert' or 'full', got '$mode'")
     // fail at stream definition, not first micro-batch
     val m0 = readManifest(schema, table)
     if (primaryKey(m0).nonEmpty)
       requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
+    if (mode == "full")
+      require(primaryKey(m0).nonEmpty, s"$schema.$table is append-only — " +
+        "full changelog mode needs a primary-key table")
     val r = spark.readStream.format("graft.sources.GraftChangelogProvider")
       .option("warehouse", warehouse)
       .option("schema", schema)
       .option("table", table)
+      .option("mode", mode)
       .option("fromSnapshotId", fromSnapshotId.toString)
     maxSnapshotsPerTrigger.foreach(n =>
       r.option("maxSnapshotsPerTrigger", n.toString))

@@ -22,7 +22,9 @@ import org.apache.spark.sql.types.StructType
  *
  * Options: `warehouse`, `schema`, `table` (required);
  * `fromSnapshotId` (exclusive start, default 0 = from the beginning);
- * `maxSnapshotsPerTrigger` (rate limit per micro-batch).
+ * `maxSnapshotsPerTrigger` (rate limit per micro-batch);
+ * `mode` (`upsert` default, or `full` for -U/+U retraction pairs via
+ * [[GraftCatalog.readChangelogFull]]).
  */
 class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -50,13 +52,15 @@ class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegiste
     new GraftChangelogSource(ctx.sparkSession, required(p, "warehouse"),
       required(p, "schema"), required(p, "table"),
       p.get("fromsnapshotid").map(_.toLong).getOrElse(0L),
-      p.get("maxsnapshotspertrigger").map(_.toInt))
+      p.get("maxsnapshotspertrigger").map(_.toInt),
+      p.getOrElse("mode", "upsert"))
   }
 }
 
 class GraftChangelogSource(spark: SparkSession, warehouse: String,
     schemaName: String, tableName: String, startSnapshotId: Long,
-    maxSnapshotsPerTrigger: Option[Int]) extends Source {
+    maxSnapshotsPerTrigger: Option[Int],
+    mode: String = "upsert") extends Source {
 
   private val gc = new GraftCatalog(spark, warehouse)
 
@@ -87,7 +91,8 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
     // The engine requires streaming leaves in the returned plan (the same
     // contract FileStreamSource satisfies via isStreaming = true).
     GraftColumnBridge.streamingDataFrame(spark,
-      gc.readChangelog(schemaName, tableName, from, to))
+      if (mode == "full") gc.readChangelogFull(schemaName, tableName, from, to)
+      else gc.readChangelog(schemaName, tableName, from, to))
   }
 
   /** Offsets come back from the checkpoint log as SerializedOffset;

@@ -188,6 +188,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(image().contains((1L, None, "-D")) && image().size === 6)
   }
 
+  test("full changelog: +I/-U/+U/-D with before images across restart; applyChangelog ignores -U") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdcf-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdcf-ckpt").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "src", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))),
+      options = Map("bucket" -> "2"), primaryKey = Seq("id"))
+    cat.createTable("db", "out", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("_row_kind", StringType))))
+    cat.upsert("db", "src", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    def runOnce(): Unit = {
+      val q = cat.readChangelogStream("db", "src", mode = "full").writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) { cat.appendStreamBatch("db", "out", batch.toDF(), batchId); () }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def image(): Set[(Long, String, String)] = cat.read("db", "out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // batch 1 covers (0,1]: empty before image → every key is a true +I
+    runOnce()
+    assert(image() === Set((1L, "a", "+I"), (2L, "b", "+I")))
+    // restart with an update, an insert, and a delete: batch 2 covers
+    // (1,3] and consults the snapshot-1 image — the update retracts its
+    // old row, the delete carries the pre-delete row (not a null shell)
+    cat.upsert("db", "src", Seq((2L, "b2"), (3L, "c")).toDF("id", "name"))
+    cat.deleteWhere("db", "src", org.apache.spark.sql.functions.col("id") === 1L)
+    runOnce()
+    assert(image() === Set(
+      (1L, "a", "+I"), (2L, "b", "+I"),
+      (2L, "b", "-U"), (2L, "b2", "+U"), (3L, "c", "+I"), (1L, "a", "-D")))
+    // exactly-once: a no-new-data restart adds nothing
+    runOnce()
+    assert(image().size === 6)
+    // applyChangelog on a full changelog: -U images are ignored, the
+    // replica converges to the source image
+    cat.createTable("db", "dst", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))),
+      primaryKey = Seq("id"))
+    val latest = cat.snapshots("db", "src").last.id
+    cat.applyChangelog("db", "dst",
+      cat.readChangelogFull("db", "src", 0L, latest))
+    assert(cat.read("db", "dst").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((2L, "b2"), (3L, "c")))
+    // append-only tables have no before image: full mode refuses
+    cat.createTable("db", "ap", StructType(Seq(StructField("id", LongType))))
+    intercept[IllegalArgumentException] {
+      cat.readChangelogFull("db", "ap", 0L, 0L)
+    }
+  }
+
   test("changelog stream rate limit: maxSnapshotsPerTrigger bounds each batch") {
     import org.apache.spark.sql.types._
     import spark.implicits._
