@@ -262,30 +262,29 @@ object TpchExtQueries {
           .as("revenue"))
     }),
     // Q21: suppliers who kept orders waiting (adapted late rule) — the
-    // EXISTS becomes a left-semi join (another supplier touched the
-    // order), the NOT EXISTS a left-anti join (no OTHER supplier was
-    // late), both on l_orderkey with residual conditions.
+    // correlated EXISTS/NOT EXISTS both ask about the SAME order's line
+    // set, so instead of re-scanning lineitem per leg (the textbook
+    // 3-scan shape) ONE scan computes per-order supplier sets in a
+    // window over l_orderkey: EXISTS another supplier ⇔ >1 distinct
+    // suppliers; NOT EXISTS another LATE supplier ⇔ the late-supplier
+    // set is exactly {mine} (my line is late, so ⇔ its size is 1). The
+    // window's required distribution matches the orders join keys, so
+    // no extra shuffle — one lineitem scan, one shuffle, two broadcasts.
     "q21_waiting" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val su = Tables(s, dir, "supplier")
       val n = Tables(s, dir, "nation").filter(col("n_name") === "NATION_3")
-      val late = l("l_shipdate") >= o("o_orderdate") + expr("INTERVAL 60 DAYS")
-      val base = l.join(o, l("l_orderkey") === o("o_orderkey") && late)
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .withColumn("__nsupp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("__nlate",
+          size(collect_set(when(col("__late"), col("l_suppkey"))).over(w)))
+        .filter(col("__late") && col("__nsupp") > 1 && col("__nlate") === 1)
+        .join(broadcast(su), col("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
-      val l2 = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l2_okey"), col("l_suppkey").as("l2_skey"))
-      val l3 = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l3_okey"), col("l_suppkey").as("l3_skey"),
-          col("l_shipdate").as("l3_ship"))
-      base
-        .join(l2, base("l_orderkey") === col("l2_okey") &&
-          base("l_suppkey") =!= col("l2_skey"), "left_semi")
-        .join(l3, base("l_orderkey") === col("l3_okey") &&
-          base("l_suppkey") =!= col("l3_skey") &&
-          col("l3_ship") >= base("o_orderdate") + expr("INTERVAL 60 DAYS"),
-          "left_anti")
         .groupBy("s_name")
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
