@@ -4,9 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Shuffle partitions are sized with the DATA, not the thread count:
+    // at 10x+ scale factors 32 partitions make individual tasks 10x
+    // bigger (GC pressure, spill risk) exactly as an undersized
+    // spark.sql.shuffle.partitions would on a real cluster.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -40,7 +45,8 @@ object Bench {
         // toRdd forces the full physical plan (sorts, all projected columns);
         // a plain count() would let Catalyst prune the very work being timed
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
         (System.nanoTime() - t0) / 1e9
       }
       name -> secs.min

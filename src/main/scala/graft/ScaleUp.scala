@@ -20,12 +20,28 @@ import org.apache.spark.sql.functions._
  *
  * Output lives under target/ (never committed, never touching the
  * read-only /root/testdata).
+ *
+ * Document replication modes (4th arg): `neardup` (default) appends a
+ * per-replica suffix token, so all replicas of one doc are mutual
+ * near-dups — chaining derivations MULTIPLIES family sizes and hence
+ * SQUARES near-dup pair density (factor² pairs at factor× docs: a
+ * stress corpus for pair-linear operators). `distinct` rewrites each
+ * replica with a per-replica vowel→consonant translation of the whole
+ * text (cross-replica jaccard ≈ 0 — LSH must not even CANDIDATE those
+ * pairs; an appended-copy variant was tried first and left jaccard at
+ * 0.33, a gray zone r=4 bands still pass ~38% of the time, inflating
+ * verify volume 40×), while docs within one replica keep their source
+ * family structure — pair density scales LINEARLY with factor, the
+ * scaling a real 10× crawl exhibits.
  */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val docMode = args.lift(3).getOrElse("neardup")
+    require(docMode == "neardup" || docMode == "distinct",
+      s"doc mode must be 'neardup' or 'distinct', got '$docMode'")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -75,7 +91,13 @@ object ScaleUp {
       "lineitem")
     wr(replicate(docs, Map("doc_id" -> dS),
       (d, r) => if (r == 0) d
-        else d.withColumn("text", concat(col("text"), lit(s" replica$r")))
+        else if (docMode == "distinct") {
+          // per-replica vowel→consonant mapping over the WHOLE text:
+          // replicas of one source doc share almost no shingles
+          val cons = "bcdfghjklmnpqrstvwxz"
+          val map5 = (0 until 5).map(i => cons((r + i * 3) % cons.length)).mkString
+          d.withColumn("text", translate(col("text"), "aeiou", map5))
+        } else d.withColumn("text", concat(col("text"), lit(s" replica$r")))
           .withColumn("n_chars", col("n_chars") + lit(s" replica$r".length.toLong))),
       "documents")
     done.getParentFile.mkdirs(); done.createNewFile()
