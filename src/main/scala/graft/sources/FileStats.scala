@@ -229,7 +229,11 @@ private[graft] object FileStats {
   /** Fold per-file zones into the dir aggregate. A column survives only
     * when EVERY file tracks it (a file that dropped it proves nothing
     * about its rows); null counts go unknown (-1) if any file's are. */
-  private def mergeZones(files: Seq[DirStats]): DirStats = {
+  private def mergeZones(allFiles: Seq[DirStats]): DirStats = {
+    // A zero-row file (external writers emit them) tracks no columns and
+    // proves nothing about any row — it must not erase the columns every
+    // data-carrying file tracks from the intersection below.
+    val files = allFiles.filter(_.rows > 0L)
     if (files.isEmpty) return DirStats(0L, Map.empty)
     val rows = files.map(_.rows).sum
     val names = files.map(_.cols.keySet).reduce(_ intersect _)
@@ -435,7 +439,13 @@ private[graft] object FileStats {
     * read "inconclusive" as "false" and mis-prune a dir. */
   private def cmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Double, y: Double) =>
+      // SQL comparison semantics, not IEEE total order: -0.0 = 0.0 (the
+      // +0.0 add normalizes signed zeros; Double.compare alone would say
+      // -0.0 < 0.0 and let decides()/pointOf answer a metadata-only
+      // aggregate WRONGLY for a p=-0.0 partition probed with p = 0.0).
+      // NaN stays largest-and-self-equal, matching Spark.
+      Some(java.lang.Double.compare(x + 0.0d, y + 0.0d))
     case (x: String, y: String) =>
       Some(UTF8String.fromString(x).binaryCompare(UTF8String.fromString(y)))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
@@ -561,6 +571,9 @@ private[graft] object FileStats {
    * exact value for every row in the file) or constant data columns.
    */
   def decides(ds: DirStats, pred: Expression): Option[Boolean] = pred match {
+    // a zero-row file contributes nothing to any aggregate either way;
+    // "no row matches" is vacuously true and keeps it decidable
+    case _ if ds.rows == 0L => Some(false)
     case And(l, r) => (decides(ds, l), decides(ds, r)) match {
       case (Some(false), _) | (_, Some(false)) => Some(false)
       case (Some(true), Some(true)) => Some(true)

@@ -952,6 +952,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def fileStats(schema: String, table: String): Map[String, Map[String, FileStats.DirStats]] =
     fileStatsFrom(readManifest(schema, table))
 
+  /** Both zone granularities from ONE manifest read — table resolution
+    * must not pay two JSON parses per query. */
+  def allStats(schema: String, table: String)
+      : (Map[String, FileStats.DirStats], Map[String, Map[String, FileStats.DirStats]]) = {
+    val m = readManifest(schema, table)
+    (dirStatsFrom(m), fileStatsFrom(m))
+  }
+
   private def fileStatsFrom(m: ObjectNode): Map[String, Map[String, FileStats.DirStats]] = {
     if (!m.has("dirStats")) return Map.empty
     val node = m.get("dirStats").asInstanceOf[ObjectNode]
@@ -1676,6 +1684,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
     val names = currentFields(m).map(_.name)
+    // scratch-name reservation, mirroring sortCompact's __range/__z guard
+    require(!names.exists(n => n.startsWith("__pre_") || n == "__rn" || n == "__e"),
+      s"$schema.$table has columns colliding with readChangelogFull scratch " +
+        "names (__pre_*, __rn, __e)")
     // Latest in-range version per key — same newest-wins rule as
     // readChangelog; __del marks keys whose last in-range change is a
     // tombstone.

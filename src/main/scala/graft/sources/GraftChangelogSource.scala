@@ -49,11 +49,16 @@ class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegiste
       schemaOpt: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val p = opts(parameters)
+    val mode = p.getOrElse("mode", "upsert")
+    // validate HERE, not only in the readChangelogStream helper: a typo'd
+    // mode on a directly-wired source must not silently drop retractions
+    require(mode == "upsert" || mode == "full",
+      s"graft-changelog mode must be 'upsert' or 'full', got '$mode'")
     new GraftChangelogSource(ctx.sparkSession, required(p, "warehouse"),
       required(p, "schema"), required(p, "table"),
       p.get("fromsnapshotid").map(_.toLong).getOrElse(0L),
       p.get("maxsnapshotspertrigger").map(_.toInt),
-      p.getOrElse("mode", "upsert"))
+      mode)
   }
 }
 

@@ -284,11 +284,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val statsSound =
       entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
         (pk.isEmpty || resolvedAsFiles)
-    val dirStats =
-      if (statsSound) gc.dirStats(schemaName, tableName)
-      else Map.empty[String, graft.sources.FileStats.DirStats]
-    val zoneStats = if (statsSound)
-      Some(entries.flatMap(e => dirStats.get(e.dir).map(dirPath(e.dir) -> _)).toMap)
+    // ONE manifest read + JSON parse, shared by all three stats thunks
+    // and deferred until a zone rule actually consults them (all three
+    // closures capture the same LazyRef).
+    lazy val statsPair =
+      if (statsSound) gc.allStats(schemaName, tableName)
+      else (Map.empty[String, graft.sources.FileStats.DirStats],
+        Map.empty[String, Map[String, graft.sources.FileStats.DirStats]])
+    val zoneStatsIn = () => if (statsSound)
+      Some(entries.flatMap(e => statsPair._1.get(e.dir).map(dirPath(e.dir) -> _)).toMap)
       else None
     val partitionCols = gc.partitionColumnsOf(schemaName, tableName)
     // Per-file zones serve two rules: GraftZonePrune's finer path cut
@@ -298,8 +302,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     // aggregates (partition segments give every file an exact point
     // zone). Threaded only when EVERY live dir carries per-file zones
     // (zero-row dirs exempt), so consumers may assume full coverage.
-    val fileZones = if (statsSound) {
-      val pf = gc.fileStats(schemaName, tableName)
+    val fileZonesIn = () => if (statsSound) {
+      val (dirStats, pf) = statsPair
       val covered = entries.forall(e => pf.get(e.dir).exists(_.nonEmpty) ||
         dirStats.get(e.dir).exists(_.rows == 0L))
       if (covered)
@@ -310,9 +314,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         }.toMap).filter(_.nonEmpty)
       else None
     } else None
-    val exactRowCount =
-      if (statsSound && pk.isEmpty && entries.forall(e => dirStats.contains(e.dir)))
-        Some(entries.map(e => dirStats(e.dir).rows).sum)
+    val exactRowCountIn = () =>
+      if (statsSound && pk.isEmpty && entries.forall(e => statsPair._1.contains(e.dir)))
+        Some(entries.map(e => statsPair._1(e.dir).rows).sum)
       else None
     new GraftSqlTable(parquet, partitionCols,
       gc.tableOptions(schemaName, tableName) ++
@@ -321,8 +325,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       cond => { gc.deleteWhere(schemaName, tableName, cond); () },
       canDelete = pk.nonEmpty,
       coords = Some((warehouse, schemaName, tableName)),
-      zoneStats = zoneStats, exactRowCount = exactRowCount,
-      fileZones = fileZones)
+      zoneStatsIn = zoneStatsIn, exactRowCountIn = exactRowCountIn,
+      fileZonesIn = fileZonesIn)
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -488,28 +492,40 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     private[graft] val coords: Option[(String, String, String)] = None,
     /** Zone maps keyed by root path — set only when per-dir pruning is
       * provably safe (resolved file scans; see GraftCatalog.readWhere's
-      * MoR caveat). Paths absent from the map are never pruned. */
-    private[graft] val zoneStats: Option[Map[String, FileStats.DirStats]] = None,
+      * MoR caveat). Paths absent from the map are never pruned. Thunked:
+      * manifest stats parse lazily, so a query whose plan never consults
+      * the zone rules (no Filter, no bare aggregate) pays zero
+      * metadata-JSON cost — on a 10⁵-file bulk-load table that parse is
+      * real driver time. */
+    zoneStatsIn: () => Option[Map[String, FileStats.DirStats]] = () => None,
     /** Exact row count from manifest stats — set only when provably
       * exact (append-only, every dir has stats); lets `count(*)` answer
       * without touching a single file. */
-    private[graft] val exactRowCount: Option[Long] = None,
+    exactRowCountIn: () => Option[Long] = () => None,
     /** Read-only views (e.g. `t$ro`) must never route DML to the base
       * table: capabilities shrink to BATCH_READ and deletes refuse. */
     private val readOnly: Boolean = false,
-    /** Per-FILE zones (dir root path → absolute file path → zone) — set
-      * only for UNPARTITIONED tables: replacing a dir root with file
-      * paths would lose the `col=value` partition segments a partitioned
-      * scan derives partition columns from. Lets GraftZonePrune expand a
-      * surviving dir into only its matching files. */
-    private[graft] val fileZones: Option[Map[String, Map[String, FileStats.DirStats]]] = None)
+    /** Per-FILE zones (dir root path → absolute file path → zone).
+      * Populated whenever stats are sound with full live-dir coverage —
+      * for partitioned tables too (GraftCountFromStats answers
+      * partition-filtered aggregates from them); only the PATH-EXPANSION
+      * use is unpartitioned-gated, inside GraftZonePrune, because file
+      * paths lose the `col=value` segments a partitioned scan derives
+      * partition columns from. */
+    fileZonesIn: () => Option[Map[String, Map[String, FileStats.DirStats]]] = () => None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  private[graft] lazy val zoneStats: Option[Map[String, FileStats.DirStats]] =
+    zoneStatsIn()
+  private[graft] lazy val exactRowCount: Option[Long] = exactRowCountIn()
+  private[graft] lazy val fileZones: Option[Map[String, Map[String, FileStats.DirStats]]] =
+    fileZonesIn()
 
   /** This table as a read-only view (same scan, no write surface). */
   private[graft] def asReadOnly: GraftSqlTable =
     new GraftSqlTable(delegate, partitionCols, props, morRead, commitInsert,
-      commitDelete, canDelete, coords, zoneStats, exactRowCount,
-      readOnly = true, fileZones = fileZones)
+      commitDelete, canDelete, coords, () => zoneStats, () => exactRowCount,
+      readOnly = true, fileZonesIn = () => fileZones)
 
   private[graft] def currentPaths: Seq[String] = delegate.paths
 
@@ -523,8 +539,8 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       newFileZones: Map[String, Map[String, FileStats.DirStats]]): GraftSqlTable =
     new GraftSqlTable(delegate.copy(paths = kept), partitionCols, props,
       morRead, commitInsert, commitDelete, canDelete, coords,
-      Some(newStats), exactRowCount = None, readOnly = readOnly,
-      fileZones = Some(newFileZones).filter(_.nonEmpty))
+      () => Some(newStats), exactRowCountIn = () => None, readOnly = readOnly,
+      fileZonesIn = () => Some(newFileZones).filter(_.nonEmpty))
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as
     * in [[GraftCatalog.deleteWhere]]); append-only tables and

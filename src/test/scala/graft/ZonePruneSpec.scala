@@ -426,6 +426,27 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(!FileStats.mightMatch(z, GreaterThan(a, big)))
   }
 
+  test("zone compares use SQL double semantics: -0.0 = 0.0; zero-row files decide vacuously") {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions._
+    import graft.sources.FileStats
+    // a p=-0.0 partition dir probed with p = 0.0 must DECIDE true, not
+    // exclude the files from a metadata-only aggregate (SQL equality
+    // normalizes signed zeros; IEEE total order does not)
+    val negZero = FileStats.DirStats(4L,
+      Map("p" -> FileStats.ColZone(Some(-0.0d), Some(-0.0d), 0L)))
+    val a = UnresolvedAttribute("p")
+    val zero = Literal.create(0.0d, org.apache.spark.sql.types.DoubleType)
+    assert(FileStats.decides(negZero, EqualTo(a, zero)) === Some(true))
+    assert(FileStats.decides(negZero, GreaterThan(a, zero)) === Some(false))
+    assert(FileStats.mightMatch(negZero, EqualTo(a, zero)))
+    // a zero-row file (external writers emit them) contributes nothing:
+    // any predicate decides Some(false), never None — one such file must
+    // not knock a whole table off the metadata-only aggregate path
+    val empty = FileStats.DirStats(0L, Map.empty)
+    assert(FileStats.decides(empty, EqualTo(a, zero)) === Some(false))
+  }
+
   test("sortCompact reserves its scratch column names") {
     import spark.implicits._
     gc.createTable("db", "zres",
