@@ -1207,12 +1207,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   private def bucketedResolve(schema: String, table: String, m: ObjectNode,
       entries: Seq[FileEntry], n: Int,
-      onlyBucket: Option[Int] = None): Option[DataFrame] = {
+      onlyBuckets: Option[Seq[Int]] = None): Option[DataFrame] = {
     val curFields = currentFields(m)
     val outSchema = StructType(curFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val pk = primaryKey(m)
-    val wanted = onlyBucket.map(Seq(_)).getOrElse(0 until n)
+    val wanted: Seq[Int] = onlyBuckets.getOrElse(0 until n)
     val legs = wanted.flatMap { k =>
       val frames = entries.flatMap { fe =>
         val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")
@@ -1360,7 +1360,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val target = StructType(currentFields(m).map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
-      .flatMap(s => bucketedResolve(schema, table, m, filesOf(s), n, Some(bucket)))
+      .flatMap(s => bucketedResolve(schema, table, m, filesOf(s), n, Some(Seq(bucket))))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
   }
@@ -1697,10 +1697,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val news = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__ord", "__rn")
     // Before image: the resolved table at fromSnapshotId (renamed so the
-    // join output carries both versions side by side).
+    // join output carries both versions side by side). For BUCKETED
+    // tables the lookup is pruned to the buckets the changed keys hash
+    // into — one bounded job over the delta (≤ bucket-count distinct
+    // values collected) buys skipping every untouched bucket's files, so
+    // a small micro-batch against a 4096-bucket 100 TB table resolves a
+    // handful of bucket legs, not the whole image.
     val pre =
       if (fromSnapshotId == 0) emptyFrame(m)
-      else read(schema, table, snapshotId = Some(fromSnapshotId))
+      else bucketCount(m) match {
+        case Some(n) =>
+          val changed = news.select(bucketExpr(pk, n).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
+          val sFrom = (0 until snaps0.size()).map(snaps0.get)
+            .find(_.get("id").asLong() == fromSnapshotId).get // checked above
+          bucketedResolve(schema, table, m, filesOf(sFrom), n, Some(changed))
+            .getOrElse(emptyFrame(m))
+        case None => read(schema, table, snapshotId = Some(fromSnapshotId))
+      }
     val preR = pre.select(names.map(c => col(c).as(s"__pre_$c")): _*)
     val joined = news.join(preR,
       pk.map(k => news(k) === col(s"__pre_$k")).reduce(_ && _), "left")
