@@ -1698,17 +1698,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .filter(col("__rn") === 1).drop("__ord", "__rn")
     // Before image: the resolved table at fromSnapshotId (renamed so the
     // join output carries both versions side by side). For BUCKETED
-    // tables the lookup is pruned to the buckets the changed keys hash
-    // into — one bounded job over the delta (≤ bucket-count distinct
-    // values collected) buys skipping every untouched bucket's files, so
-    // a small micro-batch against a 4096-bucket 100 TB table resolves a
-    // handful of bucket legs, not the whole image.
+    // tables the lookup is pruned to the buckets the delta touched —
+    // bucketed commits materialize `__bucket=k` subdirs, so the changed
+    // bucket set is one driver metadata listing per delta dir, ZERO
+    // Spark jobs. A small micro-batch against a 4096-bucket 100 TB
+    // table then resolves a handful of bucket legs, never the whole
+    // image. A delta dir with no bucket children (unknown layout) falls
+    // back to every bucket — conservative, never wrong.
     val pre =
       if (fromSnapshotId == 0) emptyFrame(m)
       else bucketCount(m) match {
         case Some(n) =>
-          val changed = news.select(bucketExpr(pk, n).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
+          val changed = delta.flatMap { fe =>
+            fs.listStatus(new Path(tablePath(schema, table), fe.dir)).toSeq
+              .flatMap(_.getPath.getName match {
+                case bucketRe(i) => Seq(i.toInt)
+                case _ => Nil
+              }) match {
+              case Nil => 0 until n // flat delta dir: keep every bucket
+              case bs => bs
+            }
+          }.distinct.sorted
           val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
           val sFrom = (0 until snaps0.size()).map(snaps0.get)
             .find(_.get("id").asLong() == fromSnapshotId).get // checked above
