@@ -245,6 +245,27 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("full changelog spans schema evolution: before images map to the current schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdfe-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "ev", StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType))),
+      options = Map("bucket" -> "2"), primaryKey = Seq("id"))
+    cat.upsert("db", "ev", Seq((1L, "a"), (2L, "b")).toDF("id", "name")) // snap 1
+    cat.addColumn("db", "ev", StructField("score", LongType))
+    cat.upsert("db", "ev", Seq((1L, "a2", 10L)).toDF("id", "name", "score")) // snap 2
+    // before image written at the OLD schema version: the -U row carries
+    // a null score (field-id mapping), the +U row the new value
+    val rows = cat.readChangelogFull("db", "ev", 1L, 2L).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getString(3))).toSet
+    assert(rows === Set(
+      (1L, "a", None, "-U"), (1L, "a2", Some(10L), "+U")))
+  }
+
   test("changelog stream rate limit: maxSnapshotsPerTrigger bounds each batch") {
     import org.apache.spark.sql.types._
     import spark.implicits._
