@@ -49,6 +49,33 @@ object TextQueries {
             lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+")).as("n_bpeish"))
         .orderBy("doc_id")
     }),
+    // Corpus-familiarity quality signal (the CCNet/Gopher-style "is this
+    // doc made of words the corpus knows" filter, without the LM): per
+    // doc, the mean corpus frequency of its tokens and the share of
+    // rare (corpus count ≤ 2) tokens. The aggregation core is ALL
+    // integer (sum of corpus counts, rare-token count) — exact under
+    // any partitioning and summation order, so it oracle-hashes across
+    // engines; the two divisions happen once per output row. Shape:
+    // scan-stage token explode → shuffle join on token against the
+    // vocab-sized count table → one groupBy(doc_id). Two shuffles, all
+    // codegen — at 100 TB the count table is vocabulary-sized, and AQE
+    // broadcasts it when small.
+    "text_familiarity" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val tok = d.select(d("doc_id"),
+        explode(regexp_extract_all(lower(d("text")), lit("[a-z]+"), lit(0))).as("t"))
+      val cnts = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      tok.join(cnts, "t")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_toks"),
+          sum(col("c")).as("familiarity_sum"),
+          sum(when(col("c") <= 2, 1L).otherwise(0L)).as("rare_toks"),
+          (sum(col("c")).cast("double") / count(lit(1))).as("familiarity"),
+          (sum(when(col("c") <= 2, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("rare_ratio"))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val t = d("text")
@@ -288,6 +315,20 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
          |    AS INTEGER) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_familiarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
+        |  FROM documents),
+        |cnts AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(sum(c) AS BIGINT) AS familiarity_sum,
+        |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS rare_toks,
+        |  CAST(sum(c) AS DOUBLE) / count(*) AS familiarity,
+        |  CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS rare_ratio
+        |FROM tok JOIN cnts USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
