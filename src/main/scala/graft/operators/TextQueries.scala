@@ -76,6 +76,44 @@ object TextQueries {
             count(lit(1))).as("rare_ratio"))
         .orderBy("doc_id")
     }),
+    // Sequence packing for training-data prep: assign docs to fixed
+    // token-budget packs (8192 here), greedily in doc_id order WITHIN a
+    // hash shard — the deterministic, distributed form of the packing
+    // step (a single global running sum would serialize 100 TB through
+    // one partition; per-shard windows keep every shard independent and
+    // reuse one shuffle). pack_id = prior-tokens-in-shard div budget:
+    // pure integer arithmetic over a running sum, so exact everywhere.
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val nt = nTokens(d("text")).cast("long")
+      d.select(d("doc_id"), (d("doc_id") % 32).as("shard"), nt.as("n_tokens"))
+        .withColumn("pack_id",
+          expr("(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 8192"))
+        .orderBy("doc_id")
+    }),
+    // Gopher-style duplicate-n-gram signal: the share of a doc's
+    // distinct 3-grams that appear in at least one OTHER doc —
+    // boilerplate and template pages score high, original prose low.
+    // Same exact-integer skeleton as text_familiarity, one level up:
+    // shingle explode (distinct per doc, so a per-shingle row count IS
+    // its distinct-doc count) → shuffle join on shingle → per-doc
+    // aggregate. The shingle construction is the dedup_ngram_pairs one,
+    // so cross-engine parity is already proven by that oracle.
+    "text_shared_ngrams" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val sh = d.select(d("doc_id"),
+        explode(TextHash.shingles(d("text"), 3)).as("g"))
+      val docsPer = sh.groupBy("g").agg(count(lit(1)).as("ndocs"))
+      sh.join(docsPer, "g")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_ngrams"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("shared_ngrams"),
+          (sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).cast("double") /
+            count(lit(1))).as("shared_ratio"))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val t = d("text")
@@ -315,6 +353,29 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'))
          |    AS INTEGER) AS n_bpeish
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_pack_sequences" ->
+      """SELECT doc_id, doc_id % 32 AS shard,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |  (sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |     OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
+        |    AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_shared_ngrams" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' ')))) AS g
+        |  FROM documents),
+        |cnts AS (SELECT g, count(*) AS ndocs FROM tok GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_ngrams,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS shared_ngrams,
+        |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+        |    AS shared_ratio
+        |FROM tok JOIN cnts USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_familiarity" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t
