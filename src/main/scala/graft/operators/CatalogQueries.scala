@@ -118,6 +118,42 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Dynamic-filter join (Trino's DynamicFilter SPI analog): the small
+    // dim side is evaluated first and its distinct keys prune the fact
+    // scan through the manifest zone maps BEFORE planning — the result
+    // must equal the plain join (hash-gated here); the pruning itself is
+    // asserted mechanically in ZonePruneSpec.
+    "join_dynamic_filter" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema)
+      cat.append("q", t, d.filter(col("doc_id") < 150))
+      cat.append("q", t, d.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+      cat.append("q", t, d.filter(col("doc_id") >= 300))
+      val dim = Tables(s, dir, "documents")
+        .filter(col("doc_id").between(160, 290) && col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("k"), col("source"))
+      cat.dynamicFilterJoin("q", t, Seq("doc_id"), dim, Seq("k"))
+        .select("doc_id", "lang", "n_chars", "source").orderBy("doc_id")
+    }),
+    // Deletion vectors on an append-only table: two appends, two DELETE
+    // rounds recorded as per-file position indexes (no data file is ever
+    // rewritten — Paimon's deletion-vectors.enabled), then the read must
+    // show exactly the surviving rows. Second delete evaluates over the
+    // first's DV-applied image (positions never double-count).
+    "catalog_delete_vectors" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true"))
+      cat.append("q", t, d.filter(col("doc_id") % 2 === 0))
+      cat.append("q", t, d.filter(col("doc_id") % 2 =!= 0))
+      cat.deleteWhere("q", t, col("doc_id") % 5 === 0)
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // partial-update merge engine: a patch batch with NULL fields updates
     // only its non-null fields (Paimon's merge-engine=partial-update).
     "catalog_merge_partial" -> ((s, dir) => {
@@ -341,6 +377,16 @@ object CatalogQueries {
     "catalog_stats_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
+    "catalog_delete_vectors" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "join_dynamic_filter" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, k.source
+        |FROM documents d
+        |JOIN (SELECT doc_id, source FROM documents
+        |      WHERE doc_id BETWEEN 160 AND 290 AND doc_id % 10 = 0) k
+        |  ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "catalog_merge_partial" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'PATCHED' ELSE lang END AS lang,

@@ -93,6 +93,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(e == "deduplicate" || !options.contains("bucket"),
         "bucketed tables support only the deduplicate merge engine")
     }
+    // Deletion vectors (Paimon's `deletion-vectors.enabled`): row-level
+    // DELETE on APPEND-ONLY tables as per-file position indexes — no
+    // copy-on-write rewrite, no tombstone merge. PK tables already delete
+    // via merge-on-read tombstones, so the option is append-only here.
+    options.get("deletion-vectors").foreach { v =>
+      require(v == "true" || v == "false",
+        s"deletion-vectors must be true or false, got $v")
+      if (v == "true") {
+        require(primaryKey.isEmpty,
+          "deletion-vectors applies to append-only tables " +
+            "(primary-key tables delete via merge-on-read tombstones)")
+        Seq(DvFileCol, DvPosCol).foreach(c =>
+          require(!structType.fieldNames.contains(c),
+            s"column name $c is reserved on deletion-vector tables"))
+      }
+    }
     options.keys.filter(_.startsWith("fields.")).foreach { k =>
       require(options.get("merge-engine").contains("aggregation"),
         s"$k requires merge-engine=aggregation")
@@ -314,7 +330,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def commit(schema: String, table: String, df: DataFrame,
       keepExisting: Boolean, streamBatchId: Option[Long] = None,
       kind: String = "data", deleteDf: Option[DataFrame] = None,
-      compaction: Boolean = false): Long = {
+      compaction: Boolean = false,
+      dvIndexEntry: Option[(Seq[String], Long)] = None): Long = {
     val m = readManifest(schema, table)
     if (kind == "data") {
       val cur = currentSchema(schema, table)
@@ -386,8 +403,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (compaction) "compact"
       else if (!keepExisting) "overwrite"
       else if (deleteDf.isDefined) "merge"
-      else if (kind == "delete") "delete"
+      else if (kind == "delete" || kind == "dv") "delete"
       else "append")
+    // Deletion-vector index: which data files the new DV dir touches and
+    // how many positions it deletes — the manifest-side summary that lets
+    // reads split clean files (pure vectorized scan) from dirty files
+    // (position anti-join) without opening the DV itself, and lets
+    // countRows stay metadata-only by subtraction.
+    dvIndexEntry.foreach { case (files, rows) =>
+      val idx = if (m.has("dvIndex")) m.get("dvIndex").asInstanceOf[ObjectNode]
+        else m.putObject("dvIndex")
+      val e = idx.putObject(dir)
+      e.put("rows", rows)
+      val fa = e.putArray("files")
+      files.foreach(fa.add)
+    }
     val fArr = sn.putArray("files")
     val sv = m.get("currentSchemaVersion").asInt()
     val added = FileEntry(dir, sv, kind) +:
@@ -471,6 +501,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(m.get("currentSchemaVersion").asInt() == 0,
       s"$schema.$table has evolved schemas — compact() first or use " +
         "readChangelogStream (it maps schemas by field id)")
+    // a DV dir's (file, pos) parquet would match the snap-* glob and be
+    // emitted as data; and a delete is not expressible file-level anyway
+    require(!deletionVectors(m),
+      s"$schema.$table has deletion-vectors enabled — file-level " +
+        "streaming cannot express deletes; use a primary-key table for CDC")
     val target = StructType(currentFields(m).map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val reader = spark.readStream.schema(target)
@@ -734,6 +769,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val statsNode = m.get("dirStats").asInstanceOf[ObjectNode]
       orphanDirs.foreach(statsNode.remove)
     }
+    if (m.has("dvIndex")) {
+      val idxNode = m.get("dvIndex").asInstanceOf[ObjectNode]
+      orphanDirs.foreach(idxNode.remove)
+    }
     writeManifest(schema, table, m)
     orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
   }
@@ -978,7 +1017,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * would resurrect the old version at merge time. */
   private def zonePrunable(m: ObjectNode, entries: Seq[FileEntry]): Boolean = {
     val cur = m.get("currentSchemaVersion").asInt()
-    entries.forall(e => e.kind == "data" && e.schemaVersion == cur) &&
+    // Deletion-vector entries don't block pruning: DVs only REMOVE rows,
+    // so a dir's zones stay a sound superset of its live values — pruning
+    // on them can only keep too much, never drop a live row.
+    entries.forall(e =>
+      (e.kind == "data" && e.schemaVersion == cur) || e.kind == "dv") &&
       primaryKey(m).isEmpty
   }
 
@@ -1010,8 +1053,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
     }
     if (resolved.isEmpty) return full
+    val (dvEntries, dataEntries) = entries.partition(_.kind == "dv")
     val stats = dirStatsFrom(m)
-    val kept = entries.filter(fe =>
+    val kept = dataEntries.filter(fe =>
       stats.get(fe.dir).forall(FileStats.mightMatch(_, resolved.get)))
     // Per-FILE refinement inside surviving dirs — the reference's skip
     // unit (Paimon per-file field stats). A large append dir whose files
@@ -1029,19 +1073,84 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         case None => (fe, None)
       }
     }
-    if (kept.size == entries.size && selections.forall(_._2.isEmpty)) return full
-    val frames = selections.flatMap {
+    if (kept.size == dataEntries.size && selections.forall(_._2.isEmpty)) return full
+    val picked: Seq[(FileEntry, Option[Seq[String]])] = selections.flatMap {
       case (fe, Some(keptFiles)) =>
         if (keptFiles.isEmpty) None // every file in the dir is provably out
-        else Some(frameFor(schema, table, m, fe,
-          fileSubset = Some(keptFiles.map(rel =>
-            new Path(new Path(tablePath(schema, table), fe.dir), rel).toString))))
-      case (fe, None) => Some(frameFor(schema, table, m, fe))
+        else Some((fe, Some(keptFiles.map(rel =>
+          new Path(new Path(tablePath(schema, table), fe.dir), rel).toString))))
+      case (fe, None) => Some((fe, None))
     }
     // zonePrunable ⇒ append-only (no PK, no tombstones): the frames union
-    // without merge resolution, exactly resolveFrames' no-PK arm.
-    if (frames.isEmpty) emptyFrame(m).filter(condition)
-    else frames.reduce(_ unionByName _).drop("__ord", "__del").filter(condition)
+    // without merge resolution, exactly resolveFrames' no-PK arm —
+    // including deletion-vector application (pruning a dirty file is
+    // sound: its DV rows then match nothing).
+    if (picked.isEmpty) emptyFrame(m).filter(condition)
+    else appendUnion(schema, table, m, picked, dvEntries)
+      .drop("__ord", "__del").filter(condition)
+  }
+
+  /**
+   * Dynamic-filter join (the Spark-native analog of Trino's
+   * DynamicFilter SPI, which the reference connector receives in
+   * TrinoSplitManager.java:37 / TrinoPageSourceProvider.java:52 —
+   * runtime build-side values prune the probe-side splits): evaluate the
+   * SMALL dim side first, turn its distinct join keys into a predicate,
+   * and route the fact scan through [[readWhere]] so zone maps drop
+   * non-matching dirs AND files before planning — then broadcast-join.
+   * On a 100 TB fact table clustered by the join key (ingest order or
+   * [[sortCompact]]), a selective dim filter reads O(matching files)
+   * instead of the full table; the join applies exact semantics either
+   * way, so the derived predicate only ever needs to be a superset.
+   *
+   * Contract (same as Trino's dynamic filtering, which engages only for
+   * broadcast-able builds): `dim` must be small — it is collected
+   * (distinct keys, capped at `maxKeys`) and broadcast. Above the cap
+   * the filter is abandoned and this degrades to the plain broadcast
+   * join (a non-selective filter prunes nothing anyway). Key sets up to
+   * `inListMax` prune as per-column IN lists; larger sets degrade to
+   * per-column min/max ranges (Trino's large dynamic filters do the
+   * same) — still sound, still range-prunable.
+   */
+  def dynamicFilterJoin(schema: String, table: String, keys: Seq[String],
+      dim: DataFrame, dimKeys: Seq[String],
+      joinType: String = "inner",
+      maxKeys: Int = 100000, inListMax: Int = 1000): DataFrame = {
+    require(keys.nonEmpty && keys.size == dimKeys.size,
+      s"need matching non-empty key lists, got $keys vs $dimKeys")
+    require(joinType == "inner" || joinType == "left_semi",
+      s"dynamic filtering needs a fact-preserving-only join (inner or " +
+        s"left_semi), got $joinType — an outer fact side would resurrect " +
+        "pruned rows as nulls")
+    val cond = (f: DataFrame, d: DataFrame) =>
+      keys.zip(dimKeys).map { case (k, dk) => f(k) === d(dk) }.reduce(_ && _)
+    def join(fact: DataFrame): DataFrame = {
+      val d = org.apache.spark.sql.functions.broadcast(dim)
+      fact.join(d, cond(fact, d), joinType)
+    }
+    // ONE pass over the dim side: distinct key tuples, capped — the
+    // build-side evaluation Trino does before handing the filter to the
+    // split manager. limit(maxKeys + 1) bounds driver memory even when
+    // the cap is misjudged.
+    val keyRows = dim.select(dimKeys.map(col): _*).distinct()
+      .limit(maxKeys + 1).collect()
+    if (keyRows.length > maxKeys) return join(read(schema, table))
+    // empty build side: inner/semi join is provably empty — no fact scan
+    if (keyRows.isEmpty) return join(read(schema, table).filter(lit(false)))
+    val pred = keys.zipWithIndex.map { case (k, i) =>
+      val vs = keyRows.map(_.get(i)).distinct.filter(_ != null)
+      if (vs.isEmpty) lit(false)
+      else if (vs.length <= inListMax) col(k).isin(vs.toIndexedSeq: _*)
+      else {
+        // min/max range per column — conservative superset of the set
+        // (collect() returns external types: Long/String/Date/... are
+        // all Comparable)
+        val sorted = vs.sortWith((a, b) =>
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0)
+        col(k) >= lit(sorted.head) && col(k) <= lit(sorted.last)
+      }
+    }.reduce(_ && _)
+    join(readWhere(schema, table, pred))
   }
 
   /**
@@ -1060,9 +1169,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (chosen.isEmpty) return Some(0L)
     val entries = filesOf(chosen.get)
     if (!zonePrunable(m, entries)) return None
+    val (dvEs, dataEs) = entries.partition(_.kind == "dv")
     val stats = dirStatsFrom(m)
-    val counts = entries.map(fe => stats.get(fe.dir).map(_.rows))
-    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    val counts = dataEs.map(fe => stats.get(fe.dir).map(_.rows))
+    if (counts.exists(_.isEmpty)) return None
+    // Deletion vectors subtract exactly: a position can be deleted only
+    // once (deleteWhere evaluates its predicate over the DV-applied
+    // image, so an already-deleted row is invisible to later deletes).
+    val dvIdx = dvIndexFrom(m)
+    val dvRows = dvEs.map(e => dvIdx.get(e.dir).map(_._2))
+    if (dvRows.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum - dvRows.flatten.sum)
   }
 
   /**
@@ -1072,7 +1189,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   private def frameFor(schema: String, table: String, m: ObjectNode,
       fe: FileEntry, pathOverride: Option[Path] = None,
-      fileSubset: Option[Seq[String]] = None): DataFrame = {
+      fileSubset: Option[Seq[String]] = None,
+      withMeta: Boolean = false): DataFrame = {
     val curFields = currentFields(m)
     val allSchemas = schemaVersions(m)
     val writeFieldsAll = allSchemas(fe.schemaVersion)
@@ -1104,12 +1222,118 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
       }
     }
+    // Deletion-vector identity of each row: the file's table-relative
+    // path (from the immutable "snap-" dir segment on, so the warehouse
+    // can be relocated without invalidating DVs) plus the row's position
+    // in that file (`_metadata.row_index` — generated from row-group
+    // offsets, stable across reads and pushdown). Both are constant
+    // metadata columns, so the scan stays vectorized.
+    val metaCols = if (!withMeta) Seq.empty else Seq(
+      org.apache.spark.sql.functions.regexp_extract(
+        col("_metadata.file_path"), "/(snap-.*)$", 1).as(DvFileCol),
+      col("_metadata.row_index").as(DvPosCol))
     // ordinal = leading digits of the dir name: "snap-7" and a merge
     // commit's paired "snap-7-del" share ordinal 7 (one atomic snapshot;
     // a key never appears in both dirs, so the tie is unreachable)
-    raw.select(cols ++ Seq(
+    raw.select(cols ++ metaCols ++ Seq(
       lit(fe.dir.stripPrefix("snap-").takeWhile(_.isDigit).toLong).as("__ord"),
       lit(fe.kind == "delete").as("__del")): _*)
+  }
+
+  // ---- deletion vectors (append-only row-level delete) -------------------
+
+  /** Is the `deletion-vectors` table option on? (Paimon's
+    * `deletion-vectors.enabled`; here scoped to append-only tables.) */
+  private def deletionVectors(m: ObjectNode): Boolean =
+    m.get("options").asInstanceOf[ObjectNode].path("deletion-vectors").asText("") == "true"
+
+  /** DV dir → (affected data files table-relative, deleted-position count)
+    * from the manifest's dvIndex node. */
+  private def dvIndexFrom(m: ObjectNode): Map[String, (Seq[String], Long)] = {
+    if (!m.has("dvIndex")) return Map.empty
+    val node = m.get("dvIndex").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, (Seq[String], Long)]()
+    node.fieldNames().forEachRemaining { d =>
+      val e = node.get(d)
+      val files = (0 until e.get("files").size()).map(e.get("files").get(_).asText())
+      out += d -> (files, e.get("rows").asLong())
+    }
+    out.toMap
+  }
+
+  private def dvStorageSchema = StructType(Seq(
+    StructField(DvFileCol, org.apache.spark.sql.types.StringType),
+    StructField(DvPosCol, org.apache.spark.sql.types.LongType)))
+
+  /** Union of a snapshot's deletion-vector dirs: (file, pos) pairs. */
+  private def dvFrame(schema: String, table: String,
+      dvEs: Seq[FileEntry]): DataFrame =
+    dvEs.map(fe => spark.read.schema(dvStorageSchema)
+      .parquet(new Path(tablePath(schema, table), fe.dir).toString))
+      .reduce(_ unionByName _)
+
+  /**
+   * Union an append-only snapshot's data frames with deletion vectors
+   * applied. The manifest's dvIndex names exactly which files a DV
+   * touches, so CLEAN files keep the pure vectorized scan — no join, no
+   * metadata columns — and only DIRTY files pay the (file, pos)
+   * anti-join. A 100 TB table with a few thousand deleted rows reads at
+   * full scan speed everywhere except the touched files; nothing is ever
+   * rewritten. `selections` carries each data entry's zone-pruned file
+   * list (None = whole dir), so [[readWhere]]'s skipping composes with
+   * DV application. Output keeps the `__ord`/`__del` bookkeeping columns
+   * for the caller to drop.
+   */
+  private def appendUnion(schema: String, table: String, m: ObjectNode,
+      selections: Seq[(FileEntry, Option[Seq[String]])],
+      dvEs: Seq[FileEntry]): DataFrame = {
+    def frame(fe: FileEntry, files: Option[Seq[String]], meta: Boolean) =
+      frameFor(schema, table, m, fe, fileSubset = files, withMeta = meta)
+    if (dvEs.isEmpty)
+      return selections.map { case (fe, sel) => frame(fe, sel, meta = false) }
+        .reduce(_ unionByName _)
+    val idx = dvIndexFrom(m)
+    // every DV commit writes its index; `known = false` only for a
+    // manifest from a foreign writer — then every file is treated dirty
+    // (correct, just joins more)
+    val known = dvEs.forall(e => idx.contains(e.dir))
+    val affected: Set[String] =
+      if (known) dvEs.flatMap(e => idx(e.dir)._1).toSet else Set.empty
+    val perFile = fileStatsFrom(m)
+    val tp = tablePath(schema, table)
+    def abs(relFromTable: String) = new Path(tp, relFromTable).toString
+    val clean = mutable.ArrayBuffer.empty[DataFrame]
+    val dirty = mutable.ArrayBuffer.empty[DataFrame]
+    selections.foreach { case (fe, sel) =>
+      val dirAffected: Option[Set[String]] = // relative to fe.dir
+        if (!known) None
+        else Some(affected.filter(_.startsWith(fe.dir + "/"))
+          .map(_.stripPrefix(fe.dir + "/")))
+      (sel, dirAffected) match {
+        case (Some(files), Some(aff)) =>
+          val affAbs = aff.map(r => abs(s"${fe.dir}/$r"))
+          val (d, c) = files.partition(affAbs.contains)
+          if (c.nonEmpty) clean += frame(fe, Some(c), meta = false)
+          if (d.nonEmpty) dirty += frame(fe, Some(d), meta = true)
+        case (Some(files), None) => dirty += frame(fe, Some(files), meta = true)
+        case (None, Some(aff)) if aff.isEmpty => clean += frame(fe, None, meta = false)
+        case (None, Some(aff)) =>
+          perFile.get(fe.dir).filter(_.nonEmpty) match {
+            case Some(fm) => // per-file zones double as the dir's file listing
+              val cleanRel = (fm.keySet -- aff).toSeq.sorted
+              if (cleanRel.nonEmpty)
+                clean += frame(fe, Some(cleanRel.map(r => abs(s"${fe.dir}/$r"))), meta = false)
+              dirty += frame(fe,
+                Some(aff.toSeq.sorted.map(r => abs(s"${fe.dir}/$r"))), meta = true)
+            case None => dirty += frame(fe, None, meta = true)
+          }
+        case (None, None) => dirty += frame(fe, None, meta = true)
+      }
+    }
+    val dv = dvFrame(schema, table, dvEs)
+    val deduped = dirty.reduceOption(_ unionByName _).map(
+      _.join(dv, Seq(DvFileCol, DvPosCol), "left_anti").drop(DvFileCol, DvPosCol))
+    (clean ++ deduped).reduce(_ unionByName _)
   }
 
   /**
@@ -1137,9 +1361,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         return bucketedResolve(schema, table, m, entries, n)
       case _ => ()
     }
-    val all = entries.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val pk = primaryKey(m)
-    if (pk.isEmpty) return Some(all.drop("__ord", "__del"))
+    if (pk.isEmpty) {
+      // Append-only: plain union, minus any deletion-vector positions
+      // (DV entries exist only on append-only tables — createTable
+      // enforces it).
+      val (dvEs, dataEs) = entries.partition(_.kind == "dv")
+      if (dataEs.isEmpty) return None
+      return Some(appendUnion(schema, table, m, dataEs.map((_, None)), dvEs)
+        .drop("__ord", "__del"))
+    }
+    val all = entries.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val names = currentFields(m).map(_.name)
     def ordinalPick(earliest: Boolean): DataFrame = {
       val w = org.apache.spark.sql.expressions.Window
@@ -1528,12 +1760,58 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   def deleteWhere(schema: String, table: String,
       condition: org.apache.spark.sql.Column): Long = {
-    val pk = primaryKeyOf(schema, table)
+    val m = readManifest(schema, table)
+    val pk = primaryKey(m)
+    if (pk.isEmpty && deletionVectors(m))
+      return deleteWhereDv(schema, table, m, condition)
     require(pk.nonEmpty, s"$schema.$table has no primary key — row-level " +
-      "delete needs one (append-only tables: filter at read or overwrite)")
-    requireDeduplicate(readManifest(schema, table), s"$schema.$table", "deleteWhere")
+      "delete needs one (append-only tables: set deletion-vectors=true, " +
+      "filter at read, or overwrite)")
+    requireDeduplicate(m, s"$schema.$table", "deleteWhere")
     val victims = read(schema, table).filter(condition).select(pk.map(col): _*)
     commit(schema, table, victims, keepExisting = true, kind = "delete")
+  }
+
+  /**
+   * Deletion-vector DELETE on an append-only table (Paimon's
+   * `deletion-vectors.enabled`, scoped here to append-only tables):
+   * matching rows are recorded as (file, position) pairs in a DV dir —
+   * data files are NEVER rewritten, so deleting 0.1% of a 100 TB table
+   * costs one predicate scan plus a position write, not a copy-on-write
+   * of every touched file. Reads split clean from dirty files via the
+   * manifest's dvIndex (see [[appendUnion]]); [[compact]] and
+   * [[sortCompact]] materialize the deletions and retire the DVs.
+   * Returns the new snapshot id (or the current one if nothing matched
+   * — no empty snapshots).
+   */
+  private def deleteWhereDv(schema: String, table: String, m: ObjectNode,
+      condition: org.apache.spark.sql.Column): Long = {
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) return 0L
+    val latest = snaps.get(snaps.size() - 1)
+    val (dvEs, dataEs) = filesOf(latest).partition(_.kind == "dv")
+    if (dataEs.isEmpty) return latest.get("id").asLong()
+    val withMeta = dataEs.map(frameFor(schema, table, m, _, withMeta = true))
+      .reduce(_ unionByName _)
+    // evaluate the predicate over the DV-APPLIED image: an already-deleted
+    // row must be invisible, or positions would double-count
+    val live = if (dvEs.isEmpty) withMeta
+      else withMeta.join(dvFrame(schema, table, dvEs),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    val victims = live.filter(condition).select(col(DvFileCol), col(DvPosCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one small job gives the affected-file index AND the exact count;
+      // row count is bounded by deleted positions, file count by the table
+      val perFile = victims.groupBy(DvFileCol)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
+      if (perFile.isEmpty) return latest.get("id").asLong()
+      val files = perFile.map(_.getString(0)).toSeq.sorted
+      val rows = perFile.map(_.getLong(1)).sum
+      commit(schema, table,
+        victims.sortWithinPartitions(DvFileCol, DvPosCol),
+        keepExisting = true, kind = "dv", dvIndexEntry = Some((files, rows)))
+    } finally { victims.unpersist(); () }
   }
 
   /**
@@ -1592,6 +1870,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
     val before = entriesAt(fromSnapshotId).map(_.dir).toSet
     val delta = entriesAt(toSnapshotId).filterNot(fe => before.contains(fe.dir))
+    // a DV commit in range REMOVES rows — an additive incremental read
+    // cannot express that (no row-kinded retraction here)
+    require(delta.forall(_.kind != "dv"),
+      s"readIncremental on $schema.$table crosses a deletion-vector " +
+        "commit — deletions have no additive delta; compact() first or " +
+        "use a primary-key table for CDC")
     resolveFrames(schema, table, m, delta).getOrElse(emptyFrame(m))
   }
 
@@ -1623,6 +1907,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (primaryKey(m).nonEmpty)
       requireDeduplicate(m, s"$schema.$table", "readChangelog")
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
+    // unreachable on PK tables (DVs are append-only by construction);
+    // on append-only tables a DV commit REMOVES rows, which a +I-only
+    // changelog cannot express
+    require(delta.forall(_.kind != "dv"),
+      s"changelog on $schema.$table crosses a deletion-vector commit — " +
+        "position deletes carry no row image to emit as -D; use a " +
+        "primary-key table for CDC")
     val target = changelogSchema(m)
     if (delta.isEmpty)
       return spark.createDataFrame(
@@ -1679,6 +1970,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       "needs a primary-key table (no before image exists); use readChangelog")
     requireDeduplicate(m, s"$schema.$table", "readChangelogFull")
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
+    // unreachable on PK tables (DVs are append-only by construction);
+    // on append-only tables a DV commit REMOVES rows, which a +I-only
+    // changelog cannot express
+    require(delta.forall(_.kind != "dv"),
+      s"changelog on $schema.$table crosses a deletion-vector commit — " +
+        "position deletes carry no row image to emit as -D; use a " +
+        "primary-key table for CDC")
     val target = changelogSchema(m)
     if (delta.isEmpty)
       return spark.createDataFrame(
@@ -1798,6 +2096,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m0 = readManifest(schema, table)
     if (primaryKey(m0).nonEmpty)
       requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
+    require(!deletionVectors(m0),
+      s"$schema.$table has deletion-vectors enabled — a DV delete would " +
+        "break the +I-only append changelog mid-stream; use a primary-key " +
+        "table for CDC")
     if (mode == "full")
       require(primaryKey(m0).nonEmpty, s"$schema.$table is append-only — " +
         "full changelog mode needs a primary-key table")
@@ -2048,6 +2350,12 @@ object GraftCatalog {
   /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
     * `-D` delete (Flink/Paimon RowKind shorthand). */
   val RowKindCol = "_row_kind"
+
+  /** Deletion-vector storage columns: the deleted row's table-relative
+    * file path and its position in that file. Reserved on tables created
+    * with `deletion-vectors=true`. */
+  val DvFileCol = "__file"
+  val DvPosCol = "__pos"
 
   /** In-task merge of one bucket's delta rows: highest `__ord` wins per
     * primary key, a winning tombstone removes the key. Static (object)

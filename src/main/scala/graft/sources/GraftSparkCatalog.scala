@@ -318,12 +318,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       if (statsSound && pk.isEmpty && entries.forall(e => statsPair._1.contains(e.dir)))
         Some(entries.map(e => statsPair._1(e.dir).rows).sum)
       else None
+    val tblOpts = gc.tableOptions(schemaName, tableName)
     new GraftSqlTable(parquet, partitionCols,
-      gc.tableOptions(schemaName, tableName) ++
+      tblOpts ++
         (if (pk.nonEmpty) Map("primary-key" -> pk.mkString(",")) else Map.empty),
       morRead, commitInsert(schemaName, tableName) _,
       cond => { gc.deleteWhere(schemaName, tableName, cond); () },
-      canDelete = pk.nonEmpty,
+      // PK tables delete via tombstones; append-only tables via deletion
+      // vectors when the option is on (both land one snapshot commit)
+      canDelete = pk.nonEmpty || tblOpts.get("deletion-vectors").contains("true"),
       coords = Some((warehouse, schemaName, tableName)),
       zoneStatsIn = zoneStatsIn, exactRowCountIn = exactRowCountIn,
       fileZonesIn = fileZonesIn)
@@ -361,7 +364,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         Seq.empty, Some(schema), classOf[ParquetFileFormat]),
       partitionCols, opts, None, commitInsert(ns1(ident.namespace), ident.name) _,
       cond => { gc.deleteWhere(ns1(ident.namespace), ident.name, cond); () },
-      canDelete = pk.nonEmpty)
+      canDelete = pk.nonEmpty || opts.get("deletion-vectors").contains("true"))
   }
 
   override def dropTable(ident: Identifier): Boolean =

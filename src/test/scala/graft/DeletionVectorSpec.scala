@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * Deletion vectors on append-only tables (Paimon's
+ * `deletion-vectors.enabled`, scoped here to append-only tables):
+ * row-level DELETE as per-file position indexes — data files are never
+ * rewritten, reads split clean files (pure vectorized scan) from dirty
+ * files (position anti-join) via the manifest dvIndex, compaction
+ * materializes and retires the DVs, and metadata-only counting stays
+ * exact by subtraction.
+ */
+class DeletionVectorSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-dvwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gdv", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", warehouse)
+    gc.createSchema("db")
+  }
+
+  private def batch(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+    .selectExpr("id", "concat('n', id) AS name", "CAST(id % 7 AS INT) AS grp")
+
+  private def newTable(name: String,
+      options: Map[String, String] = Map("deletion-vectors" -> "true"),
+      partitionBy: Seq[String] = Seq.empty): Unit =
+    gc.createTable("db", name, batch(0, 0).schema,
+      options = options, partitionBy = partitionBy)
+
+  test("deleteWhere on a DV table removes rows without rewriting data files") {
+    newTable("t1")
+    gc.append("db", "t1", batch(1, 100).toDF())
+    gc.append("db", "t1", batch(101, 200).toDF())
+    val filesBefore = gc.read("db", "t1").inputFiles.toSet
+    val snap = gc.deleteWhere("db", "t1", col("id") % 10 === 0)
+    assert(snap === 3)
+    val after = gc.read("db", "t1")
+    assert(after.count() === 180)
+    assert(after.filter(col("id") % 10 === 0).count() === 0)
+    // every pre-delete data file is still on disk, byte-identical member
+    // of the new snapshot's scan (clean or dirty leg) — nothing rewritten
+    val filesAfter = after.inputFiles.toSet
+    assert(filesBefore.subsetOf(filesAfter),
+      s"missing: ${filesBefore -- filesAfter}")
+    // the only additions are the DV dir's own files
+    assert((filesAfter -- filesBefore).forall(_.contains("snap-3")))
+    // manifest: dv entry + index recorded
+    val entries = gc.snapshotFileEntries("db", "t1")
+    assert(entries.map(_.kind).sorted === Seq("data", "data", "dv"))
+  }
+
+  test("second delete composes and time travel sees each image") {
+    gc.deleteWhere("db", "t1", col("id") <= 20) // deletes 18 live rows (2 already gone)
+    val now = gc.read("db", "t1")
+    assert(now.count() === 162)
+    assert(now.agg(min("id")).head.getLong(0) === 21L)
+    // pre-delete images intact
+    assert(gc.read("db", "t1", snapshotId = Some(2)).count() === 200)
+    assert(gc.read("db", "t1", snapshotId = Some(3)).count() === 180)
+  }
+
+  test("countRows stays metadata-only and exact under DVs") {
+    assert(gc.countRows("db", "t1") === Some(162L))
+  }
+
+  test("readWhere zone-prunes dirs and still applies DVs") {
+    val pruned = gc.readWhere("db", "t1", col("id") >= 101)
+    // snap-1 (ids 1..100) provably out
+    val dirs = pruned.inputFiles.map(f =>
+      f.split("/").reverse.dropWhile(!_.startsWith("snap-")).head).toSet
+    assert(!dirs.contains("snap-1"), s"scanned $dirs")
+    assert(pruned.count() === 90) // 101..200 minus 110,120,...,200
+    assert(pruned.filter(col("id") % 10 === 0).count() === 0)
+  }
+
+  test("compaction materializes deletions and retires the DVs") {
+    val id = gc.compact("db", "t1")
+    val entries = gc.snapshotFileEntries("db", "t1")
+    assert(entries.map(_.kind) === Seq("data"))
+    assert(gc.read("db", "t1").count() === 162)
+    assert(gc.countRows("db", "t1") === Some(162L))
+    // pre-compaction DV snapshot still time-travelable
+    assert(gc.read("db", "t1", snapshotId = Some(id - 1)).count() === 162)
+    assert(gc.read("db", "t1", snapshotId = Some(2)).count() === 200)
+  }
+
+  test("delete matching nothing commits no snapshot") {
+    val before = gc.snapshots("db", "t1").map(_.id).max
+    val ret = gc.deleteWhere("db", "t1", col("id") > 1000000)
+    assert(ret === before)
+    assert(gc.snapshots("db", "t1").map(_.id).max === before)
+  }
+
+  test("DVs work on partitioned tables") {
+    newTable("tp", partitionBy = Seq("grp"))
+    gc.append("db", "tp", batch(1, 70).toDF())
+    gc.deleteWhere("db", "tp", col("grp") === 3 && col("id") < 35)
+    val after = gc.read("db", "tp")
+    // grp 3 holds ids 3,10,17,24,31,38,...; five of them are < 35
+    assert(after.count() === 65)
+    assert(after.filter(col("grp") === 3 && col("id") < 35).count() === 0)
+    assert(after.filter(col("grp") === 3).count() === 5)
+    assert(gc.countRows("db", "tp") === Some(65L))
+  }
+
+  test("SQL DELETE FROM routes through deletion vectors") {
+    spark.sql("CREATE TABLE gdv.db.ts (id BIGINT, name STRING) " +
+      "TBLPROPERTIES ('deletion-vectors'='true')")
+    spark.sql("INSERT INTO gdv.db.ts SELECT id, concat('n', id) FROM range(1, 101)")
+    spark.sql("DELETE FROM gdv.db.ts WHERE id <= 30")
+    assert(spark.sql("SELECT count(*) c FROM gdv.db.ts").head.getLong(0) === 70L)
+    assert(spark.sql("SELECT min(id) m FROM gdv.db.ts").head.getLong(0) === 31L)
+    // files not rewritten: the data dir of snapshot 1 is still live
+    assert(gc.snapshotFileEntries("db", "ts").map(_.kind).sorted ===
+      Seq("data", "dv"))
+  }
+
+  test("refusals: incremental, changelog, file streaming; option guards") {
+    // incremental/changelog across a DV commit
+    val e1 = intercept[IllegalArgumentException](
+      gc.readIncremental("db", "t1", 2, 3).collect())
+    assert(e1.getMessage.contains("deletion-vector"))
+    val e2 = intercept[IllegalArgumentException](
+      gc.readChangelog("db", "t1", 2, 3).collect())
+    assert(e2.getMessage.contains("deletion-vector"))
+    // file-level streaming refused while the option is on
+    val e3 = intercept[IllegalArgumentException](gc.readStream("db", "t1"))
+    assert(e3.getMessage.contains("deletion-vectors"))
+    val e4 = intercept[IllegalArgumentException](
+      gc.readChangelogStream("db", "t1"))
+    assert(e4.getMessage.contains("deletion-vectors"))
+    // option validation: PK tables refuse it, reserved names refuse
+    val e5 = intercept[IllegalArgumentException](
+      gc.createTable("db", "bad1", batch(0, 0).schema,
+        options = Map("deletion-vectors" -> "true"), primaryKey = Seq("id")))
+    assert(e5.getMessage.contains("append-only"))
+    val e6 = intercept[IllegalArgumentException](
+      gc.createTable("db", "bad2",
+        spark.range(1).selectExpr("id", "'x' AS __file").schema,
+        options = Map("deletion-vectors" -> "true")))
+    assert(e6.getMessage.contains("reserved"))
+    // incremental BEFORE the DV commit still works
+    assert(gc.readIncremental("db", "t1", 1, 2).count() === 100)
+  }
+
+  test("expiration drops DV dirs and their index entries") {
+    newTable("te")
+    gc.append("db", "te", batch(1, 50).toDF())
+    gc.deleteWhere("db", "te", col("id") <= 10)
+    gc.compact("db", "te")
+    gc.expireSnapshots("db", "te", keepLast = 1)
+    assert(gc.read("db", "te").count() === 40)
+    // the DV dir is orphaned and deleted from disk
+    val tableDir = new java.io.File(s"$warehouse/db/te")
+    val dirs = tableDir.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("snap-3"))
+    assert(gc.countRows("db", "te") === Some(40L))
+  }
+}

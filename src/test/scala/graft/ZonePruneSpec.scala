@@ -480,6 +480,46 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(gc.countRows("db", "zempty") === Some(1L))
   }
 
+  test("dynamic-filter join prunes fact dirs from dim keys") {
+    import spark.implicits._
+    // dim keys all inside snap-2's id range (101..200)
+    val dim = Seq((120L, "a"), (150L, "b"), (180L, "c")).toDF("k", "tag")
+    val joined = gc.dynamicFilterJoin("db", "zp", Seq("id"), dim, Seq("k"))
+    val dirs = scannedDirs(joined)
+    assert(dirs === Set("snap-2"), s"scanned $dirs")
+    val expected = gc.read("db", "zp").join(dim, col("id") === col("k")).count()
+    assert(joined.count() === expected && expected === 3L)
+    // left_semi variant prunes the same and keeps only fact columns
+    val semi = gc.dynamicFilterJoin("db", "zp", Seq("id"), dim, Seq("k"),
+      joinType = "left_semi")
+    assert(scannedDirs(semi) === Set("snap-2"))
+    assert(semi.columns.toSeq === Seq("id", "name", "score") && semi.count() === 3L)
+  }
+
+  test("dynamic-filter join degrades soundly: ranges, cap, empty dim, outer refusal") {
+    import spark.implicits._
+    // > inListMax keys -> per-column min/max range, still prunes snap-3
+    val bigDim = spark.range(101, 200).select(col("id").as("k"))
+    val ranged = gc.dynamicFilterJoin("db", "zp", Seq("id"), bigDim, Seq("k"),
+      inListMax = 10)
+    assert(scannedDirs(ranged) === Set("snap-2"))
+    assert(ranged.count() === 99L)
+    // above maxKeys: filter abandoned, full scan, identical result
+    val capped = gc.dynamicFilterJoin("db", "zp", Seq("id"), bigDim, Seq("k"),
+      maxKeys = 5)
+    assert(scannedDirs(capped) === Set("snap-1", "snap-2", "snap-3"))
+    assert(capped.count() === 99L)
+    // empty dim: provably empty, no fact files scanned
+    val empty = gc.dynamicFilterJoin("db", "zp", Seq("id"),
+      bigDim.filter(col("k") < 0), Seq("k"))
+    assert(empty.count() === 0L && empty.inputFiles.isEmpty)
+    // outer joins would resurrect pruned rows as nulls -> refused
+    val e = intercept[IllegalArgumentException](
+      gc.dynamicFilterJoin("db", "zp", Seq("id"), bigDim, Seq("k"),
+        joinType = "left_outer"))
+    assert(e.getMessage.contains("fact-preserving"))
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
