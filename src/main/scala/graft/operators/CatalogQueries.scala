@@ -118,6 +118,22 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Bloom-filter file index: equality/IN lookups on an UNCLUSTERED id —
+    // the interleaved appends give every dir a near-full id zone, so only
+    // the per-file blooms can prune. Correctness is hash-gated here; the
+    // file-level pruning itself is asserted in BloomIndexSpec.
+    "catalog_bloom_lookup" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("file-index.bloom-filter.columns" -> "doc_id"))
+      cat.append("q", t, d.filter(col("doc_id") % 3 === 0))
+      cat.append("q", t, d.filter(col("doc_id") % 3 === 1))
+      cat.append("q", t, d.filter(col("doc_id") % 3 === 2))
+      cat.readWhere("q", t, col("doc_id").isin(7L, 42L, 101L, 256L))
+        .orderBy("doc_id")
+    }),
     // Dynamic-filter join (Trino's DynamicFilter SPI analog): the small
     // dim side is evaluated first and its distinct keys prune the fact
     // scan through the manifest zone maps BEFORE planning — the result
@@ -380,6 +396,9 @@ object CatalogQueries {
     "catalog_delete_vectors" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_bloom_lookup" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id IN (7, 42, 101, 256) ORDER BY doc_id""".stripMargin,
     "join_dynamic_filter" ->
       """SELECT d.doc_id, d.lang, d.n_chars, k.source
         |FROM documents d

@@ -663,4 +663,44 @@ private[graft] object FileStats {
           mn <- z.min; mx <- z.max) yield
       !(cmpOpt(mn, dv).contains(0) && cmpOpt(mx, dv).contains(0) &&
         z.nulls == 0L)).getOrElse(true)
+
+  /**
+   * Top-level conjunctive MEMBERSHIP constraints of `pred` for the bloom
+   * index: each returned `(column, literals)` is a NECESSARY condition —
+   * any matching row has the column equal to one of the literals. Only
+   * And is descended (an Or/other branch yields no constraint — sound:
+   * fewer constraints only keep more files), only `col = lit` / `col IN
+   * (lits)` shapes with canonical Long/String domains qualify (the two
+   * domains the bloom hashes).
+   */
+  private[sources] def eqConstraints(pred: Expression): Seq[(String, Seq[Any])] = {
+    def bloomable(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[String]
+    def ofEq(a: Expression, lit: Expression): Seq[(String, Seq[Any])] =
+      (for (name <- attrName(a); (v, dt) <- litVal(lit);
+            dv <- literalDomain(v, dt) if bloomable(dv))
+        yield Seq(name -> Seq(dv))).getOrElse(Seq.empty)
+    pred match {
+      case And(l, r) => eqConstraints(l) ++ eqConstraints(r)
+      case EqualTo(a, lit) if attrName(a).isDefined => ofEq(a, lit)
+      case EqualTo(lit, a) if attrName(a).isDefined => ofEq(a, lit)
+      case EqualNullSafe(a, lit) if attrName(a).isDefined => ofEq(a, lit)
+      case EqualNullSafe(lit, a) if attrName(a).isDefined => ofEq(a, lit)
+      case In(a, list) if attrName(a).isDefined =>
+        val vals = list.flatMap(litVal)
+        if (vals.size != list.size) Seq.empty // non-literal member
+        else {
+          val doms = vals.flatMap { case (v, dt) => literalDomain(v, dt) }
+          if (doms.size != vals.size || !doms.forall(bloomable)) Seq.empty
+          else Seq(attrName(a).get -> doms)
+        }
+      case InSet(a: AttributeReference, set) =>
+        // null members never make IN true — dropping them keeps the
+        // constraint a necessary condition
+        val nonNull = set.toSeq.filter(_ != null)
+        val doms = nonNull.flatMap(v => literalDomain(v, a.dataType))
+        if (doms.size != nonNull.size || !doms.forall(bloomable)) Seq.empty
+        else Seq(a.name.toLowerCase -> doms)
+      case _ => Seq.empty
+    }
+  }
 }

@@ -20,11 +20,14 @@ import org.apache.spark.sql.types.{NumericType, StructField, StructType}
  *                                          TrinoTableHandle.java:138
  *  - table options persisted in DDL:       TrinoTableOptionUtils.java
  *
- * Layout: `<warehouse>/<schema>/<table>/manifest.json` + immutable
+ * Layout: `<warehouse>/<schema>/<table>/manifest-v<N>.json` (immutable,
+ * exclusive-rename CAS — Paimon's snapshot-N commit protocol) + immutable
  * `snap-<id>/` parquet dirs. Snapshots reference the cumulative file list,
  * so reads are O(files referenced), appends are O(new data), and nothing
  * is ever rewritten in place — the same immutability contract Paimon's
- * snapshot log gives the reference connector.
+ * snapshot log gives the reference connector. Concurrent writers land
+ * additive commits via rebase-and-retry; stale rewrites abort (see
+ * `commit`).
  *
  * Schema evolution is metadata-only (stable field ids, Paimon-style):
  * renames/drops/adds never rewrite data; reads map each file's
@@ -70,7 +73,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       partitionBy: Seq[String] = Seq.empty,
       primaryKey: Seq[String] = Seq.empty): Unit = {
     require(fs.exists(schemaPath(schema)), s"schema $schema does not exist")
-    require(!fs.exists(manifestPath(schema, table)), s"table $schema.$table exists")
+    require(!tableManifestExists(schema, table), s"table $schema.$table exists")
     partitionBy.foreach(p => require(structType.fieldNames.contains(p),
       s"partition column $p not in schema"))
     primaryKey.foreach(p => require(structType.fieldNames.contains(p),
@@ -108,6 +111,29 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           require(!structType.fieldNames.contains(c),
             s"column name $c is reserved on deletion-vector tables"))
       }
+    }
+    // Bloom-filter file index (Paimon's `file-index.bloom-filter.columns`):
+    // per-file membership bitsets for equality/IN lookups on columns no
+    // clustering helps. Append-only scope: that's the path [[readWhere]]
+    // prunes (PK point lookups already bucket-prune, and MoR resolution
+    // must see every delta anyway).
+    options.get(BloomIndex.OptionKey).foreach { v =>
+      val cols = v.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty,
+        s"${BloomIndex.OptionKey} must name at least one column")
+      cols.foreach { c =>
+        val f = structType.fields.find(_.name.equalsIgnoreCase(c))
+        require(f.isDefined, s"bloom-filter column $c not in schema")
+        require(BloomIndex.indexable(f.get.dataType),
+          s"bloom-filter column $c: ${f.get.dataType.simpleString} has no " +
+            "canonical bloom domain (integral/date/timestamp/string only)")
+        require(!partitionBy.exists(_.equalsIgnoreCase(c)),
+          s"bloom-filter column $c is a partition column (partition values " +
+            "already prune via path-segment zones)")
+      }
+      require(primaryKey.isEmpty,
+        "bloom-filter index applies to append-only tables (PK tables " +
+          "point-look-up via bucket pruning; MoR reads must see every delta)")
     }
     options.keys.filter(_.startsWith("fields.")).foreach { k =>
       require(options.get("merge-engine").contains("aggregation"),
@@ -160,18 +186,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName)
-      .filter(t => fs.exists(manifestPath(schema, t)))
+      .filter(t => tableManifestExists(schema, t))
       .toSeq.sorted
   }
 
   def dropTable(schema: String, table: String): Unit = {
-    require(fs.exists(manifestPath(schema, table)), s"no table $schema.$table")
+    require(tableManifestExists(schema, table), s"no table $schema.$table")
     fs.delete(tablePath(schema, table), true)
     ()
   }
 
   def renameTable(schema: String, from: String, to: String): Unit = {
-    require(fs.exists(manifestPath(schema, from)), s"no table $schema.$from")
+    require(tableManifestExists(schema, from), s"no table $schema.$from")
     require(!fs.exists(tablePath(schema, to)), s"table $schema.$to exists")
     fs.rename(tablePath(schema, from), tablePath(schema, to))
     val m = readManifest(schema, to)
@@ -340,10 +366,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
-    val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
     val id = lastId + 1
-    val ts = math.max(System.currentTimeMillis(), lastTs + 1) // strictly increasing
-    val dir = s"snap-$id"
+    // Data is written to a UNIQUE dot-staging dir (invisible to snap-*
+    // globs and never another writer's target), then RENAMED to its
+    // ordinal dir at land time via an exclusive FileContext rename —
+    // an atomic claim that fails if the target exists, so two racing
+    // writers can never clobber or nest into each other's dirs.
+    val dir = s".staging-${java.util.UUID.randomUUID()}"
     // Bucketed PK tables (Paimon's bucket layout): every commit — data,
     // delete tombstones, compaction rewrites alike — lands rows in
     // `__bucket=k` subdirs by primary-key hash, so a key lives in exactly
@@ -367,8 +396,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // a merge commit pairs the data dir with a tombstone dir inside ONE
     // snapshot (same ordinal `$id`): updates+inserts and deletes become
     // visible atomically, never as two observable states
-    val delDir = s"$dir-del"
-    deleteDf.foreach(write(_, delDir, "delete"))
+    deleteDf.foreach(write(_, s"$dir-del", "delete"))
+    // The files' write-time schema version — pinned BEFORE any conflict
+    // rebase (a concurrent DDL may bump the current version; these bytes
+    // are at THIS version and map forward by field id like any other dir).
+    val sv = m.get("currentSchemaVersion").asInt()
     // Zone maps: aggregate the new dir's parquet footer stats into the
     // manifest (Paimon manifests carry per-file field stats the same
     // way; TrinoMetadataBase.applyFilter prunes splits with them). Dirs
@@ -378,58 +410,180 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // never stalls the commit on sequential driver round-trips; per-FILE
     // zones ride along for file-granular skipping. Data dirs only —
     // tombstone dirs are never zone-pruned (MoR must see every delta).
-    if (kind == "data") {
+    val stats = if (kind == "data")
       FileStats.collectWithFiles(spark, fs,
-          new Path(tablePath(schema, table), dir), df.schema).foreach {
-        case (ds, fileZones) =>
-          val statsNode =
-            if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
-            else m.putObject("dirStats")
-          FileStats.toJson(statsNode.putObject(dir), ds, fileZones)
+        new Path(tablePath(schema, table), dir), df.schema)
+    else None
+    // Bloom-filter file index (see [[BloomIndex]]): one distributed job
+    // over the dir just written, bitsets sized from the footer row counts
+    // the zone collection produced. The sidecar lands INSIDE the staging
+    // dir, so the ordinal claim-rename moves data and index atomically;
+    // the manifest entry below carries only {token, cols}.
+    val bloomEntry: Option[(String, Seq[String])] =
+      if (kind == "data" && bloomColsOf(m).nonEmpty)
+        stats.flatMap { case (_, fileZones) =>
+          BloomIndex.build(spark, fs, new Path(tablePath(schema, table), dir),
+            df.schema, bloomColsOf(m),
+            fileZones.map { case (r, s) => r -> s.rows })
+            .map(cols => (java.util.UUID.randomUUID().toString, cols))
+        }
+      else None
+    commitTestHook()
+    /** Build the snapshot entry against manifest `mm` and CAS it in. */
+    def land(mm: ObjectNode, landId: Long, landDir: String): Unit = {
+      val sn2 = mm.get("snapshots").asInstanceOf[ArrayNode]
+      val lastTs = if (sn2.size() == 0) 0L
+        else sn2.get(sn2.size() - 1).get("timestampMillis").asLong()
+      stats.foreach { case (ds, fileZones) =>
+        val statsNode =
+          if (mm.has("dirStats")) mm.get("dirStats").asInstanceOf[ObjectNode]
+          else mm.putObject("dirStats")
+        FileStats.toJson(statsNode.putObject(landDir), ds, fileZones)
       }
+      val prevFiles: Seq[FileEntry] =
+        if (keepExisting && sn2.size() > 0) filesOf(sn2.get(sn2.size() - 1)) else Seq.empty
+      val sn = sn2.addObject()
+      sn.put("id", landId)
+      sn.put("timestampMillis",
+        math.max(System.currentTimeMillis(), lastTs + 1)) // strictly increasing
+      // Compaction rewrites bytes, not logical content — the changelog scan
+      // skips snapshots carrying this marker (Paimon: compaction produces no
+      // changelog entries).
+      if (compaction) sn.put("compaction", true)
+      // Commit kind for the $snapshots operational view (Paimon's
+      // commitKind): what KIND of change this snapshot represents.
+      sn.put("commitKind",
+        if (compaction) "compact"
+        else if (!keepExisting) "overwrite"
+        else if (deleteDf.isDefined) "merge"
+        else if (kind == "delete" || kind == "dv") "delete"
+        else "append")
+      // Deletion-vector index: which data files the new DV dir touches and
+      // how many positions it deletes — the manifest-side summary that lets
+      // reads split clean files (pure vectorized scan) from dirty files
+      // (position anti-join) without opening the DV itself, and lets
+      // countRows stay metadata-only by subtraction.
+      dvIndexEntry.foreach { case (files, rows) =>
+        val idx = if (mm.has("dvIndex")) mm.get("dvIndex").asInstanceOf[ObjectNode]
+          else mm.putObject("dvIndex")
+        val e = idx.putObject(landDir)
+        e.put("rows", rows)
+        val fa = e.putArray("files")
+        files.foreach(fa.add)
+      }
+      // Bloom-index pointer: which columns this dir's sidecar indexes,
+      // plus a cache token (fresh per build — an ordinal reused after
+      // rollback never serves a stale cached index).
+      bloomEntry.foreach { case (token, bcols) =>
+        val bn = if (mm.has("bloomIdx")) mm.get("bloomIdx").asInstanceOf[ObjectNode]
+          else mm.putObject("bloomIdx")
+        val e = bn.putObject(landDir)
+        e.put("token", token)
+        val ca = e.putArray("cols")
+        bcols.foreach(ca.add)
+      }
+      val fArr = sn.putArray("files")
+      val added = FileEntry(landDir, sv, kind) +:
+        deleteDf.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq
+      (prevFiles ++ added).foreach { fe =>
+        val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
+        if (fe.kind != "data") e.put("kind", fe.kind)
+      }
+      streamBatchId.foreach(b => mm.put("lastStreamBatchId", b))
+      writeManifest(schema, table, mm)
     }
-    val prevFiles: Seq[FileEntry] =
-      if (keepExisting && snaps.size() > 0) filesOf(snaps.get(snaps.size() - 1)) else Seq.empty
-    val sn = snaps.addObject()
-    sn.put("id", id)
-    sn.put("timestampMillis", ts)
-    // Compaction rewrites bytes, not logical content — the changelog scan
-    // skips snapshots carrying this marker (Paimon: compaction produces no
-    // changelog entries).
-    if (compaction) sn.put("compaction", true)
-    // Commit kind for the $snapshots operational view (Paimon's
-    // commitKind): what KIND of change this snapshot represents.
-    sn.put("commitKind",
-      if (compaction) "compact"
-      else if (!keepExisting) "overwrite"
-      else if (deleteDf.isDefined) "merge"
-      else if (kind == "delete" || kind == "dv") "delete"
-      else "append")
-    // Deletion-vector index: which data files the new DV dir touches and
-    // how many positions it deletes — the manifest-side summary that lets
-    // reads split clean files (pure vectorized scan) from dirty files
-    // (position anti-join) without opening the DV itself, and lets
-    // countRows stay metadata-only by subtraction.
-    dvIndexEntry.foreach { case (files, rows) =>
-      val idx = if (m.has("dvIndex")) m.get("dvIndex").asInstanceOf[ObjectNode]
-        else m.putObject("dvIndex")
-      val e = idx.putObject(dir)
-      e.put("rows", rows)
-      val fa = e.putArray("files")
-      files.foreach(fa.add)
+    // Optimistic concurrency (Paimon's commit protocol), two fences:
+    //
+    //  1. DIR CLAIM — an exclusive rename (fails if the target exists)
+    //     moves the staging dir to `snap-<id>`. Losing the claim means a
+    //     concurrent writer took that ordinal: re-read the manifest,
+    //     target the next one. No writer ever deletes or renames onto
+    //     another's dir.
+    //  2. MANIFEST CAS — writeManifest detects a concurrent commit
+    //     between our manifest read and write.
+    //
+    // On either conflict, ADDITIVE commits — appends, upserts, CDC merge
+    // batches — rebase and retry: the dir moves to the next free ordinal
+    // and the snapshot entry is rebuilt on the new head (an upsert
+    // rebased later keeps latest-wins semantics: its versions simply
+    // carry the later ordinal). Commits whose CONTENT was derived from
+    // the old head — overwrite, compaction, row-level deletes — abort
+    // with the conflict instead: their bytes are stale against the
+    // concurrent commit (Paimon aborts conflicting compactions the same
+    // way); the caller re-runs against the new head. An aborted attempt
+    // leaves only an unreferenced dir (never a dangling manifest),
+    // harmless and reclaimed by expiration.
+    val retryable = keepExisting && kind == "data" && !compaction
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(tablePath(schema, table)).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    // Exclusive claim: rename fails if the target exists. HDFS gives
+    // this atomically server-side; the per-table JVM lock closes the
+    // local filesystem's check-then-rename window (local rename would
+    // otherwise nest the source INTO an existing target dir); object
+    // stores want a conditional copy here — same contract.
+    def claim(fromDir: String, toDir: String): Boolean =
+      GraftCatalog.commitLock(
+          fs.makeQualified(tablePath(schema, table)).toString).synchronized {
+        val to = fs.makeQualified(new Path(tablePath(schema, table), toDir))
+        if (fs.exists(to)) false
+        else try {
+          fc.rename(fs.makeQualified(new Path(tablePath(schema, table), fromDir)), to)
+          true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                       _: java.io.IOException => false }
+      }
+    def versionOf(n: ObjectNode): Long =
+      if (n.has("commitVersion")) n.get("commitVersion").asLong() else 0L
+    var cur = m
+    var curDir = dir // staging at first, then the last claimed ordinal dir
+    var curDelDir = s"$dir-del"
+    var landId = id
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val target = s"snap-$landId"
+      var ok = true
+      if (curDir != target) {
+        ok = claim(curDir, target)
+        if (ok) curDir = target
+      }
+      if (ok && deleteDf.isDefined && curDelDir != s"$target-del") {
+        ok = claim(curDelDir, s"$target-del")
+        if (ok) curDelDir = s"$target-del"
+      }
+      if (ok) {
+        try { land(cur, landId, target); return landId }
+        catch { case e: java.util.ConcurrentModificationException =>
+          if (!retryable) throw e
+        }
+      }
+      // conflict — the dir claim or the manifest CAS was lost
+      val fresh = readManifest(schema, table)
+      if (!retryable) {
+        if (versionOf(fresh) != versionOf(m))
+          throw new java.util.ConcurrentModificationException(
+            s"$schema.$table: a concurrent writer committed — this " +
+              "commit's content was derived from an older head; re-run")
+        throw new IllegalStateException(
+          s"$schema.$table: snapshot dir $target exists but is not in " +
+            "the manifest — a dead writer's leftover; remove it and re-run")
+      }
+      cur = fresh
+      val fsnaps = cur.get("snapshots").asInstanceOf[ArrayNode]
+      val head = if (fsnaps.size() == 0) 0L
+        else fsnaps.get(fsnaps.size() - 1).get("id").asLong()
+      landId = math.max(head + 1, landId + 1)
     }
-    val fArr = sn.putArray("files")
-    val sv = m.get("currentSchemaVersion").asInt()
-    val added = FileEntry(dir, sv, kind) +:
-      deleteDf.map(_ => FileEntry(delDir, sv, "delete")).toSeq
-    (prevFiles ++ added).foreach { fe =>
-      val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
-      if (fe.kind != "data") e.put("kind", fe.kind)
-    }
-    streamBatchId.foreach(b => m.put("lastStreamBatchId", b))
-    writeManifest(schema, table, m)
-    id
+    throw new IllegalStateException(
+      s"$schema.$table: could not land a snapshot after $attempts " +
+        s"attempts (last target snap-$landId) — retry under less " +
+        "write contention, or remove dead writers' leftover dirs")
   }
+
+  /** Test seam: runs after the commit's data write, before the manifest
+    * CAS — lets a spec inject a concurrent commit deterministically. */
+  private[graft] var commitTestHook: () => Unit = () => ()
 
   /** Highest streaming batchId committed to this table (-1 = none). */
   def lastStreamBatchId(schema: String, table: String): Long = {
@@ -773,6 +927,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val idxNode = m.get("dvIndex").asInstanceOf[ObjectNode]
       orphanDirs.foreach(idxNode.remove)
     }
+    if (m.has("bloomIdx")) {
+      val bNode = m.get("bloomIdx").asInstanceOf[ObjectNode]
+      orphanDirs.foreach(bNode.remove)
+    }
     writeManifest(schema, table, m)
     orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
   }
@@ -1015,6 +1173,62 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * current-schema snapshots only: on a MoR-pending PK table, pruning
     * the dir holding a key's LATEST version while an older dir survives
     * would resurrect the old version at merge time. */
+  /** Bloom-index pointers of the current manifest — dir -> (token,
+    * indexed cols); test/ops visibility. */
+  private[graft] def bloomIndexInfo(schema: String,
+      table: String): Map[String, (String, Set[String])] =
+    bloomIdxFrom(readManifest(schema, table))
+
+  /** Columns the table option asks to bloom-index (lower-cased). */
+  private def bloomColsOf(m: ObjectNode): Set[String] =
+    m.get("options").asInstanceOf[ObjectNode].path(BloomIndex.OptionKey)
+      .asText("").split(',').map(_.trim.toLowerCase).filter(_.nonEmpty).toSet
+
+  /** Manifest bloom-index pointers: dir -> (cache token, indexed cols). */
+  private def bloomIdxFrom(m: ObjectNode): Map[String, (String, Set[String])] = {
+    if (!m.has("bloomIdx")) return Map.empty
+    val node = m.get("bloomIdx").asInstanceOf[ObjectNode]
+    val out = scala.collection.mutable.LinkedHashMap[String, (String, Set[String])]()
+    node.fieldNames().forEachRemaining { d =>
+      val e = node.get(d)
+      val cols = scala.collection.mutable.Set[String]()
+      e.get("cols").forEach(c => cols += c.asText())
+      out += d -> ((e.get("token").asText(), cols.toSet))
+    }
+    out.toMap
+  }
+
+  /**
+   * Refine the zone-kept file selections with the per-file bloom index:
+   * a file is dropped only when some conjunctive equality/IN constraint
+   * on an indexed column admits NONE of its literals (no false
+   * negatives ⇒ provably no matching row). Dirs without an index, or
+   * predicates without membership constraints, pass through untouched.
+   */
+  private def bloomRefine(schema: String, table: String, m: ObjectNode,
+      resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      selections: Seq[(FileEntry, Option[Seq[String]])])
+      : Seq[(FileEntry, Option[Seq[String]])] = {
+    val idx = bloomIdxFrom(m)
+    if (idx.isEmpty) return selections
+    val constraints = FileStats.eqConstraints(resolved)
+    if (constraints.isEmpty) return selections
+    selections.map { case sel @ (fe, keptOpt) =>
+      idx.get(fe.dir) match {
+        case Some((token, cols)) if constraints.exists(c => cols.contains(c._1)) =>
+          BloomIndex.load(fs, new Path(tablePath(schema, table), fe.dir), token) match {
+            case Some(di) =>
+              val candidates = keptOpt.getOrElse(di.files.keys.toSeq.sorted)
+              val pass = candidates.filter(
+                BloomIndex.fileMightMatch(di, _, constraints))
+              if (pass.size == candidates.size) sel else (fe, Some(pass))
+            case None => sel // unreadable sidecar: conservative keep
+          }
+        case _ => sel
+      }
+    }
+  }
+
   private def zonePrunable(m: ObjectNode, entries: Seq[FileEntry]): Boolean = {
     val cur = m.get("currentSchemaVersion").asInt()
     // Deletion-vector entries don't block pruning: DVs only REMOVE rows,
@@ -1063,7 +1277,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // matching files instead of all-or-nothing; dirs without per-file
     // zones (pre-files manifests) keep all their files.
     val perFile = fileStatsFrom(m)
-    val selections: Seq[(FileEntry, Option[Seq[String]])] = kept.map { fe =>
+    val zoneSel: Seq[(FileEntry, Option[Seq[String]])] = kept.map { fe =>
       perFile.get(fe.dir).filter(_.nonEmpty) match {
         case Some(fm) =>
           val keptFiles = fm.collect {
@@ -1073,6 +1287,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         case None => (fe, None)
       }
     }
+    // Bloom pass AFTER zones: membership pruning for the equality/IN
+    // literals min/max can't rule out (unclustered point lookups).
+    val selections = bloomRefine(schema, table, m, resolved.get, zoneSel)
     if (kept.size == dataEntries.size && selections.forall(_._2.isEmpty)) return full
     val picked: Seq[(FileEntry, Option[Seq[String]])] = selections.flatMap {
       case (fe, Some(keptFiles)) =>
@@ -2292,49 +2509,111 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
   }
 
+  /** `manifest-v<N>.json` → N. */
+  private def manifestFileVersion(name: String): Option[Long] =
+    if (name.startsWith("manifest-v") && name.endsWith(".json"))
+      name.stripPrefix("manifest-v").stripSuffix(".json").toLongOption
+    else None
+
+  /**
+   * Highest committed manifest file of a table. Manifests are IMMUTABLE
+   * versioned files (`manifest-v<N>.json`, Paimon's snapshot-N model):
+   * nothing is ever rewritten in place, so readers can never observe a
+   * torn or stale-checksum manifest — they list and open the max
+   * version. A pre-versioning `manifest.json` is honored as fallback.
+   */
+  private def currentManifestFile(schema: String, table: String): Option[Path] = {
+    val dir = tablePath(schema, table)
+    val listed =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return None }
+    val versioned = listed.flatMap(st =>
+      manifestFileVersion(st.getPath.getName).map(v => (st.getPath, v)))
+    if (versioned.nonEmpty) Some(versioned.maxBy(_._2)._1)
+    else Some(manifestPath(schema, table)).filter(fs.exists)
+  }
+
+  private def tableManifestExists(schema: String, table: String): Boolean =
+    currentManifestFile(schema, table).isDefined
+
+  private def fcFor(p: Path): org.apache.hadoop.fs.FileContext =
+    org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
+
   private def readManifest(schema: String, table: String): ObjectNode = {
-    val p = manifestPath(schema, table)
-    require(fs.exists(p), s"no table $schema.$table")
-    val in = fs.open(p)
+    val p = currentManifestFile(schema, table)
+    require(p.isDefined, s"no table $schema.$table")
+    val in = fcFor(p.get).open(fs.makeQualified(p.get))
     try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
   }
 
   /**
-   * Atomic, conflict-checked manifest commit: serialize to a temp file and
-   * rename over the old manifest (readers always see a complete manifest;
-   * a crash mid-write leaves at worst an orphan temp file). Concurrent
-   * writers are detected optimistically: each manifest carries a
-   * `commitVersion`, and a commit whose basis version no longer matches
-   * the on-disk version fails with ConcurrentModificationException instead
-   * of silently dropping the other writer's snapshots. (A CAS against the
-   * file between re-read and rename is still a race window on stores
-   * without atomic rename; on HDFS/posix the rename itself is atomic.)
+   * Manifest CAS by EXCLUSIVE rename (Paimon's commit protocol): the new
+   * manifest is serialized to a unique temp file and renamed — without
+   * overwrite — to `manifest-v<basis+1>.json`. If that version already
+   * exists, a concurrent writer won: ConcurrentModificationException, the
+   * caller re-reads and retries (see `commit`'s rebase loop). Versioned
+   * manifests are immutable, so there is no read-torn or lost-update
+   * window: the rename either creates the next version or fails. (HDFS
+   * and posix give exclusive rename atomically; within one JVM a lock
+   * closes the local check-then-rename window; object stores want a
+   * conditional PUT here, same contract.) A crash mid-commit leaves at
+   * worst an orphan temp file. The last 10 versions are retained for
+   * in-flight readers; older ones are deleted best-effort.
    */
   private def writeManifest(schema: String, table: String, m: ObjectNode): Unit = {
-    val dst = fs.makeQualified(manifestPath(schema, table))
+    val dir = tablePath(schema, table)
     val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
-    if (fs.exists(dst)) {
-      val onDisk = readManifest(schema, table)
-      val cur = if (onDisk.has("commitVersion")) onDisk.get("commitVersion").asLong() else 0L
-      if (cur != basis) throw new java.util.ConcurrentModificationException(
-        s"$schema.$table manifest changed underneath this commit " +
-          s"(read version $basis, on-disk version $cur) — re-read and retry")
-    } else {
-      require(basis == 0L, s"$schema.$table manifest disappeared mid-commit")
-    }
-    m.put("commitVersion", basis + 1)
-    val tmp = new Path(dst.getParent,
-      s".manifest.json.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
+    val version = basis + 1
+    m.put("commitVersion", version)
+    val fc = fcFor(dir)
+    val tmp = fs.makeQualified(new Path(dir,
+      s".manifest.tmp-${java.util.UUID.randomUUID()}"))
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      dst.toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    val dst = fs.makeQualified(new Path(dir, s"manifest-v$version.json"))
+    val won = GraftCatalog.commitLock(fs.makeQualified(dir).toString).synchronized {
+      if (fs.exists(dst)) false
+      else {
+        try { fc.rename(tmp, dst); true }
+        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+      }
+    }
+    if (!won) {
+      try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
+      throw new java.util.ConcurrentModificationException(
+        s"$schema.$table manifest version $version was committed " +
+          "concurrently — re-read and retry")
+    }
+    // retention + legacy cleanup, best-effort (failures leave extra
+    // immutable files, never a broken table)
+    try {
+      val legacy = manifestPath(schema, table)
+      if (fs.exists(legacy)) fs.delete(legacy, false)
+      fs.listStatus(dir).foreach { st =>
+        manifestFileVersion(st.getPath.getName).foreach { v =>
+          if (v <= version - 10) fs.delete(st.getPath, false)
+        }
+      }
+    } catch { case _: java.io.IOException => () }
   }
 }
 
 object GraftCatalog {
+  /** Per-table-dir commit lock: closes the local filesystem's
+    * check-then-rename window inside one JVM (a real cluster store gives
+    * exclusive rename / conditional PUT natively). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[sources] def commitLock(key: String): Object =
+    commitLocks.computeIfAbsent(key, _ => new Object)
+
+  /** Shared JSON mapper for manifest-adjacent sidecar files. */
+  private[sources] val jsonMapper = new ObjectMapper()
+
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */
   val BucketCol = "__bucket"

@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * Bloom-filter file index (`file-index.bloom-filter.columns`): commit-time
+ * per-file bitsets, planning-time membership pruning for equality / IN
+ * predicates that zone maps can't answer (unclustered columns).
+ *
+ * The fixture makes zones USELESS on purpose: each commit's ids are
+ * interleaved mod 3, so every dir's id zone spans nearly the full range
+ * and only the bloom can drop files.
+ */
+class BloomIndexSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-blwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+  private val N = 3000L
+
+  private def batch(mod: Long) = spark.range(0, N)
+    .filter(col("id") % 3 === mod)
+    .selectExpr("id", "concat('n', id) AS name", "id * 2 AS val")
+    .repartition(4) // 4 files per dir -> 12 files total
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    gc.createSchema("db")
+    gc.createTable("db", "bl", batch(0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "id,name",
+        "deletion-vectors" -> "true"))
+    (0L to 2L).foreach(m => gc.append("db", "bl", batch(m).toDF()))
+  }
+
+  private def fullRead = gc.read("db", "bl")
+
+  test("createTable validates the bloom option") {
+    val sch = batch(0).schema
+    intercept[IllegalArgumentException] {
+      gc.createTable("db", "bad1", sch,
+        options = Map("file-index.bloom-filter.columns" -> "nope"))
+    }
+    intercept[IllegalArgumentException] { // partition col: path zones already prune
+      gc.createTable("db", "bad2", sch,
+        options = Map("file-index.bloom-filter.columns" -> "val"),
+        partitionBy = Seq("val"))
+    }
+    intercept[IllegalArgumentException] { // PK tables bucket-prune instead
+      gc.createTable("db", "bad3", sch,
+        options = Map("file-index.bloom-filter.columns" -> "id"),
+        primaryKey = Seq("id"))
+    }
+  }
+
+  test("every data commit writes a sidecar and a manifest pointer") {
+    val info = gc.bloomIndexInfo("db", "bl")
+    assert(info.keySet === Set("snap-1", "snap-2", "snap-3"))
+    info.foreach { case (dir, (token, cols)) =>
+      assert(token.nonEmpty)
+      assert(cols === Set("id", "name"))
+      assert(new java.io.File(s"$warehouse/db/bl/$dir/.bloomidx.json").exists(),
+        s"$dir missing sidecar")
+    }
+  }
+
+  test("equality lookup plans O(1) files, not the table") {
+    val total = fullRead.inputFiles.length
+    assert(total === 12)
+    val q = gc.readWhere("db", "bl", col("id") === 1234L)
+    // the id lives in exactly one file; bloom FPP could admit a couple
+    // more, never most of the table
+    assert(q.inputFiles.length <= 3,
+      s"expected bloom to prune to <=3 of $total files, planned ${q.inputFiles.length}")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(1234L))
+  }
+
+  test("string-column lookup prunes and matches") {
+    val q = gc.readWhere("db", "bl", col("name") === "n777")
+    assert(q.inputFiles.length <= 3)
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(777L))
+  }
+
+  test("IN list keeps exactly the files of its members") {
+    val q = gc.readWhere("db", "bl", col("id").isin(3L, 1000L, 2999L))
+    assert(q.inputFiles.length <= 6) // 3 files + FPP slack
+    assert(q.select("id").collect().map(_.getLong(0)).sorted
+      === Array(3L, 1000L, 2999L))
+  }
+
+  test("no false negatives: sampled lookups match the unpruned read") {
+    (0L until N by 131L).foreach { id =>
+      val got = gc.readWhere("db", "bl", col("id") === id)
+        .select("id", "name", "val").collect()
+      val want = fullRead.filter(col("id") === id)
+        .select("id", "name", "val").collect()
+      assert(got.toSeq === want.toSeq, s"id=$id")
+    }
+  }
+
+  test("absent value proves empty: zero files planned") {
+    val q = gc.readWhere("db", "bl", col("id") === 999999L)
+    assert(q.inputFiles.isEmpty)
+    assert(q.count() === 0L)
+  }
+
+  test("non-membership predicates pass through to zones untouched") {
+    val q = gc.readWhere("db", "bl", col("id") > 100L && col("id") < 200L)
+    val want = fullRead.filter(col("id") > 100L && col("id") < 200L)
+    assert(q.select("id").collect().map(_.getLong(0)).sorted
+      === want.select("id").collect().map(_.getLong(0)).sorted)
+  }
+
+  test("conjunction of bloom and zone constraints composes") {
+    // equality on an indexed col AND a range on an unindexed one
+    val q = gc.readWhere("db", "bl", col("id") === 1234L && col("val") >= 0L)
+    assert(q.inputFiles.length <= 3)
+    assert(q.select("val").collect().map(_.getLong(0)).toSeq === Seq(2468L))
+  }
+
+  test("deletion vectors compose: deleted id stays deleted under bloom pruning") {
+    gc.deleteWhere("db", "bl", col("id") === 1234L)
+    val q = gc.readWhere("db", "bl", col("id") === 1234L)
+    assert(q.count() === 0L)
+    val q2 = gc.readWhere("db", "bl", col("id") === 1235L)
+    assert(q2.select("id").collect().map(_.getLong(0)).toSeq === Seq(1235L))
+  }
+
+  test("compaction rebuilds the index for the rewritten dir") {
+    val wh2 = Files.createTempDirectory("graft-blwh2").toString
+    val g2 = new GraftCatalog(spark, wh2)
+    g2.createSchema("db")
+    g2.createTable("db", "c", batch(0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "id"))
+    (0L to 2L).foreach(m => g2.append("db", "c", batch(m).toDF()))
+    g2.compact("db", "c")
+    val live = g2.read("db", "c")
+    assert(live.count() === N)
+    // the rewritten dir (snap-4) is indexed; lookups stay correct and
+    // never plan MORE than the live file set
+    assert(g2.bloomIndexInfo("db", "c").contains("snap-4"))
+    val q = g2.readWhere("db", "c", col("id") === 42L)
+    assert(q.inputFiles.length <= live.inputFiles.length)
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(42L))
+  }
+
+  test("rollback drops orphaned pointers; a reused ordinal gets a fresh token") {
+    val wh3 = Files.createTempDirectory("graft-blwh3").toString
+    val g3 = new GraftCatalog(spark, wh3)
+    g3.createSchema("db")
+    g3.createTable("db", "r", batch(0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "id"))
+    g3.append("db", "r", batch(0).toDF())
+    g3.append("db", "r", batch(1).toDF())
+    val tokenBefore = g3.bloomIndexInfo("db", "r")("snap-2")._1
+    g3.rollbackTo("db", "r", 1L)
+    assert(!g3.bloomIndexInfo("db", "r").contains("snap-2"))
+    g3.append("db", "r", batch(2).toDF()) // reuses ordinal 2
+    val tokenAfter = g3.bloomIndexInfo("db", "r")("snap-2")._1
+    assert(tokenAfter !== tokenBefore)
+    val q = g3.readWhere("db", "r", col("id") === 2L) // mod-2 batch has id 2
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+}

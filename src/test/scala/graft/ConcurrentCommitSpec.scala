@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * Optimistic concurrent commits (Paimon's commit protocol): additive
+ * commits — appends, upserts, CDC merge batches — detect a concurrent
+ * writer via the manifest CAS, rebase onto the new head, and retry;
+ * commits whose content was derived from the old head — compaction,
+ * overwrite, row-level deletes — abort with the conflict instead of
+ * silently dropping the other writer's snapshot. The deterministic
+ * interleaving uses the catalog's commitTestHook seam (runs between the
+ * data write and the manifest CAS).
+ */
+class ConcurrentCommitSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-ccwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+  // second writer on the SAME warehouse — its own manifest reads, as two
+  // drivers would have
+  private lazy val other: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    gc.createSchema("db")
+  }
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi + 1).selectExpr("id", "concat('n', id) AS v")
+
+  /** Run `op` with a one-shot concurrent commit injected between its data
+    * write and its manifest CAS. */
+  private def withConflict[A](inject: => Unit)(op: => A): A = {
+    var fired = false
+    gc.commitTestHook = () => if (!fired) { fired = true; inject }
+    try op finally gc.commitTestHook = () => ()
+  }
+
+  test("concurrent appends both land: loser rebases and retries") {
+    gc.createTable("db", "ta", rows(0, 0).schema)
+    gc.append("db", "ta", rows(1, 10).toDF())
+    val id = withConflict { other.append("db", "ta", rows(11, 20).toDF()) } {
+      gc.append("db", "ta", rows(21, 30).toDF())
+    }
+    // the injected commit took snapshot 2; ours rebased to 3
+    assert(id === 3)
+    val snaps = gc.snapshots("db", "ta")
+    assert(snaps.map(_.id) === Seq(1L, 2L, 3L))
+    assert(gc.read("db", "ta").count() === 30)
+    assert(gc.read("db", "ta").agg(sum("id")).head.getLong(0) === (1L to 30L).sum)
+    // zone maps followed the rebased dir name
+    assert(gc.dirStats("db", "ta").keySet === Set("snap-1", "snap-2", "snap-3"))
+    assert(gc.countRows("db", "ta") === Some(30L))
+  }
+
+  test("concurrent upserts rebase with latest-wins intact") {
+    gc.createTable("db", "tu", rows(0, 0).schema, primaryKey = Seq("id"))
+    gc.upsert("db", "tu", rows(1, 10).toDF())
+    // our upsert of id=5 starts first but lands SECOND (rebased) — its
+    // later ordinal must win over the injected writer's version
+    withConflict {
+      other.upsert("db", "tu",
+        rows(5, 5).withColumn("v", lit("theirs")).toDF())
+    } {
+      gc.upsert("db", "tu", rows(5, 5).withColumn("v", lit("ours")).toDF())
+    }
+    val img = gc.read("db", "tu").filter(col("id") === 5).collect()
+    assert(img.length === 1 && img.head.getString(1) === "ours")
+    assert(gc.read("db", "tu").count() === 10)
+  }
+
+  test("concurrent append during compaction aborts the compaction") {
+    gc.createTable("db", "tc", rows(0, 0).schema)
+    gc.append("db", "tc", rows(1, 10).toDF())
+    gc.append("db", "tc", rows(11, 20).toDF())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      withConflict { other.append("db", "tc", rows(21, 30).toDF()) } {
+        gc.compact("db", "tc")
+      }
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // the concurrent append survived; the aborted compaction lost nothing
+    assert(gc.read("db", "tc").count() === 30)
+    assert(gc.snapshots("db", "tc").map(_.id) === Seq(1L, 2L, 3L))
+    // re-running the compaction against the new head succeeds
+    gc.compact("db", "tc")
+    assert(gc.read("db", "tc").count() === 30)
+  }
+
+  test("concurrent append during overwrite and delete aborts them") {
+    gc.createTable("db", "to", rows(0, 0).schema, primaryKey = Seq("id"))
+    gc.upsert("db", "to", rows(1, 10).toDF())
+    intercept[java.util.ConcurrentModificationException] {
+      withConflict { other.upsert("db", "to", rows(11, 12).toDF()) } {
+        gc.overwrite("db", "to", rows(1, 3).toDF())
+      }
+    }
+    assert(gc.read("db", "to").count() === 12)
+    intercept[java.util.ConcurrentModificationException] {
+      withConflict { other.upsert("db", "to", rows(13, 14).toDF()) } {
+        gc.deleteWhere("db", "to", col("id") <= 5)
+      }
+    }
+    assert(gc.read("db", "to").count() === 14)
+  }
+
+  test("many writers: every append lands exactly once") {
+    gc.createTable("db", "tm", rows(0, 0).schema)
+    // real (non-injected) concurrency: 8 threads, one append each
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        val cat = new GraftCatalog(spark, warehouse)
+        cat.append("db", "tm", rows(i * 100L, i * 100L + 9).toDF())
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    // every writer landed exactly once; ids are unique and strictly
+    // increasing in commit order — contested claims may BURN ordinals
+    // (claim order and CAS order can invert), so ids need not be
+    // contiguous, and nothing requires them to be
+    val ids = gc.snapshots("db", "tm").map(_.id)
+    assert(ids.length === 8 && ids === ids.sorted && ids.distinct.length === 8,
+      s"snapshot ids $ids")
+    assert(gc.read("db", "tm").count() === 80)
+    assert(gc.read("db", "tm").agg(sum("id")).head.getLong(0) ===
+      (1 to 8).map(i => (i * 100L until i * 100L + 10).sum).sum)
+    assert(gc.countRows("db", "tm") === Some(80L))
+  }
+}

@@ -612,11 +612,15 @@ class GraftCatalogSpec extends SparkSpecBase {
     cat.createTable("db", "t", abSchema)
     (1 to 5).foreach(i => cat.append("db", "t", Seq((i.toLong, s"v$i")).toDF("id", "name")))
     val tableDir = new java.io.File(s"$wh/db/t")
-    val leftovers = tableDir.listFiles().map(_.getName).filter(_.contains("manifest.json.tmp"))
+    val leftovers = tableDir.listFiles().map(_.getName).filter(_.contains(".manifest.tmp"))
     assert(leftovers.isEmpty, s"orphan temp manifests: ${leftovers.mkString(",")}")
+    // manifests are immutable versioned files (exclusive-rename CAS);
+    // createTable + 5 appends = 6 commits -> manifest-v6.json is current
+    val versions = tableDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("manifest-v") && n.endsWith(".json"))
+    assert(versions.map(_.stripPrefix("manifest-v").stripSuffix(".json").toLong).max === 6L)
     val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(new java.io.File(tableDir, "manifest.json"))
-    // createTable + 5 appends = 6 commits
+      .readTree(new java.io.File(tableDir, "manifest-v6.json"))
     assert(m.get("commitVersion").asLong() === 6L)
     assert(cat.read("db", "t").count() === 5)
   }
