@@ -49,6 +49,28 @@ class GraftZonePrune extends Rule[LogicalPlan] {
           val keptDirs = cur.filter(p =>
             stats.get(p).forall(FileStats.mightMatch(_, cond)))
           var changed = keptDirs.size < cur.size
+          // Bloom refinement (same contract as readWhere's bloom pass):
+          // files whose bitsets prove every literal of some equality/IN
+          // constraint absent are dropped alongside the zone-pruned ones.
+          val constraints =
+            if (gt.bloomInfo.isEmpty) Seq.empty
+            else FileStats.eqConstraints(cond)
+          def bloomKeep(p: String, files: Map[String, FileStats.DirStats])
+              : Map[String, FileStats.DirStats] =
+            gt.bloomInfo.get(p) match {
+              case Some((token, cols)) if constraints.exists(c => cols(c._1)) =>
+                val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+                  SparkSession.active.sessionState.newHadoopConf())
+                graft.sources.BloomIndex.load(fs,
+                    new org.apache.hadoop.fs.Path(p), token) match {
+                  case Some(di) => files.filter { case (abs, _) =>
+                    val rel = abs.stripPrefix(p).stripPrefix("/")
+                    graft.sources.BloomIndex.fileMightMatch(di, rel, constraints)
+                  }
+                  case None => files
+                }
+              case _ => files
+            }
           // Per-FILE refinement (the reference's skip unit): a surviving
           // dir whose per-file zones rule out SOME files is replaced by
           // its matching file paths. The rewrite re-keys the zone map to
@@ -59,8 +81,8 @@ class GraftZonePrune extends Rule[LogicalPlan] {
           val paths = keptDirs.flatMap { p =>
             fz.get(p).filter(_.nonEmpty) match {
               case Some(files) =>
-                val keptFiles = files.filter { case (_, z) =>
-                  FileStats.mightMatch(z, cond) }
+                val keptFiles = bloomKeep(p, files.filter { case (_, z) =>
+                  FileStats.mightMatch(z, cond) })
                 if (keptFiles.size < files.size) {
                   changed = true
                   newStats ++= keptFiles

@@ -673,7 +673,7 @@ private[graft] object FileStats {
    * (lits)` shapes with canonical Long/String domains qualify (the two
    * domains the bloom hashes).
    */
-  private[sources] def eqConstraints(pred: Expression): Seq[(String, Seq[Any])] = {
+  private[graft] def eqConstraints(pred: Expression): Seq[(String, Seq[Any])] = {
     def bloomable(v: Any): Boolean = v.isInstanceOf[Long] || v.isInstanceOf[String]
     def ofEq(a: Expression, lit: Expression): Seq[(String, Seq[Any])] =
       (for (name <- attrName(a); (v, dt) <- litVal(lit);

@@ -329,7 +329,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       canDelete = pk.nonEmpty || tblOpts.get("deletion-vectors").contains("true"),
       coords = Some((warehouse, schemaName, tableName)),
       zoneStatsIn = zoneStatsIn, exactRowCountIn = exactRowCountIn,
-      fileZonesIn = fileZonesIn)
+      fileZonesIn = fileZonesIn,
+      bloomIn = () => gc.bloomIndexInfo(schemaName, tableName)
+        .map { case (d, v) => dirPath(d) -> v })
   }
 
   /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
@@ -515,7 +517,13 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       * use is unpartitioned-gated, inside GraftZonePrune, because file
       * paths lose the `col=value` segments a partitioned scan derives
       * partition columns from. */
-    fileZonesIn: () => Option[Map[String, Map[String, FileStats.DirStats]]] = () => None)
+    fileZonesIn: () => Option[Map[String, Map[String, FileStats.DirStats]]] = () => None,
+    /** Bloom-index pointers (dir root path → (cache token, indexed
+      * cols)) — lets GraftZonePrune refine equality/IN lookups to the
+      * files whose bloom admits a literal, same contract as
+      * [[GraftCatalog.readWhere]]'s bloom pass. Thunked like the zones:
+      * zero manifest cost unless a Filter actually consults it. */
+    bloomIn: () => Map[String, (String, Set[String])] = () => Map.empty)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private[graft] lazy val zoneStats: Option[Map[String, FileStats.DirStats]] =
@@ -523,6 +531,7 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
   private[graft] lazy val exactRowCount: Option[Long] = exactRowCountIn()
   private[graft] lazy val fileZones: Option[Map[String, Map[String, FileStats.DirStats]]] =
     fileZonesIn()
+  private[graft] lazy val bloomInfo: Map[String, (String, Set[String])] = bloomIn()
 
   /** This table as a read-only view (same scan, no write surface). */
   private[graft] def asReadOnly: GraftSqlTable =

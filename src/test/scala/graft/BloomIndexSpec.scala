@@ -145,6 +145,27 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(42L))
   }
 
+  test("SQL scans bloom-prune equality lookups (GraftZonePrune)") {
+    spark.conf.set("spark.sql.catalog.gb", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gb.warehouse", warehouse)
+    gc.createTable("db", "sq", batch(0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "id"))
+    (0L to 2L).foreach(m => gc.append("db", "sq", batch(m).toDF()))
+    val df = spark.sql("SELECT id, name FROM gb.db.sq WHERE id = 777")
+    val roots = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan match {
+          case fsc: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            fsc.fileIndex.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(roots.nonEmpty && roots.size <= 3,
+      s"expected <=3 bloom-kept file roots out of 12 files, planned $roots")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((777L, "n777")))
+  }
+
   test("rollback drops orphaned pointers; a reused ordinal gets a fresh token") {
     val wh3 = Files.createTempDirectory("graft-blwh3").toString
     val g3 = new GraftCatalog(spark, wh3)
