@@ -54,7 +54,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist to a file: the driver captures stdout's tail, which a
+    // 130-query JSON line can overrun (BENCH_r07 was truncated mid-stream
+    // and unparseable). The file is the durable copy of the same line.
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, line + "\n")
     spark.stop()
   }
 }

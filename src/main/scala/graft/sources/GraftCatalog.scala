@@ -357,8 +357,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       keepExisting: Boolean, streamBatchId: Option[Long] = None,
       kind: String = "data", deleteDf: Option[DataFrame] = None,
       compaction: Boolean = false,
-      dvIndexEntry: Option[(Seq[String], Long)] = None): Long = {
+      dvIndexEntry: Option[(Seq[String], Long)] = None,
+      basisVersion: Option[Long] = None): Long = {
     val m = readManifest(schema, table)
+    // Derived-content commits (DV deletes) pass the manifest version their
+    // victims were computed against: if the head advanced in between (a
+    // concurrent compact/overwrite may have retired the very files the
+    // (file, pos) pairs name), the delete would land referencing dead
+    // files and be silently lost — abort instead, matching the
+    // stale-rewrite-aborts contract below.
+    basisVersion.foreach { b =>
+      val now = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+      if (now != b) throw new java.util.ConcurrentModificationException(
+        s"$schema.$table: head advanced (manifest v$b -> v$now) since this " +
+          "commit's content was derived — re-run against the new head")
+    }
     if (kind == "data") {
       val cur = currentSchema(schema, table)
       require(df.schema.fieldNames.sameElements(cur.fieldNames),
@@ -512,7 +525,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // concurrent commit (Paimon aborts conflicting compactions the same
     // way); the caller re-runs against the new head. An aborted attempt
     // leaves only an unreferenced dir (never a dangling manifest),
-    // harmless and reclaimed by expiration.
+    // harmless until [[sweepOrphanDirs]] reclaims it (plain expiration
+    // can't: it only deletes dirs that dropped snapshot entries name).
     val retryable = keepExisting && kind == "data" && !compaction
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(tablePath(schema, table)).toUri,
@@ -584,6 +598,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   /** Test seam: runs after the commit's data write, before the manifest
     * CAS — lets a spec inject a concurrent commit deterministically. */
   private[graft] var commitTestHook: () => Unit = () => ()
+
+  /** Test seam: runs after a DV delete's (file, pos) victims are derived,
+    * before the commit that lands them — the window where a concurrent
+    * compact/overwrite retires the very files the victims name. */
+  private[graft] var dvVictimsTestHook: () => Unit = () => ()
 
   /** Highest streaming batchId committed to this table (-1 = none). */
   def lastStreamBatchId(schema: String, table: String): Long = {
@@ -724,7 +743,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
     val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
     val id = lastId + 1
-    val staging = new Path(tablePath(schema, table), s".snap-$id-staging")
+    // UNIQUE per-attempt staging dir (same rule as commit()'s): two
+    // concurrent sortCompacts at the same head must never share or
+    // clobber each other's staging bytes.
+    val staging = new Path(tablePath(schema, table),
+      s".staging-sort-${java.util.UUID.randomUUID()}")
     // Linear order: range-partition + sort by the columns themselves.
     // Z-order: range-partition + sort by the interleaved-bit z-value, so
     // EVERY `by` column gets a tight per-dir zone (a lexicographic sort
@@ -757,16 +780,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .map(_.getPath.getName).filter(_.startsWith("__range="))
       .sortBy(_.stripPrefix("__range=").toInt)
     val sv = m.get("currentSchemaVersion").asInt()
+    // Promote each range subdir by the SAME exclusive-rename claim
+    // commit() uses: the rename fails if the target exists, so a
+    // concurrent sortCompact (or a dead attempt's leftover) at the same
+    // ordinal ABORTS instead of deleting dirs another writer may own —
+    // delete-then-rename here could silently replace a winner's promoted
+    // files and make its recorded zone maps wrong. An aborted attempt
+    // leaves only unreferenced dirs, reclaimed by sweepOrphanDirs.
+    val fcSort = org.apache.hadoop.fs.FileContext.getFileContext(
+      fs.makeQualified(tablePath(schema, table)).toUri,
+      spark.sparkContext.hadoopConfiguration)
     val entries = rangeDirs.map { rd =>
       val dir = s"snap-$id-r${rd.stripPrefix("__range=")}"
-      val dst = new Path(tablePath(schema, table), dir)
-      // a crashed earlier attempt may have left dst behind (the id is
-      // reused until a manifest commit) — renaming onto an existing dir
-      // would nest the source inside it, so clear it first and check
-      // the rename actually happened
-      if (fs.exists(dst)) fs.delete(dst, true)
-      require(fs.rename(new Path(staging, rd), dst),
-        s"sortCompact: rename of $rd to $dir failed")
+      val dst = fs.makeQualified(new Path(tablePath(schema, table), dir))
+      val won = GraftCatalog.commitLock(
+          fs.makeQualified(tablePath(schema, table)).toString).synchronized {
+        if (fs.exists(dst)) false
+        else try {
+          fcSort.rename(fs.makeQualified(new Path(staging, rd)), dst); true
+        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                       _: java.io.IOException => false }
+      }
+      if (!won) {
+        try fs.delete(staging, true) catch { case _: java.io.IOException => () }
+        throw new java.util.ConcurrentModificationException(
+          s"$schema.$table: snap-$id-r* is claimed by a concurrent " +
+            "sortCompact (or a dead attempt's leftover) — re-run; orphan " +
+            "dirs are reclaimed by sweepOrphanDirs")
+      }
       FileEntry(dir, sv, "data")
     }.toSeq
     fs.delete(staging, true)
@@ -877,6 +918,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (dropped.isEmpty) return Seq.empty
     val kept = (pinned ++ kept0).sortBy(_.get("id").asLong())
     dropSnapshots(schema, table, m, kept, dropped)
+    try sweepOrphanDirs(schema, table)
+    catch { case _: java.io.IOException => () }
     dropped.map(_.get("id").asLong())
   }
 
@@ -904,7 +947,40 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     if (dropped.isEmpty) return Seq.empty
     dropSnapshots(schema, table, m, kept, dropped)
+    try sweepOrphanDirs(schema, table)
+    catch { case _: java.io.IOException => () }
     dropped.map(_.get("id").asLong())
+  }
+
+  /**
+   * Reclaim orphan dirs: `snap-*` dirs on disk that NO manifest snapshot
+   * references (a claimed-but-never-landed commit attempt — e.g. a
+   * non-retryable CAS loss or a crash between dir claim and manifest
+   * write — leaves a full data copy referenced by nothing; expiration
+   * alone never reclaims it because [[dropSnapshots]] only deletes dirs
+   * that dropped snapshot ENTRIES referenced), plus dead dot-staging
+   * files. Only entries older than `graceMillis` are touched, so an
+   * in-flight commit between its dir claim and manifest CAS is never
+   * swept. Runs best-effort from both expiration entry points; callable
+   * directly for immediate cleanup. Returns the deleted dir names.
+   */
+  def sweepOrphanDirs(schema: String, table: String,
+      graceMillis: Long = 3600000L): Seq[String] = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val referenced = (0 until snaps.size()).map(snaps.get)
+      .flatMap(filesOf).map(_.dir).toSet
+    val cutoff = System.currentTimeMillis() - graceMillis
+    fs.listStatus(tablePath(schema, table)).toSeq.flatMap { st =>
+      val name = st.getPath.getName
+      val orphanSnap = name.startsWith("snap-") && !referenced.contains(name)
+      val deadStaging = (name.startsWith(".staging-") ||
+        name.startsWith(".manifest.tmp-") || name.startsWith(".snap-"))
+      if ((orphanSnap || deadStaging) && st.getModificationTime < cutoff) {
+        try { fs.delete(st.getPath, true); Some(name) }
+        catch { case _: java.io.IOException => None }
+      } else None
+    }
   }
 
   /** Shared tail of [[expireSnapshots]] and [[rollbackTo]]: rewrite the
@@ -1445,9 +1521,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // in that file (`_metadata.row_index` — generated from row-group
     // offsets, stable across reads and pushdown). Both are constant
     // metadata columns, so the scan stays vectorized.
+    // The greedy `.*` anchors the capture at the LAST path segment that
+    // starts with "snap-": a warehouse path that itself contains a
+    // "/snap-…" segment must not shift the capture left, or DV entries
+    // would carry warehouse prefixes that never match the table-relative
+    // paths the dvIndex and appendUnion compare against.
     val metaCols = if (!withMeta) Seq.empty else Seq(
       org.apache.spark.sql.functions.regexp_extract(
-        col("_metadata.file_path"), "/(snap-.*)$", 1).as(DvFileCol),
+        col("_metadata.file_path"), "^.*/(snap-[^/]+(?:/.+)?)$", 1).as(DvFileCol),
       col("_metadata.row_index").as(DvPosCol))
     // ordinal = leading digits of the dir name: "snap-7" and a merge
     // commit's paired "snap-7-del" share ordinal 7 (one atomic snapshot;
@@ -2025,9 +2106,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (perFile.isEmpty) return latest.get("id").asLong()
       val files = perFile.map(_.getString(0)).toSeq.sorted
       val rows = perFile.map(_.getLong(1)).sum
+      dvVictimsTestHook()
       commit(schema, table,
         victims.sortWithinPartitions(DvFileCol, DvPosCol),
-        keepExisting = true, kind = "dv", dvIndexEntry = Some((files, rows)))
+        keepExisting = true, kind = "dv", dvIndexEntry = Some((files, rows)),
+        // victims are (file, pos) pairs derived from THIS manifest's file
+        // set — a concurrent compact/overwrite would retire those files,
+        // so the commit must abort if the head moved (see commit()).
+        basisVersion = Some(
+          if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L))
     } finally { victims.unpersist(); () }
   }
 

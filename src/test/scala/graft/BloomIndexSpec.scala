@@ -146,12 +146,12 @@ class BloomIndexSpec extends SparkSpecBase {
   }
 
   test("SQL scans bloom-prune equality lookups (GraftZonePrune)") {
-    spark.conf.set("spark.sql.catalog.gb", "graft.sources.GraftSparkCatalog")
-    spark.conf.set("spark.sql.catalog.gb.warehouse", warehouse)
+    spark.conf.set("spark.sql.catalog.gbl", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gbl.warehouse", warehouse)
     gc.createTable("db", "sq", batch(0).schema,
       options = Map("file-index.bloom-filter.columns" -> "id"))
     (0L to 2L).foreach(m => gc.append("db", "sq", batch(m).toDF()))
-    val df = spark.sql("SELECT id, name FROM gb.db.sq WHERE id = 777")
+    val df = spark.sql("SELECT id, name FROM gbl.db.sq WHERE id = 777")
     val roots = df.queryExecution.executedPlan.collect {
       case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
         b.scan match {

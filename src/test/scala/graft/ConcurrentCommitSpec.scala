@@ -107,6 +107,73 @@ class ConcurrentCommitSpec extends SparkSpecBase {
     assert(gc.read("db", "to").count() === 14)
   }
 
+  test("DV delete aborts when a concurrent compact retires its victim files") {
+    gc.createTable("db", "tdv", rows(0, 0).schema,
+      options = Map("deletion-vectors" -> "true"))
+    gc.append("db", "tdv", rows(1, 10).toDF())
+    gc.append("db", "tdv", rows(11, 20).toDF())
+    // the compact lands AFTER the delete derived its (file, pos) victims
+    // but BEFORE its commit — the victims name files the compact retires,
+    // so landing them would silently lose the delete (rows resurrect)
+    gc.dvVictimsTestHook = () => { other.compact("db", "tdv"); () }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        gc.deleteWhere("db", "tdv", col("id") <= 5)
+      }
+      assert(e.getMessage.contains("derived"))
+    } finally gc.dvVictimsTestHook = () => ()
+    // nothing was lost or half-applied: full image intact, count exact
+    assert(gc.read("db", "tdv").count() === 20)
+    assert(gc.countRows("db", "tdv") === Some(20L))
+    // re-running against the new head succeeds and deletes exactly 5 rows
+    gc.deleteWhere("db", "tdv", col("id") <= 5)
+    assert(gc.read("db", "tdv").count() === 15)
+    assert(gc.countRows("db", "tdv") === Some(15L))
+  }
+
+  test("sortCompact aborts, not deletes, when its target dir is claimed") {
+    gc.createTable("db", "tsc", rows(0, 0).schema)
+    gc.append("db", "tsc", rows(1, 100).toDF())
+    // simulate a concurrent sortCompact that already claimed snap-2-r0
+    val claimed = new java.io.File(s"$warehouse/db/tsc/snap-2-r0")
+    assert(claimed.mkdirs())
+    val marker = new java.io.File(claimed, "winner-marker")
+    assert(marker.createNewFile())
+    val e = intercept[java.util.ConcurrentModificationException] {
+      gc.sortCompact("db", "tsc", Seq("id"), ranges = 4)
+    }
+    assert(e.getMessage.contains("claimed"))
+    // the loser must NOT have deleted the winner's dir or its contents
+    assert(marker.exists(), "concurrent claimant's dir was clobbered")
+    // table is untouched by the aborted attempt
+    assert(gc.read("db", "tsc").count() === 100)
+    // clear the fake claim; the re-run lands normally
+    assert(marker.delete() && claimed.delete())
+    gc.sortCompact("db", "tsc", Seq("id"), ranges = 4)
+    assert(gc.read("db", "tsc").count() === 100)
+  }
+
+  test("sweepOrphanDirs reclaims unreferenced snap dirs, keeps live ones") {
+    gc.createTable("db", "tsw", rows(0, 0).schema)
+    gc.append("db", "tsw", rows(1, 10).toDF())
+    // a claimed-but-never-landed attempt: full data dir, no manifest entry
+    val orphan = new java.io.File(s"$warehouse/db/tsw/snap-99")
+    assert(orphan.mkdirs())
+    assert(new java.io.File(orphan, "part-dead.parquet").createNewFile())
+    // a dead staging dir from a crashed writer
+    val staging = new java.io.File(s"$warehouse/db/tsw/.staging-dead")
+    assert(staging.mkdirs())
+    // within the grace window nothing is touched (could be in-flight)
+    assert(gc.sweepOrphanDirs("db", "tsw", graceMillis = 3600000L) === Seq.empty)
+    assert(orphan.exists() && staging.exists())
+    Thread.sleep(20) // entries must be strictly older than the cutoff
+    val swept = gc.sweepOrphanDirs("db", "tsw", graceMillis = 0L)
+    assert(swept.toSet === Set("snap-99", ".staging-dead"))
+    assert(!orphan.exists() && !staging.exists())
+    // the referenced dir survived and the table still reads
+    assert(gc.read("db", "tsw").count() === 10)
+  }
+
   test("many writers: every append lands exactly once") {
     gc.createTable("db", "tm", rows(0, 0).schema)
     // real (non-injected) concurrency: 8 threads, one append each
