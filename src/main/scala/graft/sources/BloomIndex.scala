@@ -2,14 +2,15 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 import java.util.Base64
+import java.util.concurrent.atomic.AtomicLong
 
 import scala.collection.mutable
 
-import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
 
 /**
  * Per-file BLOOM-FILTER index for equality / IN predicates — the
@@ -27,33 +28,55 @@ import org.apache.spark.sql.types._
  * literal — O(1) files instead of O(table).
  *
  * Write side: [[build]] runs ONE distributed job over the freshly
- * committed dir (executors hash the indexed columns of their files into
- * per-file bitsets, sized from the footer row counts, OR-merged), and
- * the index lands as a dot-file sidecar INSIDE the dir — invisible to
- * parquet discovery, atomic with the dir's claim-rename, immutable like
- * the dir itself. The manifest records only {token, cols} per dir, so
- * planning knows which dirs are indexed without touching the FS; the
- * sidecar is opened lazily per candidate dir and cached by token (dirs
- * are immutable; the token changes if an ordinal is ever reused after
- * rollback).
+ * committed dir. Executors hash the indexed columns of their splits
+ * into per-file bitsets (sized from the footer row counts), a single
+ * shuffle OR-merges partial bitsets per file, and THE EXECUTOR THAT
+ * HOLDS EACH FILE'S MERGED BITSETS WRITES THAT FILE'S SIDECAR —
+ * `<dir>/.bloomidx/<relpath>.json`, dot-prefixed so parquet discovery
+ * never sees it, inside the staging dir so the ordinal claim-rename
+ * moves data and index atomically. No bitset ever crosses to the
+ * driver (a bulk load landing 10⁵ files × 1 MiB/col would otherwise
+ * collect tens of GiB — the same flaw class as a driver-side footer
+ * pass); the job's only driver-visible result is the count of sidecars
+ * written, and [[driverBitsetBytes]] stays 0 as the tripwire tests
+ * assert. Paimon likewise writes per-file index files, consulted
+ * lazily by SnapshotReader.
  *
- * Read side is strictly conservative: a file is dropped only when EVERY
- * literal of some conjunctive equality/IN constraint on an indexed
- * column is PROVABLY absent (bloom filters have no false negatives).
- * Unknown columns, non-equality shapes, unreadable sidecars keep the
- * file. Deletion vectors compose (deletes only shrink a file's value
- * set). Hashing uses the same canonical domains as the zone evaluator
- * (integral/date/timestamp → Long, string → UTF-8 String), computed by
- * the SAME JVM code on both sides, so write/read hashes always agree.
+ * Read side is strictly conservative and LAZY: planning loads only the
+ * sidecars of files a query's zone/partition-admitted candidates name
+ * ([[sidecarLoads]] counts opens), cached per (token, file). A file is
+ * dropped only when EVERY literal of some conjunctive equality/IN
+ * constraint on an indexed column is PROVABLY absent (bloom filters
+ * have no false negatives). Unknown columns, non-equality shapes,
+ * unreadable sidecars keep the file. Deletion vectors compose (deletes
+ * only shrink a file's value set). Hashing uses the same canonical
+ * domains as the zone evaluator (integral/date/timestamp → Long,
+ * string → UTF-8 String), computed by the SAME JVM code on both sides,
+ * so write/read hashes always agree.
  */
 private[graft] object BloomIndex {
 
   val OptionKey = "file-index.bloom-filter.columns"
-  val FileName = ".bloomidx.json"
-  val FormatVersion = 1
+
+  /** Sidecar directory inside each data dir; the leading dot hides the
+    * whole subtree from parquet discovery. One JSON per data file. */
+  val DirName = ".bloomidx"
+  val FormatVersion = 2
 
   /** Hash-function count. With ~12 bits/key, k=5 gives FPP ≈ 0.5%. */
   val K = 5
+
+  /** Bytes of bitset materialized ON THE DRIVER during builds. The
+    * executor-write design keeps this 0; tests assert it (the analog of
+    * FileStats.driverFooterReads). */
+  val driverBitsetBytes = new AtomicLong(0L)
+
+  /** Per-file sidecar opens at planning time — lazy loading means a
+    * query pays O(admitted files), not O(table). */
+  val sidecarLoads = new AtomicLong(0L)
+
+  def sidecarPath(dirPath: Path, rel: String): Path =
+    new Path(dirPath, s"$DirName/$rel.json")
 
   /** Columns whose canonical domain is Long or String — the domains the
     * build projection and the literal canonicalization both produce. */
@@ -118,21 +141,24 @@ private[graft] object BloomIndex {
   def mightContain(words: Array[Long], mBits: Int, v: Any): Boolean =
     setOrTest(words, mBits, v, set = false)
 
-  /** Loaded index of one dir: file (dir-relative path) → column →
-    * (bits, words). A file entry EXISTS for every file of the dir
-    * (zero-row files carry empty column maps), so a missing column under
-    * a present file means "no non-null value was ever added" — provably
-    * empty for any literal. */
-  final case class DirIndex(cols: Set[String],
-      files: Map[String, Map[String, (Int, Array[Long])]])
+  /** One file's loaded index: column → (bits, words). A sidecar EXISTS
+    * for every file of an indexed dir (zero-row / all-null files carry
+    * empty column maps), so a missing column in a present sidecar means
+    * "no non-null value was ever added" — provably empty for any
+    * literal; a missing sidecar means "unknown", kept conservatively. */
+  final case class FileBloom(cols: Map[String, (Int, Array[Long])])
 
   /**
-   * Build the dir's bloom sidecar in ONE distributed job and write it
-   * as `<dir>/.bloomidx.json`. `fileRows` are the footer row counts the
-   * zone collection just produced (sizes each file's bitset). Returns
-   * the indexed column names, or None when nothing was written (no
-   * indexable columns / empty dir / job failure — all conservative:
-   * readers simply don't bloom-prune this dir).
+   * Build the dir's bloom sidecars in ONE distributed job: per-split
+   * partial bitsets → one shuffle OR-merge per file → the holding
+   * executor writes `<dir>/.bloomidx/<rel>.json`. `fileRows` are the
+   * footer row counts the zone collection just produced (sizes each
+   * file's bitset). Every file in `fileRows` gets a sidecar — files
+   * whose indexed columns are entirely null get an empty one, which is
+   * the "provably empty" marker readers rely on. Returns the indexed
+   * column names, or None when nothing was written (no indexable
+   * columns / empty dir / job failure — all conservative: readers
+   * simply don't bloom-prune this dir).
    */
   def build(spark: SparkSession, fs: FileSystem, dirPath: Path,
       schema: StructType, colsWanted: Set[String],
@@ -146,50 +172,69 @@ private[graft] object BloomIndex {
     val marker = s"/${dirPath.getName}/"
     val sizes = fileRows.map { case (r, n) => r -> bitsFor(n) }
     try {
+      val sc = spark.sparkContext
       val proj = col("_metadata.file_path") +:
         idxFields.toSeq.map(f => canonical(f))
       val df = spark.read.parquet(dirPath.toString).select(proj: _*)
-      val bSizes = spark.sparkContext.broadcast(sizes)
+      val bSizes = sc.broadcast(sizes)
+      val confB = SerializableConfiguration.broadcast(sc)
+      val dirStr = dirPath.toString
       val nCols = names.length
-      val merged: Array[((String, Int), Array[Long])] =
-        df.rdd.mapPartitions { it =>
-          val acc = mutable.HashMap[(String, Int), Array[Long]]()
-          it.foreach { row =>
-            val abs = row.getString(0)
-            val cut = abs.indexOf(marker)
-            if (cut >= 0) {
-              val rel = abs.substring(cut + marker.length)
-              val mBits = bSizes.value.getOrElse(rel, 0)
-              if (mBits > 0) {
-                var c = 0
-                while (c < nCols) {
-                  if (!row.isNullAt(c + 1)) {
-                    val words = acc.getOrElseUpdate((rel, c),
-                      new Array[Long](mBits >>> 6))
-                    add(words, mBits, row.get(c + 1))
-                  }
-                  c += 1
+      // Per-split partial bitsets, keyed by file: Map(colIdx -> words).
+      val partial = df.rdd.mapPartitions { it =>
+        val acc = mutable.HashMap[String, mutable.HashMap[Int, Array[Long]]]()
+        it.foreach { row =>
+          val abs = row.getString(0)
+          val cut = abs.indexOf(marker)
+          if (cut >= 0) {
+            val rel = abs.substring(cut + marker.length)
+            val mBits = bSizes.value.getOrElse(rel, 0)
+            if (mBits > 0) {
+              val byCol = acc.getOrElseUpdate(rel, mutable.HashMap())
+              var c = 0
+              while (c < nCols) {
+                if (!row.isNullAt(c + 1)) {
+                  val words = byCol.getOrElseUpdate(c,
+                    new Array[Long](mBits >>> 6))
+                  add(words, mBits, row.get(c + 1))
                 }
+                c += 1
               }
             }
           }
-          acc.iterator
-        }.reduceByKey { (a, b) =>
-          var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a
-        }.collect()
-      val byFile = merged.groupBy(_._1._1)
-      val root = GraftCatalog.jsonMapper.createObjectNode()
-      root.put("v", FormatVersion)
-      root.put("k", K)
-      val ca = root.putArray("cols")
-      names.foreach(ca.add)
-      val fn = root.putObject("files")
-      // EVERY file gets an entry (empty cols = provably-empty bloom), so
-      // readers can tell "file indexed, value absent" from "file unknown"
-      fileRows.keys.toSeq.sorted.foreach { rel =>
-        val fe = fn.putObject(rel)
-        val cn = fe.putObject("cols")
-        byFile.getOrElse(rel, Array.empty).foreach { case ((_, ci), words) =>
+        }
+        acc.iterator.map { case (rel, m) => rel -> m.toMap }
+      }
+      // Seed every file with an empty map so all-null / zero-row files
+      // still land a (provably-empty) sidecar.
+      val seeds = sc.parallelize(fileRows.keys.toSeq,
+        math.max(1, math.min(fileRows.size, 32)))
+        .map(rel => rel -> Map.empty[Int, Array[Long]])
+      // One shuffle: OR-merge partials per file; the reducer that ends
+      // up holding a file's bitsets writes its sidecar right there.
+      val written = partial.union(seeds).reduceByKey { (a, b) =>
+        if (a.isEmpty) b
+        else if (b.isEmpty) a
+        else {
+          val out = mutable.HashMap[Int, Array[Long]]() ++= a
+          b.foreach { case (ci, w) =>
+            out.get(ci) match {
+              case Some(ex) =>
+                var i = 0; while (i < ex.length) { ex(i) |= w(i); i += 1 }
+              case None => out += ci -> w
+            }
+          }
+          out.toMap
+        }
+      }.map { case (rel, byCol) =>
+        val conf = confB.value.value
+        val target = sidecarPath(new Path(dirStr), rel)
+        val fsx = target.getFileSystem(conf)
+        val root = GraftCatalog.jsonMapper.createObjectNode()
+        root.put("v", FormatVersion)
+        root.put("k", K)
+        val cn = root.putObject("cols")
+        byCol.toSeq.sortBy(_._1).foreach { case (ci, words) =>
           val c = cn.putObject(names(ci))
           c.put("m", words.length << 6)
           val bytes = new Array[Byte](words.length * 8)
@@ -198,68 +243,67 @@ private[graft] object BloomIndex {
           words.foreach(bb.putLong)
           c.put("b64", Base64.getEncoder.encodeToString(bytes))
         }
-      }
-      val out = fs.create(new Path(dirPath, FileName), true)
-      try out.write(GraftCatalog.jsonMapper.writeValueAsBytes(root))
-      finally out.close()
-      Some(names)
+        val out = fsx.create(target, true)
+        try out.write(GraftCatalog.jsonMapper.writeValueAsBytes(root))
+        finally out.close()
+        1L
+      }.fold(0L)(_ + _)
+      if (written == fileRows.size.toLong) Some(names) else None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  // Sidecars are immutable once their dir lands; cache by manifest token
-  // (a reused ordinal after rollback gets a fresh token). Crude size cap
-  // keeps a long-lived driver bounded.
+  // Sidecars are immutable once their dir lands; cache per (manifest
+  // token, file) — a reused ordinal after rollback gets a fresh token.
+  // Crude size cap keeps a long-lived driver bounded.
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[DirIndex]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[FileBloom]]()
 
-  def load(fs: FileSystem, dirPath: Path, token: String): Option[DirIndex] = {
-    if (cache.size > 256) cache.clear()
-    cache.computeIfAbsent(token, _ => loadUncached(fs, dirPath))
+  def loadFile(fs: FileSystem, dirPath: Path, token: String,
+      rel: String): Option[FileBloom] = {
+    if (cache.size > 4096) cache.clear()
+    cache.computeIfAbsent((token, rel), _ => loadFileUncached(fs, dirPath, rel))
   }
 
-  private def loadUncached(fs: FileSystem, dirPath: Path): Option[DirIndex] =
+  private def loadFileUncached(fs: FileSystem, dirPath: Path,
+      rel: String): Option[FileBloom] =
     try {
-      val p = new Path(dirPath, FileName)
+      sidecarLoads.incrementAndGet()
+      val p = sidecarPath(dirPath, rel)
       if (!fs.exists(p)) return None
       val in = fs.open(p)
       val root = try GraftCatalog.jsonMapper.readTree(in) finally in.close()
       if (root.path("v").asInt(-1) != FormatVersion ||
           root.path("k").asInt(-1) != K) return None
-      val cols = mutable.Set[String]()
-      root.get("cols").forEach(n => cols += n.asText())
-      val files = mutable.HashMap[String, Map[String, (Int, Array[Long])]]()
-      val fn = root.get("files").asInstanceOf[ObjectNode]
-      fn.fieldNames().forEachRemaining { rel =>
-        val cn = fn.get(rel).get("cols").asInstanceOf[ObjectNode]
-        val m = mutable.HashMap[String, (Int, Array[Long])]()
-        cn.fieldNames().forEachRemaining { c =>
-          val e = cn.get(c)
-          val bytes = Base64.getDecoder.decode(e.get("b64").asText())
-          val words = new Array[Long](bytes.length / 8)
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          var i = 0
-          while (i < words.length) { words(i) = bb.getLong; i += 1 }
-          m += c -> (e.get("m").asInt(), words)
-        }
-        files += rel -> m.toMap
+      val cn = root.get("cols")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      val m = mutable.HashMap[String, (Int, Array[Long])]()
+      cn.fieldNames().forEachRemaining { c =>
+        val e = cn.get(c)
+        val bytes = Base64.getDecoder.decode(e.get("b64").asText())
+        val words = new Array[Long](bytes.length / 8)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < words.length) { words(i) = bb.getLong; i += 1 }
+        m += c -> (e.get("m").asInt(), words)
       }
-      Some(DirIndex(cols.toSet, files.toMap))
+      Some(FileBloom(m.toMap))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /**
    * Keep `rel` only if every applicable constraint admits at least one
-   * literal. A file entry present but lacking the column has a
+   * literal. A sidecar present but lacking the column has a
    * provably-empty bloom (only null values were written) — an equality
-   * literal cannot match; a file UNKNOWN to the index is kept.
+   * literal cannot match; a file with NO sidecar is kept.
    */
-  def fileMightMatch(di: DirIndex, rel: String,
+  def fileMightMatch(fs: FileSystem, dirPath: Path, token: String,
+      indexedCols: Set[String], rel: String,
       constraints: Seq[(String, Seq[Any])]): Boolean =
-    di.files.get(rel) match {
-      case None => true
-      case Some(byCol) => constraints.forall { case (cn, vs) =>
-        if (!di.cols.contains(cn)) true
-        else byCol.get(cn) match {
+    loadFile(fs, dirPath, token, rel) match {
+      case None => true // missing / unreadable sidecar: conservative keep
+      case Some(fb) => constraints.forall { case (cn, vs) =>
+        if (!indexedCols.contains(cn)) true
+        else fb.cols.get(cn) match {
           case None => false // indexed col, zero non-null values in file
           case Some((m, words)) => vs.exists(v => mightContain(words, m, v))
         }
