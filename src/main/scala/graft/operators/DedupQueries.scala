@@ -91,10 +91,21 @@ object DedupQueries {
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text",
           maxBucket = 2048)
         .orderBy("d1", "d2")),
-    "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(Tables(s, dir, "embeddings"), "vec_id", "embedding", CosTau,
+    // The raw corpus has no pair at cos >= 0.8 at driver SFs, which made
+    // this oracle compare 0 = 0 for rounds — vacuous. Plant exact
+    // duplicates (the 50 lowest vec_ids copied to vec_id + 100000):
+    // identical vectors give identical sign-band signatures, so LSH
+    // recall is exactly 1 (no probabilistic miss), cos is exactly 1.0 in
+    // both engines (nn/sqrt(nn*nn) with nn² < 2^53), and the oracle
+    // derivation below mirrors this union verbatim.
+    "dedup_embedding" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = e.filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Dedup.embeddingPairs(e.unionByName(planted), "vec_id", "embedding", CosTau,
           maxBucket = 2048)
-        .orderBy("d1", "d2")),
+        .orderBy("d1", "d2")
+    }),
     // Transitive closure of the minhash near-dup graph: cluster id per doc
     // (min reachable id). Oracle = recursive CTE over the exact-Jaccard
     // pair graph.
@@ -174,10 +185,14 @@ object DedupQueries {
         |WHERE bit_count(xor(a.sim, b.sim)) <= 3
         |ORDER BY d1, d2""".stripMargin,
     "dedup_embedding" ->
-      """WITH q AS (
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50),
+        |q AS (
         |  SELECT vec_id, list_transform(embedding,
         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
-        |  FROM embeddings),
+        |  FROM base),
         |n AS (SELECT vec_id, v, list_dot_product(v, v) AS nn FROM q)
         |SELECT a.vec_id AS d1, b.vec_id AS d2,
         |  list_dot_product(a.v, b.v) / sqrt(a.nn * b.nn) AS cos

@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Manifest zone-map pruning + metadata-only count(*) (GraftZoneRules)
     ext.injectOptimizerRule(_ => new GraftZonePrune)
     ext.injectOptimizerRule(_ => new GraftCountFromStats)
+    // (Runtime join filtering needs no injection: GraftSqlTable's scan
+    // builder returns a SupportsRuntimeV2Filtering scan natively —
+    // see graft.plans.GraftScanBuilder.)
     register(ext, "long_array_dot", "exact integer dot product of two array<bigint>",
       { args =>
         require(args.length == 2, "long_array_dot(a, b)")

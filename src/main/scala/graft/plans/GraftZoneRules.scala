@@ -59,15 +59,13 @@ class GraftZonePrune extends Rule[LogicalPlan] {
               : Map[String, FileStats.DirStats] =
             gt.bloomInfo.get(p) match {
               case Some((token, cols)) if constraints.exists(c => cols(c._1)) =>
-                val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(
+                val dirPath = new org.apache.hadoop.fs.Path(p)
+                val fs = dirPath.getFileSystem(
                   SparkSession.active.sessionState.newHadoopConf())
-                graft.sources.BloomIndex.load(fs,
-                    new org.apache.hadoop.fs.Path(p), token) match {
-                  case Some(di) => files.filter { case (abs, _) =>
-                    val rel = abs.stripPrefix(p).stripPrefix("/")
-                    graft.sources.BloomIndex.fileMightMatch(di, rel, constraints)
-                  }
-                  case None => files
+                files.filter { case (abs, _) =>
+                  val rel = abs.stripPrefix(p).stripPrefix("/")
+                  graft.sources.BloomIndex.fileMightMatch(
+                    fs, dirPath, token, cols, rel, constraints)
                 }
               case _ => files
             }

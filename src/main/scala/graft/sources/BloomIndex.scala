@@ -10,7 +10,6 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types._
-import org.apache.spark.util.SerializableConfiguration
 
 /**
  * Per-file BLOOM-FILTER index for equality / IN predicates — the
@@ -177,7 +176,7 @@ private[graft] object BloomIndex {
         idxFields.toSeq.map(f => canonical(f))
       val df = spark.read.parquet(dirPath.toString).select(proj: _*)
       val bSizes = sc.broadcast(sizes)
-      val confB = SerializableConfiguration.broadcast(sc)
+      val confB = sc.broadcast(new FileStats.SerConf(sc.hadoopConfiguration))
       val dirStr = dirPath.toString
       val nCols = names.length
       // Per-split partial bitsets, keyed by file: Map(colIdx -> words).

@@ -129,7 +129,7 @@ private[graft] object FileStats {
 
   /** Hadoop Configuration is not Serializable; standard write/readFields
     * envelope so executor tasks can open footers with the session conf. */
-  private class SerConf(@transient var value: Configuration) extends Serializable {
+  private[sources] class SerConf(@transient var value: Configuration) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)
     }

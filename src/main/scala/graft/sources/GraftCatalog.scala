@@ -531,21 +531,60 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(tablePath(schema, table)).toUri,
       spark.sparkContext.hadoopConfiguration)
-    // Exclusive claim: rename fails if the target exists. HDFS gives
-    // this atomically server-side; the per-table JVM lock closes the
-    // local filesystem's check-then-rename window (local rename would
-    // otherwise nest the source INTO an existing target dir); object
-    // stores want a conditional copy here — same contract.
+    // FS CONTRACT: the claim below requires an ATOMIC fail-if-exists
+    // rename. HDFS gives this server-side; the per-table JVM lock closes
+    // the local filesystem's check-then-rename window (local rename
+    // would otherwise nest the source INTO an existing target dir).
+    // S3-class object stores do NOT satisfy it (rename is copy+delete,
+    // not exclusive) — there the claim must be replaced by a conditional
+    // put (If-None-Match) or a lock service, exactly as Paimon ships
+    // object-store commit via lock callbacks. Rather than trusting the
+    // rename's return value, each staging dir carries a unique
+    // dot-prefixed claim marker and a win is accepted only if OUR marker
+    // sits at the target root afterwards — on a non-exclusive-rename FS
+    // the protocol then fails LOUDLY instead of silently interleaving
+    // two writers' dirs.
+    val claimToken = java.util.UUID.randomUUID().toString
+    def writeClaimMarker(d: String): Unit = {
+      val out = fs.create(
+        new Path(tablePath(schema, table), s"$d/${GraftCatalog.ClaimMarker}"), true)
+      try out.write(claimToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeClaimMarker(dir)
+    if (deleteDf.isDefined) writeClaimMarker(s"$dir-del")
+    def markerAt(toDir: String): Boolean =
+      try {
+        val in = fs.open(
+          new Path(tablePath(schema, table), s"$toDir/${GraftCatalog.ClaimMarker}"))
+        val buf = new Array[Byte](64)
+        val n = try in.read(buf) finally in.close()
+        new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8) == claimToken
+      } catch { case scala.util.control.NonFatal(_) => false }
     def claim(fromDir: String, toDir: String): Boolean =
       GraftCatalog.commitLock(
           fs.makeQualified(tablePath(schema, table)).toString).synchronized {
         val to = fs.makeQualified(new Path(tablePath(schema, table), toDir))
         if (fs.exists(to)) false
-        else try {
-          fc.rename(fs.makeQualified(new Path(tablePath(schema, table), fromDir)), to)
-          true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                       _: java.io.IOException => false }
+        else {
+          val renamed = try {
+            claimTestHook()
+            fc.rename(fs.makeQualified(new Path(tablePath(schema, table), fromDir)), to)
+            true
+          } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                         _: java.io.IOException => false }
+          if (renamed && !markerAt(toDir))
+            throw new IllegalStateException(
+              s"$schema.$table: rename to $toDir reported success but the " +
+                "claim marker is missing at the target — this filesystem's " +
+                "rename is not atomic fail-if-exists (object-store " +
+                "semantics?). The commit protocol requires an exclusive " +
+                "rename; use a conditional-put/lock-based claim on such " +
+                "stores. Aborting loudly: the target may interleave a " +
+                "concurrent writer's files.")
+          renamed
+        }
       }
     def versionOf(n: ObjectNode): Long =
       if (n.has("commitVersion")) n.get("commitVersion").asLong() else 0L
@@ -598,6 +637,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   /** Test seam: runs after the commit's data write, before the manifest
     * CAS — lets a spec inject a concurrent commit deterministically. */
   private[graft] var commitTestHook: () => Unit = () => ()
+
+  /** Test seam: runs inside the claim's lock, after the exists check and
+    * before the rename — the window where a non-exclusive-rename FS lets
+    * a concurrent writer's dir appear and the rename silently nests
+    * instead of failing. Lets a spec prove the claim-marker check turns
+    * that into a loud error. */
+  private[graft] var claimTestHook: () => Unit = () => ()
 
   /** Test seam: runs after a DV delete's (file, pos) victims are derived,
     * before the commit that lands them — the window where a concurrent
@@ -1283,6 +1329,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   private def bloomRefine(schema: String, table: String, m: ObjectNode,
       resolved: org.apache.spark.sql.catalyst.expressions.Expression,
+      perFile: Map[String, Map[String, FileStats.DirStats]],
       selections: Seq[(FileEntry, Option[Seq[String]])])
       : Seq[(FileEntry, Option[Seq[String]])] = {
     val idx = bloomIdxFrom(m)
@@ -1292,13 +1339,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     selections.map { case sel @ (fe, keptOpt) =>
       idx.get(fe.dir) match {
         case Some((token, cols)) if constraints.exists(c => cols.contains(c._1)) =>
-          BloomIndex.load(fs, new Path(tablePath(schema, table), fe.dir), token) match {
-            case Some(di) =>
-              val candidates = keptOpt.getOrElse(di.files.keys.toSeq.sorted)
-              val pass = candidates.filter(
-                BloomIndex.fileMightMatch(di, _, constraints))
+          // Candidate inventory: the zone-kept files, else the manifest's
+          // per-file zone keys (written by the same commit that built the
+          // index — a dir can't have blooms without per-file zones). Only
+          // these candidates' sidecars are ever opened (lazy, per-file).
+          val dirPath = new Path(tablePath(schema, table), fe.dir)
+          keptOpt.orElse(perFile.get(fe.dir).filter(_.nonEmpty)
+              .map(_.keys.toSeq.sorted)) match {
+            case None => sel // no file inventory: conservative keep
+            case Some(candidates) =>
+              val pass = candidates.filter(rel => BloomIndex.fileMightMatch(
+                fs, dirPath, token, cols, rel, constraints))
               if (pass.size == candidates.size) sel else (fe, Some(pass))
-            case None => sel // unreadable sidecar: conservative keep
           }
         case _ => sel
       }
@@ -1365,7 +1417,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     // Bloom pass AFTER zones: membership pruning for the equality/IN
     // literals min/max can't rule out (unclustered point lookups).
-    val selections = bloomRefine(schema, table, m, resolved.get, zoneSel)
+    val selections = bloomRefine(schema, table, m, resolved.get, perFile, zoneSel)
     if (kept.size == dataEntries.size && selections.forall(_._2.isEmpty)) return full
     val picked: Seq[(FileEntry, Option[Seq[String]])] = selections.flatMap {
       case (fe, Some(keptFiles)) =>
@@ -2211,33 +2263,78 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (primaryKey(m).nonEmpty)
       requireDeduplicate(m, s"$schema.$table", "readChangelog")
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
-    // unreachable on PK tables (DVs are append-only by construction);
-    // on append-only tables a DV commit REMOVES rows, which a +I-only
-    // changelog cannot express
-    require(delta.forall(_.kind != "dv"),
-      s"changelog on $schema.$table crosses a deletion-vector commit — " +
-        "position deletes carry no row image to emit as -D; use a " +
-        "primary-key table for CDC")
     val target = changelogSchema(m)
-    if (delta.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
+    def emptyChangelog = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    if (delta.isEmpty) return emptyChangelog
     val pk = primaryKey(m)
-    if (pk.isEmpty)
-      all.drop("__ord", "__del").withColumn(RowKindCol, lit("+I"))
-    else {
-      // Latest in-range version per key wins — the same newest-wins rule
-      // as merge-on-read, restricted to the delta. The shuffle is O(delta),
-      // bounded by the micro-batch, never the table.
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
-      all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .withColumn(RowKindCol,
-          org.apache.spark.sql.functions.when(col("__del"), "-D").otherwise("+U"))
-        .drop("__ord", "__rn", "__del")
+    if (pk.isEmpty) {
+      // Append-only changelog, DV-aware: a deletion-vector commit in
+      // range emits `-D` retractions carrying the FULL before image —
+      // the DV names (file, pos), the file still holds the bytes (DVs
+      // never rewrite), so the image resolves by position from exactly
+      // the touched files (dvIndex), never a table scan. Paimon's DV
+      // tables serve changelog consumers the same way. Net-zero rows
+      // (inserted AND deleted inside the range) are elided: in-range
+      // `+I` rows anti-join the in-range DV pairs, and `-D` resolution
+      // is restricted to files already visible at `fromSnapshotId`.
+      val (dvDelta, dataDelta) = delta.partition(_.kind == "dv")
+      val names = currentFields(m).map(_.name)
+      val dv = if (dvDelta.isEmpty) None
+        else Some(dvFrame(schema, table, dvDelta))
+      val inserts = if (dataDelta.isEmpty) None else Some {
+        val base = dv match {
+          case None => dataDelta.map(frameFor(schema, table, m, _))
+            .reduce(_ unionByName _)
+          case Some(d) =>
+            dataDelta.map(frameFor(schema, table, m, _, withMeta = true))
+              .reduce(_ unionByName _)
+              .join(d, Seq(DvFileCol, DvPosCol), "left_anti")
+        }
+        base.select(names.map(col): _*).withColumn(RowKindCol, lit("+I"))
+      }
+      val deletes = dv.flatMap { d =>
+        val idx = dvIndexFrom(m)
+        val touched = dvDelta
+          .flatMap(e => idx.get(e.dir).map(_._1).getOrElse(Seq.empty)).distinct
+        val beforeEntries: Seq[FileEntry] =
+          if (fromSnapshotId == 0) Seq.empty
+          else {
+            val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+            (0 until snaps.size()).map(snaps.get)
+              .find(_.get("id").asLong() == fromSnapshotId)
+              .map(filesOf).getOrElse(Seq.empty).filter(_.kind == "data")
+          }
+        val frames = beforeEntries.flatMap { fe =>
+          val rel = touched.filter(_.startsWith(fe.dir + "/"))
+            .map(_.stripPrefix(fe.dir + "/"))
+          if (rel.isEmpty) None
+          else Some(frameFor(schema, table, m, fe, fileSubset = Some(
+            rel.sorted.map(r => new Path(
+              new Path(tablePath(schema, table), fe.dir), r).toString)),
+            withMeta = true))
+        }
+        if (frames.isEmpty) None
+        else Some(frames.reduce(_ unionByName _)
+          .join(d, Seq(DvFileCol, DvPosCol), "left_semi")
+          .select(names.map(col): _*).withColumn(RowKindCol, lit("-D")))
+      }
+      return (inserts.toSeq ++ deletes.toSeq)
+        .reduceOption(_ unionByName _).getOrElse(emptyChangelog)
     }
+    // PK tables: DV entries are unreachable (DVs are append-only-table
+    // constructs by construction — createTable enforces it).
+    // Latest in-range version per key wins — the same newest-wins rule
+    // as merge-on-read, restricted to the delta. The shuffle is O(delta),
+    // bounded by the micro-batch, never the table.
+    val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn(RowKindCol,
+        org.apache.spark.sql.functions.when(col("__del"), "-D").otherwise("+U"))
+      .drop("__ord", "__rn", "__del")
   }
 
   /**
@@ -2400,10 +2497,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m0 = readManifest(schema, table)
     if (primaryKey(m0).nonEmpty)
       requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
-    require(!deletionVectors(m0),
-      s"$schema.$table has deletion-vectors enabled — a DV delete would " +
-        "break the +I-only append changelog mid-stream; use a primary-key " +
-        "table for CDC")
+    // deletion-vector commits stream fine: readChangelog resolves each
+    // DV batch to full-image `-D` retractions (no refusal needed)
     if (mode == "full")
       require(primaryKey(m0).nonEmpty, s"$schema.$table is append-only — " +
         "full changelog mode needs a primary-key table")
@@ -2700,6 +2795,11 @@ object GraftCatalog {
 
   /** Shared JSON mapper for manifest-adjacent sidecar files. */
   private[sources] val jsonMapper = new ObjectMapper()
+
+  /** Dot-prefixed per-commit claim-ownership marker (see commit()'s FS
+    * contract note); invisible to parquet discovery like the bloom
+    * sidecar dir. */
+  private[graft] val ClaimMarker = ".claim"
 
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */

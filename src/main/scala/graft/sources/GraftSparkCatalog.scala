@@ -582,7 +582,17 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     morRead match {
       case Some(reader) => new GraftMorScanBuilder(delegate.schema, reader)
-      case None => delegate.newScanBuilder(options)
+      case None =>
+        val base = delegate.newScanBuilder(options)
+        // Runtime (dynamic) join filtering: wrap the parquet builder so
+        // the built scan carries SupportsRuntimeV2Filtering and SQL joins
+        // prune fact files through zones + blooms at execution. Gate
+        // mirrors GraftZonePrune's file expansion: unpartitioned only.
+        val rtEnabled = SparkSession.active.conf
+          .get("spark.graft.runtimeFilter.enabled", "true").toBoolean
+        if (rtEnabled && partitionCols.isEmpty)
+          new graft.plans.GraftScanBuilder(base, this)
+        else base
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (readOnly) throw new UnsupportedOperationException(

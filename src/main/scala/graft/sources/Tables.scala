@@ -15,17 +15,29 @@ object Tables {
 
   /** Load table `name` from scale-factor dir `dir` (e.g. /root/testdata/sf0.01). */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which the vectorized parquet
-    // reader rejects; read nanos as long and expose both a µs-truncated
-    // timestamp `ts` and the exact `ts_ns`. The legacy flag is session-wide,
-    // so it is only touched for the one table that needs it (and only when
-    // not already set — entrypoint sessions set it at build time).
+    // events.parquet has shipped with two physical `ts` encodings across
+    // testdata generations: TIMESTAMP(NANOS) (read as long via the legacy
+    // flag — the vectorized reader rejects nanos) and plain µs timestamps
+    // (read natively, NTZ when unadjusted). Normalize both to the same
+    // logical surface: `ts` TIMESTAMP (µs) + exact `ts_ns` BIGINT. The
+    // legacy flag is session-wide, so it is only touched for the one
+    // table that needs it (and only when not already set).
     if (name == "events") {
       if (spark.conf.getOption(NanosAsLong).forall(_ != "true"))
         spark.conf.set(NanosAsLong, "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts_ns", col("ts"))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: doubles lose ns precision at 2024 epoch-nanos magnitude
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // nanos-as-long file
+          raw.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: doubles lose ns precision at 2024 epoch-nanos magnitude
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // all graft sessions run UTC, so the NTZ→TZ cast is
+          // value-preserving (same micros DuckDB sees in the file)
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+            .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+        case _ => // already a µs timestamp
+          raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -54,15 +54,46 @@ class BloomIndexSpec extends SparkSpecBase {
     }
   }
 
-  test("every data commit writes a sidecar and a manifest pointer") {
+  test("every data commit writes per-file sidecars and a manifest pointer") {
     val info = gc.bloomIndexInfo("db", "bl")
     assert(info.keySet === Set("snap-1", "snap-2", "snap-3"))
     info.foreach { case (dir, (token, cols)) =>
       assert(token.nonEmpty)
       assert(cols === Set("id", "name"))
-      assert(new java.io.File(s"$warehouse/db/bl/$dir/.bloomidx.json").exists(),
-        s"$dir missing sidecar")
+      val idxDir = new java.io.File(s"$warehouse/db/bl/$dir/.bloomidx")
+      assert(idxDir.isDirectory, s"$dir missing sidecar dir")
+      val parts = new java.io.File(s"$warehouse/db/bl/$dir").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val sidecars = idxDir.listFiles().count(_.getName.endsWith(".json"))
+      assert(sidecars === parts, s"$dir: want one sidecar per data file")
     }
+    // Executor-write design: the build job never materializes a bitset on
+    // the driver (the analog of FileStats.driverFooterReads).
+    assert(graft.sources.BloomIndex.driverBitsetBytes.get() === 0L,
+      "bloom build collected bitset bytes to the driver")
+  }
+
+  test("planning opens only zone-admitted files' sidecars (lazy load)") {
+    // Range-clustered commits so per-file zones admit ONE file for a
+    // point lookup — the other 11 files' sidecars must never be opened.
+    val wh4 = Files.createTempDirectory("graft-blwh4").toString
+    val g4 = new GraftCatalog(spark, wh4)
+    g4.createSchema("db")
+    val sch = batch(0).schema
+    g4.createTable("db", "z", sch,
+      options = Map("file-index.bloom-filter.columns" -> "id"))
+    (0L to 2L).foreach { m =>
+      g4.append("db", "z", spark.range(m * 1000, (m + 1) * 1000)
+        .selectExpr("id", "concat('n', id) AS name", "id * 2 AS val")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id").toDF())
+    }
+    val before = graft.sources.BloomIndex.sidecarLoads.get()
+    val q = g4.readWhere("db", "z", col("id") === 1500L)
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(1500L))
+    val loads = graft.sources.BloomIndex.sidecarLoads.get() - before
+    assert(loads <= 2,
+      s"expected <=2 sidecar opens for a zone-admitted point lookup over " +
+        s"12 files, got $loads")
   }
 
   test("equality lookup plans O(1) files, not the table") {
@@ -157,6 +188,8 @@ class BloomIndexSpec extends SparkSpecBase {
         b.scan match {
           case fsc: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             fsc.fileIndex.rootPaths.map(_.toString)
+          case rs: graft.plans.GraftRuntimeScan =>
+            rs.currentDelegate.fileIndex.rootPaths.map(_.toString)
           case _ => Seq.empty
         }
     }.flatten

@@ -153,6 +153,37 @@ class ConcurrentCommitSpec extends SparkSpecBase {
     assert(gc.read("db", "tsc").count() === 100)
   }
 
+  test("non-exclusive rename fails loudly via the claim marker") {
+    // Simulate an object-store-class filesystem whose rename does not
+    // fail-if-exists: a foreign dir appears at the claim target inside
+    // the exists-check→rename window, so the local rename NESTS the
+    // staging dir into it. The claim-marker verification must turn that
+    // silent interleave into a loud IllegalStateException naming the FS
+    // contract.
+    gc.createTable("db", "tmk", rows(0, 0).schema)
+    gc.append("db", "tmk", rows(1, 10).toDF()) // snap-1
+    var fired = false
+    gc.claimTestHook = () => if (!fired) {
+      fired = true
+      // On a copy+delete store the rename call can "succeed" while the
+      // landed target does not carry the content this commit staged (a
+      // concurrent writer's copy interleaved). Simulate by stripping the
+      // staged claim marker inside the claim window — ownership
+      // verification at the target must then fail.
+      new java.io.File(s"$warehouse/db/tmk").listFiles()
+        .filter(_.getName.startsWith(".staging-"))
+        .foreach(d => new java.io.File(d, ".claim").delete())
+    }
+    try {
+      val e = intercept[IllegalStateException](
+        gc.append("db", "tmk", rows(11, 20).toDF()))
+      assert(e.getMessage.contains("not atomic"), e.getMessage)
+      // nothing was silently committed: no snapshot landed past snap-1
+      assert(gc.snapshots("db", "tmk").map(_.id).max === 1L)
+      assert(gc.read("db", "tmk").count() === 10L)
+    } finally gc.claimTestHook = () => ()
+  }
+
   test("sweepOrphanDirs reclaims unreferenced snap dirs, keeps live ones") {
     gc.createTable("db", "tsw", rows(0, 0).schema)
     gc.append("db", "tsw", rows(1, 10).toDF())

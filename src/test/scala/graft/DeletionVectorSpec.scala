@@ -123,20 +123,22 @@ class DeletionVectorSpec extends SparkSpecBase {
       Seq("data", "dv"))
   }
 
-  test("refusals: incremental, changelog, file streaming; option guards") {
-    // incremental/changelog across a DV commit
+  test("refusals: incremental, file streaming; changelog serves DV commits") {
+    // incremental across a DV commit stays refused (additive-only contract)
     val e1 = intercept[IllegalArgumentException](
       gc.readIncremental("db", "t1", 2, 3).collect())
     assert(e1.getMessage.contains("deletion-vector"))
-    val e2 = intercept[IllegalArgumentException](
-      gc.readChangelog("db", "t1", 2, 3).collect())
-    assert(e2.getMessage.contains("deletion-vector"))
+    // changelog across the DV commit: full-image -D retractions (snap-3
+    // deleted every id % 10 == 0 among 1..200)
+    val cl = gc.readChangelog("db", "t1", 2, 3).collect()
+    assert(cl.forall(_.getString(3) == "-D"))
+    assert(cl.map(_.getLong(0)).sorted.toSeq === (10L to 200L by 10L))
+    assert(cl.find(_.getLong(0) == 50L).get.getString(1) === "n50")
     // file-level streaming refused while the option is on
     val e3 = intercept[IllegalArgumentException](gc.readStream("db", "t1"))
     assert(e3.getMessage.contains("deletion-vectors"))
-    val e4 = intercept[IllegalArgumentException](
-      gc.readChangelogStream("db", "t1"))
-    assert(e4.getMessage.contains("deletion-vectors"))
+    // snapshot-level changelog streaming now serves DV tables
+    assert(gc.readChangelogStream("db", "t1").isStreaming)
     // option validation: PK tables refuse it, reserved names refuse
     val e5 = intercept[IllegalArgumentException](
       gc.createTable("db", "bad1", batch(0, 0).schema,

@@ -322,6 +322,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(cat.snapshots("db", "dst").size === snaps)
   }
 
+  test("DV deletes changelog as full-image -D retractions; CDC replica converges") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-dvcl-wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dvcl-ckpt").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    val sch = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    cat.createTable("db", "src", sch, options = Map("deletion-vectors" -> "true"))
+    cat.createTable("db", "dst", sch, primaryKey = Seq("id"))
+    cat.append("db", "src", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")) // snap-1
+    cat.deleteWhere("db", "src", col("id") === 2L)                                   // snap-2 (dv)
+    // the DV commit alone is a pure retraction batch with the FULL image
+    val batch = cat.readChangelog("db", "src", 1L, 2L).collect()
+    assert(batch.map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      === Set((2L, "b", "-D")))
+    // net-zero elision: a row added AND DV-deleted inside one range vanishes
+    cat.append("db", "src", Seq((4L, "d"), (5L, "e")).toDF("id", "name"))            // snap-3
+    cat.deleteWhere("db", "src", col("id") === 4L)                                   // snap-4 (dv)
+    val ranged = cat.readChangelog("db", "src", 2L, 4L).collect()
+    assert(ranged.map(r => (r.getLong(0), r.getString(2))).toSet === Set((5L, "+I")))
+    // stream end-to-end (refusal removed): replica converges to the
+    // DV-applied image
+    def sync(): Unit = {
+      val q = cat.streamChangelogApply("db", "src", "db", "dst", ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def image(t: String): Set[(Long, String)] = cat.read("db", t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    sync()
+    assert(image("dst") === image("src") &&
+      image("dst") === Set((1L, "a"), (3L, "c"), (5L, "e")))
+    // a DV delete mid-stream produces the retraction on restart too
+    cat.deleteWhere("db", "src", col("id") === 1L)
+    sync()
+    assert(image("dst") === image("src") &&
+      image("dst") === Set((3L, "c"), (5L, "e")))
+  }
+
   test("batch sessionization splits on the gap and aggregates per session") {
     import spark.implicits._
     val df = Seq(

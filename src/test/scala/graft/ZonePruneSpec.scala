@@ -43,6 +43,8 @@ class ZonePruneSpec extends SparkSpecBase {
         b.scan match {
           case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
             fs.fileIndex.rootPaths.map(_.toString)
+          case rs: graft.plans.GraftRuntimeScan =>
+            rs.currentDelegate.fileIndex.rootPaths.map(_.toString)
           case _ => Seq.empty
         }
     }.flatten.toSet
@@ -518,6 +520,39 @@ class ZonePruneSpec extends SparkSpecBase {
       gc.dynamicFilterJoin("db", "zp", Seq("id"), bigDim, Seq("k"),
         joinType = "left_outer"))
     assert(e.getMessage.contains("fact-preserving"))
+  }
+
+  test("SQL joins runtime-prune the fact scan from build-side keys") {
+    import spark.implicits._
+    // Plain spark.sql join — no library API: the fact side must pick up a
+    // dynamic filter (SupportsRuntimeV2Filtering) and re-prune its file
+    // list through zones at execution. The zp fixture has 3 dirs with
+    // disjoint id zones; the selective dim keeps keys only in snap-2.
+    // The dim is a CATALOG table: a local-relation dim would constant-fold
+    // its filter away and DPP requires a surviving selective predicate.
+    gc.createTable("db", "rtdim",
+      Seq((0L, "x")).toDF("k", "tag").schema)
+    gc.append("db", "rtdim",
+      Seq((120L, "hot"), (150L, "hot"), (999999L, "cold")).toDF("k", "tag"))
+    val before = graft.plans.GraftRuntimeScan.runtimePrunes.get()
+    // AQE nests scans inside opaque query stages; turn it off so the
+    // executed plan stays introspectable (runtime filtering works under
+    // both — the counter assert covers the AQE path elsewhere).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(
+        """SELECT f.id, f.name FROM gz.db.zp f
+          |JOIN gz.db.rtdim d ON f.id = d.k WHERE d.tag = 'hot'
+          |ORDER BY f.id""".stripMargin)
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(120L, 150L))
+      assert(graft.plans.GraftRuntimeScan.runtimePrunes.get() > before,
+        "expected the runtime filter to shrink the fact file list")
+      // post-execution, the fact scan's live file index holds only snap-2
+      // paths (per-file zones may cut below dir granularity)
+      val factRoots = sqlScanRootPaths(q).filter(_.contains("/zp/"))
+        .map(p => p.split("/").reverse.dropWhile(!_.startsWith("snap-")).head)
+      assert(factRoots === Set("snap-2"), s"runtime-pruned roots: $factRoots")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
   test("zone pruning survives schema evolution conservatively") {
