@@ -153,6 +153,33 @@ object CatalogQueries {
       cat.dynamicFilterJoin("q", t, Seq("doc_id"), dim, Seq("k"))
         .select("doc_id", "lang", "n_chars", "source").orderBy("doc_id")
     }),
+    // SQL-path runtime join filter: a PLAIN spark.sql broadcast join over
+    // two catalog tables — the fact scan carries
+    // SupportsRuntimeV2Filtering, so the dim's observed keys prune the
+    // fact file list through zones+blooms at execution (the file-count
+    // assert is mechanical in ZonePruneSpec); the RESULT must equal the
+    // plain join, hash-gated here against DuckDB.
+    "join_runtime_filter" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      val dimT = s"${t}_dim"
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema)
+      cat.append("q", t, d.filter(col("doc_id") < 150))
+      cat.append("q", t, d.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+      cat.append("q", t, d.filter(col("doc_id") >= 300))
+      val dim = Tables(s, dir, "documents")
+        .select(col("doc_id").as("k"), col("source"))
+      cat.createTable("q", dimT, dim.schema)
+      cat.append("q", dimT, dim)
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      s.sql(
+        s"""SELECT f.doc_id, f.lang, f.n_chars, d.source
+           |FROM gq.q.$t f JOIN gq.q.$dimT d ON f.doc_id = d.k
+           |WHERE d.k BETWEEN 160 AND 290 AND d.k % 10 = 0
+           |ORDER BY f.doc_id""".stripMargin)
+    }),
     // Deletion vectors on an append-only table: two appends, two DELETE
     // rounds recorded as per-file position indexes (no data file is ever
     // rewritten — Paimon's deletion-vectors.enabled), then the read must
@@ -400,6 +427,13 @@ object CatalogQueries {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 42, 101, 256) ORDER BY doc_id""".stripMargin,
     "join_dynamic_filter" ->
+      """SELECT d.doc_id, d.lang, d.n_chars, k.source
+        |FROM documents d
+        |JOIN (SELECT doc_id, source FROM documents
+        |      WHERE doc_id BETWEEN 160 AND 290 AND doc_id % 10 = 0) k
+        |  ON d.doc_id = k.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "join_runtime_filter" ->
       """SELECT d.doc_id, d.lang, d.n_chars, k.source
         |FROM documents d
         |JOIN (SELECT doc_id, source FROM documents
