@@ -64,6 +64,9 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, line + "\n")
+    // Short trailing headline: even if a capture truncates the long JSON
+    // line above, the tail still carries the round's key numbers.
+    println(f"[bench-summary] queries=${results.size} total_sec=$total%.1f runs=$runs sf=$sfDir")
     spark.stop()
   }
 }

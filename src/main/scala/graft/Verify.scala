@@ -46,6 +46,11 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Trailing headline survives any capture truncation of the per-query log.
+    val dumped = new java.io.File(outDir).listFiles()
+      .count(f => f.isDirectory && !f.getName.startsWith("."))
+    println(s"[verify-summary] dumped=$dumped registered=${SparkEntry.queries.size} " +
+      s"oracles=${SparkEntry.oracleSql.size}")
     spark.stop()
   }
 }

@@ -100,6 +100,13 @@ object DedupQueries {
     // derivation below mirrors this union verbatim.
     "dedup_embedding" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      // The oracle mirrors this fixed offset verbatim, so it cannot be
+      // derived from the corpus — instead fail loudly if a larger SF ever
+      // grows vec_id into the planted range (which would make vec_id
+      // non-unique and pair identity ambiguous).
+      val maxId = e.agg(max("vec_id")).head.getLong(0)
+      require(maxId < 100000L,
+        s"dedup_embedding planted-id offset 100000 collides with corpus max vec_id $maxId; raise the offset in BOTH the query and its oracle")
       val planted = e.filter(col("vec_id") < 50)
         .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
       Dedup.embeddingPairs(e.unionByName(planted), "vec_id", "embedding", CosTau,

@@ -356,11 +356,11 @@ object TextQueries {
     "pipeline_pack_sequences" ->
       """SELECT doc_id, doc_id % 32 AS shard,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-        |  (sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |  CAST((sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
         |     OVER (PARTITION BY doc_id % 32 ORDER BY doc_id
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
-        |    AS pack_id
+        |    AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_shared_ngrams" ->
       """WITH tok AS (

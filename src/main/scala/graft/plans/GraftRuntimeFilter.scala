@@ -143,7 +143,8 @@ private[graft] class GraftRuntimeScan(
   private def toCatalyst(p: Predicate): Option[Expression] = p.name() match {
     case "IN" =>
       val kids = p.children()
-      colOf(kids.head).flatMap { a =>
+      if (kids.isEmpty) None
+      else colOf(kids.head).flatMap { a =>
         val lits = kids.tail.toSeq.collect {
           case lv: V2Literal[_] => Literal(lv.value, lv.dataType)
         }
@@ -186,11 +187,11 @@ private[graft] class GraftRuntimeScan(
             case Some((token, cols)) if constraints.exists(c => cols(c._1)) =>
               val dirPath = new Path(p)
               val fs = dirPath.getFileSystem(hadoopConf)
-              zKept.filter { case (abs, _) =>
-                val rel = norm(abs).stripPrefix(key).stripPrefix("/")
-                BloomIndex.fileMightMatch(fs, dirPath, token, cols, rel,
-                  constraints)
-              }
+              val relOf = zKept.keys.map(abs =>
+                abs -> norm(abs).stripPrefix(key).stripPrefix("/")).toMap
+              val kept = BloomIndex.filterMightMatch(fs, dirPath, token, cols,
+                relOf.values.toSeq.sorted, constraints).toSet
+              zKept.filter { case (abs, _) => kept(relOf(abs)) }
             case _ => zKept
           }
           if (bKept.size < files.size) { changed = true; bKept.keys.toSeq.sorted }
@@ -200,9 +201,18 @@ private[graft] class GraftRuntimeScan(
     }
     if (changed) {
       GraftRuntimeScan.runtimePrunes.incrementAndGet()
+      // A partitioned scan derives its partition columns from the file
+      // index's PartitionSpec — a path-only replacement would drop them.
+      // Re-attach the delegate's spec: the new index's listing groups the
+      // kept files back under their col=value dirs, so partition values
+      // survive the file-level cut (and DPP's partition pruning composes
+      // with this file pruning instead of replacing it).
+      val spec = Option(delegate.fileIndex.partitionSpec())
+        .filter(_.partitionColumns.nonEmpty)
       delegate = delegate.copy(fileIndex = new InMemoryFileIndex(
         delegate.sparkSession, kept.map(new Path(_)),
-        Map.empty[String, String], None))
+        Map.empty[String, String], None,
+        userSpecifiedPartitionSpec = spec))
     }
   }
 }

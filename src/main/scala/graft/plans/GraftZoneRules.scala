@@ -62,11 +62,12 @@ class GraftZonePrune extends Rule[LogicalPlan] {
                 val dirPath = new org.apache.hadoop.fs.Path(p)
                 val fs = dirPath.getFileSystem(
                   SparkSession.active.sessionState.newHadoopConf())
-                files.filter { case (abs, _) =>
-                  val rel = abs.stripPrefix(p).stripPrefix("/")
-                  graft.sources.BloomIndex.fileMightMatch(
-                    fs, dirPath, token, cols, rel, constraints)
-                }
+                val relOf = files.keys.map(abs =>
+                  abs -> abs.stripPrefix(p).stripPrefix("/")).toMap
+                val kept = graft.sources.BloomIndex.filterMightMatch(
+                  fs, dirPath, token, cols, relOf.values.toSeq.sorted,
+                  constraints).toSet
+                files.filter { case (abs, _) => kept(relOf(abs)) }
               case _ => files
             }
           // Per-FILE refinement (the reference's skip unit): a surviving

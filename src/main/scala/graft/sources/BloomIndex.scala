@@ -74,6 +74,25 @@ private[graft] object BloomIndex {
     * query pays O(admitted files), not O(table). */
   val sidecarLoads = new AtomicLong(0L)
 
+  /** High-water mark of concurrent sidecar loads — lets tests assert the
+    * batch probe path actually overlaps its FS opens. */
+  val peakConcurrentLoads = new AtomicLong(0L)
+  private val inflightLoads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Driver-side pool for batch sidecar probes. Sidecar opens are
+    * latency-bound (small files, object-store round-trips), so a bounded
+    * pool turns an O(files) serial planning stall into O(files /
+    * parallelism); CPU cost is negligible. Daemon threads, shared across
+    * queries, never shut down. */
+  private val ProbeParallelism = 16
+  private lazy val probePool = java.util.concurrent.Executors.newFixedThreadPool(
+    ProbeParallelism,
+    (r: Runnable) => {
+      val t = new Thread(r, "bloom-sidecar-probe")
+      t.setDaemon(true)
+      t
+    })
+
   def sidecarPath(dirPath: Path, rel: String): Path =
     new Path(dirPath, s"$DirName/$rel.json")
 
@@ -267,6 +286,15 @@ private[graft] object BloomIndex {
       rel: String): Option[FileBloom] =
     try {
       sidecarLoads.incrementAndGet()
+      val cur = inflightLoads.incrementAndGet()
+      peakConcurrentLoads.getAndUpdate(p => math.max(p, cur))
+      try loadFileBody(fs, dirPath, rel)
+      finally inflightLoads.decrementAndGet()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def loadFileBody(fs: FileSystem, dirPath: Path,
+      rel: String): Option[FileBloom] =
+    try {
       val p = sidecarPath(dirPath, rel)
       if (!fs.exists(p)) return None
       val in = fs.open(p)
@@ -308,4 +336,27 @@ private[graft] object BloomIndex {
         }
       }
     }
+
+  /**
+   * Batch [[fileMightMatch]] over many files of one dir: uncached
+   * sidecars are loaded through [[probePool]] (bounded concurrency, so a
+   * 10⁵-file candidate set costs O(files / 16) object-store round-trips
+   * of planning latency instead of O(files) serial opens), then the
+   * per-file decision runs against the warmed (token, file) cache with
+   * semantics identical to the sequential path. Returns kept rels in
+   * input order.
+   */
+  def filterMightMatch(fs: FileSystem, dirPath: Path, token: String,
+      indexedCols: Set[String], rels: Seq[String],
+      constraints: Seq[(String, Seq[Any])]): Seq[String] = {
+    val missing = rels.filterNot(r => cache.containsKey((token, r)))
+    if (missing.size > 1) {
+      val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](missing.size)
+      missing.foreach { r =>
+        tasks.add(() => { loadFile(fs, dirPath, token, r); () })
+      }
+      probePool.invokeAll(tasks) // blocks until all sidecars are cached
+    }
+    rels.filter(r => fileMightMatch(fs, dirPath, token, indexedCols, r, constraints))
+  }
 }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+
+/**
+ * The single atomicity primitive the graft commit protocol rests on:
+ * publish a staged file/dir at its final name iff that name is absent,
+ * exactly-once across concurrent writers. Every CAS in the protocol —
+ * the snapshot-dir claim in `commit()`, sortCompact's per-range dir
+ * promotions, and the `manifest-v{N}.json` version rename — goes through
+ * this seam.
+ *
+ * The default [[ExclusiveRenameCommitLock]] implements it with an atomic
+ * fail-if-exists rename (HDFS semantics; a per-table JVM lock closes the
+ * local filesystem's check-then-rename window). S3-class object stores
+ * don't offer exclusive rename — for those, [[ConditionalPutCommitLock]]
+ * derives exclusivity from a conditional-put (`If-None-Match`) primitive
+ * instead, the same way Paimon ships object-store commit via lock /
+ * conditional-write callbacks (reference: paimon-trino inherits Paimon's
+ * SnapshotManager commit machinery).
+ */
+trait CommitLock {
+
+  /**
+   * Atomically publish `src` at `dst` iff `dst` does not exist. Returns
+   * true iff THIS caller's `src` now sits at `dst`; false if another
+   * writer holds `dst`. Must never interleave two writers' content under
+   * `dst`. `prePublish` runs inside the critical section after the
+   * absence check and before the publish (test seam for injecting a
+   * racing writer deterministically).
+   */
+  def publishIfAbsent(fs: FileSystem, fc: FileContext, src: Path, dst: Path,
+      prePublish: () => Unit = () => ()): Boolean
+}
+
+/**
+ * Default: exclusive (atomic fail-if-exists) rename. Correct on HDFS
+ * and, with the JVM lock, on a single-writer-host local filesystem.
+ * Callers that need cross-JVM honesty on unknown filesystems layer the
+ * claim-marker audit on top (see commit()'s FS-contract note).
+ */
+object ExclusiveRenameCommitLock extends CommitLock {
+  override def publishIfAbsent(fs: FileSystem, fc: FileContext, src: Path,
+      dst: Path, prePublish: () => Unit): Boolean =
+    GraftCatalog.commitLock(dst.getParent.toString).synchronized {
+      if (fs.exists(dst)) false
+      else {
+        try {
+          prePublish()
+          fc.rename(src, dst)
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.io.IOException => false
+        }
+      }
+    }
+}
+
+/**
+ * Minimal conditional-write surface an object store offers: create
+ * `key` iff absent (S3 `If-None-Match: *`, GCS `ifGenerationMatch: 0`,
+ * ABS `If-None-Match`). One call, one winner.
+ */
+trait ConditionalPutStore {
+  def putIfAbsent(key: String, value: Array[Byte]): Boolean
+}
+
+/**
+ * Object-store commit: exclusivity comes from a conditional put of a
+ * tiny claim object keyed by the destination path — NOT from the
+ * filesystem's rename. The CAS winner is the unique owner of `dst`, so
+ * the subsequent move need not be atomic or exclusive (copy+delete
+ * semantics are fine); losers never touch `dst`. Dead winners (CAS won,
+ * move crashed) leave a claim without content — visible, and reclaimed
+ * the same way dead staging dirs are (sweepOrphanDirs), never silently
+ * interleaved.
+ */
+class ConditionalPutCommitLock(store: ConditionalPutStore) extends CommitLock {
+  override def publishIfAbsent(fs: FileSystem, fc: FileContext, src: Path,
+      dst: Path, prePublish: () => Unit): Boolean = {
+    if (!store.putIfAbsent(dst.toString,
+        Array[Byte]())) false
+    else {
+      prePublish()
+      // sole owner of dst from here: a plain, possibly non-atomic move
+      // is safe — no concurrent writer can hold the CAS for this key.
+      fs.rename(src, dst)
+      true
+    }
+  }
+}

@@ -553,39 +553,49 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     writeClaimMarker(dir)
     if (deleteDf.isDefined) writeClaimMarker(s"$dir-del")
-    def markerAt(toDir: String): Boolean =
-      try {
-        val in = fs.open(
-          new Path(tablePath(schema, table), s"$toDir/${GraftCatalog.ClaimMarker}"))
-        val buf = new Array[Byte](64)
-        val n = try in.read(buf) finally in.close()
-        new String(buf, 0, math.max(n, 0),
-          java.nio.charset.StandardCharsets.UTF_8) == claimToken
-      } catch { case scala.util.control.NonFatal(_) => false }
-    def claim(fromDir: String, toDir: String): Boolean =
-      GraftCatalog.commitLock(
-          fs.makeQualified(tablePath(schema, table)).toString).synchronized {
-        val to = fs.makeQualified(new Path(tablePath(schema, table), toDir))
-        if (fs.exists(to)) false
-        else {
-          val renamed = try {
-            claimTestHook()
-            fc.rename(fs.makeQualified(new Path(tablePath(schema, table), fromDir)), to)
-            true
-          } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                         _: java.io.IOException => false }
-          if (renamed && !markerAt(toDir))
-            throw new IllegalStateException(
-              s"$schema.$table: rename to $toDir reported success but the " +
-                "claim marker is missing at the target — this filesystem's " +
-                "rename is not atomic fail-if-exists (object-store " +
-                "semantics?). The commit protocol requires an exclusive " +
-                "rename; use a conditional-put/lock-based claim on such " +
-                "stores. Aborting loudly: the target may interleave a " +
-                "concurrent writer's files.")
-          renamed
+    // Reads the whole marker (a single read() may legally return short)
+    // and retries transient IO errors, so only a genuine token mismatch —
+    // never a short read or a blip — downgrades a successful rename into
+    // the loud non-atomic-rename abort below.
+    def markerAt(toDir: String): Boolean = {
+      val p = new Path(tablePath(schema, table), s"$toDir/${GraftCatalog.ClaimMarker}")
+      var attempt = 0
+      while (attempt < 3) {
+        attempt += 1
+        try {
+          val in = fs.open(p)
+          val bos = new java.io.ByteArrayOutputStream(64)
+          try {
+            val buf = new Array[Byte](64)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          return new String(bos.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8) == claimToken
+        } catch {
+          case scala.util.control.NonFatal(_) if attempt < 3 =>
+            Thread.sleep(10L * attempt)
+          case scala.util.control.NonFatal(_) => return false
         }
       }
+      false
+    }
+    def claim(fromDir: String, toDir: String): Boolean = {
+      val to = fs.makeQualified(new Path(tablePath(schema, table), toDir))
+      val renamed = commitLockImpl.publishIfAbsent(fs, fc,
+        fs.makeQualified(new Path(tablePath(schema, table), fromDir)), to,
+        claimTestHook)
+      if (renamed && !markerAt(toDir))
+        throw new IllegalStateException(
+          s"$schema.$table: rename to $toDir reported success but the " +
+            "claim marker is missing at the target — this filesystem's " +
+            "rename is not atomic fail-if-exists (object-store " +
+            "semantics?). The commit protocol requires an exclusive " +
+            "rename; use a conditional-put/lock-based claim on such " +
+            "stores. Aborting loudly: the target may interleave a " +
+            "concurrent writer's files.")
+      renamed
+    }
     def versionOf(n: ObjectNode): Long =
       if (n.has("commitVersion")) n.get("commitVersion").asLong() else 0L
     var cur = m
@@ -633,6 +643,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"attempts (last target snap-$landId) — retry under less " +
         "write contention, or remove dead writers' leftover dirs")
   }
+
+  /** The atomicity primitive every protocol CAS (snapshot-dir claim,
+    * sortCompact range promotion, manifest version publish) goes
+    * through. Default: exclusive rename (HDFS/local). Swap in a
+    * [[ConditionalPutCommitLock]] for S3-class stores where rename is
+    * copy+delete — exclusivity then comes from the store's conditional
+    * put, not the filesystem. */
+  private[graft] var commitLockImpl: CommitLock = ExclusiveRenameCommitLock
 
   /** Test seam: runs after the commit's data write, before the manifest
     * CAS — lets a spec inject a concurrent commit deterministically. */
@@ -839,14 +857,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val entries = rangeDirs.map { rd =>
       val dir = s"snap-$id-r${rd.stripPrefix("__range=")}"
       val dst = fs.makeQualified(new Path(tablePath(schema, table), dir))
-      val won = GraftCatalog.commitLock(
-          fs.makeQualified(tablePath(schema, table)).toString).synchronized {
-        if (fs.exists(dst)) false
-        else try {
-          fcSort.rename(fs.makeQualified(new Path(staging, rd)), dst); true
-        } catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-                       _: java.io.IOException => false }
-      }
+      val won = commitLockImpl.publishIfAbsent(fs, fcSort,
+        fs.makeQualified(new Path(staging, rd)), dst)
       if (!won) {
         try fs.delete(staging, true) catch { case _: java.io.IOException => () }
         throw new java.util.ConcurrentModificationException(
@@ -1348,8 +1360,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
               .map(_.keys.toSeq.sorted)) match {
             case None => sel // no file inventory: conservative keep
             case Some(candidates) =>
-              val pass = candidates.filter(rel => BloomIndex.fileMightMatch(
-                fs, dirPath, token, cols, rel, constraints))
+              val pass = BloomIndex.filterMightMatch(
+                fs, dirPath, token, cols, candidates, constraints)
               if (pass.size == candidates.size) sel else (fe, Some(pass))
           }
         case _ => sel
@@ -2295,8 +2307,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
       val deletes = dv.flatMap { d =>
         val idx = dvIndexFrom(m)
-        val touched = dvDelta
-          .flatMap(e => idx.get(e.dir).map(_._1).getOrElse(Seq.empty)).distinct
+        // A dv dir with no dvIndex entry (e.g. a foreign-writer manifest)
+        // can't be narrowed to its touched files — fall back to resolving
+        // against EVERY before-snapshot file (the semi-join on (file, pos)
+        // still picks only the retracted rows), mirroring appendUnion's
+        // conservative all-dirty treatment, rather than dropping the
+        // retractions while the +I side still anti-joins them.
+        val touched: Option[Seq[String]] =
+          if (dvDelta.exists(e => !idx.contains(e.dir))) None
+          else Some(dvDelta.flatMap(e => idx(e.dir)._1).distinct)
         val beforeEntries: Seq[FileEntry] =
           if (fromSnapshotId == 0) Seq.empty
           else {
@@ -2306,13 +2325,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
               .map(filesOf).getOrElse(Seq.empty).filter(_.kind == "data")
           }
         val frames = beforeEntries.flatMap { fe =>
-          val rel = touched.filter(_.startsWith(fe.dir + "/"))
-            .map(_.stripPrefix(fe.dir + "/"))
-          if (rel.isEmpty) None
-          else Some(frameFor(schema, table, m, fe, fileSubset = Some(
-            rel.sorted.map(r => new Path(
-              new Path(tablePath(schema, table), fe.dir), r).toString)),
-            withMeta = true))
+          touched match {
+            case None =>
+              Some(frameFor(schema, table, m, fe, withMeta = true))
+            case Some(t) =>
+              val rel = t.filter(_.startsWith(fe.dir + "/"))
+                .map(_.stripPrefix(fe.dir + "/"))
+              if (rel.isEmpty) None
+              else Some(frameFor(schema, table, m, fe, fileSubset = Some(
+                rel.sorted.map(r => new Path(
+                  new Path(tablePath(schema, table), fe.dir), r).toString)),
+                withMeta = true))
+          }
         }
         if (frames.isEmpty) None
         else Some(frames.reduce(_ unionByName _)
@@ -2757,13 +2781,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()
     val dst = fs.makeQualified(new Path(dir, s"manifest-v$version.json"))
-    val won = GraftCatalog.commitLock(fs.makeQualified(dir).toString).synchronized {
-      if (fs.exists(dst)) false
-      else {
-        try { fc.rename(tmp, dst); true }
-        catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
-      }
-    }
+    val won = commitLockImpl.publishIfAbsent(fs, fc, tmp, dst)
     if (!won) {
       try fc.delete(tmp, false) catch { case _: java.io.IOException => () }
       throw new java.util.ConcurrentModificationException(

@@ -586,12 +586,14 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
         val base = delegate.newScanBuilder(options)
         // Runtime (dynamic) join filtering: wrap the parquet builder so
         // the built scan carries SupportsRuntimeV2Filtering and SQL joins
-        // prune fact files through zones + blooms at execution. Gate
-        // mirrors GraftZonePrune's file expansion: unpartitioned only.
+        // prune fact files through zones + blooms at execution.
+        // Partitioned tables too (single-snap-dir layouts — the only ones
+        // that reach this raw-file scan): the runtime prune re-attaches
+        // the scan's PartitionSpec, so Spark's own DPP still prunes
+        // partitions while zones+blooms drop files WITHIN the survivors.
         val rtEnabled = SparkSession.active.conf
           .get("spark.graft.runtimeFilter.enabled", "true").toBoolean
-        if (rtEnabled && partitionCols.isEmpty)
-          new graft.plans.GraftScanBuilder(base, this)
+        if (rtEnabled) new graft.plans.GraftScanBuilder(base, this)
         else base
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -31,8 +31,12 @@ object Tables {
           raw.withColumn("ts_ns", col("ts"))
             .withColumn("ts", expr("timestamp_micros(ts div 1000)")) // integer div: doubles lose ns precision at 2024 epoch-nanos magnitude
         case org.apache.spark.sql.types.TimestampNTZType =>
-          // all graft sessions run UTC, so the NTZ→TZ cast is
-          // value-preserving (same micros DuckDB sees in the file)
+          // the NTZ→TZ cast is only value-preserving under UTC (same
+          // micros DuckDB sees in the file) — fail loudly on a
+          // misconfigured session instead of silently shifting ts/ts_ns
+          val tz = spark.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events NTZ timestamps require spark.sql.session.timeZone=UTC (got $tz): the ts cast would shift values against the oracle")
           raw.withColumn("ts", col("ts").cast("timestamp"))
             .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
         case _ => // already a µs timestamp

@@ -216,4 +216,26 @@ class BloomIndexSpec extends SparkSpecBase {
     val q = g3.readWhere("db", "r", col("id") === 2L) // mod-2 batch has id 2
     assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
   }
+
+  test("many-file probe overlaps sidecar opens; results match sequential") {
+    // One commit, 48 hash-interleaved files: every file's id zone spans
+    // ~the full range, so the bloom pass must probe ALL sidecars — the
+    // batch path loads them through the bounded pool instead of serially.
+    val wh5 = Files.createTempDirectory("graft-blwh5").toString
+    val g5 = new GraftCatalog(spark, wh5)
+    g5.createSchema("db")
+    g5.createTable("db", "p", batch(0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "id"))
+    g5.append("db", "p", spark.range(0, N)
+      .selectExpr("id", "concat('n', id) AS name", "id * 2 AS val")
+      .repartition(48).toDF())
+    graft.sources.BloomIndex.peakConcurrentLoads.set(0)
+    val q = g5.readWhere("db", "p", col("id") === 1500L)
+    assert(q.select("id").collect().map(_.getLong(0)).toSeq === Seq(1500L))
+    assert(q.inputFiles.length <= 4,
+      s"bloom should prune 48 files to <=4, planned ${q.inputFiles.length}")
+    assert(graft.sources.BloomIndex.peakConcurrentLoads.get() > 1,
+      "expected the 48-file bloom probe to overlap sidecar opens " +
+        s"(peak=${graft.sources.BloomIndex.peakConcurrentLoads.get()})")
+  }
 }

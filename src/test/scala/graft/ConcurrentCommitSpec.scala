@@ -228,4 +228,33 @@ class ConcurrentCommitSpec extends SparkSpecBase {
       (1 to 8).map(i => (i * 100L until i * 100L + 10).sum).sum)
     assert(gc.countRows("db", "tm") === Some(80L))
   }
+
+  test("conditional-put commit lock: object-store races land exactly once") {
+    // S3-class path: exclusivity comes from the store's put-if-absent,
+    // NOT from rename (ConditionalPutCommitLock takes no JVM lock and
+    // does a plain, non-exclusive move after winning the CAS). The mock
+    // store is the one-winner-per-key primitive an object store's
+    // If-None-Match put gives.
+    val store = new graft.sources.ConditionalPutStore {
+      private val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      override def putIfAbsent(key: String, value: Array[Byte]): Boolean =
+        keys.add(key)
+    }
+    gc.createTable("db", "tcas", rows(0, 0).schema)
+    val threads = (1 to 8).map { i =>
+      new Thread(() => {
+        val cat = new GraftCatalog(spark, warehouse)
+        cat.commitLockImpl = new graft.sources.ConditionalPutCommitLock(store)
+        cat.append("db", "tcas", rows(i * 100L, i * 100L + 9).toDF())
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    val ids = gc.snapshots("db", "tcas").map(_.id)
+    assert(ids.length === 8 && ids === ids.sorted && ids.distinct.length === 8,
+      s"snapshot ids $ids")
+    assert(gc.read("db", "tcas").count() === 80)
+    assert(gc.read("db", "tcas").agg(sum("id")).head.getLong(0) ===
+      (1 to 8).map(i => (i * 100L until i * 100L + 10).sum).sum)
+  }
 }

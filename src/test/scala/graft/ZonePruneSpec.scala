@@ -555,6 +555,46 @@ class ZonePruneSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("partitioned SQL joins runtime-prune files WITHIN partitions") {
+    import spark.implicits._
+    // Single-snap-dir partitioned table: 4 cat partitions × 4 id-range
+    // files each. The join key (id) is NOT the partition column, so
+    // partition pruning alone admits every file of every cat dir; the
+    // runtime zone prune must cut to the one id-range file per dir that
+    // holds the dim keys — and partition values must survive the
+    // file-level index swap (cat is selected through the pruned scan).
+    gc.createTable("db", "prt", spark.range(0).selectExpr(
+      "id", "concat('n', id) AS name", "CAST(id % 4 AS STRING) AS cat").schema,
+      partitionBy = Seq("cat"))
+    gc.append("db", "prt", spark.range(0, 4000)
+      .selectExpr("id", "concat('n', id) AS name",
+        "CAST(id % 4 AS STRING) AS cat")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id").toDF())
+    gc.createTable("db", "prtdim", Seq((0L, "x")).toDF("k", "tag").schema)
+    gc.append("db", "prtdim",
+      Seq((10L, "hot"), (20L, "hot"), (999999L, "cold")).toDF("k", "tag"))
+    val before = graft.plans.GraftRuntimeScan.runtimePrunes.get()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = spark.sql(
+        """SELECT f.id, f.name, f.cat FROM gz.db.prt f
+          |JOIN gz.db.prtdim d ON f.id = d.k WHERE d.tag = 'hot'
+          |ORDER BY f.id""".stripMargin)
+      assert(q.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+        === Seq((10L, "2"), (20L, "0")))
+      assert(graft.plans.GraftRuntimeScan.runtimePrunes.get() > before,
+        "expected the runtime filter to fire on the partitioned fact scan")
+      // both keys sit in the lowest id-range file of their cat dir: the
+      // kept roots must be single files inside cat= dirs, far fewer than
+      // the 16 files partitions alone admit
+      val roots = sqlScanRootPaths(q).filter(_.contains("/prt/"))
+      assert(roots.nonEmpty && roots.size <= 6,
+        s"expected <=6 of 16 files after in-partition pruning, kept $roots")
+      assert(roots.forall(_.contains("cat=")),
+        s"kept roots should be files under cat= dirs: $roots")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
