@@ -39,12 +39,13 @@ class GraftZonePrune extends Rule[LogicalPlan] {
       case f @ Filter(cond, r: DataSourceV2Relation) => r.table match {
         case gt: GraftSqlTable if gt.zoneStats.isDefined =>
           val stats = gt.zoneStats.get
-          // File-path expansion only for unpartitioned tables: replacing
-          // a dir root with file paths would lose the col=value segments
-          // a partitioned scan derives partition columns from.
-          val fz = if (gt.partitionCols.isEmpty)
-            gt.fileZones.getOrElse(Map.empty)
-          else Map.empty[String, Map[String, FileStats.DirStats]]
+          // File-path expansion: replacing a dir root with file paths
+          // loses the col=value segments a partitioned scan derives
+          // partition columns from — pruneTo compensates by pinning a
+          // basePath option on the pruned scan (the same contract as
+          // GraftCatalog.frameFor's file-subset read), so partitioned
+          // tables expand to file granularity too.
+          val fz = gt.fileZones.getOrElse(Map.empty)
           val cur = gt.currentPaths
           val keptDirs = cur.filter(p =>
             stats.get(p).forall(FileStats.mightMatch(_, cond)))

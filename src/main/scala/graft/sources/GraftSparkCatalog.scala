@@ -548,11 +548,24 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     * fixed-point re-run evaluates them and converges. */
   private[graft] def pruneTo(kept: Seq[String],
       newStats: Map[String, FileStats.DirStats],
-      newFileZones: Map[String, Map[String, FileStats.DirStats]]): GraftSqlTable =
-    new GraftSqlTable(delegate.copy(paths = kept), partitionCols, props,
+      newFileZones: Map[String, Map[String, FileStats.DirStats]]): GraftSqlTable = {
+    // A partitioned scan over an explicit FILE list needs a basePath pin
+    // so the col=value segments between the root and each file keep
+    // resolving as partition columns (same contract as
+    // GraftCatalog.frameFor's subset read). The first prune records the
+    // original root; fixed-point re-prunes inherit it via options.
+    val newDelegate =
+      if (partitionCols.isEmpty || delegate.options.containsKey("basePath"))
+        delegate.copy(paths = kept)
+      else delegate.copy(paths = kept,
+        options = new CaseInsensitiveStringMap(
+          (delegate.options.asScala ++
+            Map("basePath" -> delegate.paths.head)).asJava))
+    new GraftSqlTable(newDelegate, partitionCols, props,
       morRead, commitInsert, commitDelete, canDelete, coords,
       () => Some(newStats), exactRowCountIn = () => None, readOnly = readOnly,
       fileZonesIn = () => Some(newFileZones).filter(_.nonEmpty))
+  }
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as
     * in [[GraftCatalog.deleteWhere]]); append-only tables and

@@ -555,6 +555,37 @@ class ZonePruneSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("static SQL WHERE prunes partitioned tables to files within partitions") {
+    import spark.implicits._
+    // Same layout as the runtime test: 4 cat partitions × 4 id-range
+    // files. A plain WHERE on the non-partition column must expand the
+    // single snap dir to only the id-admitting files — with partition
+    // values intact through the basePath pin.
+    gc.createTable("db", "sprt", spark.range(0).selectExpr(
+      "id", "concat('n', id) AS name", "CAST(id % 4 AS STRING) AS cat").schema,
+      partitionBy = Seq("cat"))
+    gc.append("db", "sprt", spark.range(0, 4000)
+      .selectExpr("id", "concat('n', id) AS name",
+        "CAST(id % 4 AS STRING) AS cat")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id").toDF())
+    // no ORDER BY: a shuffle would wrap the plan in AQE and hide the scan
+    // from the root-path helper; the prune is static, order irrelevant
+    val q = spark.sql(
+      "SELECT id, cat FROM gz.db.sprt WHERE id BETWEEN 10 AND 20")
+    assert(q.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      === (10L to 20L).map(i => (i, (i % 4).toString)))
+    val roots = sqlScanRootPaths(q).filter(_.contains("/sprt/"))
+    assert(roots.nonEmpty && roots.size <= 6,
+      s"expected <=6 of 16 files after static in-partition pruning: $roots")
+    assert(roots.forall(_.contains("cat=")), s"file-level roots: $roots")
+    // predicate on BOTH partition and data column: a single file survives
+    val q2 = spark.sql(
+      "SELECT id, name FROM gz.db.sprt WHERE cat = '1' AND id = 13")
+    assert(q2.collect().map(_.getLong(0)).toSeq === Seq(13L))
+    val roots2 = sqlScanRootPaths(q2).filter(_.contains("/sprt/"))
+    assert(roots2.size <= 2, s"cat+id lookup kept $roots2")
+  }
+
   test("partitioned SQL joins runtime-prune files WITHIN partitions") {
     import spark.implicits._
     // Single-snap-dir partitioned table: 4 cat partitions × 4 id-range
