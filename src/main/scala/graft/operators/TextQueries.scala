@@ -280,6 +280,25 @@ object TextQueries {
           col("valid"))
         .orderBy("id")
     }),
+    // REAL image codec round trip (JDK javax.imageio — not the stub):
+    // generate a deterministic PNG per sampled doc_id, decode its actual
+    // pixels, rescale the long side to 12, re-encode, and read the dims
+    // back from the RESIZED bytes. The oracle reproduces the expected
+    // dimensions arithmetically (generated w=16+id%32 always exceeds both
+    // h=8+id%16 and maxSide, so scale=12.0/w — same IEEE expression both
+    // engines), which only matches if the whole pixel pipeline is real.
+    "media_decode_imageio" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 0).select("doc_id").as[Long]
+      val blobs = ids.map(id => Multimodal.MediaBlob(id, "png",
+        Multimodal.ImageIoCodec.encodeTestPng(
+          (16 + id % 32).toInt, (8 + id % 16).toInt)))
+      Multimodal.decodeAndResizeReal(blobs, maxSide = 12).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("valid"))
+        .orderBy("doc_id")
+    }),
     // Stratified systematic sampling: every 10th doc per language by
     // doc_id rank — the deterministic, resumable way to draw a balanced
     // subsample (random sampling isn't reproducible across engines or
@@ -503,6 +522,14 @@ object TextQueries {
         |    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
         |  FROM sc) t
         |WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "media_decode_imageio" ->
+      """SELECT doc_id,
+        |  CAST(FLOOR((16 + doc_id % 32) * (12.0 / (16 + doc_id % 32)))
+        |    AS INTEGER) AS width,
+        |  CAST(FLOOR((8 + doc_id % 16) * (12.0 / (16 + doc_id % 32)))
+        |    AS INTEGER) AS height,
+        |  true AS valid
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
     "media_decode" ->
       """WITH m AS (
         |  SELECT doc_id AS id, 'image' AS kind,

@@ -56,6 +56,45 @@ class TextSpec extends SparkSpecBase {
     assert(m.width === 50 && m.height === 25)
   }
 
+  test("ImageIoCodec decodes and rescales REAL png/jpeg pixels") {
+    import Multimodal.ImageIoCodec
+    // PNG round trip: encoded dims come back exactly
+    val png = ImageIoCodec.encodeTestPng(37, 21)
+    assert(ImageIoCodec.dims(png) === Some((37, 21)))
+    // JPEG too (lossy pixels, exact dims)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    assert(ImageIoCodec.dims(jbos.toByteArray) === Some((37, 21)))
+    // real resize: long side clamps, aspect preserved via same floor math
+    val resized = ImageIoCodec.resizeBytes(png, 12).get
+    assert(ImageIoCodec.dims(resized) === Some((12, (21 * (12.0 / 37)).toInt)))
+    // never upscales
+    val same = ImageIoCodec.resizeBytes(png, 100).get
+    assert(ImageIoCodec.dims(same) === Some((37, 21)))
+    // non-image bytes fall back to the stub's synthetic header
+    val m = ImageIoCodec.decode("image", Array[Byte](64, 48, 0, 100))
+    assert(m.width === 64 && m.height === 48 && m.durationMs === 100)
+  }
+
+  test("decodeAndResizeReal runs the pixel pipeline distributed") {
+    import spark.implicits._
+    import Multimodal.{ImageIoCodec, MediaBlob}
+    val blobs = spark.range(0, 40).as[Long].map(id => MediaBlob(id, "png",
+      ImageIoCodec.encodeTestPng((16 + id % 32).toInt, (8 + id % 16).toInt)))
+      .repartition(4)
+    val metas = Multimodal.decodeAndResizeReal(blobs, maxSide = 12)
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size === 40)
+    (0L until 40L).foreach { id =>
+      val (w, h) = (16 + id % 32, 8 + id % 16)
+      val scale = 12.0 / w // w always the long side in this fixture
+      assert(metas(id).width === (w * scale).toInt, s"id=$id")
+      assert(metas(id).height === (h * scale).toInt, s"id=$id")
+      assert(metas(id).valid && metas(id).nBytes > 0)
+    }
+  }
+
   test("blobsFromText round-trips document bytes") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val blobs = Multimodal.blobsFromText(d, "doc_id", "text", "text")
