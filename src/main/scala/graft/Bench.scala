@@ -16,6 +16,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let AQE re-plan partitioning INSIDE cached subplans: the dedup
+      // family persists small intermediates (simhash families, band
+      // tables), and without this flag those pin the static shuffle
+      // count — at SPARK_GRAFT_SHUFFLE=128 that made simhash 2.6× slower
+      // than shuffle=32 purely from tiny-task overhead. With it, AQE
+      // coalesces the small cached shuffles and the knob stops mattering.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet footer caches, so the first

@@ -75,6 +75,13 @@ trait ConditionalPutStore {
  * move crashed) leave a claim without content — visible, and reclaimed
  * the same way dead staging dirs are (sweepOrphanDirs), never silently
  * interleaved.
+ *
+ * Key lifecycle caveat: a real deployment must delete the claim object
+ * when its destination is deleted (rollback, expiration, orphan sweep) —
+ * otherwise a later writer reusing the same ordinal name finds the key
+ * taken and retries forever. The rename-based default has no such state
+ * (the dir IS the claim); store-backed impls tie key deletion to the same
+ * cleanup paths.
  */
 class ConditionalPutCommitLock(store: ConditionalPutStore) extends CommitLock {
   override def publishIfAbsent(fs: FileSystem, fc: FileContext, src: Path,
