@@ -299,6 +299,23 @@ object TextQueries {
           col("valid"))
         .orderBy("doc_id")
     }),
+    // REAL audio codec round trip (JDK javax.sound.sampled): generate a
+    // deterministic 16-bit mono PCM WAV per sampled doc (frames =
+    // 8000 + (id%32)*400 at 8 kHz — duration divides exactly), parse the
+    // header back, and report the decoded duration and container size.
+    // The canonical PCM WAV header is 44 bytes, so n_bytes is arithmetic
+    // too — both only match if the encode→parse pipeline is real.
+    "media_decode_wav" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 100 === 0).select("doc_id").as[Long]
+      val blobs = ids.map(id => Multimodal.MediaBlob(id, "wav",
+        Multimodal.WavCodec.encodeTestWav((8000 + (id % 32) * 400).toInt)))
+      Multimodal.decodeBatchReal(blobs).toDF()
+        .select(col("id").as("doc_id"), col("durationMs").as("duration_ms"),
+          col("nBytes").as("n_bytes"), col("valid"))
+        .orderBy("doc_id")
+    }),
     // Stratified systematic sampling: every 10th doc per language by
     // doc_id rank — the deterministic, resumable way to draw a balanced
     // subsample (random sampling isn't reproducible across engines or
@@ -528,6 +545,12 @@ object TextQueries {
         |    AS INTEGER) AS width,
         |  CAST(FLOOR((8 + doc_id % 16) * (12.0 / (16 + doc_id % 32)))
         |    AS INTEGER) AS height,
+        |  true AS valid
+        |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+    "media_decode_wav" ->
+      """SELECT doc_id,
+        |  CAST(1000 + (doc_id % 32) * 50 AS INTEGER) AS duration_ms,
+        |  CAST(44 + (8000 + (doc_id % 32) * 400) * 2 AS INTEGER) AS n_bytes,
         |  true AS valid
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
     "media_decode" ->

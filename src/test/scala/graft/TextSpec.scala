@@ -95,6 +95,28 @@ class TextSpec extends SparkSpecBase {
     }
   }
 
+  test("WavCodec parses REAL wav headers; kind dispatch falls back to stub") {
+    import Multimodal.WavCodec
+    val wav = WavCodec.encodeTestWav(12000, 8000f) // 1.5 s
+    val m = WavCodec.decode("wav", wav)
+    assert(m.valid && m.durationMs === 1500)
+    assert(m.nBytes === 44 + 12000 * 2) // canonical PCM header + frames
+    // non-audio bytes fall back to the stub's synthetic header
+    val fb = WavCodec.decode("audio", Array[Byte](64, 48, 0, 100))
+    assert(fb.width === 64 && fb.durationMs === 100)
+    // decodeBatchReal dispatches by kind distributed
+    import spark.implicits._
+    import Multimodal.{ImageIoCodec, MediaBlob}
+    val blobs = Seq(
+      MediaBlob(1L, "wav", wav),
+      MediaBlob(2L, "png", ImageIoCodec.encodeTestPng(20, 10)),
+      MediaBlob(3L, "video", Array[Byte](9, 7, 0, 50))).toDS().repartition(2)
+    val metas = Multimodal.decodeBatchReal(blobs).collect().map(m => m.id -> m).toMap
+    assert(metas(1L).durationMs === 1500)
+    assert(metas(2L).width === 20 && metas(2L).height === 10)
+    assert(metas(3L).width === 9 && metas(3L).durationMs === 50) // stub path
+  }
+
   test("blobsFromText round-trips document bytes") {
     val d = spark.read.parquet(s"$sfDir/documents.parquet").limit(10)
     val blobs = Multimodal.blobsFromText(d, "doc_id", "text", "text")
