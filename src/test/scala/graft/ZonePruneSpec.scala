@@ -584,6 +584,18 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(q2.collect().map(_.getLong(0)).toSeq === Seq(13L))
     val roots2 = sqlScanRootPaths(q2).filter(_.contains("/sprt/"))
     assert(roots2.size <= 2, s"cat+id lookup kept $roots2")
+    // library path: readWhere applies the same per-file cut on a
+    // partitioned table — id zones admit one file per partition, and the
+    // cat constraint (a per-file partition point zone) picks one of them
+    // (frameFor's basePath keeps cat resolvable over the file subset)
+    val lwId = gc.readWhere("db", "sprt", col("id") === 13L)
+    assert(lwId.inputFiles.length === 4, // one id-range file per cat dir
+      s"readWhere kept ${lwId.inputFiles.length} files for an id lookup")
+    val lw = gc.readWhere("db", "sprt", col("cat") === "1" && col("id") === 13L)
+    assert(lw.inputFiles.length <= 2,
+      s"readWhere kept ${lw.inputFiles.length} files for a cat+id lookup")
+    assert(lw.select("id", "cat").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq === Seq((13L, "1")))
   }
 
   test("partitioned SQL joins runtime-prune files WITHIN partitions") {
