@@ -92,7 +92,18 @@ class ConditionalPutCommitLock(store: ConditionalPutStore) extends CommitLock {
       prePublish()
       // sole owner of dst from here: a plain, possibly non-atomic move
       // is safe — no concurrent writer can hold the CAS for this key.
-      fs.rename(src, dst)
+      // But a failed move — whether rename returns false or throws —
+      // must not report a successful publish: that is the dead-winner
+      // state (claim held, no content) and the commit must fail LOUDLY
+      // so the caller never records a snapshot whose dir is missing.
+      val moved =
+        try fs.rename(src, dst)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!moved && !fs.exists(dst))
+        throw new IllegalStateException(
+          s"conditional-put claim won for $dst but the move from $src " +
+            "failed — dead-winner state; remove the claim object and " +
+            "re-run (sweepOrphanDirs reclaims the staged content)")
       true
     }
   }

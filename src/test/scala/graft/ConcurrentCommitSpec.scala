@@ -257,4 +257,21 @@ class ConcurrentCommitSpec extends SparkSpecBase {
     assert(gc.read("db", "tcas").agg(sum("id")).head.getLong(0) ===
       (1 to 8).map(i => (i * 100L until i * 100L + 10).sum).sum)
   }
+
+  test("conditional-put dead winner (move fails after CAS win) fails loudly") {
+    val lock = new graft.sources.ConditionalPutCommitLock(
+      (_: String, _: Array[Byte]) => true) // CAS always won
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val fc = org.apache.hadoop.fs.FileContext.getLocalFSFileContext(conf)
+    // src does not exist -> local rename returns false (no throw); the
+    // claim is held but no content landed: must raise, not report success
+    val e = intercept[IllegalStateException] {
+      lock.publishIfAbsent(fs,
+        fc,
+        new org.apache.hadoop.fs.Path(warehouse, "no-such-staging"),
+        new org.apache.hadoop.fs.Path(warehouse, "no-such-target"))
+    }
+    assert(e.getMessage.contains("dead-winner"))
+  }
 }
