@@ -105,6 +105,17 @@ private[graft] class GraftRuntimeScan(
     * visibility, and how plan helpers see through the wrapper. */
   private[graft] def currentDelegate: ParquetScan = delegate
 
+  // Value equality delegating to the wrapped ParquetScan: Spark's
+  // ReuseExchange / scan-reuse compares Scan instances, and a
+  // reference-equality wrapper would defeat reuse for self-joins over
+  // the same graft table. Runtime pruning mutates the delegate, but
+  // reuse decisions are made at planning time, before filter() runs.
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftRuntimeScan => delegate == o.currentDelegate
+    case _ => false
+  }
+  override def hashCode(): Int = delegate.hashCode()
+
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = delegate.toBatch
   override def description(): String =

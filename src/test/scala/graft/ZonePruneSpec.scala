@@ -638,6 +638,20 @@ class ZonePruneSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
 
+  test("runtime-filter scans keep value equality (exchange reuse)") {
+    // Two scans of the same table must compare equal, or Spark's
+    // ReuseExchange / scan reuse can't deduplicate self-join legs.
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.head
+    val a = scanOf(spark.sql("SELECT id FROM gz.db.zp WHERE id > 0"))
+    val b = scanOf(spark.sql("SELECT id FROM gz.db.zp WHERE id > 0"))
+    assert(a.isInstanceOf[graft.plans.GraftRuntimeScan])
+    assert(a === b && a.hashCode === b.hashCode)
+  }
+
   test("zone pruning survives schema evolution conservatively") {
     import spark.implicits._
     gc.createTable("db", "zev", Seq((1L, "a")).toDF("id", "v").schema)
