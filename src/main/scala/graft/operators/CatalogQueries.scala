@@ -197,6 +197,24 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Append-only UPDATE via deletion vectors: the matched rows' old
+    // positions land in a DV dir and their updated images in a data dir
+    // under ONE atomic snapshot (no file rewritten). A following DELETE
+    // must see the post-update image (an updated row no longer matches
+    // its pre-update values).
+    "catalog_update_dv" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true"))
+      cat.append("q", t, d.filter(col("doc_id") % 2 === 0))
+      cat.append("q", t, d.filter(col("doc_id") % 2 =!= 0))
+      cat.update("q", t, col("doc_id") % 5 === 0,
+        Map("lang" -> lit("upd"), "n_chars" -> (col("n_chars") + 1000)))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // partial-update merge engine: a patch batch with NULL fields updates
     // only its non-null fields (Paimon's merge-engine=partial-update).
     "catalog_merge_partial" -> ((s, dir) => {
@@ -423,6 +441,12 @@ object CatalogQueries {
     "catalog_delete_vectors" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_update_dv" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "catalog_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 42, 101, 256) ORDER BY doc_id""".stripMargin,

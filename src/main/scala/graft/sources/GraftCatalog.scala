@@ -358,7 +358,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       kind: String = "data", deleteDf: Option[DataFrame] = None,
       compaction: Boolean = false,
       dvIndexEntry: Option[(Seq[String], Long)] = None,
-      basisVersion: Option[Long] = None): Long = {
+      basisVersion: Option[Long] = None,
+      // (file, pos) victims PAIRED with a data commit in one snapshot —
+      // the append-only UPDATE shape: retract old positions and land the
+      // updated images atomically (dir + dir-dv share one ordinal).
+      dvDf: Option[DataFrame] = None): Long = {
     val m = readManifest(schema, table)
     // Derived-content commits (DV deletes) pass the manifest version their
     // victims were computed against: if the head advanced in between (a
@@ -410,6 +414,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // snapshot (same ordinal `$id`): updates+inserts and deletes become
     // visible atomically, never as two observable states
     deleteDf.foreach(write(_, s"$dir-del", "delete"))
+    // an append-only UPDATE pairs the data dir with a DV dir the same way
+    dvDf.foreach(write(_, s"$dir-dv", "dv"))
     // The files' write-time schema version — pinned BEFORE any conflict
     // rebase (a concurrent DDL may bump the current version; these bytes
     // are at THIS version and map forward by field id like any other dir).
@@ -468,7 +474,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       sn.put("commitKind",
         if (compaction) "compact"
         else if (!keepExisting) "overwrite"
-        else if (deleteDf.isDefined) "merge"
+        else if (deleteDf.isDefined || dvDf.isDefined) "merge"
         else if (kind == "delete" || kind == "dv") "delete"
         else "append")
       // Deletion-vector index: which data files the new DV dir touches and
@@ -479,7 +485,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       dvIndexEntry.foreach { case (files, rows) =>
         val idx = if (mm.has("dvIndex")) mm.get("dvIndex").asInstanceOf[ObjectNode]
           else mm.putObject("dvIndex")
-        val e = idx.putObject(landDir)
+        val e = idx.putObject(if (dvDf.isDefined) s"$landDir-dv" else landDir)
         e.put("rows", rows)
         val fa = e.putArray("files")
         files.foreach(fa.add)
@@ -497,7 +503,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
       val fArr = sn.putArray("files")
       val added = FileEntry(landDir, sv, kind) +:
-        deleteDf.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq
+        (deleteDf.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq ++
+          dvDf.map(_ => FileEntry(s"$landDir-dv", sv, "dv")).toSeq)
       (prevFiles ++ added).foreach { fe =>
         val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
         if (fe.kind != "data") e.put("kind", fe.kind)
@@ -527,7 +534,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // leaves only an unreferenced dir (never a dangling manifest),
     // harmless until [[sweepOrphanDirs]] reclaims it (plain expiration
     // can't: it only deletes dirs that dropped snapshot entries name).
-    val retryable = keepExisting && kind == "data" && !compaction
+    // dvDf content (file, pos victims) is derived from the basis head —
+    // never rebaseable, like standalone DV deletes.
+    val retryable = keepExisting && kind == "data" && !compaction &&
+      dvDf.isEmpty
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(tablePath(schema, table)).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -553,6 +563,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     writeClaimMarker(dir)
     if (deleteDf.isDefined) writeClaimMarker(s"$dir-del")
+    if (dvDf.isDefined) writeClaimMarker(s"$dir-dv")
     // Reads the whole marker (a single read() may legally return short)
     // and retries transient IO errors, so only a genuine token mismatch —
     // never a short read or a blip — downgrades a successful rename into
@@ -601,6 +612,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     var cur = m
     var curDir = dir // staging at first, then the last claimed ordinal dir
     var curDelDir = s"$dir-del"
+    var curDvDir = s"$dir-dv"
     var landId = id
     var attempts = 0
     while (attempts < 20) {
@@ -614,6 +626,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (ok && deleteDf.isDefined && curDelDir != s"$target-del") {
         ok = claim(curDelDir, s"$target-del")
         if (ok) curDelDir = s"$target-del"
+      }
+      if (ok && dvDf.isDefined && curDvDir != s"$target-dv") {
+        ok = claim(curDvDir, s"$target-dv")
+        if (ok) curDvDir = s"$target-dv"
       }
       if (ok) {
         try { land(cur, landId, target); return landId }
@@ -2192,6 +2208,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       condition: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column]): Long = {
     val pk = primaryKeyOf(schema, table)
+    if (pk.isEmpty && deletionVectors(readManifest(schema, table)))
+      return updateWhereDv(schema, table, condition, assignments)
     require(pk.nonEmpty, s"$schema.$table has no primary key — use overwrite")
     val cur = currentSchema(schema, table)
     assignments.keys.foreach { c =>
@@ -2209,6 +2227,61 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .select(cur.fieldNames.toSeq.map(c =>
         assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     upsert(schema, table, updated)
+  }
+
+  /**
+   * Row-level UPDATE on an append-only deletion-vector table: the matched
+   * rows' (file, position) pairs land in a DV dir and their updated
+   * images in a data dir, paired under ONE snapshot ordinal — retraction
+   * and replacement become visible atomically, data files are never
+   * rewritten (updating 0.1% of a 100 TB table costs one predicate scan
+   * plus the new rows, not a copy-on-write of every touched file — the
+   * same economics as [[deleteWhereDv]]). The changelog reads the pair
+   * as `-D` old image / `+I` new image, so CDC consumers converge; the
+   * victims carry the basis manifest version, so a concurrent
+   * compact/overwrite aborts the update instead of landing positions
+   * into retired files.
+   */
+  private def updateWhereDv(schema: String, table: String,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val m = readManifest(schema, table)
+    val cur = currentSchema(schema, table)
+    assignments.keys.foreach { c =>
+      require(cur.fieldNames.contains(c), s"unknown column $c")
+    }
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) return 0L
+    val latest = snaps.get(snaps.size() - 1)
+    val (dvEs, dataEs) = filesOf(latest).partition(_.kind == "dv")
+    if (dataEs.isEmpty) return latest.get("id").asLong()
+    val withMeta = dataEs.map(frameFor(schema, table, m, _, withMeta = true))
+      .reduce(_ unionByName _)
+    // evaluate over the DV-APPLIED image: an already-retracted row must
+    // be invisible, or its position would be deleted twice
+    val live = if (dvEs.isEmpty) withMeta
+      else withMeta.join(dvFrame(schema, table, dvEs),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    val matched = live.filter(condition)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perFile = matched.groupBy(DvFileCol)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
+      if (perFile.isEmpty) return latest.get("id").asLong()
+      val files = perFile.map(_.getString(0)).toSeq.sorted
+      val rows = perFile.map(_.getLong(1)).sum
+      // ONE select evaluating every assignment against the OLD row (SQL
+      // UPDATE semantics, same contract as the PK path above)
+      val updated = matched.select(cur.fieldNames.toSeq.map(c =>
+        assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      dvVictimsTestHook()
+      commit(schema, table, updated, keepExisting = true, kind = "data",
+        dvDf = Some(matched.select(col(DvFileCol), col(DvPosCol))
+          .sortWithinPartitions(DvFileCol, DvPosCol)),
+        dvIndexEntry = Some((files, rows)),
+        basisVersion = Some(
+          if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L))
+    } finally { matched.unpersist(); () }
   }
 
   /**

@@ -166,4 +166,72 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(dirs === Set("snap-3"))
     assert(gc.countRows("db", "te") === Some(40L))
   }
+
+  test("update on an append-only DV table: atomic retract + replace") {
+    newTable("tu")
+    gc.append("db", "tu", batch(1, 100).toDF())
+    gc.append("db", "tu", batch(101, 200).toDF())
+    val filesBefore = gc.read("db", "tu").inputFiles.toSet
+    val snap = gc.update("db", "tu", col("id") % 10 === 0,
+      Map("name" -> concat(lit("upd-"), col("id")),
+        "grp" -> (col("grp") + 100)))
+    assert(snap === 3)
+    val after = gc.read("db", "tu")
+    assert(after.count() === 200) // replaced, not removed
+    val updated = after.filter(col("id") % 10 === 0)
+    assert(updated.count() === 20)
+    assert(updated.filter(col("name").startsWith("upd-")).count() === 20)
+    assert(updated.filter(col("grp") >= 100).count() === 20)
+    assert(after.filter(col("id") % 10 =!= 0)
+      .filter(col("name").startsWith("upd-")).count() === 0)
+    // no data file rewritten; the pair landed under ONE ordinal
+    assert(filesBefore.subsetOf(after.inputFiles.toSet))
+    val entries = gc.snapshotFileEntries("db", "tu")
+    assert(entries.map(_.kind).sorted === Seq("data", "data", "data", "dv"))
+    assert(entries.exists(_.dir == "snap-3") &&
+      entries.exists(_.dir == "snap-3-dv"))
+    // metadata-only count still exact; time travel sees the old image
+    assert(gc.countRows("db", "tu") === Some(200L))
+    assert(gc.read("db", "tu", snapshotId = Some(2))
+      .filter(col("name").startsWith("upd-")).count() === 0)
+    // second update composes over the DV-applied image (no double delete)
+    gc.update("db", "tu", col("id") === 10L, Map("grp" -> lit(7)))
+    val again = gc.read("db", "tu").filter(col("id") === 10L).collect()
+    assert(again.length === 1 && again.head.getInt(2) === 7)
+    assert(gc.countRows("db", "tu") === Some(200L))
+  }
+
+  test("DV update changelog emits -D old image / +I new image") {
+    newTable("tuc")
+    gc.append("db", "tuc", batch(1, 20).toDF())
+    val before = gc.snapshots("db", "tuc").last.id
+    gc.update("db", "tuc", col("id") === 5L, Map("name" -> lit("five")))
+    val log = gc.readChangelog("db", "tuc", before,
+        gc.snapshots("db", "tuc").last.id)
+      .orderBy("_row_kind", "id").collect()
+    assert(log.map(r => (r.getString(r.length - 1), r.getLong(0),
+      r.getString(1))).toSeq
+      === Seq(("+I", 5L, "five"), ("-D", 5L, "n5")))
+  }
+
+  test("DV update aborts when a concurrent writer moves the head") {
+    newTable("tux")
+    gc.append("db", "tux", batch(1, 30).toDF())
+    val other = new GraftCatalog(spark, warehouse)
+    var fired = false
+    gc.dvVictimsTestHook = () => if (!fired) {
+      fired = true
+      other.append("db", "tux", batch(31, 40).toDF())
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        gc.update("db", "tux", col("id") === 3L, Map("grp" -> lit(0)))
+      }
+    } finally gc.dvVictimsTestHook = () => ()
+    // nothing landed: table still consistent, re-run succeeds
+    assert(gc.read("db", "tux").count() === 40)
+    gc.update("db", "tux", col("id") === 3L, Map("grp" -> lit(0)))
+    assert(gc.read("db", "tux").filter(col("id") === 3L)
+      .head.getInt(2) === 0)
+  }
 }
