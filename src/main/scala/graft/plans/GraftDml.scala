@@ -268,7 +268,7 @@ case class GraftUpdateCommand(warehouse: String, schemaName: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val gc = new GraftCatalog(spark, warehouse)
     val pk = gc.primaryKeyOf(schemaName, tableName)
-    require(pk.nonEmpty, s"$schemaName.$tableName has no primary key — use overwrite")
+    if (pk.isEmpty) return runDvUpdate(spark, gc)
     val cur = gc.currentSchema(schemaName, tableName)
     assignments.foreach { a =>
       require(cur.fieldNames.contains(a.name), s"unknown column ${a.name}")
@@ -288,6 +288,41 @@ case class GraftUpdateCommand(warehouse: String, schemaName: String,
           .getOrElse(GraftColumnBridge.column(targetAttr(f.name)))
           .cast(f.dataType).as(f.name)): _*)
     gc.upsert(schemaName, tableName, updated)
+    Seq.empty
+  }
+
+  /** Append-only path: route through the deletion-vector UPDATE (atomic
+    * retract + replace, see GraftCatalog.updateWhereDv). The DV path
+    * derives (file, pos) victims from a metadata-bearing frame whose
+    * exprIds differ from the rewrite-time relation, so the resolved
+    * condition/assignments re-bind BY NAME — which is why subqueries
+    * (resolved plans pinned to the old exprIds) are refused here. */
+  private def runDvUpdate(spark: SparkSession, gc: GraftCatalog): Seq[Row] = {
+    require(gc.tableOptions(schemaName, tableName)
+        .get("deletion-vectors").contains("true"),
+      s"$schemaName.$tableName has no primary key — row-level UPDATE " +
+        "needs one, or the deletion-vectors table option")
+    def rebind(e: Expression): Column = {
+      require(e.find(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty,
+        "UPDATE with subqueries on an append-only deletion-vector table " +
+          "is not supported — use a primary-key table")
+      GraftColumnBridge.column(e.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+    }
+    val cur = gc.currentSchema(schemaName, tableName)
+    assignments.foreach(a => require(cur.fieldNames.contains(a.name),
+      s"unknown column ${a.name}"))
+    val cond = matching match {
+      case Filter(c, _) => rebind(c)
+      case _ => lit(true)
+    }
+    val assignCols = assignments.map(a =>
+      a.name -> rebind(a.value).cast(cur(a.name).dataType)).toMap
+    gc.update(schemaName, tableName, cond, assignCols)
     Seq.empty
   }
 }

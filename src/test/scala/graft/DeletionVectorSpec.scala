@@ -214,6 +214,29 @@ class DeletionVectorSpec extends SparkSpecBase {
       === Seq(("+I", 5L, "five"), ("-D", 5L, "n5")))
   }
 
+  test("SQL UPDATE routes through deletion vectors on append-only tables") {
+    spark.sql("CREATE TABLE gdv.db.tsu (id BIGINT, name STRING, v INT) " +
+      "TBLPROPERTIES ('deletion-vectors'='true')")
+    spark.sql("INSERT INTO gdv.db.tsu " +
+      "SELECT id, concat('n', id), CAST(id % 3 AS INT) FROM range(1, 51)")
+    spark.sql("UPDATE gdv.db.tsu SET name = concat('u', id), v = v + 10 " +
+      "WHERE id % 5 = 0")
+    val r = spark.sql(
+      "SELECT count(*) FROM gdv.db.tsu WHERE name LIKE 'u%' AND v >= 10")
+    assert(r.head.getLong(0) === 10L)
+    assert(spark.sql("SELECT count(*) FROM gdv.db.tsu").head.getLong(0) === 50L)
+    // no file rewritten: pair landed as data + dv entries
+    assert(gc.snapshotFileEntries("db", "tsu").map(_.kind).sorted ===
+      Seq("data", "data", "dv"))
+    // subqueries refuse with a clear message
+    val e = intercept[Exception] {
+      spark.sql("UPDATE gdv.db.tsu SET v = 0 WHERE id IN " +
+        "(SELECT id FROM gdv.db.tsu WHERE v > 100)")
+    }
+    assert(e.getMessage.contains("subqueries") ||
+      Option(e.getCause).exists(_.getMessage.contains("subqueries")))
+  }
+
   test("DV update aborts when a concurrent writer moves the head") {
     newTable("tux")
     gc.append("db", "tux", batch(1, 30).toDF())
