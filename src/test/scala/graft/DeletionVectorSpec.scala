@@ -237,6 +237,23 @@ class DeletionVectorSpec extends SparkSpecBase {
       Option(e.getCause).exists(_.getMessage.contains("subqueries")))
   }
 
+  test("DV update works on partitioned tables") {
+    newTable("tup", partitionBy = Seq("grp"))
+    gc.append("db", "tup", batch(1, 70).toDF())
+    gc.update("db", "tup", col("grp") === 3 && col("id") < 35,
+      Map("name" -> lit("part-upd")))
+    val after = gc.read("db", "tup")
+    assert(after.count() === 70)
+    // grp 3 holds ids 3,10,17,24,31,38,...; five are < 35
+    assert(after.filter(col("name") === "part-upd").count() === 5)
+    assert(after.filter(col("name") === "part-upd")
+      .filter(col("grp") =!= 3).count() === 0)
+    assert(gc.countRows("db", "tup") === Some(70L))
+    // updated images landed under their grp= partition dirs
+    val updFiles = after.filter(col("name") === "part-upd").inputFiles
+    assert(updFiles.exists(_.contains("grp=3")))
+  }
+
   test("DV update aborts when a concurrent writer moves the head") {
     newTable("tux")
     gc.append("db", "tux", batch(1, 30).toDF())
