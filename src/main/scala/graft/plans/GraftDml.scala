@@ -50,6 +50,48 @@ class GraftUpdateRewrite extends Rule[LogicalPlan] {
 }
 
 /**
+ * SQL `DELETE FROM ... WHERE <condition with subqueries>` for graft PK
+ * tables. Spark's DSv2 `SupportsDelete` path only accepts pushable
+ * source filters — `DELETE WHERE id IN (SELECT ...)` fails analysis with
+ * "Delete by condition with subquery is not supported" (the reference's
+ * users get subquery deletes from Trino's engine, which computes the row
+ * set and hands the connector row ids). Rewrite strategy mirrors
+ * [[GraftUpdateRewrite]]: intercept ONLY when the condition carries a
+ * subquery (simple conditions keep the existing pushdown path and its
+ * zone/DV pruning) and the table has a primary key (victims land as key
+ * tombstones — one merge-on-read snapshot, no positional identity
+ * needed; append-only DV tables keep Spark's own refusal, since their
+ * victims are (file, pos) pairs a re-bound plan can't name).
+ */
+class GraftDeleteRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable
+        if d.resolved && d.condition.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
+      d.table.collectFirst { case r: DataSourceV2Relation => r.table } match {
+        case Some(t: GraftSqlTable)
+            if t.coords.isDefined && t.properties.containsKey("primary-key") =>
+          val (wh, s, tb) = t.coords.get
+          GraftDeleteCommand(wh, s, tb, Filter(d.condition, d.table))
+        case _ => d
+      }
+  }
+}
+
+/** Executes the rewritten subquery DELETE: the matching plan (subqueries
+  * included, bound by exprId at rewrite time) evaluates to the victim
+  * rows, whose keys land as ONE tombstone snapshot. */
+case class GraftDeleteCommand(warehouse: String, schemaName: String,
+    tableName: String, matching: LogicalPlan) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val gc = new GraftCatalog(spark, warehouse)
+    gc.deleteRowsByKey(schemaName, tableName,
+      GraftColumnBridge.dataFrame(spark, matching))
+    Seq.empty
+  }
+}
+
+/**
  * SQL `MERGE INTO` for graft PK tables, same rewrite strategy as
  * [[GraftUpdateRewrite]]: the analyzed MergeIntoTable becomes a command
  * that computes the action deltas with DataFrame transformations over a

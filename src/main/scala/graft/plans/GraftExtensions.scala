@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // SQL UPDATE / MERGE INTO on graft tables → catalog commits (GraftDml)
     ext.injectResolutionRule(_ => new GraftUpdateRewrite)
+    ext.injectResolutionRule(_ => new GraftDeleteRewrite)
     ext.injectResolutionRule(_ => new GraftMergeRewrite)
     // Manifest zone-map pruning + metadata-only count(*) (GraftZoneRules)
     ext.injectOptimizerRule(_ => new GraftZonePrune)

@@ -2150,6 +2150,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     commit(schema, table, victims, keepExisting = true, kind = "delete")
   }
 
+  /** Tombstone-commit the given victim KEYS (PK tables; the SQL
+    * subquery-DELETE rewrite computes the victims from an analyzed plan
+    * and lands them here — same snapshot shape as [[deleteWhere]]). */
+  private[graft] def deleteRowsByKey(schema: String, table: String,
+      victims: DataFrame): Long = {
+    val m = readManifest(schema, table)
+    val pk = primaryKey(m)
+    require(pk.nonEmpty, s"$schema.$table has no primary key")
+    requireDeduplicate(m, s"$schema.$table", "deleteWhere")
+    commit(schema, table, victims.select(pk.map(col): _*),
+      keepExisting = true, kind = "delete")
+  }
+
   /**
    * Deletion-vector DELETE on an append-only table (Paimon's
    * `deletion-vectors.enabled`, scoped here to append-only tables):

@@ -217,6 +217,33 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     intercept[Exception](spark.sql("DELETE FROM g.db.del2 WHERE id = 1"))
   }
 
+  test("DELETE FROM with subqueries tombstones PK tables") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.dsq (id BIGINT, grp INT, v INT) " +
+      "TBLPROPERTIES ('primary-key'='id')")
+    gc.upsert("db", "dsq", (1L to 20L).map(i =>
+      (i, (i % 4).toInt, (i * 10).toInt)).toDF("id", "grp", "v"))
+    spark.sql("CREATE TABLE g.db.dsqref (k BIGINT)")
+    spark.sql("INSERT INTO g.db.dsqref VALUES (3), (7), (11)")
+    // IN subquery over another table
+    spark.sql("DELETE FROM g.db.dsq WHERE id IN (SELECT k FROM g.db.dsqref)")
+    assert(spark.sql("SELECT count(*) FROM g.db.dsq").head.getLong(0) === 17L)
+    assert(spark.sql("SELECT count(*) FROM g.db.dsq WHERE id IN (3, 7, 11)")
+      .head.getLong(0) === 0L)
+    // correlated EXISTS + extra conjunct
+    spark.sql("DELETE FROM g.db.dsq WHERE grp = 2 AND EXISTS " +
+      "(SELECT 1 FROM g.db.dsqref r WHERE r.k < dsq.id)")
+    // grp=2 ids: 2,6,10,14,18; EXISTS(k < id) true for id > 3 -> 6,10,14,18 go
+    assert(spark.sql("SELECT id FROM g.db.dsq WHERE grp = 2 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // pre-delete images stay time-travelable
+    assert(gc.read("db", "dsq", snapshotId = Some(1L)).count() === 20)
+    // append-only (no PK, no DV) still refuses with Spark's own error
+    intercept[Exception](spark.sql(
+      "DELETE FROM g.db.del2 WHERE id IN (SELECT k FROM g.db.dsqref)"))
+  }
+
   test("partitioned tables: identity transform round-trip + pruning") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
