@@ -58,10 +58,11 @@ class GraftUpdateRewrite extends Rule[LogicalPlan] {
  * set and hands the connector row ids). Rewrite strategy mirrors
  * [[GraftUpdateRewrite]]: intercept ONLY when the condition carries a
  * subquery (simple conditions keep the existing pushdown path and its
- * zone/DV pruning) and the table has a primary key (victims land as key
- * tombstones — one merge-on-read snapshot, no positional identity
- * needed; append-only DV tables keep Spark's own refusal, since their
- * victims are (file, pos) pairs a re-bound plan can't name).
+ * zone/DV pruning). PK tables: victims land as key tombstones — one
+ * merge-on-read snapshot, subqueries of any shape. Append-only DV
+ * tables: the condition re-binds by name onto the positional frame, so
+ * UNCORRELATED subqueries work (their resolved plans are self-contained)
+ * while correlated ones refuse with a clear message.
  */
 class GraftDeleteRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
@@ -70,23 +71,50 @@ class GraftDeleteRewrite extends Rule[LogicalPlan] {
           _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]) =>
       d.table.collectFirst { case r: DataSourceV2Relation => r.table } match {
         case Some(t: GraftSqlTable)
-            if t.coords.isDefined && t.properties.containsKey("primary-key") =>
+            if t.coords.isDefined && (t.properties.containsKey("primary-key")
+              || "true" == t.properties.get("deletion-vectors")) =>
           val (wh, s, tb) = t.coords.get
-          GraftDeleteCommand(wh, s, tb, Filter(d.condition, d.table))
+          GraftDeleteCommand(wh, s, tb, Filter(d.condition, d.table),
+            GraftDml.Assign("cond", d.condition))
         case _ => d
       }
   }
 }
 
-/** Executes the rewritten subquery DELETE: the matching plan (subqueries
-  * included, bound by exprId at rewrite time) evaluates to the victim
-  * rows, whose keys land as ONE tombstone snapshot. */
+/** Executes the rewritten subquery DELETE. PK tables: the matching plan
+  * (subqueries included, bound by exprId at rewrite time) evaluates to
+  * the victim rows, whose keys land as ONE tombstone snapshot.
+  * Append-only DV tables: victims are (file, pos) pairs, so the
+  * condition re-binds BY NAME onto the metadata-bearing frame —
+  * UNCORRELATED subqueries carry over intact (their resolved plans are
+  * self-contained); correlated ones pin the old exprIds and refuse. */
 case class GraftDeleteCommand(warehouse: String, schemaName: String,
-    tableName: String, matching: LogicalPlan) extends LeafRunnableCommand {
+    tableName: String, matching: LogicalPlan,
+    // Assign-wrapped so QueryPlan.expressions does not traverse it —
+    // CheckAnalysis would otherwise reject the IN/EXISTS subquery in a
+    // command-expression position (same trick as the UPDATE rewrite).
+    cond: GraftDml.Assign) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val gc = new GraftCatalog(spark, warehouse)
-    gc.deleteRowsByKey(schemaName, tableName,
-      GraftColumnBridge.dataFrame(spark, matching))
+    if (gc.primaryKeyOf(schemaName, tableName).nonEmpty) {
+      gc.deleteRowsByKey(schemaName, tableName,
+        GraftColumnBridge.dataFrame(spark, matching))
+    } else {
+      import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+      val condition = cond.value
+      require(condition.collect {
+          case sq: SubqueryExpression if sq.isCorrelated => sq
+        }.isEmpty,
+        "DELETE with a CORRELATED subquery on an append-only " +
+          "deletion-vector table is not supported — use a primary-key " +
+          "table (uncorrelated subqueries are fine)")
+      val rebound = GraftColumnBridge.column(condition.transform {
+        case a: AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+      gc.deleteWhere(schemaName, tableName, rebound)
+    }
     Seq.empty
   }
 }
@@ -345,10 +373,13 @@ case class GraftUpdateCommand(warehouse: String, schemaName: String,
       s"$schemaName.$tableName has no primary key — row-level UPDATE " +
         "needs one, or the deletion-vectors table option")
     def rebind(e: Expression): Column = {
-      require(e.find(_.isInstanceOf[
-          org.apache.spark.sql.catalyst.expressions.SubqueryExpression]).isEmpty,
-        "UPDATE with subqueries on an append-only deletion-vector table " +
-          "is not supported — use a primary-key table")
+      require(e.collect {
+          case sq: org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+            if sq.isCorrelated => sq
+        }.isEmpty,
+        "UPDATE with a CORRELATED subquery on an append-only " +
+          "deletion-vector table is not supported — use a primary-key " +
+          "table (uncorrelated subqueries are fine)")
       GraftColumnBridge.column(e.transform {
         case a: AttributeReference =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute

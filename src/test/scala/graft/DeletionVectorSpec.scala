@@ -228,13 +228,24 @@ class DeletionVectorSpec extends SparkSpecBase {
     // no file rewritten: pair landed as data + dv entries
     assert(gc.snapshotFileEntries("db", "tsu").map(_.kind).sorted ===
       Seq("data", "data", "dv"))
-    // subqueries refuse with a clear message
+    // uncorrelated subquery conditions work (matches nothing here: no-op)
+    spark.sql("UPDATE gdv.db.tsu SET v = -5 WHERE id IN " +
+      "(SELECT id FROM gdv.db.tsu WHERE v > 100)")
+    assert(spark.sql("SELECT count(*) FROM gdv.db.tsu WHERE v = -5")
+      .head.getLong(0) === 0L)
+    // ...and a matching one actually updates
+    spark.sql("UPDATE gdv.db.tsu SET v = -1 WHERE id IN " +
+      "(SELECT id FROM gdv.db.tsu WHERE id <= 3)")
+    assert(spark.sql("SELECT count(*) FROM gdv.db.tsu WHERE v = -1")
+      .head.getLong(0) === 3L)
+    // correlated subqueries refuse with a clear message
     val e = intercept[Exception] {
-      spark.sql("UPDATE gdv.db.tsu SET v = 0 WHERE id IN " +
-        "(SELECT id FROM gdv.db.tsu WHERE v > 100)")
+      spark.sql("UPDATE gdv.db.tsu u SET v = 0 WHERE EXISTS " +
+        "(SELECT 1 FROM gdv.db.tsu x WHERE x.id = u.id AND x.v > 100)")
     }
-    assert(e.getMessage.contains("subqueries") ||
-      Option(e.getCause).exists(_.getMessage.contains("subqueries")))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("CORRELATED")))
   }
 
   test("DV update works on partitioned tables") {
@@ -252,6 +263,32 @@ class DeletionVectorSpec extends SparkSpecBase {
     // updated images landed under their grp= partition dirs
     val updFiles = after.filter(col("name") === "part-upd").inputFiles
     assert(updFiles.exists(_.contains("grp=3")))
+  }
+
+  test("SQL DELETE with uncorrelated subquery works on DV tables") {
+    spark.sql("CREATE TABLE gdv.db.tdsq (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('deletion-vectors'='true')")
+    spark.sql("INSERT INTO gdv.db.tdsq " +
+      "SELECT id, CAST(id % 5 AS INT) FROM range(0, 50)")
+    spark.sql("CREATE TABLE gdv.db.tdref (k BIGINT)")
+    spark.sql("INSERT INTO gdv.db.tdref VALUES (3), (13), (23)")
+    spark.sql("DELETE FROM gdv.db.tdsq WHERE id IN " +
+      "(SELECT k FROM gdv.db.tdref)")
+    assert(spark.sql("SELECT count(*) FROM gdv.db.tdsq").head.getLong(0) === 47L)
+    assert(spark.sql(
+      "SELECT count(*) FROM gdv.db.tdsq WHERE id IN (3, 13, 23)")
+      .head.getLong(0) === 0L)
+    // positions recorded, no file rewritten
+    assert(gc.snapshotFileEntries("db", "tdsq").map(_.kind).sorted ===
+      Seq("data", "dv"))
+    // correlated subqueries refuse with the clear message
+    val e = intercept[Exception] {
+      spark.sql("DELETE FROM gdv.db.tdsq WHERE EXISTS " +
+        "(SELECT 1 FROM gdv.db.tdref r WHERE r.k = tdsq.id)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("CORRELATED")))
   }
 
   test("DV update aborts when a concurrent writer moves the head") {
