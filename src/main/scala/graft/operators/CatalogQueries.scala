@@ -103,6 +103,25 @@ object CatalogQueries {
       s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
       s.sql(s"SELECT doc_id, lang FROM gq.q.$t ORDER BY doc_id")
     }),
+    // SQL UPDATE + subquery DELETE on an append-only DV table: the
+    // UPDATE routes through the atomic retract+replace pair, the DELETE's
+    // uncorrelated IN-subquery through the rewrite's by-name re-bind —
+    // both gated here against DuckDB computing the same final image.
+    "catalog_sql_update_dv" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true"))
+      cat.append("q", t, d)
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      s.sql(s"UPDATE gq.q.$t SET lang = 'sqlupd', n_chars = n_chars + 500 " +
+        "WHERE doc_id % 6 = 0")
+      s.sql(s"DELETE FROM gq.q.$t WHERE doc_id IN " +
+        s"(SELECT doc_id FROM gq.q.$t WHERE n_chars % 9 = 1)")
+      s.sql(s"SELECT doc_id, lang, n_chars FROM gq.q.$t ORDER BY doc_id")
+    }),
     // Zone-map pruned read: three commits with disjoint doc_id ranges,
     // then a range predicate — readWhere must skip the dirs whose
     // manifest min/max can't match (asserted by ZonePruneSpec; here the
@@ -490,6 +509,14 @@ object CatalogQueries {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_sql_update_dv" ->
+      """WITH upd AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN 'sqlupd' ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 6 = 0 THEN n_chars + 500 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM upd
+        |WHERE n_chars % 9 <> 1 ORDER BY doc_id""".stripMargin,
     "catalog_sql_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
