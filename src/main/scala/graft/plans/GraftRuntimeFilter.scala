@@ -105,16 +105,25 @@ private[graft] class GraftRuntimeScan(
     * visibility, and how plan helpers see through the wrapper. */
   private[graft] def currentDelegate: ParquetScan = delegate
 
-  // Value equality delegating to the wrapped ParquetScan: Spark's
-  // ReuseExchange / scan-reuse compares Scan instances, and a
+  /** The PLANNING-TIME delegate, frozen at construction. Identity
+    * (equals/hashCode) is based on this, never on the mutable pruned
+    * delegate: the scan may already sit in hash-keyed plan structures
+    * (AQE stage cache, exchange-reuse maps) when filter() swaps the
+    * delegate, and a shifting hashCode there would silently break
+    * lookups. Two wrappers over equal planned scans stay equal even if
+    * one was runtime-pruned — reuse decisions were made at planning
+    * time, and a reused pruned scan is only ever a sound subset. */
+  private[graft] val plannedDelegate: ParquetScan = delegate
+
+  // Value equality delegating to the wrapped planning-time ParquetScan:
+  // Spark's ReuseExchange / scan-reuse compares Scan instances, and a
   // reference-equality wrapper would defeat reuse for self-joins over
-  // the same graft table. Runtime pruning mutates the delegate, but
-  // reuse decisions are made at planning time, before filter() runs.
+  // the same graft table.
   override def equals(other: Any): Boolean = other match {
-    case o: GraftRuntimeScan => delegate == o.currentDelegate
+    case o: GraftRuntimeScan => plannedDelegate == o.plannedDelegate
     case _ => false
   }
-  override def hashCode(): Int = delegate.hashCode()
+  override def hashCode(): Int = plannedDelegate.hashCode()
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = delegate.toBatch

@@ -272,15 +272,20 @@ private[graft] object BloomIndex {
 
   // Sidecars are immutable once their dir lands; cache per (manifest
   // token, file) — a reused ordinal after rollback gets a fresh token.
-  // Crude size cap keeps a long-lived driver bounded.
+  // The size cap is enforced BETWEEN batches only (in
+  // [[filterMightMatch]], before the warm): evicting inside loadFile
+  // would let a batch warm larger than the cap thrash the very cache it
+  // is warming, and the sequential decision pass after the warm would
+  // reload evicted sidecars serially — the O(files) planning stall the
+  // batch path exists to avoid. A single oversized batch may transiently
+  // exceed the cap; the next batch's entry check reclaims it.
+  private val CacheCap = 4096
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Option[FileBloom]]()
 
   def loadFile(fs: FileSystem, dirPath: Path, token: String,
-      rel: String): Option[FileBloom] = {
-    if (cache.size > 4096) cache.clear()
+      rel: String): Option[FileBloom] =
     cache.computeIfAbsent((token, rel), _ => loadFileUncached(fs, dirPath, rel))
-  }
 
   private def loadFileUncached(fs: FileSystem, dirPath: Path,
       rel: String): Option[FileBloom] =
@@ -349,7 +354,11 @@ private[graft] object BloomIndex {
   def filterMightMatch(fs: FileSystem, dirPath: Path, token: String,
       indexedCols: Set[String], rels: Seq[String],
       constraints: Seq[(String, Seq[Any])]): Seq[String] = {
-    val missing = rels.filterNot(r => cache.containsKey((token, r)))
+    var missing = rels.filterNot(r => cache.containsKey((token, r)))
+    if (missing.nonEmpty && cache.size + missing.size > CacheCap) {
+      cache.clear() // between-batch eviction: everything must re-warm
+      missing = rels
+    }
     if (missing.size > 1) {
       val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](missing.size)
       missing.foreach { r =>

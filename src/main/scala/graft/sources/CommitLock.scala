@@ -96,14 +96,21 @@ class ConditionalPutCommitLock(store: ConditionalPutStore) extends CommitLock {
       // must not report a successful publish: that is the dead-winner
       // state (claim held, no content) and the commit must fail LOUDLY
       // so the caller never records a snapshot whose dir is missing.
+      // Success is judged by the MOVE alone, never by `dst` existing:
+      // on the copy+delete stores this lock targets, a rename that died
+      // midway can leave a PARTIAL dst, and "it exists" would bless torn
+      // content as published (a partial dir or manifest recorded as
+      // committed). A dst left by a dead prior attempt is the same state.
       val moved =
         try fs.rename(src, dst)
         catch { case scala.util.control.NonFatal(_) => false }
-      if (!moved && !fs.exists(dst))
+      if (!moved)
         throw new IllegalStateException(
           s"conditional-put claim won for $dst but the move from $src " +
-            "failed — dead-winner state; remove the claim object and " +
-            "re-run (sweepOrphanDirs reclaims the staged content)")
+            "failed — dead-winner state (any content at $dst may be a " +
+            "partial copy and must not be trusted); remove the claim " +
+            "object and any partial target, then re-run " +
+            "(sweepOrphanDirs reclaims the staged content)")
       true
     }
   }

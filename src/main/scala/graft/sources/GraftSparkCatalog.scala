@@ -557,10 +557,23 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     val newDelegate =
       if (partitionCols.isEmpty || delegate.options.containsKey("basePath"))
         delegate.copy(paths = kept)
-      else delegate.copy(paths = kept,
-        options = new CaseInsensitiveStringMap(
-          (delegate.options.asScala ++
-            Map("basePath" -> delegate.paths.head)).asJava))
+      else {
+        // Pinning basePath to the single root is only correct because
+        // loadTable's resolvedAsFiles gate guarantees partitioned
+        // raw-file scans have exactly one root. If that invariant ever
+        // relaxes (multi-snapshot partitioned tables fed to
+        // ParquetTable), a pruned file list spanning other roots would
+        // fail with Spark's opaque "Wrong basePath" at scan time — fail
+        // HERE with the assumption named instead.
+        require(delegate.paths.size == 1,
+          s"partitioned zone-prune expects a single root path to pin " +
+            s"basePath, got ${delegate.paths.size}: ${delegate.paths.mkString(", ")} — " +
+            "the resolvedAsFiles single-root invariant no longer holds")
+        delegate.copy(paths = kept,
+          options = new CaseInsensitiveStringMap(
+            (delegate.options.asScala ++
+              Map("basePath" -> delegate.paths.head)).asJava))
+      }
     new GraftSqlTable(newDelegate, partitionCols, props,
       morRead, commitInsert, commitDelete, canDelete, coords,
       () => Some(newStats), exactRowCountIn = () => None, readOnly = readOnly,

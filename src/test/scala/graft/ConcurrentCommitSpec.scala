@@ -274,4 +274,72 @@ class ConcurrentCommitSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("dead-winner"))
   }
+
+  test("conditional-put: a failed move with a PARTIAL dst is not success") {
+    // On copy+delete stores a rename can die midway leaving partial
+    // content at dst. A dst existing after a FAILED move must never be
+    // blessed as published — the bytes there are torn.
+    val lock = new graft.sources.ConditionalPutCommitLock(
+      (_: String, _: Array[Byte]) => true)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+    val fc = org.apache.hadoop.fs.FileContext.getLocalFSFileContext(conf)
+    val dst = new java.io.File(s"$warehouse/partial-dst")
+    assert(dst.mkdirs()) // a partial copy from a dead prior attempt
+    assert(new java.io.File(dst, "half-copied.parquet").createNewFile())
+    val e = intercept[IllegalStateException] {
+      lock.publishIfAbsent(fs, fc,
+        new org.apache.hadoop.fs.Path(warehouse, "no-such-staging-2"),
+        new org.apache.hadoop.fs.Path(dst.getPath))
+    }
+    assert(e.getMessage.contains("partial"), e.getMessage)
+  }
+
+  test("conditional-put winner killed between CAS and move: clean recovery") {
+    // The watch item from round 9: the winner dies BETWEEN the
+    // conditional put and the move. The claim key is held, no content
+    // sits at the target. A subsequent reader must see the pre-crash
+    // state untorn; a subsequent writer must land (skipping the dead
+    // ordinal); the dead staging dir is sweepable.
+    val store = new graft.sources.ConditionalPutStore {
+      private val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      override def putIfAbsent(key: String, value: Array[Byte]): Boolean =
+        keys.add(key)
+    }
+    gc.createTable("db", "tkw", rows(0, 0).schema)
+    val cat = new GraftCatalog(spark, warehouse)
+    cat.commitLockImpl = new graft.sources.ConditionalPutCommitLock(store)
+    cat.append("db", "tkw", rows(1, 10).toDF()) // snap-1, healthy
+    // kill the next writer inside the CAS-won window, before the move
+    var fired = false
+    cat.claimTestHook = () => if (!fired) {
+      fired = true
+      throw new RuntimeException("simulated crash between put and move")
+    }
+    val e = intercept[RuntimeException] {
+      cat.append("db", "tkw", rows(11, 20).toDF())
+    }
+    assert(e.getMessage.contains("simulated crash"))
+    cat.claimTestHook = () => ()
+    // READER: pre-crash state, no torn content — snap-2 never landed
+    assert(gc.snapshots("db", "tkw").map(_.id) === Seq(1L))
+    assert(gc.read("db", "tkw").count() === 10)
+    assert(!new java.io.File(s"$warehouse/db/tkw/snap-2").exists(),
+      "dead winner must leave NO content at the claimed target")
+    // WRITER: the dead claim key (snap-2) is skipped; the commit lands
+    // at the next free ordinal through the same store
+    val cat2 = new GraftCatalog(spark, warehouse)
+    cat2.commitLockImpl = new graft.sources.ConditionalPutCommitLock(store)
+    val landed = cat2.append("db", "tkw", rows(21, 30).toDF())
+    assert(landed === 3L, s"expected recovery at snap-3, got snap-$landed")
+    assert(gc.read("db", "tkw").count() === 20)
+    assert(gc.read("db", "tkw").agg(sum("id")).head.getLong(0) ===
+      (1L to 10L).sum + (21L to 30L).sum)
+    // the crashed attempt's staging dir is an orphan; sweep reclaims it
+    Thread.sleep(20)
+    val swept = gc.sweepOrphanDirs("db", "tkw", graceMillis = 0L)
+    assert(swept.exists(_.startsWith(".staging-")),
+      s"dead staging dir not reclaimed, swept=$swept")
+    assert(gc.read("db", "tkw").count() === 20)
+  }
 }
