@@ -61,8 +61,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Two subtotals so round-over-round drift is attributable per class:
+    // `catalog_*` queries build a warehouse INSIDE the timed query
+    // (create tables, commit snapshots, stream micro-batches) — their
+    // cost is commit-protocol work; everything else is the pure
+    // read/compute path whose trend should track the scan+shuffle
+    // engine alone.
+    val (wh, rp) = results.partition(_._1.startsWith("catalog_"))
+    val whSec = wh.map(_._2).sum
+    val rpSec = rp.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""subtotals":{"warehouse_catalog":$whSec,"read_path":$rpSec,""" +
+        s""""n_warehouse":${wh.size},"n_read_path":${rp.size}},"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures stdout's tail, which a
     // 130-query JSON line can overrun (BENCH_r07 was truncated mid-stream
@@ -73,7 +84,8 @@ object Bench {
     java.nio.file.Files.writeString(out, line + "\n")
     // Short trailing headline: even if a capture truncates the long JSON
     // line above, the tail still carries the round's key numbers.
-    println(f"[bench-summary] queries=${results.size} total_sec=$total%.1f runs=$runs sf=$sfDir")
+    println(f"[bench-summary] queries=${results.size} total_sec=$total%.1f " +
+      f"warehouse_sec=$whSec%.1f read_path_sec=$rpSec%.1f runs=$runs sf=$sfDir")
     spark.stop()
   }
 }

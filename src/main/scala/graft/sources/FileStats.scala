@@ -410,6 +410,33 @@ private[graft] object FileStats {
     out.toMap
   }
 
+  // ---- per-dir zone SIDECAR (hierarchical manifest tier) -----------------
+
+  /**
+   * Serialize one dir's per-FILE zones as a standalone sidecar document —
+   * the graft analog of a Paimon manifest FILE: immutable, written once
+   * by the commit that created the dir, referenced from the head manifest
+   * by a token. The head keeps only the dir-level aggregate (the
+   * manifest-LIST's partition-stats analog), so commit metadata writes
+   * are O(this commit's files), never O(table files).
+   */
+  def sidecarToJson(files: Map[String, DirStats]): ObjectNode = {
+    val root = GraftCatalog.jsonMapper.createObjectNode()
+    root.put("v", FormatVersion)
+    val fn = root.putObject("files")
+    files.toSeq.sortBy(_._1).foreach { case (rel, fz) =>
+      statsToJson(fn.putObject(rel), fz)
+    }
+    root
+  }
+
+  /** Parse a zone sidecar. None on any version/shape mismatch — readers
+    * then degrade to dir-level pruning, never mis-prune. */
+  def sidecarFromJson(root: JsonNode): Option[Map[String, DirStats]] =
+    if (root == null || root.path("v").asInt(-1) != FormatVersion ||
+        !root.has("files")) None
+    else scala.util.Try(filesFromJson(root)).toOption
+
   // ---- zone evaluation (planning-time, conservative) ---------------------
 
   /** Convert a Catalyst literal to the zone domain of its type.

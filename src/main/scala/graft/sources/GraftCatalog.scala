@@ -447,20 +447,49 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             .map(cols => (java.util.UUID.randomUUID().toString, cols))
         }
       else None
+    // Hierarchical manifest tier (Paimon's snapshot → manifest-list →
+    // manifest-file shape): the per-FILE zone payload — the dominant,
+    // O(files × cols) share of commit metadata — lands as an immutable
+    // `.zones.json` sidecar INSIDE the staging dir, so the ordinal
+    // claim-rename publishes data and zones atomically and the head
+    // manifest carries only the small dir-level aggregate plus this
+    // token. Commit metadata writes are O(this commit), never O(table);
+    // reads load sidecars lazily per dir, cached by token (fresh per
+    // build, so an ordinal reused after rollback never serves stale
+    // zones).
+    val zoneToken: Option[String] = stats.flatMap { case (_, fileZones) =>
+      if (fileZones.isEmpty) None
+      else Some(writeZoneSidecar(
+        new Path(tablePath(schema, table), dir), fileZones))
+    }
     commitTestHook()
     /** Build the snapshot entry against manifest `mm` and CAS it in. */
     def land(mm: ObjectNode, landId: Long, landDir: String): Unit = {
       val sn2 = mm.get("snapshots").asInstanceOf[ArrayNode]
       val lastTs = if (sn2.size() == 0) 0L
         else sn2.get(sn2.size() - 1).get("timestampMillis").asLong()
-      stats.foreach { case (ds, fileZones) =>
+      stats.foreach { case (ds, _) =>
         val statsNode =
           if (mm.has("dirStats")) mm.get("dirStats").asInstanceOf[ObjectNode]
           else mm.putObject("dirStats")
-        FileStats.toJson(statsNode.putObject(landDir), ds, fileZones)
+        // head carries the dir-level aggregate (the manifest-list's
+        // partition-stats analog) + the sidecar token; per-file zones
+        // stay in the dir's immutable `.zones.json`
+        val dn = statsNode.putObject(landDir)
+        FileStats.toJson(dn, ds)
+        zoneToken.foreach(dn.put("filesExt", _))
       }
       val prevFiles: Seq[FileEntry] =
         if (keepExisting && sn2.size() > 0) filesOf(sn2.get(sn2.size() - 1)) else Seq.empty
+      // Delta basis for the serialized form: an additive commit's file
+      // list is prev ++ added, so the head stores {baseId, added} and
+      // writeManifest never re-serializes inherited entries (see
+      // deflateSnapshots) — the snapshot log stays O(total dirs), not
+      // O(snapshots × dirs).
+      val baseId: Option[Long] =
+        if (keepExisting && sn2.size() > 0 && prevFiles.nonEmpty)
+          Some(sn2.get(sn2.size() - 1).get("id").asLong())
+        else None
       val sn = sn2.addObject()
       sn.put("id", landId)
       sn.put("timestampMillis",
@@ -501,13 +530,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val ca = e.putArray("cols")
         bcols.foreach(ca.add)
       }
+      def addEntry(arr: ArrayNode, fe: FileEntry): Unit = {
+        val e = arr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
+        if (fe.kind != "data") e.put("kind", fe.kind)
+      }
       val fArr = sn.putArray("files")
       val added = FileEntry(landDir, sv, kind) +:
         (deleteDf.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq ++
           dvDf.map(_ => FileEntry(s"$landDir-dv", sv, "dv")).toSeq)
-      (prevFiles ++ added).foreach { fe =>
-        val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
-        if (fe.kind != "data") e.put("kind", fe.kind)
+      (prevFiles ++ added).foreach(addEntry(fArr, _))
+      baseId.foreach { b =>
+        sn.put("baseId", b)
+        val aArr = sn.putArray("added")
+        added.foreach(addEntry(aArr, _))
       }
       streamBatchId.foreach(b => mm.put("lastStreamBatchId", b))
       writeManifest(schema, table, mm)
@@ -901,7 +936,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           val statsNode =
             if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
             else m.putObject("dirStats")
-          FileStats.toJson(statsNode.putObject(fe.dir), ds, fileZones)
+          // same hierarchical split as commit(): per-file zones go to the
+          // dir's immutable sidecar (written before the manifest CAS — a
+          // head that references it always finds it), head keeps the
+          // aggregate + token
+          val dn = statsNode.putObject(fe.dir)
+          FileStats.toJson(dn, ds)
+          if (fileZones.nonEmpty)
+            dn.put("filesExt", writeZoneSidecar(
+              new Path(tablePath(schema, table), fe.dir), fileZones))
       }
     }
     writeManifest(schema, table, m)
@@ -1297,27 +1340,96 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * field stats). Empty inner maps for entries written before per-file
     * zones existed; those dirs prune at dir granularity only. */
   def fileStats(schema: String, table: String): Map[String, Map[String, FileStats.DirStats]] =
-    fileStatsFrom(readManifest(schema, table))
+    fileStatsFrom(schema, table, readManifest(schema, table))
 
   /** Both zone granularities from ONE manifest read — table resolution
     * must not pay two JSON parses per query. */
   def allStats(schema: String, table: String)
       : (Map[String, FileStats.DirStats], Map[String, Map[String, FileStats.DirStats]]) = {
     val m = readManifest(schema, table)
-    (dirStatsFrom(m), fileStatsFrom(m))
+    (dirStatsFrom(m), fileStatsFrom(schema, table, m))
   }
 
-  private def fileStatsFrom(m: ObjectNode): Map[String, Map[String, FileStats.DirStats]] = {
+  /**
+   * Per-file zones, resolving the hierarchical layout: head entries carry
+   * either inline `files` (legacy monolithic manifests — still honored)
+   * or a `filesExt` token pointing at the dir's immutable `.zones.json`
+   * sidecar. Sidecars are loaded lazily HERE — never at manifest-read
+   * time — through a token-keyed process cache (immutable once their dir
+   * lands; a reused ordinal after rollback gets a fresh token), with
+   * cache misses fetched in bounded parallel so a cold 10⁴-dir table
+   * costs O(dirs / 16) planning round-trips, not O(dirs) serial opens.
+   * Unreadable sidecars degrade that dir to dir-level pruning (empty
+   * inner map) — conservative, never wrong.
+   */
+  private def fileStatsFrom(schema: String, table: String,
+      m: ObjectNode): Map[String, Map[String, FileStats.DirStats]] = {
     if (!m.has("dirStats")) return Map.empty
     val node = m.get("dirStats").asInstanceOf[ObjectNode]
     val out = mutable.LinkedHashMap[String, Map[String, FileStats.DirStats]]()
+    val ext = mutable.ArrayBuffer[(String, String)]() // dir -> sidecar token
     node.fieldNames().forEachRemaining { d =>
       val n = node.get(d)
-      if (n.has("v") && n.get("v").asInt() == FileStats.FormatVersion)
-        out += d -> FileStats.filesFromJson(n)
+      if (n.has("v") && n.get("v").asInt() == FileStats.FormatVersion) {
+        if (n.has("filesExt")) ext += d -> n.get("filesExt").asText()
+        else out += d -> FileStats.filesFromJson(n)
+      }
+    }
+    if (ext.nonEmpty) {
+      val cache = GraftCatalog.zoneSidecarCache
+      var missing = ext.filterNot(e => cache.containsKey(e._2))
+      // between-batch eviction only (same policy as BloomIndex's cache):
+      // never evict mid-warm, so the decision pass below always hits
+      if (missing.nonEmpty && cache.size + missing.size > GraftCatalog.ZoneSidecarCacheCap) {
+        cache.clear()
+        missing = ext
+      }
+      if (missing.size > 1) {
+        val tasks = new java.util.ArrayList[java.util.concurrent.Callable[Unit]](missing.size)
+        missing.foreach { case (d, t) =>
+          tasks.add(() => { loadZoneSidecar(schema, table, d, t); () })
+        }
+        GraftCatalog.sidecarPool.invokeAll(tasks)
+      }
+      ext.foreach { case (d, t) => out += d -> loadZoneSidecar(schema, table, d, t) }
     }
     out.toMap
   }
+
+  /** Load one dir's zone sidecar through the token cache. */
+  private def loadZoneSidecar(schema: String, table: String, dir: String,
+      token: String): Map[String, FileStats.DirStats] =
+    GraftCatalog.zoneSidecarCache.computeIfAbsent(token, _ => {
+      GraftCatalog.zoneSidecarLoads.incrementAndGet()
+      try {
+        val p = new Path(new Path(tablePath(schema, table), dir),
+          GraftCatalog.ZoneSidecar)
+        val in = fs.open(p)
+        val root = try mapper.readTree(in) finally in.close()
+        FileStats.sidecarFromJson(root)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }).getOrElse(Map.empty)
+
+  /** Write one dir's per-file zones as its immutable `.zones.json`
+    * sidecar; returns the fresh cache token the head manifest records. */
+  private def writeZoneSidecar(dirPath: Path,
+      files: Map[String, FileStats.DirStats]): String = {
+    val token = java.util.UUID.randomUUID().toString
+    val bytes = mapper.writeValueAsBytes(FileStats.sidecarToJson(files))
+    val out = fs.create(new Path(dirPath, GraftCatalog.ZoneSidecar), true)
+    try out.write(bytes) finally out.close()
+    sidecarBytesWritten.addAndGet(bytes.length)
+    token
+  }
+
+  /** Cumulative commit-metadata write sizes of THIS catalog instance —
+    * the O(delta) tripwire counters (analog of
+    * [[FileStats.driverFooterReads]]): tests assert head-manifest bytes
+    * per commit stay flat as table file count grows, with only the
+    * sidecar (O(this commit's files)) scaling. */
+  private[graft] val manifestBytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val lastManifestBytes = new java.util.concurrent.atomic.AtomicLong(-1L)
+  private[graft] val sidecarBytesWritten = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Can a snapshot's dirs be zone-pruned independently? Append-only
     * current-schema snapshots only: on a MoR-pending PK table, pruning
@@ -1432,7 +1544,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // were written range-clustered (or just time-ordered) prunes to the
     // matching files instead of all-or-nothing; dirs without per-file
     // zones (pre-files manifests) keep all their files.
-    val perFile = fileStatsFrom(m)
+    val perFile = fileStatsFrom(schema, table, m)
     val zoneSel: Seq[(FileEntry, Option[Seq[String]])] = kept.map { fe =>
       perFile.get(fe.dir).filter(_.nonEmpty) match {
         case Some(fm) =>
@@ -1677,7 +1789,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val known = dvEs.forall(e => idx.contains(e.dir))
     val affected: Set[String] =
       if (known) dvEs.flatMap(e => idx(e.dir)._1).toSet else Set.empty
-    val perFile = fileStatsFrom(m)
+    val perFile = fileStatsFrom(schema, table, m)
     val tp = tablePath(schema, table)
     def abs(relFromTable: String) = new Path(tp, relFromTable).toString
     val clean = mutable.ArrayBuffer.empty[DataFrame]
@@ -2600,7 +2712,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def readChangelogStream(schema: String, table: String,
       fromSnapshotId: Long = 0L,
       maxSnapshotsPerTrigger: Option[Int] = None,
-      mode: String = "upsert"): DataFrame = {
+      mode: String = "upsert",
+      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
     require(mode == "upsert" || mode == "full",
       s"changelog mode must be 'upsert' or 'full', got '$mode'")
     // fail at stream definition, not first micro-batch
@@ -2620,7 +2733,39 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .option("fromSnapshotId", fromSnapshotId.toString)
     maxSnapshotsPerTrigger.foreach(n =>
       r.option("maxSnapshotsPerTrigger", n.toString))
+    maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n.toString))
     r.load()
+  }
+
+  /**
+   * Per-snapshot NEW-row counts in `(fromExclusive, to]`, answered from
+   * head dir-level aggregates — one manifest read, zero file I/O. This
+   * is what the changelog source's `maxRowsPerTrigger` advisory rate
+   * limit plans micro-batch boundaries from (Paimon's
+   * scan.max-splits-per-task analog at snapshot granularity): a bulk
+   * backfill landing 10⁹ rows in one snapshot is VISIBLE to the planner
+   * before the batch is built, instead of discovered mid-execution.
+   * Dirs without recorded stats count 0 — the limit is advisory, and
+   * correctness never depends on where a batch boundary falls.
+   */
+  def snapshotDeltaRows(schema: String, table: String, fromExclusive: Long,
+      to: Long): Seq[(Long, Long)] = {
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val stats = dirStatsFrom(m)
+    var prevDirs = Set.empty[String]
+    val out = mutable.ArrayBuffer[(Long, Long)]()
+    (0 until snaps.size()).foreach { i =>
+      val s = snaps.get(i)
+      val id = s.get("id").asLong()
+      val dirs = filesOf(s).filter(_.kind == "data").map(_.dir)
+      if (id > fromExclusive && id <= to) {
+        val fresh = dirs.filterNot(prevDirs.contains)
+        out += id -> fresh.flatMap(stats.get).map(_.rows).sum
+      }
+      prevDirs = dirs.toSet
+    }
+    out.toSeq
   }
 
   /** [[readIncremental]] between two TAGS (Paimon's
@@ -2836,7 +2981,69 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val p = currentManifestFile(schema, table)
     require(p.isDefined, s"no table $schema.$table")
     val in = fcFor(p.get).open(fs.makeQualified(p.get))
-    try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    val m = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+    inflateSnapshots(m)
+    m
+  }
+
+  /**
+   * Materialize each snapshot's full file list from the head's DELTA
+   * form: an additive snapshot serializes as `{baseId, added}` (its base
+   * is the immediately preceding snapshot; writeManifest guarantees
+   * this by materializing any entry whose base was expired away), so the
+   * in-memory shape every reader sees is identical to the legacy full
+   * form — `files` arrays all the way — while the serialized head stays
+   * O(total dirs). Materialization shares entry NODES with the base
+   * (reference appends, no copies), so inflating costs less than the
+   * full-form JSON parse it replaces. Both `baseId`/`added` and the
+   * materialized `files` stay on the node for the write-side round trip.
+   */
+  private def inflateSnapshots(m: ObjectNode): Unit = {
+    if (!m.has("snapshots")) return
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    var prev: ObjectNode = null
+    (0 until snaps.size()).foreach { i =>
+      val s = snaps.get(i).asInstanceOf[ObjectNode]
+      if (!s.has("files")) {
+        require(s.has("baseId") && s.has("added") && prev != null &&
+          s.get("baseId").asLong() == prev.get("id").asLong(),
+          s"corrupt manifest: snapshot ${s.path("id")} has neither a " +
+            "full file list nor a delta resolvable against its " +
+            "predecessor")
+        val full = mapper.createArrayNode()
+        full.addAll(prev.get("files").asInstanceOf[ArrayNode])
+        full.addAll(s.get("added").asInstanceOf[ArrayNode])
+        s.set[JsonNode]("files", full)
+      }
+      prev = s
+    }
+  }
+
+  /**
+   * Serialized-form deflation, the inverse of [[inflateSnapshots]]: for
+   * every snapshot whose recorded base IS the immediately preceding
+   * serialized snapshot, detach the materialized `files` array (returned
+   * for re-attachment after the write — the in-memory node must stay
+   * fully materialized for the caller); for a snapshot whose base was
+   * dropped (expiration keeping a tag-pinned middle snapshot), strip the
+   * stale delta fields and keep the full list. No comparisons, no
+   * copies — O(snapshots) pointer work per write.
+   */
+  private def deflateSnapshots(m: ObjectNode): Seq[(ObjectNode, JsonNode)] = {
+    if (!m.has("snapshots")) return Seq.empty
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val detached = mutable.ArrayBuffer[(ObjectNode, JsonNode)]()
+    var prevId = Long.MinValue
+    (0 until snaps.size()).foreach { i =>
+      val s = snaps.get(i).asInstanceOf[ObjectNode]
+      if (s.has("baseId")) {
+        if (s.get("baseId").asLong() == prevId && s.has("added"))
+          detached += s -> s.remove("files")
+        else { s.remove("baseId"); s.remove("added") }
+      }
+      prevId = s.get("id").asLong()
+    }
+    detached.toSeq
   }
 
   /**
@@ -2861,10 +3068,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val fc = fcFor(dir)
     val tmp = fs.makeQualified(new Path(dir,
       s".manifest.tmp-${java.util.UUID.randomUUID()}"))
+    // serialize the DELTA form (snapshot file lists as {baseId, added},
+    // per-file zones as sidecar tokens) and restore the in-memory
+    // materialized shape immediately after — see deflateSnapshots
+    val detached = deflateSnapshots(m)
+    val bytes =
+      try mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m)
+      finally detached.foreach { case (s, f) => s.set[JsonNode]("files", f) }
+    manifestBytesWritten.addAndGet(bytes.length)
+    lastManifestBytes.set(bytes.length)
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
-    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    try out.write(bytes)
     finally out.close()
     val dst = fs.makeQualified(new Path(dir, s"manifest-v$version.json"))
     val won = commitLockImpl.publishIfAbsent(fs, fc, tmp, dst)
@@ -2904,6 +3120,36 @@ object GraftCatalog {
     * contract note); invisible to parquet discovery like the bloom
     * sidecar dir. */
   private[graft] val ClaimMarker = ".claim"
+
+  /** Per-dir zone sidecar file (hierarchical manifest tier): the dir's
+    * per-FILE zones, written once into the staging dir so the ordinal
+    * claim-rename publishes data and zones atomically. Dot-prefixed —
+    * invisible to parquet discovery; deleted with its dir by
+    * expiration/rollback/orphan sweep, so retention needs no separate
+    * bookkeeping. */
+  private[graft] val ZoneSidecar = ".zones.json"
+
+  /** Token-keyed sidecar cache (sidecars are immutable; tokens are fresh
+    * per build, so a reused ordinal after rollback can never serve stale
+    * zones). Evicted only between warm batches — see fileStatsFrom. */
+  private[sources] val ZoneSidecarCacheCap = 4096
+  private[sources] val zoneSidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Map[String, FileStats.DirStats]]]()
+
+  /** Sidecar opens at planning time — the cache-effectiveness tripwire
+    * (immutable sidecars must be read at most once per process). */
+  private[graft] val zoneSidecarLoads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Bounded driver pool for parallel sidecar loads (latency-bound small
+    * files — same rationale as BloomIndex's probe pool). */
+  private[sources] lazy val sidecarPool =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      (r: Runnable) => {
+        val t = new Thread(r, "zone-sidecar-load")
+        t.setDaemon(true)
+        t
+      })
 
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */

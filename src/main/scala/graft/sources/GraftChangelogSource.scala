@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.StructType
  * Options: `warehouse`, `schema`, `table` (required);
  * `fromSnapshotId` (exclusive start, default 0 = from the beginning);
  * `maxSnapshotsPerTrigger` (rate limit per micro-batch);
+ * `maxRowsPerTrigger` (ADVISORY data-volume rate limit: the batch range
+ * stops before the snapshot that would push its cumulative new-row count
+ * — read from head manifest aggregates, zero file I/O — past the cap.
+ * The SNAPSHOT stays the atomic unit: a single bulk-backfill snapshot
+ * larger than the cap still lands as one micro-batch, with a warning —
+ * splitting it would expose a half-applied commit to downstream
+ * consumers, which no rate limit is worth);
  * `mode` (`upsert` default, or `full` for -U/+U retraction pairs via
  * [[GraftCatalog.readChangelogFull]]).
  */
@@ -58,14 +65,16 @@ class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegiste
       required(p, "schema"), required(p, "table"),
       p.get("fromsnapshotid").map(_.toLong).getOrElse(0L),
       p.get("maxsnapshotspertrigger").map(_.toInt),
-      mode)
+      mode,
+      p.get("maxrowspertrigger").map(_.toLong))
   }
 }
 
 class GraftChangelogSource(spark: SparkSession, warehouse: String,
     schemaName: String, tableName: String, startSnapshotId: Long,
     maxSnapshotsPerTrigger: Option[Int],
-    mode: String = "upsert") extends Source {
+    mode: String = "upsert",
+    maxRowsPerTrigger: Option[Long] = None) extends Source {
 
   private val gc = new GraftCatalog(spark, warehouse)
 
@@ -80,8 +89,35 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
   override def getOffset: Option[Offset] = {
     val latest = gc.snapshots(schemaName, tableName)
       .lastOption.map(_.id).getOrElse(0L)
-    val capped = maxSnapshotsPerTrigger
+    var capped = maxSnapshotsPerTrigger
       .map(n => math.min(latest, lastPlanned + n)).getOrElse(latest)
+    // Advisory data-volume cap: shrink the snapshot range so cumulative
+    // NEW rows (head-aggregate metadata, no file I/O) stay under the
+    // cap. The first snapshot is always taken — the snapshot is the
+    // atomic unit — so an oversized bulk-backfill commit lands whole,
+    // loudly, instead of being torn across batches.
+    maxRowsPerTrigger.foreach { cap =>
+      if (capped > lastPlanned) {
+        val deltas = gc.snapshotDeltaRows(schemaName, tableName, lastPlanned, capped)
+        var acc = 0L
+        var upTo = lastPlanned
+        val it = deltas.iterator
+        var stop = false
+        while (!stop && it.hasNext) {
+          val (id, r) = it.next()
+          if (upTo == lastPlanned || acc + r <= cap) { acc += r; upTo = id }
+          else stop = true
+        }
+        if (upTo > lastPlanned) {
+          if (acc > cap) System.err.println(
+            s"[graft-changelog] WARN $schemaName.$tableName: snapshot " +
+              s"$upTo alone carries $acc rows (> maxRowsPerTrigger=$cap); " +
+              "a snapshot is the atomic batch unit — it lands as one " +
+              "oversized micro-batch")
+          capped = upTo
+        }
+      }
+    }
     if (capped <= startSnapshotId) None
     else {
       lastPlanned = math.max(lastPlanned, capped)

@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * Hierarchical manifest tier — the O(delta) commit-metadata contract
+ * (Paimon's snapshot → manifest-list → manifest-file shape, which the
+ * reference connector plans from via SnapshotReader): the head
+ * `manifest-v<N>.json` carries only tiny delta-encoded snapshot entries
+ * plus per-dir aggregates, per-FILE zones live in each dir's immutable
+ * `.zones.json` sidecar, and commit metadata WRITE bytes therefore scale
+ * with the commit, never with the table's total file count. Without this,
+ * every streaming micro-batch commit on a 10⁵-file table would rewrite
+ * O(table) JSON through the driver.
+ */
+class ManifestScaleSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-mswh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    gc.createSchema("db")
+  }
+
+  private def rows(lo: Long, hi: Long) =
+    spark.range(lo, hi + 1).selectExpr(
+      "id", "id * 2 AS a", "id % 7 AS b", "concat('s', id) AS s")
+
+  /** Append `n` rows split over `files` parquet files; returns the
+    * (headBytes, sidecarBytes) this commit wrote. */
+  private def appendFiles(table: String, lo: Long, files: Int): (Long, Long) = {
+    val s0 = gc.sidecarBytesWritten.get()
+    gc.append("db", table, rows(lo, lo + 99).repartition(files).toDF())
+    (gc.lastManifestBytes.get(), gc.sidecarBytesWritten.get() - s0)
+  }
+
+  test("commit write bytes are O(commit), not O(table file count)") {
+    gc.createTable("db", "t1", rows(0, 0).schema)
+    // phase A: small commits (2 files each)
+    val a = (0 until 5).map(i => appendFiles("t1", i * 1000L, files = 2))
+    // phase B: 15× more files per commit — and a growing table behind it
+    val b = (0 until 5).map(i => appendFiles("t1", 100000L + i * 1000L, files = 30))
+    val headGrowthA = (1 until a.size).map(i => a(i)._1 - a(i - 1)._1)
+    val headGrowthB = (1 until b.size).map(i => b(i)._1 - b(i - 1)._1)
+    // HEAD growth per commit is flat: a delta snapshot entry + one
+    // dir-level aggregate, independent of how many FILES the commit (or
+    // the table) holds. The monolithic layout would grow the head by
+    // ~files × cols × ~100 B per commit (≈10 KB+ at 30 files).
+    (headGrowthA ++ headGrowthB).foreach { g =>
+      assert(g >= 0 && g < 3000,
+        s"head manifest grew $g bytes in one commit — not O(delta); " +
+          s"A=$headGrowthA B=$headGrowthB")
+    }
+    assert(math.abs(headGrowthB.sum / headGrowthB.size -
+        headGrowthA.sum / headGrowthA.size) < 1200,
+      s"15× more files per commit changed per-commit head growth: " +
+        s"A=$headGrowthA B=$headGrowthB")
+    // the per-file payload went to the SIDECAR and scales with the
+    // commit's own files — 30-file commits write substantially more
+    // sidecar bytes than 2-file commits, and the head stays smaller than
+    // the cumulative sidecar payload it replaced
+    val sideA = a.map(_._2).sum / a.size
+    val sideB = b.map(_._2).sum / b.size
+    assert(sideB > 5 * sideA,
+      s"sidecar bytes should scale with commit files: avg 2-file=$sideA, avg 30-file=$sideB")
+  }
+
+  test("snapshot log is delta-encoded: a dir serializes O(1) times") {
+    gc.createTable("db", "t2", rows(0, 0).schema)
+    (0 until 12).foreach(i => gc.append("db", "t2", rows(i * 10L, i * 10L + 9).toDF()))
+    val dir = new java.io.File(s"$warehouse/db/t2")
+    val head = dir.listFiles().filter(_.getName.matches("manifest-v\\d+\\.json"))
+      .maxBy(_.getName.stripPrefix("manifest-v").stripSuffix(".json").toInt)
+    val text = new String(Files.readAllBytes(head.toPath))
+    // snap-3 is referenced by snapshots 3..12; the legacy full-list head
+    // serialized it ~10 times. Delta form: once in snapshot 3's `added`,
+    // once as its dirStats key.
+    val hits = "\"snap-3\"".r.findAllIn(text).size
+    assert(hits <= 3, s"snap-3 serialized $hits times — full lists leaked into the head")
+    // and reads still see every cumulative image
+    assert(gc.read("db", "t2").count() === 120)
+    assert(gc.read("db", "t2", snapshotId = Some(3L)).count() === 30)
+    assert(gc.snapshots("db", "t2").map(_.id) === (1L to 12L))
+  }
+
+  test("zone sidecars are read once per process and serve pruning") {
+    gc.createTable("db", "t3", rows(0, 0).schema)
+    (0 until 4).foreach(i =>
+      gc.append("db", "t3", rows(i * 100L, i * 100L + 99).repartition(3).toDF()))
+    val l0 = GraftCatalog.zoneSidecarLoads.get()
+    // dir-level zones prune snap dirs; per-file zones (sidecar) refine
+    val pruned = gc.readWhere("db", "t3", col("id") between (0, 50))
+    assert(pruned.count() === 51)
+    val l1 = GraftCatalog.zoneSidecarLoads.get()
+    assert(l1 > l0, "per-file pruning should have loaded zone sidecars")
+    // second query over the same manifest: all sidecars cached by token
+    assert(gc.readWhere("db", "t3", col("id") between (100, 150)).count() === 51)
+    assert(GraftCatalog.zoneSidecarLoads.get() === l1,
+      "cached sidecars must not be re-opened")
+    // countRows stays metadata-only from the head aggregates
+    assert(gc.countRows("db", "t3") === Some(400L))
+  }
+
+  test("expiration reclaims zone and bloom sidecars with their dirs") {
+    gc.createTable("db", "t4", rows(0, 0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "s"))
+    (0 until 4).foreach(i =>
+      gc.append("db", "t4", rows(i * 100L, i * 100L + 99).toDF()))
+    gc.compact("db", "t4") // snapshot 5 references only the compacted dir
+    def sidecarsUnder(): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName == GraftCatalog.ZoneSidecar ||
+          f.getParentFile.getName == ".bloomidx") out += f.getPath
+      }
+      walk(new java.io.File(s"$warehouse/db/t4"))
+      out.toSeq
+    }
+    assert(sidecarsUnder().nonEmpty)
+    gc.expireSnapshots("db", "t4", keepLast = 1)
+    val left = sidecarsUnder()
+    // every surviving sidecar lives in a dir a kept snapshot references
+    val keptDirs = gc.snapshots("db", "t4").flatMap(s =>
+      gc.filesTable("db", "t4", snapshotId = Some(s.id))
+        .select("file_dir").collect().map(_.getString(0))).distinct
+    left.foreach { p =>
+      assert(keptDirs.exists(d => p.contains(s"/$d/")),
+        s"orphaned sidecar survived expiration: $p (kept dirs: $keptDirs)")
+    }
+    assert(gc.read("db", "t4").count() === 400)
+  }
+
+  test("expiration keeping a tag-pinned middle snapshot round-trips") {
+    gc.createTable("db", "t5", rows(0, 0).schema)
+    (1 to 5).foreach(i => gc.append("db", "t5", rows(i * 10L, i * 10L + 9).toDF()))
+    gc.createTag("db", "t5", "pin", Some(2L))
+    // keep last 2 (4, 5) + pinned 2; snapshots 1 and 3 drop — snapshot
+    // 4's delta base (3) is gone, so the next head write must
+    // materialize its full list, and snapshot 2's base (1) likewise
+    val dropped = gc.expireSnapshots("db", "t5", keepLast = 2)
+    assert(dropped.toSet === Set(1L, 3L))
+    assert(gc.snapshots("db", "t5").map(_.id) === Seq(2L, 4L, 5L))
+    // every kept snapshot still resolves its cumulative image (2 kept
+    // its inherited snap-1 dir entry even though snapshot 1 dropped —
+    // wait: snap-1's DIR is still referenced by snapshot 2+, so it
+    // survives dir deletion; only the snapshot ENTRY dropped)
+    assert(gc.read("db", "t5", snapshotId = Some(2L)).count() === 20)
+    assert(gc.read("db", "t5", snapshotId = Some(4L)).count() === 40)
+    assert(gc.read("db", "t5").count() === 50)
+    // a fresh commit on top of the re-based log still delta-encodes
+    gc.append("db", "t5", rows(100L, 109L).toDF())
+    assert(gc.read("db", "t5").count() === 60)
+    assert(gc.snapshots("db", "t5").map(_.id) === Seq(2L, 4L, 5L, 6L))
+    // and a cold reader (fresh catalog instance) inflates the same state
+    val cold = new GraftCatalog(spark, warehouse)
+    assert(cold.read("db", "t5").count() === 60)
+    assert(cold.read("db", "t5", snapshotId = Some(4L)).count() === 40)
+  }
+
+  test("rollback truncates the delta log cleanly and ordinal reuse is safe") {
+    gc.createTable("db", "t6", rows(0, 0).schema)
+    (1 to 4).foreach(i => gc.append("db", "t6", rows(i * 10L, i * 10L + 9).toDF()))
+    gc.rollbackTo("db", "t6", 2L)
+    assert(gc.read("db", "t6").count() === 20)
+    // reused ordinals get fresh dirs + fresh sidecar tokens — stale
+    // cached zones must not serve the new snap-3
+    gc.append("db", "t6", rows(1000L, 1099L).toDF())
+    assert(gc.read("db", "t6").count() === 120)
+    assert(gc.readWhere("db", "t6", col("id") >= 1000L).count() === 100)
+    assert(gc.countRows("db", "t6") === Some(120L))
+  }
+}

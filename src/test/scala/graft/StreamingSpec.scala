@@ -290,6 +290,45 @@ class StreamingSpec extends SparkSpecBase {
     assert(batches.synchronized(batches.toSeq) === Seq(1L, 1L, 1L))
   }
 
+  test("changelog rate limit: maxRowsPerTrigger packs small snapshots, " +
+      "lands an oversized one whole") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cdc3-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "s3", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))))
+    // snapshot 1: a bulk backfill far over the cap; 2–4: small commits
+    cat.append("db", "s3",
+      spark.range(0, 100).selectExpr("id", "id AS v"))
+    (1 to 3).foreach(i => cat.append("db", "s3",
+      Seq((1000L + i, i.toLong)).toDF("id", "v")))
+    // drive the Source directly — deterministic batch planning, no engine
+    val src = new graft.sources.GraftChangelogSource(spark, wh, "db", "s3",
+      startSnapshotId = 0L, maxSnapshotsPerTrigger = None,
+      mode = "upsert", maxRowsPerTrigger = Some(10L))
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    def off(o: Option[org.apache.spark.sql.execution.streaming.Offset]): Long =
+      o.get.asInstanceOf[LongOffset].offset
+    // batch 1: the oversized snapshot lands ALONE (atomic unit), whole
+    val o1 = off(src.getOffset)
+    assert(o1 === 1L, s"oversized snapshot must land alone, got offset $o1")
+    src.getBatch(None, LongOffset(o1)) // advances the planned floor
+    assert(cat.readChangelog("db", "s3", 0L, o1).count() === 100L)
+    // batch 2: the three small snapshots pack under the 10-row cap
+    val o2 = off(src.getOffset)
+    assert(o2 === 4L, s"small snapshots should pack into one batch, got $o2")
+    src.getBatch(Some(LongOffset(o1)), LongOffset(o2))
+    assert(cat.readChangelog("db", "s3", o1, o2).count() === 3L)
+    // nothing left: the offset stays at 4 (engine reads that as no new data)
+    val o3 = src.getOffset
+    assert(o3.forall(o => o.asInstanceOf[LongOffset].offset === 4L))
+    // the advisory planner's metadata view matches what was committed
+    assert(cat.snapshotDeltaRows("db", "s3", 0L, 4L) ===
+      Seq((1L, 100L), (2L, 1L), (3L, 1L), (4L, 1L)))
+  }
+
   test("CDC mirror: streamChangelogApply keeps a PK replica in sync across restarts") {
     import org.apache.spark.sql.types._
     import spark.implicits._

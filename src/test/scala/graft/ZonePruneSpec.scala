@@ -665,4 +665,97 @@ class ZonePruneSpec extends SparkSpecBase {
     val all = gc.readWhere("db", "zev", col("id") >= 0L)
     assert(all.count() === 4)
   }
+
+  test("property: zone evaluator never refutes a file holding a match") {
+    // Soundness fuzz over the whole predicate-shape matrix (coercion
+    // casts, IN, NOT =, STARTS WITH, null checks, AND/OR): for randomly
+    // generated data split into "files" and randomly generated resolved
+    // predicates, any file Spark finds a matching row in must survive
+    // FileStats.mightMatch on that file's zone. (Completeness is not
+    // required — keeping too much is the designed fallback.)
+    import graft.sources.FileStats
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(20260814L)
+    val nGroups = 5
+    def randRow(): (Long, java.lang.Long, java.lang.Double, String) = {
+      val grp = rnd.nextInt(nGroups).toLong
+      val i: java.lang.Long = if (rnd.nextInt(10) == 0) null
+        else java.lang.Long.valueOf(rnd.nextInt(200).toLong - 100)
+      val d: java.lang.Double = if (rnd.nextInt(10) == 0) null
+        else java.lang.Double.valueOf(math.round(rnd.nextGaussian() * 50).toDouble / 2)
+      val s = if (rnd.nextInt(10) == 0) null
+        else ("" + ('a' + rnd.nextInt(4)).toChar) * (1 + rnd.nextInt(2)) +
+          rnd.nextInt(30)
+      (grp, i, d, s)
+    }
+    val rows = Seq.fill(400)(randRow())
+    import spark.implicits._
+    val df = rows.toDF("grp", "i", "d", "s")
+    // per-group zones computed from the raw data with the SAME canonical
+    // domains the footer collection uses (Long / Double / UTF-8 String)
+    def zoneOf[T](vs: Seq[Any])(implicit ord: Ordering[T]): FileStats.ColZone = {
+      val nn = vs.filter(_ != null).asInstanceOf[Seq[T]]
+      if (nn.isEmpty) FileStats.ColZone(None, None, vs.size.toLong)
+      else FileStats.ColZone(Some(nn.min), Some(nn.max),
+        (vs.size - nn.size).toLong)
+    }
+    implicit val utf8Ord: Ordering[String] = (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .binaryCompare(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    val zones: Map[Long, FileStats.DirStats] =
+      rows.groupBy(_._1).map { case (g, rs) =>
+        g -> FileStats.DirStats(rs.size.toLong, Map(
+          "i" -> zoneOf[Long](rs.map(_._2)),
+          "d" -> zoneOf[Double](rs.map(_._3)),
+          "s" -> zoneOf[String](rs.map(_._4))))
+      }
+    def randLitValue(colName: String): Any = colName match {
+      case "i" => rnd.nextInt(260) - 130 // sometimes outside the domain
+      case "d" => math.round(rnd.nextGaussian() * 60).toDouble / 2
+      case _ => ("" + ('a' + rnd.nextInt(5)).toChar) *
+        (1 + rnd.nextInt(2)) + rnd.nextInt(40)
+    }
+    def randLit(colName: String): Column = lit(randLitValue(colName))
+    def randLeaf(): Column = {
+      val c = Seq("i", "d", "s")(rnd.nextInt(3))
+      rnd.nextInt(8) match {
+        case 0 => col(c) === randLit(c)
+        case 1 => col(c) < randLit(c)
+        case 2 => col(c) >= randLit(c)
+        case 3 => col(c).isin(Seq.fill(1 + rnd.nextInt(3))(randLitValue(c)): _*)
+        case 4 => col(c).isNull
+        case 5 => col(c).isNotNull
+        case 6 => !(col(c) === randLit(c))
+        case _ if c == "s" => col(c).startsWith(("" + ('a' + rnd.nextInt(5)).toChar))
+        case _ => col(c) > randLit(c)
+      }
+    }
+    def randPred(depth: Int): Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) randLeaf()
+      else if (rnd.nextBoolean()) randPred(depth - 1) && randPred(depth - 1)
+      else randPred(depth - 1) || randPred(depth - 1)
+    var refuted = 0L
+    (1 to 80).foreach { it =>
+      val cond = randPred(2)
+      val filtered = df.filter(cond)
+      val resolved = filtered.queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.get
+      val matched = filtered.groupBy("grp").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      zones.foreach { case (g, z) =>
+        val keep = FileStats.mightMatch(z, resolved)
+        if (matched.getOrElse(g, 0L) > 0L)
+          assert(keep,
+            s"iteration $it: zone refuted group $g which holds " +
+              s"${matched(g)} matching rows; predicate: ${resolved.sql}; " +
+              s"zone: $z")
+        else if (!keep) refuted += 1
+      }
+    }
+    // power check: the run must have exercised the refute path, or the
+    // soundness property above was vacuous
+    assert(refuted > 10L, s"evaluator refuted only $refuted times over 400 " +
+      "group checks — the fuzz stopped exercising pruning")
+  }
 }
