@@ -63,6 +63,25 @@ object AnnQueries {
         .agg(count(lit(1)).as("n_vectors"), min("id").as("min_id"), max("id").as("max_id"))
         .orderBy("cell")
     }),
+    // Semantic dedup (SemDeDup): cluster-bucketed near-dup removal over
+    // the embedding space. Plant exact duplicates (the 40 lowest vec_ids
+    // copied to vec_id + 100000, mirrored verbatim in the oracle — same
+    // non-vacuity device as dedup_embedding: identical vectors share an
+    // argmax cell necessarily and score cos exactly 1.0 > threshold in
+    // both engines, so the drop set is provably non-empty). Seeds stay
+    // the ORIGINAL 16 lowest ids (planted ids are offset high).
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val maxId = e.agg(max("vec_id")).head.getLong(0)
+      require(maxId < 100000L,
+        s"dedup_semantic planted-id offset 100000 collides with corpus " +
+          s"max vec_id $maxId; raise the offset in BOTH query and oracle")
+      val planted = e.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val q = Similarity.quantized(e.unionByName(planted), "vec_id", "embedding")
+      Similarity.semanticDedup(q, nlist = 16, rounds = 2, threshold = 0.95)
+        .orderBy("id")
+    }),
   )
 
   private val annOracle =
@@ -115,8 +134,42 @@ object AnnQueries {
        |SELECT cell, count(*) AS n_vectors, min(id) AS min_id, max(id) AS max_id
        |FROM a3 GROUP BY cell ORDER BY cell""".stripMargin
 
+  // SemDeDup replay: the same Lloyd rounds as kmeansOracle but over the
+  // planted-union corpus (CTE still named `v` so the shared
+  // lloydAssignSql/lloydMeansSql fragments bind), then within-cell pair
+  // scoring with the exact qcosine expression (integer dots < 2^53,
+  // one IEEE divide) and the smallest-id-survives drop rule.
+  private val semanticDedupOracle =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv
+       |  FROM (
+       |    SELECT vec_id, embedding FROM embeddings
+       |    UNION ALL
+       |    SELECT vec_id + 100000, embedding FROM embeddings
+       |    WHERE vec_id < 40) b),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cell,
+       |         qv AS cv
+       |  FROM (SELECT * FROM v ORDER BY id LIMIT 16) t),
+       |a1 AS (${lloydAssignSql("seeds")}),
+       |c1 AS (${lloydMeansSql("a1")}),
+       |a2 AS (${lloydAssignSql("c1")}),
+       |c2 AS (${lloydMeansSql("a2")}),
+       |a3 AS (${lloydAssignSql("c2")}),
+       |drops AS (
+       |  SELECT DISTINCT pb.id AS id
+       |  FROM a3 pa JOIN a3 pb ON pa.cell = pb.cell AND pa.id < pb.id
+       |  WHERE CAST(list_dot_product(pa.qv, pb.qv) AS DOUBLE)
+       |        / sqrt(CAST(list_dot_product(pa.qv, pa.qv) AS DOUBLE)
+       |               * CAST(list_dot_product(pb.qv, pb.qv) AS DOUBLE)) > 0.95)
+       |SELECT a3.id, a3.cell, (drops.id IS NULL) AS kept
+       |FROM a3 LEFT JOIN drops ON a3.id = drops.id
+       |ORDER BY a3.id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "ann_bruteforce" -> annOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     "ann_scalable" -> annOracle,
     "cluster_kmeans" -> kmeansOracle,
     "emb_label_centroids" ->

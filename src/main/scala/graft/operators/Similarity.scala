@@ -240,6 +240,44 @@ object Similarity {
     assign(cent).select("id", "cell")
   }
 
+  /**
+   * Semantic deduplication — the SemDeDup shape (Abbas et al. 2023,
+   * arXiv:2303.09540, public paper): cluster the embedding space with
+   * k-means, then score pairs ONLY within a cluster and drop every
+   * vector whose cosine to a LOWER-ID cluster-mate exceeds `threshold`.
+   * One deterministic representative per semantic near-dup group
+   * survives (the paper keeps the centroid-farthest member; keeping the
+   * smallest id instead makes the choice total-order-stable and
+   * SQL-replayable — same greedy economics).
+   *
+   * The SemDeDup insight is the scale shape: semantic near-dups
+   * co-locate in embedding clusters, so the O(n²) pair scoring
+   * collapses to Σ_cell |cell|² via a cell EQUI-join — never a cross
+   * join — and `nlist` steers expected cell size (corpus/nlist).
+   * Clustering is [[lloydAssign]] (declarative integer Lloyd: broadcast
+   * centroids, map-side argmax, no driver state); pair scoring is exact
+   * integer dot products + one IEEE divide, so a SQL engine replays the
+   * whole decision bit-exactly. Input: quantized (id, qv, nn) as
+   * produced by [[quantized]]. Output: (id, cell, kept).
+   */
+  def semanticDedup(candidates: DataFrame, nlist: Int = 16, rounds: Int = 2,
+      threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorOps
+    val cells = lloydAssign(candidates, nlist, rounds)
+    val withVec = cells.join(candidates.select("id", "qv", "nn"), "id")
+    val a = withVec.select(col("cell"), col("id").as("a_id"),
+      col("qv").as("a_qv"), col("nn").as("a_nn"))
+    val b = withVec.select(col("cell"), col("id").as("b_id"),
+      col("qv").as("b_qv"), col("nn").as("b_nn"))
+    val drops = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(VectorOps.qcosine(VectorOps.qdot(col("a_qv"), col("b_qv")),
+        col("a_nn"), col("b_nn")) > threshold)
+      .select(col("b_id").as("id")).distinct()
+    cells.join(drops.withColumn("__drop", lit(true)), Seq("id"), "left_outer")
+      .select(col("id"), col("cell"), col("__drop").isNull.as("kept"))
+  }
+
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
     val centroids = trainCosineKmeans(candidates, nlist, iters)

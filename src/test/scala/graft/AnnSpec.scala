@@ -77,6 +77,34 @@ class AnnSpec extends SparkSpecBase {
     assert(a1.toSeq === a2.toSeq)                // deterministic trainer
   }
 
+  test("semanticDedup keeps the smallest id per semantic group") {
+    import spark.implicits._
+    // three near-dup families along axes + one far singleton; the
+    // singleton ties into a family's cell (dot 0 to every seed) but its
+    // cosine to cluster-mates is 0 — clustered together ≠ dropped
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),     // exact dup of 1 -> dropped
+      (7L, Array(1.0f, 0.001f, 0.0f)),   // near dup of 1 -> dropped
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f)),     // exact dup of 3 -> dropped
+      (4L, Array(0.0f, 0.0f, 1.0f))      // singleton -> kept
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantized(vecs, "vec_id", "embedding")
+    val out = Similarity.semanticDedup(q, nlist = 3, rounds = 2,
+      threshold = 0.95).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size === 6, "every vector classified exactly once")
+    assert(out.filter(_._2).keySet === Set(1L, 3L, 4L),
+      s"wrong survivor set: $out")
+    // idempotence: running dedup over the survivors drops nothing
+    val survivors = vecs.filter(col("vec_id").isin(1L, 3L, 4L))
+    val again = Similarity.semanticDedup(
+      Similarity.quantized(survivors, "vec_id", "embedding"),
+      nlist = 3, rounds = 2, threshold = 0.95).collect()
+    assert(again.forall(_.getBoolean(2)), "survivor set must be stable")
+  }
+
   test("lsh prunes: candidate pairs well below all-pairs") {
     val (cands, qs) = realVectors()
     val k = 5

@@ -54,7 +54,11 @@ class PlanSpec extends SparkSpecBase {
       // supplier count (TpchExtQueries.partsupp); Q11 additionally
       // broadcasts its 1-row threshold.
       "q2_min_cost_supplier", "q9_product_profit", "q11_important_stock",
-      "q16_parts_suppliers", "q20_promotion")
+      "q16_parts_suppliers", "q20_promotion",
+      // lloydAssign scores every vector against a broadcast of ≤nlist
+      // (16) centroid rows — a bounded-side BNLJ by design; the dedup
+      // pair join itself is a cell equi-join (asserted in AnnSpec)
+      "dedup_semantic")
     // Iterative/stateful builders execute work at construction; their
     // per-round plans are asserted in their own specs instead.
     val skip = Set("dedup_clusters", "cluster_kmeans", "ann_ivf",
