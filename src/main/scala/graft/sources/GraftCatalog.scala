@@ -2690,11 +2690,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .filter { case (s, _) =>
         val id = s.get("id").asLong(); id > fromId && id <= toId }
       .filterNot { case (s, _) => s.has("compaction") }
-      .flatMap { case (s, i) =>
-        val prevDirs =
-          if (i == 0) Set.empty[String] else filesOf(all(i - 1)).map(_.dir).toSet
-        filesOf(s).filterNot(fe => prevDirs.contains(fe.dir))
-      }
+      .flatMap { case (_, i) => addedEntries(all, i) }
   }
 
   /**
@@ -2753,17 +2749,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, table)
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val stats = dirStatsFrom(m)
-    var prevDirs = Set.empty[String]
+    val all = (0 until snaps.size()).map(snaps.get)
     val out = mutable.ArrayBuffer[(Long, Long)]()
-    (0 until snaps.size()).foreach { i =>
-      val s = snaps.get(i)
-      val id = s.get("id").asLong()
-      val dirs = filesOf(s).filter(_.kind == "data").map(_.dir)
-      if (id > fromExclusive && id <= to) {
-        val fresh = dirs.filterNot(prevDirs.contains)
-        out += id -> fresh.flatMap(stats.get).map(_.rows).sum
-      }
-      prevDirs = dirs.toSet
+    all.indices.foreach { i =>
+      val id = all(i).get("id").asLong()
+      if (id > fromExclusive && id <= to)
+        out += id -> addedEntries(all, i).filter(_.kind == "data")
+          .flatMap(fe => stats.get(fe.dir)).map(_.rows).sum
     }
     out.toSeq
   }
@@ -2787,19 +2779,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def snapshotsTable(schema: String, table: String): DataFrame = {
     val m = readManifest(schema, table)
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val rows = (0 until snaps.size()).map { i =>
-      val s = snaps.get(i)
-      val dirs = filesOf(s).map(_.dir).toSet
+    val all = (0 until snaps.size()).map(snaps.get)
+    val rows = all.indices.map { i =>
+      val s = all(i)
       // set difference, not count difference: overwrite/compact snapshots
-      // reference fewer dirs than their predecessor but still ADD one
-      val prev = if (i == 0) Set.empty[String]
-        else filesOf(snaps.get(i - 1)).map(_.dir).toSet
+      // reference fewer dirs than their predecessor but still ADD dirs
       val commitKind =
         if (s.has("commitKind")) s.get("commitKind").asText()
         else if (s.has("compaction")) "compact" // pre-r5 manifests
         else "append"
       (s.get("id").asLong(), s.get("timestampMillis").asLong(), commitKind,
-        dirs.size, (dirs -- prev).size)
+        filesOf(s).map(_.dir).distinct.size, addedEntries(all, i).map(_.dir).distinct.size)
     }
     spark.createDataFrame(rows).toDF(
       "snapshot_id", "timestamp_millis", "commit_kind", "n_file_dirs", "n_added_dirs")
@@ -2943,6 +2933,35 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val e = fArr.get(i)
       FileEntry(e.get("dir").asText(), e.get("schemaVersion").asInt(),
         if (e.has("kind")) e.get("kind").asText() else "data")
+    }
+  }
+
+  /**
+   * Entries ADDED by snapshot `all(i)` relative to its immediate
+   * predecessor — the per-snapshot delta the changelog scan, the
+   * `$snapshots` view, and the rows rate limit all want. Additive
+   * commits carry it verbatim in their delta-form `added` field
+   * (O(delta), no diff at all); full-form entries (first snapshot,
+   * overwrite/compact, entries re-materialized after expiration, legacy
+   * manifests) fall back to the positional set difference.
+   */
+  private def addedEntries(all: scala.collection.Seq[JsonNode], i: Int): Seq[FileEntry] = {
+    val s = all(i)
+    val delta = s match {
+      case o: ObjectNode if o.has("added") && o.has("baseId") && i > 0 &&
+          o.get("baseId").asLong() == all(i - 1).get("id").asLong() =>
+        val aArr = o.get("added").asInstanceOf[ArrayNode]
+        Some((0 until aArr.size()).map { j =>
+          val e = aArr.get(j)
+          FileEntry(e.get("dir").asText(), e.get("schemaVersion").asInt(),
+            if (e.has("kind")) e.get("kind").asText() else "data")
+        })
+      case _ => None
+    }
+    delta.getOrElse {
+      val prevDirs = if (i == 0) Set.empty[String]
+        else filesOf(all(i - 1)).map(_.dir).toSet
+      filesOf(s).filterNot(fe => prevDirs.contains(fe.dir))
     }
   }
 

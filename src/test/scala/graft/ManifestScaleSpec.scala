@@ -162,6 +162,32 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(cold.read("db", "t5", snapshotId = Some(4L)).count() === 40)
   }
 
+  test("a corrupt delta chain fails loudly, never silently drops files") {
+    gc.createTable("db", "t7", rows(0, 0).schema)
+    gc.append("db", "t7", rows(1, 10).toDF())
+    gc.append("db", "t7", rows(11, 20).toDF()) // delta vs snapshot 1
+    val dir = new java.io.File(s"$warehouse/db/t7")
+    def headFile = dir.listFiles()
+      .filter(_.getName.matches("manifest-v\\d+\\.json"))
+      .maxBy(_.getName.stripPrefix("manifest-v").stripSuffix(".json").toInt)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val m = mapper.readTree(headFile).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    // strip snapshot 1 from the serialized log: snapshot 2's {baseId: 1,
+    // added} delta now has no resolvable base
+    val snaps = m.get("snapshots").asInstanceOf[
+      com.fasterxml.jackson.databind.node.ArrayNode]
+    assert(snaps.get(1).has("baseId"), "precondition: snapshot 2 is a delta")
+    snaps.remove(0)
+    val v = m.get("commitVersion").asLong() + 1
+    m.put("commitVersion", v)
+    java.nio.file.Files.write(
+      new java.io.File(dir, s"manifest-v$v.json").toPath,
+      mapper.writeValueAsBytes(m))
+    val e = intercept[IllegalArgumentException](gc.read("db", "t7"))
+    assert(e.getMessage.contains("corrupt manifest"), e.getMessage)
+  }
+
   test("rollback truncates the delta log cleanly and ordinal reuse is safe") {
     gc.createTable("db", "t6", rows(0, 0).schema)
     (1 to 4).foreach(i => gc.append("db", "t6", rows(i * 10L, i * 10L + 9).toDF()))
