@@ -20,14 +20,27 @@ import org.apache.spark.sql.types.{NumericType, StructField, StructType}
  *                                          TrinoTableHandle.java:138
  *  - table options persisted in DDL:       TrinoTableOptionUtils.java
  *
- * Layout: `<warehouse>/<schema>/<table>/manifest-v<N>.json` (immutable,
- * exclusive-rename CAS — Paimon's snapshot-N commit protocol) + immutable
- * `snap-<id>/` parquet dirs. Snapshots reference the cumulative file list,
- * so reads are O(files referenced), appends are O(new data), and nothing
- * is ever rewritten in place — the same immutability contract Paimon's
- * snapshot log gives the reference connector. Concurrent writers land
- * additive commits via rebase-and-retry; stale rewrites abort (see
- * `commit`).
+ * Layout — the Paimon snapshot → manifest-list → manifest-file hierarchy,
+ * re-expressed:
+ *
+ *  - `<warehouse>/<schema>/<table>/manifest-v<N>.json` — the HEAD
+ *    (immutable, exclusive-rename CAS — Paimon's snapshot-N commit
+ *    protocol): table metadata + a snapshot log whose file lists
+ *    serialize as `{baseId, added}` DELTAS (the manifest-list analog:
+ *    tiny entries, O(total dirs), materialized at read), plus per-dir
+ *    zone AGGREGATES (the manifest-list partition-stats analog).
+ *  - `snap-<id>/` — immutable parquet dirs, each carrying its own
+ *    `.zones.json` per-FILE zone sidecar (the manifest-FILE analog,
+ *    written once into the staging dir so the ordinal claim-rename
+ *    publishes data and zones atomically) and, when indexed, a
+ *    `.bloomidx/` sidecar tree.
+ *
+ * A commit therefore WRITES O(its own files) metadata regardless of
+ * table size; reads are O(files referenced) with zone/bloom sidecars
+ * loaded lazily and cached by build token. Nothing is ever rewritten in
+ * place — the same immutability contract Paimon's snapshot log gives
+ * the reference connector. Concurrent writers land additive commits via
+ * rebase-and-retry; stale rewrites abort (see `commit`).
  *
  * Schema evolution is metadata-only (stable field ids, Paimon-style):
  * renames/drops/adds never rewrite data; reads map each file's
@@ -193,6 +206,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def dropTable(schema: String, table: String): Unit = {
     require(tableManifestExists(schema, table), s"no table $schema.$table")
     fs.delete(tablePath(schema, table), true)
+    GraftCatalog.purgeHeadCache(fs.makeQualified(tablePath(schema, table)).toString)
     ()
   }
 
@@ -200,6 +214,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(tableManifestExists(schema, from), s"no table $schema.$from")
     require(!fs.exists(tablePath(schema, to)), s"table $schema.$to exists")
     fs.rename(tablePath(schema, from), tablePath(schema, to))
+    GraftCatalog.purgeHeadCache(fs.makeQualified(tablePath(schema, from)).toString)
     val m = readManifest(schema, to)
     m.put("name", to)
     writeManifest(schema, to, m)
@@ -2978,15 +2993,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * torn or stale-checksum manifest — they list and open the max
    * version. A pre-versioning `manifest.json` is honored as fallback.
    */
-  private def currentManifestFile(schema: String, table: String): Option[Path] = {
+  private def currentManifestFile(schema: String, table: String)
+      : Option[org.apache.hadoop.fs.FileStatus] = {
     val dir = tablePath(schema, table)
     val listed =
       try fs.listStatus(dir)
       catch { case _: java.io.FileNotFoundException => return None }
     val versioned = listed.flatMap(st =>
-      manifestFileVersion(st.getPath.getName).map(v => (st.getPath, v)))
+      manifestFileVersion(st.getPath.getName).map(v => (st, v)))
     if (versioned.nonEmpty) Some(versioned.maxBy(_._2)._1)
-    else Some(manifestPath(schema, table)).filter(fs.exists)
+    else {
+      val legacy = manifestPath(schema, table)
+      try Some(fs.getFileStatus(legacy))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
   }
 
   private def tableManifestExists(schema: String, table: String): Boolean =
@@ -2997,12 +3017,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fs.makeQualified(p).toUri, spark.sparkContext.hadoopConfiguration)
 
   private def readManifest(schema: String, table: String): ObjectNode = {
-    val p = currentManifestFile(schema, table)
-    require(p.isDefined, s"no table $schema.$table")
-    val in = fcFor(p.get).open(fs.makeQualified(p.get))
-    val m = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
-    inflateSnapshots(m)
-    m
+    val st = currentManifestFile(schema, table)
+    require(st.isDefined, s"no table $schema.$table")
+    val p = st.get.getPath
+    // Heads are IMMUTABLE versioned files landed by CAS (a version path
+    // is written exactly once per table lifetime — rollback/expiration
+    // bump the version, never rewrite one), so caching the
+    // parsed+inflated node is coherent; freshness comes from the listing
+    // in currentManifestFile, which still runs per read. The key carries
+    // mtime+length and drop/rename purge the table's prefix, so a
+    // DROPPED-then-recreated table (whose numbering restarts at v1 on
+    // the same path) can never serve the old table's head. Callers
+    // MUTATE the returned node (commit's land, evolveSchema), so the
+    // cache hands out deep copies — still cheaper than bytes + parse +
+    // inflate, and on an object store it saves the GET entirely.
+    val key = s"${fs.makeQualified(p)}#${st.get.getModificationTime}#${st.get.getLen}"
+    val cache = GraftCatalog.headCache
+    val cached = cache.get(key)
+    val m = if (cached != null) cached
+    else {
+      val in = fcFor(p).open(fs.makeQualified(p))
+      val parsed = try mapper.readTree(in).asInstanceOf[ObjectNode] finally in.close()
+      inflateSnapshots(parsed)
+      GraftCatalog.headCacheLoads.incrementAndGet()
+      if (cache.size > GraftCatalog.HeadCacheCap) cache.clear()
+      cache.put(key, parsed)
+      parsed
+    }
+    m.deepCopy[ObjectNode]()
   }
 
   /**
@@ -3109,6 +3151,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"$schema.$table manifest version $version was committed " +
           "concurrently — re-read and retry")
     }
+    // Pre-warm the head cache with the node just landed (its serialized
+    // form IS the file content): the committer's next readManifest — and
+    // any other catalog instance in this process — skips the parse.
+    try {
+      val st = fs.getFileStatus(dst)
+      if (GraftCatalog.headCache.size > GraftCatalog.HeadCacheCap)
+        GraftCatalog.headCache.clear()
+      GraftCatalog.headCache.put(
+        s"$dst#${st.getModificationTime}#${st.getLen}", m.deepCopy[ObjectNode]())
+    } catch { case scala.util.control.NonFatal(_) => () }
     // retention + legacy cleanup, best-effort (failures leave extra
     // immutable files, never a broken table)
     try {
@@ -3159,6 +3211,26 @@ object GraftCatalog {
     * (immutable sidecars must be read at most once per process). */
   private[graft] val zoneSidecarLoads =
     new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Parsed-head cache keyed by the immutable `manifest-v<N>.json` path
+    * (each version is CAS'd into existence exactly once — content can
+    * never change under a cached key). Stores the inflated node; readers
+    * receive deep copies. [[headCacheLoads]] counts cold parses. */
+  private[sources] val HeadCacheCap = 64
+  private[sources] val headCache =
+    new java.util.concurrent.ConcurrentHashMap[String, ObjectNode]()
+  private[graft] val headCacheLoads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop every cached head under a (qualified) table-dir prefix —
+    * called by dropTable/renameTable so a recreated table whose version
+    * numbering restarts on the same paths can never hit the old table's
+    * entries (the mtime+length key component already makes that
+    * practically impossible; the purge makes it structural). */
+  private[sources] def purgeHeadCache(tableDirPrefix: String): Unit = {
+    val it = headCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(tableDirPrefix)) it.remove()
+  }
 
   /** Bounded driver pool for parallel sidecar loads (latency-bound small
     * files — same rationale as BloomIndex's probe pool). */

@@ -162,6 +162,32 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(cold.read("db", "t5", snapshotId = Some(4L)).count() === 40)
   }
 
+  test("head cache: repeat reads skip the parse; drop+recreate never stale") {
+    gc.createTable("db", "t8", rows(0, 0).schema)
+    gc.append("db", "t8", rows(1, 10).toDF())
+    assert(gc.read("db", "t8").count() === 10)
+    val l0 = GraftCatalog.headCacheLoads.get()
+    // repeat reads of the unchanged head hit the cache (the commit above
+    // pre-warmed it) — no re-parse
+    assert(gc.read("db", "t8").count() === 10)
+    assert(gc.countRows("db", "t8") === Some(10L))
+    assert(GraftCatalog.headCacheLoads.get() === l0,
+      "unchanged head must be served from cache")
+    // a second catalog instance in the same process shares the cache
+    val other = new GraftCatalog(spark, warehouse)
+    assert(other.read("db", "t8").count() === 10)
+    assert(GraftCatalog.headCacheLoads.get() === l0)
+    // the stale-cache trap: drop + recreate restarts version numbering
+    // on the SAME manifest-v1.json path — the old table's head must
+    // never serve the new table
+    gc.dropTable("db", "t8")
+    gc.createTable("db", "t8", rows(0, 0).schema)
+    gc.append("db", "t8", rows(100, 104).toDF())
+    assert(gc.read("db", "t8").count() === 5)
+    assert(gc.read("db", "t8").agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) === 100L)
+  }
+
   test("a corrupt delta chain fails loudly, never silently drops files") {
     gc.createTable("db", "t7", rows(0, 0).schema)
     gc.append("db", "t7", rows(1, 10).toDF())
