@@ -137,6 +137,24 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Minor compaction: one large base dir + several small streaming-ish
+    // appends; compactSmall must merge ONLY the small dirs (the base
+    // survives byte-identical) and the post-compact image must equal the
+    // plain SQL over the source — including a predicate read, so the
+    // merged dir's fresh zone sidecar is exercised too.
+    "catalog_compact_small" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema)
+      cat.append("q", t, d.filter(col("doc_id") < 400))        // the base
+      cat.append("q", t, d.filter(col("doc_id") >= 400 && col("doc_id") < 420))
+      cat.append("q", t, d.filter(col("doc_id") >= 420 && col("doc_id") < 440))
+      cat.append("q", t, d.filter(col("doc_id") >= 440))
+      val merged = cat.compactSmall("q", t, smallBytes = 256 << 10)
+      require(merged.isDefined, "compactSmall must find the small dirs")
+      cat.readWhere("q", t, col("doc_id") >= 300).orderBy("doc_id")
+    }),
     // Bloom-filter file index: equality/IN lookups on an UNCLUSTERED id —
     // the interleaved appends give every dir a near-full id zone, so only
     // the per-file blooms can prune. Correctness is hash-gated here; the
@@ -457,6 +475,9 @@ object CatalogQueries {
     "catalog_stats_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
+    "catalog_compact_small" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id >= 300 ORDER BY doc_id""".stripMargin,
     "catalog_delete_vectors" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,

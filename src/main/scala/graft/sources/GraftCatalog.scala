@@ -377,7 +377,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // (file, pos) victims PAIRED with a data commit in one snapshot —
       // the append-only UPDATE shape: retract old positions and land the
       // updated images atomically (dir + dir-dv share one ordinal).
-      dvDf: Option[DataFrame] = None): Long = {
+      dvDf: Option[DataFrame] = None,
+      // Replace-subset commit (minor compaction): the new snapshot
+      // inherits the previous file list MINUS these dirs, plus the new
+      // dir — older snapshots still reference them (time travel), and
+      // expiration reclaims them once unreferenced.
+      replacedDirs: Set[String] = Set.empty): Long = {
     val m = readManifest(schema, table)
     // Derived-content commits (DV deletes) pass the manifest version their
     // victims were computed against: if the head advanced in between (a
@@ -495,14 +500,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         zoneToken.foreach(dn.put("filesExt", _))
       }
       val prevFiles: Seq[FileEntry] =
-        if (keepExisting && sn2.size() > 0) filesOf(sn2.get(sn2.size() - 1)) else Seq.empty
+        if (keepExisting && sn2.size() > 0)
+          filesOf(sn2.get(sn2.size() - 1))
+            .filterNot(fe => replacedDirs.contains(fe.dir))
+        else Seq.empty
       // Delta basis for the serialized form: an additive commit's file
       // list is prev ++ added, so the head stores {baseId, added} and
       // writeManifest never re-serializes inherited entries (see
       // deflateSnapshots) — the snapshot log stays O(total dirs), not
-      // O(snapshots × dirs).
+      // O(snapshots × dirs). A replace-subset commit is NOT
+      // prefix-extending, so it serializes its full (small) list.
       val baseId: Option[Long] =
-        if (keepExisting && sn2.size() > 0 && prevFiles.nonEmpty)
+        if (keepExisting && sn2.size() > 0 && prevFiles.nonEmpty &&
+            replacedDirs.isEmpty)
           Some(sn2.get(sn2.size() - 1).get("id").asLong())
         else None
       val sn = sn2.addObject()
@@ -587,7 +597,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // dvDf content (file, pos victims) is derived from the basis head —
     // never rebaseable, like standalone DV deletes.
     val retryable = keepExisting && kind == "data" && !compaction &&
-      dvDf.isEmpty
+      dvDf.isEmpty && replacedDirs.isEmpty
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(tablePath(schema, table)).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -1021,6 +1031,64 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (snapshotFileEntries(schema, table).size > maxFileDirs)
       Some(compact(schema, table))
     else None
+  }
+
+  /**
+   * MINOR (small-file) compaction for append-only tables — Paimon's
+   * streaming-ingest maintenance shape, which a full [[compact]] cannot
+   * replace at scale: rewrite ONLY the data dirs smaller than
+   * `smallBytes` into one fresh dir and leave large dirs untouched. The
+   * new snapshot's file list is the previous list minus the compacted
+   * dirs plus the new one, so the cost is O(small dirs) — on a 100 TB
+   * table ingesting micro-batches this is the difference between a
+   * maintenance op you can run hourly and one you cannot run at all
+   * (full compact is O(table) every time). Older snapshots still
+   * reference the compacted dirs (time travel intact); expiration
+   * reclaims them once unreferenced. The snapshot carries the
+   * compaction marker, so changelog reads skip it (bytes moved, no
+   * logical change).
+   *
+   * Scope: append-only tables only — PK tables interleave per-key
+   * version ordinals across dirs, and merging an ordinal SUBSET would
+   * need the merged dir to sit at the subset's ordinal position, which
+   * the full-image [[compact]] sidesteps. DV-DIRTY dirs are skipped
+   * (rewriting them belongs to full compact, which applies and retires
+   * the DVs; a dirty dir rewritten here would orphan its (file, pos)
+   * entries). Content derives from the current head, so a concurrent
+   * commit ABORTS this one, never the reverse. Returns the new snapshot
+   * id, or None when fewer than two small clean dirs exist.
+   */
+  def compactSmall(schema: String, table: String,
+      smallBytes: Long = 32L << 20): Option[Long] = {
+    require(smallBytes > 0, "smallBytes must be positive")
+    val m = readManifest(schema, table)
+    require(primaryKey(m).isEmpty,
+      s"$schema.$table has a primary key — use compact(): per-key version " +
+        "ordinals interleave across dirs, so only the full image merges soundly")
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) return None
+    val entries = filesOf(snaps.get(snaps.size() - 1))
+    // a DV-dirty dir: any dir some deletion-vector entry names a file in
+    val dirtyDirs: Set[String] = dvIndexFrom(m).values
+      .flatMap(_._1).map(_.takeWhile(_ != '/')).toSet
+    val candidates = entries.filter(e => e.kind == "data" &&
+      !dirtyDirs.contains(e.dir) &&
+      (try fs.getContentSummary(
+        new Path(tablePath(schema, table), e.dir)).getLength < smallBytes
+      catch { case _: java.io.IOException => false }))
+    if (candidates.size < 2) return None
+    val img = candidates
+      .map(fe => frameFor(schema, table, m, fe))
+      .reduce(_ unionByName _)
+      .drop("__ord", "__del")
+    // Pin the head the candidates were derived from: a commit landing in
+    // between (e.g. a DV delete touching a candidate dir) would make the
+    // rewrite stale — abort via the basis-version fence, same contract
+    // as DV deletes.
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    Some(commit(schema, table, img, keepExisting = true, compaction = true,
+      replacedDirs = candidates.map(_.dir).toSet,
+      basisVersion = Some(basis)))
   }
 
   /**
