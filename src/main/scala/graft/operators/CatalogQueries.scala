@@ -282,6 +282,30 @@ object CatalogQueries {
         .withColumn("lang", lit("AGAIN")))
       cat.read("q", t).orderBy("doc_id")
     }),
+    // sequence.field (Paimon's CoreOption): a USER column, not commit
+    // order, decides which version of a key wins — a LATE batch with a
+    // smaller sequence must not clobber newer state, a batch with a
+    // larger one must, and a tombstone carries its victim's sequence so
+    // DELETE still lands. n_chars plays the sequence role here.
+    "catalog_sequence_field" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("sequence.field" -> "n_chars"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      // LATE batch: strictly smaller sequence for every key — all lose
+      cat.upsert("q", t, d.withColumn("lang", lit("LATE"))
+        .withColumn("n_chars", col("n_chars") - 1000000L))
+      // genuinely newer versions for doc_id % 4 == 0
+      cat.upsert("q", t, d.filter(col("doc_id") % 4 === 0)
+        .withColumn("lang", lit("NEWER"))
+        .withColumn("n_chars", col("n_chars") + 1000000L))
+      // tombstones carry the current winners' sequence — delete lands
+      cat.deleteWhere("q", t, col("doc_id") % 9 === 1)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // first-row merge engine: the EARLIEST version of a key wins.
     "catalog_merge_firstrow" -> ((s, dir) => {
       val (cat, t) = freshCat(s)
@@ -516,6 +540,11 @@ object CatalogQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_merge_firstrow" ->
       """SELECT doc_id, lang FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_sequence_field" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'NEWER' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 4 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+        |FROM documents WHERE doc_id % 9 <> 1 ORDER BY doc_id""".stripMargin,
     "catalog_timetravel" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,

@@ -109,6 +109,32 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(e == "deduplicate" || !options.contains("bucket"),
         "bucketed tables support only the deduplicate merge engine")
     }
+    // Sequence field (Paimon's `sequence.field`, a CoreOption the
+    // reference exposes via DDL like every other — TrinoTableOptionUtils):
+    // a USER column, not commit order, decides which version of a key
+    // wins — the out-of-order CDC ingestion contract (an event-time
+    // column keeps a late-arriving update from clobbering newer state).
+    // Largest value wins; ties fall back to commit order; NULL sorts
+    // smallest. Deduplicate engine only, as in Paimon (the field-wise
+    // engines fold ALL versions, so precedence has nothing to decide).
+    options.get("sequence.field").foreach { f =>
+      require(primaryKey.nonEmpty, "sequence.field requires a primary key")
+      val fld = structType.fields.find(_.name == f)
+      require(fld.isDefined, s"sequence.field column $f not in schema")
+      require(!primaryKey.contains(f),
+        s"sequence.field $f cannot be a primary-key column")
+      require(!partitionBy.contains(f),
+        s"sequence.field $f cannot be a partition column")
+      require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
+        "sequence.field applies to the deduplicate merge engine only")
+      val dt = fld.get.dataType
+      require(dt.isInstanceOf[NumericType] ||
+        dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.StringType,
+        s"sequence.field $f: ${dt.simpleString} is not an orderable " +
+          "sequence type (numeric/date/timestamp/string)")
+    }
     // Deletion vectors (Paimon's `deletion-vectors.enabled`): row-level
     // DELETE on APPEND-ONLY tables as per-file position indexes — no
     // copy-on-write rewrite, no tombstone merge. PK tables already delete
@@ -328,6 +354,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val arr = m.putArray("primaryKey")
         pk.foreach(p => arr.add(if (p == from) to else p))
       }
+      // keep the sequence.field option tracking its renamed column
+      if (sequenceField(m).contains(from))
+        m.get("options").asInstanceOf[ObjectNode].put("sequence.field", to)
       fields.map(f => if (f.name == from) f.copy(name = to) else f)
     }
 
@@ -339,6 +368,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"cannot drop partition column $name")
       require(!primaryKey(m).contains(name),
         s"cannot drop primary-key column $name")
+      require(!sequenceField(m).contains(name),
+        s"cannot drop sequence.field column $name")
       fields.filterNot(_.name == name)
     }
 
@@ -1762,11 +1793,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val curFields = currentFields(m)
     val allSchemas = schemaVersions(m)
     val writeFieldsAll = allSchemas(fe.schemaVersion)
-    // Delete files carry only the primary-key columns (write-time names).
+    // Delete files carry only the primary-key columns (write-time names)
+    // — plus the sequence field on `sequence.field` tables, where a
+    // tombstone must hold its victim's sequence value to win the version
+    // race (a missing column reads as NULL, which sorts smallest).
     val writeFields =
       if (fe.kind == "delete") {
-        val pkIds = curFields.filter(f => primaryKey(m).contains(f.name)).map(_.id).toSet
-        writeFieldsAll.filter(f => pkIds.contains(f.id))
+        val keep = primaryKey(m).toSet ++ sequenceField(m)
+        val keepIds = curFields.filter(f => keep.contains(f.name)).map(_.id).toSet
+        writeFieldsAll.filter(f => keepIds.contains(f.id))
       } else writeFieldsAll
     // Explicit write-time schema: without it, Spark's partition-dir
     // type inference would coerce string partition values that look
@@ -1947,9 +1982,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val all = entries.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val names = currentFields(m).map(_.name)
     def ordinalPick(earliest: Boolean): DataFrame = {
+      // first-row keeps pure commit order (sequence.field is validated
+      // deduplicate-only at create time)
+      val order = if (earliest) Seq(col("__ord").asc) else newestFirst(m)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(pk.map(col): _*)
-        .orderBy(if (earliest) col("__ord").asc else col("__ord").desc)
+        .orderBy(order: _*)
       all.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && !col("__del"))
         .drop("__ord", "__rn", "__del")
@@ -2030,7 +2068,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         Some(GraftCatalog.mergeBucketInTask(all,
           pk.map(inSchema.fieldIndex).toArray,
           inSchema.fieldIndex("__ord"), inSchema.fieldIndex("__del"),
-          curFields.map(f => inSchema.fieldIndex(f.name)).toArray, outSchema))
+          curFields.map(f => inSchema.fieldIndex(f.name)).toArray, outSchema,
+          sequenceField(m).map(inSchema.fieldIndex).getOrElse(-1)))
       }
     }
     legs.reduceOption(_ unionByName _)
@@ -2116,6 +2155,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (opts != null && opts.has("merge-engine")) opts.get("merge-engine").asText()
     else "deduplicate"
   }
+
+  /** User-declared version-order column (Paimon's `sequence.field`):
+    * largest value wins per key, ties fall back to commit ordinal, NULL
+    * sorts smallest. None = commit order (the default). */
+  def sequenceFieldOf(schema: String, table: String): Option[String] =
+    sequenceField(readManifest(schema, table))
+
+  private def sequenceField(m: ObjectNode): Option[String] = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts != null && opts.has("sequence.field"))
+      Some(opts.get("sequence.field").asText())
+    else None
+  }
+
+  /** Newest-version-first window ordering for per-key resolution: the
+    * sequence field (when declared) beats the commit ordinal; NULL
+    * sequence sorts smallest, so `desc_nulls_last`. */
+  private def newestFirst(m: ObjectNode): Seq[org.apache.spark.sql.Column] =
+    sequenceField(m).map(f => col(f).desc_nulls_last).toSeq :+ col("__ord").desc
 
   /** Per-field aggregate function of the `aggregation` merge engine
     * (Paimon's `fields.<name>.aggregate-function`); default carries the
@@ -2267,14 +2325,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       deleteKeys: DataFrame, streamBatchId: Option[Long] = None): Long = {
     val pk = primaryKeyOf(schema, table)
     require(pk.nonEmpty, s"$schema.$table has no primary key — MERGE needs one")
-    requireDeduplicate(readManifest(schema, table), s"$schema.$table", "mergeCommit")
+    val m = readManifest(schema, table)
+    requireDeduplicate(m, s"$schema.$table", "mergeCommit")
     // Both dirs share one ordinal, so an overlapping key would resolve to
     // an arbitrary winner at read time — enforce the contract here (a
     // delta-sized semi join), not just in the SQL command's guard.
     require(upserts.join(deleteKeys, pk, "left_semi").isEmpty,
       "mergeCommit upserts and deleteKeys must be key-disjoint")
+    // sequence.field tables: tombstones must carry a sequence value or
+    // they lose the version race to the very rows they delete. A batch
+    // already carrying the column (CDC `-D` rows) passes it through;
+    // otherwise fetch from the current image (delta-sized semi join).
+    val delKeys = sequenceField(m) match {
+      case Some(sf) if deleteKeys.columns.contains(sf) =>
+        deleteKeys.select((pk :+ sf).map(col): _*)
+      case Some(sf) =>
+        read(schema, table)
+          .join(deleteKeys.select(pk.map(col): _*), pk, "left_semi")
+          .select((pk :+ sf).map(col): _*)
+      case None => deleteKeys.select(pk.map(col): _*)
+    }
     commit(schema, table, upserts, keepExisting = true,
-      deleteDf = Some(deleteKeys.select(pk.map(col): _*)),
+      deleteDf = Some(delKeys),
       streamBatchId = streamBatchId)
   }
 
@@ -2300,7 +2372,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       s"changelog batch needs a $RowKindCol column")
     if (batchId.exists(_ <= lastStreamBatchId(schema, table))) return None
     val upserts = batch.filter(col(RowKindCol).isin("+I", "+U")).drop(RowKindCol)
-    val deletes = batch.filter(col(RowKindCol) === "-D").select(pk.map(col): _*)
+    // `-D` rows keep the sequence column when the replica declares one:
+    // a stale source tombstone then loses the replica's own version race
+    // instead of clobbering newer state — out-of-order CDC convergence.
+    val seqCols = sequenceFieldOf(schema, table).filter(batch.columns.contains).toSeq
+    val deletes = batch.filter(col(RowKindCol) === "-D")
+      .select((pk ++ seqCols).map(col): _*)
     Some(mergeCommit(schema, table, upserts, deletes, streamBatchId = batchId))
   }
 
@@ -2341,7 +2418,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       "delete needs one (append-only tables: set deletion-vectors=true, " +
       "filter at read, or overwrite)")
     requireDeduplicate(m, s"$schema.$table", "deleteWhere")
-    val victims = read(schema, table).filter(condition).select(pk.map(col): _*)
+    // sequence.field: the tombstone carries the victim's CURRENT sequence
+    // value — tied sequence, later ordinal, so the delete wins; a later
+    // upsert with a HIGHER sequence legitimately resurrects the key.
+    val victims = read(schema, table).filter(condition)
+      .select((pk ++ sequenceField(m)).map(col): _*)
     commit(schema, table, victims, keepExisting = true, kind = "delete")
   }
 
@@ -2354,8 +2435,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val pk = primaryKey(m)
     require(pk.nonEmpty, s"$schema.$table has no primary key")
     requireDeduplicate(m, s"$schema.$table", "deleteWhere")
-    commit(schema, table, victims.select(pk.map(col): _*),
-      keepExisting = true, kind = "delete")
+    // sequence.field tables: fetch each victim's current sequence value
+    // (one delta-sized semi join) so the tombstone wins the version race.
+    val keys = sequenceField(m) match {
+      case Some(sf) =>
+        read(schema, table).join(victims.select(pk.map(col): _*), pk, "left_semi")
+          .select((pk :+ sf).map(col): _*)
+      case None => victims.select(pk.map(col): _*)
+    }
+    commit(schema, table, keys, keepExisting = true, kind = "delete")
   }
 
   /**
@@ -2634,7 +2722,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // bounded by the micro-batch, never the table.
     val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .withColumn(RowKindCol,
@@ -2697,7 +2785,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // tombstone.
     val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
     val news = all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__ord", "__rn")
     // Before image: the resolved table at fromSnapshotId (renamed so the
@@ -2738,7 +2826,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     def ev(kind: String, fromPre: Boolean) = struct(
       names.map(c => (if (fromPre) col(s"__pre_$c") else col(c)).as(c)) :+
         lit(kind).as(RowKindCol): _*)
+    // sequence.field: the in-range winner CHANGES the image only when it
+    // beats the before image's sequence (a tie goes to the in-range row —
+    // it carries the later commit ordinal; NULL sorts smallest). A late
+    // batch that loses the version race produces NO change — emitting a
+    // stale -U/+U pair would corrupt aggregate-maintaining consumers.
+    val beats = sequenceField(m) match {
+      case Some(sf) => !preExists || col(s"__pre_$sf").isNull ||
+        (col(sf).isNotNull && col(sf) >= col(s"__pre_$sf"))
+      case None => lit(true)
+    }
     joined
+      .filter(beats)
       // a key inserted and deleted entirely inside the range is net nothing
       .filter(!col("__del") || preExists)
       .select(explode(
@@ -3333,20 +3432,35 @@ object GraftCatalog {
   val DvPosCol = "__pos"
 
   /** In-task merge of one bucket's delta rows: highest `__ord` wins per
-    * primary key, a winning tombstone removes the key. Static (object)
+    * primary key — unless `seqIdx >= 0` (a `sequence.field` table), where
+    * the sequence value wins first (NULL smallest, ties fall back to the
+    * ordinal). A winning tombstone removes the key. Static (object)
     * method so the task closure captures only index arrays — never the
     * catalog instance. */
   private[sources] def mergeBucketInTask(all: DataFrame, pkIdx: Array[Int],
       ordIdx: Int, delIdx: Int, outIdx: Array[Int],
-      outSchema: StructType): DataFrame = {
+      outSchema: StructType, seqIdx: Int = -1): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     all.mapPartitions { it =>
+      def newer(r: Row, prev: Row): Boolean = {
+        if (seqIdx >= 0) {
+          val a = r.get(seqIdx); val b = prev.get(seqIdx)
+          if (a == null && b != null) return false
+          if (a != null && b == null) return true
+          if (a != null) {
+            // one column ⇒ one runtime type, always Comparable
+            // (numeric/date/timestamp/string — validated at create)
+            val c = a.asInstanceOf[Comparable[Any]].compareTo(b)
+            if (c != 0) return c > 0
+          }
+        }
+        prev.getLong(ordIdx) < r.getLong(ordIdx)
+      }
       val best = mutable.HashMap.empty[Seq[Any], Row]
       it.foreach { r =>
         val key: Seq[Any] = pkIdx.toIndexedSeq.map(r.get)
         val prev = best.get(key)
-        if (prev.isEmpty || prev.get.getLong(ordIdx) < r.getLong(ordIdx))
-          best(key) = r
+        if (prev.isEmpty || newer(r, prev.get)) best(key) = r
       }
       best.valuesIterator.filterNot(_.getBoolean(delIdx))
         .map(r => Row.fromSeq(outIdx.toIndexedSeq.map(r.get)))
