@@ -282,6 +282,24 @@ object CatalogQueries {
         .withColumn("lang", lit("AGAIN")))
       cat.read("q", t).orderBy("doc_id")
     }),
+    // aggregation merge engine, extended function set: listagg joins
+    // versions in commit order, product folds numerics — both
+    // associative over compacted partials (see FieldAggregates).
+    "catalog_merge_agg_ext" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), (col("doc_id") % 7).as("small"))
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.lang.aggregate-function" -> "listagg",
+          "fields.small.aggregate-function" -> "product"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 3 === 0)
+        .withColumn("lang", lit("X")).withColumn("small", lit(2L)))
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // sequence.field (Paimon's CoreOption): a USER column, not commit
     // order, decides which version of a key wins — a LATE batch with a
     // smaller sequence must not clobber newer state, a batch with a
@@ -540,6 +558,11 @@ object CatalogQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_merge_firstrow" ->
       """SELECT doc_id, lang FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_merge_agg_ext" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN lang || ',X' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 2 ELSE doc_id % 7 END AS small
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_sequence_field" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 4 = 0 THEN 'NEWER' ELSE lang END AS lang,

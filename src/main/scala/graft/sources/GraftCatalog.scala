@@ -183,14 +183,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"bad aggregate-function option $k (unknown or primary-key field)")
       require(FieldAggregates.contains(options(k)),
         s"$k must be one of ${FieldAggregates.mkString(", ")}, got ${options(k)}")
-      if (options(k) == "sum") {
+      if (options(k) == "sum" || options(k) == "product") {
         val dt = structType(f).dataType
         require(dt.isInstanceOf[NumericType],
-          s"$k: sum requires a numeric field, $f is ${dt.simpleString}")
+          s"$k: ${options(k)} requires a numeric field, $f is ${dt.simpleString}")
       }
       if (options(k) == "bool_and" || options(k) == "bool_or")
         require(structType(f).dataType == org.apache.spark.sql.types.BooleanType,
           s"$k: ${options(k)} requires a boolean field")
+      if (options(k) == "listagg")
+        require(structType(f).dataType == org.apache.spark.sql.types.StringType,
+          s"$k: listagg requires a string field")
     }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
@@ -2008,13 +2011,36 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val cur = currentFields(m)
         val aggs = cur.filterNot(f => pk.contains(f.name)).map { f =>
           val dt = TypeMapping.toSparkType(f.trinoType)
+          import org.apache.spark.sql.functions.{sum => fsum, min => fmin,
+            max => fmax, bool_and, bool_or, product, when => fwhen,
+            struct => fstruct, collect_list, array_sort, transform,
+            array_join}
+          // version-ordered struct (ordinal first ⇒ struct comparison /
+          // sort IS commit order); built only for non-null values when
+          // `nonNullOnly`, so min/max skip null versions entirely
+          def ordStruct(f0: String, nonNullOnly: Boolean) = {
+            val s0 = fstruct(col("__ord").as("o"), col(f0).as("v"))
+            if (nonNullOnly) fwhen(col(f0).isNotNull, s0) else s0
+          }
           val e = if (engine == "partial-update") lastNonNull(f.name)
           else fieldAggregate(m, f.name) match {
-            case "sum" => org.apache.spark.sql.functions.sum(col(f.name)).cast(dt)
-            case "min" => org.apache.spark.sql.functions.min(col(f.name))
-            case "max" => org.apache.spark.sql.functions.max(col(f.name))
-            case "bool_and" => org.apache.spark.sql.functions.bool_and(col(f.name))
-            case "bool_or" => org.apache.spark.sql.functions.bool_or(col(f.name))
+            case "sum" => fsum(col(f.name)).cast(dt)
+            case "min" => fmin(col(f.name))
+            case "max" => fmax(col(f.name))
+            case "bool_and" => bool_and(col(f.name))
+            case "bool_or" => bool_or(col(f.name))
+            case "product" => product(col(f.name)).cast(dt)
+            // non-null values joined in COMMIT ORDER — associative over
+            // a compacted prefix (its ordinal precedes later versions)
+            case "listagg" => array_join(transform(
+              array_sort(collect_list(ordStruct(f.name, nonNullOnly = true))),
+              x => x.getField("v")), ",")
+            case "first_value" => fmin(ordStruct(f.name, nonNullOnly = false))
+              .getField("v")
+            case "first_non_null" => fmin(ordStruct(f.name, nonNullOnly = true))
+              .getField("v")
+            case "last_value" => fmax(ordStruct(f.name, nonNullOnly = false))
+              .getField("v")
             case "last_non_null" => lastNonNull(f.name)
           }
           e.as(f.name)
@@ -3417,9 +3443,14 @@ object GraftCatalog {
   val MergeEngines: Set[String] =
     Set("deduplicate", "partial-update", "aggregation", "first-row")
 
-  /** Per-field functions of the `aggregation` merge engine. */
+  /** Per-field functions of the `aggregation` merge engine. Every member
+    * is ASSOCIATIVE OVER PARTIALS — a compacted row holds the folded
+    * value and later versions fold onto it correctly — which is why
+    * Paimon's non-associative `count` (a materialized count re-counts as
+    * 1) is deliberately absent: rows carrying 1 with `sum` express it. */
   val FieldAggregates: Set[String] =
-    Set("sum", "min", "max", "last_non_null", "bool_and", "bool_or")
+    Set("sum", "min", "max", "last_non_null", "bool_and", "bool_or",
+      "product", "listagg", "first_value", "first_non_null", "last_value")
 
   /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
     * `-D` delete (Flink/Paimon RowKind shorthand). */

@@ -89,6 +89,49 @@ class MergeEngineSpec extends SparkSpecBase {
         "fields.v.aggregate-function" -> "bool_and"), primaryKey = Seq("id")))
   }
 
+  test("aggregation: listagg/product/first_value/first_non_null/last_value") {
+    import spark.implicits._
+    gc.createTable("db", "agx",
+      Seq((1L, "s", 1L, Option("f"), Option("fn"), Option("lv")))
+        .toDF("id", "tags", "prod", "fv", "fnn", "lv").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.tags.aggregate-function" -> "listagg",
+        "fields.prod.aggregate-function" -> "product",
+        "fields.fv.aggregate-function" -> "first_value",
+        "fields.fnn.aggregate-function" -> "first_non_null",
+        "fields.lv.aggregate-function" -> "last_value"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "agx", Seq(
+      (1L, Option("a"), 3L, Option.empty[String], Option.empty[String], Option("x1")))
+      .toDF("id", "tags", "prod", "fv", "fnn", "lv"))
+    gc.upsert("db", "agx", Seq(
+      (1L, Option("b"), 4L, Option("late-f"), Option("first-nn"), Option.empty[String]))
+      .toDF("id", "tags", "prod", "fv", "fnn", "lv"))
+    def row1() = gc.read("db", "agx").orderBy("id").collect().map(r =>
+      (r.getString(1), r.getLong(2), r.get(3), r.get(4), r.get(5))).head
+    // listagg joins in commit order; product folds; first_value keeps the
+    // EARLIEST value even when null; first_non_null skips it; last_value
+    // takes the LATEST even when null
+    assert(row1() === ("a,b", 12L, null, "first-nn", null))
+    // compaction materializes the folded row; later versions keep folding
+    // associatively onto the compacted partial
+    gc.compact("db", "agx")
+    assert(row1() === ("a,b", 12L, null, "first-nn", null))
+    gc.upsert("db", "agx", Seq(
+      (1L, Option("c"), 2L, Option("later"), Option("later"), Option("back")))
+      .toDF("id", "tags", "prod", "fv", "fnn", "lv"))
+    assert(row1() === ("a,b,c", 24L, null, "first-nn", "back"))
+    // type guards
+    intercept[IllegalArgumentException](gc.createTable("db", "agxbad",
+      Seq((1L, 1L)).toDF("id", "v").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "listagg"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "agxbad2",
+      Seq((1L, "s")).toDF("id", "v").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "product"), primaryKey = Seq("id")))
+  }
+
   test("first-row: earliest version wins per key") {
     import spark.implicits._
     gc.createTable("db", "fr", Seq((1L, "x", 0L)).toDF("id", "a", "b").schema,
