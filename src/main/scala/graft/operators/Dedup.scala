@@ -256,6 +256,62 @@ object Dedup {
    * @param pairs  undirected near-dup pairs (columns d1, d2)
    * @return idCol, cluster (min reachable id; singletons keep their own id)
    */
+  /**
+   * Exact duplicate-SUBSTRING detection — the span-level dedup of Lee et
+   * al. 2021 ("Deduplicating Training Data Makes Language Models Better",
+   * arXiv:2107.06499): find every maximal token span whose k-gram content
+   * also appears in ANOTHER document, so a pipeline can cut boilerplate
+   * spans out of otherwise-unique documents instead of dropping whole
+   * near-dup docs. The paper builds a corpus-wide suffix array; the
+   * distributed shape here reaches the same spans for ≥k-token repeats
+   * with shuffles bounded by token count:
+   *
+   *  1. positional k-gram shingles per doc (array work in the scan
+   *     stage, zero shuffle) — a ≥k-token repeat is exactly a run of
+   *     ≥1 shared k-grams;
+   *  2. 60-bit md5 hashes of the shingles, so the corpus-wide
+   *     duplicate-count shuffle moves 8-byte keys, never text;
+   *  3. duplicated-hash set = hashes seen in ≥2 DISTINCT docs (two-phase
+   *     aggregate, map-side partial) joined back to the positions;
+   *  4. gaps-and-islands per doc: overlapping/adjacent duplicated
+   *     k-gram starts merge into maximal spans (one window over the
+   *     doc's own hits — state is O(doc), the partition key is doc id).
+   *
+   * Output: (id, span_start, span_end, dup_tokens) per maximal span,
+   * word-index bounds inclusive. Cross-doc only (a phrase repeated
+   * WITHIN one doc does not mark it); k is the MinHash shingle width by
+   * default so "duplicate" means the same thing across the dedup family.
+   */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sh = df
+      .select(col(idCol), TextHash.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= k)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__w) - $k), " +
+          s"i -> array_join(slice(__w, i + 1, $k), ' '))")).as(Seq("pos", "g")))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextHash.hash60(col("g")).as("h"))
+    val dup = sh.groupBy("h")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select("h")
+    val hits = sh.join(dup, "h").select(col(idCol), col("pos"))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    // spans [pos, pos+k-1]: a start merges into the previous island when
+    // it overlaps or touches it (pos <= prev + k); equal-width spans in
+    // sorted order make the previous start the running max end
+    hits
+      .withColumn("__brk", when(lag("pos", 1).over(byDoc).isNull ||
+        col("pos") > lag("pos", 1).over(byDoc) + k, 1L).otherwise(0L))
+      .withColumn("__isl", sum("__brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("pos").as("span_start"), (max("pos") + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("dup_tokens"))
+  }
+
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     // large-star: for each node u, attach every LARGER neighbor to

@@ -122,9 +122,54 @@ object DedupQueries {
         .select("d1", "d2")
       Dedup.connectedComponents(d, "doc_id", pairs).orderBy("doc_id")
     }),
+    // Span-level exact substring dedup (Lee et al. 2021): maximal token
+    // spans whose 5-gram content also appears in another doc. Planted
+    // full-doc copies (doc_id % 97 at +100000, mirrored verbatim in the
+    // oracle) make the span set provably non-empty regardless of the
+    // corpus's natural overlap.
+    "dedup_substring_spans" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val aug = d.unionByName(d.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      Dedup.duplicateSpans(aug, "doc_id", "text", k = 5)
+        .orderBy("doc_id", "span_start")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |words AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM docs),
+        |hs AS (
+        |  SELECT doc_id, list_transform(range(1, len(w) - 3),
+        |    i -> CAST('0x' || substring(md5(array_to_string(w[i:i+4], ' ')), 1, 15)
+        |         AS BIGINT)) AS hl
+        |  FROM words WHERE len(w) >= 5),
+        |sh AS (
+        |  SELECT doc_id, unnest(range(1, len(hl) + 1)) - 1 AS pos, unnest(hl) AS h
+        |  FROM hs),
+        |dup AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos FROM sh JOIN dup USING (h)),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |         OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 5
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        |  CAST(max(pos) - min(pos) + 5 AS BIGINT) AS dup_tokens
+        |FROM isl2 GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, digest FROM (
         |  SELECT doc_id, md5(text) AS digest,

@@ -92,6 +92,29 @@ object TextQueries {
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 8192"))
         .orderBy("doc_id")
     }),
+    // Domain mixing under token budgets (the DoReMi/Pile-style mixture
+    // step): each source contributes docs in deterministic doc_id order
+    // until its token budget is exhausted — a per-source exclusive
+    // running sum compared to the source's budget. One shuffle keyed by
+    // source; every source's selection is independent, so 100 TB with
+    // thousands of sources parallelizes per source (a skewed giant
+    // source is one partition — shard its window like pack_sequences if
+    // that ever binds). Budgets here: even-numbered sources 600 tokens,
+    // odd 300 — a 2:1 mixture recipe.
+    "pipeline_mix_sources" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val nt = nTokens(d("text")).cast("long")
+      val budget = when(
+        substring(col("source"), 4, 10).cast("int") % 2 === 0, 600L)
+        .otherwise(300L)
+      d.select(d("doc_id"), d("source"), nt.as("n_tokens"))
+        .withColumn("cum_before",
+          expr("sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)") - col("n_tokens"))
+        .filter(col("cum_before") < budget)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    }),
     // Gopher-style duplicate-n-gram signal: the share of a doc's
     // distinct 3-grams that appear in at least one OTHER doc —
     // boilerplate and template pages score high, original prose low.
@@ -398,6 +421,20 @@ object TextQueries {
         |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
         |    AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_mix_sources" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+        |      OVER (PARTITION BY source ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |     - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS BIGINT)
+        |      AS cum_before
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens FROM t
+        |WHERE cum_before < CASE WHEN CAST(substring(source, 4) AS INTEGER) % 2 = 0
+        |                        THEN 600 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
     "text_shared_ngrams" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

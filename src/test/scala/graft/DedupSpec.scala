@@ -186,4 +186,32 @@ class DedupSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(cc.length === 1000 && cc.forall(_._2 == 1L))
   }
+
+  test("duplicate spans: maximal cross-doc spans, within-doc repeats excluded") {
+    import spark.implicits._
+    // letter-only words: the tokenizer is [a-z]+ runs, digits would split
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => prefix + ('a' + i - 1).toChar).mkString(" ")
+    val phrase = words("shared", 10) // 10-token phrase → 6 5-gram starts
+    val other = words("also", 7)     // second shared phrase, disjoint
+    val docs = Seq(
+      // doc 1: phrase embedded mid-doc at word index 5
+      (1L, words("aa", 5) + " " + phrase + " " + words("bb", 5)),
+      // doc 2: same phrase at the head, plus the second phrase at the tail
+      (2L, phrase + " " + words("cc", 4) + " " + other),
+      // doc 3: carries only the second phrase
+      (3L, words("dd", 6) + " " + other),
+      // doc 4: repeats ITS OWN phrase twice — within-doc only, no span
+      (4L, words("self", 6) + " " + words("ee", 3) + " " + words("self", 6)),
+      // doc 5: unique
+      (5L, words("ff", 12))).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(spans === Seq(
+      (1L, 5L, 14L, 10L),   // exactly the embedded phrase
+      (2L, 0L, 9L, 10L),    // head phrase
+      (2L, 14L, 20L, 7L),   // tail phrase — SECOND island, not merged
+      (3L, 6L, 12L, 7L)))   // docs 4 (within-doc) and 5 (unique): no spans
+  }
 }
