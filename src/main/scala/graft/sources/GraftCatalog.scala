@@ -3078,6 +3078,50 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       "partition", "kind", "n_files", "size_bytes", "row_count")
   }
 
+  /**
+   * One row per metadata-tier artifact (Paimon's `$manifests` view,
+   * reshaped for this layout's hierarchy): retained HEAD versions
+   * (`manifest-v<N>.json` — the snapshot-list/manifest-list analog),
+   * the per-dir immutable `.zones.json` sidecars the current head points
+   * at (manifest-file analog, the O(files × cols) payload), and the
+   * `.bloomidx/` sidecar trees. The operator view of commit-metadata
+   * weight: what a commit wrote, what expiration reclaims. Driver-side
+   * metadata listing only — O(artifacts), no executors.
+   */
+  def manifestsTable(schema: String, table: String): DataFrame = {
+    val tp = tablePath(schema, table)
+    val heads = fs.listStatus(tp).toSeq
+      .flatMap(st => manifestFileVersion(st.getPath.getName)
+        .map(v => ("head", st.getPath.getName, v, st.getLen)))
+      .sortBy(_._3)
+    val m = readManifest(schema, table)
+    val zones = mutable.ArrayBuffer[(String, String, Long, Long)]()
+    if (m.has("dirStats")) {
+      val sn = m.get("dirStats").asInstanceOf[ObjectNode]
+      sn.fieldNames().forEachRemaining { d =>
+        if (sn.get(d).has("filesExt")) {
+          val p = new Path(new Path(tp, d), GraftCatalog.ZoneSidecar)
+          if (fs.exists(p))
+            zones += (("zones", s"$d/${GraftCatalog.ZoneSidecar}", -1L,
+              fs.getFileStatus(p).getLen))
+        }
+      }
+    }
+    val blooms = mutable.ArrayBuffer[(String, String, Long, Long)]()
+    if (m.has("bloomIdx")) {
+      val bn = m.get("bloomIdx").asInstanceOf[ObjectNode]
+      bn.fieldNames().forEachRemaining { d =>
+        val p = new Path(new Path(tp, d), BloomIndex.DirName)
+        if (fs.exists(p))
+          blooms += (("bloom", s"$d/${BloomIndex.DirName}", -1L,
+            fs.getContentSummary(p).getLength))
+      }
+    }
+    spark.createDataFrame(heads ++ zones.toSeq.sortBy(_._2) ++
+        blooms.toSeq.sortBy(_._2))
+      .toDF("artifact", "path", "head_version", "size_bytes")
+  }
+
   /** One row per tag: name, pinned snapshot id, snapshot commit time
     * (Paimon's `$tags` table). */
   def tagsTable(schema: String, table: String): DataFrame = {

@@ -226,4 +226,35 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(gc.readWhere("db", "t6", col("id") >= 1000L).count() === 100)
     assert(gc.countRows("db", "t6") === Some(120L))
   }
+
+  test("$manifests lists heads and live sidecars; expiration shrinks it") {
+    gc.createTable("db", "t9", rows(0, 0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "id"))
+    (1 to 3).foreach(i => gc.append("db", "t9", rows(i * 100L, i * 100L + 49).toDF()))
+    def art(kind: String) = gc.manifestsTable("db", "t9")
+      .filter(col("artifact") === kind).collect()
+    val heads = art("head")
+    assert(heads.nonEmpty && heads.forall(_.getLong(3) > 0))
+    // head versions are the retained manifest chain, ascending
+    val versions = heads.map(_.getLong(2)).toSeq
+    assert(versions === versions.sorted)
+    // one zone sidecar and one bloom tree per live data dir
+    assert(art("zones").length === 3)
+    assert(art("bloom").length === 3)
+    assert(art("zones").forall(r => r.getString(1).endsWith(".zones.json")
+      && r.getLong(2) == -1L && r.getLong(3) > 0))
+    // SQL surface: the suffix view serves the same rows
+    spark.conf.set("spark.sql.catalog.gms", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gms.warehouse", warehouse)
+    val viaSql = spark.sql("SELECT artifact, count(*) AS n FROM gms.db.`t9$manifests` " +
+      "GROUP BY artifact ORDER BY artifact").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql("zones") === 3 && viaSql("bloom") === 3 && viaSql("head") >= 1)
+    // overwrite drops the old dirs from the head; expiration reclaims
+    // their sidecars and the view tracks it
+    gc.overwrite("db", "t9", rows(0L, 49L).toDF())
+    gc.expireSnapshots("db", "t9", keepLast = 1)
+    assert(art("zones").length === 1)
+    assert(art("bloom").length === 1)
+  }
 }
