@@ -1143,7 +1143,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // is everything a registered consumer has not yet processed
     // (Paimon's consumer-id: never expire unread history).
     val tagged = tags(schema, table).values.toSet
-    val minUnconsumed = consumerOffsetsFrom(m).values.minOption.getOrElse(Long.MaxValue)
+    // keep next-1 too: it is the consumer's exclusive replay BASIS — the
+    // changelog range (next-1, to] needs that snapshot's position so the
+    // per-snapshot set difference stays exact (dropping it would attribute
+    // already-processed history to the oldest retained snapshot and
+    // over-replay it)
+    val minUnconsumed = consumerOffsetsFrom(m).values.minOption
+      .map(n => math.max(1L, n - 1)).getOrElse(Long.MaxValue)
     val (candidates, kept0) = all.splitAt(all.size - keepLast)
     val (pinned, dropped) = candidates.partition { s =>
       val id = s.get("id").asLong()
@@ -1172,7 +1178,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val all = (0 until snaps.size()).map(snaps.get)
     if (all.isEmpty) return Seq.empty
     val tagged = tags(schema, table).values.toSet
-    val minUnconsumed = consumerOffsetsFrom(m).values.minOption.getOrElse(Long.MaxValue)
+    // next-1 kept as the consumer's exclusive replay basis (see above)
+    val minUnconsumed = consumerOffsetsFrom(m).values.minOption
+      .map(n => math.max(1L, n - 1)).getOrElse(Long.MaxValue)
     val currentId = all.last.get("id").asLong()
     val (dropped, kept) = all.partition { s =>
       val id = s.get("id").asLong()
@@ -1323,7 +1331,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * under it. Unregister with [[dropConsumer]] when the consumer retires.
    */
   def commitConsumerOffset(schema: String, table: String, consumerId: String,
-      nextSnapshotId: Long): Unit = {
+      nextSnapshotId: Long): Unit = retryConsumerWrite {
+    // a streaming consumer commits offsets WHILE ingest commits data, so
+    // the manifest CAS races routinely — idempotent rebase-and-retry
     val m = readManifest(schema, table)
     val c = if (m.has("consumers")) m.get("consumers").asInstanceOf[ObjectNode]
       else m.putObject("consumers")
@@ -1331,11 +1341,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     writeManifest(schema, table, m)
   }
 
-  def dropConsumer(schema: String, table: String, consumerId: String): Unit = {
-    val m = readManifest(schema, table)
-    if (m.has("consumers")) {
-      m.get("consumers").asInstanceOf[ObjectNode].remove(consumerId)
-      writeManifest(schema, table, m)
+  def dropConsumer(schema: String, table: String, consumerId: String): Unit =
+    retryConsumerWrite {
+      val m = readManifest(schema, table)
+      if (m.has("consumers")) {
+        m.get("consumers").asInstanceOf[ObjectNode].remove(consumerId)
+        writeManifest(schema, table, m)
+      }
+    }
+
+  private def retryConsumerWrite(body: => Unit): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { body; done = true }
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts >= 8) throw e
+      }
     }
   }
 
@@ -2917,7 +2941,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fromSnapshotId: Long = 0L,
       maxSnapshotsPerTrigger: Option[Int] = None,
       mode: String = "upsert",
-      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+      maxRowsPerTrigger: Option[Long] = None,
+      consumerId: Option[String] = None): DataFrame = {
     require(mode == "upsert" || mode == "full",
       s"changelog mode must be 'upsert' or 'full', got '$mode'")
     // fail at stream definition, not first micro-batch
@@ -2938,6 +2963,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     maxSnapshotsPerTrigger.foreach(n =>
       r.option("maxSnapshotsPerTrigger", n.toString))
     maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n.toString))
+    consumerId.foreach(c => r.option("consumerId", c))
     r.load()
   }
 

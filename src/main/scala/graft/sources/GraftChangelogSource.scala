@@ -31,7 +31,11 @@ import org.apache.spark.sql.types.StructType
  * splitting it would expose a half-applied commit to downstream
  * consumers, which no rate limit is worth);
  * `mode` (`upsert` default, or `full` for -U/+U retraction pairs via
- * [[GraftCatalog.readChangelogFull]]).
+ * [[GraftCatalog.readChangelogFull]]);
+ * `consumerId` (Paimon's consumer-id: batch-commit callbacks advance the
+ * named durable offset, expiration pins unread history, and a fresh
+ * stream without an explicit `fromSnapshotId` resumes from the consumer's
+ * recorded position — checkpoint state, when present, still wins).
  */
 class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -66,17 +70,32 @@ class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegiste
       p.get("fromsnapshotid").map(_.toLong).getOrElse(0L),
       p.get("maxsnapshotspertrigger").map(_.toInt),
       mode,
-      p.get("maxrowspertrigger").map(_.toLong))
+      p.get("maxrowspertrigger").map(_.toLong),
+      p.get("consumerid"))
   }
 }
 
 class GraftChangelogSource(spark: SparkSession, warehouse: String,
-    schemaName: String, tableName: String, startSnapshotId: Long,
+    schemaName: String, tableName: String, fromSnapshotId: Long,
     maxSnapshotsPerTrigger: Option[Int],
     mode: String = "upsert",
-    maxRowsPerTrigger: Option[Long] = None) extends Source {
+    maxRowsPerTrigger: Option[Long] = None,
+    consumerId: Option[String] = None) extends Source {
 
   private val gc = new GraftCatalog(spark, warehouse)
+
+  // Consumer-id resume (Paimon's consumer-id contract): with a consumer
+  // registered and NO explicit fromSnapshotId, a fresh stream (no
+  // checkpoint — Spark replays checkpointed offsets through getBatch
+  // without consulting this) resumes from the consumer's durable
+  // next-unprocessed offset instead of the table head/beginning — the
+  // cross-restart resume that survives a LOST checkpoint. The registered
+  // offset also pins expiration (expireSnapshots keeps unread history).
+  private val startSnapshotId: Long =
+    consumerId.filter(_ => fromSnapshotId == 0L)
+      .flatMap(cid => gc.consumerOffsets(schemaName, tableName).get(cid))
+      .map(next => math.max(0L, next - 1))
+      .getOrElse(fromSnapshotId)
 
   override val schema: StructType = gc.changelogSchemaOf(schemaName, tableName)
 
@@ -143,7 +162,20 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
     case other => other.json.trim.toLong
   }
 
-  override def commit(end: Offset): Unit = ()
+  /** Spark calls this when a batch is DURABLY committed downstream:
+    * advance the named consumer's offset (next unprocessed = end + 1) so
+    * expiration keeps unread history pinned and a checkpoint-less restart
+    * resumes here. The engine invokes commit with a ONE-BATCH lag (the
+    * final batch's commit fires when the next batch is constructed), so
+    * the durable offset is AT-LEAST-ONCE: a resume may replay the last
+    * committed batch — safe, because changelog batches are idempotent
+    * downstream (batchId-skipping sinks, upsert apply). Offset commits
+    * race ingest commits by design — commitConsumerOffset rebases and
+    * retries internally. */
+  override def commit(end: Offset): Unit =
+    consumerId.foreach(cid => gc.commitConsumerOffset(
+      schemaName, tableName, cid, asLong(end) + 1))
+
   override def stop(): Unit = ()
 
   override def toString: String =

@@ -698,14 +698,19 @@ class GraftCatalogSpec extends SparkSpecBase {
     cat.createTable("db", "co", abSchema)
     val ids = (1 to 5).map(i =>
       cat.append("db", "co", Seq((i.toLong, s"v$i")).toDF("id", "name")))
-    // a lagging consumer has processed snapshots < 2 only
+    // a lagging consumer has processed snapshots < 2 only. Unread
+    // snapshots (>= 2) AND the replay basis (1 = next-1, the exclusive
+    // start of the consumer's next changelog range) are pinned
     cat.commitConsumerOffset("db", "co", "etl-job", nextSnapshotId = 2L)
     assert(cat.consumerOffsets("db", "co") === Map("etl-job" -> 2L))
-    // count-based expiration may drop only snapshot 1 (consumed)
     val dropped = cat.expireSnapshots("db", "co", keepLast = 1)
-    assert(dropped === Seq(ids.head))
+    assert(dropped === Seq.empty)
+    assert(cat.snapshots("db", "co").map(_.id) === ids)
+    // consumer advances to 3: snapshot 1 is no longer basis nor unread
+    cat.commitConsumerOffset("db", "co", "etl-job", nextSnapshotId = 3L)
+    assert(cat.expireSnapshots("db", "co", keepLast = 1) === Seq(ids.head))
     assert(cat.snapshots("db", "co").map(_.id) === ids.tail)
-    // consumer advances past everything -> expiration proceeds
+    // consumer advances past everything -> expiration keeps basis (5)
     cat.commitConsumerOffset("db", "co", "etl-job", nextSnapshotId = 6L)
     assert(cat.expireSnapshots("db", "co", keepLast = 1).size === 3)
     // retire the consumer; $consumers empties

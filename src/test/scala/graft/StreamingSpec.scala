@@ -290,6 +290,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(batches.synchronized(batches.toSeq) === Seq(1L, 1L, 1L))
   }
 
+  test("consumer-id: offsets advance durably, a checkpoint-less restart " +
+      "resumes from the consumer, expiration keeps unread history") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-cons-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "c1", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    (1 to 3).foreach(i => cat.upsert("db", "c1", Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    def run(expectRows: Seq[Long]): Unit = {
+      val batches = scala.collection.mutable.ArrayBuffer[Long]()
+      // FRESH checkpoint each run: resume position must come from the
+      // durable consumer offset, not Spark state
+      val q = cat.readChangelogStream("db", "c1",
+          maxSnapshotsPerTrigger = Some(1), consumerId = Some("etl"))
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-cons-ckpt").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batches.synchronized { batches += b.select("id").head().getLong(0) }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(batches.synchronized(batches.toSeq) === expectRows)
+    }
+    run(Seq(1L, 2L, 3L)) // first run: everything
+    // the engine commits source offsets with a one-batch lag, so the
+    // durable consumer offset is AT-LEAST-ONCE: snapshot 3 may replay
+    assert(cat.consumerOffsets("db", "c1") === Map("etl" -> 3L))
+    (4 to 5).foreach(i => cat.upsert("db", "c1", Seq((i.toLong, i.toLong)).toDF("id", "v")))
+    // fresh checkpoint, same consumer: replays the uncommitted tail
+    // batch, then only the new delta — never the whole history
+    run(Seq(3L, 4L, 5L))
+    assert(cat.consumerOffsets("db", "c1") === Map("etl" -> 5L))
+    // a lagging consumer pins history: reset it behind, then expire.
+    // Unread snapshots (>= 3) AND the replay basis (2 = next-1) survive
+    cat.commitConsumerOffset("db", "c1", "etl", 3L)
+    cat.expireSnapshots("db", "c1", keepLast = 1)
+    assert(cat.snapshots("db", "c1").map(_.id).min === 2L)
+    run(Seq(3L, 4L, 5L)) // replays from the pinned offset
+  }
+
   test("changelog rate limit: maxRowsPerTrigger packs small snapshots, " +
       "lands an oversized one whole") {
     import org.apache.spark.sql.types._
@@ -306,7 +350,7 @@ class StreamingSpec extends SparkSpecBase {
       Seq((1000L + i, i.toLong)).toDF("id", "v")))
     // drive the Source directly — deterministic batch planning, no engine
     val src = new graft.sources.GraftChangelogSource(spark, wh, "db", "s3",
-      startSnapshotId = 0L, maxSnapshotsPerTrigger = None,
+      fromSnapshotId = 0L, maxSnapshotsPerTrigger = None,
       mode = "upsert", maxRowsPerTrigger = Some(10L))
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     def off(o: Option[org.apache.spark.sql.execution.streaming.Offset]): Long =
