@@ -256,6 +256,70 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     out.toMap
   }
 
+  /**
+   * Mutate table options post-create — the reference's
+   * `setTableProperties` surface (TrinoMetadata.java:115 → Paimon
+   * `SchemaChange.setOption`). STRUCTURAL options baked into the data
+   * layout or version-resolution semantics (`bucket`, `merge-engine`,
+   * `sequence.field`, `deletion-vectors`, `fields.*`) are immutable —
+   * changing them would reinterpret bytes already on disk. Mutable
+   * options (e.g. `file-index.bloom-filter.columns`) take effect for
+   * FUTURE commits; mixed state is sound because every dir's manifest
+   * pointer carries its own `{token, cols}`, so a dir indexed under the
+   * old column set keeps serving exactly its own sidecars.
+   */
+  def setTableOptions(schema: String, table: String,
+      options: Map[String, String]): Unit = {
+    require(options.nonEmpty, "no options to set")
+    options.keys.foreach { k =>
+      require(!GraftCatalog.ImmutableOptions.contains(k) && !k.startsWith("fields."),
+        s"option $k is immutable (baked into the data layout / merge " +
+          "semantics) — recreate the table to change it")
+    }
+    // same validation createTable applies, against the CURRENT schema
+    options.get(BloomIndex.OptionKey).foreach { v =>
+      val st = currentSchema(schema, table)
+      val parts = partitionColumnsOf(schema, table)
+      val cols = v.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty,
+        s"${BloomIndex.OptionKey} must name at least one column")
+      cols.foreach { c =>
+        val f = st.fields.find(_.name.equalsIgnoreCase(c))
+        require(f.isDefined, s"bloom-filter column $c not in schema")
+        require(BloomIndex.indexable(f.get.dataType),
+          s"bloom-filter column $c: ${f.get.dataType.simpleString} has no " +
+            "canonical bloom domain (integral/date/timestamp/string only)")
+        require(!parts.exists(_.equalsIgnoreCase(c)),
+          s"bloom-filter column $c is a partition column")
+      }
+      require(primaryKeyOf(schema, table).isEmpty,
+        "bloom-filter index applies to append-only tables")
+    }
+    retryManifestUpdate {
+      val m = readManifest(schema, table)
+      val opts = m.get("options").asInstanceOf[ObjectNode]
+      options.foreach { case (k, v) => opts.put(k, v) }
+      writeManifest(schema, table, m)
+    }
+  }
+
+  /** Remove mutable table options (`ALTER TABLE ... UNSET`); structural
+    * options refuse exactly as in [[setTableOptions]]. Unknown keys are
+    * a no-op, matching Paimon's removeOption. */
+  def removeTableOptions(schema: String, table: String,
+      keys: Seq[String]): Unit = {
+    keys.foreach { k =>
+      require(!GraftCatalog.ImmutableOptions.contains(k) && !k.startsWith("fields."),
+        s"option $k is immutable — recreate the table to change it")
+    }
+    retryManifestUpdate {
+      val m = readManifest(schema, table)
+      val opts = m.get("options").asInstanceOf[ObjectNode]
+      keys.foreach(opts.remove)
+      writeManifest(schema, table, m)
+    }
+  }
+
   // ---- column DDL (metadata-only, stable field ids) ----------------------
 
   def currentSchema(schema: String, table: String): StructType = {
@@ -1331,7 +1395,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * under it. Unregister with [[dropConsumer]] when the consumer retires.
    */
   def commitConsumerOffset(schema: String, table: String, consumerId: String,
-      nextSnapshotId: Long): Unit = retryConsumerWrite {
+      nextSnapshotId: Long): Unit = retryManifestUpdate {
     // a streaming consumer commits offsets WHILE ingest commits data, so
     // the manifest CAS races routinely — idempotent rebase-and-retry
     val m = readManifest(schema, table)
@@ -1342,7 +1406,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   def dropConsumer(schema: String, table: String, consumerId: String): Unit =
-    retryConsumerWrite {
+    retryManifestUpdate {
       val m = readManifest(schema, table)
       if (m.has("consumers")) {
         m.get("consumers").asInstanceOf[ObjectNode].remove(consumerId)
@@ -1350,7 +1414,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
     }
 
-  private def retryConsumerWrite(body: => Unit): Unit = {
+  /** Idempotent manifest read-modify-write with rebase-and-retry: small
+    * metadata mutations (consumer offsets, option changes) race data
+    * commits routinely and always re-apply cleanly onto the new head. */
+  private def retryManifestUpdate(body: => Unit): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -3508,6 +3575,11 @@ object GraftCatalog {
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */
   val BucketCol = "__bucket"
+
+  /** Structural options baked into the data layout / version-resolution
+    * semantics — immutable after create (see [[GraftCatalog.setTableOptions]]). */
+  val ImmutableOptions: Set[String] =
+    Set("bucket", "merge-engine", "sequence.field", "deletion-vectors")
 
   /** PK-table merge engines (Paimon's `merge-engine` table option). */
   val MergeEngines: Set[String] =

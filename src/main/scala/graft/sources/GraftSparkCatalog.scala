@@ -405,6 +405,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
         gc.alterColumnType(s, t, up.fieldNames.head,
           graft.sources.TypeMapping.fieldTrinoType(
             org.apache.spark.sql.types.StructField(up.fieldNames.head, up.newDataType)))
+      // ALTER TABLE ... SET/UNSET TBLPROPERTIES — the reference's
+      // setTableProperties surface (TrinoMetadata.java:115)
+      case sp: TableChange.SetProperty =>
+        gc.setTableOptions(s, t, Map(sp.property -> sp.value))
+      case rp: TableChange.RemoveProperty =>
+        gc.removeTableOptions(s, t, Seq(rp.property))
       case other => throw new UnsupportedOperationException(s"change $other")
     }
     // Evolution is metadata-only; loadTable serves files that predate the

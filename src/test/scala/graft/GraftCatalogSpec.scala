@@ -691,6 +691,51 @@ class GraftCatalogSpec extends SparkSpecBase {
       .map(_.getString(1)).toSeq === Seq("a", "b2", "c"))
   }
 
+  test("table options mutate post-create: bloom columns on, structural refuse") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-opwh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "op", abSchema)
+    cat.append("db", "op", (1L to 50L).map(i => (i, s"v$i")).toDF("id", "name"))
+    // enable a bloom index AFTER data exists: future commits build
+    // sidecars; the pre-option dir keeps serving without one (mixed
+    // state sound — per-dir {token, cols} pointers)
+    cat.setTableOptions("db", "op",
+      Map("file-index.bloom-filter.columns" -> "id", "custom.note" -> "x"))
+    cat.append("db", "op", (100L to 150L).map(i => (i, s"v$i")).toDF("id", "name"))
+    assert(cat.tableOptions("db", "op").get("file-index.bloom-filter.columns")
+      === Some("id"))
+    assert(cat.readWhere("db", "op", col("id") === 120L).count() === 1)
+    assert(cat.readWhere("db", "op", col("id") === 7L).count() === 1)
+    assert(cat.read("db", "op").count() === 101)
+    // structural options refuse; fields.* too; bad bloom column refuses
+    Seq("bucket" -> "4", "merge-engine" -> "aggregation",
+      "sequence.field" -> "id", "deletion-vectors" -> "true",
+      "fields.name.aggregate-function" -> "sum").foreach { case (k, v) =>
+      intercept[IllegalArgumentException](cat.setTableOptions("db", "op", Map(k -> v)))
+      intercept[IllegalArgumentException](cat.removeTableOptions("db", "op", Seq(k)))
+    }
+    intercept[IllegalArgumentException](cat.setTableOptions("db", "op",
+      Map("file-index.bloom-filter.columns" -> "nope")))
+    // removal: unknown keys no-op, known keys disappear
+    cat.removeTableOptions("db", "op", Seq("custom.note", "never.was"))
+    assert(!cat.tableOptions("db", "op").contains("custom.note"))
+    // SQL surface: SET/UNSET TBLPROPERTIES route through the same guards
+    spark.conf.set("spark.sql.catalog.gop", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gop.warehouse", wh)
+    spark.sql("ALTER TABLE gop.db.op SET TBLPROPERTIES ('sql.set' = 'yes')")
+    assert(cat.tableOptions("db", "op").get("sql.set") === Some("yes"))
+    spark.sql("ALTER TABLE gop.db.op UNSET TBLPROPERTIES ('sql.set')")
+    assert(!cat.tableOptions("db", "op").contains("sql.set"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE gop.db.op SET TBLPROPERTIES ('bucket' = '8')"))
+    // bloom stays append-only scoped even through mutation
+    cat.createTable("db", "oppk", abSchema, primaryKey = Seq("id"))
+    intercept[IllegalArgumentException](cat.setTableOptions("db", "oppk",
+      Map("file-index.bloom-filter.columns" -> "id")))
+  }
+
   test("consumer offsets pin unread snapshots through expiration") {
     import spark.implicits._
     val cat = freshCatalog()
