@@ -53,10 +53,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * view (Catalyst then pushes them through the merge window into the
  * parquet scans where legal — PK predicates prune before the merge).
  */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // SQL maintenance surface: `CALL cat.sys.compact(table => 'db.t')` etc.
+  // (see GraftProcedures) — Spark 4's DSv2 ProcedureCatalog.
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(gc, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.names.map(n =>
+        Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   private def spark: SparkSession = SparkSession.active
   private def gc: GraftCatalog = new GraftCatalog(spark, warehouse)

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.GraftCatalog
+
+/**
+ * SQL `CALL` maintenance procedures (Spark 4 DSv2 ProcedureCatalog):
+ * compact / sort_compact / compact_small / expire_snapshots / rollback /
+ * tags / remove_orphan_files over the catalog's operational surface.
+ */
+class GraftProcedureSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-prwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.sql.catalog.gp", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gp.warehouse", warehouse)
+    gc.createSchema("db")
+  }
+
+  private def mk(t: String): Unit = {
+    import spark.implicits._
+    gc.createTable("db", t, Seq((1L, "x")).toDF("id", "v").schema)
+    (1 to 3).foreach(i => gc.append("db", t,
+      (1L to 20L).map(j => (i * 100L + j, s"v$i-$j")).toDF("id", "v")))
+  }
+
+  test("compact and expire via CALL; defaults and named args") {
+    mk("p1")
+    val sid = spark.sql("CALL gp.sys.compact(table => 'db.p1')").head().getLong(0)
+    assert(sid === 4L)
+    assert(gc.read("db", "p1").count() === 60)
+    // named arg + explicit retain
+    val dropped = spark.sql(
+      "CALL gp.sys.expire_snapshots(table => 'db.p1', retain_last => 1)")
+      .head().getLong(0)
+    assert(dropped === 3L)
+    assert(gc.snapshots("db", "p1").map(_.id) === Seq(4L))
+    // default retain_last (10) — nothing to drop
+    assert(spark.sql("CALL gp.sys.expire_snapshots('db.p1')")
+      .head().getLong(0) === 0L)
+  }
+
+  test("tags and rollback via CALL") {
+    mk("p2")
+    assert(spark.sql("CALL gp.sys.create_tag('db.p2', 'v1', 2)")
+      .head().getLong(0) === 2L)
+    // default snapshot_id = -1 → latest
+    assert(spark.sql("CALL gp.sys.create_tag('db.p2', 'head')")
+      .head().getLong(0) === 3L)
+    assert(gc.tags("db", "p2") === Map("v1" -> 2L, "head" -> 3L))
+    spark.sql("CALL gp.sys.delete_tag('db.p2', 'head')")
+    assert(spark.sql("CALL gp.sys.rollback_to_tag('db.p2', 'v1')")
+      .head().getLong(0) === 2L)
+    assert(gc.read("db", "p2").count() === 40)
+    // rolling past a pinned tag refuses; after deleting it, it proceeds
+    intercept[Exception](spark.sql("CALL gp.sys.rollback('db.p2', 1)"))
+    spark.sql("CALL gp.sys.delete_tag('db.p2', 'v1')")
+    assert(spark.sql("CALL gp.sys.rollback('db.p2', 1)").head().getLong(0) === 1L)
+    assert(gc.read("db", "p2").count() === 20)
+  }
+
+  test("sort_compact, compact_small, remove_orphan_files via CALL") {
+    mk("p3")
+    val sid = spark.sql(
+      "CALL gp.sys.sort_compact(table => 'db.p3', order_by => 'id', ranges => 4)")
+      .head().getLong(0)
+    assert(sid === 4L)
+    assert(gc.read("db", "p3").count() === 60)
+    mk("p4")
+    // every dir here is tiny → minor compaction merges them
+    val sid2 = spark.sql(
+      "CALL gp.sys.compact_small(table => 'db.p4')").head().getLong(0)
+    assert(sid2 === 4L)
+    assert(gc.read("db", "p4").count() === 60)
+    assert(spark.sql("CALL gp.sys.remove_orphan_files('db.p4', 0)")
+      .head().getLong(0) === 0L)
+    // listProcedures via SHOW PROCEDURES
+    val names = spark.sql("SHOW PROCEDURES IN gp.sys").collect()
+      .map(_.toSeq.mkString(" ")).mkString(" ")
+    assert(names.contains("compact") && names.contains("expire_snapshots"))
+    // unknown procedure fails loudly
+    val e = intercept[Exception](spark.sql("CALL gp.sys.nope('db.p4')"))
+    assert(e.getMessage.contains("nope") || e.getMessage.contains("FAILED"))
+  }
+}
