@@ -282,6 +282,31 @@ object CatalogQueries {
         .withColumn("lang", lit("AGAIN")))
       cat.read("q", t).orderBy("doc_id")
     }),
+    // partial-update with a SEQUENCE GROUP: n_chars versions the {lang}
+    // group (higher value wins, stale patches ignored, independent of
+    // commit order), while source keeps the plain latest-non-null rule.
+    "catalog_merge_partial_seqgroup" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents")
+        .select("doc_id", "lang", "n_chars", "source")
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "partial-update",
+          "fields.n_chars.sequence-group" -> "lang"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      // group advances (seq +1000); plain field patched to null → keeps
+      cat.upsert("q", t, d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("NEW"))
+        .withColumn("n_chars", col("n_chars") + 1000000L)
+        .withColumn("source", lit(null).cast("string")))
+      // stale group patch (lower seq) ignored; plain field updates
+      cat.upsert("q", t, d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("STALE"))
+        .withColumn("n_chars", col("n_chars") - 1000000L)
+        .withColumn("source", lit("SRC3")))
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // aggregation merge engine, extended function set: listagg joins
     // versions in commit order, product folds numerics — both
     // associative over compacted partials (see FieldAggregates).
@@ -558,6 +583,12 @@ object CatalogQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_merge_firstrow" ->
       """SELECT doc_id, lang FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_merge_partial_seqgroup" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'NEW' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000000 ELSE n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'SRC3' ELSE source END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_merge_agg_ext" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN lang || ',X' ELSE lang END AS lang,

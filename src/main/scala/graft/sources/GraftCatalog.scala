@@ -174,7 +174,38 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         "bloom-filter index applies to append-only tables (PK tables " +
           "point-look-up via bucket pruning; MoR reads must see every delta)")
     }
-    options.keys.filter(_.startsWith("fields.")).foreach { k =>
+    // Sequence groups (Paimon's `fields.<seq-col>.sequence-group`): with
+    // partial-update, independent upstream streams own disjoint column
+    // GROUPS, each versioned by its own sequence column — a group's
+    // fields update (nulls included) only when a row carries a LARGER
+    // group-sequence value; rows with a null group sequence leave the
+    // group untouched. Fields outside every group keep the engine's
+    // plain latest-non-null rule.
+    val seqGroups = options.keys.filter(_.endsWith(".sequence-group"))
+      .map(_.stripPrefix("fields.").stripSuffix(".sequence-group")).toSeq
+    seqGroups.foreach { g =>
+      require(options.get("merge-engine").contains("partial-update"),
+        s"fields.$g.sequence-group requires merge-engine=partial-update")
+      require(structType.fieldNames.contains(g) && !primaryKey.contains(g),
+        s"sequence-group column $g unknown or a primary-key field")
+      val members = options(s"fields.$g.sequence-group").split(',')
+        .map(_.trim).filter(_.nonEmpty)
+      require(members.nonEmpty, s"fields.$g.sequence-group names no fields")
+      members.foreach { f =>
+        require(structType.fieldNames.contains(f) && !primaryKey.contains(f),
+          s"sequence-group member $f unknown or a primary-key field")
+        require(f != g, s"sequence-group column $g cannot be its own member")
+        require(!seqGroups.contains(f),
+          s"sequence-group member $f is itself a sequence-group column")
+      }
+    }
+    // a column may belong to at most one group
+    val allMembers = seqGroups.flatMap(g =>
+      options(s"fields.$g.sequence-group").split(',').map(_.trim).filter(_.nonEmpty))
+    require(allMembers.distinct.size == allMembers.size,
+      s"columns in multiple sequence-groups: ${allMembers.diff(allMembers.distinct).distinct.mkString(", ")}")
+    options.keys.filter(k => k.startsWith("fields.") &&
+        !k.endsWith(".sequence-group")).foreach { k =>
       require(options.get("merge-engine").contains("aggregation"),
         s"$k requires merge-engine=aggregation")
       val f = k.stripPrefix("fields.").stripSuffix(".aggregate-function")
@@ -424,6 +455,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // keep the sequence.field option tracking its renamed column
       if (sequenceField(m).contains(from))
         m.get("options").asInstanceOf[ObjectNode].put("sequence.field", to)
+      // sequence-group declarations track renames too (key and members)
+      val sg = sequenceGroups(m)
+      if (sg.nonEmpty) {
+        val opts = m.get("options").asInstanceOf[ObjectNode]
+        sg.foreach { case (g, members) =>
+          val newG = if (g == from) to else g
+          val newMembers = members.map(f => if (f == from) to else f)
+          if (newG != g || newMembers != members) {
+            opts.remove(s"fields.$g.sequence-group")
+            opts.put(s"fields.$newG.sequence-group", newMembers.mkString(","))
+          }
+        }
+      }
       fields.map(f => if (f.name == from) f.copy(name = to) else f)
     }
 
@@ -437,6 +481,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"cannot drop primary-key column $name")
       require(!sequenceField(m).contains(name),
         s"cannot drop sequence.field column $name")
+      sequenceGroups(m).foreach { case (g, members) =>
+        require(g != name && !members.contains(name),
+          s"cannot drop column $name: it belongs to sequence-group $g")
+      }
       fields.filterNot(_.name == name)
     }
 
@@ -2100,6 +2148,23 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case "first-row" => ordinalPick(earliest = true)
       case engine => // partial-update | aggregation
         val cur = currentFields(m)
+        // sequence-group routing (partial-update only): member field →
+        // its group's sequence column; the seq column routes to itself
+        val groups = if (engine == "partial-update") sequenceGroups(m)
+          else Map.empty[String, Seq[String]]
+        val fieldGroup: Map[String, String] =
+          groups.flatMap { case (g, ms) => ms.map(_ -> g) } ++
+            groups.keys.map(g => g -> g)
+        /** The group's winner row is the largest (group-seq, ordinal)
+          * among rows with a NON-NULL group sequence; take its value for
+          * `f` — nulls included (a higher-versioned row may null a
+          * member), unlike the groupless latest-non-null rule. */
+        def groupPick(g: String, f0: String) =
+          org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.when(col(g).isNotNull,
+              org.apache.spark.sql.functions.struct(col(g).as("__s"),
+                col("__ord").as("__o"), col(f0).as("__v"))))
+            .getField("__v")
         val aggs = cur.filterNot(f => pk.contains(f.name)).map { f =>
           val dt = TypeMapping.toSparkType(f.trinoType)
           import org.apache.spark.sql.functions.{sum => fsum, min => fmin,
@@ -2113,7 +2178,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             val s0 = fstruct(col("__ord").as("o"), col(f0).as("v"))
             if (nonNullOnly) fwhen(col(f0).isNotNull, s0) else s0
           }
-          val e = if (engine == "partial-update") lastNonNull(f.name)
+          val e = if (engine == "partial-update")
+            fieldGroup.get(f.name) match {
+              case Some(g) => groupPick(g, f.name)
+              case None => lastNonNull(f.name)
+            }
           else fieldAggregate(m, f.name) match {
             case "sum" => fsum(col(f.name)).cast(dt)
             case "min" => fmin(col(f.name))
@@ -2284,6 +2353,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (opts != null && opts.has("sequence.field"))
       Some(opts.get("sequence.field").asText())
     else None
+  }
+
+  /** Partial-update sequence-group declarations (Paimon's
+    * `fields.<seq-col>.sequence-group`): seq column → member fields. */
+  private def sequenceGroups(m: ObjectNode): Map[String, Seq[String]] = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts == null) return Map.empty
+    val out = mutable.LinkedHashMap[String, Seq[String]]()
+    opts.fieldNames().forEachRemaining { k =>
+      if (k.startsWith("fields.") && k.endsWith(".sequence-group")) {
+        val g = k.stripPrefix("fields.").stripSuffix(".sequence-group")
+        out += g -> opts.get(k).asText().split(',')
+          .map(_.trim).filter(_.nonEmpty).toSeq
+      }
+    }
+    out.toMap
   }
 
   /** Newest-version-first window ordering for per-key resolution: the

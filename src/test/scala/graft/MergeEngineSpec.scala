@@ -132,6 +132,59 @@ class MergeEngineSpec extends SparkSpecBase {
         "fields.v.aggregate-function" -> "product"), primaryKey = Seq("id")))
   }
 
+  test("partial-update sequence-groups: per-group version columns") {
+    import spark.implicits._
+    // columns: pk id | group (ga: a1, a2 versioned by sa) | plain p
+    gc.createTable("db", "sg",
+      Seq((1L, Option(1L), Option("x"), Option("y"), Option("p")))
+        .toDF("id", "sa", "a1", "a2", "p").schema,
+      options = Map("merge-engine" -> "partial-update",
+        "fields.sa.sequence-group" -> "a1,a2"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "sg", Seq(
+      (1L, Option(10L), Option("a1v1"), Option("a2v1"), Option("p1")))
+      .toDF("id", "sa", "a1", "a2", "p"))
+    // LOWER group sequence: group fields must NOT update (even though
+    // this row is newer by commit order); plain field p still updates
+    // by latest-non-null
+    gc.upsert("db", "sg", Seq(
+      (1L, Option(5L), Option("stale"), Option("stale"), Option("p2")))
+      .toDF("id", "sa", "a1", "a2", "p"))
+    def row1() = gc.read("db", "sg").collect().map(r =>
+      (r.get(1), r.get(2), r.get(3), r.get(4))).head
+    assert(row1() === (10L, "a1v1", "a2v1", "p2"))
+    // HIGHER group sequence updates the group — INCLUDING nulling a
+    // member (unlike latest-non-null); null group seq leaves it alone
+    gc.upsert("db", "sg", Seq(
+      (1L, Option(20L), Option("a1v2"), Option.empty[String], Option.empty[String]))
+      .toDF("id", "sa", "a1", "a2", "p"))
+    assert(row1() === (20L, "a1v2", null, "p2"))
+    gc.upsert("db", "sg", Seq(
+      (1L, Option.empty[Long], Option("ignored"), Option("ignored"), Option("p4")))
+      .toDF("id", "sa", "a1", "a2", "p"))
+    assert(row1() === (20L, "a1v2", null, "p4"))
+    // compaction materializes; group folding stays associative
+    gc.compact("db", "sg")
+    assert(row1() === (20L, "a1v2", null, "p4"))
+    gc.upsert("db", "sg", Seq(
+      (1L, Option(15L), Option("late"), Option("late"), Option.empty[String]))
+      .toDF("id", "sa", "a1", "a2", "p"))
+    assert(row1() === (20L, "a1v2", null, "p4"))
+    // DDL guards: drop of group column or member refuses; rename tracks
+    intercept[IllegalArgumentException](gc.dropColumn("db", "sg", "sa"))
+    intercept[IllegalArgumentException](gc.dropColumn("db", "sg", "a1"))
+    gc.renameColumn("db", "sg", "a1", "a1x")
+    assert(gc.tableOptions("db", "sg")("fields.sa.sequence-group") === "a1x,a2")
+    // validation refusals
+    intercept[IllegalArgumentException](gc.createTable("db", "sgbad",
+      Seq((1L, 1L, "x")).toDF("id", "s", "v").schema,
+      options = Map("fields.s.sequence-group" -> "v"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "sgbad2",
+      Seq((1L, 1L, "x")).toDF("id", "s", "v").schema,
+      options = Map("merge-engine" -> "partial-update",
+        "fields.s.sequence-group" -> "nope"), primaryKey = Seq("id")))
+  }
+
   test("first-row: earliest version wins per key") {
     import spark.implicits._
     gc.createTable("db", "fr", Seq((1L, "x", 0L)).toDF("id", "a", "b").schema,
