@@ -117,6 +117,84 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /**
+     * 64-bit difference hash over REAL decoded pixels (dHash — the
+     * classic perceptual image-dedup fingerprint): integer luminance
+     * block sums on an 8×9 grid; bit (y*8 + x) is set when the average
+     * luminance of cell (x, y+1) exceeds cell (x, y). Averages compare by
+     * exact integer cross-multiplication (sum₁·n₂ > sum₂·n₁), so
+     * arbitrary dimensions stay deterministic and synthetic inputs have
+     * ARITHMETICALLY DERIVABLE hashes — which is what lets the
+     * `media_dedup_dhash` oracle predict the full duplicate-pair set.
+     * None when the bytes aren't decodable or smaller than the grid.
+     */
+    def dHash(bytes: Array[Byte]): Option[Long] = try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 8 || img.getHeight < 9) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sum = Array.ofDim[Long](8, 9)
+        val cnt = Array.ofDim[Long](8, 9)
+        var gx = 0
+        while (gx < 8) {
+          var gy = 0
+          while (gy < 9) {
+            var s = 0L; var n = 0L
+            var px = gx * w / 8
+            val pxEnd = (gx + 1) * w / 8
+            while (px < pxEnd) {
+              var py = gy * h / 9
+              val pyEnd = (gy + 1) * h / 9
+              while (py < pyEnd) {
+                val rgb = img.getRGB(px, py)
+                s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)
+                n += 1
+                py += 1
+              }
+              px += 1
+            }
+            sum(gx)(gy) = s; cnt(gx)(gy) = n
+            gy += 1
+          }
+          gx += 1
+        }
+        var hash = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (sum(x)(y + 1) * cnt(x)(y) > sum(x)(y) * cnt(x)(y + 1))
+              hash |= 1L << (y * 8 + x)
+            x += 1
+          }
+          y += 1
+        }
+        Some(hash)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Solid-row test PNG whose dHash is arithmetically derivable: 8×36
+      * pixels, row band y/4 carries brightness 20 + 200·bit_{y/4}(seed).
+      * The 8×9 dHash grid's cells land exactly on the bands (4 rows per
+      * cell), so transition bit k equals [bit_{k+1}(seed) > bit_k(seed)],
+      * replicated across all 8 columns. */
+    def encodeBitRowPng(seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 36,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 36) {
+        val v = 20 + 200 * ((seed >> (y / 4)) & 1L).toInt
+        val rgb = (v << 16) | (v << 8) | v
+        var x = 0
+        while (x < 8) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
     /** Deterministic w×h test PNG (gradient fill) — the generator side of
       * the round-trip the oracle query checks. */
     def encodeTestPng(w: Int, h: Int): Array[Byte] = {
@@ -219,6 +297,43 @@ object Multimodal {
           StubCodec.resize(StubCodec.decode(b.kind, b.bytes).copy(id = b.id), maxSide)
       }
     })
+  }
+
+  /** One perceptual-hash row: payload id, 64-bit dHash, decodability. */
+  case class MediaHash(id: Long, dhash: Long, valid: Boolean)
+
+  /** Per-payload perceptual hash through the typed batch pipeline (real
+    * ImageIO decode; payload bytes never cross a stage boundary — only
+    * (id, 64-bit hash) rows shuffle afterwards). */
+  def dHashBatch(blobs: Dataset[MediaBlob]): Dataset[MediaHash] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      ImageIoCodec.dHash(b.bytes) match {
+        case Some(hh) => MediaHash(b.id, hh, valid = true)
+        case None => MediaHash(b.id, 0L, valid = false)
+      }
+    })
+  }
+
+  /**
+   * Perceptual-duplicate pairs: payloads whose dHash is identical —
+   * the image analog of exact text dedup, robust to re-encoding (PNG ↔
+   * JPEG survives because the hash reads pixels, not bytes). An
+   * equi-join on the 64-bit hash, never all-pairs: candidate groups are
+   * hash buckets, and at 100 TB the shuffle moves (id, hash) rows only.
+   * Near-dup (hamming ≤ r) extends this exactly like SimHash banding —
+   * the same band machinery applies to the dhash column.
+   */
+  def dHashDupPairs(hashes: Dataset[MediaHash]): DataFrame = {
+    val h = hashes.toDF().filter(org.apache.spark.sql.functions.col("valid"))
+    val a = h.select(org.apache.spark.sql.functions.col("id").as("d1"),
+      org.apache.spark.sql.functions.col("dhash"))
+    val b = h.select(org.apache.spark.sql.functions.col("id").as("d2"),
+      org.apache.spark.sql.functions.col("dhash"))
+    a.join(b, "dhash")
+      .filter(org.apache.spark.sql.functions.col("d1") <
+        org.apache.spark.sql.functions.col("d2"))
+      .select("d1", "d2")
   }
 
   /** Decode + bounded "thumbnail" resize in one partition pass. */

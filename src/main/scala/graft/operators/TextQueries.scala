@@ -322,6 +322,29 @@ object TextQueries {
           col("valid"))
         .orderBy("doc_id")
     }),
+    // Perceptual image dedup over REAL decoded pixels: dHash (8×9-grid
+    // luminance gradients, exact integer math) per payload, duplicate
+    // pairs by hash equi-join — robust to re-encoding because the hash
+    // reads pixels, not bytes. The synthetic bit-row PNGs make every
+    // hash arithmetically derivable, so the oracle predicts the FULL
+    // pair set (planted +1000000 copies AND natural pattern collisions)
+    // from doc_id bit arithmetic alone — it matches only if decode,
+    // block sums, gradient bits, and the join are all correct.
+    "media_dedup_dhash" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select("doc_id").as[Long]
+      val blobs = ids.flatMap { id =>
+        val base = Multimodal.MediaBlob(id, "png",
+          Multimodal.ImageIoCodec.encodeBitRowPng(id))
+        if (id % 97 == 0)
+          Seq(base, Multimodal.MediaBlob(id + 1000000L, "png",
+            Multimodal.ImageIoCodec.encodeBitRowPng(id)))
+        else Seq(base)
+      }
+      Multimodal.dHashDupPairs(Multimodal.dHashBatch(blobs))
+        .orderBy("d1", "d2")
+    }),
     // REAL audio codec round trip (JDK javax.sound.sampled): generate a
     // deterministic 16-bit mono PCM WAV per sampled doc (frames =
     // 8000 + (id%32)*400 at 8 kHz — duration divides exactly), parse the
@@ -584,6 +607,26 @@ object TextQueries {
         |    AS INTEGER) AS height,
         |  true AS valid
         |FROM documents WHERE doc_id % 100 = 0 ORDER BY doc_id""".stripMargin,
+    "media_dedup_dhash" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id AS c FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, doc_id AS c FROM documents
+        |  WHERE doc_id % 10 = 0 AND doc_id % 97 = 0),
+        |pat AS (
+        |  SELECT doc_id,
+        |    ((CASE WHEN ((c >> 1) & 1) > (c & 1) THEN 1 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 2) & 1) > ((c >> 1) & 1) THEN 2 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 3) & 1) > ((c >> 2) & 1) THEN 4 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 4) & 1) > ((c >> 3) & 1) THEN 8 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 5) & 1) > ((c >> 4) & 1) THEN 16 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 6) & 1) > ((c >> 5) & 1) THEN 32 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 7) & 1) > ((c >> 6) & 1) THEN 64 ELSE 0 END)
+        |   + (CASE WHEN ((c >> 8) & 1) > ((c >> 7) & 1) THEN 128 ELSE 0 END)) AS p
+        |  FROM ids)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2
+        |FROM pat a JOIN pat b ON a.p = b.p AND a.doc_id < b.doc_id
+        |ORDER BY d1, d2""".stripMargin,
     "media_decode_wav" ->
       """SELECT doc_id,
         |  CAST(1000 + (doc_id % 32) * 50 AS INTEGER) AS duration_ms,

@@ -56,6 +56,46 @@ class TextSpec extends SparkSpecBase {
     assert(m.width === 50 && m.height === 25)
   }
 
+  test("dHash: arithmetic expectation, re-encode robustness, dup pairs") {
+    import Multimodal.{ImageIoCodec, MediaBlob}
+    // expected hash from seed-bit arithmetic: transition bit k set iff
+    // bit_{k+1}(seed) > bit_k(seed), replicated across the 8 columns
+    def expected(seed: Long): Long = {
+      var h = 0L
+      (0 until 8).foreach { k =>
+        if (((seed >> (k + 1)) & 1) > ((seed >> k) & 1))
+          (0 until 8).foreach(x => h |= 1L << (k * 8 + x))
+      }
+      h
+    }
+    Seq(0L, 1L, 10L, 170L, 341L, 500L).foreach { seed =>
+      val got = ImageIoCodec.dHash(ImageIoCodec.encodeBitRowPng(seed))
+      assert(got === Some(expected(seed)), s"seed $seed")
+    }
+    // re-encoding robustness: the SAME pixels through a lossy JPEG still
+    // hash identically (200-point band contrast ≫ JPEG artifacts) —
+    // byte-level dedup would miss this pair, pixel-level dHash does not
+    val png = ImageIoCodec.encodeBitRowPng(341L)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    assert(ImageIoCodec.dHash(jbos.toByteArray) === Some(expected(341L)))
+    // different content → different hash; sub-grid images → None
+    assert(ImageIoCodec.dHash(ImageIoCodec.encodeBitRowPng(341L)) !==
+      ImageIoCodec.dHash(ImageIoCodec.encodeBitRowPng(170L)))
+    assert(ImageIoCodec.dHash(ImageIoCodec.encodeTestPng(4, 4)) === None)
+    // distributed pair pipeline: a planted copy pairs with its source
+    import spark.implicits._
+    val blobs = spark.createDataset(Seq(
+      MediaBlob(1L, "png", ImageIoCodec.encodeBitRowPng(10L)),
+      MediaBlob(2L, "png", ImageIoCodec.encodeBitRowPng(170L)),
+      MediaBlob(3L, "png", ImageIoCodec.encodeBitRowPng(10L)), // copy of 1
+      MediaBlob(4L, "png", Array[Byte](1, 2, 3))))             // undecodable
+    val pairs = Multimodal.dHashDupPairs(Multimodal.dHashBatch(blobs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 3L)))
+  }
+
   test("ImageIoCodec decodes and rescales REAL png/jpeg pixels") {
     import Multimodal.ImageIoCodec
     // PNG round trip: encoded dims come back exactly
