@@ -207,12 +207,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             gc.changelogSchemaOf(schemaName, base), // manifest-only, no plan built
             () => gc.readChangelog(schemaName, base, 0L, upTo))
         }
+        // snapshot-scoped views honor VERSION/TIMESTAMP AS OF (and the
+        // session scan properties) like a base-table read; the rest are
+        // table-level (evolution history, tags, options, consumers)
+        lazy val travel = gc.chosenSnapshotId(schemaName, base, snapshotId, asOfMillis)
         val df = kind match {
           case "snapshots" => gc.snapshotsTable(schemaName, base)
-          case "files" => gc.filesTable(schemaName, base)
+          case "files" => gc.filesTable(schemaName, base, travel)
           case "schemas" => gc.schemasTable(schemaName, base)
           case "options" => gc.optionsTable(schemaName, base)
-          case "partitions" => gc.partitionsTable(schemaName, base)
+          case "partitions" => gc.partitionsTable(schemaName, base, travel)
           case "tags" => gc.tagsTable(schemaName, base)
           case "consumers" => gc.consumersTable(schemaName, base)
           case "manifests" => gc.manifestsTable(schemaName, base)

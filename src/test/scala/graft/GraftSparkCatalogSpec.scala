@@ -268,6 +268,11 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(snaps.map(_.getLong(0)).toSeq === Seq(1L, 2L))
     assert(snaps.map(_.getInt(1)).toSeq === Seq(1, 1))
     assert(spark.sql("SELECT count(*) FROM g.db.`md$files`").head().getLong(0) === 2)
+    // snapshot-scoped views honor time travel: $files at snapshot 1
+    assert(spark.sql("SELECT count(*) FROM g.db.`md$files` VERSION AS OF 1")
+      .head().getLong(0) === 1)
+    assert(spark.sql("SELECT count(*) FROM g.db.`md$partitions` VERSION AS OF 1")
+      .head().getLong(0) === 1)
     assert(spark.sql("SELECT field_name FROM g.db.`md$schemas` ORDER BY field_id")
       .collect().map(_.getString(0)).toSeq === Seq("id", "name"))
     val opts = spark.sql("SELECT key, value FROM g.db.`md$options`").collect()
