@@ -92,6 +92,34 @@ object TextQueries {
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 8192"))
         .orderBy("doc_id")
     }),
+    // Bigram-LM familiarity (perplexity proxy without floats in the hot
+    // path): per doc, the ratio of corpus bigram occurrences to corpus
+    // first-token occurrences over its adjacent token pairs — the
+    // conditional-frequency analog of text_familiarity's unigram score.
+    // Integer sums are exact under any partitioning; ONE IEEE divide at
+    // the end keeps cross-engine hash parity. Shapes: positional bigram
+    // explode (scan stage) → two count joins → per-doc aggregate; the
+    // count tables are two-phase aggregates, so the corpus-wide shuffles
+    // move (gram, count) pairs.
+    "text_bigram_lm" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val base = d.select(col("doc_id"), TextHash.tokens(d("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> array_join(slice(w, i + 1, 2), ' '))")).as("g"))
+      val bgc = bg.groupBy("g").agg(count(lit(1)).as("cbg"))
+      val tok = d.select(explode(TextHash.tokens(d("text"))).as("t"))
+      val tc = tok.groupBy("t").agg(count(lit(1)).as("ct"))
+      bg.join(bgc, "g")
+        .join(tc, substring_index(col("g"), " ", 1) === col("t"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum("cbg").as("bigram_hits"),
+          sum("ct").as("unigram_hits"),
+          (sum("cbg").cast("double") / sum("ct")).as("lm_score"))
+        .orderBy("doc_id")
+    }),
     // Domain mixing under token budgets (the DoReMi/Pile-style mixture
     // step): each source contributes docs in deterministic doc_id order
     // until its token budget is exhausted — a per-source exclusive
@@ -444,6 +472,25 @@ object TextQueries {
         |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
         |    AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |    i -> array_to_string(w[i:i+1], ' '))) AS g
+        |  FROM words WHERE len(w) >= 2),
+        |bgc AS (SELECT g, count(*) AS cbg FROM bg GROUP BY g),
+        |tok AS (SELECT unnest(regexp_extract_all(text, '[a-z]+')) AS t
+        |        FROM documents),
+        |tc AS (SELECT t, count(*) AS ct FROM tok GROUP BY t),
+        |j AS (SELECT doc_id, cbg, ct FROM bg
+        |      JOIN bgc USING (g)
+        |      JOIN tc ON split_part(g, ' ', 1) = t)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(cbg) AS BIGINT) AS bigram_hits,
+        |  CAST(sum(ct) AS BIGINT) AS unigram_hits,
+        |  CAST(sum(cbg) AS DOUBLE) / sum(ct) AS lm_score
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_mix_sources" ->
       """WITH t AS (
         |  SELECT doc_id, source,

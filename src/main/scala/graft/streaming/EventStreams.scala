@@ -52,6 +52,25 @@ object EventStreams {
     events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
   /**
+   * Streaming NEAR-deduplication of documents: keep the first document
+   * per 60-bit SimHash within the watermark horizon — boilerplate and
+   * re-posted near-copies (same token multiset, tiny edits collapse to
+   * the same simhash) are dropped as they stream in, the ingest-side
+   * twin of the batch [[graft.operators.Dedup.simhashPairs]] family.
+   * `dropDuplicatesWithinWatermark` keys state on the HASH (never the
+   * text — 8 bytes/doc of state) and evicts entries once the watermark
+   * passes, so state is bounded by the horizon's document count, not
+   * the stream's. Expects (doc_id, ts, text) columns.
+   */
+  def nearDedupStream(docs: DataFrame, horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__sim", graft.functions.TextHash.simhash60(
+        graft.functions.TextHash.tokenHashes(col("text"))))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("__sim")
+      .drop("__sim")
+
+  /**
    * Batch sessionization: a session breaks after `gapMinutes` of user
    * inactivity. lag + running-sum session ids — the declarative twin of
    * the stateful streaming version below, and SQL-expressible for the

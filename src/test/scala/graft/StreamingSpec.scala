@@ -81,6 +81,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("streaming near-dedup drops simhash near-copies across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val query = EventStreams.nearDedupStream(
+        stream.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("near_dedup_out")
+      .outputMode("append").start()
+    try {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      stream.addData(Seq(
+        (1L, ts(1000), boiler),
+        (2L, ts(1001), "a genuinely different document about spark engines")))
+      query.processAllAvailable()
+      // batch 2: an exact repost and a token-reorder near-copy (same
+      // token multiset → same simhash) both drop; a new doc survives
+      stream.addData(Seq(
+        (3L, ts(1010), boiler),
+        (4L, ts(1011), "again and again the quick brown fox jumps over the lazy dog"),
+        (5L, ts(1012), "completely novel content that matches nothing else here")))
+      query.processAllAvailable()
+      val ids = spark.table("near_dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids === Seq(1L, 2L, 5L))
+    } finally query.stop()
+  }
+
   test("stream-stream join pairs clicks with in-window purchases") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
