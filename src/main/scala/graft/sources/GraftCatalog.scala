@@ -2964,7 +2964,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val pk = primaryKey(m)
     require(pk.nonEmpty, s"$schema.$table is append-only — full changelog " +
       "needs a primary-key table (no before image exists); use readChangelog")
-    requireDeduplicate(m, s"$schema.$table", "readChangelogFull")
+    // Field-wise engines (partial-update / aggregation / first-row) CAN
+    // serve full changelog — a delta row is a PATCH, not the image, so
+    // the after side must be the RESOLVED image, not the in-range winner.
+    if (mergeEngine(m) != "deduplicate")
+      return fieldwiseChangelogFull(schema, table, m, fromSnapshotId, toSnapshotId)
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
     // unreachable on PK tables (DVs are append-only by construction);
     // on append-only tables a DV commit REMOVES rows, which a +I-only
@@ -3049,6 +3053,60 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
   }
 
+  /**
+   * Full changelog for the FIELD-WISE merge engines (partial-update /
+   * aggregation / first-row) — Paimon's full-compaction / lookup
+   * changelog-producer semantics for patch tables: a delta row is a
+   * PATCH, not an image, so both sides of each retraction pair are
+   * RESOLVED images — `-U` the key's resolved row at `fromSnapshotId`,
+   * `+U` at `toSnapshotId`. Keys touched in range whose resolved image
+   * did not actually change (an all-null patch, an aggregation of zero,
+   * a first-row re-insert) emit NOTHING. No `-D` arm: these engines
+   * refuse deletes by construction.
+   *
+   * Cost: the delta files give the changed-key set (O(delta)); each side
+   * then pays one resolved read SEMI-JOINED to those keys. That is the
+   * read-time price of full images on engines where versions fold —
+   * Paimon pays the equivalent at write (lookup producer) or compaction
+   * (full-compaction producer); the deduplicate path above pays the same
+   * one before-image read.
+   */
+  private def fieldwiseChangelogFull(schema: String, table: String,
+      m: ObjectNode, fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val pk = primaryKey(m)
+    val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
+    val target = changelogSchema(m)
+    if (delta.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    val names = currentFields(m).map(_.name)
+    require(!names.exists(n => n.startsWith("__pre_") || n == "__e"),
+      s"$schema.$table has columns colliding with changelog scratch names")
+    val changedKeys = delta.map(frameFor(schema, table, m, _))
+      .reduce(_ unionByName _).select(pk.map(col): _*).distinct()
+    val after = read(schema, table, snapshotId = Some(toSnapshotId))
+      .join(changedKeys, pk, "left_semi")
+    val before = (if (fromSnapshotId == 0) emptyFrame(m)
+      else read(schema, table, snapshotId = Some(fromSnapshotId)))
+      .join(changedKeys, pk, "left_semi")
+    val preR = before.select(names.map(c => col(c).as(s"__pre_$c")): _*)
+    val joined = after.join(preR,
+      pk.map(k => after(k) === col(s"__pre_$k")).reduce(_ && _), "left")
+    val preExists = col(s"__pre_${pk.head}").isNotNull
+    // net-zero suppression: resolved images equal (null-safe) → no rows
+    val changed = !(struct(names.map(col): _*) <=>
+      struct(names.map(c => col(s"__pre_$c")): _*))
+    def ev(kind: String, fromPre: Boolean) = struct(
+      names.map(c => (if (fromPre) col(s"__pre_$c") else col(c)).as(c)) :+
+        lit(kind).as(RowKindCol): _*)
+    joined
+      .filter(!preExists || changed)
+      .select(explode(
+        when(preExists, array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
+          .otherwise(array(ev("+I", fromPre = false)))).as("__e"))
+      .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
+  }
+
   /** The changelog row type: current table columns + `_row_kind`. */
   private[sources] def changelogSchema(m: ObjectNode): StructType =
     StructType(currentFields(m).map(f =>
@@ -3097,9 +3155,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       consumerId: Option[String] = None): DataFrame = {
     require(mode == "upsert" || mode == "full",
       s"changelog mode must be 'upsert' or 'full', got '$mode'")
-    // fail at stream definition, not first micro-batch
+    // fail at stream definition, not first micro-batch. Upsert mode needs
+    // deduplicate (an in-range PATCH row is not the image on field-wise
+    // engines); FULL mode serves every engine — field-wise tables route
+    // through fieldwiseChangelogFull's resolved-image pairs.
     val m0 = readManifest(schema, table)
-    if (primaryKey(m0).nonEmpty)
+    if (primaryKey(m0).nonEmpty && mode == "upsert")
       requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
     // deletion-vector commits stream fine: readChangelog resolves each
     // DV batch to full-image `-D` retractions (no refusal needed)

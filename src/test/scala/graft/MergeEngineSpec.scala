@@ -185,6 +185,62 @@ class MergeEngineSpec extends SparkSpecBase {
         "fields.s.sequence-group" -> "nope"), primaryKey = Seq("id")))
   }
 
+  test("full changelog on field-wise engines: resolved-image pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    gc.createTable("db", "pucl",
+      Seq((1L, Option("x"), Option(1L))).toDF("id", "a", "b").schema,
+      options = Map("merge-engine" -> "partial-update"), primaryKey = Seq("id"))
+    gc.upsert("db", "pucl", Seq((1L, Option("a1"), Option(1L)),
+      (2L, Option("b1"), Option(2L))).toDF("id", "a", "b"))        // snap 1
+    gc.upsert("db", "pucl", Seq((1L, Option.empty[String], Option(7L)))
+      .toDF("id", "a", "b"))                                       // snap 2: patch
+    gc.upsert("db", "pucl", Seq((2L, Option.empty[String], Option.empty[Long]))
+      .toDF("id", "a", "b"))                                       // snap 3: no-op patch
+    def cl(from: Long, to: Long): Seq[Row] =
+      gc.readChangelogFull("db", "pucl", from, to)
+        .orderBy("id", "_row_kind").collect().toSeq
+    assert(cl(0, 1).map(r => (r.getLong(0), r.getString(3))) ===
+      Seq((1L, "+I"), (2L, "+I")))
+    // the pair carries RESOLVED images, not the raw patch (a stays "a1")
+    assert(cl(1, 2).map(r =>
+      (r.getLong(0), r.get(1), r.get(2), r.getString(3))) ===
+      Seq((1L, "a1", 7L, "+U"), (1L, "a1", 1L, "-U")))
+    // an all-null patch leaves the resolved image unchanged → net zero
+    assert(cl(2, 3).isEmpty)
+    // aggregation engine: the pair retracts the old SUM, adds the new
+    gc.createTable("db", "agcl",
+      Seq((1L, 1L)).toDF("id", "total").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "agcl", Seq((1L, 10L)).toDF("id", "total"))   // snap 1
+    gc.upsert("db", "agcl", Seq((1L, 5L)).toDF("id", "total"))    // snap 2
+    assert(gc.readChangelogFull("db", "agcl", 1L, 2L)
+      .orderBy("_row_kind").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq ===
+      Seq((15L, "+U"), (10L, "-U")))
+    // end-to-end: full-mode stream into a plain deduplicate replica
+    // converges to the RESOLVED partial-update image
+    gc.createTable("db", "puclr",
+      Seq((1L, Option("x"), Option(1L))).toDF("id", "a", "b").schema,
+      primaryKey = Seq("id"))
+    val q = gc.readChangelogStream("db", "pucl", mode = "full").writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-pucl-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        if (!b.isEmpty) { gc.applyChangelog("db", "puclr", b.toDF(), Some(id)); () }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(gc.read("db", "puclr").orderBy("id").collect().map(r =>
+      (r.getLong(0), r.get(1), r.get(2))).toSeq ===
+      Seq((1L, "a1", 7L), (2L, "b1", 2L)))
+    // upsert-mode stream still refuses field-wise engines
+    intercept[IllegalArgumentException](
+      gc.readChangelogStream("db", "pucl"))
+  }
+
   test("first-row: earliest version wins per key") {
     import spark.implicits._
     gc.createTable("db", "fr", Seq((1L, "x", 0L)).toDF("id", "a", "b").schema,
