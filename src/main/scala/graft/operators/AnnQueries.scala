@@ -37,6 +37,12 @@ object AnnQueries {
       val (cands, qs) = qc(s, dir)
       Similarity.ivfTopK(cands, qs, K).orderBy("qid", "rank")
     }),
+    // PQ + exact re-rank (probabilistic like ann_lsh/ann_ivf — recall
+    // gated in AnnSpec; the scoring pass reads codes, never vectors).
+    "ann_pq" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      Similarity.pqTopK(cands, qs, K).orderBy("qid", "rank")
+    }),
     // Per-label centroids (class prototypes / cluster seeds): exact
     // integer sums over quantized components — one shuffle on
     // (label, pos) after a scan-stage posexplode; the mean is a single

@@ -157,6 +157,149 @@ object Similarity {
     centroids
   }
 
+  /**
+   * Product-quantization top-k — the MEMORY-bounded ANN scale path
+   * (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+   * Search", TPAMI): vectors compress to `m` sub-codes (one centroid id
+   * per subspace), so a 100 TB float corpus scans as a few TB of codes
+   * and the scoring pass never touches the original vectors. Queries
+   * score candidates by Asymmetric Distance Computation: a per-query
+   * (subspace × centroid) dot-product lookup table, summed over each
+   * candidate's codes; an exact integer-dot re-rank of the `rerank·k`
+   * best PQ survivors restores precision.
+   *
+   * Stages: (1) codebooks train on ONE bounded deterministic sample
+   * (Lloyd per subspace, driver-side, ≤4096 vectors — same contract as
+   * the IVF trainer); (2) candidates encode in the scan stage (argmin-L2
+   * centroid per subspace, no shuffle, codes are the only thing kept);
+   * (3) per-partition bounded heaps of `rerank·k` per query over ADC
+   * scores — the [[topKScalable]] shape, shuffle = partitions×|Q|×r·k;
+   * (4) survivors semi-join their ORIGINAL vectors (bounded set) for the
+   * exact cosine re-rank. Probabilistic recall like every PQ index —
+   * AnnSpec gates it; no DuckDB oracle by design.
+   */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    require(m >= 1 && ksub >= 2 && rerank >= 1, "bad PQ parameters")
+    // --- train: bounded deterministic sample, Lloyd per subspace ---
+    val sample = candidates
+      .orderBy(xxhash64(col("id")), col("id")).limit(4096)
+      .select("id", "qv", "nn").as[(Long, Array[Long], Long)].collect()
+      .map { case (_, qv, nn) =>
+        val norm = math.sqrt(nn.toDouble)
+        qv.map(_ / norm)
+      }
+    require(sample.nonEmpty, "not enough vectors to train PQ codebooks")
+    val d = sample.head.length
+    require(d >= m, s"dimension $d < $m subspaces")
+    val bounds = Array.tabulate(m + 1)(i => i * d / m)
+    def sub(v: Array[Double], s: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1))
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subs = sample.map(sub(_, s))
+      var cents: Array[Array[Double]] =
+        Array.tabulate(math.min(ksub, subs.length))(i => subs(i).clone())
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(cents.length)(new Array[Double](bounds(s + 1) - bounds(s)))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          val c = nearestL2(v, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < v.length) { sums(c)(i) += v(i); i += 1 }
+        }
+        cents = cents.indices.map(c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))).toArray
+      }
+      cents
+    }
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    // --- encode candidates: scan-stage argmin per subspace ---
+    val codes: Dataset[(Long, Array[Int])] =
+      candidates.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
+        .mapPartitions { it =>
+          val cb = bcCb.value
+          it.map { case (id, qv, nn) =>
+            val norm = math.sqrt(nn.toDouble)
+            val v = qv.map(_ / norm)
+            (id, Array.tabulate(cb.length) { s =>
+              val lo = s * v.length / cb.length
+              val hi = (s + 1) * v.length / cb.length
+              nearestL2(java.util.Arrays.copyOfRange(v, lo, hi), cb(s))
+            })
+          }
+        }
+    // --- ADC lookup tables per query (bounded probe set by contract) ---
+    val qs = queries.select("id", "qv", "nn").as[(Long, Array[Long], Long)].collect()
+    val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qqv, qnn) =>
+      val norm = math.sqrt(qnn.toDouble)
+      val v = qqv.map(_ / norm)
+      qid -> Array.tabulate(m)(s => codebooks(s).map(c => dot(sub(v, s), c)))
+    }
+    val bcT = spark.sparkContext.broadcast(tables)
+    val keep = rerank * k
+    val worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
+    val survivors: Dataset[(Long, Long)] = codes.mapPartitions { it =>
+      val ts = bcT.value
+      val heaps = Array.fill(ts.length)(
+        mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      it.foreach { case (cid, cs) =>
+        var qi = 0
+        while (qi < ts.length) {
+          if (ts(qi)._1 != cid) {
+            val tab = ts(qi)._2
+            var s = 0
+            var score = 0.0
+            while (s < cs.length) { score += tab(s)(cs(s)); s += 1 }
+            val h = heaps(qi)
+            if (h.size < keep) h.enqueue((score, cid))
+            else if (worstFirst.compare((score, cid), h.head) < 0) {
+              h.dequeue(); h.enqueue((score, cid))
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (_, cid) => (ts(qi)._1, cid) }
+      }
+    }
+    // --- exact re-rank: survivors fetch their original vectors ---
+    val qdf = broadcast(qs.toSeq.toDF("qid2", "qqv", "qnn"))
+    val scored = survivors.toDF("qid", "cand")
+      .join(candidates.select(col("id").as("cand"), col("qv"), col("nn")), "cand")
+      .join(qdf, col("qid") === col("qid2"))
+      .select(col("qid"), col("cand"),
+        VectorOps.qcosine(VectorOps.qdot(col("qv"), col("qqv")),
+          col("nn"), col("qnn")).as("cos"))
+    ranked(scored, k)
+  }
+
+  /** Nearest centroid by L2 (PQ codebook assignment); strict-less keeps
+    * the lowest index on ties — deterministic. */
+  private def nearestL2(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d2 = 0.0
+      var i = 0
+      val cc = cs(c)
+      while (i < v.length) { val t = v(i) - cc(i); d2 += t * t; i += 1 }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Distributed cell assignment: `probes` nearest cells per row.
     * Output columns: cell, id, qv, nn. */
   def assignCells(df: DataFrame, centroids: Array[Array[Double]],

@@ -22,6 +22,42 @@ class AnnSpec extends SparkSpecBase {
     assert(brute.sortBy(t => (t._1, t._2)) === scalable.sortBy(t => (t._1, t._2)))
   }
 
+  test("pq top-k: recall >= 0.8 on clustered vectors, >= 0.6 on real data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield ((c * 25 + m).toLong,
+      center.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val all = Similarity.quantized(df, "vec_id", "embedding")
+    val qs = all.filter(col("id") % 100 === 0)
+    val brute = Similarity.bruteForceTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"pq recall $recall < 0.8 (clustered)")
+    // the re-rank is EXACT: every reported cosine equals the brute cosine
+    val bruteCos = Similarity.bruteForceTopK(all, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.pqTopK(all, qs, 10).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(bruteCos.getOrElse(key, r.getDouble(3)) - r.getDouble(3)) < 1e-12)
+    }
+    // unclustered real embeddings: the harder case — survivors still
+    // recover a useful share of the exact top-k
+    val (rall, rqs) = realVectors()
+    val rbrute = Similarity.bruteForceTopK(rall, rqs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rpq = Similarity.pqTopK(rall, rqs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rrecall = rbrute.intersect(rpq).size.toDouble / rbrute.size
+    assert(rrecall >= 0.6, s"pq recall $rrecall < 0.6 (real)")
+  }
+
   test("lsh top-k recall >= 0.9 on clustered vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
