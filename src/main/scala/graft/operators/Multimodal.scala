@@ -336,6 +336,35 @@ object Multimodal {
       .select("d1", "d2")
   }
 
+  /**
+   * NEAR-duplicate pairs by hamming distance over dHash — SimHash-style
+   * pigeonhole banding: 4 disjoint 16-bit bands, so any pair within
+   * hamming 3 shares at least one full band (guaranteed recall, not
+   * probabilistic); candidates verify by popcount(xor). The join is a
+   * bucketed (band, bval) equi-join — never all-pairs — exactly the
+   * scale shape of the text SimHash path.
+   */
+  def dHashNearPairs(hashes: Dataset[MediaHash], radius: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(radius >= 0 && radius <= 3,
+      "4×16-bit pigeonhole bands guarantee recall only for radius <= 3")
+    val h = hashes.toDF().filter(col("valid"))
+    val banded = h.select(col("id"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bval")))
+    val a = banded.select(col("band"), col("bval"),
+      col("id").as("d1"), col("dhash").as("h1"))
+    val b = banded.select(col("band"), col("bval"),
+      col("id").as("d2"), col("dhash").as("h2"))
+    a.join(b, Seq("band", "bval"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
   /** Decode + bounded "thumbnail" resize in one partition pass. */
   def decodeAndResize(blobs: Dataset[MediaBlob], maxSide: Int): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._

@@ -94,6 +94,20 @@ class TextSpec extends SparkSpecBase {
     val pairs = Multimodal.dHashDupPairs(Multimodal.dHashBatch(blobs))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 3L)))
+    // hamming banding: radius <= 3 pairs found by pigeonhole (guaranteed,
+    // not probabilistic); far hashes produce no pair even when one band
+    // accidentally matches (the verify stage rejects them)
+    val h0 = 0x00FF00FF00FF00FFL
+    val near = spark.createDataset(Seq(
+      Multimodal.MediaHash(1L, h0, valid = true),
+      Multimodal.MediaHash(2L, h0 ^ 1L, valid = true),          // hamming 1
+      Multimodal.MediaHash(3L, h0 ^ 0x0001000000010000L, valid = true), // 2, split bands
+      Multimodal.MediaHash(4L, ~h0, valid = true),               // far (64)
+      Multimodal.MediaHash(5L, h0 ^ 0x00000000000000F0L, valid = true), // 4 > radius
+      Multimodal.MediaHash(6L, 0L, valid = false)))              // undecodable
+    val nearPairs = Multimodal.dHashNearPairs(near)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(nearPairs === Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)))
   }
 
   test("ImageIoCodec decodes and rescales REAL png/jpeg pixels") {
