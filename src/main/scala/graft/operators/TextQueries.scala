@@ -92,6 +92,30 @@ object TextQueries {
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 8192"))
         .orderBy("doc_id")
     }),
+    // Document chunking (RAG / pretraining prep): fixed 64-token windows
+    // with 8-token overlap, last chunk truncated — all scan-stage array
+    // arithmetic (start = i·stride, sequence bound = how many strides fit
+    // before the tail is already covered), zero shuffle before the final
+    // order. Chunk text is emitted as an md5 so the row stays small; the
+    // oracle recomputes every boundary AND digest from the same token
+    // array.
+    "pipeline_chunk_documents" -> ((s, dir) => {
+      val cs = 64; val ov = 8; val st = cs - ov
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"), TextHash.tokens(d("text")).as("w"))
+        .filter(size(col("w")) >= 1)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, greatest((size(w) - $ov - 1) div $st, 0)), " +
+            s"i -> struct(i * $st AS s, least($cs, size(w) - i * $st) AS l, " +
+            s"md5(array_join(slice(w, i * $st + 1, " +
+            s"least($cs, size(w) - i * $st)), ' ')) AS h))"))
+          .as(Seq("chunk_idx", "c")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("c.s").cast("long").as("start_tok"),
+          col("c.l").cast("long").as("n_tokens_chunk"),
+          col("c.h").as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
     // Bigram-LM familiarity (perplexity proxy without floats in the hot
     // path): per doc, the ratio of corpus bigram occurrences to corpus
     // first-token occurrences over its adjacent token pairs — the
@@ -472,6 +496,20 @@ object TextQueries {
         |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
         |    AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_chunk_documents" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(0, greatest((len(w) - 9) // 56, 0) + 1)) AS chunk_idx
+        |  FROM words WHERE len(w) >= 1)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 56 AS BIGINT) AS start_tok,
+        |  CAST(least(64, len(w) - chunk_idx * 56) AS BIGINT) AS n_tokens_chunk,
+        |  md5(array_to_string(
+        |    w[chunk_idx * 56 + 1 : chunk_idx * 56 + least(64, len(w) - chunk_idx * 56)],
+        |    ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_bigram_lm" ->
       """WITH words AS (
         |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents),
