@@ -92,6 +92,28 @@ object TextQueries {
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 8192"))
         .orderBy("doc_id")
     }),
+    // Hashed linear quality classifier — the fastText-shape inference
+    // path: tokens hash into 4096 feature buckets, each bucket carries a
+    // weight (deterministic arithmetic stand-ins here; a trained model
+    // drops its weight table into the same expression), the doc's score
+    // is the weight sum and `keep` its sign. The WHOLE forward pass is a
+    // higher-order array expression in the scan stage — zero shuffles,
+    // zero UDFs, zero joins: model inference at 100 TB costs exactly one
+    // pass over the text. Integer-exact (weights bounded ±4096, sums
+    // < 2^53); one IEEE divide for the normalized score.
+    "text_quality_classifier" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      def w(t: Column): Column =
+        (TextHash.hash60(t) % 4096L) * 2654435761L % 8192L - 4096L
+      val toks = TextHash.tokens(d("text"))
+      val score = aggregate(transform(toks, t => w(t)), lit(0L), (a, b) => a + b)
+      val nt = size(toks)
+      d.select(col("doc_id"), score.as("score"),
+          nt.cast("long").as("n_tokens"),
+          (score.cast("double") / greatest(nt, lit(1))).as("norm_score"),
+          (score > 0).as("keep"))
+        .orderBy("doc_id")
+    }),
     // Document chunking (RAG / pretraining prep): fixed 64-token windows
     // with 8-token overlap, last chunk truncated — all scan-stage array
     // arithmetic (start = i·stride, sequence bound = how many strides fit
@@ -495,6 +517,23 @@ object TextQueries {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
         |    AS BIGINT) AS pack_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_classifier" ->
+      """SELECT doc_id,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text, '[a-z]+'),
+        |    t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 4096)
+        |         * 2654435761 % 8192 - 4096)), 0) AS BIGINT) AS score,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text, '[a-z]+'),
+        |    t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 4096)
+        |         * 2654435761 % 8192 - 4096)), 0) AS DOUBLE)
+        |    / greatest(len(regexp_extract_all(text, '[a-z]+')), 1) AS norm_score,
+        |  coalesce(list_sum(list_transform(
+        |    regexp_extract_all(text, '[a-z]+'),
+        |    t -> (CAST('0x' || substring(md5(t), 1, 15) AS BIGINT) % 4096)
+        |         * 2654435761 % 8192 - 4096)), 0) > 0 AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipeline_chunk_documents" ->
       """WITH words AS (
