@@ -3281,8 +3281,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * Counts are FILE-level (pre-merge): on a MoR-pending PK table the row
    * count includes superseded versions, and tombstone dirs are reported
    * under kind='delete' rows so the operator can see compaction debt.
-   * Cost is O(part-files) driver-side footer reads — manifest-scale
-   * metadata work, no executors, same shape as [[filesTable]].
+   * Row counts come from the manifest tier's per-file zone SIDECARS
+   * (token-cached, 16-way-parallel cold loads — the footer row counts
+   * every commit already recorded), so the view costs one metadata
+   * LISTING per dir plus cached sidecar reads: a 10⁵-file table answers
+   * without a single parquet footer OPEN on the driver. Dirs without
+   * sidecar stats (tombstone dirs, pre-sidecar manifests) fall back to
+   * per-file footer reads — bounded by those dirs alone.
    */
   def partitionsTable(schema: String, table: String,
       snapshotId: Option[Long] = None): DataFrame = {
@@ -3290,20 +3295,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val entries = chooseSnapshot(m, schema, table, snapshotId, None)
       .map(filesOf).getOrElse(Seq.empty)
     val conf = spark.sparkContext.hadoopConfiguration
+    val perFile = fileStatsFrom(schema, table, m)
     val agg = mutable.LinkedHashMap[(String, String), (Long, Long, Long)]()
     entries.foreach { fe =>
       val base = new Path(tablePath(schema, table), fe.dir)
+      val dirStats = perFile.getOrElse(fe.dir, Map.empty)
       if (fs.exists(base)) {
+        val qbase = fs.makeQualified(base).toString
         val it = fs.listFiles(base, true)
         while (it.hasNext) {
           val st = it.next()
           if (st.getPath.getName.endsWith(".parquet")) {
-            val rel = st.getPath.getParent.toString
-              .stripPrefix(fs.makeQualified(base).toString)
-              .stripPrefix("/")
-            val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-            val rows = try rd.getRecordCount finally rd.close()
+            val fileRel = st.getPath.toString.stripPrefix(qbase).stripPrefix("/")
+            val rel = fileRel.split('/').dropRight(1).mkString("/")
+            val rows = dirStats.get(fileRel).map(_.rows).getOrElse {
+              FileStats.driverFooterReads.incrementAndGet() // tripwire
+              val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+              try rd.getRecordCount finally rd.close()
+            }
             val key = (rel, fe.kind)
             val (f0, b0, r0) = agg.getOrElse(key, (0L, 0L, 0L))
             agg(key) = (f0 + 1, b0 + st.getLen, r0 + rows)

@@ -227,6 +227,20 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(gc.countRows("db", "t6") === Some(120L))
   }
 
+  test("$partitions answers from sidecar stats — zero driver footer opens") {
+    import graft.sources.FileStats
+    gc.createTable("db", "t10", rows(0, 0).schema)
+    (0 until 3).foreach(i =>
+      gc.append("db", "t10", rows(i * 100L, i * 100L + 99).repartition(4).toDF()))
+    val f0 = FileStats.driverFooterReads.get()
+    val parts = gc.partitionsTable("db", "t10").collect()
+    assert(parts.map(_.getLong(4)).sum === 300) // exact row counts
+    assert(parts.map(_.getLong(2)).sum === 12)  // 3 dirs × 4 files
+    assert(FileStats.driverFooterReads.get() === f0,
+      "partitionsTable opened parquet footers on the driver — the " +
+        "sidecar row counts should have answered")
+  }
+
   test("$manifests lists heads and live sidecars; expiration shrinks it") {
     gc.createTable("db", "t9", rows(0, 0).schema,
       options = Map("file-index.bloom-filter.columns" -> "id"))
