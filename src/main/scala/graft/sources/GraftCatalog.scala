@@ -135,6 +135,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"sequence.field $f: ${dt.simpleString} is not an orderable " +
           "sequence type (numeric/date/timestamp/string)")
     }
+    // File format (Paimon's `file.format`, default parquet): ORC writes
+    // through Spark's native ORC source — reads, merge-on-read, schema
+    // evolution (write-time names, honored by ORC's by-name column
+    // resolution), compaction, streaming, changelog all work unchanged
+    // through the format-aware read/write seams. Parquet-footer-specific
+    // machinery degrades CONSERVATIVELY on ORC: no zone/bloom skipping
+    // (nothing prunes, nothing wrong), metadata-only countRows
+    // unavailable (falls back to a scan), deletion vectors refuse (they
+    // pin parquet row_index semantics). Avro is unsupported: the Spark
+    // distribution ships no spark-avro connector.
+    options.get("file.format").foreach { f =>
+      require(f == "parquet" || f == "orc",
+        s"file.format must be parquet or orc, got $f")
+      if (f == "orc") {
+        require(!options.get("deletion-vectors").contains("true"),
+          "deletion-vectors requires file.format=parquet (row positions " +
+            "pin parquet row_index semantics)")
+        require(!options.contains(BloomIndex.OptionKey),
+          "bloom-filter index requires file.format=parquet (bitsets are " +
+            "sized from parquet footer row counts)")
+      }
+    }
     // Deletion vectors (Paimon's `deletion-vectors.enabled`): row-level
     // DELETE on APPEND-ONLY tables as per-file position indexes — no
     // copy-on-write rewrite, no tombstone merge. PK tables already delete
@@ -569,11 +591,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
         case None => (frame, Seq.empty)
       }
-      val writer = toWrite.write.mode("overwrite")
+      // DV sidecar frames stay parquet regardless of the table's data
+      // format (DVs exist only on parquet tables — validated at create)
+      val fmt = if (frameKind == "dv") "parquet" else fileFormat(m)
+      val writer = toWrite.write.mode("overwrite").format(fmt)
       val parted =
         (if (frameKind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
       (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
-        .parquet(new Path(tablePath(schema, table), toDir).toString)
+        .save(new Path(tablePath(schema, table), toDir).toString)
     }
     write(df, dir, kind)
     // a merge commit pairs the data dir with a tombstone dir inside ONE
@@ -595,7 +620,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // never stalls the commit on sequential driver round-trips; per-FILE
     // zones ride along for file-granular skipping. Data dirs only —
     // tombstone dirs are never zone-pruned (MoR must see every delta).
-    val stats = if (kind == "data")
+    // Zone stats read parquet footers — ORC dirs carry none and are
+    // simply never pruned / never metadata-counted (conservative).
+    val stats = if (kind == "data" && fileFormat(m) == "parquet")
       FileStats.collectWithFiles(spark, fs,
         new Path(tablePath(schema, table), dir), df.schema)
     else None
@@ -967,10 +994,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         "streaming cannot express deletes; use a primary-key table for CDC")
     val target = StructType(currentFields(m).map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+    val fmt = fileFormat(m)
     val reader = spark.readStream.schema(target)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.option("pathGlobFilter", "*.parquet")
-      .parquet(new Path(tablePath(schema, table), "snap-*").toString)
+    reader.option("pathGlobFilter", s"*.$fmt").format(fmt)
+      .load(new Path(tablePath(schema, table), "snap-*").toString)
   }
 
   /**
@@ -1057,9 +1085,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // identity-partition structure $partitions and pruning expect).
     clustered
       .withColumn("__range", org.apache.spark.sql.functions.spark_partition_id())
-      .write.mode("overwrite")
+      .write.mode("overwrite").format(fileFormat(m))
       .partitionBy(("__range" +: partitionColumns(m)): _*)
-      .parquet(staging.toString)
+      .save(staging.toString)
     // Promote each __range=i subdir to its own dir entry (rename = O(1)
     // metadata per dir on HDFS/posix; object stores see a copy per file).
     val rangeDirs = fs.listStatus(staging).filter(_.isDirectory)
@@ -1100,7 +1128,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     entries.foreach { fe =>
       val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
     }
-    entries.foreach { fe =>
+    // ORC dirs carry no zones: collecting here would list zero parquet
+    // files and record a bogus 0-row aggregate that countRows would
+    // serve as truth — skip, matching commit()'s format gate.
+    entries.filter(_ => fileFormat(m) == "parquet").foreach { fe =>
       FileStats.collectWithFiles(spark, fs,
           new Path(tablePath(schema, table), fe.dir), cur).foreach {
         case (ds, fileZones) =>
@@ -1951,13 +1982,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val writeSchema = StructType(writeFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val base = pathOverride.getOrElse(new Path(tablePath(schema, table), fe.dir))
+    // data AND tombstone dirs follow the table's file.format (ORC reads
+    // columns by write-time NAME, so the field-id mapping below works
+    // identically); DV sidecar dirs alone are parquet-pinned (DVs exist
+    // only on parquet tables by construction)
+    val fmt = if (fe.kind == "dv") "parquet" else fileFormat(m)
     val raw = fileSubset match {
       // zone-pruned file list: explicit files with basePath so `col=value`
       // partition segments between the dir root and each file still
       // resolve as partition columns of the declared schema
       case Some(files) => spark.read.schema(writeSchema)
-        .option("basePath", base.toString).parquet(files: _*)
-      case None => spark.read.schema(writeSchema).parquet(base.toString)
+        .option("basePath", base.toString).format(fmt).load(files: _*)
+      case None => spark.read.schema(writeSchema).format(fmt)
+        .load(base.toString)
     }
     // Map write-time schema → current schema by field id.
     val byId = writeFields.map(f => f.id -> f).toMap
@@ -2347,6 +2384,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * sorts smallest. None = commit order (the default). */
   def sequenceFieldOf(schema: String, table: String): Option[String] =
     sequenceField(readManifest(schema, table))
+
+  /** Data file format (Paimon's `file.format`): parquet (default) or orc. */
+  def fileFormatOf(schema: String, table: String): String =
+    fileFormat(readManifest(schema, table))
+
+  private def fileFormat(m: ObjectNode): String = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts != null && opts.has("file.format")) opts.get("file.format").asText()
+    else "parquet"
+  }
 
   private def sequenceField(m: ObjectNode): Option[String] = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
@@ -3261,7 +3308,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // recursive: partitioned dirs nest part-files under col=value/
       var parts = 0
       val it = fs.listFiles(p, true)
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) parts += 1 }
+      while (it.hasNext) {
+        val n = it.next().getPath.getName
+        if (n.endsWith(".parquet") || n.endsWith(".orc")) parts += 1
+      }
       (fe.dir, fe.kind, fe.schemaVersion, parts, summary.getLength)
     }
     spark.createDataFrame(rows).toDF(
@@ -3305,14 +3355,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val it = fs.listFiles(base, true)
         while (it.hasNext) {
           val st = it.next()
-          if (st.getPath.getName.endsWith(".parquet")) {
+          val isParquet = st.getPath.getName.endsWith(".parquet")
+          if (isParquet || st.getPath.getName.endsWith(".orc")) {
             val fileRel = st.getPath.toString.stripPrefix(qbase).stripPrefix("/")
             val rel = fileRel.split('/').dropRight(1).mkString("/")
             val rows = dirStats.get(fileRel).map(_.rows).getOrElse {
               FileStats.driverFooterReads.incrementAndGet() // tripwire
-              val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
-              try rd.getRecordCount finally rd.close()
+              if (isParquet) {
+                val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+                try rd.getRecordCount finally rd.close()
+              } else {
+                val rd = org.apache.orc.OrcFile.createReader(st.getPath,
+                  org.apache.orc.OrcFile.readerOptions(conf))
+                try rd.getNumberOfRows finally rd.close()
+              }
             }
             val key = (rel, fe.kind)
             val (f0, b0, r0) = agg.getOrElse(key, (0L, 0L, 0L))
@@ -3735,7 +3792,8 @@ object GraftCatalog {
   /** Structural options baked into the data layout / version-resolution
     * semantics — immutable after create (see [[GraftCatalog.setTableOptions]]). */
   val ImmutableOptions: Set[String] =
-    Set("bucket", "merge-engine", "sequence.field", "deletion-vectors")
+    Set("bucket", "merge-engine", "sequence.field", "deletion-vectors",
+      "file.format")
 
   /** PK-table merge engines (Paimon's `merge-engine` table option). */
   val MergeEngines: Set[String] =

@@ -243,7 +243,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // bridge, which unions the dirs per-entry and zone-prunes via
     // readWhere.
     val partitioned = gc.partitionColumnsOf(schemaName, tableName).nonEmpty
+    // ORC tables (file.format=orc) read through the V1 merge bridge —
+    // the raw-file fast path below is a ParquetTable; the bridge's
+    // gc.read is format-aware and serves the same resolved image.
     val resolvedAsFiles =
+      gc.fileFormatOf(schemaName, tableName) == "parquet" &&
       entries.forall(e => e.kind == "data" && e.schemaVersion == curVersion) &&
         (pk.isEmpty || (entries.size <= 1 && !bucketed)) &&
         (!partitioned || entries.size <= 1)
