@@ -157,6 +157,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             "sized from parquet footer row counts)")
       }
     }
+    // Retention policy options (Paimon's snapshot.num-retained /
+    // snapshot.time-retained): applied automatically after every commit
+    // (see autoExpire) — validated here AND in setTableOptions (mutable).
+    validateRetentionOptions(options)
     // Deletion vectors (Paimon's `deletion-vectors.enabled`): row-level
     // DELETE on APPEND-ONLY tables as per-file position indexes — no
     // copy-on-write rewrite, no tombstone merge. PK tables already delete
@@ -348,6 +352,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(primaryKeyOf(schema, table).isEmpty,
         "bloom-filter index applies to append-only tables")
     }
+    validateRetentionOptions(options)
     retryManifestUpdate {
       val m = readManifest(schema, table)
       val opts = m.get("options").asInstanceOf[ObjectNode]
@@ -865,7 +870,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         if (ok) curDvDir = s"$target-dv"
       }
       if (ok) {
-        try { land(cur, landId, target); return landId }
+        try {
+          land(cur, landId, target)
+          autoExpire(schema, table)
+          return landId
+        }
         catch { case e: java.util.ConcurrentModificationException =>
           if (!retryable) throw e
         }
@@ -892,6 +901,29 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"attempts (last target snap-$landId) — retry under less " +
         "write contention, or remove dead writers' leftover dirs")
   }
+
+  /**
+   * Commit-time auto-expiration (Paimon's `snapshot.num-retained` /
+   * `snapshot.time-retained` behavior: every successful commit applies
+   * the table's retention policy, so retention is a TABLE CONTRACT, not
+   * an external cron). Entirely best-effort AFTER the snapshot landed —
+   * a retention failure (including a lost CAS against a concurrent
+   * writer, who will retrigger expiration with its own commit) never
+   * fails or retries the commit. All pins hold: tags, consumer-unread
+   * history, replay bases, the current snapshot.
+   */
+  private def autoExpire(schema: String, table: String): Unit =
+    try {
+      val opts = tableOptions(schema, table)
+      opts.get("snapshot.num-retained").map(_.toInt).foreach { n =>
+        expireSnapshots(schema, table, keepLast = n)
+      }
+      opts.get("snapshot.time-retained")
+        .map(GraftCatalog.parseDurationMillis).foreach { ms =>
+          expireSnapshotsOlderThan(schema, table,
+            System.currentTimeMillis() - ms)
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The atomicity primitive every protocol CAS (snapshot-dir claim,
     * sortCompact range promotion, manifest version publish) goes
@@ -1492,6 +1524,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         writeManifest(schema, table, m)
       }
     }
+
+  private def validateRetentionOptions(options: Map[String, String]): Unit = {
+    options.get("snapshot.num-retained").foreach { v =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"snapshot.num-retained must be a positive int, got $v")
+    }
+    options.get("snapshot.time-retained").foreach(
+      GraftCatalog.parseDurationMillis) // throws on bad syntax
+  }
 
   /** Idempotent manifest read-modify-write with rebase-and-retry: small
     * metadata mutations (consumer offsets, option changes) race data
@@ -3788,6 +3829,23 @@ object GraftCatalog {
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */
   val BucketCol = "__bucket"
+
+  /** Paimon-style duration strings for `snapshot.time-retained`:
+    * `<n><unit>`, unit ∈ ms / s / min / h / d (whitespace tolerated). */
+  private[sources] def parseDurationMillis(s: String): Long = {
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val m = "^(\\d+)\\s*(ms|s|min|h|d)$".r.findFirstMatchIn(t).getOrElse(
+      throw new IllegalArgumentException(
+        s"bad duration '$s' (want <n><ms|s|min|h|d>)"))
+    val n = m.group(1).toLong
+    m.group(2) match {
+      case "ms" => n
+      case "s" => n * 1000L
+      case "min" => n * 60000L
+      case "h" => n * 3600000L
+      case "d" => n * 86400000L
+    }
+  }
 
   /** Structural options baked into the data layout / version-resolution
     * semantics — immutable after create (see [[GraftCatalog.setTableOptions]]). */

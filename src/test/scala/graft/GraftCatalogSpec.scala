@@ -736,6 +736,41 @@ class GraftCatalogSpec extends SparkSpecBase {
       Map("file-index.bloom-filter.columns" -> "id")))
   }
 
+  test("retention table options auto-expire on commit; pins hold") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "ar", abSchema,
+      options = Map("snapshot.num-retained" -> "3"))
+    (1 to 6).foreach(i =>
+      cat.append("db", "ar", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    // every commit applied the policy — only the last 3 snapshots remain
+    assert(cat.snapshots("db", "ar").map(_.id) === Seq(4L, 5L, 6L))
+    assert(cat.read("db", "ar").count() === 6) // cumulative image intact
+    // a tag pins its snapshot through subsequent auto-expiration
+    cat.createTag("db", "ar", "keep", Some(5L))
+    (7 to 9).foreach(i =>
+      cat.append("db", "ar", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    assert(cat.snapshots("db", "ar").map(_.id) === Seq(5L, 7L, 8L, 9L))
+    // the policy is mutable: widen it, commits stop dropping
+    cat.setTableOptions("db", "ar", Map("snapshot.num-retained" -> "10"))
+    cat.append("db", "ar", Seq((10L, "v10")).toDF("id", "name"))
+    assert(cat.snapshots("db", "ar").map(_.id) === Seq(5L, 7L, 8L, 9L, 10L))
+    // time-retained: a 0ms policy keeps only what other rules pin
+    cat.createTable("db", "ar2", abSchema,
+      options = Map("snapshot.time-retained" -> "0ms"))
+    (1 to 3).foreach(i =>
+      cat.append("db", "ar2", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    assert(cat.snapshots("db", "ar2").map(_.id) === Seq(3L))
+    // validation: bad values refuse at create AND mutation
+    intercept[IllegalArgumentException](cat.createTable("db", "arbad", abSchema,
+      options = Map("snapshot.num-retained" -> "0")))
+    intercept[IllegalArgumentException](cat.createTable("db", "arbad2", abSchema,
+      options = Map("snapshot.time-retained" -> "soon")))
+    intercept[IllegalArgumentException](
+      cat.setTableOptions("db", "ar", Map("snapshot.time-retained" -> "5 fortnights")))
+  }
+
   test("consumer offsets pin unread snapshots through expiration") {
     import spark.implicits._
     val cat = freshCatalog()
