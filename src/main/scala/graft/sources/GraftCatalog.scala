@@ -872,6 +872,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (ok) {
         try {
           land(cur, landId, target)
+          autoMaintain(schema, table, compaction)
           autoExpire(schema, table)
           return landId
         }
@@ -912,6 +913,32 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * fails or retries the commit. All pins hold: tags, consumer-unread
    * history, replay bases, the current snapshot.
    */
+  /**
+   * Commit-time auto-compaction (the writer-side compaction Paimon
+   * tables run from their options): `compaction.max-file-dirs` triggers
+   * a FULL [[compact]] when the snapshot references more dirs (any
+   * table), `compaction.min.small-files` a MINOR [[compactSmall]] when
+   * that many sub-`compaction.small-bytes` dirs accumulate (append-only
+   * — the only tables compactSmall serves). Best-effort after the land;
+   * never reentered from a compaction commit itself, and each trigger
+   * drops its own metric below threshold, so the chain terminates.
+   */
+  private def autoMaintain(schema: String, table: String,
+      fromCompaction: Boolean): Unit =
+    if (!fromCompaction) try {
+      val opts = tableOptions(schema, table)
+      opts.get("compaction.max-file-dirs").map(_.toInt).foreach { n =>
+        compactIfNeeded(schema, table, maxFileDirs = n)
+      }
+      opts.get("compaction.min.small-files").map(_.toInt).foreach { n =>
+        if (primaryKeyOf(schema, table).isEmpty) {
+          val smallBytes = opts.get("compaction.small-bytes")
+            .map(_.toLong).getOrElse(32L << 20)
+          compactSmall(schema, table, smallBytes, minDirs = math.max(n, 2))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   private def autoExpire(schema: String, table: String): Unit =
     try {
       val opts = tableOptions(schema, table)
@@ -1268,8 +1295,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * id, or None when fewer than two small clean dirs exist.
    */
   def compactSmall(schema: String, table: String,
-      smallBytes: Long = 32L << 20): Option[Long] = {
+      smallBytes: Long = 32L << 20, minDirs: Int = 2): Option[Long] = {
     require(smallBytes > 0, "smallBytes must be positive")
+    require(minDirs >= 2, "minDirs must be >= 2 (one dir has nothing to merge)")
     val m = readManifest(schema, table)
     require(primaryKey(m).isEmpty,
       s"$schema.$table has a primary key — use compact(): per-key version " +
@@ -1285,7 +1313,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       (try fs.getContentSummary(
         new Path(tablePath(schema, table), e.dir)).getLength < smallBytes
       catch { case _: java.io.IOException => false }))
-    if (candidates.size < 2) return None
+    if (candidates.size < minDirs) return None
     val img = candidates
       .map(fe => frameFor(schema, table, m, fe))
       .reduce(_ unionByName _)
@@ -1532,6 +1560,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     options.get("snapshot.time-retained").foreach(
       GraftCatalog.parseDurationMillis) // throws on bad syntax
+    Seq("compaction.max-file-dirs", "compaction.min.small-files").foreach(k =>
+      options.get(k).foreach { v =>
+        require(v.toIntOption.exists(_ >= 2), s"$k must be an int >= 2, got $v")
+      })
+    options.get("compaction.small-bytes").foreach { v =>
+      require(v.toLongOption.exists(_ > 0),
+        s"compaction.small-bytes must be a positive long, got $v")
+    }
   }
 
   /** Idempotent manifest read-modify-write with rebase-and-retry: small

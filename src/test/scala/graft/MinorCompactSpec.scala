@@ -122,4 +122,27 @@ class MinorCompactSpec extends SparkSpecBase {
     // entries left, so the read-optimized path resolves
     assert(gc.resolvedSnapshotId("db", "t5").contains(id.get))
   }
+
+  test("auto-compaction options trigger from commits; chain terminates") {
+    import spark.implicits._
+    // minor: 4 small appends accumulate, the 4th commit merges them
+    gc.createTable("db", "ac", Seq((1L, "x")).toDF("id", "v").schema,
+      options = Map("compaction.min.small-files" -> "4"))
+    (1 to 3).foreach(i => gc.append("db", "ac", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(gc.snapshotFileEntries("db", "ac").size === 3) // below threshold
+    gc.append("db", "ac", Seq((4L, "v4")).toDF("id", "v"))
+    // the 4th commit triggered compactSmall: one merged dir remains
+    assert(gc.snapshotFileEntries("db", "ac").size === 1)
+    assert(gc.read("db", "ac").count() === 4)
+    // full: dir count cap on a PK table
+    gc.createTable("db", "ac2", Seq((1L, "x")).toDF("id", "v").schema,
+      options = Map("compaction.max-file-dirs" -> "3"), primaryKey = Seq("id"))
+    (1 to 4).foreach(i => gc.upsert("db", "ac2", Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    assert(gc.snapshotFileEntries("db", "ac2").size <= 3)
+    assert(gc.read("db", "ac2").count() === 4)
+    // validation
+    intercept[IllegalArgumentException](gc.createTable("db", "acbad",
+      Seq((1L, "x")).toDF("id", "v").schema,
+      options = Map("compaction.min.small-files" -> "1")))
+  }
 }
