@@ -282,6 +282,22 @@ object CatalogQueries {
         .withColumn("lang", lit("AGAIN")))
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Retention as a TABLE CONTRACT: snapshot.num-retained=3 expires
+    // older snapshots automatically on every commit — after four
+    // appends only the last three snapshots remain, yet the CUMULATIVE
+    // image is intact (dirs referenced by retained snapshots survive).
+    "catalog_retention" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("snapshot.num-retained" -> "3"))
+      (0 until 4).foreach(i =>
+        cat.append("q", t, d.filter(col("doc_id") % 4 === i)))
+      require(cat.snapshots("q", t).size == 3,
+        "auto-expiration should have trimmed to 3 snapshots")
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // partial-update with a SEQUENCE GROUP: n_chars versions the {lang}
     // group (higher value wins, stale patches ignored, independent of
     // commit order), while source keeps the plain latest-non-null rule.
@@ -583,6 +599,8 @@ object CatalogQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_merge_firstrow" ->
       """SELECT doc_id, lang FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_retention" ->
+      """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_merge_partial_seqgroup" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 5 = 0 THEN 'NEW' ELSE lang END AS lang,

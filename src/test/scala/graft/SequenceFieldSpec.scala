@@ -136,6 +136,22 @@ class SequenceFieldSpec extends SparkSpecBase {
     assert(gc.readChangelogFull("db", "t5", 3L, 4L).count() === 0L)
   }
 
+  test("NULL sequence sorts smallest: null rows lose to any non-null") {
+    import spark.implicits._
+    gc.createTable("db", "tn",
+      Seq((1L, "x", Option(1L))).toDF("id", "v", "seq").schema,
+      options = Map("sequence.field" -> "seq"), primaryKey = Seq("id"))
+    gc.upsert("db", "tn", Seq((1L, "has-seq", Option(5L))).toDF("id", "v", "seq"))
+    // later commit with NULL sequence: loses despite the newer ordinal
+    gc.upsert("db", "tn", Seq((1L, "null-seq", Option.empty[Long]))
+      .toDF("id", "v", "seq"))
+    assert(gc.read("db", "tn").head().getString(1) === "has-seq")
+    // among two null-sequence versions, the later ordinal wins
+    gc.upsert("db", "tn", Seq((2L, "n1", Option.empty[Long])).toDF("id", "v", "seq"))
+    gc.upsert("db", "tn", Seq((2L, "n2", Option.empty[Long])).toDF("id", "v", "seq"))
+    assert(gc.read("db", "tn").filter(col("id") === 2L).head().getString(1) === "n2")
+  }
+
   test("validation: option shape and DDL guards") {
     import spark.implicits._
     val sch = Seq((1L, "x", 10L)).toDF("id", "v", "seq").schema
