@@ -102,6 +102,20 @@ object GraftProcedures {
       one("deleted", BooleanType),
       (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
         gc.deleteTag(s, t, args(1).asInstanceOf[String]); Seq(true) }),
+    Spec("set_consumer",
+      "record a named consumer's next unprocessed snapshot (pins history)",
+      Seq(p("table", StringType), p("consumer_id", StringType),
+        p("next_snapshot_id", LongType)),
+      one("next_snapshot_id", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        val next = args(2).asInstanceOf[Long]
+        gc.commitConsumerOffset(s, t, args(1).asInstanceOf[String], next)
+        Seq(next) }),
+    Spec("drop_consumer", "retire a consumer (its history becomes expirable)",
+      Seq(p("table", StringType), p("consumer_id", StringType)),
+      one("dropped", BooleanType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        gc.dropConsumer(s, t, args(1).asInstanceOf[String]); Seq(true) }),
     Spec("remove_orphan_files",
       "reclaim claimed-but-never-landed dirs older than grace_millis",
       Seq(p("table", StringType), pd("grace_millis", LongType, "3600000")),

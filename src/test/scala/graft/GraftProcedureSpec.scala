@@ -86,4 +86,18 @@ class GraftProcedureSpec extends SparkSpecBase {
     val e = intercept[Exception](spark.sql("CALL gp.sys.nope('db.p4')"))
     assert(e.getMessage.contains("nope") || e.getMessage.contains("FAILED"))
   }
+
+  test("consumer procedures: set pins history through expiration, drop releases") {
+    mk("p5")
+    assert(spark.sql("CALL gp.sys.set_consumer('db.p5', 'etl', 2)")
+      .head().getLong(0) === 2L)
+    assert(gc.consumerOffsets("db", "p5") === Map("etl" -> 2L))
+    // unread (>= 2) and the replay basis (1) survive; nothing drops here
+    assert(spark.sql("CALL gp.sys.expire_snapshots('db.p5', 1)")
+      .head().getLong(0) === 0L)
+    spark.sql("CALL gp.sys.drop_consumer('db.p5', 'etl')")
+    assert(gc.consumerOffsets("db", "p5").isEmpty)
+    assert(spark.sql("CALL gp.sys.expire_snapshots('db.p5', 1)")
+      .head().getLong(0) === 2L)
+  }
 }
