@@ -574,6 +574,36 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(df.schema.fieldNames.sameElements(cur.fieldNames),
         s"dataframe columns ${df.schema.fieldNames.mkString(",")} != table ${cur.fieldNames.mkString(",")}")
     }
+    // Within-batch key resolution (deduplicate engine): all rows of one
+    // commit share an ordinal, so duplicate keys INSIDE one batch would
+    // tie at read time and resolve by partition order — nondeterministic.
+    // Paimon folds a checkpoint's rows by input order; an unordered
+    // DataFrame has none, so fold here with a deterministic total rule:
+    // largest (sequence.field, remaining row) wins — consistent with the
+    // read-side race (null sequence smallest). One batch-sized aggregate;
+    // key-unique batches (CDC, MERGE, compaction rewrites — the common
+    // case) pass through it unchanged. Skipped when a column type is
+    // unorderable (maps): those tables keep the key-unique-batch contract.
+    val dedupedDf =
+      if (kind == "data" && !compaction && primaryKey(m).nonEmpty &&
+          mergeEngine(m) == "deduplicate" &&
+          df.schema.fields.forall(f =>
+            org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .isOrderable(f.dataType))) {
+        val pkCols = primaryKey(m)
+        val seqF = sequenceField(m).toSeq
+        val rest = df.schema.fieldNames.toSeq
+          .filterNot(c => pkCols.contains(c) || seqF.contains(c))
+        val valueCols = seqF ++ rest
+        if (valueCols.isEmpty) df.dropDuplicates(pkCols)
+        else df.groupBy(pkCols.map(col): _*)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.struct(valueCols.map(col): _*))
+            .as("__best"))
+          .select(df.schema.fieldNames.toSeq.map { c =>
+            if (pkCols.contains(c)) col(c) else col(s"__best.$c").as(c)
+          }: _*)
+      } else df
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
     val id = lastId + 1
@@ -605,7 +635,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
         .save(new Path(tablePath(schema, table), toDir).toString)
     }
-    write(df, dir, kind)
+    write(dedupedDf, dir, kind)
     // a merge commit pairs the data dir with a tombstone dir inside ONE
     // snapshot (same ordinal `$id`): updates+inserts and deletes become
     // visible atomically, never as two observable states

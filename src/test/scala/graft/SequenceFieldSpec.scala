@@ -152,6 +152,31 @@ class SequenceFieldSpec extends SparkSpecBase {
     assert(gc.read("db", "tn").filter(col("id") === 2L).head().getString(1) === "n2")
   }
 
+  test("within-batch duplicate keys fold deterministically at write") {
+    import spark.implicits._
+    // with a sequence field: the batch's highest sequence wins
+    mk("tb")
+    gc.upsert("db", "tb", Seq(
+      (1L, "low", 5L), (1L, "high", 9L), (1L, "mid", 7L),
+      (2L, "only", 1L)).toDF("id", "v", "seq"))
+    assert(img("tb") === Seq((1L, "high", 9L), (2L, "only", 1L)))
+    // without one: largest remaining-row struct — arbitrary but STABLE
+    // (identical result regardless of partitioning), proven by running
+    // the same shuffled batch twice into two tables
+    gc.createTable("db", "tb2", Seq((1L, "x")).toDF("id", "v").schema,
+      primaryKey = Seq("id"))
+    gc.createTable("db", "tb3", Seq((1L, "x")).toDF("id", "v").schema,
+      primaryKey = Seq("id"))
+    val batch = (1L to 50L).flatMap(i => Seq((i, s"a$i"), (i, s"b$i"), (i, s"c$i")))
+    gc.upsert("db", "tb2", batch.toDF("id", "v").repartition(7))
+    gc.upsert("db", "tb3", scala.util.Random.shuffle(batch).toDF("id", "v")
+      .repartition(3))
+    val r2 = gc.read("db", "tb2").orderBy("id").collect().map(_.getString(1)).toSeq
+    val r3 = gc.read("db", "tb3").orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(r2 === r3)
+    assert(r2.forall(_.startsWith("c"))) // max struct picks the c-variant
+  }
+
   test("validation: option shape and DDL guards") {
     import spark.implicits._
     val sch = Seq((1L, "x", 10L)).toDF("id", "v", "seq").schema
