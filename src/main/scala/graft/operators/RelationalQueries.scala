@@ -85,6 +85,18 @@ object RelationalQueries {
         .agg(count(o("o_orderkey")).as("n_orders"))
         .orderBy("c_custkey")
     }),
+    // FULL outer: customers without orders AND (synthetic) orders whose
+    // customer is filtered away both survive with nulls on the bare side.
+    "join_full_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_custkey") % 3 =!= 0)
+        .select("c_custkey", "c_name")
+      val o = Tables(s, dir, "orders").filter(col("o_custkey") % 3 =!= 1)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+        .select(coalesce(c("c_custkey"), o("o_custkey")).as("key"),
+          c("c_name").as("c_name"), o("n_orders").as("n_orders"))
+        .orderBy("key")
+    }),
     "join_semi" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
       val o = Tables(s, dir, "orders")
@@ -603,6 +615,13 @@ object RelationalQueries {
       """SELECT c_custkey, count(o_orderkey) AS n_orders
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+        |o AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      WHERE o_custkey % 3 <> 1 GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS key, c_name, n_orders
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+        |ORDER BY key""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

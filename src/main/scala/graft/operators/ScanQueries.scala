@@ -29,6 +29,13 @@ object ScanQueries {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
     }),
+    // prefix LIKE: pushes as StringStartsWith into the parquet scan
+    "scan_filter_like" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      c.filter(c("c_name").startsWith("Customer#00000012"))
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
     "scan_filter_range" -> ((s, dir) => {
       val l = Tables(s, dir, "lineitem")
       l.filter(l("l_quantity") >= 10 && l("l_quantity") < 20 &&
@@ -70,6 +77,10 @@ object ScanQueries {
     "scan_filter_eq" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "scan_filter_like" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#00000012%'
+        |ORDER BY c_custkey""".stripMargin,
     "scan_filter_range" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
         |WHERE l_quantity >= 10 AND l_quantity < 20
