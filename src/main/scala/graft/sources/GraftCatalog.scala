@@ -3306,7 +3306,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       maxSnapshotsPerTrigger: Option[Int] = None,
       mode: String = "upsert",
       maxRowsPerTrigger: Option[Long] = None,
-      consumerId: Option[String] = None): DataFrame = {
+      consumerId: Option[String] = None,
+      scanMode: String = "full",
+      fromTimestampMillis: Option[Long] = None): DataFrame = {
     require(mode == "upsert" || mode == "full",
       s"changelog mode must be 'upsert' or 'full', got '$mode'")
     // fail at stream definition, not first micro-batch. Upsert mode needs
@@ -3331,6 +3333,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       r.option("maxSnapshotsPerTrigger", n.toString))
     maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n.toString))
     consumerId.foreach(c => r.option("consumerId", c))
+    r.option("scanMode", scanMode)
+    fromTimestampMillis.foreach(t => r.option("fromTimestampMillis", t.toString))
     r.load()
   }
 

@@ -35,7 +35,19 @@ import org.apache.spark.sql.types.StructType
  * `consumerId` (Paimon's consumer-id: batch-commit callbacks advance the
  * named durable offset, expiration pins unread history, and a fresh
  * stream without an explicit `fromSnapshotId` resumes from the consumer's
- * recorded position — checkpoint state, when present, still wins).
+ * recorded position — checkpoint state, when present, still wins);
+ * `scanMode` (Paimon's `scan.mode` / the reference's StartupMode enum,
+ * surfaced through TrinoTableOptionUtils' CoreOptions reflection):
+ * `full` (default — history from the beginning), `latest` (only changes
+ * committed AFTER the stream starts: the start offset is pinned to the
+ * table head at source construction), `from-timestamp` (start at the
+ * first snapshot whose commit time ≥ `fromTimestampMillis` — resolved
+ * once from the snapshot log's id+timestamp pairs, one manifest-head
+ * read, no file I/O), `from-snapshot` (alias for an explicit
+ * `fromSnapshotId`). Precedence when several are given: a Spark
+ * checkpoint always wins (offsets replay through getBatch); then an
+ * explicit `fromSnapshotId`; then a registered consumer's durable
+ * offset; then `scanMode`.
  */
 class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -65,13 +77,31 @@ class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegiste
     // mode on a directly-wired source must not silently drop retractions
     require(mode == "upsert" || mode == "full",
       s"graft-changelog mode must be 'upsert' or 'full', got '$mode'")
+    val scanMode = p.getOrElse("scanmode", "full")
+    val fromTs = p.get("fromtimestampmillis").map(_.toLong)
+    val fromId = p.get("fromsnapshotid").map(_.toLong).getOrElse(0L)
+    require(Set("full", "latest", "from-timestamp", "from-snapshot")(scanMode),
+      s"graft-changelog scanMode must be full|latest|from-timestamp|" +
+        s"from-snapshot, got '$scanMode'")
+    // refuse ambiguous combinations at stream definition, not first batch
+    require(scanMode != "from-timestamp" || fromTs.nonEmpty,
+      "scanMode=from-timestamp requires option 'fromTimestampMillis'")
+    require(fromTs.isEmpty || scanMode == "from-timestamp" || scanMode == "full",
+      s"fromTimestampMillis conflicts with scanMode=$scanMode")
+    require(scanMode != "from-snapshot" || fromId != 0L,
+      "scanMode=from-snapshot requires a non-zero 'fromSnapshotId'")
+    require(fromId == 0L || scanMode == "from-snapshot" || scanMode == "full",
+      s"fromSnapshotId conflicts with scanMode=$scanMode")
     new GraftChangelogSource(ctx.sparkSession, required(p, "warehouse"),
       required(p, "schema"), required(p, "table"),
-      p.get("fromsnapshotid").map(_.toLong).getOrElse(0L),
+      fromId,
       p.get("maxsnapshotspertrigger").map(_.toInt),
       mode,
       p.get("maxrowspertrigger").map(_.toLong),
-      p.get("consumerid"))
+      p.get("consumerid"),
+      // fromTimestampMillis alone implies from-timestamp
+      if (fromTs.nonEmpty) "from-timestamp" else scanMode,
+      fromTs)
   }
 }
 
@@ -80,7 +110,9 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
     maxSnapshotsPerTrigger: Option[Int],
     mode: String = "upsert",
     maxRowsPerTrigger: Option[Long] = None,
-    consumerId: Option[String] = None) extends Source {
+    consumerId: Option[String] = None,
+    scanMode: String = "full",
+    fromTimestampMillis: Option[Long] = None) extends Source {
 
   private val gc = new GraftCatalog(spark, warehouse)
 
@@ -91,11 +123,33 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
   // next-unprocessed offset instead of the table head/beginning — the
   // cross-restart resume that survives a LOST checkpoint. The registered
   // offset also pins expiration (expireSnapshots keeps unread history).
+  // With neither, the startup mode (Paimon scan.mode) picks the start:
+  // `latest` pins to the head AT SOURCE CONSTRUCTION (resolved once —
+  // commits racing stream startup land after the pin, so none are
+  // skipped mid-stream), `from-timestamp` scans the snapshot log's
+  // (id, timestampMillis) pairs for the first commit at/after the
+  // requested time and starts just before it (one manifest-head read).
   private val startSnapshotId: Long =
     consumerId.filter(_ => fromSnapshotId == 0L)
       .flatMap(cid => gc.consumerOffsets(schemaName, tableName).get(cid))
       .map(next => math.max(0L, next - 1))
-      .getOrElse(fromSnapshotId)
+      .getOrElse {
+        if (fromSnapshotId != 0L) fromSnapshotId
+        else scanMode match {
+          case "latest" =>
+            gc.snapshots(schemaName, tableName).lastOption.map(_.id).getOrElse(0L)
+          case "from-timestamp" =>
+            val ts = fromTimestampMillis.getOrElse(throw new IllegalArgumentException(
+              "scanMode=from-timestamp requires fromTimestampMillis"))
+            val snaps = gc.snapshots(schemaName, tableName)
+            snaps.find(_.timestampMillis >= ts) match {
+              case Some(first) => first.id - 1
+              // every existing commit predates ts: stream only the future
+              case None => snaps.lastOption.map(_.id).getOrElse(0L)
+            }
+          case _ => 0L
+        }
+      }
 
   override val schema: StructType = gc.changelogSchemaOf(schemaName, tableName)
 

@@ -317,6 +317,84 @@ class StreamingSpec extends SparkSpecBase {
     assert(batches.synchronized(batches.toSeq) === Seq(1L, 1L, 1L))
   }
 
+  test("scanMode=latest streams only post-start commits; " +
+      "from-timestamp starts at the first commit at/after the mark") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-scanmode-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "sm", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    cat.upsert("db", "sm", Seq((1L, 1L)).toDF("id", "v"))
+    Thread.sleep(15) // distinct commit millis so a between-commits mark exists
+    cat.upsert("db", "sm", Seq((2L, 2L)).toDF("id", "v"))
+
+    // latest: history invisible, only the commit made after stream start lands
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = cat.readChangelogStream("db", "sm", scanMode = "latest")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scanmode-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").as[Long].collect()
+        seen.synchronized { seen ++= ids }; ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSeq).isEmpty) // pre-start history skipped
+      cat.upsert("db", "sm", Seq((3L, 3L)).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSeq) === Seq(3L))
+    } finally q.stop()
+
+    // from-timestamp at snapshot-2's commit time: 2 and 3 replay, 1 does not
+    val snaps = cat.snapshots("db", "sm")
+    assert(snaps.size === 3)
+    val mark = snaps(1).timestampMillis
+    assert(snaps.head.timestampMillis < mark) // the sleep made them distinct
+    val seen2 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q2 = cat.readChangelogStream("db", "sm",
+        scanMode = "from-timestamp", fromTimestampMillis = Some(mark))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scanmode-ckpt2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").as[Long].collect()
+        seen2.synchronized { seen2 ++= ids }; ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen2.synchronized(seen2.toSet) === Set(2L, 3L))
+
+    // a mark PAST every commit streams nothing (only the future)
+    val seen3 = scala.collection.mutable.ArrayBuffer[Long]()
+    val q3 = cat.readChangelogStream("db", "sm",
+        scanMode = "from-timestamp",
+        fromTimestampMillis = Some(snaps.last.timestampMillis + 60000L))
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-scanmode-ckpt3").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").as[Long].collect()
+        seen3.synchronized { seen3 ++= ids }; ()
+      }
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(seen3.synchronized(seen3.toSeq).isEmpty)
+
+    // conflicting startup options refuse at source construction (the
+    // error surfaces on the stream thread, so observe it via the query)
+    val q4 = cat.readChangelogStream("db", "sm", fromSnapshotId = 1L,
+      scanMode = "latest").writeStream.format("noop").start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q4.processAllAvailable() finally q4.stop()
+    }
+    assert(err.getMessage.contains("conflicts"))
+  }
+
   test("consumer-id: offsets advance durably, a checkpoint-less restart " +
       "resumes from the consumer, expiration keeps unread history") {
     import org.apache.spark.sql.types._
