@@ -122,6 +122,29 @@ object DedupQueries {
         .select("d1", "d2")
       Dedup.connectedComponents(d, "doc_id", pairs).orderBy("doc_id")
     }),
+    // Cluster-canonical selection: production corpus dedup keeps ONE
+    // member per near-dup cluster — the longest document (quality proxy),
+    // smallest id on ties — and drops the rest. Clusters come from the
+    // same star-contraction components as dedup_clusters; the pick is a
+    // single window over `cluster` (row_number and member count share one
+    // Exchange), so choosing representatives costs one shuffle of
+    // (doc_id, cluster, n_chars) triples — never the text.
+    "dedup_keep_best" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text", Tau, maxBucket = 2048)
+        .select("d1", "d2")
+      val byCluster = Window.partitionBy("cluster")
+      val best = Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Dedup.connectedComponents(d, "doc_id", pairs)
+        .join(d.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("members", count(lit(1)).over(byCluster))
+        .withColumn("__rn", row_number().over(best))
+        .filter(col("__rn") === 1)
+        .select(col("cluster"), col("doc_id").as("keep_doc_id"), col("members"))
+        .orderBy("cluster")
+    }),
     // Span-level exact substring dedup (Lee et al. 2021): maximal token
     // spans whose 5-gram content also appears in another doc. Planted
     // full-doc copies (doc_id % 97 at +100000, mirrored verbatim in the
@@ -277,5 +300,39 @@ object DedupQueries {
         |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster
         |FROM documents d LEFT JOIN cmin c ON d.doc_id = c.a
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM documents WHERE len(regexp_extract_all(text, '[a-z]+')) >= 3),
+        |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM u GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+        |          FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM inter
+        |          JOIN sizes sa ON d1 = sa.doc_id
+        |          JOIN sizes sb ON d2 = sb.doc_id
+        |          WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.75),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |          UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+        |cmin AS (SELECT a, min(b) AS mn FROM reach GROUP BY a),
+        |clusters AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster
+        |  FROM documents d LEFT JOIN cmin c ON d.doc_id = c.a),
+        |ranked AS (
+        |  SELECT cluster, doc_id,
+        |    count(*) OVER (PARTITION BY cluster) AS members,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM clusters)
+        |SELECT cluster, doc_id AS keep_doc_id, members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster""".stripMargin,
   )
 }
