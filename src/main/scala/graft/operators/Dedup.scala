@@ -129,6 +129,68 @@ object Dedup {
       .select(col(idCol), TextHash.minhashSignature(col("sh"), k).as("sig"))
 
   /**
+   * Per-doc minhash STATE for incremental dedup: (idCol, shh, sig) —
+   * hashed shingle set (verify-stage input) + minhash signature
+   * (candidate-stage input). This is what an ingestion pipeline persists
+   * to a signature table (e.g. a catalog table with array<long> columns)
+   * so later batches dedup against the corpus WITHOUT re-reading its
+   * text. Docs under 3 tokens have no shingles and carry no state — they
+   * can never near-dup-match anything.
+   */
+  def signatureState(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 128): DataFrame =
+    shingleSets(df, idCol, textCol)
+      .select(col(idCol), transform(col("sh"), g => TextHash.hash60(g)).as("shh"))
+      .withColumn("sig", TextHash.minhashSignatureFromHashes(col("shh"), k))
+
+  /**
+   * Incremental near-dedup: drop from `newDf` every doc that is a
+   * near-duplicate (exact shingle Jaccard ≥ tau among LSH candidates) of
+   * a doc in an ALREADY-PROCESSED corpus represented only by its
+   * persisted [[signatureState]]. The 100 TB ingestion pattern: the
+   * corpus text is never re-scanned — each arriving batch pays
+   * O(batch text) + a banded equi-join against the signature table, and
+   * appends its own survivors' state for the next batch.
+   *
+   * Topology: both sides band their signatures (scan-stage expression
+   * work); candidates come from a (band, bval) equi-join where the
+   * corpus side ships only (id, band, bval) hash rows; verification
+   * joins hashed shingle arrays for the CANDIDATES only. Corpus band
+   * buckets over `maxBucket` members are represented by their min-id
+   * member (the [[minhashPairs]] star-bound contract: bounded tasks, at
+   * the price that an oversized bucket's non-representative members no
+   * longer surface as partners — raise `maxBucket` when exhaustive
+   * matching matters more than skew protection).
+   *
+   * Returns the surviving `newDf` rows with their original columns.
+   * Batch-INTERNAL duplicates are deliberately kept — dedup within a
+   * batch is [[minhashPairs]]/[[exact]]'s job before appending state.
+   */
+  def dedupAgainstCorpus(newDf: DataFrame, corpusState: DataFrame,
+      idCol: String, textCol: String, tau: Double,
+      bands: Int = 32, r: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    val st = signatureState(newDf, idCol, textCol).persist()
+    def banded(state: DataFrame, as: String) = state
+      .select(col(idCol).as(as),
+        explode(TextHash.lshBands(col("sig"), bands, r)).as("bb"))
+      .select(col(as), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val w = Window.partitionBy("band", "bval")
+    val corpusBands = banded(corpusState, "cid")
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("rep", min(col("cid")).over(w))
+      .filter(col("bsz") <= maxBucket || col("cid") === col("rep"))
+      .select("cid", "band", "bval")
+    val cand = banded(st, "nid").join(corpusBands, Seq("band", "bval"))
+      .select("nid", "cid").distinct()
+    val matched = cand
+      .join(st.select(col(idCol).as("nid"), col("shh").as("sh1")), "nid")
+      .join(corpusState.select(col(idCol).as("cid"), col("shh").as("sh2")), "cid")
+      .filter(jaccard(col("sh1"), col("sh2")) >= tau)
+      .select("nid").distinct()
+    newDf.join(matched, newDf(idCol) === matched("nid"), "left_anti")
+  }
+
+  /**
    * SimHash near-dup pairs: exact for hamming ≤ bands-1 (pigeonhole).
    * Output: d1, d2, hamming.
    *

@@ -145,6 +145,23 @@ object DedupQueries {
         .select(col("cluster"), col("doc_id").as("keep_doc_id"), col("members"))
         .orderBy("cluster")
     }),
+    // Incremental dedup: a NEW batch (every third doc, plus planted
+    // copies of old docs at +200000 so cross-batch matches provably
+    // exist) deduped against the persisted signature state of the OLD
+    // corpus (the other two thirds) — the corpus text is never re-read.
+    // Output: surviving new-batch ids. Oracle replays exact-Jaccard
+    // new×old matching over the same split.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents").select("doc_id", "text")
+      val old = d.filter(col("doc_id") % 3 =!= 0)
+      val fresh = d.filter(col("doc_id") % 3 === 0)
+        .unionByName(old.filter(col("doc_id") % 91 === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      Dedup.dedupAgainstCorpus(fresh,
+          Dedup.signatureState(old, "doc_id", "text").persist(),
+          "doc_id", "text", Tau, maxBucket = 2048)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // Span-level exact substring dedup (Lee et al. 2021): maximal token
     // spans whose 5-gram content also appears in another doc. Planted
     // full-doc copies (doc_id % 97 at +100000, mirrored verbatim in the
@@ -300,6 +317,37 @@ object DedupQueries {
         |  least(d.doc_id, coalesce(c.mn, d.doc_id)) AS cluster
         |FROM documents d LEFT JOIN cmin c ON d.doc_id = c.a
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH oldd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |newd AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM oldd WHERE doc_id % 91 = 1),
+        |shn AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM newd WHERE len(regexp_extract_all(text, '[a-z]+')) >= 3),
+        |sho AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(regexp_extract_all(text, '[a-z]+')) - 1, 1)),
+        |    i -> array_to_string(regexp_extract_all(text, '[a-z]+')[i:i+2], ' '))) AS s
+        |  FROM oldd WHERE len(regexp_extract_all(text, '[a-z]+')) >= 3),
+        |un AS (SELECT doc_id, unnest(s) AS g FROM shn),
+        |uo AS (SELECT doc_id, unnest(s) AS g FROM sho),
+        |sn AS (SELECT doc_id, count(*) AS n FROM un GROUP BY 1),
+        |so AS (SELECT doc_id, count(*) AS n FROM uo GROUP BY 1),
+        |inter AS (SELECT n.doc_id AS nid, o.doc_id AS cid, count(*) AS c
+        |          FROM un n JOIN uo o ON n.g = o.g GROUP BY 1, 2),
+        |matched AS (
+        |  SELECT DISTINCT nid FROM inter
+        |  JOIN sn ON nid = sn.doc_id
+        |  JOIN so ON cid = so.doc_id
+        |  WHERE c * 1.0 / (sn.n + so.n - c) >= 0.75)
+        |SELECT doc_id FROM newd
+        |WHERE doc_id NOT IN (SELECT nid FROM matched)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_keep_best" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id, list_distinct(list_transform(

@@ -85,6 +85,51 @@ class DedupSpec extends SparkSpecBase {
     assert(pairs.subsetOf(planted), s"false positives: ${pairs.diff(planted)}")
   }
 
+  test("incremental dedup: a batch dedups against catalog-persisted " +
+      "signature state without the corpus text") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // corpus = the 30 base docs; its signature state round-trips through
+    // a catalog table (array<long> columns), then the batch dedups
+    // against the TABLE — the corpus text never participates.
+    val base = corpus().filter(col("doc_id") < 30)
+    val wh = java.nio.file.Files.createTempDirectory("graft-incdedup-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "sigs", StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("shh", ArrayType(LongType)),
+      StructField("sig", ArrayType(LongType)))))
+    cat.append("db", "sigs", Dedup.signatureState(base, "doc_id", "text"))
+    val stored = cat.read("db", "sigs")
+    // batch: near-dup of doc 0, exact dup of doc 3, one fresh doc, one
+    // sub-3-token doc (no shingles — must survive, it can't match)
+    val batch = Seq(
+      (500L, mutate(doc(0), 0.04, 7).mkString(" ")),
+      (501L, doc(3).mkString(" ")),
+      (502L, doc(999).mkString(" ")),
+      (503L, "tiny doc")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstCorpus(batch, stored, "doc_id", "text",
+      tau = 0.6).select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(501L), "exact dup of stored corpus must drop")
+    assert(kept.contains(502L), "fresh doc must survive")
+    assert(kept.contains(503L), "shingle-less doc must survive")
+    // the near-dup drops iff its true jaccard clears tau (verify is exact)
+    val sh = Dedup.shingleSets(base.unionByName(batch), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val trueJ = sh(0L).intersect(sh(500L)).size.toDouble / sh(0L).union(sh(500L)).size
+    if (trueJ >= 0.65) assert(!kept.contains(500L), s"near-dup (j=$trueJ) must drop")
+    // appending the survivors' state makes THEM the corpus for batch 2:
+    // a copy of the fresh doc now drops
+    cat.append("db", "sigs",
+      Dedup.signatureState(batch.filter(col("doc_id").isin(kept.toSeq: _*)),
+        "doc_id", "text"))
+    val batch2 = Seq((600L, doc(999).mkString(" "))).toDF("doc_id", "text")
+    val kept2 = Dedup.dedupAgainstCorpus(batch2, cat.read("db", "sigs"),
+      "doc_id", "text", tau = 0.6).count()
+    assert(kept2 === 0L, "copy of a batch-1 survivor must drop in batch 2")
+  }
+
   test("simhash: exact dups at hamming 0; banding finds radius<=3 pairs") {
     val pairs = Dedup.simhashPairs(corpus(), "doc_id", "text", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
