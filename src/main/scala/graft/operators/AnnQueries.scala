@@ -43,6 +43,15 @@ object AnnQueries {
       val (cands, qs) = qc(s, dir)
       Similarity.pqTopK(cands, qs, K).orderBy("qid", "rank")
     }),
+    // Distributed kNN JOIN: the query side is DATA-SCALE (every 3rd
+    // vector — thousands of queries), never collected or broadcast by
+    // construction; both sides shuffle once on their IVF cell. Recall
+    // gated in AnnSpec like the other IVF path.
+    "ann_knn_join" -> ((s, dir) => {
+      val all = Similarity.quantized(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+      Similarity.ivfKnnJoin(all, all.filter(col("id") % 3 === 0), K)
+        .orderBy("qid", "rank")
+    }),
     // Per-label centroids (class prototypes / cluster seeds): exact
     // integer sums over quantized components — one shuffle on
     // (label, pos) after a scan-stage posexplode; the mean is a single

@@ -441,6 +441,42 @@ object Similarity {
     ranked(scored, k)
   }
 
+  /**
+   * Distributed IVF kNN JOIN — BOTH sides data-scale. [[topKScalable]]
+   * and [[ivfTopK]] treat the query set as bounded by contract (collected
+   * or broadcast); this operator makes no such assumption: a billion-row
+   * query table joins a billion-row corpus through shared IVF cells.
+   *
+   * Topology: cells come from the sampled cosine-k-means trainer
+   * (bounded driver state, ≤4096 sample vectors); both sides assign in
+   * the scan stage (corpus → 1 cell, queries → `nprobe` cells for
+   * recall); the only data-sized movement is ONE shuffle of each side on
+   * `cell` for the equi-join, and scoring happens inside the join's
+   * partitions. The per-query top-k rank compiles to WindowGroupLimit
+   * below AND above its exchange, so the rank shuffle carries
+   * O(map-partitions × resident-queries × k) survivors — never the full
+   * scored pair set. `nlist` bounds per-task work (cell population ×
+   * resident queries): size it ~√N at scale so cells stay task-sized.
+   * Recall follows the IVF contract (gated in AnnSpec); a candidate
+   * lives in exactly one cell, so no pair dedup is needed even with
+   * nprobe > 1.
+   */
+  def ivfKnnJoin(candidates: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    val centroids = trainCosineKmeans(candidates, nlist, iters)
+    val bc = candidates.sparkSession.sparkContext.broadcast(centroids)
+    val ca = assignCellsBc(candidates, bc, 1)
+    val qa = assignCellsBc(queries, bc, nprobe)
+      .select(col("cell"), col("id").as("qid"), col("qv").as("qqv"),
+        col("nn").as("qnn"))
+    val scored = ca.join(qa, "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("cand"),
+        VectorOps.qcosine(VectorOps.qdot(col("qv"), col("qqv")), col("nn"),
+          col("qnn")).as("cos"))
+    ranked(scored, k)
+  }
+
   private def nearestCell(v: Array[Double], cs: Array[Array[Double]]): Int =
     cells(v, cs, 1).head
 

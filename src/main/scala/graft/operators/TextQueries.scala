@@ -451,6 +451,30 @@ object TextQueries {
         .drop("rn")
         .orderBy("doc_id")
     }),
+    // Quality-weighted downsampling (the CCNet-style keep-rate-per-
+    // quality-tier pass): every doc draws a DETERMINISTIC uniform from a
+    // multiplicative hash of its id — reproducible (a doc's fate never
+    // changes across corpus rebuilds, so incremental pipelines stay
+    // consistent) and engine-portable (pure BIGINT arithmetic, no
+    // engine-specific hash). good keeps all, low_stop 30%, short 5%.
+    // Pure scan-stage expression work: sampling 100 TB costs one pass,
+    // zero shuffles before the output order.
+    "text_sample_weighted" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val t = d("text")
+      val nt = nTokens(t)
+      val stops = stopCount(t, stopwords("en"))
+      val quality = when(nt < 30, "short")
+        .when(stops.cast("double") / greatest(nt, lit(1)) > 0.02, "good")
+        .otherwise("low_stop")
+      val u = (col("doc_id") * lit(2654435761L) % 1000000L).cast("double") / 1e6
+      val p = when(quality === "good", 1.0)
+        .when(quality === "low_stop", 0.3).otherwise(0.05)
+      d.select(col("doc_id"), quality.as("quality"), u.as("u"), p.as("p"))
+        .filter(col("u") < col("p"))
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    }),
     // Benchmark decontamination: flag training docs sharing any 8-token
     // shingle with the eval set (doc_id % 50 == 0 stands in for the
     // benchmark). The eval shingle set is tiny relative to the corpus, so
@@ -783,6 +807,19 @@ object TextQueries {
         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
         |  FROM documents) t
         |WHERE (rn - 1) % 10 = 0 ORDER BY doc_id""".stripMargin,
+    "text_sample_weighted" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(text, '\\S+')) < 30 THEN 'short'
+         |         WHEN len(regexp_extract_all(text, '${sqlStops("en")}')) * 1.0
+         |           / greatest(len(regexp_extract_all(text, '\\S+')), 1) > 0.02 THEN 'good'
+         |         ELSE 'low_stop' END AS quality
+         |  FROM documents)
+         |SELECT doc_id, quality FROM q
+         |WHERE (doc_id * 2654435761) % 1000000 / 1000000.0 <
+         |  CASE quality WHEN 'good' THEN 1.0 WHEN 'low_stop' THEN 0.3
+         |       ELSE 0.05 END
+         |ORDER BY doc_id""".stripMargin,
     "text_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS toks FROM documents),

@@ -99,6 +99,36 @@ class AnnSpec extends SparkSpecBase {
     assert(recall >= 0.8, s"ivf recall $recall < 0.8")
   }
 
+  test("knn join: both sides data-scale, recall >= 0.8, parity with ivfTopK") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield ((c * 25 + m).toLong,
+      center.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    val df = rows.toDF("vec_id", "embedding")
+    val all = Similarity.quantized(df, "vec_id", "embedding")
+    // query side is HALF the corpus — far past any broadcast-by-contract
+    val qs = all.filter(col("id") % 2 === 0)
+    val brute = Similarity.bruteForceTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val knn = Similarity.ivfKnnJoin(all, qs, 10, nlist = 32, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(knn).size.toDouble / brute.size
+    assert(recall >= 0.8, s"knn-join recall $recall < 0.8")
+    // same cells, same scoring ⇒ identical output to the broadcast-side
+    // ivfTopK on an identical query set (the paths differ only in join
+    // distribution strategy)
+    val qsSmall = all.filter(col("id") % 100 === 0)
+    val a = Similarity.ivfKnnJoin(all, qsSmall, 10, nlist = 32, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Similarity.ivfTopK(all, qsSmall, 10, nlist = 32, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a === b, "knn join must equal ivfTopK on the same query set")
+  }
+
   test("kmeans assignment: exhaustive, deterministic, within nlist cells") {
     val (cands, _) = realVectors()
     val n = cands.count()
