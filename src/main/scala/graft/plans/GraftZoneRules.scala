@@ -121,8 +121,11 @@ class GraftZonePrune extends Rule[LogicalPlan] {
  * per-dir stats). Floating-point zones are safe because parquet-mr's
  * signed comparator orders NaN largest — the same total order Spark's
  * min/max use. `count(col)` additionally needs known per-dir null
- * counts. Anything else (distinct, filters, grouping, expressions over
- * columns) keeps the ordinary scan plan.
+ * counts. GROUP BY over PARTITION columns collapses too (one row per
+ * group from the per-file point zones — the partition census a 100 TB
+ * table answers from its manifest). Anything else (distinct, data-column
+ * filters or grouping, expressions over columns) keeps the ordinary
+ * scan plan.
  */
 class GraftCountFromStats extends Rule[LogicalPlan] {
 
@@ -166,8 +169,15 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
       // FileStats.cmp: the one domain comparator (strings by UTF-8 bytes)
       if ((FileStats.cmp(a, b) <= 0) == wantMin) a else b
     }
+    toCatalyst(best, dt)
+  }
+
+  /** Zone-domain value (Long/Double/String/Boolean) → internal-row value
+    * of the column's Catalyst type. None = unconvertible, bail. */
+  private def toCatalyst(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
     import org.apache.spark.sql.types._
-    (best, dt) match {
+    (v, dt) match {
       case (v: Long, ByteType) => Some(v.toByte)
       case (v: Long, ShortType) => Some(v.toShort)
       case (v: Long, IntegerType | DateType) => Some(v.toInt)
@@ -180,6 +190,18 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
       case _ => None
     }
   }
+
+  /** The single value `name` takes in every row of the file, when the
+    * zone proves it (point zone, zero nulls) — partition columns always
+    * qualify (their `p=v` path segment fixes the value file-wide). */
+  private def pointOf(z: FileStats.DirStats, name: String): Option[Any] =
+    z.cols.get(name).flatMap { c =>
+      (c.min, c.max) match {
+        case (Some(a), Some(b)) if c.nulls == 0L && FileStats.cmp(a, b) == 0 =>
+          Some(a)
+        case _ => None
+      }
+    }
 
   /** Answer one aggregate from the zones, or None to bail. */
   private def answer(gt: GraftSqlTable, zones: Seq[FileStats.DirStats],
@@ -218,6 +240,62 @@ class GraftCountFromStats extends Rule[LogicalPlan] {
             if (answered.forall(_.isDefined)) Some(answered.map(_.get)) else None
           }
         } yield LocalRelation(agg.output, Seq(InternalRow(vals: _*)))
+        ).getOrElse(agg)
+
+      // Grouped metadata-only aggregates: `SELECT p, count(*), min(x) …
+      // GROUP BY p` where every grouping column is a PER-FILE POINT
+      // (identity partition columns — their path segment fixes the value
+      // for the whole file) collapses to a LocalRelation with one row per
+      // group. The 100 TB partition census (`GROUP BY dt, source`) costs
+      // a manifest read, zero tasks. Same soundness gate as the global
+      // path; any file where a grouping column is not a proven point
+      // (data column, nulls, missing zone) keeps the scan plan.
+      case agg @ Aggregate(groupExprs, aggExprs, child, _)
+          if groupExprs.nonEmpty &&
+            groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
+        val groupCols = groupExprs.map(_.asInstanceOf[AttributeReference])
+        (for {
+          (cond, gt) <- filteredRelationOf(child)
+          // PARTITION columns only: their zones come from `p=v` path
+          // segments (exact by construction). Data columns that happen to
+          // be file-constant are excluded — their footer stats could in
+          // principle be writer-truncated, and a truncated "point" would
+          // emit a wrong group key.
+          if groupCols.forall(g =>
+            gt.partitionCols.exists(_.equalsIgnoreCase(g.name)))
+          _ <- gt.exactRowCount // append-only + full per-dir stats
+          fz <- gt.fileZones
+          zones <- cond match {
+            case None => Some(fz.values.flatMap(_.values).toSeq)
+            case Some(c) => selectFiles(gt, c)
+          }
+          keyed <- {
+            val ks = zones.map(z =>
+              groupCols.map(g => pointOf(z, g.name.toLowerCase)) match {
+                case vs if vs.forall(_.isDefined) => Some(vs.map(_.get) -> z)
+                case _ => None
+              })
+            if (ks.forall(_.isDefined)) Some(ks.flatten) else None
+          }
+          groupIds = groupCols.map(_.exprId).toSet
+          outRows <- {
+            val rows = keyed.groupBy(_._1).toSeq.map { case (key, zs) =>
+              val gz = zs.map(_._2)
+              val grows = gz.map(_.rows).sum
+              val keyOf = groupCols.map(_.exprId).zip(key).toMap
+              val cells = aggExprs.map {
+                case a: AttributeReference if keyOf.contains(a.exprId) =>
+                  toCatalyst(keyOf(a.exprId), a.dataType)
+                case Alias(a: AttributeReference, _) if keyOf.contains(a.exprId) =>
+                  toCatalyst(keyOf(a.exprId), a.dataType)
+                case e => answer(gt, gz, grows, e)
+              }
+              if (cells.forall(_.isDefined)) Some(InternalRow(cells.map(_.get): _*))
+              else None
+            }
+            if (rows.forall(_.isDefined)) Some(rows.map(_.get)) else None
+          }
+        } yield LocalRelation(agg.output, outRows)
         ).getOrElse(agg)
     }
 

@@ -408,6 +408,46 @@ class ZonePruneSpec extends SparkSpecBase {
     finally spark.conf.unset("spark.graft.countFromStats.enabled")
   }
 
+  test("GROUP BY partition columns answers from the manifest, no scan") {
+    gc.createTable("db", "zgb",
+      spark.range(0).selectExpr("id", "id % 4 AS p").schema,
+      partitionBy = Seq("p"))
+    gc.append("db", "zgb", spark.range(0, 400).selectExpr("id", "id % 4 AS p").toDF())
+    gc.append("db", "zgb", spark.range(400, 500).selectExpr("id", "id % 4 AS p").toDF())
+    def planOf(q: String) = spark.sql(q).queryExecution.executedPlan.toString
+    // the partition census: one row per partition, zero files opened
+    val q1 = "SELECT p, count(*) AS n, min(id) AS mn, max(id) AS mx " +
+      "FROM gz.db.zgb GROUP BY p"
+    assert(planOf(q1).contains("LocalTableScan") && !planOf(q1).contains("BatchScan"),
+      s"partition census was not answered from stats:\n${planOf(q1)}")
+    val got = spark.sql(q1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got === (0L to 3L).map(p =>
+      (p, 125L, p, if (p == 3L) 499L else 496L + p)))
+    // composes with a partition-only filter
+    val q2 = "SELECT p, count(*) AS n FROM gz.db.zgb WHERE p >= 2 GROUP BY p"
+    assert(planOf(q2).contains("LocalTableScan"), planOf(q2))
+    assert(spark.sql(q2).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq === Seq((2L, 125L), (3L, 125L)))
+    // grouping by a DATA column keeps the scan (file-constant or not)
+    val q3 = "SELECT id, count(*) AS n FROM gz.db.zgb GROUP BY id"
+    assert(!planOf(q3).contains("LocalTableScan"), planOf(q3))
+    // a data-column FILTER keeps the scan even with partition grouping
+    val q4 = "SELECT p, count(*) AS n FROM gz.db.zgb WHERE id < 100 GROUP BY p"
+    assert(!planOf(q4).contains("LocalTableScan"), planOf(q4))
+    assert(spark.sql(q4).collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq === Seq((0L, 25L), (1L, 25L), (2L, 25L), (3L, 25L)))
+    // oracle parity: disabled-rule scan answers match the metadata rows
+    spark.conf.set("spark.graft.countFromStats.enabled", "false")
+    try {
+      val scan = spark.sql(q1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      assert(scan === got)
+    } finally spark.conf.unset("spark.graft.countFromStats.enabled")
+  }
+
   test("mixed literal/zone domains are inconclusive, never a prune proof") {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
