@@ -152,6 +152,26 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Partition census from GROUPED metadata-only aggregates: a
+    // partitioned append table's GROUP BY over the partition column
+    // collapses to a LocalTableScan (required in-query: zero files
+    // opened), and the emitted rows are hash-checked against DuckDB
+    // grouping the raw source.
+    "catalog_partition_census" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema, partitionBy = Seq("lang"))
+      cat.append("q", t, d.filter(col("doc_id") < 250))
+      cat.append("q", t, d.filter(col("doc_id") >= 250))
+      s.conf.set("spark.sql.catalog.gq", "graft.sources.GraftSparkCatalog")
+      s.conf.set("spark.sql.catalog.gq.warehouse", whRoot.toString)
+      val q = s.sql(s"SELECT lang, count(*) AS n_docs, min(doc_id) AS mn, " +
+        s"max(doc_id) AS mx FROM gq.q.$t GROUP BY lang ORDER BY lang")
+      require(q.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+        "partition census must answer from the manifest, not a scan")
+      q
+    }),
     // Minor compaction: one large base dir + several small streaming-ish
     // appends; compactSmall must merge ONLY the small dirs (the base
     // survives byte-identical) and the post-compact image must equal the
@@ -576,6 +596,10 @@ object CatalogQueries {
     "catalog_compact_small" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id >= 300 ORDER BY doc_id""".stripMargin,
+    "catalog_partition_census" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS mn,
+        |  max(doc_id) AS mx
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "catalog_delete_vectors" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
