@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array, col, explode, lit, pmod, row_number, struct, when, xxhash64}
+import org.apache.spark.sql.functions.{array, col, explode, lit, md5, pmod, row_number, struct, when, xxhash64}
 import org.apache.spark.sql.types.{NumericType, StructField, StructType}
 
 /**
@@ -1040,6 +1040,51 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) { appendStreamBatch(schema, table, batch.toDF(), batchId); () }
+      }
+      .start()
+
+  /**
+   * Streaming ingestion WITH cross-batch near-dedup — the end-to-end
+   * shape of a deduplicating corpus pipeline: each micro-batch (1) drops
+   * exact duplicates within itself (keep-first by id), (2) drops
+   * near-duplicates of everything already ingested via
+   * [[graft.operators.Dedup.dedupAgainstCorpus]] against the persisted
+   * signature table (the corpus text is never re-read — the state table
+   * carries hashed shingle sets + signatures), then (3) lands the
+   * survivors in `docsTable` and their state in `sigsTable`, each as a
+   * batchId-idempotent snapshot. A replayed batch after restart skips
+   * whichever of the two appends already committed, so BOTH tables
+   * converge exactly-once even if a crash lands between them.
+   * Within-batch NEAR-dups (distinct ids, similar text) are deliberately
+   * not removed here — both land and the second batch onward dedups
+   * against them; run [[graft.operators.Dedup.minhashPairs]] offline if
+   * batch-internal near-dedup matters.
+   */
+  def streamDedupAppend(schema: String, docsTable: String, sigsTable: String,
+      stream: DataFrame, checkpointDir: String,
+      idCol: String, textCol: String, tau: Double,
+      maxBucket: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val unique = {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col(textCol).cast("binary"))).orderBy(idCol)
+            batch.toDF().withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          }
+          val kept = graft.operators.Dedup.dedupAgainstCorpus(unique,
+            read(schema, sigsTable), idCol, textCol, tau,
+            maxBucket = maxBucket).persist()
+          try {
+            appendStreamBatch(schema, docsTable, kept, batchId)
+            appendStreamBatch(schema, sigsTable,
+              graft.operators.Dedup.signatureState(kept, idCol, textCol),
+              batchId)
+          } finally kept.unpersist()
+          ()
+        }
       }
       .start()
 
@@ -2970,6 +3015,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         "commit — deletions have no additive delta; compact() first or " +
         "use a primary-key table for CDC")
     resolveFrames(schema, table, m, delta).getOrElse(emptyFrame(m))
+  }
+
+  /**
+   * Incremental read between two TIMESTAMPS (Paimon's
+   * `incremental-between-timestamp` CoreOption, the wall-clock twin of
+   * [[readIncremental]]'s snapshot-id form): the delta between the last
+   * snapshot committed at/before `fromMillis` and the last committed
+   * at/before `toMillis`. Resolution is two scans of the snapshot log's
+   * (id, timestampMillis) pairs — one manifest read, no file I/O — then
+   * the ordinary O(delta) incremental read. A `fromMillis` predating
+   * every commit reads from the beginning; a `toMillis` past the head
+   * reads up to it.
+   */
+  def readIncrementalBetweenTimestamps(schema: String, table: String,
+      fromMillis: Long, toMillis: Long): DataFrame = {
+    require(fromMillis <= toMillis,
+      s"fromMillis $fromMillis > toMillis $toMillis")
+    val snaps = snapshots(schema, table)
+    def lastAtOrBefore(ts: Long): Long =
+      snaps.takeWhile(_.timestampMillis <= ts).lastOption.map(_.id).getOrElse(0L)
+    readIncremental(schema, table,
+      lastAtOrBefore(fromMillis), lastAtOrBefore(toMillis))
   }
 
   /**

@@ -269,6 +269,36 @@ class GraftCatalogSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toSeq === Seq(2L -> "b3"))
   }
 
+  test("incremental read between timestamps resolves commit times") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "ts", abSchema)
+    cat.append("db", "ts", Seq((1L, "a")).toDF("id", "name"))
+    Thread.sleep(15)
+    cat.append("db", "ts", Seq((2L, "b")).toDF("id", "name"))
+    Thread.sleep(15)
+    cat.append("db", "ts", Seq((3L, "c")).toDF("id", "name"))
+    val snaps = cat.snapshots("db", "ts")
+    assert(snaps.size === 3)
+    val t1 = snaps(0).timestampMillis
+    // (t1, t3]: snapshot 1 is the basis, 2 and 3 are the delta
+    assert(cat.readIncrementalBetweenTimestamps("db", "ts",
+        t1, snaps(2).timestampMillis).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq(2L -> "b", 3L -> "c"))
+    // a from-mark predating every commit reads from the beginning; a
+    // to-mark between commits 2 and 3 stops at 2
+    assert(cat.readIncrementalBetweenTimestamps("db", "ts",
+        t1 - 60000L, snaps(1).timestampMillis).orderBy("id")
+      .as[(Long, String)].collect().toSeq === Seq(1L -> "a", 2L -> "b"))
+    // a to-mark past the head reads up to it; equal marks = empty delta
+    assert(cat.readIncrementalBetweenTimestamps("db", "ts",
+        snaps(2).timestampMillis, snaps(2).timestampMillis + 60000L)
+      .count() === 0L)
+    intercept[IllegalArgumentException](
+      cat.readIncrementalBetweenTimestamps("db", "ts", 10L, 5L))
+  }
+
   test("metadata tables: snapshots, files, schemas, options") {
     import spark.implicits._
     val cat = freshCatalog()
