@@ -980,6 +980,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           expireSnapshotsOlderThan(schema, table,
             System.currentTimeMillis() - ms)
         }
+      // Paimon's partition.expiration-time: partitions whose DATE value
+      // (parsed from the partition column named by
+      // `partition.expiration.column`, default the first partition
+      // column) is older than the cutoff expire after each commit. The
+      // inner commit re-enters autoExpire; it terminates because the
+      // re-entry finds nothing expired.
+      opts.get("partition.expiration-time")
+        .map(GraftCatalog.parseDurationMillis).foreach { ms =>
+          val pcols = partitionColumnsOf(schema, table)
+          opts.get("partition.expiration.column").orElse(pcols.headOption)
+            .foreach { pc =>
+              val cutoff = java.time.LocalDate.ofInstant(
+                java.time.Instant.ofEpochMilli(System.currentTimeMillis() - ms),
+                java.time.ZoneOffset.UTC).toString
+              expirePartitions(schema, table,
+                col(pc).cast(org.apache.spark.sql.types.DateType) <
+                  lit(cutoff).cast(org.apache.spark.sql.types.DateType))
+            }
+        }
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The atomicity primitive every protocol CAS (snapshot-dir claim,
@@ -1470,6 +1489,103 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     try sweepOrphanDirs(schema, table)
     catch { case _: java.io.IOException => () }
     dropped.map(_.get("id").asLong())
+  }
+
+  /**
+   * Partition expiration (the action behind Paimon's
+   * `partition.expiration-time` CoreOption): drop every identity
+   * partition matching `where` — a predicate over the PARTITION columns
+   * only — from the current image as ONE snapshot commit. Dirs whose
+   * live files all belong to expired partitions are dropped with ZERO
+   * data I/O (the replace-subset commit simply stops referencing them —
+   * the time-partitioned common case, where a day's commits carry that
+   * day's partition); dirs mixing live and expired partitions rewrite
+   * only their surviving rows into a fresh dir. Older snapshots still
+   * see the partitions until snapshot expiration reclaims the bytes.
+   *
+   * Append-only tables only (a PK table's per-key ordinals interleave
+   * across dirs; its row-level path is [[deleteWhere]]), and not under
+   * live deletion vectors (their (file,pos) entries name files this
+   * commit would retire — compact first). Like [[overwrite]], the drop
+   * carries no row-kinded retraction — pause changelog consumers across
+   * it. Rows whose partition value is NULL (the default-partition dir)
+   * expire only if `where` is literally true for null input.
+   * Returns the expired partition paths (`c1=v1[/c2=v2]`), sorted.
+   */
+  def expirePartitions(schema: String, table: String,
+      where: org.apache.spark.sql.Column): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val m = readManifest(schema, table)
+    require(primaryKey(m).isEmpty,
+      s"$schema.$table has a primary key — partition expiration serves " +
+        "append-only tables; use deleteWhere for row-level PK deletes")
+    require(dvIndexFrom(m).isEmpty,
+      s"$schema.$table has live deletion vectors — compact() first so no " +
+        "DV names a file this commit would retire")
+    val pcols = partitionColumnsOf(schema, table)
+    require(pcols.nonEmpty, s"$schema.$table is not partitioned")
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) return Seq.empty
+    val entries = filesOf(snaps.get(snaps.size() - 1)).filter(_.kind == "data")
+    // live partition paths per dir: one recursive metadata listing
+    val dirParts: Map[String, Set[String]] = entries.map { fe =>
+      val basePath = new Path(tablePath(schema, table), fe.dir)
+      val qbase = fs.makeQualified(basePath).toString
+      val acc = mutable.Set[String]()
+      if (fs.exists(basePath)) {
+        val it = fs.listFiles(basePath, true)
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet") || p.getName.endsWith(".orc")) {
+            val part = p.toString.stripPrefix(qbase).stripPrefix("/")
+              .split('/').dropRight(1).mkString("/")
+            if (part.nonEmpty) acc += part
+          }
+        }
+      }
+      fe.dir -> acc.toSet
+    }.toMap
+    val allParts = dirParts.values.flatten.toSet.toSeq.sorted
+    if (allParts.isEmpty) return Seq.empty
+    // Evaluate `where` over the distinct partition tuples, typed exactly
+    // as Spark partition discovery types them: unescape the path value,
+    // NULL for the default-partition token, explicit cast to the
+    // declared column type (never inference).
+    val sch = currentSchema(schema, table)
+    val typeOf = sch.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val rows = allParts.map { pp =>
+      val vals = pp.split('/').map(_.split("=", 2)).map { kv =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(kv(1))
+      }
+      org.apache.spark.sql.Row.fromSeq(pp +: vals.toSeq)
+    }
+    val strSchema = StructType(
+      StructField("__part", org.apache.spark.sql.types.StringType) +:
+        pcols.map(c => StructField(c, org.apache.spark.sql.types.StringType)))
+    val typed = spark.createDataFrame(rows.asJava, strSchema)
+      .select(col("__part") +: pcols.map { c =>
+        when(col(c) === "__HIVE_DEFAULT_PARTITION__", lit(null))
+          .otherwise(col(c)).cast(typeOf(c.toLowerCase)).as(c)
+      }: _*)
+    val expired = typed.filter(where).select("__part")
+      .collect().map(_.getString(0)).toSet
+    if (expired.isEmpty) return Seq.empty
+    val affected = entries.filter(fe => dirParts(fe.dir).exists(expired.contains))
+    val mixed = affected.filter(fe => !dirParts(fe.dir).forall(expired.contains))
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    // Survivor filter keeps null-predicate rows: a partition `where`
+    // cannot decide must NOT silently vanish from a rewritten dir.
+    val keep = org.apache.spark.sql.functions.not(
+      org.apache.spark.sql.functions.coalesce(where, lit(false)))
+    val img = mixed.map(fe => frameFor(schema, table, m, fe)
+        .drop("__ord", "__del").filter(keep))
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyFrame(m))
+    commit(schema, table, img, keepExisting = true,
+      replacedDirs = affected.map(_.dir).toSet,
+      basisVersion = Some(basis))
+    expired.toSeq.sorted
   }
 
   /**

@@ -269,6 +269,61 @@ class GraftCatalogSpec extends SparkSpecBase {
       .as[(Long, String)].collect().toSeq === Seq(2L -> "b3"))
   }
 
+  test("partition expiration: pure-expired dirs drop with no rewrite, " +
+      "mixed dirs keep survivors, time travel intact") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "pe", StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType))),
+      partitionBy = Seq("day"))
+    // dir 1: entirely the old day; dir 2: old + new days mixed
+    cat.append("db", "pe",
+      Seq((1L, "2026-01-01"), (2L, "2026-01-01")).toDF("id", "day"))
+    cat.append("db", "pe",
+      Seq((3L, "2026-01-02"), (4L, "2026-08-01")).toDF("id", "day"))
+    val expired = cat.expirePartitions("db", "pe",
+      col("day").cast(DateType) < lit("2026-06-01").cast(DateType))
+    assert(expired === Seq("day=2026-01-01", "day=2026-01-02"))
+    assert(cat.read("db", "pe").select("id").as[Long].collect().toSeq
+      === Seq(4L))
+    // the expiration landed as ONE new snapshot; time travel to the
+    // pre-expiration image still sees every row (bytes not reclaimed
+    // until snapshot expiration)
+    assert(cat.snapshots("db", "pe").size === 3)
+    assert(cat.read("db", "pe", snapshotId = Some(2L)).count() === 4L)
+    // idempotent: nothing left to expire, no new snapshot
+    assert(cat.expirePartitions("db", "pe",
+      col("day").cast(DateType) < lit("2026-06-01").cast(DateType)).isEmpty)
+    assert(cat.snapshots("db", "pe").size === 3)
+    // a NULL partition survives a predicate that cannot decide it
+    cat.append("db", "pe", Seq((5L, null.asInstanceOf[String]))
+      .toDF("id", "day"))
+    assert(cat.expirePartitions("db", "pe",
+      col("day").cast(DateType) < lit("2027-01-01").cast(DateType))
+      === Seq("day=2026-08-01"))
+    assert(cat.read("db", "pe").select("id").as[Long].collect().toSeq
+      === Seq(5L))
+    // PK tables refuse
+    cat.createTable("db", "pepk", StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType))),
+      primaryKey = Seq("id"), partitionBy = Seq("day"))
+    intercept[IllegalArgumentException](
+      cat.expirePartitions("db", "pepk", col("day") < "x"))
+    // auto mode: partition.expiration-time drops the stale day on commit
+    cat.createTable("db", "peauto", StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType))),
+      partitionBy = Seq("day"),
+      options = Map("partition.expiration-time" -> "30d"))
+    cat.append("db", "peauto",
+      Seq((1L, "2020-01-01")).toDF("id", "day"))
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    cat.append("db", "peauto", Seq((2L, today)).toDF("id", "day"))
+    assert(cat.read("db", "peauto").select("id").as[Long].collect().toSeq
+      === Seq(2L), "the 2020 partition must auto-expire on commit")
+  }
+
   test("incremental read between timestamps resolves commit times") {
     import spark.implicits._
     val cat = freshCatalog()
