@@ -980,6 +980,33 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           expireSnapshotsOlderThan(schema, table,
             System.currentTimeMillis() - ms)
         }
+      // Paimon's tag.automatic-creation (process-time): the first commit
+      // of each period pins its snapshot under a period-named tag —
+      // periodic savepoints as a table contract (a tag is a retention
+      // promise, so snapshot expiration keeps one image per period).
+      // `tag.num-retained-max` bounds the savepoint set: oldest
+      // PERIOD-NAMED tags beyond the cap are deleted; manually named
+      // tags are never touched.
+      if (opts.get("tag.automatic-creation").contains("process-time")) {
+        val period = opts.getOrElse("tag.creation-period", "daily")
+        val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
+        val name = period match {
+          case "daily" => now.toLocalDate.toString
+          case "hourly" =>
+            f"${now.toLocalDate} ${now.getHour}%02d".replace(' ', 'T')
+          case other => throw new IllegalArgumentException(
+            s"tag.creation-period must be daily|hourly, got '$other'")
+        }
+        val existing = tags(schema, table)
+        if (!existing.contains(name))
+          snapshots(schema, table).lastOption.foreach(s =>
+            createTag(schema, table, name, Some(s.id)))
+        opts.get("tag.num-retained-max").map(_.toInt).foreach { cap =>
+          val auto = tags(schema, table).keys.toSeq
+            .filter(_.matches("\\d{4}-\\d{2}-\\d{2}(T\\d{2})?")).sorted
+          auto.dropRight(cap).foreach(deleteTag(schema, table, _))
+        }
+      }
       // Paimon's partition.expiration-time: partitions whose DATE value
       // (parsed from the partition column named by
       // `partition.expiration.column`, default the first partition

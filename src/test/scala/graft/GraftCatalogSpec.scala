@@ -324,6 +324,36 @@ class GraftCatalogSpec extends SparkSpecBase {
       === Seq(2L), "the 2020 partition must auto-expire on commit")
   }
 
+  test("automatic tag creation pins the period's first commit; " +
+      "retention caps only period-named tags") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "at", abSchema,
+      options = Map("tag.automatic-creation" -> "process-time",
+        "tag.creation-period" -> "daily",
+        "tag.num-retained-max" -> "1"))
+    val today = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
+    val s1 = cat.append("db", "at", Seq((1L, "a")).toDF("id", "name"))
+    assert(cat.tags("db", "at").get(today).contains(s1),
+      "first commit of the period must be tagged")
+    // the second commit of the same period does NOT move the tag
+    cat.append("db", "at", Seq((2L, "b")).toDF("id", "name"))
+    assert(cat.tags("db", "at")(today) === s1)
+    // older period-named tags beyond the cap are deleted; manual tags
+    // are never touched
+    cat.createTag("db", "at", "2020-01-01", Some(s1))
+    cat.createTag("db", "at", "release-1", Some(s1))
+    cat.append("db", "at", Seq((3L, "c")).toDF("id", "name"))
+    val t = cat.tags("db", "at")
+    assert(!t.contains("2020-01-01"), "oldest period tag beyond cap drops")
+    assert(t.contains(today) && t.contains("release-1"))
+    // the auto tag pins expiration like any tag: the period's snapshot
+    // survives aggressive retention
+    cat.expireSnapshots("db", "at", keepLast = 1)
+    assert(cat.readTag("db", "at", today).count() === 1L)
+  }
+
   test("incremental read between timestamps resolves commit times") {
     import spark.implicits._
     val cat = freshCatalog()
