@@ -957,6 +957,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fromCompaction: Boolean): Unit =
     if (!fromCompaction) try {
       val opts = tableOptions(schema, table)
+      // Paimon's write-only: ingestion-only writers skip ALL commit-time
+      // maintenance (a dedicated maintenance job runs it elsewhere) —
+      // the latency knob for high-frequency streaming commits
+      if (opts.get("write-only").contains("true")) return
       opts.get("compaction.max-file-dirs").map(_.toInt).foreach { n =>
         compactIfNeeded(schema, table, maxFileDirs = n)
       }
@@ -972,6 +976,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def autoExpire(schema: String, table: String): Unit =
     try {
       val opts = tableOptions(schema, table)
+      if (opts.get("write-only").contains("true")) return // see autoMaintain
       opts.get("snapshot.num-retained").map(_.toInt).foreach { n =>
         expireSnapshots(schema, table, keepLast = n)
       }

@@ -884,6 +884,18 @@ class GraftCatalogSpec extends SparkSpecBase {
       options = Map("snapshot.time-retained" -> "soon")))
     intercept[IllegalArgumentException](
       cat.setTableOptions("db", "ar", Map("snapshot.time-retained" -> "5 fortnights")))
+    // write-only (Paimon's ingestion-latency knob): commit-time
+    // maintenance is suspended entirely; flipping it off resumes
+    cat.createTable("db", "ar3", abSchema,
+      options = Map("snapshot.num-retained" -> "1", "write-only" -> "true"))
+    (1 to 3).foreach(i =>
+      cat.append("db", "ar3", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    assert(cat.snapshots("db", "ar3").map(_.id) === Seq(1L, 2L, 3L),
+      "write-only must suspend auto-expiration")
+    cat.setTableOptions("db", "ar3", Map("write-only" -> "false"))
+    cat.append("db", "ar3", Seq((4L, "v4")).toDF("id", "name"))
+    assert(cat.snapshots("db", "ar3").map(_.id) === Seq(4L),
+      "clearing write-only must resume the retention contract")
   }
 
   test("consumer offsets pin unread snapshots through expiration") {
