@@ -135,6 +135,23 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"sequence.field $f: ${dt.simpleString} is not an orderable " +
           "sequence type (numeric/date/timestamp/string)")
     }
+    // Row-kind field (Paimon's `rowkind.field`): a STRING column OF THE
+    // TABLE carries each record's CDC kind — `-D`/`-U` rows act as
+    // retractions (tombstones), everything else upserts — so a raw CDC
+    // feed lands through plain [[upsert]] without a separate changelog
+    // pipeline. Deduplicate PK tables only, like sequence.field.
+    options.get("rowkind.field").foreach { f =>
+      require(primaryKey.nonEmpty, "rowkind.field requires a primary key")
+      val fld = structType.fields.find(_.name == f)
+      require(fld.isDefined, s"rowkind.field column $f not in schema")
+      require(!primaryKey.contains(f),
+        s"rowkind.field $f cannot be a primary-key column")
+      require(fld.get.dataType == org.apache.spark.sql.types.StringType,
+        s"rowkind.field $f must be a string column, got " +
+          fld.get.dataType.simpleString)
+      require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
+        "rowkind.field applies to the deduplicate merge engine only")
+    }
     // File format (Paimon's `file.format`, default parquet): ORC writes
     // through Spark's native ORC source — reads, merge-on-read, schema
     // evolution (write-time names, honored by ORC's by-name column
@@ -963,6 +980,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (opts.get("write-only").contains("true")) return
       opts.get("compaction.max-file-dirs").map(_.toInt).foreach { n =>
         compactIfNeeded(schema, table, maxFileDirs = n)
+      }
+      // Paimon's full-compaction.delta-commits: a FULL compact after
+      // every N data commits since the last compaction snapshot —
+      // the cadence knob for changelog-heavy PK tables where dir count
+      // alone understates merge debt (many small same-bucket versions).
+      opts.get("full-compaction.delta-commits").map(_.toInt).foreach { n =>
+        require(n >= 1, "full-compaction.delta-commits must be >= 1")
+        val m = readManifest(schema, table)
+        val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+        val since = (0 until snaps.size()).map(snaps.get)
+          .reverse.takeWhile(!_.has("compaction")).size
+        if (since >= n) compact(schema, table)
       }
       opts.get("compaction.min.small-files").map(_.toInt).foreach { n =>
         if (primaryKeyOf(schema, table).isEmpty) {
@@ -2858,7 +2887,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def upsert(schema: String, table: String, df: DataFrame): Long = {
     require(primaryKeyOf(schema, table).nonEmpty,
       s"$schema.$table has no primary key — use append")
-    append(schema, table, df)
+    // rowkind.field (Paimon): the batch carries its own CDC kinds — `-D`
+    // and `-U` rows retract their keys (tombstones, sequence-aware via
+    // mergeCommit), everything else upserts, in ONE atomic snapshot.
+    // The batch must be key-unique across the two sides (mergeCommit's
+    // contract — a key both upserted and retracted in one batch has no
+    // defined winner at a shared ordinal).
+    tableOptions(schema, table).get("rowkind.field") match {
+      case Some(rk) if df.columns.exists(_.equalsIgnoreCase(rk)) =>
+        val kind = org.apache.spark.sql.functions.upper(col(rk))
+        val isRetract = kind === "-D" || kind === "D" || kind === "-U"
+        val dels = df.filter(isRetract)
+        if (dels.isEmpty) append(schema, table, df)
+        else mergeCommit(schema, table, df.filter(!isRetract), dels)
+      case _ => append(schema, table, df)
+    }
   }
 
   /**

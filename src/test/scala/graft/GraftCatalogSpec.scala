@@ -324,6 +324,57 @@ class GraftCatalogSpec extends SparkSpecBase {
       === Seq(2L), "the 2020 partition must auto-expire on commit")
   }
 
+  test("rowkind.field: a CDC batch's -D/-U rows retract, others upsert, " +
+      "one atomic snapshot") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "rk", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("op", StringType))),
+      primaryKey = Seq("id"), options = Map("rowkind.field" -> "op"))
+    cat.upsert("db", "rk", Seq(
+      (1L, "a", "+I"), (2L, "b", "+I"), (3L, "c", "+I")).toDF("id", "v", "op"))
+    // batch 2: update 1, retract 2 (-D), retract 3 (-U) — one snapshot
+    cat.upsert("db", "rk", Seq(
+      (1L, "a2", "+U"), (2L, null, "-D"), (3L, null, "-U")).toDF("id", "v", "op"))
+    assert(cat.snapshots("db", "rk").size === 2, "one atomic snapshot per batch")
+    assert(cat.read("db", "rk").select("id", "v").as[(Long, String)]
+      .collect().toSet === Set((1L, "a2")))
+    // a kind-free batch (plain dimension load) upserts as usual
+    cat.upsert("db", "rk", Seq((4L, "d", "+I")).toDF("id", "v", "op"))
+    assert(cat.read("db", "rk").count() === 2)
+    // validation: string column of the table, PK required, not a PK col
+    intercept[IllegalArgumentException](cat.createTable("db", "rkbad", abSchema,
+      primaryKey = Seq("id"), options = Map("rowkind.field" -> "missing")))
+    intercept[IllegalArgumentException](cat.createTable("db", "rkbad2", abSchema,
+      options = Map("rowkind.field" -> "name")))
+    intercept[IllegalArgumentException](cat.createTable("db", "rkbad3", abSchema,
+      primaryKey = Seq("id"), options = Map("rowkind.field" -> "id")))
+  }
+
+  test("full-compaction.delta-commits compacts after every N data commits") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "fc", abSchema, primaryKey = Seq("id"),
+      options = Map("full-compaction.delta-commits" -> "3"))
+    (1 to 3).foreach(i =>
+      cat.upsert("db", "fc", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    // the 3rd data commit triggered a full compact: 4 snapshots, last
+    // one marked compaction; image intact
+    val snaps = cat.snapshots("db", "fc")
+    assert(snaps.size === 4, s"expected compact after 3 commits, got $snaps")
+    assert(cat.read("db", "fc").count() === 3)
+    // the counter reset: two more commits stay under the threshold
+    (4 to 5).foreach(i =>
+      cat.upsert("db", "fc", Seq((i.toLong, s"v$i")).toDF("id", "name")))
+    assert(cat.snapshots("db", "fc").size === 6)
+    cat.upsert("db", "fc", Seq((6L, "v6")).toDF("id", "name"))
+    assert(cat.snapshots("db", "fc").size === 8, "3rd post-compact commit retriggers")
+    assert(cat.read("db", "fc").count() === 6)
+  }
+
   test("automatic tag creation pins the period's first commit; " +
       "retention caps only period-named tags") {
     import spark.implicits._
