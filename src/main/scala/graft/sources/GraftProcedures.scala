@@ -116,6 +116,21 @@ object GraftProcedures {
       one("dropped", BooleanType),
       (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
         gc.dropConsumer(s, t, args(1).asInstanceOf[String]); Seq(true) }),
+    Spec("expire_partitions",
+      "drop every partition whose `column` date value is before " +
+        "before_date (yyyy-MM-dd); '' = the first partition column",
+      Seq(p("table", StringType), p("before_date", StringType),
+        pd("column", StringType, "''")),
+      one("expired", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        val colName = Some(args(2).asInstanceOf[String]).filter(_.nonEmpty)
+          .orElse(gc.partitionColumnsOf(s, t).headOption)
+          .getOrElse(throw new IllegalArgumentException(
+            s"$s.$t is not partitioned"))
+        import org.apache.spark.sql.functions.{col, lit}
+        Seq(gc.expirePartitions(s, t,
+          col(colName).cast(DateType) <
+            lit(args(1).asInstanceOf[String]).cast(DateType)).size.toLong) }),
     Spec("remove_orphan_files",
       "reclaim claimed-but-never-landed dirs older than grace_millis",
       Seq(p("table", StringType), pd("grace_millis", LongType, "3600000")),

@@ -87,6 +87,20 @@ class GraftProcedureSpec extends SparkSpecBase {
     assert(e.getMessage.contains("nope") || e.getMessage.contains("FAILED"))
   }
 
+  test("expire_partitions via CALL drops date partitions before the mark") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    gc.createTable("db", "pexp", StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType))),
+      partitionBy = Seq("day"))
+    gc.append("db", "pexp", Seq(
+      (1L, "2026-01-01"), (2L, "2026-08-01")).toDF("id", "day"))
+    val n = spark.sql("CALL gp.sys.expire_partitions(table => 'db.pexp', " +
+      "before_date => '2026-06-01')").head().getLong(0)
+    assert(n === 1L)
+    assert(gc.read("db", "pexp").select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("consumer procedures: set pins history through expiration, drop releases") {
     mk("p5")
     assert(spark.sql("CALL gp.sys.set_consumer('db.p5', 'etl', 2)")
