@@ -152,6 +152,26 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // rowkind.field CDC ingestion: a PK table whose batches carry their
+    // own row kinds — batch 2 updates every 10th doc and retracts the
+    // %7==3 docs (minus the updated overlap) through plain upsert();
+    // the final image is hash-checked against DuckDB computing the same
+    // CDC outcome.
+    "catalog_rowkind" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+        .withColumn("op", lit("+I"))
+      cat.createTable("q", t, d.schema, primaryKey = Seq("doc_id"),
+        options = Map("rowkind.field" -> "op"))
+      cat.upsert("q", t, d)
+      val upd = d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("UPD")).withColumn("op", lit("+U"))
+      val del = d.filter(col("doc_id") % 7 === 3 && col("doc_id") % 10 =!= 0)
+        .withColumn("op", lit("-D"))
+      cat.upsert("q", t, upd.unionByName(del))
+      cat.read("q", t).select("doc_id", "lang").orderBy("doc_id")
+    }),
     // Partition census from GROUPED metadata-only aggregates: a
     // partitioned append table's GROUP BY over the partition column
     // collapses to a LocalTableScan (required in-query: zero files
@@ -600,6 +620,12 @@ object CatalogQueries {
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS mn,
         |  max(doc_id) AS mx
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "catalog_rowkind" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPD' ELSE lang END AS lang
+        |FROM documents
+        |WHERE NOT (doc_id % 7 = 3 AND doc_id % 10 <> 0)
+        |ORDER BY doc_id""".stripMargin,
     "catalog_delete_vectors" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 5 <> 0 AND doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,

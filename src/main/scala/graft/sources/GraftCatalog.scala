@@ -149,8 +149,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(fld.get.dataType == org.apache.spark.sql.types.StringType,
         s"rowkind.field $f must be a string column, got " +
           fld.get.dataType.simpleString)
-      require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
-        "rowkind.field applies to the deduplicate merge engine only")
+      require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate" ||
+        options.get("ignore-delete").contains("true"),
+        "rowkind.field on a field-wise merge engine requires " +
+          "ignore-delete=true (no tombstone path exists there)")
     }
     // File format (Paimon's `file.format`, default parquet): ORC writes
     // through Spark's native ORC source — reads, merge-on-read, schema
@@ -2893,13 +2895,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // The batch must be key-unique across the two sides (mergeCommit's
     // contract — a key both upserted and retracted in one batch has no
     // defined winner at a shared ordinal).
-    tableOptions(schema, table).get("rowkind.field") match {
+    val opts = tableOptions(schema, table)
+    opts.get("rowkind.field") match {
       case Some(rk) if df.columns.exists(_.equalsIgnoreCase(rk)) =>
         val kind = org.apache.spark.sql.functions.upper(col(rk))
         val isRetract = kind === "-D" || kind === "D" || kind === "-U"
-        val dels = df.filter(isRetract)
-        if (dels.isEmpty) append(schema, table, df)
-        else mergeCommit(schema, table, df.filter(!isRetract), dels)
+        // ignore-delete (Paimon): drop retractions instead of
+        // tombstoning — the CDC-fed-patch-table mode
+        if (opts.get("ignore-delete").contains("true"))
+          append(schema, table, df.filter(!isRetract))
+        else {
+          val dels = df.filter(isRetract)
+          if (dels.isEmpty) append(schema, table, df)
+          else mergeCommit(schema, table, df.filter(!isRetract), dels)
+        }
       case _ => append(schema, table, df)
     }
   }
@@ -2963,6 +2972,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(batch.columns.contains(RowKindCol),
       s"changelog batch needs a $RowKindCol column")
     if (batchId.exists(_ <= lastStreamBatchId(schema, table))) return None
+    // Paimon's `ignore-delete`: retractions are silently DROPPED and the
+    // upserts land as a plain data commit — which also lets field-wise
+    // merge engines (partial-update patch feeds) consume changelogs,
+    // since no tombstone path is needed.
+    if (tableOptions(schema, table).get("ignore-delete").contains("true")) {
+      val ups = batch.filter(col(RowKindCol).isin("+I", "+U")).drop(RowKindCol)
+      return Some(commit(schema, table, ups, keepExisting = true,
+        streamBatchId = batchId))
+    }
     val upserts = batch.filter(col(RowKindCol).isin("+I", "+U")).drop(RowKindCol)
     // `-D` rows keep the sequence column when the replica declares one:
     // a stale source tombstone then loses the replica's own version race

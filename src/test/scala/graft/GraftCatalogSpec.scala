@@ -353,6 +353,44 @@ class GraftCatalogSpec extends SparkSpecBase {
       primaryKey = Seq("id"), options = Map("rowkind.field" -> "id")))
   }
 
+  test("ignore-delete drops retractions: rowkind batches and changelog " +
+      "apply land upserts only, enabling field-wise replica feeds") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    // rowkind + ignore-delete on a PARTIAL-UPDATE table: -D rows vanish,
+    // patches fold field-wise
+    cat.createTable("db", "ig", StructType(Seq(
+      StructField("id", LongType), StructField("a", StringType),
+      StructField("b", StringType), StructField("op", StringType))),
+      primaryKey = Seq("id"),
+      options = Map("merge-engine" -> "partial-update",
+        "rowkind.field" -> "op", "ignore-delete" -> "true"))
+    cat.upsert("db", "ig", Seq(
+      (1L, Option("a1"), Option.empty[String], "+I"),
+      (2L, Option("a2"), Option("b2"), "+I")).toDF("id", "a", "b", "op"))
+    cat.upsert("db", "ig", Seq(
+      (1L, Option.empty[String], Option("b1"), "+U"),
+      (2L, Option.empty[String], Option.empty[String], "-D")).toDF("id", "a", "b", "op"))
+    // id 1 patched field-wise; id 2's delete was IGNORED
+    assert(cat.read("db", "ig").select("id", "a", "b").as[(Long, String, String)]
+      .collect().toSet === Set((1L, "a1", "b1"), (2L, "a2", "b2")))
+    // applyChangelog with -D on an ignore-delete table: retraction dropped
+    cat.createTable("db", "ig2", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType))),
+      primaryKey = Seq("id"), options = Map("ignore-delete" -> "true"))
+    cat.upsert("db", "ig2", Seq((1L, "x")).toDF("id", "v"))
+    cat.applyChangelog("db", "ig2", Seq(
+      (2L, "y", "+I"), (1L, "x", "-D")).toDF("id", "v", "_row_kind"))
+    assert(cat.read("db", "ig2").select("id").as[Long].collect().toSet
+      === Set(1L, 2L), "the -D must be ignored, not tombstoned")
+    // without ignore-delete, rowkind.field on field-wise engines refuses
+    intercept[IllegalArgumentException](cat.createTable("db", "igbad",
+      StructType(Seq(StructField("id", LongType), StructField("op", StringType))),
+      primaryKey = Seq("id"),
+      options = Map("merge-engine" -> "partial-update", "rowkind.field" -> "op")))
+  }
+
   test("full-compaction.delta-commits compacts after every N data commits") {
     import spark.implicits._
     val cat = freshCatalog()
