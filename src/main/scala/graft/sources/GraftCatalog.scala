@@ -574,7 +574,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // inherits the previous file list MINUS these dirs, plus the new
       // dir — older snapshots still reference them (time travel), and
       // expiration reclaims them once unreferenced.
-      replacedDirs: Set[String] = Set.empty): Long = {
+      replacedDirs: Set[String] = Set.empty,
+      // Options applied atomically WITH the snapshot in the same manifest
+      // CAS — the bucket-rescale path: data written under the new layout
+      // and the option that describes it become visible together.
+      optionOverrides: Map[String, String] = Map.empty): Long = {
     val m = readManifest(schema, table)
     // Derived-content commits (DV deletes) pass the manifest version their
     // victims were computed against: if the head advanced in between (a
@@ -638,7 +642,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // one bucket across ALL deltas and merge-on-read never crosses
     // buckets (see bucketedResolve). Delete frames carry the PK columns,
     // so the same hash applies.
-    val buckets = bucketCount(m).filter(_ => primaryKey(m).nonEmpty)
+    val buckets = optionOverrides.get("bucket").map(_.toInt)
+      .orElse(bucketCount(m)).filter(_ => primaryKey(m).nonEmpty)
     def write(frame: DataFrame, toDir: String, frameKind: String): Unit = {
       val (toWrite, bucketPart) = buckets match {
         case Some(n) =>
@@ -742,6 +747,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             replacedDirs.isEmpty)
           Some(sn2.get(sn2.size() - 1).get("id").asLong())
         else None
+      if (optionOverrides.nonEmpty) {
+        val on = if (mm.has("options")) mm.get("options").asInstanceOf[ObjectNode]
+          else mm.putObject("options")
+        optionOverrides.foreach { case (k, v) => on.put(k, v) }
+      }
       val sn = sn2.addObject()
       sn.put("id", landId)
       sn.put("timestampMillis",
@@ -1226,6 +1236,35 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def compact(schema: String, table: String): Long =
     commit(schema, table, read(schema, table), keepExisting = false,
       compaction = true)
+
+  /**
+   * Bucket rescaling (Paimon's `rescale` maintenance action): rewrite
+   * the table's full merged image under a NEW bucket count and flip the
+   * `bucket` option in the SAME manifest CAS — a reader before the
+   * commit sees the old layout with the old option, a reader after sees
+   * the new pair; no mixed state is ever observable, which is why the
+   * option is immutable through [[setTableOptions]]. The rewrite is
+   * compaction-marked (bytes move, logical content doesn't — changelog
+   * consumers stay silent) and carries the basis-version fence, so a
+   * concurrent commit aborts the rescale instead of being swallowed by
+   * its overwrite. Time travel to pre-rescale snapshots still resolves
+   * under the OLD count (bucket membership is read from the `__bucket=k`
+   * dirs of each snapshot's own files).
+   */
+  def rescaleBucket(schema: String, table: String, newBuckets: Int): Long = {
+    require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
+    val m = readManifest(schema, table)
+    val old = bucketCount(m).getOrElse(throw new IllegalArgumentException(
+      s"$schema.$table is not bucketed — set `bucket` at create"))
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val headId = if (snaps.size() == 0) 0L
+      else snaps.get(snaps.size() - 1).get("id").asLong()
+    if (old == newBuckets) return headId
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    commit(schema, table, read(schema, table), keepExisting = false,
+      compaction = true, basisVersion = Some(basis),
+      optionOverrides = Map("bucket" -> newBuckets.toString))
+  }
 
   /**
    * Sort-compaction (Paimon's `sort-compact` / order-by maintenance):
@@ -2609,7 +2648,24 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val outSchema = StructType(curFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     val pk = primaryKey(m)
-    val wanted: Seq[Int] = onlyBuckets.getOrElse(0 until n)
+    // Enumerate the buckets that actually EXIST in this snapshot's dirs
+    // rather than trusting the current `bucket` option: after a
+    // rescaleBucket, older snapshots keep their original layout (a
+    // different k range) and must resolve under it — the option only
+    // describes the CURRENT snapshot. O(dirs) metadata listings.
+    val wanted: Seq[Int] = onlyBuckets.getOrElse {
+      val seen = mutable.SortedSet[Int](0 until n: _*)
+      entries.foreach { fe =>
+        val base = new Path(tablePath(schema, table), fe.dir)
+        if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith(s"$BucketCol="))
+            scala.util.Try(nm.stripPrefix(s"$BucketCol=").toInt)
+              .foreach(seen += _)
+        }
+      }
+      seen.toSeq
+    }
     val legs = wanted.flatMap { k =>
       val frames = entries.flatMap { fe =>
         val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")

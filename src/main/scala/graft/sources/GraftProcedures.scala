@@ -116,6 +116,13 @@ object GraftProcedures {
       one("dropped", BooleanType),
       (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
         gc.dropConsumer(s, t, args(1).asInstanceOf[String]); Seq(true) }),
+    Spec("rescale",
+      "rewrite a bucketed PK table under a new bucket count " +
+        "(layout and option flip in one atomic snapshot)",
+      Seq(p("table", StringType), p("buckets", IntegerType)),
+      one("snapshot_id", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        Seq(gc.rescaleBucket(s, t, args(1).asInstanceOf[Int])) }),
     Spec("expire_partitions",
       "drop every partition whose `column` date value is before " +
         "before_date (yyyy-MM-dd); '' = the first partition column",

@@ -353,6 +353,41 @@ class GraftCatalogSpec extends SparkSpecBase {
       primaryKey = Seq("id"), options = Map("rowkind.field" -> "id")))
   }
 
+  test("rescaleBucket: layout and option flip atomically, old snapshots " +
+      "resolve under their own layout") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-rs-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "rs", abSchema, Map("bucket" -> "4"),
+      primaryKey = Seq("id"))
+    cat.upsert("db", "rs", (1L to 40L).map(i => (i, s"v$i")).toDF("id", "name"))
+    cat.upsert("db", "rs", Seq((7L, "v7b"), (41L, "v41")).toDF("id", "name"))
+    val pre = cat.read("db", "rs").as[(Long, String)].collect().toSet
+    val preHead = cat.snapshots("db", "rs").last.id
+    val sid = cat.rescaleBucket("db", "rs", 2)
+    assert(cat.bucketCountOf("db", "rs").contains(2))
+    assert(cat.read("db", "rs").as[(Long, String)].collect().toSet === pre)
+    // the rewritten snapshot's dirs carry only the new bucket range
+    val tdir = new java.io.File(wh, s"db/rs/snap-$sid")
+    val ks = tdir.listFiles().map(_.getName).filter(_.startsWith("__bucket=")).sorted
+    assert(ks.toSeq === Seq("__bucket=0", "__bucket=1"), ks.mkString(","))
+    // time travel BEFORE the rescale resolves under the OLD 4-bucket
+    // layout (count derived from the snapshot's own dirs, not the option)
+    assert(cat.read("db", "rs", snapshotId = Some(preHead))
+      .as[(Long, String)].collect().toSet === pre)
+    // post-rescale upserts merge under the new layout
+    cat.upsert("db", "rs", Seq((7L, "v7c")).toDF("id", "name"))
+    assert(cat.read("db", "rs").filter(col("id") === 7L)
+      .as[(Long, String)].head()._2 === "v7c")
+    // no-op rescale returns the head without a new snapshot
+    val before = cat.snapshots("db", "rs").size
+    cat.rescaleBucket("db", "rs", 2)
+    assert(cat.snapshots("db", "rs").size === before)
+    intercept[IllegalArgumentException](cat.rescaleBucket("db", "rs", 0))
+    intercept[IllegalArgumentException](cat.rescaleBucket("db", "t_nope", 2))
+  }
+
   test("ignore-delete drops retractions: rowkind batches and changelog " +
       "apply land upserts only, enabling field-wise replica feeds") {
     import spark.implicits._
