@@ -152,6 +152,41 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Bucket rescale mid-history: the same MoR state as
+    // catalog_bucketed_mor, rescaled 8 -> 3 buckets after the deltas,
+    // then ANOTHER upsert under the new layout — the final image must be
+    // invariant to the rescale (hash-checked against DuckDB).
+    "catalog_rescale" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, options = Map("bucket" -> "8"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.rescaleBucket("q", t, 3)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 13 === 1).withColumn("lang", lit("POST")))
+      cat.read("q", t).orderBy("doc_id")
+    }),
+    // Partition expiration: documents partitioned by source; expiring
+    // one source drops its partition (whole dirs where pure, survivor
+    // rewrite where mixed) and the remaining image hash-matches DuckDB
+    // filtering the raw table.
+    "catalog_partition_expire" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "source")
+      cat.createTable("q", t, d.schema, partitionBy = Seq("source"))
+      cat.append("q", t, d.filter(col("doc_id") < 200))
+      cat.append("q", t, d.filter(col("doc_id") >= 200))
+      val victim = d.select("source").orderBy("source").limit(1)
+        .collect().head.getString(0)
+      cat.expirePartitions("q", t, col("source") === victim)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // rowkind.field CDC ingestion: a PK table whose batches carry their
     // own row kinds — batch 2 updates every 10th doc and retracts the
     // %7==3 docs (minus the updated overlap) through plain upsert();
@@ -620,6 +655,17 @@ object CatalogQueries {
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS mn,
         |  max(doc_id) AS mx
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "catalog_rescale" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 1 THEN 'POST'
+        |       WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 OR doc_id % 13 = 1
+        |ORDER BY doc_id""".stripMargin,
+    "catalog_partition_expire" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE source <> (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "catalog_rowkind" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPD' ELSE lang END AS lang
