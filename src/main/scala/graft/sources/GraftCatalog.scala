@@ -1628,7 +1628,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(pcols.nonEmpty, s"$schema.$table is not partitioned")
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     if (snaps.size() == 0) return Seq.empty
-    val entries = filesOf(snaps.get(snaps.size() - 1)).filter(_.kind == "data")
+    val allEntries = filesOf(snaps.get(snaps.size() - 1)).filter(_.kind == "data")
+    // Candidate prefilter from the head's dir-level zones (partition
+    // columns carry path-segment zones): a dir the evaluator PROVES
+    // cannot hold a row matching `where` holds no expired partition, so
+    // its recursive listing is skipped. Steady-state auto mode on a
+    // time-partitioned table costs ZERO listings per commit — old dirs
+    // drop once, new dirs' zones refute the cutoff. Conservative: dirs
+    // without stats or unmodeled predicate shapes stay candidates.
+    val resolvedCond = read(schema, table).filter(where)
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+    val headStats = dirStatsFrom(m)
+    val entries = resolvedCond match {
+      case Some(cond) => allEntries.filter(fe =>
+        headStats.get(fe.dir).forall(FileStats.mightMatch(_, cond)))
+      case None => allEntries
+    }
+    if (entries.isEmpty) return Seq.empty
     // live partition paths per dir: one recursive metadata listing
     val dirParts: Map[String, Set[String]] = entries.map { fe =>
       val basePath = new Path(tablePath(schema, table), fe.dir)
