@@ -176,6 +176,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             "sized from parquet footer row counts)")
       }
     }
+    // File compression (Paimon's `file.compression`): per-table codec,
+    // validated against what the chosen format's Spark writer accepts.
+    options.get("file.compression").foreach { c =>
+      val fmt = options.getOrElse("file.format", "parquet")
+      val valid =
+        if (fmt == "orc") Set("none", "snappy", "zlib", "zstd", "lz4")
+        else Set("none", "uncompressed", "snappy", "gzip", "zstd", "lz4")
+      require(valid(c.toLowerCase(java.util.Locale.ROOT)),
+        s"file.compression '$c' is not a valid $fmt codec " +
+          s"(${valid.toSeq.sorted.mkString(", ")})")
+    }
     // Retention policy options (Paimon's snapshot.num-retained /
     // snapshot.time-retained): applied automatically after every commit
     // (see autoExpire) — validated here AND in setTableOptions (mutable).
@@ -653,7 +664,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // DV sidecar frames stay parquet regardless of the table's data
       // format (DVs exist only on parquet tables — validated at create)
       val fmt = if (frameKind == "dv") "parquet" else fileFormat(m)
-      val writer = toWrite.write.mode("overwrite").format(fmt)
+      val writer0 = toWrite.write.mode("overwrite").format(fmt)
+      // Paimon's file.compression: per-table codec for data files
+      // (engine default — snappy — when unset). DV sidecars keep the
+      // default; they are position lists, not data.
+      val writer = fileCompression(m).filter(_ => frameKind != "dv")
+        .map(c => writer0.option("compression", c)).getOrElse(writer0)
       val parted =
         (if (frameKind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
       (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
@@ -2798,6 +2814,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("file.format")) opts.get("file.format").asText()
     else "parquet"
+  }
+
+  private def fileCompression(m: ObjectNode): Option[String] = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts != null && opts.has("file.compression"))
+      Some(opts.get("file.compression").asText())
+    else None
   }
 
   private def sequenceField(m: ObjectNode): Option[String] = {

@@ -353,6 +353,30 @@ class GraftCatalogSpec extends SparkSpecBase {
       primaryKey = Seq("id"), options = Map("rowkind.field" -> "id")))
   }
 
+  test("file.compression picks the data codec; invalid codecs refuse") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-fc-wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "z", abSchema,
+      options = Map("file.compression" -> "zstd"))
+    cat.append("db", "z", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val files = new java.io.File(wh, "db/z/snap-1").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains(".zstd.")),
+      s"expected zstd files, got ${files.mkString(",")}")
+    assert(cat.read("db", "z").count() === 2)
+    intercept[IllegalArgumentException](cat.createTable("db", "zbad", abSchema,
+      options = Map("file.compression" -> "brotli9000")))
+    // ORC codec set differs: zlib valid there, gzip is not
+    cat.createTable("db", "zo", abSchema,
+      options = Map("file.format" -> "orc", "file.compression" -> "zlib"))
+    cat.append("db", "zo", Seq((1L, "a")).toDF("id", "name"))
+    assert(cat.read("db", "zo").count() === 1)
+    intercept[IllegalArgumentException](cat.createTable("db", "zobad", abSchema,
+      options = Map("file.format" -> "orc", "file.compression" -> "gzip")))
+  }
+
   test("rescaleBucket: layout and option flip atomically, old snapshots " +
       "resolve under their own layout") {
     import spark.implicits._
