@@ -3681,7 +3681,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       maxRowsPerTrigger: Option[Long] = None,
       consumerId: Option[String] = None,
       scanMode: String = "full",
-      fromTimestampMillis: Option[Long] = None): DataFrame = {
+      fromTimestampMillis: Option[Long] = None,
+      consumerIgnoreProgress: Boolean = false): DataFrame = {
     require(mode == "upsert" || mode == "full",
       s"changelog mode must be 'upsert' or 'full', got '$mode'")
     // fail at stream definition, not first micro-batch. Upsert mode needs
@@ -3708,6 +3709,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     consumerId.foreach(c => r.option("consumerId", c))
     r.option("scanMode", scanMode)
     fromTimestampMillis.foreach(t => r.option("fromTimestampMillis", t.toString))
+    if (consumerIgnoreProgress) r.option("consumerIgnoreProgress", "true")
     r.load()
   }
 

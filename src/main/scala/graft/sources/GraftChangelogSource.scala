@@ -101,7 +101,8 @@ class GraftChangelogProvider extends StreamSourceProvider with DataSourceRegiste
       p.get("consumerid"),
       // fromTimestampMillis alone implies from-timestamp
       if (fromTs.nonEmpty) "from-timestamp" else scanMode,
-      fromTs)
+      fromTs,
+      p.get("consumerignoreprogress").exists(_.toBoolean))
   }
 }
 
@@ -112,7 +113,13 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
     maxRowsPerTrigger: Option[Long] = None,
     consumerId: Option[String] = None,
     scanMode: String = "full",
-    fromTimestampMillis: Option[Long] = None) extends Source {
+    fromTimestampMillis: Option[Long] = None,
+    // Paimon's consumer.ignore-progress: keep COMMITTING to the named
+    // consumer (expiration pins, offset advances) but do not RESUME from
+    // it — the start position comes from scanMode/fromSnapshotId as if
+    // no consumer existed. For re-reading history under a live consumer
+    // registration (backfill, debugging) without losing its pins.
+    consumerIgnoreProgress: Boolean = false) extends Source {
 
   private val gc = new GraftCatalog(spark, warehouse)
 
@@ -130,7 +137,7 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
   // (id, timestampMillis) pairs for the first commit at/after the
   // requested time and starts just before it (one manifest-head read).
   private val startSnapshotId: Long =
-    consumerId.filter(_ => fromSnapshotId == 0L)
+    consumerId.filter(_ => fromSnapshotId == 0L && !consumerIgnoreProgress)
       .flatMap(cid => gc.consumerOffsets(schemaName, tableName).get(cid))
       .map(next => math.max(0L, next - 1))
       .getOrElse {
@@ -160,10 +167,19 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
   private var lastPlanned: Long = startSnapshotId
 
   override def getOffset: Option[Offset] = {
-    val latest = gc.snapshots(schemaName, tableName)
-      .lastOption.map(_.id).getOrElse(0L)
-    var capped = maxSnapshotsPerTrigger
-      .map(n => math.min(latest, lastPlanned + n)).getOrElse(latest)
+    // Rate-limit along EXISTING snapshot ids, not id arithmetic: the log
+    // can have gaps (expiration keeps tag/consumer-pinned middles and
+    // drops around them; a fresh full read of a partially-expired table
+    // starts before the retained floor), and planning an expired id as a
+    // batch boundary would fail its entriesAt lookup.
+    val ids = gc.snapshots(schemaName, tableName).map(_.id)
+    val latest = ids.lastOption.getOrElse(0L)
+    var capped = maxSnapshotsPerTrigger match {
+      case Some(n) =>
+        val ahead = ids.filter(_ > lastPlanned)
+        if (ahead.isEmpty) lastPlanned else ahead.take(n).last
+      case None => latest
+    }
     // Advisory data-volume cap: shrink the snapshot range so cumulative
     // NEW rows (head-aggregate metadata, no file I/O) stay under the
     // cap. The first snapshot is always taken — the snapshot is the

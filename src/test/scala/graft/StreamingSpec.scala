@@ -485,6 +485,32 @@ class StreamingSpec extends SparkSpecBase {
     cat.expireSnapshots("db", "c1", keepLast = 1)
     assert(cat.snapshots("db", "c1").map(_.id).min === 2L)
     run(Seq(3L, 4L, 5L)) // replays from the pinned offset
+    // consumer.ignore-progress: the consumer's recorded position is NOT
+    // the start (scanMode decides — here full history; the first batch
+    // lands the retained floor's cumulative image, since older snapshots
+    // expired), but batch commits still advance the durable offset. Also
+    // exercises gap-stepping: the log's earliest retained id is 2, so the
+    // per-snapshot rate limiter must not plan the expired id 1.
+    cat.commitConsumerOffset("db", "c1", "etl", 4L)
+    val seen = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q2 = cat.readChangelogStream("db", "c1",
+        maxSnapshotsPerTrigger = Some(1), consumerId = Some("etl"),
+        consumerIgnoreProgress = true)
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cons-ckpt2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = b.select("id").as[Long].collect().sorted.toSeq
+        seen.synchronized { seen += ids }; ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.synchronized(seen.toList) ===
+      List(Seq(1L, 2L), Seq(3L), Seq(4L), Seq(5L)),
+      "ignore-progress must re-read history (floor image first), " +
+        s"got ${seen.synchronized(seen.toList)}")
+    assert(cat.consumerOffsets("db", "c1") === Map("etl" -> 5L),
+      "commits still advance the consumer under ignore-progress")
   }
 
   test("changelog rate limit: maxRowsPerTrigger packs small snapshots, " +
