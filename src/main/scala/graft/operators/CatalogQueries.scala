@@ -57,6 +57,23 @@ object CatalogQueries {
       val s2 = cat.append("q", t, d.filter(col("doc_id") % 2 =!= 0))
       cat.readIncremental("q", t, s1, s2).orderBy("doc_id")
     }),
+    // Timestamp-ranged incremental (incremental-between-timestamp): the
+    // wall-clock marks come from the snapshot log itself — between
+    // snapshot 1's commit time and snapshot 3's, the delta is exactly
+    // the rows of snapshots 2 and 3.
+    "catalog_incremental_ts" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "source", "n_chars")
+      cat.createTable("q", t, d.schema)
+      cat.append("q", t, d.filter(col("doc_id") % 3 === 0))
+      cat.append("q", t, d.filter(col("doc_id") % 3 === 1))
+      cat.append("q", t, d.filter(col("doc_id") % 3 === 2))
+      val snaps = cat.snapshots("q", t)
+      cat.readIncrementalBetweenTimestamps("q", t,
+          snaps.head.timestampMillis, snaps.last.timestampMillis)
+        .orderBy("doc_id")
+    }),
     // PK table: full upsert, partial re-upsert (lang rewritten), tombstone
     // delete — the merge-on-read read must resolve newest-wins minus
     // deleted keys.
@@ -734,6 +751,9 @@ object CatalogQueries {
     "catalog_incremental" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id % 2 <> 0 ORDER BY doc_id""".stripMargin,
+    "catalog_incremental_ts" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     "catalog_upsert_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
