@@ -204,6 +204,26 @@ object CatalogQueries {
       cat.expirePartitions("q", t, col("source") === victim)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Dynamic partition overwrite: backfill ONE source partition with
+    // modified rows — only that partition is replaced, the rest of the
+    // table is untouched, hash-checked against DuckDB composing the same
+    // image.
+    "catalog_dynamic_overwrite" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "source")
+      cat.createTable("q", t, d.schema, partitionBy = Seq("source"))
+      cat.append("q", t, d.filter(col("doc_id") < 250))
+      cat.append("q", t, d.filter(col("doc_id") >= 250))
+      val victim = d.select("source").orderBy("source").limit(1)
+        .collect().head.getString(0)
+      // the backfill: same docs of that source, lang rewritten, doc_id
+      // shifted — a changed regeneration of one partition
+      cat.overwriteDynamic("q", t, d.filter(col("source") === victim)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          lit("REGEN").as("lang"), col("source")))
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // rowkind.field CDC ingestion: a PK table whose batches carry their
     // own row kinds — batch 2 updates every 10th doc and retracts the
     // %7==3 docs (minus the updated overlap) through plain upsert();
@@ -682,6 +702,14 @@ object CatalogQueries {
     "catalog_partition_expire" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE source <> (SELECT min(source) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "catalog_dynamic_overwrite" ->
+      """WITH v AS (SELECT min(source) AS s FROM documents)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE source <> (SELECT s FROM v)
+        |UNION ALL
+        |SELECT doc_id + 500000 AS doc_id, 'REGEN' AS lang, source
+        |FROM documents WHERE source = (SELECT s FROM v)
         |ORDER BY doc_id""".stripMargin,
     "catalog_rowkind" ->
       """SELECT doc_id,

@@ -571,6 +571,44 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def overwrite(schema: String, table: String, df: DataFrame): Long =
     commit(schema, table, df, keepExisting = false)
 
+  /**
+   * Dynamic partition overwrite (Paimon's `dynamic-partition-overwrite`):
+   * replace ONLY the identity partitions present in `df`, leaving every
+   * other partition untouched — the idempotent-backfill write (re-run a
+   * day's job, only that day's partition is replaced). One snapshot:
+   * dirs whose live files all belong to replaced partitions are dropped
+   * with zero data I/O, dirs mixing replaced and untouched partitions
+   * rewrite only their untouched rows, and the new data lands alongside
+   * — the same replace-subset mechanics as [[expirePartitions]]. Like
+   * any overwrite, no row-kinded retraction exists for the replaced
+   * image — pause changelog consumers across it. Append-only partitioned
+   * tables only.
+   */
+  def overwriteDynamic(schema: String, table: String, df: DataFrame): Long = {
+    val pcols = partitionColumnsOf(schema, table)
+    require(pcols.nonEmpty,
+      s"$schema.$table is not partitioned — use overwrite")
+    require(primaryKeyOf(schema, table).isEmpty,
+      s"$schema.$table has a primary key — upsert is the per-key " +
+        "overwrite; dynamic partition overwrite serves append-only tables")
+    // distinct partition tuples present in the incoming data — the
+    // replace set (delta-sized aggregate, collected: one row per
+    // incoming partition, metadata-sized by construction)
+    val incoming = df.select(pcols.map(col): _*).distinct().collect()
+    // an empty frame names no partitions — nothing to replace, no-op
+    // (a FULL overwrite-to-empty is overwrite()'s job, never implicit)
+    if (incoming.isEmpty)
+      return snapshots(schema, table).lastOption.map(_.id).getOrElse(0L)
+    val matchTuple = incoming.map { r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        if (r.isNullAt(i)) col(c).isNull else col(c) === lit(r.get(i))
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    replacePartitions(schema, table, matchTuple, Some(df))._2
+      .getOrElse(throw new IllegalStateException(
+        "dynamic overwrite committed nothing")) // unreachable: newData set
+  }
+
   private def commit(schema: String, table: String, df: DataFrame,
       keepExisting: Boolean, streamBatchId: Option[Long] = None,
       kind: String = "data", deleteDf: Option[DataFrame] = None,
@@ -1631,7 +1669,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * Returns the expired partition paths (`c1=v1[/c2=v2]`), sorted.
    */
   def expirePartitions(schema: String, table: String,
-      where: org.apache.spark.sql.Column): Seq[String] = {
+      where: org.apache.spark.sql.Column): Seq[String] =
+    replacePartitions(schema, table, where, None)._1
+
+  /** Shared partition-replacement commit behind [[expirePartitions]]
+    * (drop only) and [[overwriteDynamic]] (drop + land replacement
+    * data). Returns (replaced partition paths, committed snapshot id).
+    */
+  private def replacePartitions(schema: String, table: String,
+      where: org.apache.spark.sql.Column,
+      newData: Option[DataFrame]): (Seq[String], Option[Long]) = {
     import scala.jdk.CollectionConverters._
     val m = readManifest(schema, table)
     require(primaryKey(m).isEmpty,
@@ -1643,7 +1690,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val pcols = partitionColumnsOf(schema, table)
     require(pcols.nonEmpty, s"$schema.$table is not partitioned")
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return Seq.empty
+    if (snaps.size() == 0) return (Seq.empty,
+      newData.map(d => commit(schema, table, d, keepExisting = true)))
     val allEntries = filesOf(snaps.get(snaps.size() - 1)).filter(_.kind == "data")
     // Candidate prefilter from the head's dir-level zones (partition
     // columns carry path-segment zones): a dir the evaluator PROVES
@@ -1662,7 +1710,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         headStats.get(fe.dir).forall(FileStats.mightMatch(_, cond)))
       case None => allEntries
     }
-    if (entries.isEmpty) return Seq.empty
+    if (entries.isEmpty) return (Seq.empty,
+      newData.map(d => commit(schema, table, d, keepExisting = true)))
     // live partition paths per dir: one recursive metadata listing
     val dirParts: Map[String, Set[String]] = entries.map { fe =>
       val basePath = new Path(tablePath(schema, table), fe.dir)
@@ -1682,7 +1731,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fe.dir -> acc.toSet
     }.toMap
     val allParts = dirParts.values.flatten.toSet.toSeq.sorted
-    if (allParts.isEmpty) return Seq.empty
+    if (allParts.isEmpty) return (Seq.empty,
+      newData.map(d => commit(schema, table, d, keepExisting = true)))
     // Evaluate `where` over the distinct partition tuples, typed exactly
     // as Spark partition discovery types them: unescape the path value,
     // NULL for the default-partition token, explicit cast to the
@@ -1706,7 +1756,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }: _*)
     val expired = typed.filter(where).select("__part")
       .collect().map(_.getString(0)).toSet
-    if (expired.isEmpty) return Seq.empty
+    if (expired.isEmpty) return (Seq.empty,
+      newData.map(d => commit(schema, table, d, keepExisting = true)))
     val affected = entries.filter(fe => dirParts(fe.dir).exists(expired.contains))
     val mixed = affected.filter(fe => !dirParts(fe.dir).forall(expired.contains))
     val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
@@ -1714,14 +1765,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // cannot decide must NOT silently vanish from a rewritten dir.
     val keep = org.apache.spark.sql.functions.not(
       org.apache.spark.sql.functions.coalesce(where, lit(false)))
-    val img = mixed.map(fe => frameFor(schema, table, m, fe)
+    val survivors = mixed.map(fe => frameFor(schema, table, m, fe)
         .drop("__ord", "__del").filter(keep))
       .reduceOption(_ unionByName _)
-      .getOrElse(emptyFrame(m))
-    commit(schema, table, img, keepExisting = true,
+    val img = (survivors, newData) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => emptyFrame(m)
+    }
+    val sid = commit(schema, table, img, keepExisting = true,
       replacedDirs = affected.map(_.dir).toSet,
       basisVersion = Some(basis))
-    expired.toSeq.sorted
+    (expired.toSeq.sorted, Some(sid))
   }
 
   /**

@@ -353,6 +353,38 @@ class GraftCatalogSpec extends SparkSpecBase {
       primaryKey = Seq("id"), options = Map("rowkind.field" -> "id")))
   }
 
+  test("dynamic partition overwrite replaces only the incoming partitions") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "dpo", StructType(Seq(
+      StructField("id", LongType), StructField("day", StringType))),
+      partitionBy = Seq("day"))
+    cat.append("db", "dpo", Seq(
+      (1L, "d1"), (2L, "d1"), (3L, "d2")).toDF("id", "day"))
+    cat.append("db", "dpo", Seq((4L, "d3")).toDF("id", "day"))
+    // backfill d1: only d1's rows are replaced; d2 and d3 untouched
+    cat.overwriteDynamic("db", "dpo",
+      Seq((10L, "d1"), (11L, "d1")).toDF("id", "day"))
+    assert(cat.read("db", "dpo").select("id").as[Long].collect().toSet
+      === Set(10L, 11L, 3L, 4L))
+    // a brand-new partition lands as a plain append (nothing replaced)
+    cat.overwriteDynamic("db", "dpo", Seq((20L, "d9")).toDF("id", "day"))
+    assert(cat.read("db", "dpo").count() === 5)
+    // empty frame: no partitions named, NOTHING replaced (no table wipe)
+    val head = cat.snapshots("db", "dpo").last.id
+    cat.overwriteDynamic("db", "dpo",
+      Seq.empty[(Long, String)].toDF("id", "day"))
+    assert(cat.snapshots("db", "dpo").last.id === head)
+    assert(cat.read("db", "dpo").count() === 5)
+    // time travel still sees the pre-backfill image
+    assert(cat.read("db", "dpo", snapshotId = Some(2L)).count() === 4)
+    // unpartitioned / PK tables refuse
+    cat.createTable("db", "dponp", abSchema)
+    intercept[IllegalArgumentException](
+      cat.overwriteDynamic("db", "dponp", Seq((1L, "x")).toDF("id", "name")))
+  }
+
   test("file.compression picks the data codec; invalid codecs refuse") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-fc-wh").toString
