@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.FullOuter
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, Filter, InsertAction, Join, JoinHint, LogicalPlan, MergeIntoTable, OverwritePartitionsDynamic, Project, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -64,6 +64,44 @@ class GraftUpdateRewrite extends Rule[LogicalPlan] {
  * UNCORRELATED subqueries work (their resolved plans are self-contained)
  * while correlated ones refuse with a clear message.
  */
+/**
+ * SQL dynamic partition overwrite (`INSERT OVERWRITE` under
+ * `partitionOverwriteMode=dynamic`, or `DataFrameWriterV2
+ * .overwritePartitions()`): Spark's `OverwritePartitionsDynamic` demands
+ * a full V2 `BatchWrite` (the capability check rejects V1-fallback
+ * writers), while the catalog already has the exact primitive —
+ * [[GraftCatalog.overwriteDynamic]]'s replace-subset snapshot. Rewrite
+ * the resolved node to a command routing back into the owning catalog,
+ * the same pattern as the UPDATE/DELETE/MERGE rules above.
+ */
+class GraftDynamicOverwriteRewrite extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case o: OverwritePartitionsDynamic if o.resolved =>
+      o.table.collectFirst { case r: DataSourceV2Relation => r.table } match {
+        case Some(t: GraftSqlTable) if t.coords.isDefined =>
+          val (wh, s, tb) = t.coords.get
+          GraftDynamicOverwriteCommand(wh, s, tb, o.query,
+            o.table.output.map(_.name))
+        case _ => o
+      }
+  }
+}
+
+/** Executes the rewritten dynamic overwrite: the resolved query plan
+  * (columns already aligned/cast to the table schema by the analyzer)
+  * lands through [[GraftCatalog.overwriteDynamic]] — only the incoming
+  * partitions are replaced, as one snapshot. */
+case class GraftDynamicOverwriteCommand(warehouse: String,
+    schemaName: String, tableName: String, query: LogicalPlan,
+    outNames: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val gc = new GraftCatalog(spark, warehouse)
+    gc.overwriteDynamic(schemaName, tableName,
+      GraftColumnBridge.dataFrame(spark, query).toDF(outNames: _*))
+    Seq.empty
+  }
+}
+
 class GraftDeleteRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable

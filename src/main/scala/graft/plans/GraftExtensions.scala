@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => new GraftUpdateRewrite)
     ext.injectResolutionRule(_ => new GraftDeleteRewrite)
     ext.injectResolutionRule(_ => new GraftMergeRewrite)
+    ext.injectResolutionRule(_ => new GraftDynamicOverwriteRewrite)
     // Manifest zone-map pruning + metadata-only count(*) (GraftZoneRules)
     ext.injectOptimizerRule(_ => new GraftZonePrune)
     ext.injectOptimizerRule(_ => new GraftCountFromStats)

@@ -356,14 +356,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         .map { case (d, v) => dirPath(d) -> v })
   }
 
-  /** SQL INSERT → snapshot commit: overwrite commit for INSERT OVERWRITE,
-    * upsert for PK tables, plain append otherwise. */
+  /** SQL INSERT → snapshot commit: `overwrite` for INSERT OVERWRITE,
+    * `dynamic` when Spark plans OverwritePartitionsDynamic (session
+    * `partitionOverwriteMode=dynamic` or DataFrameWriterV2
+    * `.overwritePartitions()` — only the incoming partitions are
+    * replaced, the file-source dynamic semantics), upsert for PK
+    * tables, plain append otherwise. */
   private def commitInsert(schemaName: String, tableName: String)(
-      data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
-    if (overwrite) gc.overwrite(schemaName, tableName, data)
-    else if (gc.primaryKeyOf(schemaName, tableName).nonEmpty)
-      gc.upsert(schemaName, tableName, data)
-    else gc.append(schemaName, tableName, data)
+      data: org.apache.spark.sql.DataFrame, mode: String): Unit = {
+    mode match {
+      case "dynamic" => gc.overwriteDynamic(schemaName, tableName, data)
+      case "overwrite" => gc.overwrite(schemaName, tableName, data)
+      case _ =>
+        if (gc.primaryKeyOf(schemaName, tableName).nonEmpty)
+          gc.upsert(schemaName, tableName, data)
+        else gc.append(schemaName, tableName, data)
+    }
     ()
   }
 
@@ -517,7 +525,9 @@ private[sources] object FilterTranslation {
 private[graft] class GraftSqlTable(delegate: ParquetTable,
     private[graft] val partitionCols: Seq[String], props: Map[String, String],
     morRead: Option[Array[Filter] => org.apache.spark.sql.DataFrame],
-    commitInsert: (org.apache.spark.sql.DataFrame, Boolean) => Unit,
+    /** (data, mode): mode ∈ append | overwrite | dynamic (replace only
+      * the incoming partitions — Spark's OverwritePartitionsDynamic). */
+    commitInsert: (org.apache.spark.sql.DataFrame, String) => Unit,
     commitDelete: Column => Unit,
     canDelete: Boolean,
     /** (warehouse, schema, table) — lets the UPDATE rewrite rule route the
@@ -653,13 +663,19 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     if (readOnly) throw new UnsupportedOperationException(
       s"${name()} is a read-only view")
+    // Dynamic partition overwrite does NOT go through this builder:
+    // Spark's OverwritePartitionsDynamic capability check demands a full
+    // V2 BatchWrite (V1 fallback rejected), so the GraftExtensions
+    // resolution rule (GraftDynamicOverwriteRewrite) intercepts the node
+    // and routes it to GraftCatalog.overwriteDynamic instead.
     new WriteBuilder with SupportsTruncate {
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+      private var mode = "append"
+      override def truncate(): WriteBuilder = { mode = "overwrite"; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
           (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], ovr: Boolean) =>
-            commitInsert(data.toDF(), overwrite || ovr)
+            commitInsert(data.toDF(),
+              if (mode == "append" && ovr) "overwrite" else mode)
       }
     }
   }

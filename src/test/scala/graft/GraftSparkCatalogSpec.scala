@@ -183,6 +183,23 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) FROM g.db.w VERSION AS OF 2").head().getLong(0) === 4)
   }
 
+  test("INSERT OVERWRITE honors dynamic partitionOverwriteMode") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    spark.sql("CREATE TABLE g.db.dyn (id BIGINT, day STRING) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO g.db.dyn VALUES (1, 'd1'), (2, 'd2'), (3, 'd3')")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // dynamic: only d1 is replaced
+      spark.sql("INSERT OVERWRITE g.db.dyn VALUES (10, 'd1')")
+      assert(spark.sql("SELECT id FROM g.db.dyn ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L, 10L))
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // static (default): the whole table is replaced
+    spark.sql("INSERT OVERWRITE g.db.dyn VALUES (20, 'd2')")
+    assert(spark.sql("SELECT id FROM g.db.dyn").collect()
+      .map(_.getLong(0)).toSeq === Seq(20L))
+  }
+
   test("INSERT after ALTER writes at the evolved schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
     spark.sql("CREATE TABLE g.db.evw (id BIGINT, name STRING)")
