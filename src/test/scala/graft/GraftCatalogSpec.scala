@@ -353,6 +353,53 @@ class GraftCatalogSpec extends SparkSpecBase {
       primaryKey = Seq("id"), options = Map("rowkind.field" -> "id")))
   }
 
+  test("partition replacement fuzz: random layouts/predicates match " +
+      "brute-force semantics for expiration and dynamic overwrite") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 6) {
+      val cat = freshCatalog()
+      cat.createSchema("db")
+      cat.createTable("db", "fz", StructType(Seq(
+        StructField("id", LongType), StructField("p", LongType))),
+        partitionBy = Seq("p"))
+      // 2-4 commits, each a random slice over partitions 0..4
+      var rows = Seq.empty[(Long, Long)]
+      var nextId = 0L
+      (0 until 2 + rnd.nextInt(3)).foreach { _ =>
+        val batch = (0 until 3 + rnd.nextInt(8)).map { _ =>
+          nextId += 1; (nextId, rnd.nextInt(5).toLong)
+        }
+        rows ++= batch
+        cat.append("db", "fz", batch.toDF("id", "p"))
+      }
+      if (rnd.nextBoolean()) {
+        // expiration with a random predicate shape
+        val k = rnd.nextInt(5).toLong
+        val (whereCol, pred) = rnd.nextInt(3) match {
+          case 0 => (col("p") < k, (p: Long) => p < k)
+          case 1 => (col("p") === k, (p: Long) => p == k)
+          case _ => (col("p").isin(k, (k + 2) % 5),
+            (p: Long) => p == k || p == (k + 2) % 5)
+        }
+        cat.expirePartitions("db", "fz", whereCol)
+        val expected = rows.filterNot { case (_, p) => pred(p) }.toSet
+        assert(cat.read("db", "fz").as[(Long, Long)].collect().toSet
+          === expected, s"trial $trial expiration mismatch")
+      } else {
+        // dynamic overwrite of 1-2 random partitions
+        val parts = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(5).toLong).distinct
+        val fresh = parts.flatMap(p =>
+          (0 until 1 + rnd.nextInt(3)).map { _ => nextId += 1; (nextId, p) })
+        cat.overwriteDynamic("db", "fz", fresh.toDF("id", "p"))
+        val expected =
+          rows.filterNot { case (_, p) => parts.contains(p) }.toSet ++ fresh
+        assert(cat.read("db", "fz").as[(Long, Long)].collect().toSet
+          === expected, s"trial $trial dynamic-overwrite mismatch")
+      }
+    }
+  }
+
   test("dynamic partition overwrite replaces only the incoming partitions") {
     import spark.implicits._
     val cat = freshCatalog()
