@@ -791,14 +791,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             .filterNot(fe => replacedDirs.contains(fe.dir))
         else Seq.empty
       // Delta basis for the serialized form: an additive commit's file
-      // list is prev ++ added, so the head stores {baseId, added} and
-      // writeManifest never re-serializes inherited entries (see
-      // deflateSnapshots) — the snapshot log stays O(total dirs), not
-      // O(snapshots × dirs). A replace-subset commit is NOT
-      // prefix-extending, so it serializes its full (small) list.
+      // list is prev ++ added, so the head stores {baseId, added}; a
+      // REPLACE-SUBSET commit (minor compaction, partition expiration,
+      // dynamic partition overwrite) additionally names the dirs it
+      // dropped — {baseId, added, removed} — so writeManifest never
+      // re-serializes inherited entries for EITHER shape and every
+      // commit's head delta stays O(its own change), never O(table dirs)
+      // (see deflateSnapshots/inflateSnapshots).
       val baseId: Option[Long] =
-        if (keepExisting && sn2.size() > 0 && prevFiles.nonEmpty &&
-            replacedDirs.isEmpty)
+        if (keepExisting && sn2.size() > 0 && prevFiles.nonEmpty)
           Some(sn2.get(sn2.size() - 1).get("id").asLong())
         else None
       if (optionOverrides.nonEmpty) {
@@ -859,6 +860,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         sn.put("baseId", b)
         val aArr = sn.putArray("added")
         added.foreach(addEntry(aArr, _))
+        if (replacedDirs.nonEmpty) {
+          val rArr = sn.putArray("removed")
+          replacedDirs.toSeq.sorted.foreach(rArr.add)
+        }
       }
       streamBatchId.foreach(b => mm.put("lastStreamBatchId", b))
       writeManifest(schema, table, mm)
@@ -4157,7 +4162,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             "full file list nor a delta resolvable against its " +
             "predecessor")
         val full = mapper.createArrayNode()
-        full.addAll(prev.get("files").asInstanceOf[ArrayNode])
+        val prevArr = prev.get("files").asInstanceOf[ArrayNode]
+        if (s.has("removed")) {
+          val rArr = s.get("removed").asInstanceOf[ArrayNode]
+          val rm = (0 until rArr.size()).map(rArr.get(_).asText()).toSet
+          (0 until prevArr.size()).foreach { j =>
+            val e = prevArr.get(j)
+            if (!rm.contains(e.get("dir").asText())) full.add(e)
+          }
+        } else full.addAll(prevArr)
         full.addAll(s.get("added").asInstanceOf[ArrayNode])
         s.set[JsonNode]("files", full)
       }
@@ -4185,7 +4198,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (s.has("baseId")) {
         if (s.get("baseId").asLong() == prevId && s.has("added"))
           detached += s -> s.remove("files")
-        else { s.remove("baseId"); s.remove("added") }
+        else { s.remove("baseId"); s.remove("added"); s.remove("removed") }
       }
       prevId = s.get("id").asLong()
     }

@@ -69,6 +69,41 @@ class ManifestScaleSpec extends SparkSpecBase {
       s"sidecar bytes should scale with commit files: avg 2-file=$sideA, avg 30-file=$sideB")
   }
 
+  test("replace-subset commits serialize {removed, added}, never the " +
+      "surviving table list") {
+    gc.createTable("db", "rs1", rows(0, 0).schema)
+    // many dirs, two of them tiny — minor compaction replaces just those
+    (0 until 12).foreach(i =>
+      gc.append("db", "rs1", rows(i * 10000L, i * 10000L + 4999).toDF()))
+    gc.append("db", "rs1", rows(500000L, 500001L).toDF())
+    gc.append("db", "rs1", rows(600000L, 600001L).toDF())
+    val before = gc.lastManifestBytes.get()
+    val merged = gc.compactSmall("db", "rs1", smallBytes = 16 << 10)
+    assert(merged.isDefined, "compactSmall must merge the two tiny dirs")
+    val growth = gc.lastManifestBytes.get() - before
+    assert(growth < 3000,
+      s"replace-subset head growth $growth bytes — serialized the " +
+        "surviving table list instead of the {removed, added} delta")
+    // the serialized snapshot carries the delta form, not a files array
+    val dir = new java.io.File(warehouse, "db/rs1")
+    val head = dir.listFiles().filter(_.getName.startsWith("manifest-v"))
+      .maxBy(f => f.getName.stripPrefix("manifest-v").stripSuffix(".json").toLong)
+    val json = new String(java.nio.file.Files.readAllBytes(head.toPath))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val snaps = node.get("snapshots")
+    val last = snaps.get(snaps.size() - 1)
+    assert(last.has("removed") && last.has("added") && !last.has("files"),
+      s"expected delta form on the replace snapshot, got: $last")
+    // round trip: a fresh catalog materializes the same image
+    val gc2 = new GraftCatalog(spark, warehouse)
+    assert(gc2.read("db", "rs1").count() === 12 * 5000 + 4)
+    // expiration dropping the replace commit's BASE re-materializes it
+    gc.createTag("db", "rs1", "pin") // pin the head (the replace commit)
+    gc.expireSnapshots("db", "rs1", keepLast = 1)
+    assert(new GraftCatalog(spark, warehouse).read("db", "rs1").count()
+      === 12 * 5000 + 4)
+  }
+
   test("snapshot log is delta-encoded: a dir serializes O(1) times") {
     gc.createTable("db", "t2", rows(0, 0).schema)
     (0 until 12).foreach(i => gc.append("db", "t2", rows(i * 10L, i * 10L + 9).toDF()))
