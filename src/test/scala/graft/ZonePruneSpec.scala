@@ -448,6 +448,28 @@ class ZonePruneSpec extends SparkSpecBase {
     } finally spark.conf.unset("spark.graft.countFromStats.enabled")
   }
 
+  test("GROUP BY a subset of a multi-column partition layout folds " +
+      "across the other dimension, still metadata-only") {
+    gc.createTable("db", "zgb2",
+      spark.range(0).selectExpr("id", "id % 2 AS p", "id % 3 AS q").schema,
+      partitionBy = Seq("p", "q"))
+    gc.append("db", "zgb2",
+      spark.range(0, 600).selectExpr("id", "id % 2 AS p", "id % 3 AS q").toDF())
+    def planOf(qq: String) = spark.sql(qq).queryExecution.executedPlan.toString
+    // group by q alone: the three q-groups each fold both p subdirs
+    val q1 = "SELECT q, count(*) AS n FROM gz.db.zgb2 GROUP BY q"
+    assert(planOf(q1).contains("LocalTableScan") && !planOf(q1).contains("BatchScan"),
+      s"subset census was not metadata-only:\n${planOf(q1)}")
+    assert(spark.sql(q1).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq === Seq((0L, 200L), (1L, 200L), (2L, 200L)))
+    // both columns: full cross census
+    val q2 = "SELECT p, q, count(*) AS n FROM gz.db.zgb2 GROUP BY p, q"
+    assert(planOf(q2).contains("LocalTableScan"), planOf(q2))
+    assert(spark.sql(q2).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq ===
+      (for (p <- 0L to 1L; q <- 0L to 2L) yield (p, q, 100L)).toSeq)
+  }
+
   test("mixed literal/zone domains are inconclusive, never a prune proof") {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
