@@ -169,6 +169,11 @@ object Dedup {
   def dedupAgainstCorpus(newDf: DataFrame, corpusState: DataFrame,
       idCol: String, textCol: String, tau: Double,
       bands: Int = 32, r: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    // Cache scope is OWNED here: `st` feeds two joins below, but leaking
+    // its cache to the caller would pin one DataFrame per micro-batch for
+    // a stream's lifetime (streamDedupAppend calls this once per batch).
+    // The matched-id set — delta-sized, ids only — is materialized
+    // eagerly at the end so `st` can be unpersisted before returning.
     val st = signatureState(newDf, idCol, textCol).persist()
     def banded(state: DataFrame, as: String) = state
       .select(col(idCol).as(as),
@@ -187,6 +192,12 @@ object Dedup {
       .join(corpusState.select(col(idCol).as("cid"), col("shh").as("sh2")), "cid")
       .filter(jaccard(col("sh1"), col("sh2")) >= tau)
       .select("nid").distinct()
+      // eager local checkpoint: everything `st` feeds is materialized
+      // here (blocks are id-only and reclaimed by the context cleaner
+      // when this frame is GC'd), so the batch-text cache can be
+      // released deterministically instead of leaking per batch
+      .localCheckpoint(true)
+    st.unpersist()
     newDf.join(matched, newDf(idCol) === matched("nid"), "left_anti")
   }
 

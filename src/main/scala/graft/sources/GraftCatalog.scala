@@ -3057,15 +3057,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     opts.get("rowkind.field") match {
       case Some(rk) if df.columns.exists(_.equalsIgnoreCase(rk)) =>
         val kind = org.apache.spark.sql.functions.upper(col(rk))
+        // A NULL or unknown kind must fail loudly, not vanish: a null
+        // predicate excludes the row from BOTH split sides below, so a
+        // malformed CDC feed would silently lose data. Paimon errors on
+        // an unparsable row kind; validate on the delta-sized batch.
+        val known = Seq("+I", "I", "+U", "U", "-U", "-D", "D")
+        val bad = df.filter(kind.isNull || !kind.isin(known: _*))
+          .limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$schema.$table: rowkind.field `$rk` carries an unrecognized " +
+          s"row kind ${Option(bad.head.getAs[Any](rk)).getOrElse("NULL")} " +
+          s"(expected one of ${known.mkString(", ")}); sample row: ${bad.head}")
         val isRetract = kind === "-D" || kind === "D" || kind === "-U"
         // ignore-delete (Paimon): drop retractions instead of
         // tombstoning — the CDC-fed-patch-table mode
         if (opts.get("ignore-delete").contains("true"))
           append(schema, table, df.filter(!isRetract))
         else {
-          val dels = df.filter(isRetract)
-          if (dels.isEmpty) append(schema, table, df)
-          else mergeCommit(schema, table, df.filter(!isRetract), dels)
+          val ups = df.filter(!isRetract)
+          // A `-U`/`+U` pair for ONE key in one batch is the canonical
+          // Debezium/Flink update shape: under deduplicate semantics the
+          // retraction is subsumed by the batch's own newer image, so
+          // drop retractions whose key the batch also upserts (mirrors
+          // applyChangelog's treatment of `-U`) — they would otherwise
+          // trip mergeCommit's key-disjoint contract.
+          val pk = primaryKeyOf(schema, table)
+          val dels = df.filter(isRetract).join(ups, pk, "left_anti")
+          if (dels.isEmpty) append(schema, table, ups)
+          else mergeCommit(schema, table, ups, dels)
         }
       case _ => append(schema, table, df)
     }

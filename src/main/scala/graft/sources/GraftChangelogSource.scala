@@ -150,7 +150,17 @@ class GraftChangelogSource(spark: SparkSession, warehouse: String,
               "scanMode=from-timestamp requires fromTimestampMillis"))
             val snaps = gc.snapshots(schemaName, tableName)
             snaps.find(_.timestampMillis >= ts) match {
-              case Some(first) => first.id - 1
+              // The start offset is an EXCLUSIVE bound that must name a
+              // RETAINED snapshot (or 0): when `first` is the earliest
+              // retained commit — the common backfill case, a mark at or
+              // before the retention floor — `first.id - 1` was expired
+              // and planning it would die in changelogEntries' exists()
+              // check. Clamp to the latest retained id strictly below
+              // first.id (0 when none), which excludes exactly the same
+              // pre-`first` history.
+              case Some(first) =>
+                snaps.takeWhile(_.id < first.id).lastOption
+                  .map(_.id).getOrElse(0L)
               // every existing commit predates ts: stream only the future
               case None => snaps.lastOption.map(_.id).getOrElse(0L)
             }

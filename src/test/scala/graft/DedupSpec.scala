@@ -128,6 +128,19 @@ class DedupSpec extends SparkSpecBase {
     val kept2 = Dedup.dedupAgainstCorpus(batch2, cat.read("db", "sigs"),
       "doc_id", "text", tau = 0.6).count()
     assert(kept2 === 0L, "copy of a batch-1 survivor must drop in batch 2")
+    // cache scope: the call OWNS its per-batch signature cache — after it
+    // returns, only the id-sized matched-set local checkpoint may remain
+    // persisted (the context cleaner reclaims it on GC); a leaked
+    // signature frame would pin one cache per micro-batch for a stream's
+    // lifetime in streamDedupAppend
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.dedupAgainstCorpus(batch2, cat.read("db", "sigs"),
+      "doc_id", "text", tau = 0.6)
+    val leakedPlainCaches =
+      (spark.sparkContext.getPersistentRDDs -- before).values
+        .filterNot(_.isCheckpointed)
+    assert(leakedPlainCaches.isEmpty,
+      s"signature cache leaked: ${leakedPlainCaches.map(_.id)}")
   }
 
   test("simhash: exact dups at hamming 0; banding finds radius<=3 pairs") {

@@ -344,6 +344,27 @@ class GraftCatalogSpec extends SparkSpecBase {
     // a kind-free batch (plain dimension load) upserts as usual
     cat.upsert("db", "rk", Seq((4L, "d", "+I")).toDF("id", "v", "op"))
     assert(cat.read("db", "rk").count() === 2)
+    // the canonical Debezium/Flink update shape: `-U` old image + `+U`
+    // new image for ONE key in one batch — the retraction is subsumed by
+    // the batch's own newer image (deduplicate semantics), not a
+    // key-disjointness violation; unrelated retractions still tombstone
+    cat.upsert("db", "rk", Seq(
+      (1L, "a2", "-U"), (1L, "a3", "+U"), (4L, null, "-D")).toDF("id", "v", "op"))
+    assert(cat.read("db", "rk").select("id", "v").as[(Long, String)]
+      .collect().toSet === Set((1L, "a3")))
+    // `-D` + re-insert `+I` for one key in one batch: the insert wins
+    cat.upsert("db", "rk", Seq(
+      (1L, null, "-D"), (1L, "a4", "+I")).toDF("id", "v", "op"))
+    assert(cat.read("db", "rk").select("id", "v").as[(Long, String)]
+      .collect().toSet === Set((1L, "a4")))
+    // NULL or unrecognized kinds fail loudly instead of vanishing
+    val eNull = intercept[IllegalArgumentException](cat.upsert("db", "rk",
+      Seq((9L, "x", null: String)).toDF("id", "v", "op")))
+    assert(eNull.getMessage.contains("unrecognized"))
+    val eBad = intercept[IllegalArgumentException](cat.upsert("db", "rk",
+      Seq((9L, "x", "?!")).toDF("id", "v", "op")))
+    assert(eBad.getMessage.contains("unrecognized"))
+    assert(cat.read("db", "rk").filter($"id" === 9L).isEmpty)
     // validation: string column of the table, PK required, not a PK col
     intercept[IllegalArgumentException](cat.createTable("db", "rkbad", abSchema,
       primaryKey = Seq("id"), options = Map("rowkind.field" -> "missing")))

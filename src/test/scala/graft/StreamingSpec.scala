@@ -443,6 +443,50 @@ class StreamingSpec extends SparkSpecBase {
     assert(err.getMessage.contains("conflicts"))
   }
 
+  test("from-timestamp at/below the retention floor clamps the start to a " +
+      "retained snapshot instead of planning an expired one") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft-scanfloor-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "fl", StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType))),
+      primaryKey = Seq("id"))
+    (1L to 4L).foreach { i =>
+      cat.upsert("db", "fl", Seq((i, i * 10)).toDF("id", "v"))
+      Thread.sleep(15)
+    }
+    cat.expireSnapshots("db", "fl", keepLast = 2)
+    val retained = cat.snapshots("db", "fl")
+    assert(retained.map(_.id) === Seq(3L, 4L))
+    // the backfill case: a mark at (and another before) the earliest
+    // RETAINED commit — the naive `first.id - 1` start names an EXPIRED
+    // snapshot and the first micro-batch would die in changelogEntries'
+    // exists() check; the clamp starts the stream at the floor instead.
+    // The floor snapshot replays as its FULL image (keys 1-3 at their
+    // latest versions — expiration re-materialized its entry, so its own
+    // delta is unrecoverable and the superset is what keeps a CDC
+    // replica convergent), then snapshot 4 replays as a normal delta.
+    for (mark <- Seq(retained.head.timestampMillis,
+        retained.head.timestampMillis - 3600000L)) {
+      val seen = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = cat.readChangelogStream("db", "fl",
+          scanMode = "from-timestamp", fromTimestampMillis = Some(mark))
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-scanfloor-ckpt").toString)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = b.select("id").as[Long].collect()
+          seen.synchronized { seen ++= ids }; ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      assert(seen.synchronized(seen.toSet) === Set(1L, 2L, 3L, 4L),
+        s"mark=$mark must replay the floor image plus retained deltas")
+    }
+  }
+
   test("consumer-id: offsets advance durably, a checkpoint-less restart " +
       "resumes from the consumer, expiration keeps unread history") {
     import org.apache.spark.sql.types._
