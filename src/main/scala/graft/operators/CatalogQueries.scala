@@ -118,6 +118,26 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // DYNAMIC bucket mode (Paimon's bucket = -1): keys route through the
+    // persisted hash index — the first wave fills buckets to the 150-key
+    // target and later waves open fresh ones while updates stay in their
+    // recorded bucket; deletes tombstone through the index. The merged
+    // image must equal the fixed-layout answer exactly.
+    "catalog_dynamic_bucket" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema,
+        options = Map("bucket" -> "-1",
+          "dynamic-bucket.target-row-num" -> "150"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d.filter(col("doc_id") % 3 === 0))
+      cat.upsert("q", t, d.filter(col("doc_id") % 3 =!= 0))
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // Same merge-on-read state, read through the SQL catalog surface with
     // THREE uncompacted deltas (two upserts + a tombstone): `SELECT` must
     // resolve newest-wins minus deletes at read time, like the reference's
@@ -791,6 +811,10 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "catalog_bucketed_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_dynamic_bucket" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,

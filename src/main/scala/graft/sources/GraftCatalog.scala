@@ -93,11 +93,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       s"primary-key column $p not in schema"))
     options.get("bucket").foreach { b =>
       require(primaryKey.nonEmpty, "bucket option requires a primary key")
-      require(b.toInt >= 1, s"bucket must be >= 1, got $b")
+      // -1 = DYNAMIC bucket mode (Paimon's bucket = -1): key→bucket
+      // assignment comes from a persisted hash index, buckets fill to
+      // `dynamic-bucket.target-row-num` keys and new ones open as needed
+      require(b.toInt >= 1 || b.toInt == -1,
+        s"bucket must be >= 1 (fixed) or -1 (dynamic), got $b")
       require(partitionBy.isEmpty,
         "bucketed tables cannot also be partitioned (the bucket IS the physical partition)")
       require(!structType.fieldNames.contains(BucketCol),
         s"column name $BucketCol is reserved on bucketed tables")
+    }
+    options.get("dynamic-bucket.target-row-num").foreach { t =>
+      require(options.get("bucket").contains("-1"),
+        "dynamic-bucket.target-row-num applies to dynamic-bucket (bucket = -1) tables")
+      require(t.toLong >= 1, s"dynamic-bucket.target-row-num must be >= 1, got $t")
     }
     // Paimon merge engines: how a PK table resolves multiple versions of
     // one key. The in-task bucketed merge implements deduplicate only,
@@ -693,8 +702,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // so the same hash applies.
     val buckets = optionOverrides.get("bucket").map(_.toInt)
       .orElse(bucketCount(m)).filter(_ => primaryKey(m).nonEmpty)
+    // Dynamic bucket mode (Paimon's bucket = -1): key→bucket is NOT a
+    // modular hash — it comes from the persisted hash index, so frames
+    // are routed up front (existing keys to their recorded bucket, new
+    // keys filling capacity) and carry an explicit __bucket column; the
+    // commit's own assignments land as an immutable `.dbidx` parquet
+    // delta inside the staging dir, atomic with the data under the
+    // ordinal claim-rename.
+    val dynamicBucket = buckets.contains(-1)
+    val (routedDf, routedDel, dynIdxDelta) =
+      if (!dynamicBucket) (dedupedDf, deleteDf, None)
+      else dynamicRoute(schema, table, m, dedupedDf, deleteDf, kind,
+        fold = compaction, reset = !keepExisting && !compaction)
     def write(frame: DataFrame, toDir: String, frameKind: String): Unit = {
       val (toWrite, bucketPart) = buckets match {
+        case Some(-1) => (frame, Seq(BucketCol)) // pre-routed via the hash index
         case Some(n) =>
           (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
         case None => (frame, Seq.empty)
@@ -713,11 +735,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
         .save(new Path(tablePath(schema, table), toDir).toString)
     }
-    write(dedupedDf, dir, kind)
+    write(routedDf, dir, kind)
     // a merge commit pairs the data dir with a tombstone dir inside ONE
     // snapshot (same ordinal `$id`): updates+inserts and deletes become
     // visible atomically, never as two observable states
-    deleteDf.foreach(write(_, s"$dir-del", "delete"))
+    routedDel.foreach(write(_, s"$dir-del", "delete"))
     // an append-only UPDATE pairs the data dir with a DV dir the same way
     dvDf.foreach(write(_, s"$dir-dv", "dv"))
     // The files' write-time schema version — pinned BEFORE any conflict
@@ -767,6 +789,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (fileZones.isEmpty) None
       else Some(writeZoneSidecar(
         new Path(tablePath(schema, table), dir), fileZones))
+    }
+    // Dynamic-bucket index delta: written AFTER the zone/bloom passes
+    // (their recursive file walks must see only data files), INSIDE the
+    // staging dir so the claim-rename publishes data and index
+    // atomically. Hash-sorted and range-partitioned so point lookups
+    // push `__kh = v` into the parquet scan.
+    val dynIdxKeys: Option[Long] = dynIdxDelta.map { case (delta, keys) =>
+      val parts = math.min(32L, (keys - 1) / 4000000L + 1).toInt
+      val sorted = if (parts == 1) delta.coalesce(1).sortWithinPartitions("__kh")
+        else delta.repartitionByRange(parts, col("__kh")).sortWithinPartitions("__kh")
+      sorted.write.mode("overwrite").parquet(
+        new Path(new Path(tablePath(schema, table), dir), DynIdxDir).toString)
+      keys
     }
     commitTestHook()
     /** Build the snapshot entry against manifest `mm` and CAS it in. */
@@ -847,6 +882,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val ca = e.putArray("cols")
         bcols.foreach(ca.add)
       }
+      // Dynamic-bucket index pointer: this dir carries a `.dbidx` delta
+      // with that many key assignments — readDynamicIndex unions exactly
+      // the flagged dirs of the current snapshot, zero FS probes.
+      dynIdxKeys.foreach { keys =>
+        val dn = if (mm.has("dynIdx")) mm.get("dynIdx").asInstanceOf[ObjectNode]
+          else mm.putObject("dynIdx")
+        dn.putObject(landDir).put("keys", keys)
+      }
       def addEntry(arr: ArrayNode, fe: FileEntry): Unit = {
         val e = arr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
         if (fe.kind != "data") e.put("kind", fe.kind)
@@ -892,8 +935,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // can't: it only deletes dirs that dropped snapshot entries name).
     // dvDf content (file, pos victims) is derived from the basis head —
     // never rebaseable, like standalone DV deletes.
+    // Dynamic-bucket commits are never rebaseable: their routing AND the
+    // index delta were derived from the head's index — a concurrent
+    // commit may have assigned the same new keys to different buckets or
+    // consumed the capacity this batch filled, so rebasing would corrupt
+    // the key→bucket contract. Single writer per dynamic table, as in
+    // Paimon's dynamic-bucket assigner; conflicts abort loudly.
     val retryable = keepExisting && kind == "data" && !compaction &&
-      dvDf.isEmpty && replacedDirs.isEmpty
+      dvDf.isEmpty && replacedDirs.isEmpty && !dynamicBucket
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(tablePath(schema, table)).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -1315,6 +1364,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, table)
     val old = bucketCount(m).getOrElse(throw new IllegalArgumentException(
       s"$schema.$table is not bucketed — set `bucket` at create"))
+    require(old != -1, s"$schema.$table is a dynamic-bucket table — it " +
+      "sizes itself (dynamic-bucket.target-row-num); rescale applies to " +
+      "fixed-bucket layouts")
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val headId = if (snaps.size() == 0) 0L
       else snaps.get(snaps.size() - 1).get("id").asLong()
@@ -1839,6 +1891,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (m.has("bloomIdx")) {
       val bNode = m.get("bloomIdx").asInstanceOf[ObjectNode]
       orphanDirs.foreach(bNode.remove)
+    }
+    if (m.has("dynIdx")) {
+      val dNode = m.get("dynIdx").asInstanceOf[ObjectNode]
+      orphanDirs.foreach(dNode.remove)
     }
     writeManifest(schema, table, m)
     orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
@@ -2937,12 +2993,186 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val pk = primaryKey(m)
     val n = bucketCount(m).getOrElse(
       throw new IllegalArgumentException(s"$schema.$table is not bucketed"))
+    require(n != -1, s"$schema.$table is a dynamic-bucket table — " +
+      "key→bucket is the index's, not a hash: use dynamicBucketFor")
     require(values.length == pk.length, s"expected ${pk.length} pk values")
     val cur = currentFields(m).map(f => f.name -> f.trinoType).toMap
     val row = spark.range(1).select(pk.zip(values).map { case (c, v) =>
       lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
     }: _*)
     row.select(bucketExpr(pk, n).as("b")).head().getInt(0)
+  }
+
+  // ---- dynamic bucket (Paimon's bucket = -1) -----------------------------
+
+  /** Keys-per-bucket target of a dynamic-bucket table (Paimon's
+    * `dynamic-bucket.target-row-num`, same default). */
+  private def dynamicTargetRows(m: ObjectNode): Long = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    if (opts != null && opts.has("dynamic-bucket.target-row-num"))
+      opts.get("dynamic-bucket.target-row-num").asText().toLong
+    else 2000000L
+  }
+
+  private def dynIdxSchema = StructType(Seq(
+    StructField("__kh", org.apache.spark.sql.types.LongType),
+    StructField("__b", org.apache.spark.sql.types.IntegerType)))
+
+  /**
+   * The persisted key→bucket hash index of a dynamic-bucket table
+   * (Paimon's dynamic-bucket hash index files): a DataFrame of
+   * `(__kh = xxhash64(primary key), __b = bucket)`, the union of the
+   * immutable per-commit `.dbidx` parquet deltas inside every data dir
+   * the CURRENT snapshot references and the manifest flags. Deltas are
+   * key-disjoint by construction — a commit records only the keys it
+   * newly assigned; compaction re-records the live fold in its own dir,
+   * so expired pre-compact dirs take their deltas with them safely.
+   * O(keys) bytes read DISTRIBUTED, never collected to the driver.
+   */
+  private def readDynamicIndex(schema: String, table: String,
+      m: ObjectNode): DataFrame = {
+    val dirs: Seq[String] =
+      if (!m.has("dynIdx")) Seq.empty
+      else {
+        val dn = m.get("dynIdx").asInstanceOf[ObjectNode]
+        val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+        if (snaps.size() == 0) Seq.empty
+        else filesOf(snaps.get(snaps.size() - 1))
+          .filter(fe => fe.kind == "data" && dn.has(fe.dir)).map(_.dir)
+      }
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIdxSchema)
+    else spark.read.schema(dynIdxSchema).parquet(
+      dirs.map(d => new Path(new Path(tablePath(schema, table), d),
+        DynIdxDir).toString): _*)
+  }
+
+  /**
+   * Route a dynamic-bucket commit through the hash index — Paimon's
+   * dynamic-bucket assigner, expressed as joins: existing keys go to
+   * their recorded bucket; NEW keys (data commits only) fill the
+   * lowest-numbered buckets with free capacity up to
+   * `dynamic-bucket.target-row-num` assigned keys each, then open fresh
+   * buckets. Tombstones for never-assigned keys are no-ops and drop.
+   *
+   * Scale shape: the index is scanned distributed and joined against the
+   * BROADCAST batch key set (the index never shuffles); per-bucket
+   * assigned-key counts collect O(buckets) rows to the driver; new-key
+   * ranking is one single-partition window over the batch's new keys —
+   * batch-bound, the same centralization as Paimon's assigner operator.
+   * The batch-key-sized assignment table is local-checkpointed eagerly
+   * so no index-lineage cache leaks past the commit.
+   *
+   * `fold` (compaction): the returned delta is the full LIVE assignment
+   * set — the compacted dir becomes the index's sole basis and dead
+   * keys' slots are reclaimed. `reset` (overwrite): the previous index
+   * is ignored and every key assigns fresh from bucket 0.
+   *
+   * Returns (routed main frame, routed delete frame, index delta with
+   * its key count — None when the commit assigns nothing new).
+   */
+  private def dynamicRoute(schema: String, table: String, m: ObjectNode,
+      df: DataFrame, deleteDf: Option[DataFrame], kind: String,
+      fold: Boolean, reset: Boolean):
+      (DataFrame, Option[DataFrame], Option[(DataFrame, Long)]) = {
+    val pk = primaryKey(m)
+    val hash = xxhash64(pk.map(col): _*)
+    val index = (if (reset)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIdxSchema)
+      else readDynamicIndex(schema, table, m)).persist()
+    val allKeys = (Seq(df) ++ deleteDf.toSeq)
+      .map(_.select(hash.as("__kh"))).reduce(_ unionByName _)
+      .distinct().persist()
+    val known = index.join(
+      org.apache.spark.sql.functions.broadcast(allKeys), Seq("__kh"))
+    val (assignment, newAssigned, nNew) =
+      if (kind != "data") (known, None, 0L)
+      else {
+        val newKeys = df.select(hash.as("__kh")).distinct()
+          .join(index, Seq("__kh"), "left_anti")
+        val n = newKeys.count()
+        if (n == 0) (known, None, 0L)
+        else {
+          val target = dynamicTargetRows(m)
+          // O(buckets) rows — the table-layout metadata scale, same
+          // class as a partition census
+          val counts = index.groupBy("__b")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val maxB = counts.keys.maxOption.getOrElse(-1)
+          val slots = mutable.ArrayBuffer[(Int, Long, Long)]()
+          var need = n
+          var lo = 1L
+          var b = 0
+          while (need > 0) {
+            val free = if (b > maxB) target
+              else math.max(0L, target - counts.getOrElse(b, 0L))
+            if (free > 0) {
+              val take = math.min(free, need)
+              slots += ((b, lo, lo + take - 1)); lo += take; need -= take
+            }
+            b += 1
+          }
+          val slotsDf = spark.createDataFrame(slots.toSeq)
+            .toDF("__b", "__lo", "__hi")
+          // eager local checkpoint: batch-key-sized; materialized HERE so
+          // the delta never recomputes through the index lineage after
+          // the cache below is released
+          val assigned = newKeys
+            .withColumn("__rank", row_number().over(
+              org.apache.spark.sql.expressions.Window.orderBy("__kh")))
+            .join(org.apache.spark.sql.functions.broadcast(slotsDf),
+              col("__rank") >= col("__lo") && col("__rank") <= col("__hi"))
+            .select(col("__kh"), col("__b"))
+            .localCheckpoint(true)
+          (known.unionByName(assigned), Some(assigned), n)
+        }
+      }
+    // eager local checkpoint: batch-key-sized (two longs per key); all
+    // index reads complete here so its cache releases deterministically
+    val asg = assignment.localCheckpoint(true)
+    val newAsg = newAssigned
+    index.unpersist(); allKeys.unpersist()
+    def route(frame: DataFrame): DataFrame = {
+      val cols = frame.columns
+      frame.withColumn("__kh", hash)
+        .join(org.apache.spark.sql.functions.broadcast(asg), Seq("__kh"))
+        .select((cols.map(col) :+ col("__b").as(BucketCol)): _*)
+    }
+    val delta: Option[(DataFrame, Long)] =
+      if (kind != "data") None
+      else if (fold || reset) {
+        val liveKeys = asg.count()
+        if (liveKeys == 0) None else Some((asg, liveKeys))
+      }
+      else newAsg.filter(_ => nNew > 0).map(a => (a, nNew))
+    (route(df), deleteDf.map(route), delta)
+  }
+
+  /**
+   * The bucket the index assigns to a concrete primary-key tuple of a
+   * DYNAMIC-bucket table — the point-lookup router (the dynamic analog
+   * of [[bucketFor]]'s modular hash). None = the key was never assigned,
+   * i.e. the table has no such key. One index read with `__kh = v`
+   * pushed into the parquet scan (deltas are hash-sorted, so row-group
+   * stats skip non-matching files).
+   */
+  def dynamicBucketFor(schema: String, table: String,
+      values: Seq[Any]): Option[Int] = {
+    val m = readManifest(schema, table)
+    require(bucketCount(m).contains(-1),
+      s"$schema.$table is not a dynamic-bucket table")
+    val pk = primaryKey(m)
+    require(values.length == pk.length, s"expected ${pk.length} pk values")
+    val cur = currentFields(m).map(f => f.name -> f.trinoType).toMap
+    val row = spark.range(1).select(pk.zip(values).map { case (c, v) =>
+      lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
+    }: _*)
+    val kh = row.select(xxhash64(pk.map(col): _*).as("h")).head().getLong(0)
+    readDynamicIndex(schema, table, m).filter(col("__kh") === kh)
+      .select("__b").collect().headOption.map(_.getInt(0))
   }
 
   /**
@@ -2957,7 +3187,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, table)
     val n = bucketCount(m).getOrElse(
       throw new IllegalArgumentException(s"$schema.$table is not bucketed"))
-    require(bucket >= 0 && bucket < n, s"bucket $bucket out of range [0, $n)")
+    // dynamic tables (n == -1) have no static range — any existing
+    // bucket id resolves, an unassigned one reads empty
+    require(bucket >= 0 && (n == -1 || bucket < n),
+      s"bucket $bucket out of range [0, $n)")
     val target = StructType(currentFields(m).map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
@@ -2992,6 +3225,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       throw new IllegalArgumentException(s"$schema.$leftTable is not bucketed"))
     val rn = bucketCountOf(schema, rightTable).getOrElse(
       throw new IllegalArgumentException(s"$schema.$rightTable is not bucketed"))
+    require(n >= 1 && rn >= 1, "dynamic-bucket tables have no static " +
+      "hash contract — co-located join requires fixed bucket counts")
     require(n == rn, s"bucket counts differ: $n vs $rn — co-located join " +
       "requires identical bucketing")
     val lSchema = currentSchema(schema, leftTable)
@@ -3989,8 +4224,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             fs.getContentSummary(p).getLength))
       }
     }
+    val dynIdxs = mutable.ArrayBuffer[(String, String, Long, Long)]()
+    if (m.has("dynIdx")) {
+      val dn = m.get("dynIdx").asInstanceOf[ObjectNode]
+      dn.fieldNames().forEachRemaining { d =>
+        val p = new Path(new Path(tp, d), GraftCatalog.DynIdxDir)
+        if (fs.exists(p))
+          dynIdxs += (("dynidx", s"$d/${GraftCatalog.DynIdxDir}", -1L,
+            fs.getContentSummary(p).getLength))
+      }
+    }
     spark.createDataFrame(heads ++ zones.toSeq.sortBy(_._2) ++
-        blooms.toSeq.sortBy(_._2))
+        blooms.toSeq.sortBy(_._2) ++ dynIdxs.toSeq.sortBy(_._2))
       .toDF("artifact", "path", "head_version", "size_bytes")
   }
 
@@ -4362,6 +4607,11 @@ object GraftCatalog {
   /** Physical bucket-partition column of bucketed PK tables (never part
     * of the logical schema — reads select it away). */
   val BucketCol = "__bucket"
+
+  /** Dynamic-bucket hash-index delta subdir inside each data dir (dot
+    * prefix: invisible to parquet discovery, atomic under the dir's
+    * ordinal claim-rename). */
+  private[graft] val DynIdxDir = ".dbidx"
 
   /** Paimon-style duration strings for `snapshot.time-retained`:
     * `<n><unit>`, unit ∈ ms / s / min / h / d (whitespace tolerated). */

@@ -265,9 +265,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           case EqualTo(a, v) if pk.contains(a) => a -> v
         }.toMap
         val prunedBucket =
-          if (bucketed && pk.nonEmpty && pk.forall(eq.contains))
-            Some(gc.bucketFor(schemaName, tableName, pk.map(eq)))
-          else None
+          if (bucketed && pk.nonEmpty && pk.forall(eq.contains)) {
+            // dynamic-bucket tables route point lookups through the hash
+            // index; an unassigned key (None) falls through to the
+            // ordinary read, which correctly returns nothing
+            if (gc.bucketCountOf(schemaName, tableName).contains(-1))
+              gc.dynamicBucketFor(schemaName, tableName, pk.map(eq))
+            else Some(gc.bucketFor(schemaName, tableName, pk.map(eq)))
+          } else None
         prunedBucket match {
           case Some(k) => gc.readBucket(schemaName, tableName, k, snapshotId, asOfMillis)
           case None => FilterTranslation.toCondition(filters) match {

@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.GraftCatalog
+
+/**
+ * Dynamic bucket mode (Paimon's `bucket = -1`): key→bucket assignment
+ * through the persisted hash index — buckets fill to
+ * `dynamic-bucket.target-row-num` assigned keys, new buckets open as
+ * needed, a key keeps its bucket for life, and the index rides each
+ * commit as an immutable `.dbidx` parquet delta.
+ */
+class DynamicBucketSpec extends SparkSpecBase {
+
+  private def freshCatalog(): (GraftCatalog, String) = {
+    val wh = Files.createTempDirectory("graft-dynb-wh").toString
+    (new GraftCatalog(spark, wh), wh)
+  }
+
+  private val kvSchema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+
+  private def create(cat: GraftCatalog, table: String, target: Long): Unit = {
+    cat.createSchema("db")
+    cat.createTable("db", table, kvSchema, primaryKey = Seq("id"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> target.toString))
+  }
+
+  /** bucket id → distinct ids found in that bucket's data dirs, read
+    * straight from the `__bucket=k` physical layout. */
+  private def bucketContents(cat: GraftCatalog, wh: String,
+      table: String): Map[Int, Set[Long]] = {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val base = new Path(new Path(wh, "db"), table)
+    val out = scala.collection.mutable.Map[Int, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    cat.snapshotFileEntries("db", table).filter(_.kind == "data").foreach { fe =>
+      val d = new Path(base, fe.dir)
+      if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("__bucket=")) {
+          val k = nm.stripPrefix("__bucket=").toInt
+          val ids = spark.read.parquet(st.getPath.toString)
+            .select("id").as[Long].collect().toSet
+          out(k) = out(k) ++ ids
+        }
+      }
+    }
+    out.toMap
+  }
+
+  test("new keys fill buckets to target-row-num and open fresh buckets; " +
+      "existing keys keep their bucket across commits") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "t", target = 10L)
+    // 25 keys → 3 buckets (10 + 10 + 5 assigned keys)
+    cat.upsert("db", "t", (1L to 25L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val c1 = bucketContents(cat, wh, "t")
+    assert(c1.keySet === Set(0, 1, 2), s"expected 3 buckets, got ${c1.keySet}")
+    assert(c1.values.map(_.size).sum === 25)
+    assert(c1(0).size === 10 && c1(1).size === 10 && c1(2).size === 5)
+    // updates: same keys land in the SAME buckets (no new assignment)
+    cat.upsert("db", "t", (1L to 25L).map(i => (i, s"w$i")).toDF("id", "v"))
+    val c2 = bucketContents(cat, wh, "t")
+    assert(c2 === c1, "updates must not move keys")
+    // merged read returns the latest version per key
+    val img = cat.read("db", "t").as[(Long, String)].collect().toMap
+    assert(img.size === 25 && img(7L) === "w7")
+    // new keys fill bucket 2's remaining capacity, then open bucket 3
+    cat.upsert("db", "t", (26L to 40L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val c3 = bucketContents(cat, wh, "t")
+    assert(c3.keySet === Set(0, 1, 2, 3))
+    assert(c3(2).size === 10, "bucket 2 must fill to target before 3 opens")
+    assert(c3(3).size === 10)
+    assert(cat.read("db", "t").count() === 40)
+  }
+
+  test("deletes route through the index; unknown-key tombstones are no-ops") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "d", target = 8L)
+    cat.upsert("db", "d", (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val before = bucketContents(cat, wh, "d")
+    cat.deleteRowsByKey("db", "d", Seq(3L, 11L, 999L).toDF("id"))
+    val img = cat.read("db", "d").select("id").as[Long].collect().toSet
+    assert(img === ((1L to 20L).toSet -- Set(3L, 11L)))
+    val bucketOf3 = before.collectFirst { case (k, s) if s.contains(3L) => k }.get
+    // re-inserting a deleted key keeps its ORIGINAL bucket (index entries
+    // survive deletes — slots are reclaimed only at compaction)
+    cat.upsert("db", "d", Seq((3L, "back")).toDF("id", "v"))
+    val after = bucketContents(cat, wh, "d")
+    assert(after(bucketOf3).contains(3L), "re-inserted key must keep its bucket")
+    assert(cat.read("db", "d").filter($"id" === 3L).select("v").as[String]
+      .head() === "back")
+  }
+
+  test("compaction folds the index into the compacted dir and reclaims " +
+      "dead keys' capacity; expiration then drops the old deltas safely") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "c", target = 10L)
+    cat.upsert("db", "c", (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    cat.upsert("db", "c", (11L to 20L).map(i => (i, s"v$i")).toDF("id", "v"))
+    cat.deleteRowsByKey("db", "c", (6L to 10L).toDF("id"))
+    cat.compact("db", "c")
+    cat.expireSnapshots("db", "c", keepLast = 1)
+    // all pre-compact dirs (and their .dbidx deltas) are gone from disk;
+    // routing still works off the folded index in the compacted dir
+    assert(cat.read("db", "c").count() === 15)
+    cat.upsert("db", "c", (21L to 26L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val c = bucketContents(cat, wh, "c")
+    assert(cat.read("db", "c").count() === 21)
+    // dead keys 6-10 released their slots at compaction: bucket 0 had 10
+    // assigned, 5 live → 5 of the new keys refill it before a new bucket
+    assert(c(0).size === 10, s"bucket 0 must refill to target, got ${c(0).size}")
+    assert(c.values.map(_.size).sum === 21)
+  }
+
+  test("overwrite resets the index; point lookups route via dynamicBucketFor") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "o", target = 6L)
+    cat.upsert("db", "o", (1L to 12L).map(i => (i, s"v$i")).toDF("id", "v"))
+    cat.overwrite("db", "o", (100L to 104L).map(i => (i, s"n$i")).toDF("id", "v"))
+    val c = bucketContents(cat, wh, "o")
+    assert(c.keySet === Set(0), "fresh index starts at bucket 0")
+    assert(cat.read("db", "o").count() === 5)
+    // point lookup: assigned key resolves to its bucket, absent key to None
+    assert(cat.dynamicBucketFor("db", "o", Seq(102L)) === Some(0))
+    assert(cat.dynamicBucketFor("db", "o", Seq(1L)) === None)
+    assert(cat.readBucket("db", "o", 0).count() === 5)
+    val img = cat.read("db", "o").filter($"id" === 102L)
+      .as[(Long, String)].collect()
+    assert(img.toSeq === Seq((102L, "n102")))
+  }
+
+  test("dynamic tables refuse fixed-bucket machinery and concurrent commits") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "r", target = 5L)
+    cat.upsert("db", "r", (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"))
+    intercept[IllegalArgumentException](cat.rescaleBucket("db", "r", 4))
+    intercept[IllegalArgumentException](cat.bucketFor("db", "r", Seq(1L)))
+    intercept[IllegalArgumentException](cat.bucketedJoin("db", "r", "r"))
+    // create-time validation
+    intercept[IllegalArgumentException](cat.createTable("db", "bad", kvSchema,
+      options = Map("bucket" -> "-2"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](cat.createTable("db", "bad2", kvSchema,
+      options = Map("dynamic-bucket.target-row-num" -> "7"),
+      primaryKey = Seq("id")))
+    // a commit racing another writer ABORTS (index-derived routing is
+    // never rebaseable), instead of rebasing like fixed-layout appends
+    val cat2 = new GraftCatalog(spark, wh)
+    cat.commitTestHook = () => {
+      cat.commitTestHook = () => ()
+      cat2.upsert("db", "r", Seq((100L, "race")).toDF("id", "v")); ()
+    }
+    try {
+      intercept[java.util.ConcurrentModificationException] {
+        cat.upsert("db", "r", Seq((200L, "mine")).toDF("id", "v"))
+      }
+    } finally cat.commitTestHook = () => ()
+    // the winner's row landed; the loser's did not
+    val ids = cat.read("db", "r").select("id").as[Long].collect().toSet
+    assert(ids.contains(100L) && !ids.contains(200L))
+  }
+
+  test("changelog streaming works over a dynamic-bucket table") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    create(cat, "s", target = 4L)
+    cat.upsert("db", "s", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    cat.upsert("db", "s", Seq((2L, "u2"), (7L, "v7")).toDF("id", "v"))
+    cat.deleteRowsByKey("db", "s", Seq(5L).toDF("id"))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = cat.readChangelogStream("db", "s")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dynb-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = b.select("id", GraftCatalog.RowKindCol).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        seen.synchronized { seen ++= rows }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val byId = seen.synchronized(seen.toSeq).groupBy(_._1)
+    assert(byId(5L).map(_._2).contains("-D"))
+    // upsert-mode kinds carry no before image: a later-batch upsert is
+    // +U whether the key is new or updated
+    assert(byId(7L).map(_._2).forall(Set("+I", "+U")))
+    assert(byId.keySet === (1L to 7L).toSet)
+  }
+}
