@@ -385,6 +385,49 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("dup_tokens"))
   }
 
+  /**
+   * Corpus-wide LINE dedup (C4's "discard any line seen three or more
+   * times in the dataset" / RefinedWeb boilerplate removal), with a
+   * "line" generalized to a non-overlapping `lineTokens`-token window
+   * (this corpus carries no newlines): every line whose TOTAL occurrence
+   * count across the corpus reaches `minCount` is boilerplate — nav
+   * bars, footers, license blurbs — and is dropped from EVERY document.
+   *
+   * Output per doc: (idCol, n_lines, n_kept, kept_md5) — the retained
+   * text rebuilt in original line order and fingerprinted, so the
+   * cleaned corpus is checkable without shipping the text.
+   *
+   * Scale shape: line extraction is scan-stage array work; the
+   * boilerplate set is one two-phase count aggregate keyed on the line
+   * (map-side partials, so the shuffle moves (line, count) pairs per
+   * partition, not occurrences); membership is a left join on the same
+   * key; the per-doc rebuild is one further key shuffle. No stage holds
+   * more than one document's lines in task memory.
+   */
+  def dropBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      lineTokens: Int = 8, minCount: Long = 3L): DataFrame = {
+    require(lineTokens >= 1, s"lineTokens must be >= 1, got $lineTokens")
+    val n = lineTokens
+    val lines = df
+      .select(col(idCol), TextHash.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, (size(__w) - 1) div $n), " +
+          s"i -> array_join(slice(__w, i * $n + 1, $n), ' '))"))
+        .as(Seq("idx", "line")))
+    val boiler = lines.groupBy("line").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+      .select(col("line"), lit(true).as("__bp"))
+    lines.join(boiler, Seq("line"), "left")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        count(when(col("__bp").isNull, 1)).as("n_kept"),
+        expr("md5(cast(array_join(transform(array_sort(" +
+          "collect_list(CASE WHEN __bp IS NULL THEN struct(idx, line) END)), " +
+          "x -> x.line), ' ') AS binary))").as("kept_md5"))
+  }
+
   def connectedComponents(nodes: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 25): DataFrame = {
     // large-star: for each node u, attach every LARGER neighbor to

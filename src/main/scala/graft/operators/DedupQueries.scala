@@ -174,9 +174,34 @@ object DedupQueries {
       Dedup.duplicateSpans(aug, "doc_id", "text", k = 5)
         .orderBy("doc_id", "span_start")
     }),
+    // Corpus-wide LINE dedup (C4 / RefinedWeb boilerplate removal):
+    // non-overlapping 8-token "lines", any line occurring >= 3 times
+    // across the corpus drops from every doc; the oracle recomputes every
+    // boundary, count, and retained-text digest.
+    "dedup_lines" -> ((s, dir) =>
+      Dedup.dropBoilerplateLines(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   def oracle: Map[String, String] = Map(
+    "dedup_lines" ->
+      """WITH words AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[a-z]+') AS w FROM documents),
+        |ix AS (
+        |  SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // 8) + 1)) AS idx
+        |  FROM words WHERE len(w) >= 1),
+        |l AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(w[idx * 8 + 1 : idx * 8 + 8], ' ') AS line
+        |  FROM ix),
+        |c AS (SELECT line, count(*) AS c FROM l GROUP BY line),
+        |k AS (SELECT doc_id, idx, line, (c >= 3) AS bp FROM l JOIN c USING (line))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (NOT bp) AS BIGINT) AS n_kept,
+        |  md5(array_to_string(list_transform(list_sort(
+        |    coalesce(list({'i': idx, 'l': line}) FILTER (NOT bp), [])),
+        |    x -> x.l), ' ')) AS kept_md5
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_substring_spans" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

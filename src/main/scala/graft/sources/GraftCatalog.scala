@@ -1289,6 +1289,42 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .start()
 
   /**
+   * Streaming LOOKUP JOIN (Paimon's lookup join, the flagship Flink-side
+   * consumption pattern, expressed Spark-first): each micro-batch
+   * left-joins the arriving rows against the dim table's LATEST
+   * merge-on-read image — re-resolved at batch time, so a dim upsert is
+   * visible to every later batch. That is the refresh-per-batch point on
+   * Paimon's lookup freshness axis (its Flink cache refreshes on a TTL;
+   * a micro-batch IS our refresh tick, with no staleness window inside a
+   * batch because the join runs against one immutable snapshot).
+   * Enriched rows land in `dstTable` batchId-idempotently — exactly-once
+   * under restart like every streaming sink here.
+   *
+   * Scale shape: the dim side broadcasts by default (the lookup-join
+   * contract — a dim that doesn't fit an executor should be a bucketed
+   * co-located join instead, see [[bucketedJoin]]); with
+   * `broadcastDim = false` it degrades to a shuffle join for mid-size
+   * dims. The fact stream never re-reads history — each batch pays
+   * O(batch) plus the dim resolution.
+   */
+  def streamLookupAppend(schema: String, dimTable: String, dstTable: String,
+      stream: DataFrame, checkpointDir: String, joinKeys: Seq[String],
+      broadcastDim: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val dim0 = read(schema, dimTable)
+          val dim = if (broadcastDim)
+            org.apache.spark.sql.functions.broadcast(dim0) else dim0
+          appendStreamBatch(schema, dstTable,
+            batch.toDF().join(dim, joinKeys, "left"), batchId)
+          ()
+        }
+      }
+      .start()
+
+  /**
    * Streaming read of an append-only table: a Structured Streaming
    * DataFrame that emits rows as new snapshots commit — the consumer half
    * of Paimon's streaming tables (a downstream job follows the table

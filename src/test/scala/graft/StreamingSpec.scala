@@ -443,6 +443,44 @@ class StreamingSpec extends SparkSpecBase {
     assert(err.getMessage.contains("conflicts"))
   }
 
+  test("streaming lookup join enriches each batch against the dim table's " +
+      "LATEST image and lands exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("graft-lookup-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "dim", StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType))),
+      primaryKey = Seq("k"))
+    cat.createTable("db", "enriched", StructType(Seq(
+      StructField("k", LongType), StructField("amount", LongType),
+      StructField("name", StringType))))
+    cat.upsert("db", "dim", Seq((1L, "one"), (2L, "two")).toDF("k", "name"))
+    val stream = MemoryStream[(Long, Long)]
+    val q = cat.streamLookupAppend("db", "dim", "enriched",
+      stream.toDF().toDF("k", "amount"),
+      java.nio.file.Files.createTempDirectory("graft-lookup-ckpt").toString,
+      joinKeys = Seq("k"))
+    try {
+      stream.addData(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+      q.processAllAvailable()
+      // batch 1: dim as of now — key 3 unmatched (left join keeps it)
+      val r1 = cat.read("db", "enriched").as[(Long, Long, String)]
+        .collect().toSet
+      assert(r1 === Set((1L, 10L, "one"), (2L, 20L, "two"), (3L, 30L, null)))
+      // dim UPDATE between batches: the next batch sees the new image —
+      // the refresh-per-batch freshness contract of a lookup join
+      cat.upsert("db", "dim", Seq((2L, "TWO"), (3L, "three")).toDF("k", "name"))
+      stream.addData(Seq((2L, 21L), (3L, 31L)))
+      q.processAllAvailable()
+      val r2 = cat.read("db", "enriched").as[(Long, Long, String)]
+        .collect().toSet
+      assert(r2 === r1 ++ Set((2L, 21L, "TWO"), (3L, 31L, "three")))
+    } finally q.stop()
+  }
+
   test("from-timestamp at/below the retention floor clamps the start to a " +
       "retained snapshot instead of planning an expired one") {
     import org.apache.spark.sql.types._
