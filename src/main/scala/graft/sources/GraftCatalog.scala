@@ -4277,6 +4277,107 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   /** One row per tag: name, pinned snapshot id, snapshot commit time
     * (Paimon's `$tags` table). */
+  /**
+   * ANALYZE (Paimon's statistics surface — its `$statistics` system
+   * table and the stats files a CBO-aware engine plans from): ONE
+   * distributed aggregate over the table's resolved image computes, per
+   * column, null count, approximate NDV (HLL — deterministic for a fixed
+   * dataset), min/max rendered as strings for orderable atomic types,
+   * and average byte length for strings/binary; plus the exact row
+   * count. The result — O(columns) numbers — lands in the manifest via
+   * the ordinary CAS (retry-on-race, like consumer offsets), tagged with
+   * the analyzed snapshot id so staleness is visible. Returns that id.
+   */
+  def analyzeTable(schema: String, table: String): Long = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, avg, count,
+      length, max => fmax, min => fmin, sum}
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val sid = if (snaps.size() == 0) 0L
+      else snaps.get(snaps.size() - 1).get("id").asLong()
+    val df = read(schema, table)
+    val fields = df.schema.fields.toSeq
+    def atomic(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case _: NumericType => true
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.BinaryType |
+           org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false // complex types: nulls only (no hashable NDV/minmax)
+    }
+    val aggs = count(lit(1)).as("__rows") +: fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(sum(when(c.isNull, 1L).otherwise(0L)).as(s"__n_${f.name}")) ++
+        (if (atomic(f.dataType))
+          Seq(approx_count_distinct(c).as(s"__d_${f.name}"),
+            fmin(c).cast("string").as(s"__mn_${f.name}"),
+            fmax(c).cast("string").as(s"__mx_${f.name}"))
+        else Seq.empty) ++
+        (f.dataType match {
+          case org.apache.spark.sql.types.StringType |
+               org.apache.spark.sql.types.BinaryType =>
+            Seq(avg(length(c)).as(s"__l_${f.name}"))
+          case _ => Seq.empty
+        })
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    def opt[T](name: String): Option[T] =
+      if (r.schema.fieldNames.contains(name) && !r.isNullAt(r.fieldIndex(name)))
+        Some(r.getAs[T](name)) else None
+    retryManifestUpdate {
+      val mm = readManifest(schema, table)
+      val st = mm.putObject("statistics")
+      st.put("snapshotId", sid)
+      st.put("analyzedAtMillis", System.currentTimeMillis())
+      st.put("rows", r.getAs[Long]("__rows"))
+      val colsNode = st.putObject("cols")
+      fields.foreach { f =>
+        val cn = colsNode.putObject(f.name)
+        cn.put("dataType", f.dataType.simpleString)
+        opt[Long](s"__n_${f.name}").foreach(cn.put("nulls", _))
+        opt[Long](s"__d_${f.name}").foreach(cn.put("ndv", _))
+        opt[String](s"__mn_${f.name}").foreach(cn.put("min", _))
+        opt[String](s"__mx_${f.name}").foreach(cn.put("max", _))
+        opt[java.lang.Double](s"__l_${f.name}").foreach(d =>
+          cn.put("avgLen", d.doubleValue()))
+      }
+      writeManifest(schema, table, mm)
+    }
+    sid
+  }
+
+  /** `t$statistics`: one row per column from the last [[analyzeTable]]
+    * run (empty until analyzed) — column name, type, analyzed snapshot,
+    * row/null/ndv counts, min/max, average length. */
+  def statisticsTable(schema: String, table: String): DataFrame = {
+    val m = readManifest(schema, table)
+    val rows: Seq[(String, String, Long, Long, Long, Long, String, String,
+        java.lang.Double)] =
+      if (!m.has("statistics")) Seq.empty
+      else {
+        val st = m.get("statistics").asInstanceOf[ObjectNode]
+        val sid = st.get("snapshotId").asLong()
+        val nrows = st.get("rows").asLong()
+        val cols = st.get("cols").asInstanceOf[ObjectNode]
+        val out = mutable.ArrayBuffer[(String, String, Long, Long, Long, Long,
+          String, String, java.lang.Double)]()
+        cols.fieldNames().forEachRemaining { name =>
+          val c = cols.get(name).asInstanceOf[ObjectNode]
+          out += ((name, c.get("dataType").asText(), sid, nrows,
+            if (c.has("nulls")) c.get("nulls").asLong() else 0L,
+            if (c.has("ndv")) c.get("ndv").asLong() else 0L,
+            if (c.has("min")) c.get("min").asText() else null,
+            if (c.has("max")) c.get("max").asText() else null,
+            if (c.has("avgLen")) Double.box(c.get("avgLen").asDouble()) else null))
+        }
+        out.toSeq
+      }
+    spark.createDataFrame(rows).toDF("column_name", "data_type", "snapshot_id",
+      "row_count", "null_count", "ndv", "min", "max", "avg_len")
+  }
+
   def tagsTable(schema: String, table: String): DataFrame = {
     val byId = snapshots(schema, table).map(s => s.id -> s.timestampMillis).toMap
     val rows = tags(schema, table).toSeq.map { case (tag, id) =>

@@ -138,6 +138,12 @@ object GraftProcedures {
         Seq(gc.expirePartitions(s, t,
           col(colName).cast(DateType) <
             lit(args(1).asInstanceOf[String]).cast(DateType)).size.toLong) }),
+    Spec("analyze",
+      "compute per-column statistics (nulls/NDV/min/max/avg length) over " +
+        "the resolved image and record them in the manifest ($statistics)",
+      Seq(p("table", StringType)), one("snapshot_id", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        Seq(gc.analyzeTable(s, t)) }),
     Spec("remove_orphan_files",
       "reclaim claimed-but-never-landed dirs older than grace_millis",
       Seq(p("table", StringType), pd("grace_millis", LongType, "3600000")),

@@ -164,7 +164,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   /** Metadata-table suffixes served via `t$snapshots`-style names
     * (the reference surfaces the same system tables through Trino). */
-  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|manifests|audit_log|ro)$".r
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|manifests|statistics|audit_log|ro)$".r
 
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
@@ -220,6 +220,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           case "tags" => gc.tagsTable(schemaName, base)
           case "consumers" => gc.consumersTable(schemaName, base)
           case "manifests" => gc.manifestsTable(schemaName, base)
+          case "statistics" => gc.statisticsTable(schemaName, base)
         }
         return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
       case _ => ()

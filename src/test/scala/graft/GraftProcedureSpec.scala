@@ -114,4 +114,43 @@ class GraftProcedureSpec extends SparkSpecBase {
     assert(spark.sql("CALL gp.sys.expire_snapshots('db.p5', 1)")
       .head().getLong(0) === 2L)
   }
+
+  test("ANALYZE records column statistics; $statistics exposes them " +
+      "with the analyzed snapshot id") {
+    import spark.implicits._
+    gc.createTable("db", "p6",
+      Seq((1L, "x", 1.0)).toDF("id", "name", "score").schema)
+    gc.append("db", "p6", Seq(
+      (1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5), (4L, "a", null))
+      .map { case (i, n, s) => (i, n,
+        if (s == null) null else s.asInstanceOf[java.lang.Double]) }
+      .toDF("id", "name", "score"))
+    // before analyze: the view exists and is empty
+    assert(spark.sql("SELECT * FROM gp.db.`p6$statistics`").count() === 0)
+    val sid = spark.sql("CALL gp.sys.analyze('db.p6')").head().getLong(0)
+    assert(sid === 1L)
+    val st = spark.sql("SELECT * FROM gp.db.`p6$statistics`")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(st.keySet === Set("id", "name", "score"))
+    val id = st("id")
+    assert(id.getAs[Long]("row_count") === 4L)
+    assert(id.getAs[Long]("null_count") === 0L)
+    assert(id.getAs[Long]("ndv") === 4L) // HLL exact at tiny cardinality
+    assert(id.getAs[String]("min") === "1" && id.getAs[String]("max") === "4")
+    val nm = st("name")
+    assert(nm.getAs[Long]("null_count") === 1L)
+    assert(nm.getAs[Long]("ndv") === 2L) // nulls don't count toward NDV
+    assert(nm.getAs[Double]("avg_len") === 1.0)
+    assert(st("score").getAs[Long]("null_count") === 1L)
+    assert(st.values.forall(_.getAs[Long]("snapshot_id") === 1L))
+    // re-analyze after more data: stats refresh and re-tag
+    gc.append("db", "p6", Seq((5L, "ccc",
+      Double.box(9.0))).toDF("id", "name", "score"))
+    assert(spark.sql("CALL gp.sys.analyze('db.p6')").head().getLong(0) === 2L)
+    val st2 = spark.sql("SELECT * FROM gp.db.`p6$statistics`")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(st2("id").getAs[Long]("row_count") === 5L)
+    assert(st2("id").getAs[String]("max") === "5")
+    assert(st2("name").getAs[Long]("snapshot_id") === 2L)
+  }
 }
