@@ -92,6 +92,47 @@ object TextQueries {
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) div 8192"))
         .orderBy("doc_id")
     }),
+    // Deterministic corpus shuffle + token-balanced contiguous shards —
+    // the training-data EXPORT step: reproducible epoch-order
+    // randomization (shuffle key = seeded hash of the doc id) and shard
+    // boundaries from the GLOBAL running token sum in shuffle order, so
+    // N parallel loaders each get ~equal token mass. The global cumsum
+    // runs in TWO distributed phases — range-partition by key, one
+    // per-partition window, O(partitions) prefix offsets broadcast back —
+    // because a single global window would serialize 100 TB through one
+    // task. The checkpoint pins the partition layout so the totals pass
+    // and the cumsum pass see identical pids.
+    "pipeline_shuffle_shards" -> ((s, dir) => {
+      val nShards = 16L
+      val d = Tables(s, dir, "documents")
+      val nt = nTokens(d("text")).cast("long")
+      val base = d.select(d("doc_id"),
+          TextHash.hash60(concat_ws(":", lit("42"),
+            d("doc_id").cast("string"))).as("skey"),
+          nt.as("n_tokens"))
+        .repartitionByRange(8, col("skey"), col("doc_id"))
+        .sortWithinPartitions("skey", "doc_id")
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      val parts = base.groupBy("pid").agg(sum("n_tokens").as("pt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val total = parts.values.sum
+      val shardSize = (total + nShards - 1) / nShards
+      val offsets = (0 to parts.keys.maxOption.getOrElse(0))
+        .scanLeft(0L)((acc, p) => acc + parts.getOrElse(p, 0L)).dropRight(1)
+      val offDf = s.createDataFrame(
+        offsets.zipWithIndex.map { case (off, p) => (p, off) })
+        .toDF("pid", "poff")
+      base.join(broadcast(offDf), "pid")
+        .withColumn("cum_before", col("poff") + expr(
+          "sum(n_tokens) OVER (PARTITION BY pid ORDER BY skey, doc_id " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)") -
+          col("n_tokens"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr(s"cum_before div $shardSize").as("shard"),
+          col("cum_before").as("offset_in_epoch"))
+        .orderBy("doc_id")
+    }),
     // Hashed linear quality classifier — the fastText-shape inference
     // path: tokens hash into 4096 feature buckets, each bucket carries a
     // weight (deterministic arithmetic stand-ins here; a trained model
@@ -542,6 +583,24 @@ object TextQueries {
         |   - CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)) // 8192
         |    AS BIGINT) AS pack_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipeline_shuffle_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS skey,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+        |      AS BIGINT) AS cum_before
+        |  FROM t),
+        |tot AS (SELECT sum(n_tokens) AS total FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(cum_before // ((total + 15) // 16) AS BIGINT) AS shard,
+        |  cum_before AS offset_in_epoch
+        |FROM c, tot ORDER BY doc_id""".stripMargin,
     "text_quality_classifier" ->
       """SELECT doc_id,
         |  CAST(coalesce(list_sum(list_transform(
