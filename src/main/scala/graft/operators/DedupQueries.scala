@@ -157,8 +157,12 @@ object DedupQueries {
       val fresh = d.filter(col("doc_id") % 3 === 0)
         .unionByName(old.filter(col("doc_id") % 91 === 1)
           .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+      // localCheckpoint, not persist: the corpus state is consumed twice
+      // inside dedupAgainstCorpus, but a bare persist here would leak one
+      // cached frame per bench iteration (nothing downstream can
+      // unpersist it); the checkpoint's blocks are GC-reclaimed
       Dedup.dedupAgainstCorpus(fresh,
-          Dedup.signatureState(old, "doc_id", "text").persist(),
+          Dedup.signatureState(old, "doc_id", "text").localCheckpoint(true),
           "doc_id", "text", Tau, maxBucket = 2048)
         .select("doc_id").orderBy("doc_id")
     }),

@@ -2490,6 +2490,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * with recorded stats, and the table has no primary key (MoR merge
    * changes the visible count).
    */
+  /**
+   * Upper-bound row estimate of a snapshot from manifest dir stats alone
+   * (sum of per-dir footer row counts over DATA entries — pre-merge, so
+   * MoR-pending PK snapshots over-count; tombstones/DVs only shrink).
+   * None when any data dir lacks stats (ORC). Planning-only: feeds the
+   * SQL bridge's reported size so a small MoR dim auto-broadcasts.
+   */
+  def estimatedRowsUpperBound(schema: String, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): Option[Long] = {
+    val m = readManifest(schema, table)
+    val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+    if (chosen.isEmpty) return Some(0L)
+    val stats = dirStatsFrom(m)
+    val counts = filesOf(chosen.get).filter(_.kind == "data")
+      .map(fe => stats.get(fe.dir).map(_.rows))
+    if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+  }
+
   def countRows(schema: String, table: String,
       snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None): Option[Long] = {

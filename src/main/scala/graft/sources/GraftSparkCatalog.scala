@@ -359,7 +359,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       zoneStatsIn = zoneStatsIn, exactRowCountIn = exactRowCountIn,
       fileZonesIn = fileZonesIn,
       bloomIn = () => gc.bloomIndexInfo(schemaName, tableName)
-        .map { case (d, v) => dirPath(d) -> v })
+        .map { case (d, v) => dirPath(d) -> v },
+      morRowsHintIn = () => gc.estimatedRowsUpperBound(
+        schemaName, tableName, snapshotId, asOfMillis))
   }
 
   /** SQL INSERT → snapshot commit: `overwrite` for INSERT OVERWRITE,
@@ -567,7 +569,15 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       * files whose bloom admits a literal, same contract as
       * [[GraftCatalog.readWhere]]'s bloom pass. Thunked like the zones:
       * zero manifest cost unless a Filter actually consults it. */
-    bloomIn: () => Map[String, (String, Set[String])] = () => Map.empty)
+    bloomIn: () => Map[String, (String, Set[String])] = () => Map.empty,
+    /** Upper-bound ROW estimate for the MoR bridge scan, from manifest
+      * dir stats alone (pre-merge row sum — tombstones and pending
+      * merges only shrink it). V1 relations otherwise report the default
+      * huge size, so a small uncompacted PK dim would never
+      * auto-broadcast in a SQL join; an upper bound can only
+      * under-broadcast, never over-broadcast. Thunked: zero manifest
+      * cost unless a MoR scan is actually planned. */
+    morRowsHintIn: () => Option[Long] = () => None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   private[graft] lazy val zoneStats: Option[Map[String, FileStats.DirStats]] =
@@ -651,7 +661,10 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
   override def properties(): util.Map[String, String] = props.asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     morRead match {
-      case Some(reader) => new GraftMorScanBuilder(delegate.schema, reader)
+      case Some(reader) =>
+        val hint = morRowsHintIn().map(rows =>
+          (rows, rows * math.max(1L, delegate.schema.defaultSize.toLong)))
+        new GraftMorScanBuilder(delegate.schema, reader, hint)
       case None =>
         val base = delegate.newScanBuilder(options)
         // Runtime (dynamic) join filtering: wrap the parquet builder so
@@ -699,7 +712,11 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
  * window into the underlying parquet scans when semantics allow.
  */
 private[sources] class GraftMorScanBuilder(fullSchema: StructType,
-    reader: Array[Filter] => org.apache.spark.sql.DataFrame)
+    reader: Array[Filter] => org.apache.spark.sql.DataFrame,
+    /** Upper-bound (rows, bytes) from manifest stats — reported through
+      * SupportsReportStatistics so the optimizer can auto-broadcast a
+      * small MoR dim instead of assuming the V1 default huge size. */
+    sizeHint: Option[(Long, Long)] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -714,7 +731,18 @@ private[sources] class GraftMorScanBuilder(fullSchema: StructType,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new V1Scan {
+  override def build(): Scan = new V1Scan
+      with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    override def estimateStatistics()
+        : org.apache.spark.sql.connector.read.Statistics =
+      new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = sizeHint
+          .map(h => java.util.OptionalLong.of(h._2))
+          .getOrElse(java.util.OptionalLong.empty())
+        override def numRows(): java.util.OptionalLong = sizeHint
+          .map(h => java.util.OptionalLong.of(h._1))
+          .getOrElse(java.util.OptionalLong.empty())
+      }
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: org.apache.spark.sql.SQLContext): T =

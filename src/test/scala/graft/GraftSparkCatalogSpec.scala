@@ -547,4 +547,30 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     spark.sql("DROP TABLE g.db.r2")
     assert(!gc.listTables("db").contains("r2"))
   }
+
+  test("a small MoR-pending PK dim reports its manifest-stats size and " +
+      "auto-broadcasts in a SQL join") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    gc.createTable("db", "dimsmall", StructType(Seq(
+      StructField("k", LongType), StructField("label", StringType))),
+      primaryKey = Seq("k"))
+    // two uncompacted deltas -> the scan goes through the V1 merge
+    // bridge, which without the stats hint reports the default huge
+    // size and would never broadcast
+    gc.upsert("db", "dimsmall", (1L to 50L).map(i => (i, s"l$i")).toDF("k", "label"))
+    gc.upsert("db", "dimsmall", (1L to 10L).map(i => (i, s"u$i")).toDF("k", "label"))
+    gc.createTable("db", "factbig", StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType))))
+    gc.append("db", "factbig",
+      (1L to 5000L).map(i => (i % 60L, i)).toDF("k", "v"))
+    val q = spark.sql(
+      "SELECT f.k, f.v, d.label FROM g.db.factbig f JOIN g.db.dimsmall d ON f.k = d.k")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small MoR dim did not broadcast:\n$plan")
+    // and the answer matches the library-side join
+    assert(q.count() ===
+      gc.read("db", "factbig").join(gc.read("db", "dimsmall"), "k").count())
+  }
 }
