@@ -127,9 +127,15 @@ object CatalogQueries {
       val (cat, t) = freshCat(s)
       cat.createSchema("q")
       val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      // target scales with the corpus (~4 buckets at any SF, growing as
+      // the waves land) — the REAL knob is keys-per-bucket, and a fixed
+      // tiny target at a larger SF would mean hundreds of micro-buckets,
+      // which is an anti-pattern, not a harder test. The oracle is
+      // layout-independent (the merged image), so this is free to vary.
+      val target = math.max(64L, d.count() / 4)
       cat.createTable("q", t, d.schema,
         options = Map("bucket" -> "-1",
-          "dynamic-bucket.target-row-num" -> "150"),
+          "dynamic-bucket.target-row-num" -> target.toString),
         primaryKey = Seq("doc_id"))
       cat.upsert("q", t, d.filter(col("doc_id") % 3 === 0))
       cat.upsert("q", t, d.filter(col("doc_id") % 3 =!= 0))

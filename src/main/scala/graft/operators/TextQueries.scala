@@ -252,6 +252,34 @@ object TextQueries {
             count(lit(1))).as("shared_ratio"))
         .orderBy("doc_id")
     }),
+    // The Gopher quality-rule battery (Rae et al. 2021, arXiv:2112.11446
+    // §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+    // ratio, alphabetic-word fraction, minimum distinct stopwords — each
+    // rule in INTEGER form (3·n ≤ chars ≤ 10·n instead of a float mean),
+    // so the keep flag is exact under any partitioning. One scan-stage
+    // pass, zero shuffles before the final order — filtering 100 TB is
+    // one pass over the text.
+    "text_gopher_rules" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val t = d("text")
+      val toks = regexp_extract_all(t, lit("\\S+"), lit(0))
+      val nw = size(toks).cast("long")
+      val wc = length(regexp_replace(t, lit("\\s"), lit(""))).cast("long")
+      val sym = regexp_count(t, lit("[^a-z\\s]")).cast("long")
+      val aw = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+      val sh = size(array_intersect(array_distinct(toks),
+        array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to"))))
+        .cast("long")
+      d.select(d("doc_id"),
+          nw.as("n_words"), wc.as("word_chars"), sym.as("symbol_chars"),
+          aw.as("alpha_words"), sh.as("stop_hits"),
+          (nw >= 50 && nw <= 100000 &&
+            wc >= nw * 3 && wc <= nw * 10 &&
+            sym * 10 <= nw &&
+            aw * 5 >= nw * 4 &&
+            sh >= 2).as("keep"))
+        .orderBy("doc_id")
+    }),
     "text_quality" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       val t = d("text")
@@ -693,6 +721,23 @@ object TextQueries {
         |    AS rare_ratio
         |FROM tok JOIN cnts USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS word_chars,
+        |  CAST(len(regexp_extract_all(text, '[^a-z\s]')) AS BIGINT) AS symbol_chars,
+        |  CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+        |    w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS alpha_words,
+        |  CAST(len(list_intersect(list_distinct(regexp_extract_all(text, '\S+')),
+        |    ['the','a','of','and','to'])) AS BIGINT) AS stop_hits
+        |FROM documents)
+        |SELECT doc_id, n_words, word_chars, symbol_chars, alpha_words, stop_hits,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND word_chars BETWEEN 3*n_words AND 10*n_words
+        |   AND 10*symbol_chars <= n_words
+        |   AND 5*alpha_words >= 4*n_words
+        |   AND stop_hits >= 2) AS keep
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,

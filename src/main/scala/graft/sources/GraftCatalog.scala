@@ -715,12 +715,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       else dynamicRoute(schema, table, m, dedupedDf, deleteDf, kind,
         fold = compaction, reset = !keepExisting && !compaction)
     def write(frame: DataFrame, toDir: String, frameKind: String): Unit = {
-      val (toWrite, bucketPart) = buckets match {
+      val (toWrite0, bucketPart) = buckets match {
         case Some(-1) => (frame, Seq(BucketCol)) // pre-routed via the hash index
         case Some(n) =>
           (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
         case None => (frame, Seq.empty)
       }
+      // Cluster the batch by bucket before the partitioned write: without
+      // this, EVERY task writes a file into every bucket it holds rows
+      // for — tasks × buckets files per commit (a 1000-task batch into a
+      // 4096-bucket table would land 4M tiny files). One delta-sized
+      // shuffle caps it at ~one file per touched bucket, which is also
+      // Paimon's per-bucket writer grouping.
+      val toWrite = if (bucketPart.nonEmpty) toWrite0.repartition(col(BucketCol))
+        else toWrite0
       // DV sidecar frames stay parquet regardless of the table's data
       // format (DVs exist only on parquet tables — validated at create)
       val fmt = if (frameKind == "dv") "parquet" else fileFormat(m)
@@ -3139,7 +3147,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       else readDynamicIndex(schema, table, m)).persist()
     val allKeys = (Seq(df) ++ deleteDf.toSeq)
       .map(_.select(hash.as("__kh"))).reduce(_ unionByName _)
-      .distinct().persist()
+      .distinct()
     val known = index.join(
       org.apache.spark.sql.functions.broadcast(allKeys), Seq("__kh"))
     val (assignment, newAssigned, nNew) =
@@ -3189,7 +3197,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // index reads complete here so its cache releases deterministically
     val asg = assignment.localCheckpoint(true)
     val newAsg = newAssigned
-    index.unpersist(); allKeys.unpersist()
+    index.unpersist()
     def route(frame: DataFrame): DataFrame = {
       val cols = frame.columns
       frame.withColumn("__kh", hash)
