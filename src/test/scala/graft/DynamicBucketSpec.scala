@@ -174,6 +174,89 @@ class DynamicBucketSpec extends SparkSpecBase {
     assert(ids.contains(100L) && !ids.contains(200L))
   }
 
+  test("routing fuzz: random upserts/deletes/compactions preserve the " +
+      "image, bucket stability, and the capacity bound") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val (cat, wh) = freshCatalog()
+    val target = 7L
+    create(cat, "f", target)
+    var model = Map[Long, String]()      // expected image
+    var assigned = Map[Long, Int]()      // observed bucket per assigned key
+    for (step <- 0 until 12) {
+      rnd.nextInt(4) match {
+        case 0 | 1 =>
+          val ups = (0 until (1 + rnd.nextInt(12)))
+            .map(_ => rnd.nextInt(60).toLong).distinct
+            .map(k => (k, s"v$step-$k"))
+          cat.upsert("db", "f", ups.toDF("id", "v"))
+          model ++= ups
+        case 2 if model.nonEmpty =>
+          val victims = model.keys.toSeq.sorted
+            .filter(_ => rnd.nextBoolean()).take(5)
+          if (victims.nonEmpty) {
+            cat.deleteRowsByKey("db", "f", victims.toDF("id"))
+            model --= victims
+            // index entries survive the delete — a re-insert before any
+            // compaction must return to the SAME bucket, so keep the
+            // observed assignment
+          }
+        case _ =>
+          cat.compact("db", "f")
+          // compaction folds only LIVE assignments: dead keys release
+          // their slots and may re-assign anywhere later
+          assigned = assigned.filter { case (k, _) => model.contains(k) }
+      }
+      val img = cat.read("db", "f").as[(Long, String)].collect().toMap
+      assert(img === model, s"step $step: image mismatch")
+      val bc = bucketContents(cat, wh, "f")
+      val byKey = bc.toSeq.flatMap { case (b, ks) => ks.map(_ -> b) }
+        .groupBy(_._1).map { case (k, bs) => k -> bs.map(_._2).distinct }
+      byKey.foreach { case (k, bs) =>
+        assert(bs.size === 1, s"step $step: key $k in buckets $bs")
+      }
+      // capacity: no bucket ever holds more ASSIGNED keys than target
+      bc.foreach { case (b, ks) =>
+        assert(ks.size <= target, s"step $step: bucket $b has ${ks.size} keys")
+      }
+      // stability: previously observed assignments never move
+      val now = byKey.map { case (k, bs) => k -> bs.head }
+      assigned.foreach { case (k, b) =>
+        now.get(k).foreach(nb =>
+          assert(nb === b, s"step $step: key $k moved $b -> $nb"))
+      }
+      assigned ++= now
+    }
+  }
+
+  test("index delta bytes stay O(batch) as the table grows") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "g", target = 1000L)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def dbidxBytes(dir: String): Long = {
+      val p = new Path(new Path(new Path(new Path(wh, "db"), "g"), dir), ".dbidx")
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }
+    // 8 commits of 100 new keys each: every commit's index delta must
+    // stay ~the size of the FIRST one (O(batch)), never grow with the
+    // table — the commit-metadata contract of the hierarchical layout
+    val sizes = (0 until 8).map { i =>
+      cat.upsert("db", "g",
+        (1L to 100L).map(j => (i * 1000L + j, s"v$j")).toDF("id", "v"))
+      val dirs = cat.snapshotFileEntries("db", "g").filter(_.kind == "data")
+      dbidxBytes(dirs.last.dir)
+    }
+    assert(sizes.forall(_ > 0), s"every commit writes a delta: $sizes")
+    assert(sizes.max <= sizes.head * 2,
+      s"index delta grew with table size: $sizes")
+    // an update-only commit (no new keys) writes NO delta at all
+    cat.upsert("db", "g", (1L to 100L).map(j => (j, "upd")).toDF("id", "v"))
+    val dirs = cat.snapshotFileEntries("db", "g").filter(_.kind == "data")
+    assert(dbidxBytes(dirs.last.dir) === 0L, "update-only commit wrote a delta")
+  }
+
   test("changelog streaming works over a dynamic-bucket table") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
