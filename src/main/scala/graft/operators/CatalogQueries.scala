@@ -118,6 +118,23 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // PARTITIONED + BUCKETED PK table (Paimon's standard production
+    // layout, `source=v/__bucket=k` dirs): partition ⊆ primary key, so
+    // every bucket leg merges key-disjoint slices across partitions; the
+    // merged image must equal the flat-layout answer exactly.
+    "catalog_partitioned_bucket" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "source", "lang")
+      cat.createTable("q", t, d.schema, partitionBy = Seq("source"),
+        options = Map("bucket" -> "4"),
+        primaryKey = Seq("source", "doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // DYNAMIC bucket mode (Paimon's bucket = -1): keys route through the
     // persisted hash index — the first wave fills buckets to the 150-key
     // target and later waves open fresh ones while updates stay in their
@@ -818,6 +835,10 @@ object CatalogQueries {
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "catalog_bucketed_mor" ->
       """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_partitioned_bucket" ->
+      """SELECT doc_id, source,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "catalog_dynamic_bucket" ->

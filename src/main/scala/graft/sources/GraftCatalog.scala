@@ -98,8 +98,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // `dynamic-bucket.target-row-num` keys and new ones open as needed
       require(b.toInt >= 1 || b.toInt == -1,
         s"bucket must be >= 1 (fixed) or -1 (dynamic), got $b")
-      require(partitionBy.isEmpty,
-        "bucketed tables cannot also be partitioned (the bucket IS the physical partition)")
+      if (partitionBy.nonEmpty) {
+        // Paimon's combined layout: `part=v/__bucket=k` dirs. The PK-table
+        // rule (partition ⊆ primary key) guarantees a key lives in exactly
+        // one partition, so per-bucket merge legs stay key-disjoint across
+        // partitions and the in-task merge needs no partition awareness.
+        require(b.toInt != -1,
+          "dynamic bucket mode (bucket = -1) does not support partitioned tables")
+        require(partitionBy.forall(primaryKey.contains),
+          "bucketed partitioned tables require every partition column to " +
+            "be part of the primary key (a key must live in exactly one partition)")
+      }
       require(!structType.fieldNames.contains(BucketCol),
         s"column name $BucketCol is reserved on bucketed tables")
     }
@@ -721,13 +730,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
         case None => (frame, Seq.empty)
       }
-      // Cluster the batch by bucket before the partitioned write: without
-      // this, EVERY task writes a file into every bucket it holds rows
-      // for — tasks × buckets files per commit (a 1000-task batch into a
-      // 4096-bucket table would land 4M tiny files). One delta-sized
-      // shuffle caps it at ~one file per touched bucket, which is also
-      // Paimon's per-bucket writer grouping.
-      val toWrite = if (bucketPart.nonEmpty) toWrite0.repartition(col(BucketCol))
+      val parted =
+        (if (frameKind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
+      // Cluster the batch by its physical layout keys before a bucketed
+      // write: without this, EVERY task writes a file into every
+      // (partition, bucket) it holds rows for — tasks × buckets files
+      // per commit (a 1000-task batch into a 4096-bucket table would
+      // land 4M tiny files). One delta-sized shuffle caps it at ~one
+      // file per touched leaf dir, which is also Paimon's per-bucket
+      // writer grouping. Plain partitioned tables (no bucket) keep the
+      // narrow write — their file count is bounded by tasks × live
+      // partitions of the batch, the standard Spark trade.
+      val toWrite = if (bucketPart.nonEmpty) toWrite0.repartition(parted.map(col): _*)
         else toWrite0
       // DV sidecar frames stay parquet regardless of the table's data
       // format (DVs exist only on parquet tables — validated at create)
@@ -738,8 +752,6 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // default; they are position lists, not data.
       val writer = fileCompression(m).filter(_ => frameKind != "dv")
         .map(c => writer0.option("compression", c)).getOrElse(writer0)
-      val parted =
-        (if (frameKind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
       (if (parted.nonEmpty) writer.partitionBy(parted: _*) else writer)
         .save(new Path(tablePath(schema, table), toDir).toString)
     }
@@ -2546,7 +2558,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def frameFor(schema: String, table: String, m: ObjectNode,
       fe: FileEntry, pathOverride: Option[Path] = None,
       fileSubset: Option[Seq[String]] = None,
-      withMeta: Boolean = false): DataFrame = {
+      withMeta: Boolean = false,
+      // Partitioned bucketed layout: read the WHOLE dir (partition
+      // discovery resolves `col=value` AND `__bucket=k` segments) and
+      // keep the bucket column so the caller can split per-bucket legs.
+      withBucket: Boolean = false): DataFrame = {
     val curFields = currentFields(m)
     val allSchemas = schemaVersions(m)
     val writeFieldsAll = allSchemas(fe.schemaVersion)
@@ -2564,7 +2580,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // type inference would coerce string partition values that look
     // numeric ("0123" -> 123) and corrupt the round-trip.
     val writeSchema = StructType(writeFields.map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))) ++
+      (if (withBucket)
+        Seq(StructField(BucketCol, org.apache.spark.sql.types.IntegerType))
+      else Seq.empty))
     val base = pathOverride.getOrElse(new Path(tablePath(schema, table), fe.dir))
     // data AND tombstone dirs follow the table's file.format (ORC reads
     // columns by write-time NAME, so the field-id mapping below works
@@ -2606,7 +2625,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // ordinal = leading digits of the dir name: "snap-7" and a merge
     // commit's paired "snap-7-del" share ordinal 7 (one atomic snapshot;
     // a key never appears in both dirs, so the tie is unreachable)
-    raw.select(cols ++ metaCols ++ Seq(
+    val bucketCols = if (withBucket) Seq(col(BucketCol)) else Seq.empty
+    raw.select(cols ++ metaCols ++ bucketCols ++ Seq(
       lit(fe.dir.stripPrefix("snap-").takeWhile(_.isDigit).toLong).as("__ord"),
       lit(fe.kind == "delete").as("__del")): _*)
   }
@@ -2867,24 +2887,51 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // rescaleBucket, older snapshots keep their original layout (a
     // different k range) and must resolve under it — the option only
     // describes the CURRENT snapshot. O(dirs) metadata listings.
+    val partCols = partitionColumns(m)
+    // `__bucket=k` leaves sit directly under a flat dir, or nested below
+    // `col=value` partition dirs (data dirs of a partitioned bucketed
+    // table; tombstone dirs stay flat — their files CARRY the partition
+    // columns as data, since partition ⊆ primary key).
+    def bucketsUnder(p: Path, depth: Int): Seq[Int] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.flatMap { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith(s"$BucketCol="))
+          scala.util.Try(nm.stripPrefix(s"$BucketCol=").toInt).toOption
+        else if (depth > 0 && st.isDirectory && nm.contains("="))
+          bucketsUnder(st.getPath, depth - 1)
+        else Seq.empty
+      }
+    def depthOf(fe: FileEntry) = if (fe.kind == "data") partCols.length else 0
     val wanted: Seq[Int] = onlyBuckets.getOrElse {
       val seen = mutable.SortedSet[Int](0 until n: _*)
       entries.foreach { fe =>
-        val base = new Path(tablePath(schema, table), fe.dir)
-        if (fs.exists(base)) fs.listStatus(base).foreach { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith(s"$BucketCol="))
-            scala.util.Try(nm.stripPrefix(s"$BucketCol=").toInt)
-              .foreach(seen += _)
-        }
+        seen ++= bucketsUnder(new Path(tablePath(schema, table), fe.dir), depthOf(fe))
       }
       seen.toSeq
     }
+    // Partitioned layout: one discovery-backed frame per entry dir with
+    // the bucket column RETAINED (partition values resolve from the
+    // `col=value` segments); each leg filters its bucket, so partition
+    // pruning on __bucket keeps per-leg I/O exact while every partition's
+    // slice of bucket k merges in ONE leg — sound because partition ⊆
+    // primary key makes cross-partition key spaces disjoint, and the
+    // sizing contract (one bucket per task) is unchanged from the flat
+    // layout.
+    val partFrames: Seq[(FileEntry, DataFrame)] =
+      if (partCols.isEmpty) Seq.empty
+      else entries.filter(fe => bucketsUnder(
+          new Path(tablePath(schema, table), fe.dir), depthOf(fe)).nonEmpty)
+        .map(fe => fe -> frameFor(schema, table, m, fe, withBucket = true))
     val legs = wanted.flatMap { k =>
-      val frames = entries.flatMap { fe =>
-        val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")
-        if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p))) else None
-      }
+      val frames =
+        if (partCols.isEmpty) entries.flatMap { fe =>
+          val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")
+          if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p))) else None
+        }
+        else partFrames.map { case (_, f) =>
+          f.filter(col(BucketCol) === k).drop(BucketCol)
+        }
       if (frames.isEmpty) None
       else {
         val all = frames.reduce(_ unionByName _).coalesce(1)

@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.GraftCatalog
+
+/**
+ * Partitioned + bucketed PK tables (Paimon's standard production layout,
+ * `part=v/__bucket=k` dirs): partition columns must be part of the
+ * primary key, so a key lives in exactly one partition and each bucket
+ * leg merges key-disjoint slices across partitions.
+ */
+class PartitionedBucketSpec extends SparkSpecBase {
+
+  private def freshCatalog(): (GraftCatalog, String) = {
+    val wh = Files.createTempDirectory("graft-pb-wh").toString
+    (new GraftCatalog(spark, wh), wh)
+  }
+
+  private val pkvSchema = StructType(Seq(
+    StructField("part", StringType), StructField("id", LongType),
+    StructField("v", StringType)))
+
+  private def create(cat: GraftCatalog, table: String, buckets: Int = 4): Unit = {
+    cat.createSchema("db")
+    cat.createTable("db", table, pkvSchema, partitionBy = Seq("part"),
+      options = Map("bucket" -> buckets.toString),
+      primaryKey = Seq("part", "id"))
+  }
+
+  private def rows(parts: Seq[String], n: Long, tag: String) =
+    for (p <- parts; i <- 1L to n) yield (p, i, s"$tag-$p-$i")
+
+  test("layout nests buckets under partitions; MoR resolves updates and " +
+      "tombstones across the combined layout") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    create(cat, "t")
+    cat.upsert("db", "t", rows(Seq("a", "b"), 20, "v").toDF("part", "id", "v"))
+    // physical layout: part=a/__bucket=k
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dir0 = cat.snapshotFileEntries("db", "t").head.dir
+    val pa = new Path(new Path(new Path(new Path(wh, "db"), "t"), dir0), "part=a")
+    assert(fs.exists(pa), "partition dir missing")
+    assert(fs.listStatus(pa).exists(_.getPath.getName.startsWith("__bucket=")),
+      "bucket dirs must nest under partitions")
+    // update a slice of partition a, delete across both partitions
+    cat.upsert("db", "t",
+      rows(Seq("a"), 5, "u").toDF("part", "id", "v"))
+    cat.deleteWhere("db", "t", col("id") === 7L)
+    val img = cat.read("db", "t").as[(String, Long, String)].collect().toSet
+    val expect = (rows(Seq("a", "b"), 20, "v").toMap2 ++
+      rows(Seq("a"), 5, "u").toMap2)
+      .filterNot { case ((_, i), _) => i == 7L }
+      .map { case ((p, i), v) => (p, i, v) }.toSet
+    assert(img === expect)
+    // same key id in DIFFERENT partitions stays distinct (partition ∈ pk)
+    assert(img.count(_._2 == 1L) === 2)
+  }
+
+  private implicit class Rows2(rs: Seq[(String, Long, String)]) {
+    def toMap2: Map[(String, Long), String] =
+      rs.map { case (p, i, v) => (p, i) -> v }.toMap
+  }
+
+  test("readBucket unions every partition's slice of the bucket; " +
+      "compact and rescale preserve the image; time travel resolves " +
+      "under the old layout") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    create(cat, "c")
+    cat.upsert("db", "c", rows(Seq("a", "b", "cc"), 15, "v").toDF("part", "id", "v"))
+    val preDelete = cat.snapshots("db", "c").last.id
+    cat.deleteWhere("db", "c", col("id") % 5 === 0)
+    // the four buckets partition the key space exactly
+    val byBucket = (0 until 4).map(k =>
+      cat.readBucket("db", "c", k).as[(String, Long, String)].collect().toSet)
+    assert(byBucket.map(_.size).sum === byBucket.flatten.toSet.size,
+      "buckets must be disjoint")
+    assert(byBucket.flatten.toSet === cat.read("db", "c")
+      .as[(String, Long, String)].collect().toSet)
+    // time travel: pre-delete image still resolves (45 rows)
+    assert(cat.read("db", "c", snapshotId = Some(preDelete)).count() === 45)
+    // compact materializes the merged image; layout survives
+    cat.compact("db", "c")
+    assert(cat.read("db", "c").count() === 36)
+    // rescale 4 -> 2 buckets: image identical under the new layout
+    cat.rescaleBucket("db", "c", 2)
+    assert(cat.bucketCountOf("db", "c") === Some(2))
+    assert(cat.read("db", "c").count() === 36)
+    assert(cat.readBucket("db", "c", 0).count() +
+      cat.readBucket("db", "c", 1).count() === 36)
+  }
+
+  test("validation: partition must be in the primary key; dynamic mode " +
+      "refuses partitions; partition replacement refuses PK tables") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.createSchema("db")
+    intercept[IllegalArgumentException](cat.createTable("db", "bad", pkvSchema,
+      partitionBy = Seq("part"), options = Map("bucket" -> "4"),
+      primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](cat.createTable("db", "bad2", pkvSchema,
+      partitionBy = Seq("part"), options = Map("bucket" -> "-1"),
+      primaryKey = Seq("part", "id")))
+    create(cat, "g")
+    cat.upsert("db", "g", rows(Seq("a"), 5, "v").toDF("part", "id", "v"))
+    // partition expiration / dynamic overwrite route through
+    // replacePartitions, which refuses PK tables (tombstones, not
+    // partition drops, are the PK deletion mechanism)
+    intercept[IllegalArgumentException](
+      cat.expirePartitions("db", "g", col("part") === "a"))
+  }
+
+  test("changelog streaming over a partitioned bucketed table") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    create(cat, "s", buckets = 2)
+    cat.upsert("db", "s", rows(Seq("a", "b"), 3, "v").toDF("part", "id", "v"))
+    cat.upsert("db", "s", Seq(("a", 2L, "u"), ("b", 9L, "n")).toDF("part", "id", "v"))
+    cat.deleteWhere("db", "s", col("part") === "a" && col("id") === 1L)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, Long, String)]()
+    val q = cat.readChangelogStream("db", "s")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-pb-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rs = b.select("part", "id", GraftCatalog.RowKindCol).collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+        seen.synchronized { seen ++= rs }; ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val all = seen.synchronized(seen.toSeq)
+    assert(all.contains(("a", 1L, "-D")))
+    assert(all.contains(("b", 9L, "+U")) || all.contains(("b", 9L, "+I")))
+    assert(all.map(r => (r._1, r._2)).toSet ===
+      (for (p <- Seq("a", "b"); i <- 1L to 3L) yield (p, i)).toSet + (("b", 9L)))
+  }
+}
