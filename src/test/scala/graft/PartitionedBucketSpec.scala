@@ -117,6 +117,30 @@ class PartitionedBucketSpec extends SparkSpecBase {
       cat.expirePartitions("db", "g", col("part") === "a"))
   }
 
+  test("SQL surface: CREATE + INSERT upserts + SELECT resolves + full-PK " +
+      "point lookup routes through the bucket") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    spark.conf.set("spark.sql.catalog.gpb", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gpb.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gpb.db")
+    spark.sql("CREATE TABLE gpb.db.sq (part STRING, id BIGINT, v STRING) " +
+      "PARTITIONED BY (part) " +
+      "TBLPROPERTIES ('primary-key'='part,id', 'bucket'='2')")
+    spark.sql("INSERT INTO gpb.db.sq VALUES " +
+      "('a', 1, 'a1'), ('a', 2, 'a2'), ('b', 1, 'b1'), ('b', 2, 'b2')")
+    spark.sql("INSERT INTO gpb.db.sq VALUES ('a', 2, 'A2')") // upsert
+    assert(spark.sql("SELECT v FROM gpb.db.sq ORDER BY part, id")
+      .as[String].collect().toSeq === Seq("a1", "A2", "b1", "b2"))
+    // full-PK equality: the scan prunes to the key's single bucket
+    // (readBucket unions that bucket across partitions)
+    assert(spark.sql(
+      "SELECT v FROM gpb.db.sq WHERE part = 'a' AND id = 2")
+      .as[String].collect().toSeq === Seq("A2"))
+    spark.sql("DELETE FROM gpb.db.sq WHERE part = 'b' AND id = 1")
+    assert(spark.sql("SELECT count(*) FROM gpb.db.sq").head().getLong(0) === 3L)
+  }
+
   test("changelog streaming over a partitioned bucketed table") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
