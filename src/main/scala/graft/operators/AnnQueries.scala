@@ -15,6 +15,25 @@ object AnnQueries {
 
   private val K = 10
 
+  // One JVM-wide warehouse root for the persisted-index query (same
+  // pattern as CatalogQueries: unique table per invocation, swept on exit).
+  private lazy val idxRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ann-idx")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p
+  }
+  private val idxSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def freshIdx(s: SparkSession): (graft.sources.GraftCatalog, String) = {
+    val cat = new graft.sources.GraftCatalog(s, idxRoot.toString)
+    cat.createSchema("idx") // idempotent mkdirs
+    (cat, s"vidx_${idxSeq.incrementAndGet()}")
+  }
+
   private def qc(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val all = Similarity.quantized(Tables(s, dir, "embeddings"), "vec_id", "embedding")
     (all, all.filter(col("id") % 10 === 0))
@@ -51,6 +70,19 @@ object AnnQueries {
       val all = Similarity.quantized(Tables(s, dir, "embeddings"), "vec_id", "embedding")
       Similarity.ivfKnnJoin(all, all.filter(col("id") % 3 === 0), K)
         .orderBy("qid", "rank")
+    }),
+    // Persisted IVF index probed with nprobe = nlist — EXACT by
+    // construction (every cell probed, shared scoring kernel), so unlike
+    // ann_ivf this registration carries the full brute-force oracle while
+    // still exercising the real build→persist→prune→query machinery
+    // (centroid table read, cell-partitioned catalog scan through
+    // readWhere). The pruning + recall story for nprobe < nlist is gated
+    // in AnnSpec.
+    "ann_indexed" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      val (cat, t) = freshIdx(s)
+      VectorIndex.build(cat, "idx", t, cands, nlist = 8, iters = 3)
+      VectorIndex.query(cat, "idx", t, qs, K, nprobe = 8).orderBy("qid", "rank")
     }),
     // Per-label centroids (class prototypes / cluster seeds): exact
     // integer sums over quantized components — one shuffle on
@@ -186,6 +218,7 @@ object AnnQueries {
     "ann_bruteforce" -> annOracle,
     "dedup_semantic" -> semanticDedupOracle,
     "ann_scalable" -> annOracle,
+    "ann_indexed" -> annOracle,
     "cluster_kmeans" -> kmeansOracle,
     "emb_label_centroids" ->
       """WITH x AS (

@@ -33,7 +33,7 @@ object Similarity {
       .withColumn("nn", VectorOps.qdot(col("qv"), col("qv")))
       .persist() // reused as both candidate and query side downstream
 
-  private def ranked(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def ranked(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cand").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -482,7 +482,7 @@ object Similarity {
 
   /** Indices of the `probes` nearest centroids by dot product (ties →
     * lower index), deterministic. */
-  private def cells(v: Array[Double], cs: Array[Array[Double]], probes: Int): Seq[Int] =
+  private[operators] def cells(v: Array[Double], cs: Array[Array[Double]], probes: Int): Seq[Int] =
     cs.indices
       .map(c => (c, dot(v, cs(c))))
       .sortBy { case (c, d) => (-d, c) }

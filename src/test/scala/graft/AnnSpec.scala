@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import graft.operators.{Similarity, VectorIndex}
 
 /** ANN paths: scalable==brute equality on real data; LSH recall on
   * clustered planted vectors. */
@@ -169,6 +169,78 @@ class AnnSpec extends SparkSpecBase {
       Similarity.quantized(survivors, "vec_id", "embedding"),
       nlist = 3, rounds = 2, threshold = 0.95).collect()
     assert(again.forall(_.getBoolean(2)), "survivor set must be stable")
+  }
+
+  // ---- persisted IVF index (VectorIndex over graft catalog tables) ----
+
+  private def freshIdxCat() = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-vidx-spec").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("idx")
+    cat
+  }
+
+  test("persisted index with nprobe = nlist equals brute force exactly") {
+    val (cands, qs) = realVectors()
+    val cat = freshIdxCat()
+    VectorIndex.build(cat, "idx", "emb", cands, nlist = 8, iters = 3)
+    val brute = Similarity.bruteForceTopK(cands, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val idx = VectorIndex.query(cat, "idx", "emb", qs, 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(brute.sortBy(t => (t._1, t._2)).toSeq === idx.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("persisted index probe prunes to the probed cells' partitions") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield ((c * 25 + m).toLong,
+      center.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    val all = Similarity.quantized(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val cat = freshIdxCat()
+    VectorIndex.build(cat, "idx", "emb", all, nlist = 16, iters = 3)
+    val qs = all.filter(col("id") === 0) // one query, nprobe 2 of 16 cells
+    val out = VectorIndex.query(cat, "idx", "emb", qs, 10, nprobe = 2)
+    // the scan half of the plan must only plan files under 2 cell dirs
+    val cells = out.inputFiles.filter(_.contains("cell=")).map { f =>
+      f.split("cell=")(1).split("/")(0)
+    }.distinct
+    assert(cells.length <= 2,
+      s"expected <= 2 probed cell partitions planned, got ${cells.toSeq}")
+    val full = cat.read("idx", "emb")
+    assert(full.inputFiles.count(_.contains("cell=")) > cells.length,
+      "pruning assertion is vacuous: full table has no more partitions")
+    // recall: clustered families land in the query's own probed cells
+    val brute = Similarity.bruteForceTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"persisted-index recall $recall < 0.8")
+  }
+
+  test("appendVectors adds without retraining; new rows become findable") {
+    val (all, _) = realVectors()
+    val base = all.filter(col("id") % 2 === 0)
+    val extra = all.filter(col("id") % 2 =!= 0)
+    val cat = freshIdxCat()
+    VectorIndex.build(cat, "idx", "emb", base, nlist = 8, iters = 3)
+    val centsBefore = VectorIndex.centroidsOf(cat, "idx", "emb")
+    VectorIndex.appendVectors(cat, "idx", "emb", extra)
+    val centsAfter = VectorIndex.centroidsOf(cat, "idx", "emb")
+    assert(centsBefore.map(_.toSeq).toSeq === centsAfter.map(_.toSeq).toSeq,
+      "append must not retrain the quantizer")
+    // full-probe query over the grown index == brute force over the union
+    val qs = all.filter(col("id") % 50 === 0)
+    val brute = Similarity.bruteForceTopK(all, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val idx = VectorIndex.query(cat, "idx", "emb", qs, 5, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(brute === idx, "appended vectors must be exactly findable")
   }
 
   test("lsh prunes: candidate pairs well below all-pairs") {
