@@ -88,6 +88,44 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Branch lineage (Paimon's table branch): base commits full docs,
+    // the branch forks at that snapshot, BOTH lineages then update the
+    // same key space differently; reading the BRANCH must see the fork
+    // image plus only the branch's own updates/deletes (base updates
+    // invisible), merge-on-read resolving across inherited (`~/`-shared)
+    // and branch-local dirs.
+    "catalog_branch" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.createBranch("q", t, "dev")
+      // base moves on — must stay invisible to the branch
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 5 === 0).withColumn("lang", lit("BASE")))
+      cat.upsert("q", s"$t$$branch_dev",
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("DEV")))
+      cat.deleteWhere("q", s"$t$$branch_dev", col("doc_id") % 7 === 3)
+      cat.read("q", s"$t$$branch_dev").orderBy("doc_id")
+    }),
+    // Fast-forward: branch does the work (update + tombstone), the
+    // untouched base adopts it in ONE manifest CAS with zero data
+    // movement; reading the BASE afterwards must equal the branch image,
+    // resolved through `~/.branch/...` shared references.
+    "catalog_branch_ff" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema, primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.createBranch("q", t, "work")
+      cat.upsert("q", s"$t$$branch_work",
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("DEV")))
+      cat.deleteWhere("q", s"$t$$branch_work", col("doc_id") % 7 === 3)
+      cat.fastForward("q", t, "work")
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // The same upsert/tombstone state on an ORC table (file.format=orc):
     // data and tombstone dirs land as ORC, merge-on-read must resolve
     // the identical image through the format-aware read seams.
@@ -828,6 +866,14 @@ object CatalogQueries {
     "catalog_upsert_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_branch" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'DEV' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_branch_ff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'DEV' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "catalog_orc_mor" ->
       """SELECT doc_id,

@@ -59,7 +59,65 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def schemaPath(schema: String) = new Path(warehouse, schema)
-  private def tablePath(schema: String, table: String) = new Path(schemaPath(schema), table)
+
+  /** `t$branch_<name>` → (t, Some(name)); plain names pass through.
+    * Branches are one level deep: a branch name never contains the
+    * separator again (validated at creation). */
+  private[sources] def splitBranch(table: String): (String, Option[String]) = {
+    val i = table.indexOf(BranchSep)
+    if (i < 0) (table, None)
+    else (table.substring(0, i), Some(table.substring(i + BranchSep.length)))
+  }
+
+  /** A branch lineage lives under `<base>/.branch/<name>/` — its own
+    * manifest versions, staging dirs and snap dirs, fully isolated from
+    * the base lineage; every tablePath-relative operation (commit
+    * protocol, claims, sweeps) works on a branch unchanged. */
+  private def tablePath(schema: String, table: String): Path =
+    splitBranch(table) match {
+      case (base, Some(br)) =>
+        new Path(new Path(schemaPath(schema), base), s"$BranchDirName/$br")
+      case (base, None) => new Path(schemaPath(schema), base)
+    }
+
+  /** Resolve a manifest dir reference to a filesystem path: a `~/x`
+    * entry is BASE-TABLE-relative — the cross-lineage sharing form (a
+    * branch inheriting the base's history references `~/snap-3`; a
+    * fast-forwarded base references `~/.branch/dev/snap-7`) — while a
+    * plain entry is lineage-local. Sharing is by reference, never by
+    * copy: branch creation and fast-forward move ZERO data bytes. */
+  private def dirPath(schema: String, table: String, dir: String): Path =
+    if (dir.startsWith(BaseRelMarker))
+      new Path(new Path(schemaPath(schema), splitBranch(table)._1),
+        dir.substring(BaseRelMarker.length))
+    else new Path(tablePath(schema, table), dir)
+
+  /** A dir reference in BASE-relative form — the cross-lineage identity
+    * under which two lineages of one table compare references (pinning:
+    * a dir is deletable only when NO lineage references it). */
+  private def baseRelativeDir(table: String, dir: String): String =
+    if (dir.startsWith(BaseRelMarker)) dir.substring(BaseRelMarker.length)
+    else splitBranch(table) match {
+      case (_, Some(br)) => s"$BranchDirName/$br/$dir"
+      case _ => dir
+    }
+
+  /** A dir reference reduced to its physical DIR NAME (the trailing
+    * `snap-…` segment): the form deletion-vector file refs use (they
+    * derive from `_metadata.file_path`, which knows nothing of sharing
+    * markers) and the form the merge ordinal parses. Unique within one
+    * manifest — a lineage assigns ids strictly above every retained id,
+    * inherited included, so a shared and a local dir can never collide
+    * on their name. */
+  private def dirKey(dir: String): String = {
+    val i = dir.lastIndexOf("snap-")
+    if (i <= 0) dir else dir.substring(i)
+  }
+
+  /** Filesystem location of a manifest dir reference — public resolution
+    * for the SQL catalog (branch lineages, `~/` shared refs). */
+  def dirLocation(schema: String, table: String, dir: String): String =
+    dirPath(schema, table, dir).toString
   private def manifestPath(schema: String, table: String) =
     new Path(tablePath(schema, table), "manifest.json")
 
@@ -86,6 +144,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       partitionBy: Seq[String] = Seq.empty,
       primaryKey: Seq[String] = Seq.empty): Unit = {
     require(fs.exists(schemaPath(schema)), s"schema $schema does not exist")
+    require(!table.contains("$"),
+      s"'$$' is reserved in table names (branch lineages `t$$branch_<name>` " +
+        s"are created via createBranch; `t$$snapshots`-style names are views)")
     require(!tableManifestExists(schema, table), s"table $schema.$table exists")
     partitionBy.foreach(p => require(structType.fieldNames.contains(p),
       s"partition column $p not in schema"))
@@ -338,6 +399,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   def dropTable(schema: String, table: String): Unit = {
+    require(splitBranch(table)._2.isEmpty,
+      s"$table is a branch lineage — use deleteBranch (it checks " +
+        "cross-lineage references before removing shared history)")
     require(tableManifestExists(schema, table), s"no table $schema.$table")
     fs.delete(tablePath(schema, table), true)
     GraftCatalog.purgeHeadCache(fs.makeQualified(tablePath(schema, table)).toString)
@@ -345,6 +409,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   def renameTable(schema: String, from: String, to: String): Unit = {
+    require(splitBranch(from)._2.isEmpty && !to.contains("$"),
+      s"branch lineages cannot be renamed (rename the base table; its " +
+        "branches move with it)")
     require(tableManifestExists(schema, from), s"no table $schema.$from")
     require(!fs.exists(tablePath(schema, to)), s"table $schema.$to exists")
     fs.rename(tablePath(schema, from), tablePath(schema, to))
@@ -1555,7 +1622,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // serve as truth — skip, matching commit()'s format gate.
     entries.filter(_ => fileFormat(m) == "parquet").foreach { fe =>
       FileStats.collectWithFiles(spark, fs,
-          new Path(tablePath(schema, table), fe.dir), cur).foreach {
+          dirPath(schema, table, fe.dir), cur).foreach {
         case (ds, fileZones) =>
           val statsNode =
             if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
@@ -1568,7 +1635,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           FileStats.toJson(dn, ds)
           if (fileZones.nonEmpty)
             dn.put("filesExt", writeZoneSidecar(
-              new Path(tablePath(schema, table), fe.dir), fileZones))
+              dirPath(schema, table, fe.dir), fileZones))
       }
     }
     writeManifest(schema, table, m)
@@ -1672,9 +1739,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val dirtyDirs: Set[String] = dvIndexFrom(m).values
       .flatMap(_._1).map(_.takeWhile(_ != '/')).toSet
     val candidates = entries.filter(e => e.kind == "data" &&
-      !dirtyDirs.contains(e.dir) &&
+      !dirtyDirs.contains(dirKey(e.dir)) &&
       (try fs.getContentSummary(
-        new Path(tablePath(schema, table), e.dir)).getLength < smallBytes
+        dirPath(schema, table, e.dir)).getLength < smallBytes
       catch { case _: java.io.IOException => false }))
     if (candidates.size < minDirs) return None
     val img = candidates
@@ -1827,7 +1894,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       newData.map(d => commit(schema, table, d, keepExisting = true)))
     // live partition paths per dir: one recursive metadata listing
     val dirParts: Map[String, Set[String]] = entries.map { fe =>
-      val basePath = new Path(tablePath(schema, table), fe.dir)
+      val basePath = dirPath(schema, table, fe.dir)
       val qbase = fs.makeQualified(basePath).toString
       val acc = mutable.Set[String]()
       if (fs.exists(basePath)) {
@@ -1912,9 +1979,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val referenced = (0 until snaps.size()).map(snaps.get)
       .flatMap(filesOf).map(_.dir).toSet
     val cutoff = System.currentTimeMillis() - graceMillis
+    // a local dir another lineage of the same base still references
+    // (a branch inheriting it, or the base after a fast-forward) is not
+    // an orphan — it is shared history owned here but pinned there
+    val pinned = siblingLineageRefs(schema, table)
     fs.listStatus(tablePath(schema, table)).toSeq.flatMap { st =>
       val name = st.getPath.getName
-      val orphanSnap = name.startsWith("snap-") && !referenced.contains(name)
+      val orphanSnap = name.startsWith("snap-") && !referenced.contains(name) &&
+        !pinned.contains(baseRelativeDir(table, name))
       val deadStaging = (name.startsWith(".staging-") ||
         name.startsWith(".manifest.tmp-") || name.startsWith(".snap-"))
       if ((orphanSnap || deadStaging) && st.getModificationTime < cutoff) {
@@ -1953,7 +2025,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       orphanDirs.foreach(dNode.remove)
     }
     writeManifest(schema, table, m)
-    orphanDirs.foreach(d => fs.delete(new Path(tablePath(schema, table), d), true))
+    // Cross-lineage pinning: a dir still referenced by ANY other lineage
+    // of the same base table (a branch that inherited it, or the base
+    // after fast-forwarding a branch) survives — its manifest entry here
+    // is gone, but the bytes belong to every lineage that references
+    // them; the LAST lineage to stop referencing a dir reclaims it
+    // (directly here, or via sweepOrphanDirs using the same pin set).
+    val pinnedElsewhere = siblingLineageRefs(schema, table)
+    orphanDirs.foreach { d =>
+      if (!pinnedElsewhere.contains(baseRelativeDir(table, d)))
+        fs.delete(dirPath(schema, table, d), true)
+    }
   }
 
   /**
@@ -1997,7 +2079,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val cur = m.get("currentSchemaVersion").asInt()
     val pk = primaryKey(m)
-    def ordinal(dir: String) = dir.stripPrefix("snap-").takeWhile(_.isDigit)
+    def ordinal(dir: String) = dirKey(dir).stripPrefix("snap-").takeWhile(_.isDigit)
     (0 until snaps.size()).reverseIterator.map(snaps.get).collectFirst {
       case s if upTo.forall(s.get("id").asLong() <= _) && {
         val entries = filesOf(s)
@@ -2151,6 +2233,310 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     read(schema, table, snapshotId = Some(id))
   }
 
+  // ---- branches ----------------------------------------------------------
+
+  /** Branch lineages of a table (Paimon's table branches), by name. */
+  def branchNames(schema: String, table: String): Seq[String] = {
+    val base = splitBranch(table)._1
+    val p = new Path(tablePath(schema, base), BranchDirName)
+    val listed =
+      try fs.listStatus(p)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    listed.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(b => tableManifestExists(schema, s"$base$BranchSep$b"))
+      .toSeq.sorted
+  }
+
+  /** Dir references (base-relative form, see [[baseRelativeDir]]) held
+    * by every OTHER lineage of this table's base — the base itself plus
+    * each branch, minus the lineage `table` names. A dir is reclaimable
+    * only when no sibling still references it: the base expiring history
+    * must not pull dirs a branch inherited, and a branch expiring its
+    * history must not pull dirs the base adopted via fast-forward.
+    * O(lineages) cached manifest reads, zero file I/O. */
+  private def siblingLineageRefs(schema: String, table: String): Set[String] = {
+    val (base, br) = splitBranch(table)
+    val branches = branchNames(schema, base)
+    if (branches.isEmpty && br.isEmpty) return Set.empty
+    val siblings: Seq[String] =
+      (if (br.isDefined) Seq(base) else Seq.empty) ++
+        branches.filterNot(br.contains).map(b => s"$base$BranchSep$b")
+    siblings.flatMap { t =>
+      if (!tableManifestExists(schema, t)) Seq.empty
+      else {
+        val sm = readManifest(schema, t)
+        val snaps = sm.get("snapshots").asInstanceOf[ArrayNode]
+        (0 until snaps.size()).flatMap(i => filesOf(snaps.get(i)))
+          .map(fe => baseRelativeDir(t, fe.dir))
+      }
+    }.toSet
+  }
+
+  /**
+   * Create branch `branch` of `schema.table` at snapshot `fromSnapshotId`
+   * (or the snapshot `fromTag` pins; default the current head) — Paimon's
+   * table branch, O(manifest metadata) and ZERO data I/O at ANY table
+   * size: the new lineage's manifest inherits the base's snapshot history
+   * up to the branch point with every dir reference rewritten to the
+   * base-relative sharing form (`~/snap-N`), so both lineages read the
+   * SAME immutable dirs in place. From then on the lineages are fully
+   * isolated — separate manifest CAS chains, separate staging/snap dirs
+   * under `<table>/.branch/<name>/` — and the branch is addressable as
+   * `t$branch_<name>` through EVERY catalog API (reads, time travel,
+   * upserts, DDL, compaction, streaming) and the SQL catalog. Expiration
+   * on either lineage never reclaims a dir the other still references
+   * (cross-lineage pinning in dropSnapshots/sweepOrphanDirs).
+   *
+   * Branching a 100 TB table costs one manifest read + one manifest
+   * write — the whole point: experiment/backfill/schema-migrate against
+   * production data without copying a byte, then [[fastForward]].
+   */
+  def createBranch(schema: String, table: String, branch: String,
+      fromSnapshotId: Option[Long] = None, fromTag: Option[String] = None): Unit = {
+    require(splitBranch(table)._2.isEmpty,
+      s"$table is itself a branch — branches are one level deep; branch from the base table")
+    require(branch.nonEmpty && branch.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-'),
+      s"branch name must be [A-Za-z0-9_-]+, got '$branch'")
+    require(fromSnapshotId.isEmpty || fromTag.isEmpty,
+      "pass fromSnapshotId OR fromTag, not both")
+    val bt = s"$table$BranchSep$branch"
+    require(!tableManifestExists(schema, bt),
+      s"branch $branch of $schema.$table exists")
+    val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val headId =
+      if (snaps.size() == 0) 0L
+      else snaps.get(snaps.size() - 1).get("id").asLong()
+    val fromId = fromTag.map(t => tags(schema, table).getOrElse(t,
+        throw new IllegalArgumentException(s"no tag $t on $schema.$table")))
+      .orElse(fromSnapshotId).getOrElse(headId)
+    require(fromId == 0L || (0 until snaps.size()).exists(i =>
+      snaps.get(i).get("id").asLong() == fromId),
+      s"no snapshot $fromId for $schema.$table")
+    // truncate the log at the branch point; entry nodes are SHARED across
+    // snapshots after inflation, so guard the in-place dir rewrite
+    val keptArr = mapper.createArrayNode()
+    (0 until snaps.size()).foreach { i =>
+      val s = snaps.get(i).asInstanceOf[ObjectNode]
+      if (s.get("id").asLong() <= fromId) keptArr.add(s)
+    }
+    def markEntries(arr: ArrayNode): Unit =
+      (0 until arr.size()).foreach { j =>
+        val e = arr.get(j).asInstanceOf[ObjectNode]
+        val d = e.get("dir").asText()
+        if (!d.startsWith(BaseRelMarker)) e.put("dir", BaseRelMarker + d)
+      }
+    (0 until keptArr.size()).foreach { i =>
+      val s = keptArr.get(i).asInstanceOf[ObjectNode]
+      markEntries(s.get("files").asInstanceOf[ArrayNode])
+      if (s.has("added")) markEntries(s.get("added").asInstanceOf[ArrayNode])
+      if (s.has("removed")) {
+        val r = s.get("removed").asInstanceOf[ArrayNode]
+        val marked = (0 until r.size()).map { j =>
+          val d = r.get(j).asText()
+          if (d.startsWith(BaseRelMarker)) d else BaseRelMarker + d
+        }
+        r.removeAll()
+        marked.foreach(r.add)
+      }
+    }
+    m.set[JsonNode]("snapshots", keptArr)
+    val keptDirs = (0 until keptArr.size())
+      .flatMap(i => filesOf(keptArr.get(i))).map(_.dir).toSet
+    // per-dir aux state (zones, DV index, blooms, dynamic-bucket flags)
+    // follows the entries: keys re-marked, values shared by reference;
+    // entries of truncated-away dirs dropped
+    Seq("dirStats", "dvIndex", "bloomIdx", "dynIdx").foreach { f =>
+      if (m.has(f)) {
+        val old = m.get(f).asInstanceOf[ObjectNode]
+        val next = mapper.createObjectNode()
+        old.fieldNames().forEachRemaining { k =>
+          val marked = if (k.startsWith(BaseRelMarker)) k else BaseRelMarker + k
+          if (keptDirs.contains(marked)) next.set[JsonNode](marked, old.get(k))
+        }
+        m.set[JsonNode](f, next)
+      }
+    }
+    // tags at-or-before the branch point carry over (their snapshots are
+    // in the inherited log); consumers and streaming-sink idempotence
+    // state stay with the base — the branch is a fresh consumption scope
+    if (m.has("tags")) {
+      val old = m.get("tags").asInstanceOf[ObjectNode]
+      val next = mapper.createObjectNode()
+      old.fieldNames().forEachRemaining { k =>
+        if (old.get(k).asLong() <= fromId) next.put(k, old.get(k).asLong())
+      }
+      m.set[JsonNode]("tags", next)
+    }
+    m.remove("consumers")
+    m.remove("lastStreamBatchId")
+    if (m.has("statistics") &&
+        m.get("statistics").get("snapshotId").asLong() > fromId)
+      m.remove("statistics")
+    m.remove("commitVersion") // fresh CAS lineage: first write lands v1
+    m.put("name", bt)
+    m.put("branchOf", table)
+    m.put("branchBaseId", fromId)
+    m.put("branchCreatedMillis", System.currentTimeMillis())
+    fs.mkdirs(tablePath(schema, bt))
+    writeManifest(schema, bt, m)
+  }
+
+  /**
+   * Fast-forward `schema.table` to branch `branch` — git semantics: the
+   * base log must be a PREFIX of the branch log (same ids, same dir sets
+   * under the cross-lineage identity; schema history a prefix too), i.e.
+   * the base has not diverged since the branch point. The base then
+   * ADOPTS the branch's full history in ONE manifest CAS with zero data
+   * movement: branch-local dirs are referenced in place under
+   * `~/.branch/<name>/snap-N`. The branch stays alive and readable; it
+   * cannot be deleted while the base references its dirs (deleteBranch
+   * refuses until expiration/compaction retires them). A diverged base
+   * refuses with a pointer — replay the branch onto a fresh branch of
+   * the current head instead. Returns the new head snapshot id.
+   */
+  def fastForward(schema: String, table: String, branch: String): Long = {
+    require(splitBranch(table)._2.isEmpty,
+      s"$table is itself a branch — fast-forward targets the base table")
+    val bt = s"$table$BranchSep$branch"
+    require(tableManifestExists(schema, bt),
+      s"no branch $branch of $schema.$table")
+    val m = readManifest(schema, table)
+    val bm = readManifest(schema, bt)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val bsnaps = bm.get("snapshots").asInstanceOf[ArrayNode]
+    def diverged(why: String) = throw new IllegalStateException(
+      s"cannot fast-forward $schema.$table to branch $branch: $why — " +
+        "the base advanced since the branch point; create a fresh branch " +
+        "from the current head and replay the work instead")
+    if (bsnaps.size() < snaps.size()) diverged("the base log is longer than the branch log")
+    (0 until snaps.size()).foreach { i =>
+      val a = snaps.get(i)
+      val b = bsnaps.get(i)
+      if (a.get("id").asLong() != b.get("id").asLong())
+        diverged(s"snapshot ids differ at position $i")
+      val aDirs = filesOf(a).map(fe => baseRelativeDir(table, fe.dir)).toSet
+      val bDirs = filesOf(b).map(fe => baseRelativeDir(bt, fe.dir)).toSet
+      if (aDirs != bDirs)
+        diverged(s"snapshot ${a.get("id").asLong()} references different dirs")
+    }
+    val aSchemas = m.get("schemas").asInstanceOf[ArrayNode]
+    val bSchemas = bm.get("schemas").asInstanceOf[ArrayNode]
+    if (aSchemas.size() > bSchemas.size()) diverged("schema history diverged")
+    (0 until aSchemas.size()).foreach { i =>
+      if (aSchemas.get(i) != bSchemas.get(i)) diverged("schema history diverged")
+    }
+    val headId =
+      if (bsnaps.size() == 0) 0L
+      else bsnaps.get(bsnaps.size() - 1).get("id").asLong()
+    if (bsnaps.size() == snaps.size()) return headId // nothing to adopt
+    // dir reference conversion INTO the base lineage: base-relative form,
+    // then plain for base-local names, `~/`-marked for everything shared
+    def toBaseRef(dir: String): String = {
+      val r = baseRelativeDir(bt, dir)
+      if (r.contains("/")) BaseRelMarker + r else r
+    }
+    def convertEntries(arr: ArrayNode): Unit =
+      (0 until arr.size()).foreach { j =>
+        val e = arr.get(j).asInstanceOf[ObjectNode]
+        e.put("dir", toBaseRef(e.get("dir").asText()))
+      }
+    (0 until bsnaps.size()).foreach { i =>
+      val s = bsnaps.get(i).asInstanceOf[ObjectNode]
+      convertEntries(s.get("files").asInstanceOf[ArrayNode])
+      if (s.has("added")) convertEntries(s.get("added").asInstanceOf[ArrayNode])
+      if (s.has("removed")) {
+        val r = s.get("removed").asInstanceOf[ArrayNode]
+        val conv = (0 until r.size()).map(j => toBaseRef(r.get(j).asText()))
+        r.removeAll()
+        conv.foreach(r.add)
+      }
+    }
+    Seq("dirStats", "dvIndex", "bloomIdx", "dynIdx").foreach { f =>
+      if (bm.has(f)) {
+        val old = bm.get(f).asInstanceOf[ObjectNode]
+        val next = mapper.createObjectNode()
+        old.fieldNames().forEachRemaining(k =>
+          next.set[JsonNode](toBaseRef(k), old.get(k)))
+        bm.set[JsonNode](f, next)
+      }
+    }
+    // retention promises merge; the base's win on a name conflict
+    if (m.has("tags")) {
+      val baseTags = m.get("tags").asInstanceOf[ObjectNode]
+      val next =
+        if (bm.has("tags")) bm.get("tags").asInstanceOf[ObjectNode]
+        else bm.putObject("tags")
+      baseTags.fieldNames().forEachRemaining(k =>
+        next.put(k, baseTags.get(k).asLong()))
+    }
+    // consumption scopes stay with the base lineage
+    bm.remove("consumers")
+    m.get("consumers") match {
+      case c: ObjectNode => bm.set[JsonNode]("consumers", c)
+      case _ => ()
+    }
+    bm.remove("lastStreamBatchId")
+    m.get("lastStreamBatchId") match {
+      case b: JsonNode if !b.isMissingNode && !b.isNull =>
+        bm.set[JsonNode]("lastStreamBatchId", b)
+      case _ => ()
+    }
+    bm.put("name", table)
+    bm.remove("branchOf")
+    bm.remove("branchBaseId")
+    bm.remove("branchCreatedMillis")
+    // continue the BASE's CAS chain — concurrent base commits lose/abort
+    if (m.has("commitVersion"))
+      bm.set[JsonNode]("commitVersion", m.get("commitVersion"))
+    else bm.remove("commitVersion")
+    writeManifest(schema, table, bm)
+    headId
+  }
+
+  /** Delete a branch lineage. Refused while another lineage still
+    * references dirs INSIDE the branch (the base adopted branch commits
+    * via fast-forward): deleting would tear shared history — expire or
+    * compact the referencing lineage first, then delete. Dirs of the
+    * BASE the branch alone was pinning become reclaimable by the base's
+    * next expiration/orphan sweep. */
+  def deleteBranch(schema: String, table: String, branch: String): Unit = {
+    require(splitBranch(table)._2.isEmpty,
+      s"$table is itself a branch — deleteBranch targets the base table")
+    val bt = s"$table$BranchSep$branch"
+    require(tableManifestExists(schema, bt),
+      s"no branch $branch of $schema.$table")
+    val prefix = s"$BranchDirName/$branch/"
+    val pinnedInside = siblingLineageRefs(schema, bt).filter(_.startsWith(prefix))
+    require(pinnedInside.isEmpty,
+      s"cannot delete branch $branch of $schema.$table: " +
+        s"${pinnedInside.size} of its dirs (e.g. ${pinnedInside.head}) are " +
+        "still referenced by another lineage (fast-forwarded history) — " +
+        "expire or compact that lineage first")
+    fs.delete(tablePath(schema, bt), true)
+    GraftCatalog.purgeHeadCache(fs.makeQualified(tablePath(schema, bt)).toString)
+    ()
+  }
+
+  /** One row per branch: (branch, base_snapshot_id, head_snapshot_id,
+    * commits_since_branch, created_millis) — the `$branches` view. */
+  def branchesTable(schema: String, table: String): DataFrame = {
+    import spark.implicits._
+    branchNames(schema, table).map { b =>
+      val bm = readManifest(schema, s"$table$BranchSep$b")
+      val snaps = bm.get("snapshots").asInstanceOf[ArrayNode]
+      val head =
+        if (snaps.size() == 0) 0L
+        else snaps.get(snaps.size() - 1).get("id").asLong()
+      val baseId = bm.path("branchBaseId").asLong(0L)
+      (b, baseId, head,
+        (0 until snaps.size()).count(i => snaps.get(i).get("id").asLong() > baseId).toLong,
+        bm.path("branchCreatedMillis").asLong(0L))
+    }.toDF("branch", "base_snapshot_id", "head_snapshot_id",
+      "commits_since_branch", "created_millis")
+  }
+
   // ---- reads + time travel ----------------------------------------------
 
   def snapshots(schema: String, table: String): Seq[SnapshotInfo] = {
@@ -2266,7 +2652,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     GraftCatalog.zoneSidecarCache.computeIfAbsent(token, _ => {
       GraftCatalog.zoneSidecarLoads.incrementAndGet()
       try {
-        val p = new Path(new Path(tablePath(schema, table), dir),
+        val p = new Path(dirPath(schema, table, dir),
           GraftCatalog.ZoneSidecar)
         val in = fs.open(p)
         val root = try mapper.readTree(in) finally in.close()
@@ -2347,13 +2733,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           // per-file zone keys (written by the same commit that built the
           // index — a dir can't have blooms without per-file zones). Only
           // these candidates' sidecars are ever opened (lazy, per-file).
-          val dirPath = new Path(tablePath(schema, table), fe.dir)
+          val bloomDir = dirPath(schema, table, fe.dir)
           keptOpt.orElse(perFile.get(fe.dir).filter(_.nonEmpty)
               .map(_.keys.toSeq.sorted)) match {
             case None => sel // no file inventory: conservative keep
             case Some(candidates) =>
               val pass = BloomIndex.filterMightMatch(
-                fs, dirPath, token, cols, candidates, constraints)
+                fs, bloomDir, token, cols, candidates, constraints)
               if (pass.size == candidates.size) sel else (fe, Some(pass))
           }
         case _ => sel
@@ -2427,7 +2813,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case (fe, Some(keptFiles)) =>
         if (keptFiles.isEmpty) None // every file in the dir is provably out
         else Some((fe, Some(keptFiles.map(rel =>
-          new Path(new Path(tablePath(schema, table), fe.dir), rel).toString))))
+          new Path(dirPath(schema, table, fe.dir), rel).toString))))
       case (fe, None) => Some((fe, None))
     }
     // zonePrunable ⇒ append-only (no PK, no tombstones): the frames union
@@ -2584,7 +2970,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       (if (withBucket)
         Seq(StructField(BucketCol, org.apache.spark.sql.types.IntegerType))
       else Seq.empty))
-    val base = pathOverride.getOrElse(new Path(tablePath(schema, table), fe.dir))
+    val base = pathOverride.getOrElse(dirPath(schema, table, fe.dir))
     // data AND tombstone dirs follow the table's file.format (ORC reads
     // columns by write-time NAME, so the field-id mapping below works
     // identically); DV sidecar dirs alone are parquet-pinned (DVs exist
@@ -2627,7 +3013,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // a key never appears in both dirs, so the tie is unreachable)
     val bucketCols = if (withBucket) Seq(col(BucketCol)) else Seq.empty
     raw.select(cols ++ metaCols ++ bucketCols ++ Seq(
-      lit(fe.dir.stripPrefix("snap-").takeWhile(_.isDigit).toLong).as("__ord"),
+      lit(dirKey(fe.dir).stripPrefix("snap-").takeWhile(_.isDigit).toLong).as("__ord"),
       lit(fe.kind == "delete").as("__del")): _*)
   }
 
@@ -2660,7 +3046,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def dvFrame(schema: String, table: String,
       dvEs: Seq[FileEntry]): DataFrame =
     dvEs.map(fe => spark.read.schema(dvStorageSchema)
-      .parquet(new Path(tablePath(schema, table), fe.dir).toString))
+      .parquet(dirPath(schema, table, fe.dir).toString))
       .reduce(_ unionByName _)
 
   /**
@@ -2691,18 +3077,23 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val affected: Set[String] =
       if (known) dvEs.flatMap(e => idx(e.dir)._1).toSet else Set.empty
     val perFile = fileStatsFrom(schema, table, m)
-    val tp = tablePath(schema, table)
-    def abs(relFromTable: String) = new Path(tp, relFromTable).toString
+    // DV file refs are dir-NAME-anchored (regex over _metadata.file_path,
+    // marker-free); entry dirs may carry the `~/` sharing form — compare
+    // and rebuild paths through dirKey/dirPath so a DV laid over an
+    // INHERITED dir (branch deleting rows of shared history) resolves.
+    def absIn(fe: FileEntry, rel: String) =
+      new Path(dirPath(schema, table, fe.dir), rel).toString
     val clean = mutable.ArrayBuffer.empty[DataFrame]
     val dirty = mutable.ArrayBuffer.empty[DataFrame]
     selections.foreach { case (fe, sel) =>
+      val key = dirKey(fe.dir)
       val dirAffected: Option[Set[String]] = // relative to fe.dir
         if (!known) None
-        else Some(affected.filter(_.startsWith(fe.dir + "/"))
-          .map(_.stripPrefix(fe.dir + "/")))
+        else Some(affected.filter(_.startsWith(key + "/"))
+          .map(_.stripPrefix(key + "/")))
       (sel, dirAffected) match {
         case (Some(files), Some(aff)) =>
-          val affAbs = aff.map(r => abs(s"${fe.dir}/$r"))
+          val affAbs = aff.map(r => absIn(fe, r))
           val (d, c) = files.partition(affAbs.contains)
           if (c.nonEmpty) clean += frame(fe, Some(c), meta = false)
           if (d.nonEmpty) dirty += frame(fe, Some(d), meta = true)
@@ -2713,9 +3104,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             case Some(fm) => // per-file zones double as the dir's file listing
               val cleanRel = (fm.keySet -- aff).toSeq.sorted
               if (cleanRel.nonEmpty)
-                clean += frame(fe, Some(cleanRel.map(r => abs(s"${fe.dir}/$r"))), meta = false)
+                clean += frame(fe, Some(cleanRel.map(r => absIn(fe, r))), meta = false)
               dirty += frame(fe,
-                Some(aff.toSeq.sorted.map(r => abs(s"${fe.dir}/$r"))), meta = true)
+                Some(aff.toSeq.sorted.map(r => absIn(fe, r))), meta = true)
             case None => dirty += frame(fe, None, meta = true)
           }
         case (None, None) => dirty += frame(fe, None, meta = true)
@@ -2906,7 +3297,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val wanted: Seq[Int] = onlyBuckets.getOrElse {
       val seen = mutable.SortedSet[Int](0 until n: _*)
       entries.foreach { fe =>
-        seen ++= bucketsUnder(new Path(tablePath(schema, table), fe.dir), depthOf(fe))
+        seen ++= bucketsUnder(dirPath(schema, table, fe.dir), depthOf(fe))
       }
       seen.toSeq
     }
@@ -2921,12 +3312,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val partFrames: Seq[(FileEntry, DataFrame)] =
       if (partCols.isEmpty) Seq.empty
       else entries.filter(fe => bucketsUnder(
-          new Path(tablePath(schema, table), fe.dir), depthOf(fe)).nonEmpty)
+          dirPath(schema, table, fe.dir), depthOf(fe)).nonEmpty)
         .map(fe => fe -> frameFor(schema, table, m, fe, withBucket = true))
     val legs = wanted.flatMap { k =>
       val frames =
         if (partCols.isEmpty) entries.flatMap { fe =>
-          val p = new Path(new Path(tablePath(schema, table), fe.dir), s"$BucketCol=$k")
+          val p = new Path(dirPath(schema, table, fe.dir), s"$BucketCol=$k")
           if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p))) else None
         }
         else partFrames.map { case (_, f) =>
@@ -3154,7 +3545,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIdxSchema)
     else spark.read.schema(dynIdxSchema).parquet(
-      dirs.map(d => new Path(new Path(tablePath(schema, table), d),
+      dirs.map(d => new Path(dirPath(schema, table, d),
         DynIdxDir).toString): _*)
   }
 
@@ -3166,13 +3557,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * `dynamic-bucket.target-row-num` assigned keys each, then open fresh
    * buckets. Tombstones for never-assigned keys are no-ops and drop.
    *
-   * Scale shape: the index is scanned distributed and joined against the
-   * BROADCAST batch key set (the index never shuffles); per-bucket
-   * assigned-key counts collect O(buckets) rows to the driver; new-key
-   * ranking is one single-partition window over the batch's new keys —
-   * batch-bound, the same centralization as Paimon's assigner operator.
-   * The batch-key-sized assignment table is local-checkpointed eagerly
-   * so no index-lineage cache leaks past the commit.
+   * Scale shape: the batch key set is SIZE-ADAPTIVE — a micro-batch's
+   * keys broadcast against the distributed index scan (the index never
+   * shuffles), while a bulk backfill / compaction fold (whose "batch"
+   * keys are table-sized) falls back to a shuffle join instead of
+   * broadcasting a table-sized key set. Per-bucket assigned-key counts
+   * collect O(buckets) rows to the driver; new-key ranking is a
+   * DISTRIBUTED two-phase global rank (range-shuffle on key hash,
+   * per-partition local ranks + O(partitions) collected offsets) — no
+   * single-partition window, which beats Paimon's single assigner
+   * operator on huge backfills. The batch-key-sized assignment table is
+   * local-checkpointed eagerly so no index-lineage cache leaks past the
+   * commit.
    *
    * `fold` (compaction): the returned delta is the full LIVE assignment
    * set — the compacted dir becomes the index's sole basis and dead
@@ -3194,9 +3590,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       else readDynamicIndex(schema, table, m)).persist()
     val allKeys = (Seq(df) ++ deleteDf.toSeq)
       .map(_.select(hash.as("__kh"))).reduce(_ unionByName _)
-      .distinct()
-    val known = index.join(
-      org.apache.spark.sql.functions.broadcast(allKeys), Seq("__kh"))
+      .distinct().persist()
+    // Size-adaptive join strategy: only hint broadcast when the batch's
+    // key set is executor-memory-safe; above the cap (a backfill or a
+    // compaction fold routing the whole table) the joins shuffle — the
+    // one extra job here is a delta-sized distinct count.
+    val nKeys = allKeys.count()
+    val smallBatch = nKeys <= spark.conf
+      .getOption("graft.dynamic-bucket.broadcast-keys")
+      .map(_.toLong).getOrElse(DynBroadcastKeys)
+    def sized(d: DataFrame): DataFrame =
+      if (smallBatch) org.apache.spark.sql.functions.broadcast(d) else d
+    val known = index.join(sized(allKeys), Seq("__kh"))
     val (assignment, newAssigned, nNew) =
       if (kind != "data") (known, None, 0L)
       else {
@@ -3227,16 +3632,42 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           }
           val slotsDf = spark.createDataFrame(slots.toSeq)
             .toDF("__b", "__lo", "__hi")
+          // Distributed two-phase GLOBAL rank over the new keys: range-
+          // shuffle on __kh (RangePartitioner gives ascending partitions
+          // ascending ids), rank locally WITHIN each partition, then add
+          // the exclusive prefix sum of earlier partitions' counts —
+          // collected O(shuffle-partitions) rows, never the keys. The
+          // result equals rank-by-__kh exactly (hashes are distinct and
+          // totally ordered) independent of sampled range boundaries, so
+          // assignment stays deterministic — and no single-partition
+          // window bottlenecks a billion-new-key backfill.
+          val ranged = newKeys.repartitionByRange(col("__kh"))
+            .withColumn("__pid", org.apache.spark.sql.functions
+              .spark_partition_id())
+          val ranked0 = ranged.withColumn("__lr", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("__pid").orderBy("__kh")))
+            .persist()
+          val pidCounts = ranked0.groupBy("__pid")
+            .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+          val offsets = pidCounts.keys.toSeq.sorted.foldLeft(
+            (Map.empty[Int, Long], 0L)) { case ((acc, run), pid) =>
+            (acc + (pid -> run), run + pidCounts(pid))
+          }._1
+          val offDf = spark.createDataFrame(offsets.toSeq)
+            .toDF("__pid", "__off")
           // eager local checkpoint: batch-key-sized; materialized HERE so
           // the delta never recomputes through the index lineage after
           // the cache below is released
-          val assigned = newKeys
-            .withColumn("__rank", row_number().over(
-              org.apache.spark.sql.expressions.Window.orderBy("__kh")))
+          val assigned = ranked0
+            .join(org.apache.spark.sql.functions.broadcast(offDf), Seq("__pid"))
+            .withColumn("__rank", col("__off") + col("__lr"))
             .join(org.apache.spark.sql.functions.broadcast(slotsDf),
               col("__rank") >= col("__lo") && col("__rank") <= col("__hi"))
             .select(col("__kh"), col("__b"))
             .localCheckpoint(true)
+          ranked0.unpersist()
           (known.unionByName(assigned), Some(assigned), n)
         }
       }
@@ -3245,10 +3676,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val asg = assignment.localCheckpoint(true)
     val newAsg = newAssigned
     index.unpersist()
+    allKeys.unpersist()
     def route(frame: DataFrame): DataFrame = {
       val cols = frame.columns
+      // |asg| <= |allKeys| — the same size class, so reuse the decision
       frame.withColumn("__kh", hash)
-        .join(org.apache.spark.sql.functions.broadcast(asg), Seq("__kh"))
+        .join(sized(asg), Seq("__kh"))
         .select((cols.map(col) :+ col("__b").as(BucketCol)): _*)
     }
     val delta: Option[(DataFrame, Long)] =
@@ -3852,12 +4285,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             case None =>
               Some(frameFor(schema, table, m, fe, withMeta = true))
             case Some(t) =>
-              val rel = t.filter(_.startsWith(fe.dir + "/"))
-                .map(_.stripPrefix(fe.dir + "/"))
+              val rel = t.filter(_.startsWith(dirKey(fe.dir) + "/"))
+                .map(_.stripPrefix(dirKey(fe.dir) + "/"))
               if (rel.isEmpty) None
               else Some(frameFor(schema, table, m, fe, fileSubset = Some(
                 rel.sorted.map(r => new Path(
-                  new Path(tablePath(schema, table), fe.dir), r).toString)),
+                  dirPath(schema, table, fe.dir), r).toString)),
                 withMeta = true))
           }
         }
@@ -3961,7 +4394,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         case Some(n) =>
           val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
           val changed = delta.flatMap { fe =>
-            fs.listStatus(new Path(tablePath(schema, table), fe.dir)).toSeq
+            fs.listStatus(dirPath(schema, table, fe.dir)).toSeq
               .flatMap(_.getPath.getName match {
                 case bucketRe(i) => Seq(i.toInt)
                 case _ => Nil
@@ -4214,7 +4647,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case None => all.lastOption
     }
     val rows = chosen.map(filesOf).getOrElse(Seq.empty).map { fe =>
-      val p = new Path(tablePath(schema, table), fe.dir)
+      val p = dirPath(schema, table, fe.dir)
       val summary = fs.getContentSummary(p)
       // recursive: partitioned dirs nest part-files under col=value/
       var parts = 0
@@ -4259,7 +4692,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val perFile = fileStatsFrom(schema, table, m)
     val agg = mutable.LinkedHashMap[(String, String), (Long, Long, Long)]()
     entries.foreach { fe =>
-      val base = new Path(tablePath(schema, table), fe.dir)
+      val base = dirPath(schema, table, fe.dir)
       val dirStats = perFile.getOrElse(fe.dir, Map.empty)
       if (fs.exists(base)) {
         val qbase = fs.makeQualified(base).toString
@@ -4823,6 +5256,24 @@ object GraftCatalog {
     * prefix: invisible to parquet discovery, atomic under the dir's
     * ordinal claim-rename). */
   private[graft] val DynIdxDir = ".dbidx"
+
+  /** Table-name separator selecting a branch lineage: `t$branch_dev`
+    * (Paimon's branch naming convention, same shape as the `$snapshots`
+    * metadata-table suffixes). */
+  private[graft] val BranchSep = "$branch_"
+
+  /** Subdir of a table holding its branch lineages (dot-prefixed —
+    * invisible to parquet discovery and to the snap-* orphan sweep). */
+  private[graft] val BranchDirName = ".branch"
+
+  /** Manifest dir-reference prefix marking a BASE-table-relative path —
+    * the cross-lineage sharing form (see dirPath). */
+  private[graft] val BaseRelMarker = "~/"
+
+  /** Largest batch key set dynamicRoute will hint as a broadcast side
+    * (~2M × 16-byte rows ≈ 32 MB serialized — comfortably inside
+    * executor broadcast budgets); bigger batches shuffle-join instead. */
+  private[sources] val DynBroadcastKeys = 2000000L
 
   /** Paimon-style duration strings for `snapshot.time-retained`:
     * `<n><unit>`, unit ∈ ms / s / min / h / d (whitespace tolerated). */

@@ -144,6 +144,32 @@ object GraftProcedures {
       Seq(p("table", StringType)), one("snapshot_id", LongType),
       (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
         Seq(gc.analyzeTable(s, t)) }),
+    Spec("create_branch",
+      "branch the table at snapshot_id (or the tag; default the head) — " +
+        "O(metadata), zero data copied; read/write it as `t$branch_<name>`",
+      Seq(p("table", StringType), p("branch", StringType),
+        pd("snapshot_id", LongType, "-1"), pd("tag", StringType, "''")),
+      one("created", BooleanType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        val sid = args(2).asInstanceOf[Long]
+        val tag = Some(args(3).asInstanceOf[String]).filter(_.nonEmpty)
+        gc.createBranch(s, t, args(1).asInstanceOf[String],
+          if (sid < 0) None else Some(sid), tag)
+        Seq(true) }),
+    Spec("delete_branch",
+      "remove a branch lineage (refused while fast-forwarded history is " +
+        "still referenced by the base)",
+      Seq(p("table", StringType), p("branch", StringType)),
+      one("deleted", BooleanType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        gc.deleteBranch(s, t, args(1).asInstanceOf[String]); Seq(true) }),
+    Spec("fast_forward",
+      "adopt a branch's history into the base (git fast-forward: the " +
+        "base must not have diverged) — one manifest CAS, zero data moved",
+      Seq(p("table", StringType), p("branch", StringType)),
+      one("snapshot_id", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        Seq(gc.fastForward(s, t, args(1).asInstanceOf[String])) }),
     Spec("remove_orphan_files",
       "reclaim claimed-but-never-landed dirs older than grace_millis",
       Seq(p("table", StringType), pd("grace_millis", LongType, "3600000")),

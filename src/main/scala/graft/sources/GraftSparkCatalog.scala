@@ -135,8 +135,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     gc.listTables(ns1(namespace)).map(Identifier.of(namespace, _)).toArray
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.length == 1 &&
-      gc.listTables(ident.namespace.head).contains(ident.name)
+    ident.namespace.length == 1 && {
+      val cat = gc
+      cat.splitBranch(ident.name) match {
+        case (base, Some(br)) => // branch lineage: `t$branch_dev`
+          cat.listTables(ident.namespace.head).contains(base) &&
+            cat.branchNames(ident.namespace.head, base).contains(br)
+        case _ => cat.listTables(ident.namespace.head).contains(ident.name)
+      }
+    }
 
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, snapshotId = None, asOfMillis = None)
@@ -164,14 +171,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   /** Metadata-table suffixes served via `t$snapshots`-style names
     * (the reference surfaces the same system tables through Trino). */
-  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|manifests|statistics|audit_log|ro)$".r
+  private val MetadataSuffix = "^(.+)\\$(snapshots|files|schemas|options|partitions|tags|consumers|manifests|statistics|branches|audit_log|ro)$".r
 
   private def loadAt(ident: Identifier, snapshotId: Option[Long],
       asOfMillis: Option[Long]): Table = {
     val (schemaName, tableName) = (ns1(ident.namespace), ident.name)
     tableName match {
       case MetadataSuffix(base, kind) =>
-        if (!gc.listTables(schemaName).contains(base))
+        // branch-aware: `t$branch_dev$snapshots` views a branch lineage
+        if (!tableExists(Identifier.of(Array(schemaName), base)))
           throw new NoSuchTableException(Seq(schemaName, base))
         // audit_log is DATA-sized (the full row-kinded changelog, Paimon's
         // `t$audit_log`), so it reads through the distributed V1 bridge —
@@ -221,6 +229,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           case "consumers" => gc.consumersTable(schemaName, base)
           case "manifests" => gc.manifestsTable(schemaName, base)
           case "statistics" => gc.statisticsTable(schemaName, base)
+          case "branches" => gc.branchesTable(schemaName, base)
         }
         return new GraftMetadataTable(s"$catalogName.$schemaName.$tableName", df)
       case _ => ()
@@ -288,7 +297,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         }
       })
     def dirPath(dir: String): String =
-      new Path(new Path(new Path(warehouse, schemaName), tableName), dir).toString
+      gc.dirLocation(schemaName, tableName, dir)
     val paths = if (resolvedAsFiles) entries.map(e => dirPath(e.dir)) else Seq.empty
     val schema = gc.currentSchema(schemaName, tableName)
     val parquet = ParquetTable(s"$catalogName.$schemaName.$tableName",

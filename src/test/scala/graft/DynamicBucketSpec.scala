@@ -257,6 +257,32 @@ class DynamicBucketSpec extends SparkSpecBase {
     assert(dbidxBytes(dirs.last.dir) === 0L, "update-only commit wrote a delta")
   }
 
+  test("oversized batches route through the shuffle path identically") {
+    import spark.implicits._
+    // Force the backfill arm: with the broadcast cap at 0 every join in
+    // dynamicRoute runs un-hinted (shuffle), the path a table-sized key
+    // set takes at 100 TB. Routing must be bit-identical to the
+    // broadcast arm since only join strategy differs.
+    val (catA, whA) = freshCatalog()
+    val (catB, whB) = freshCatalog()
+    create(catA, "t", 5)
+    create(catB, "t", 5)
+    val batch1 = (0L until 17L).map(i => (i, s"v$i")).toDF("id", "v")
+    val batch2 = (10L until 25L).map(i => (i, s"w$i")).toDF("id", "v")
+    catA.upsert("db", "t", batch1)
+    catA.upsert("db", "t", batch2)
+    spark.conf.set("graft.dynamic-bucket.broadcast-keys", "0")
+    try {
+      catB.upsert("db", "t", batch1)
+      catB.upsert("db", "t", batch2)
+    } finally spark.conf.unset("graft.dynamic-bucket.broadcast-keys")
+    assert(bucketContents(catA, whA, "t") === bucketContents(catB, whB, "t"),
+      "shuffle-path routing must equal broadcast-path routing")
+    val a = catA.read("db", "t").orderBy("id").collect().toSeq
+    val b = catB.read("db", "t").orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
   test("changelog streaming works over a dynamic-bucket table") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
