@@ -14,6 +14,7 @@ object SparkEntry {
       (DedupQueries.queries, DedupQueries.oracle),
       (AnnQueries.queries, AnnQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
+      (BpeTrainer.queries, BpeTrainer.oracle),
       (StreamQueries.queries, StreamQueries.oracle),
       (ExtQueries.queries, ExtQueries.oracle),
       (CatalogQueries.queries, CatalogQueries.oracle),

@@ -1,0 +1,296 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/**
+ * Distributed BPE tokenizer training — the vocabulary-learning step of a
+ * training-data pipeline (Sennrich-style byte-pair encoding over a
+ * word-frequency dictionary), built Spark-first:
+ *
+ *  - [[wordCounts]] is the only pass over the CORPUS: pre-tokenize +
+ *    groupBy(word) with map-side partial aggregation — ONE shuffle over
+ *    100 TB, and everything downstream operates on the DICTIONARY
+ *    (distinct pre-tokens × counts), which is vocabulary-sized and
+ *    frequency-truncatable by contract (`minFreq` / `maxWords`, the
+ *    standard practice every production BPE trainer applies).
+ *  - [[train]] runs the merge loop as Spark jobs over the persisted
+ *    dictionary: per round, adjacent-pair counts are a lambda-explode +
+ *    one two-column groupBy (map-side combined), the top candidates come
+ *    back via TakeOrdered (O(batch) driver rows — never the dictionary),
+ *    and the chosen merges are applied declaratively with a Catalyst
+ *    `aggregate` fold (codegen, no UDF). `batch = 1` is EXACT sequential
+ *    BPE (the spec replays a single-node reference bit-for-bit);
+ *    `batch = B` merges B symbol-disjoint pairs per round — the scale
+ *    mode that cuts job count B× (a 32k-merge vocabulary = ~125 rounds
+ *    at B=256, not 32k passes; Spark-side analog of parallel-BPE
+ *    batching), tested against sequential for ≥90% vocabulary overlap.
+ *    Plan depth stays O(1) via eager localCheckpoint every few rounds
+ *    (same discipline as Dedup.clusters).
+ *  - [[encode]] applies a learned vocabulary at corpus scale: merges
+ *    broadcast by closure (vocab-bounded by contract), words encoded in
+ *    one mapPartitions with the rank-priority merge algorithm + a
+ *    per-partition word cache (Zipf makes the cache hit rate ~99%).
+ *    mapPartitions is justified: per-word priority merging is genuinely
+ *    imperative and Catalyst cannot express it.
+ *
+ * The reference connector exposes text columns to Trino; vocabulary
+ * training is part of the pipeline surface this engine adds on top
+ * (SURVEY §2 rows 36–39 family).
+ */
+object BpeTrainer {
+
+  /** GPT-2-shaped pre-tokenizer: letter runs / digit runs / punctuation
+    * runs, each with an optional leading space. */
+  val PreToken = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+
+  /**
+   * The corpus pass: pre-token frequency dictionary. One shuffle with
+   * map-side combine; `minFreq` drops the long tail (exact counts make
+   * the cut deterministic), `maxWords` caps the dictionary via
+   * TakeOrdered on (count desc, word) — total order, so truncation is
+   * deterministic too.
+   */
+  def wordCounts(docs: DataFrame, textCol: String = "text",
+      minFreq: Long = 1L, maxWords: Int = Int.MaxValue): DataFrame = {
+    val wc = docs
+      .select(explode(regexp_extract_all(col(textCol), lit(PreToken), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minFreq)
+    if (maxWords == Int.MaxValue) wc
+    else wc.orderBy(col("c").desc, col("w")).limit(maxWords)
+  }
+
+  /** One left-to-right merge pass of (l, r) → l+r over a symbol array,
+    * as a pure Catalyst fold: the accumulator's last element merges with
+    * the incoming symbol when they match the pair. `get` returns NULL on
+    * the empty accumulator (index -1), which fails the equality — no
+    * ANSI out-of-bounds risk. */
+  private def applyMerge(syms: Column, l: String, r: String): Column =
+    aggregate(syms, typedLit(Seq.empty[String]), (acc, x) =>
+      when(get(acc, size(acc) - 1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of each dictionary word, weighted by word
+    * count: (l, r, c) rows via an index-lambda transform (codegen). */
+  private def pairFrame(st: DataFrame): DataFrame =
+    st.select(col("c"), explode(expr(
+        "transform(slice(sy, 1, size(sy) - 1), " +
+          "(x, i) -> struct(x AS l, element_at(sy, i + 2) AS r))")).as("p"))
+      .select(col("p.l"), col("p.r"), col("c"))
+
+  /**
+   * Learn `numMerges` BPE merges from a (w, c) dictionary. Returns the
+   * merge table (rank, left, right, merged, pair_count) in learned
+   * order. Ties break on (count desc, left, right) — fully
+   * deterministic. The output is EXACT sequential (Sennrich) BPE at any
+   * `batch`: a round accepts only a PREFIX of the count-sorted pair
+   * list (never skipping past a rejected pair), each accepted pair
+   * (a) symbol-disjoint from earlier accepts — so the counts it was
+   * sorted under are untouched by them — and (b) strictly above a
+   * frontier-safety bound: the maximum count any pair CREATED by an
+   * earlier accept could reach (created (x,ab) inherits at most the old
+   * (x,a) count, (ab,y) at most (b,y); both on top of any pre-existing
+   * (·,ab) occurrences, all bounded from the same collected top-K with
+   * the K-th count covering everything uncollected). Under (a)+(b) no
+   * decreased, created, or uncollected pair can overtake the next
+   * accept, so the batch replays sequential BPE exactly — the spec
+   * asserts bit-equality — while one distributed pass applies the whole
+   * prefix. Zipfy corpora flatten as training proceeds, so accepted
+   * prefixes lengthen and a 32k-merge vocabulary needs far fewer than
+   * 32k dictionary passes.
+   */
+  def train(wordCounts: DataFrame, numMerges: Int, batch: Int = 1,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(numMerges >= 1 && batch >= 1)
+    val spark = wordCounts.sparkSession
+    import spark.implicits._
+    var st = wordCounts
+      .select(split(col("w"), "").as("sy"), col("c"))
+      .filter(size(col("sy")) > 1)
+      .persist()
+    var prev: Option[DataFrame] = None
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batch, numMerges - merges.size)
+      // Over-fetch so the frontier bound has neighbor counts to look at;
+      // O(batch) rows to the driver, never the dictionary.
+      val k = math.max(256, want * 8)
+      val top = pairFrame(st)
+        .groupBy("l", "r").agg(sum(col("c")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r"))
+        .limit(k)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true
+      else {
+        // cK bounds every pair NOT in the collected list; a short list
+        // means the list is complete and nothing is uncollected.
+        val cK = if (top.length < k) 0L else top.last._3
+        val maxByRight = top.groupBy(_._2).map { case (s, v) => s -> v.map(_._3).max }
+        val maxByLeft = top.groupBy(_._1).map { case (s, v) => s -> v.map(_._3).max }
+        def endingIn(s: String) = math.max(maxByRight.getOrElse(s, 0L), cK)
+        def startingWith(s: String) = math.max(maxByLeft.getOrElse(s, 0L), cK)
+        val used = mutable.Set.empty[String]
+        val sel = mutable.ArrayBuffer.empty[(String, String, Long)]
+        var frontier = 0L // max count any created/augmented pair can reach
+        var stop = false
+        top.iterator.takeWhile(_ => !stop && sel.size < want).foreach {
+          case (l, r, pc) =>
+            val m = l + r
+            if (sel.nonEmpty &&
+                (used(l) || used(r) || used(m) || pc <= frontier)) stop = true
+            else {
+              sel += ((l, r, pc)); used ++= Seq(l, r, m)
+              // created (x,m) inherits at most old (x,l) — pairs ENDING
+              // in l; created (m,y) at most old (r,y) — pairs STARTING
+              // with r; both on top of any pre-existing (·,m)/(m,·)
+              // adjacency the new symbol extends. All ≤ pc merge events.
+              val created = math.min(pc,
+                math.max(endingIn(l), startingWith(r)))
+              frontier = math.max(frontier,
+                created + math.max(endingIn(m), startingWith(m)))
+            }
+        }
+        sel.foreach { case (l, r, pc) =>
+          merges += ((merges.size + 1, l, r, l + r, pc))
+        }
+        val mergedSy = sel.foldLeft(col("sy")) { case (c, (l, r, _)) =>
+          applyMerge(c, l, r)
+        }
+        val next0 = st.select(mergedSy.as("sy"), col("c"))
+          .filter(size(col("sy")) > 1)
+        round += 1
+        // Eager checkpoint every few rounds: each round nests `batch`
+        // aggregate folds into the plan — truncate before codegen
+        // bloats; dictionary-sized materialization by contract. Cache
+        // discipline: this round's collect() materialized `st`, so the
+        // GRANDPARENT (`prev`) is the frame nothing can still recompute
+        // through — unpersist it, keep the parent one round longer.
+        val next =
+          if (round % checkpointEvery == 0) next0.localCheckpoint(true)
+          else next0.persist()
+        prev.foreach(_.unpersist())
+        prev = Some(st)
+        st = next
+      }
+    }
+    prev.foreach(_.unpersist())
+    st.unpersist()
+    lastTrainRounds.set(round)
+    merges.toSeq.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Dictionary passes the last [[train]] call used — the batching
+    * amortization tripwire (BpeSpec asserts rounds << merges). */
+  private[graft] val lastTrainRounds = new java.util.concurrent.atomic.AtomicInteger
+
+  /**
+   * Tokenize `docs` with a learned merge table: rank-priority BPE (merge
+   * the lowest-rank adjacent pair present, all occurrences left-to-right,
+   * until none remains — provably equal to replaying merges in rank
+   * order, asserted in BpeSpec). Merges ship by closure (vocab-bounded);
+   * the per-partition word cache makes repeated words free.
+   */
+  def encode(docs: DataFrame, merges: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks: Map[(String, String), Int] =
+      merges.select("left", "right", "rank").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    val pat = PreToken
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val re = java.util.regex.Pattern.compile(pat)
+        val cache = mutable.HashMap.empty[String, Vector[String]]
+        def enc(w: String): Vector[String] = cache.getOrElseUpdate(w, {
+          var sy = w.map(_.toString).toVector
+          var done = sy.length < 2
+          while (!done) {
+            var best = Int.MaxValue
+            var bi = -1
+            var i = 0
+            while (i < sy.length - 1) {
+              val rk = ranks.getOrElse((sy(i), sy(i + 1)), Int.MaxValue)
+              if (rk < best) { best = rk; bi = i }
+              i += 1
+            }
+            if (bi < 0) done = true
+            else {
+              val l = sy(bi); val r = sy(bi + 1)
+              val out = Vector.newBuilder[String]
+              var j = 0
+              while (j < sy.length) {
+                if (j < sy.length - 1 && sy(j) == l && sy(j + 1) == r) {
+                  out += (l + r); j += 2
+                } else { out += sy(j); j += 1 }
+              }
+              sy = out.result()
+              done = sy.length < 2
+            }
+          }
+          sy
+        })
+        it.map { case (id, text) =>
+          val m = re.matcher(text)
+          val toks = Vector.newBuilder[String]
+          while (m.find()) toks ++= enc(m.group())
+          val t = toks.result()
+          (id, t, t.length)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Iteration-1 merge candidates: adjacent character pairs over the
+    // corpus dictionary, weighted by word frequency — the per-round
+    // workhorse of the trainer, oracle-checked end to end (ASCII-scoped
+    // so Spark/DuckDB character semantics are identical by construction).
+    "text_bpe_pairs" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      val wc = wordCounts(d).filter(col("w").rlike("^[ -~]+$"))
+        .select(split(col("w"), "").as("sy"), col("c"))
+        .filter(size(col("sy")) > 1)
+      pairFrame(wc)
+        .groupBy("l", "r").agg(sum(col("c")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l"), col("r"))
+        .limit(200)
+    }),
+    // Full trainer on the corpus (batched scale mode) — deterministic
+    // but iterative, so it is spec-gated (BpeSpec replays a single-node
+    // reference) rather than SQL-oracled; registered for bench coverage.
+    "text_bpe_train" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      train(wordCounts(d, minFreq = 2L), numMerges = 64, batch = 8)
+        .orderBy("rank")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "text_bpe_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(regexp_extract_all(text,
+         |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS w
+         |  FROM documents
+         |), wc AS (
+         |  SELECT w, count(*) AS c FROM toks
+         |  WHERE regexp_matches(w, '^[ -~]+$$') AND length(w) > 1
+         |  GROUP BY w
+         |), pairs AS (
+         |  SELECT substr(w, CAST(i AS INTEGER), 1) AS l,
+         |         substr(w, CAST(i AS INTEGER) + 1, 1) AS r, c
+         |  FROM wc, unnest(range(1, length(w))) AS t(i)
+         |)
+         |SELECT l, r, CAST(sum(c) AS BIGINT) AS pair_count
+         |FROM pairs GROUP BY l, r
+         |ORDER BY pair_count DESC, l, r LIMIT 200""".stripMargin)
+}
