@@ -3632,42 +3632,57 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           }
           val slotsDf = spark.createDataFrame(slots.toSeq)
             .toDF("__b", "__lo", "__hi")
-          // Distributed two-phase GLOBAL rank over the new keys: range-
+          // New-key GLOBAL rank, size-adaptive like the join strategy
+          // above. Micro-batches (the broadcast-safe size class) rank in
+          // ONE single-partition window — batch-bound by the same
+          // contract that lets them broadcast, and three Spark jobs
+          // cheaper. Backfills rank in TWO distributed phases: range-
           // shuffle on __kh (RangePartitioner gives ascending partitions
           // ascending ids), rank locally WITHIN each partition, then add
           // the exclusive prefix sum of earlier partitions' counts —
-          // collected O(shuffle-partitions) rows, never the keys. The
-          // result equals rank-by-__kh exactly (hashes are distinct and
-          // totally ordered) independent of sampled range boundaries, so
+          // collected O(shuffle-partitions) rows, never the keys. Both
+          // equal rank-by-__kh exactly (hashes are distinct and totally
+          // ordered; DynamicBucketSpec asserts route parity), so
           // assignment stays deterministic — and no single-partition
           // window bottlenecks a billion-new-key backfill.
-          val ranged = newKeys.repartitionByRange(col("__kh"))
-            .withColumn("__pid", org.apache.spark.sql.functions
-              .spark_partition_id())
-          val ranked0 = ranged.withColumn("__lr", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy("__pid").orderBy("__kh")))
-            .persist()
-          val pidCounts = ranked0.groupBy("__pid")
-            .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val offsets = pidCounts.keys.toSeq.sorted.foldLeft(
-            (Map.empty[Int, Long], 0L)) { case ((acc, run), pid) =>
-            (acc + (pid -> run), run + pidCounts(pid))
-          }._1
-          val offDf = spark.createDataFrame(offsets.toSeq)
-            .toDF("__pid", "__off")
+          var rankCache: Option[DataFrame] = None
+          val ranked =
+            if (smallBatch)
+              newKeys.withColumn("__rank", row_number().over(
+                org.apache.spark.sql.expressions.Window.orderBy("__kh"))
+                .cast("long"))
+            else {
+              val ranked0 = newKeys.repartitionByRange(col("__kh"))
+                .withColumn("__pid", org.apache.spark.sql.functions
+                  .spark_partition_id())
+                .withColumn("__lr", row_number().over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy("__pid").orderBy("__kh")))
+                .persist()
+              rankCache = Some(ranked0)
+              val pidCounts = ranked0.groupBy("__pid")
+                .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+                .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+              val offsets = pidCounts.keys.toSeq.sorted.foldLeft(
+                (Map.empty[Int, Long], 0L)) { case ((acc, run), pid) =>
+                (acc + (pid -> run), run + pidCounts(pid))
+              }._1
+              val offDf = spark.createDataFrame(offsets.toSeq)
+                .toDF("__pid", "__off")
+              ranked0
+                .join(org.apache.spark.sql.functions.broadcast(offDf),
+                  Seq("__pid"))
+                .withColumn("__rank", col("__off") + col("__lr"))
+            }
           // eager local checkpoint: batch-key-sized; materialized HERE so
           // the delta never recomputes through the index lineage after
           // the cache below is released
-          val assigned = ranked0
-            .join(org.apache.spark.sql.functions.broadcast(offDf), Seq("__pid"))
-            .withColumn("__rank", col("__off") + col("__lr"))
+          val assigned = ranked
             .join(org.apache.spark.sql.functions.broadcast(slotsDf),
               col("__rank") >= col("__lo") && col("__rank") <= col("__hi"))
             .select(col("__kh"), col("__b"))
             .localCheckpoint(true)
-          ranked0.unpersist()
+          rankCache.foreach(_.unpersist())
           (known.unionByName(assigned), Some(assigned), n)
         }
       }

@@ -270,6 +270,61 @@ class BranchSpec extends SparkSpecBase {
     assert(ids === Set(0L, 1L, 2L, 3L, 9L))
   }
 
+  test("bucketed and dynamic-bucket tables branch: layout served across lineages") {
+    import spark.implicits._
+    val (cat, _) = fresh()
+    // fixed-bucket PK table: the branch's merge legs span inherited
+    // (`~/`-referenced) and branch-local `__bucket=k` dirs
+    cat.createTable("db", "bk", kvSchema, primaryKey = Seq("id"),
+      options = Map("bucket" -> "4"))
+    cat.upsert("db", "bk", kv(0 until 40, "a"))
+    cat.createBranch("db", "bk", "dev")
+    cat.upsert("db", "bk$branch_dev", Seq((7L, "DEV")).toDF("id", "v"))
+    cat.upsert("db", "bk", Seq((7L, "BASE"), (100L, "b100")).toDF("id", "v"))
+    assert(rows(cat, "bk$branch_dev").toMap ===
+      (0L until 40L).map(i => i -> s"a$i").toMap + (7L -> "DEV"))
+    val base = rows(cat, "bk").toMap
+    assert(base(7L) === "BASE" && base(100L) === "b100")
+    // dynamic-bucket table: the persisted hash index inherits by
+    // reference; each lineage then routes and grows it independently
+    val (cat2, _) = fresh()
+    cat2.createTable("db", "dyn", kvSchema, primaryKey = Seq("id"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "8"))
+    cat2.upsert("db", "dyn", kv(0 until 12, "a"))
+    cat2.createBranch("db", "dyn", "d2")
+    // inherited keys resolve to the same recorded bucket on both lineages
+    (0L until 12L).foreach { k =>
+      assert(cat2.dynamicBucketFor("db", "dyn$branch_d2", Seq(k)) ===
+        cat2.dynamicBucketFor("db", "dyn", Seq(k)))
+    }
+    cat2.upsert("db", "dyn$branch_d2", kv(100 until 106, "br"))
+    cat2.upsert("db", "dyn", kv(200 until 203, "ba"))
+    assert(rows(cat2, "dyn$branch_d2").map(_._1).toSet ===
+      ((0L until 12L) ++ (100L until 106L)).toSet)
+    assert(rows(cat2, "dyn").map(_._1).toSet ===
+      ((0L until 12L) ++ (200L until 203L)).toSet)
+    // post-divergence: inherited keys still bucket identically
+    assert(cat2.dynamicBucketFor("db", "dyn$branch_d2", Seq(3L)) ===
+      cat2.dynamicBucketFor("db", "dyn", Seq(3L)))
+  }
+
+  test("base rollback below the branch point leaves branch-pinned dirs on disk") {
+    val (cat, _) = fresh()
+    cat.createTable("db", "rb", kvSchema)
+    cat.append("db", "rb", kv(0 until 3, "a"))
+    cat.append("db", "rb", kv(3 until 6, "b"))
+    val firstId = cat.snapshots("db", "rb").map(_.id).min
+    cat.createBranch("db", "rb", "keep") // branch at the two-commit head
+    cat.append("db", "rb", kv(6 until 9, "c")) // base-only commit
+    cat.rollbackTo("db", "rb", firstId) // drops commits 2 and 3 on the base
+    // commit 2's dir is pinned by the branch — rollback and the orphan
+    // sweep must both leave it on disk
+    assert(rows(cat, "rb").map(_._1).toSet === (0L until 3L).toSet)
+    assert(rows(cat, "rb$branch_keep").map(_._1).toSet === (0L until 6L).toSet)
+    cat.sweepOrphanDirs("db", "rb", graceMillis = 0L)
+    assert(rows(cat, "rb$branch_keep").map(_._1).toSet === (0L until 6L).toSet)
+  }
+
   test("refusal matrix") {
     val (cat, _) = fresh()
     cat.createTable("db", "r", kvSchema)
