@@ -15,6 +15,7 @@ object SparkEntry {
       (AnnQueries.queries, AnnQueries.oracle),
       (TextQueries.queries, TextQueries.oracle),
       (BpeTrainer.queries, BpeTrainer.oracle),
+      (TextClassifier.queries, TextClassifier.oracle),
       (StreamQueries.queries, StreamQueries.oracle),
       (ExtQueries.queries, ExtQueries.oracle),
       (CatalogQueries.queries, CatalogQueries.oracle),

@@ -241,7 +241,7 @@ object BpeTrainer {
           sy
         })
         it.map { case (id, text) =>
-          val m = re.matcher(text)
+          val m = re.matcher(if (text == null) "" else text)
           val toks = Vector.newBuilder[String]
           while (m.find()) toks ++= enc(m.group())
           val t = toks.result()

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextHash
+import graft.sources.Tables
+
+/**
+ * Distributed TRAINING for the hashed linear quality classifier
+ * (fastText-shape: tokens hash into buckets, doc score = weight sum —
+ * the inference side has been `text_quality_classifier` since r10).
+ * Full-batch logistic regression, Spark-first and bit-deterministic:
+ *
+ *  - [[features]] is the only pass over the corpus TEXT: tokens hash
+ *    into `NumBuckets` buckets, per-doc (bucket, count) pairs build in
+ *    the scan stage (explode → two-key groupBy → per-doc collect, the
+ *    pair list sorted by bucket so every later fold has a fixed order),
+ *    a bias pseudo-feature rides along. Persisted once; epochs never
+ *    touch text again.
+ *  - [[train]] runs one Spark job per epoch over the persisted
+ *    features: per-doc sigmoid scores fold over the doc's OWN sorted
+ *    pair list against the broadcast weight vector (a 4097-element
+ *    literal array — model-sized by construction), the per-doc error
+ *    quantizes to a FIXED-POINT long, and the per-bucket gradient is an
+ *    INTEGER sum — exact under any partitioning and summation order, so
+ *    distributed training equals a single-node replay bit-for-bit (the
+ *    float work happens only per-doc in a fixed fold order and on the
+ *    driver's O(buckets) update). The collect is O(buckets), never
+ *    O(docs).
+ *  - [[score]] applies a trained model in the scan stage — the same
+ *    zero-shuffle shape as the r10 inference query.
+ *
+ * At 100 TB: features = one shuffle keyed (doc, bucket) with map-side
+ * combine + one per-doc group; each epoch = one map-side-combined
+ * integer aggregation to 4097 rows. Nothing doc-sized ever reaches the
+ * driver.
+ */
+object TextClassifier {
+
+  val NumBuckets = 4096
+  /** Fixed-point scale for per-doc errors: errors live in [-1, 1], so
+    * 2^24 keeps 7 significant decimal digits and a billion-doc gradient
+    * sum stays far inside Long range (2^24 × 2^30 × counts ≪ 2^63). */
+  val Scale: Long = 1L << 24
+
+  /** weights(0) is the bias (the b = -1 pseudo-feature); weights(b + 1)
+    * is bucket b. */
+  final case class Model(weights: Array[Double], epochLoss: Seq[Double])
+
+  private def bucket(t: Column): Column =
+    (TextHash.hash60(t) % NumBuckets).cast("int")
+
+  /**
+   * Per-doc sparse features: (id, y, feats: array<struct<b,c>>) with
+   * the pair list SORTED by bucket (fixed fold order ⇒ deterministic
+   * per-doc float math) and a (b = -1, c = 1) bias feature appended.
+   * `labelCol` must be 0.0/1.0.
+   */
+  def features(docs: DataFrame, labelCol: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextHash.tokens(col(textCol))
+    docs
+      .select(col(idCol).as("id"), col(labelCol).cast("double").as("y"),
+        explode(concat(transform(toks, t => bucket(t)), array(lit(-1)))).as("b"))
+      .groupBy("id", "b")
+      .agg(first(col("y")).as("y"), count(lit(1)).as("c0"))
+      // the bias count must be exactly 1 regardless of token count
+      .select(col("id"), col("y"), col("b"),
+        when(col("b") === -1, lit(1L)).otherwise(col("c0")).as("c"))
+      .groupBy("id")
+      .agg(first(col("y")).as("y"),
+        sort_array(collect_list(struct(col("b"), col("c")))).as("feats"))
+  }
+
+  /** The per-doc sigmoid score against a literal weight vector, folded
+    * over the doc's sorted pair list (deterministic order). */
+  private def pOf(weights: Array[Double]): Column = {
+    val w = typedLit(weights.toSeq)
+    val dot = aggregate(col("feats"), lit(0.0),
+      (acc, f) => acc +
+        element_at(w, f.getField("b") + 2) * f.getField("c").cast("double"))
+    lit(1.0) / (lit(1.0) + exp(-dot))
+  }
+
+  /**
+   * Full-batch gradient descent, `epochs` Spark jobs over the persisted
+   * feature frame. Returns the model plus the per-epoch training loss
+   * (mean squared error in fixed point — monotone trend is the
+   * convergence check; cheap because it rides the same aggregation).
+   */
+  def train(feats: DataFrame, epochs: Int = 20, lr: Double = 0.5,
+      l2: Double = 1e-4): Model = {
+    require(epochs >= 1)
+    val cached = feats.persist()
+    val nDocs = cached.count().toDouble
+    require(nDocs > 0, "no training docs")
+    var w = new Array[Double](NumBuckets + 1)
+    val losses = Seq.newBuilder[Double]
+    (1 to epochs).foreach { _ =>
+      // floor, not round: identical semantics in SQL and scala.math, so
+      // the single-node replay can't diverge on an exact .5 quantum
+      val errFx = floor((pOf(w) - col("y")) * Scale).cast("long")
+      // integer gradient: exact under any partitioning; O(buckets) rows
+      val rows = cached
+        .select(errFx.as("e"), explode(col("feats")).as("f"))
+        .groupBy(col("f.b").as("b"))
+        .agg(sum(col("e") * col("f.c")).as("g"),
+          // loss tap: the bias feature appears once per doc, so its
+          // group also carries Σ e² without a second job
+          sum(when(col("f.b") === -1, col("e") * col("e"))
+            .otherwise(lit(0L))).as("se"))
+        .collect()
+      val grad = new Array[Double](NumBuckets + 1)
+      var sqErr = 0.0
+      rows.foreach { r =>
+        val b = r.getInt(0)
+        grad(b + 1) = r.getLong(1).toDouble / Scale
+        if (b == -1) sqErr = r.getLong(2).toDouble / Scale / Scale
+      }
+      losses += sqErr / nDocs
+      var i = 0
+      while (i < w.length) {
+        // no L2 on the bias (index 0)
+        val reg = if (i == 0) 0.0 else l2 * w(i)
+        w(i) -= lr * (grad(i) / nDocs + reg)
+        i += 1
+      }
+    }
+    cached.unpersist()
+    Model(w, losses.result())
+  }
+
+  /** Scan-stage inference with a trained model: doc_id, p, keep. */
+  def score(docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = typedLit(model.weights.toSeq)
+    val toks = TextHash.tokens(col(textCol))
+    val dot = aggregate(transform(toks, t => bucket(t)),
+      element_at(w, 1), (acc, b) => acc + element_at(w, b + 2))
+    val p = lit(1.0) / (lit(1.0) + exp(-dot))
+    docs.select(col(idCol), p.as("p"), (p > 0.5).as("keep"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Train on weak labels (lang = 'en' as the positive class), emit the
+    // learned weights in fixed point. Deterministic but float-iterative,
+    // so spec-gated (TextClassifierSpec replays a single-node reference
+    // bit-for-bit) rather than SQL-oracled; registered for bench.
+    "text_classifier_train" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables(s, dir, "documents")
+      val f = features(
+        d.withColumn("y", (col("lang") === "en").cast("double")), "y")
+      val m = train(f, epochs = 12)
+      m.weights.zipWithIndex
+        .map { case (v, i) => (i - 1, math.round(v * Scale)) }
+        .toSeq.toDF("bucket", "weight_fx")
+        .filter(col("weight_fx") =!= 0L)
+        .orderBy("bucket")
+    }))
+
+  def oracle: Map[String, String] = Map.empty
+}
