@@ -199,6 +199,29 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // CROSS-PARTITION upsert (Paimon's partitioned PK table whose pk does
+    // NOT contain the partition column — dynamic bucket only): the second
+    // wave MOVES every doc_id % 5 == 0 into the 'MOVED' partition (its
+    // old `lang=<x>` residence is tombstoned in the same snapshot via the
+    // global index), then deletes resolve residences through the index
+    // too. The oracle is the final image in terms of the original table —
+    // if a move failed to kill its old residence, the key would surface
+    // twice and the hash gate would catch it.
+    "catalog_cross_partition" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "source")
+      val target = math.max(64L, d.count() / 4)
+      cat.createTable("q", t, d.schema, partitionBy = Seq("lang"),
+        primaryKey = Seq("doc_id"),
+        options = Map("bucket" -> "-1",
+          "dynamic-bucket.target-row-num" -> target.toString))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 5 === 0)
+        .withColumn("lang", lit("MOVED")).withColumn("source", lit("M")))
+      cat.deleteWhere("q", t, col("doc_id") % 9 === 4)
+      cat.read("q", t).select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // Same merge-on-read state, read through the SQL catalog surface with
     // THREE uncompacted deltas (two upserts + a tombstone): `SELECT` must
     // resolve newest-wins minus deletes at read time, like the reference's
@@ -899,6 +922,11 @@ object CatalogQueries {
         |  FROM documents)
         |SELECT doc_id, lang, n_chars FROM upd
         |WHERE n_chars % 9 <> 1 ORDER BY doc_id""".stripMargin,
+    "catalog_cross_partition" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'MOVED' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'M' ELSE source END AS source
+        |FROM documents WHERE doc_id % 9 <> 4 ORDER BY doc_id""".stripMargin,
     "catalog_sql_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang

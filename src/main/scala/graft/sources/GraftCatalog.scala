@@ -160,15 +160,35 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(b.toInt >= 1 || b.toInt == -1,
         s"bucket must be >= 1 (fixed) or -1 (dynamic), got $b")
       if (partitionBy.nonEmpty) {
-        // Paimon's combined layout: `part=v/__bucket=k` dirs. The PK-table
-        // rule (partition ⊆ primary key) guarantees a key lives in exactly
-        // one partition, so per-bucket merge legs stay key-disjoint across
-        // partitions and the in-task merge needs no partition awareness.
-        require(b.toInt != -1,
-          "dynamic bucket mode (bucket = -1) does not support partitioned tables")
-        require(partitionBy.forall(primaryKey.contains),
-          "bucketed partitioned tables require every partition column to " +
-            "be part of the primary key (a key must live in exactly one partition)")
+        // Paimon's combined layout: `part=v/__bucket=k` dirs. With a FIXED
+        // bucket count the PK-table rule (partition ⊆ primary key)
+        // guarantees a key lives in exactly one partition, so per-bucket
+        // merge legs stay key-disjoint across partitions. DYNAMIC bucket
+        // mode (bucket = -1) lifts that rule — Paimon's CROSS-PARTITION
+        // UPSERT: the persisted index records each key's current
+        // (partition, bucket), an upsert whose partition differs from the
+        // recorded one tombstones the old partition's row in the same
+        // atomic snapshot, and the merge keys on (pk, partition) so each
+        // residence resolves independently (see [[dynamicRoute]]).
+        if (b.toInt != -1)
+          require(partitionBy.forall(primaryKey.contains),
+            "bucketed partitioned tables require every partition column to " +
+              "be part of the primary key (a key must live in exactly one " +
+              "partition); for keys that MOVE between partitions use " +
+              "dynamic bucket mode (bucket = -1, cross-partition upsert)")
+        else if (!partitionBy.forall(primaryKey.contains)) {
+          // cross-partition mode restrictions (v1): commit-order version
+          // races only — a user sequence column cannot arbitrate a move's
+          // tombstone (it carries no sequence value that beats the old
+          // partition's row), and the changelog/incremental protocols key
+          // per pk, which a same-ordinal move pair would tie.
+          require(!options.contains("sequence.field"),
+            "cross-partition upsert tables (partition not in primary key) " +
+              "do not support sequence.field")
+          require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
+            "cross-partition upsert tables support only the deduplicate " +
+              "merge engine")
+        }
       }
       require(!structType.fieldNames.contains(BucketCol),
         s"column name $BucketCol is reserved on bucketed tables")
@@ -340,7 +360,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(allMembers.distinct.size == allMembers.size,
       s"columns in multiple sequence-groups: ${allMembers.diff(allMembers.distinct).distinct.mkString(", ")}")
     options.keys.filter(k => k.startsWith("fields.") &&
-        !k.endsWith(".sequence-group")).foreach { k =>
+        !k.endsWith(".sequence-group") && !k.endsWith(".distinct")).foreach { k =>
       require(options.get("merge-engine").contains("aggregation"),
         s"$k requires merge-engine=aggregation")
       val f = k.stripPrefix("fields.").stripSuffix(".aggregate-function")
@@ -360,6 +380,27 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (options(k) == "listagg")
         require(structType(f).dataType == org.apache.spark.sql.types.StringType,
           s"$k: listagg requires a string field")
+      if (options(k) == "collect")
+        require(structType(f).dataType.isInstanceOf[
+            org.apache.spark.sql.types.ArrayType],
+          s"$k: collect requires an array field, $f is " +
+            structType(f).dataType.simpleString)
+      if (options(k) == "merge_map")
+        require(structType(f).dataType.isInstanceOf[
+            org.apache.spark.sql.types.MapType],
+          s"$k: merge_map requires a map field, $f is " +
+            structType(f).dataType.simpleString)
+    }
+    // Paimon's `fields.<f>.distinct` (collect companion): dedup the
+    // collected array at fold time.
+    options.keys.filter(k => k.startsWith("fields.") &&
+        k.endsWith(".distinct")).foreach { k =>
+      val f = k.stripPrefix("fields.").stripSuffix(".distinct")
+      require(k == s"fields.$f.distinct" &&
+        options.get(s"fields.$f.aggregate-function").contains("collect"),
+        s"$k applies only alongside fields.$f.aggregate-function=collect")
+      require(options(k) == "true" || options(k) == "false",
+        s"$k must be true or false, got ${options(k)}")
     }
     fs.mkdirs(tablePath(schema, table))
     val m = mapper.createObjectNode()
@@ -942,7 +983,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       sn.put("commitKind",
         if (compaction) "compact"
         else if (!keepExisting) "overwrite"
-        else if (deleteDf.isDefined || dvDf.isDefined) "merge"
+        else if (routedDel.isDefined || dvDf.isDefined) "merge"
         else if (kind == "delete" || kind == "dv") "delete"
         else "append")
       // Deletion-vector index: which data files the new DV dir touches and
@@ -983,7 +1024,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       }
       val fArr = sn.putArray("files")
       val added = FileEntry(landDir, sv, kind) +:
-        (deleteDf.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq ++
+        (routedDel.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq ++
           dvDf.map(_ => FileEntry(s"$landDir-dv", sv, "dv")).toSeq)
       (prevFiles ++ added).foreach(addEntry(fArr, _))
       baseId.foreach { b =>
@@ -1054,7 +1095,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       finally out.close()
     }
     writeClaimMarker(dir)
-    if (deleteDf.isDefined) writeClaimMarker(s"$dir-del")
+    if (routedDel.isDefined) writeClaimMarker(s"$dir-del")
     if (dvDf.isDefined) writeClaimMarker(s"$dir-dv")
     // Reads the whole marker (a single read() may legally return short)
     // and retries transient IO errors, so only a genuine token mismatch —
@@ -1115,7 +1156,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         ok = claim(curDir, target)
         if (ok) curDir = target
       }
-      if (ok && deleteDf.isDefined && curDelDir != s"$target-del") {
+      if (ok && routedDel.isDefined && curDelDir != s"$target-del") {
         ok = claim(curDelDir, s"$target-del")
         if (ok) curDelDir = s"$target-del"
       }
@@ -2958,7 +2999,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // race (a missing column reads as NULL, which sorts smallest).
     val writeFields =
       if (fe.kind == "delete") {
-        val keep = primaryKey(m).toSet ++ sequenceField(m)
+        // cross-partition tables: tombstones also carry their victim's
+        // partition columns (the OLD residence) — the merge keys on
+        // (pk, partition), so the tombstone must land in the right group
+        val keep = primaryKey(m).toSet ++ sequenceField(m) ++
+          partitionColumns(m)
         val keepIds = curFields.filter(f => keep.contains(f.name)).map(_.id).toSet
         writeFieldsAll.filter(f => keepIds.contains(f.id))
       } else writeFieldsAll
@@ -3234,6 +3279,39 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             case "last_value" => fmax(ordStruct(f.name, nonNullOnly = false))
               .getField("v")
             case "last_non_null" => lastNonNull(f.name)
+            // Paimon's `collect`: non-null array versions CONCATENATE in
+            // commit order (associative over a compacted prefix exactly
+            // like listagg); `fields.<f>.distinct=true` dedups the result.
+            // All-null history folds to null, as a fresh accumulator would.
+            case "collect" =>
+              import org.apache.spark.sql.functions.{flatten, array_distinct,
+                size => fsize, when => fwhen}
+              val versions = array_sort(
+                collect_list(ordStruct(f.name, nonNullOnly = true)))
+              val flat = flatten(transform(versions, x => x.getField("v")))
+              val merged = if (fieldCollectDistinct(m, f.name))
+                array_distinct(flat) else flat
+              fwhen(fsize(versions) > 0, merged)
+            // Paimon's `merge_map`: version maps fold entry-wise, a later
+            // version's value wins per entry key. Maps are unorderable, so
+            // the version sort uses an explicit ordinal comparator and the
+            // fold is a lambda aggregate over disjoint-key map_concat.
+            case "merge_map" =>
+              import org.apache.spark.sql.functions.{aggregate => fagg,
+                filter => ffilter, map_filter, map_concat, map_contains_key,
+                size => fsize, when => fwhen, map_from_arrays, array,
+                expr => _}
+              val sorted = array_sort(
+                collect_list(fstruct(col("__ord").as("o"), col(f.name).as("v"))),
+                (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
+                  .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
+              val nonNull = ffilter(sorted, x => x.getField("v").isNotNull)
+              val emptyMap = map_from_arrays(array(), array()).cast(dt)
+              fwhen(fsize(nonNull) > 0,
+                fagg(nonNull, emptyMap, (acc, x) => map_concat(
+                  map_filter(acc, (k, _) =>
+                    !map_contains_key(x.getField("v"), k)),
+                  x.getField("v"))))
           }
           e.as(f.name)
         }
@@ -3250,6 +3328,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(mergeEngine(m) == "deduplicate",
       s"$op on $table requires merge-engine=deduplicate, " +
         s"table uses ${mergeEngine(m)}")
+
+  /** Changelog/incremental protocols resolve latest-in-range PER PRIMARY
+    * KEY; a cross-partition MOVE lands a tombstone and the new image at
+    * ONE ordinal, which that resolution would tie arbitrarily — refuse
+    * at definition time (consuming a changelog INTO a cross-partition
+    * table via applyChangelog remains supported). */
+  private def refuseCrossPartition(m: ObjectNode, table: String, op: String): Unit =
+    require(!crossPartition(m),
+      s"$op on $table is not supported for cross-partition upsert tables " +
+        "(partition not in primary key): a move's tombstone and new image " +
+        "share one snapshot ordinal, which per-key in-range resolution " +
+        "would tie")
 
   /**
    * Shuffle-free merge-on-read for bucketed PK tables — the Paimon read
@@ -3327,8 +3417,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       else {
         val all = frames.reduce(_ unionByName _).coalesce(1)
         val inSchema = all.schema
+        // Merge key: pk plus any partition column OUTSIDE it. For the
+        // standard layout (partition ⊆ pk) this is exactly pk; for
+        // cross-partition tables each (partition, key) residence resolves
+        // independently — a move's tombstone kills the old residence
+        // while the new partition's row lives, and a partition-pruned
+        // read of either side stays correct.
+        val mergeKey = pk ++ partCols.filterNot(pk.contains)
         Some(GraftCatalog.mergeBucketInTask(all,
-          pk.map(inSchema.fieldIndex).toArray,
+          mergeKey.map(inSchema.fieldIndex).toArray,
           inSchema.fieldIndex("__ord"), inSchema.fieldIndex("__del"),
           curFields.map(f => inSchema.fieldIndex(f.name)).toArray, outSchema,
           sequenceField(m).map(inSchema.fieldIndex).getOrElse(-1)))
@@ -3473,6 +3570,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   /** Per-field aggregate function of the `aggregation` merge engine
     * (Paimon's `fields.<name>.aggregate-function`); default carries the
     * latest non-null value (`last_non_null`). */
+  /** `fields.<f>.distinct = true` (collect only): dedup the folded array. */
+  private def fieldCollectDistinct(m: ObjectNode, field: String): Boolean = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    val key = s"fields.$field.distinct"
+    opts != null && opts.has(key) && opts.get(key).asText() == "true"
+  }
+
   private def fieldAggregate(m: ObjectNode, field: String): String = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     val key = s"fields.$field.aggregate-function"
@@ -3519,6 +3623,32 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     StructField("__kh", org.apache.spark.sql.types.LongType),
     StructField("__b", org.apache.spark.sql.types.IntegerType)))
 
+  /** Cross-partition upsert mode (Paimon's partitioned PK table whose
+    * primary key does NOT contain the partition columns — legal only
+    * under dynamic bucket): the index tracks each key's current
+    * partition and upserts may MOVE a key, tombstoning its old
+    * residence. */
+  private def crossPartition(m: ObjectNode): Boolean = {
+    val parts = partitionColumns(m)
+    val pk = primaryKey(m)
+    parts.nonEmpty && pk.nonEmpty && !parts.forall(pk.contains)
+  }
+
+  /** Index storage columns for a cross-partition table's partition
+    * values: POSITIONAL names (`__p0`, `__p1`, …) so a partition-column
+    * rename never strands old `.dbidx` files (the partitions list keeps
+    * its order across renames). */
+  private def dynIdxPartFields(m: ObjectNode): Seq[StructField] = {
+    val byName = currentFields(m).map(f => f.name -> f).toMap
+    partitionColumns(m).zipWithIndex.map { case (c, i) =>
+      StructField(s"__p$i", TypeMapping.toSparkType(byName(c).trinoType))
+    }
+  }
+
+  private def dynIdxSchemaFor(m: ObjectNode): StructType =
+    if (!crossPartition(m)) dynIdxSchema
+    else StructType(dynIdxSchema.fields ++ dynIdxPartFields(m))
+
   /**
    * The persisted key→bucket hash index of a dynamic-bucket table
    * (Paimon's dynamic-bucket hash index files): a DataFrame of
@@ -3541,12 +3671,41 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         else filesOf(snaps.get(snaps.size() - 1))
           .filter(fe => fe.kind == "data" && dn.has(fe.dir)).map(_.dir)
       }
+    val idxSchema = dynIdxSchemaFor(m)
     if (dirs.isEmpty)
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIdxSchema)
-    else spark.read.schema(dynIdxSchema).parquet(
-      dirs.map(d => new Path(dirPath(schema, table, d),
-        DynIdxDir).toString): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (!crossPartition(m)) idxSchema
+        else StructType(idxSchema.fields :+
+          StructField("__io", org.apache.spark.sql.types.LongType)))
+    else {
+      val raw = spark.read.schema(idxSchema).parquet(
+        dirs.map(d => new Path(dirPath(schema, table, d),
+          DynIdxDir).toString): _*)
+      if (!crossPartition(m)) raw
+      else
+        // Cross-partition deltas are NOT key-disjoint: a move RE-RECORDS
+        // its key with the new partition, superseding the older entry.
+        // Stamp each row with its dir ordinal (from the immutable
+        // `snap-<id>` path segment) so callers resolve latest-wins; the
+        // plain-bucket contract (disjoint deltas) stays stamp-free.
+        raw.withColumn("__io",
+          org.apache.spark.sql.functions.regexp_extract(
+            col("_metadata.file_path"), "/snap-(\\d+)", 1).cast("long"))
+    }
+  }
+
+  /** Latest index record per key of a cross-partition table — apply
+    * AFTER any batch-key semi join so a micro-batch never shuffles the
+    * whole index through the latest-wins aggregate. */
+  private def dynIdxLatest(m: ObjectNode, idx: DataFrame): DataFrame = {
+    val partIdx = dynIdxPartFields(m).map(_.name)
+    val payload = org.apache.spark.sql.functions.struct(
+      (col("__io") +: col("__b") +: partIdx.map(col)): _*)
+    idx.groupBy("__kh")
+      .agg(org.apache.spark.sql.functions.max(payload).as("__best"))
+      .select(col("__kh") +: col("__best.__b").as("__b") +:
+        partIdx.map(p => col(s"__best.$p").as(p)): _*)
   }
 
   /**
@@ -3584,9 +3743,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       (DataFrame, Option[DataFrame], Option[(DataFrame, Long)]) = {
     val pk = primaryKey(m)
     val hash = xxhash64(pk.map(col): _*)
+    val crossPart = crossPartition(m)
+    val partCols = partitionColumns(m)
     val index = (if (reset)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dynIdxSchema)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          if (!crossPart) dynIdxSchema
+          else StructType(dynIdxSchemaFor(m).fields :+
+            StructField("__io", org.apache.spark.sql.types.LongType)))
       else readDynamicIndex(schema, table, m)).persist()
     val allKeys = (Seq(df) ++ deleteDf.toSeq)
       .map(_.select(hash.as("__kh"))).reduce(_ unionByName _)
@@ -3601,7 +3765,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .map(_.toLong).getOrElse(DynBroadcastKeys)
     def sized(d: DataFrame): DataFrame =
       if (smallBatch) org.apache.spark.sql.functions.broadcast(d) else d
-    val known = index.join(sized(allKeys), Seq("__kh"))
+    // Cross-partition tables: the batch-keyed index subset, resolved
+    // latest-wins to each key's CURRENT (bucket, partition) — the
+    // latest-wins aggregate runs on the batch-sized subset, never the
+    // whole index (a micro-batch stays broadcast-cheap). `__p<i>` carry
+    // the recorded partition values for move detection and tombstone
+    // synthesis below.
+    val knownLoc: Option[DataFrame] =
+      if (!crossPart) None
+      else Some(dynIdxLatest(m, index.join(sized(allKeys), Seq("__kh")))
+        .persist())
+    val known = knownLoc.map(_.select("__kh", "__b"))
+      .getOrElse(index.join(sized(allKeys), Seq("__kh")))
     val (assignment, newAssigned, nNew) =
       if (kind != "data") (known, None, 0L)
       else {
@@ -3612,8 +3787,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         else {
           val target = dynamicTargetRows(m)
           // O(buckets) rows — the table-layout metadata scale, same
-          // class as a partition census
-          val counts = index.groupBy("__b")
+          // class as a partition census. Cross-partition deltas may
+          // RE-RECORD a key on a move (same bucket, new partition), so
+          // count distinct keys per bucket there; plain deltas are
+          // key-disjoint and count raw.
+          val countsBase = if (crossPart)
+            index.select("__kh", "__b").distinct() else index
+          val counts = countsBase.groupBy("__b")
             .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
             .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
           val maxB = counts.keys.maxOption.getOrElse(-1)
@@ -3690,8 +3870,6 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // index reads complete here so its cache releases deterministically
     val asg = assignment.localCheckpoint(true)
     val newAsg = newAssigned
-    index.unpersist()
-    allKeys.unpersist()
     def route(frame: DataFrame): DataFrame = {
       val cols = frame.columns
       // |asg| <= |allKeys| — the same size class, so reuse the decision
@@ -3699,14 +3877,83 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .join(sized(asg), Seq("__kh"))
         .select((cols.map(col) :+ col("__b").as(BucketCol)): _*)
     }
+    if (!crossPart) {
+      index.unpersist()
+      allKeys.unpersist()
+      val delta: Option[(DataFrame, Long)] =
+        if (kind != "data") None
+        else if (fold || reset) {
+          val liveKeys = asg.count()
+          if (liveKeys == 0) None else Some((asg, liveKeys))
+        }
+        else newAsg.filter(_ => nNew > 0).map(a => (a, nNew))
+      return (route(df), deleteDf.map(route), delta)
+    }
+    // ---- cross-partition upsert (partition not in primary key) ----------
+    // Every tombstone must land in the key's RECORDED partition: user
+    // deletes resolve their residence from the index, and a data row
+    // whose partition differs from the recorded one is a MOVE — the new
+    // image lands in its own partition while a synthesized tombstone
+    // kills the old residence in the SAME atomic snapshot (Paimon's
+    // cross-partition update). All joins here are batch-keyed against
+    // the already-resolved `knownLoc` subset, so a micro-batch stays
+    // broadcast-cheap; every produced frame is delta-sized and eagerly
+    // local-checkpointed so no index lineage survives the commit.
+    val loc = knownLoc.get
+    val oldPartCols = partCols.zipWithIndex.map { case (c, i) =>
+      col(s"__p$i").as(c) }
+    val userDel: Option[DataFrame] = deleteDf.map { d =>
+      d.select(pk.map(col): _*).withColumn("__kh", hash)
+        .join(sized(loc), Seq("__kh"))
+        .select(pk.map(col) ++ oldPartCols: _*).localCheckpoint(true)
+    }
+    // Move detection only on incremental data commits: a compaction fold
+    // routes the resolved image (residences already current) and a reset
+    // starts from an empty index — neither can move a key.
+    val (movesTomb, movedKeys): (Option[DataFrame], Option[DataFrame]) =
+      if (kind != "data" || fold || reset) (None, None)
+      else {
+        val movedPred = partCols.zipWithIndex.map { case (c, i) =>
+          !(col(c) <=> col(s"__p$i")) }.reduce(_ || _)
+        val moved = df.withColumn("__kh", hash)
+          .join(sized(loc), Seq("__kh")).filter(movedPred)
+          .select((col("__kh") +: pk.map(col)) ++ oldPartCols: _*)
+          .localCheckpoint(true)
+        if (moved.isEmpty) (None, None)
+        else (Some(moved.drop("__kh")), Some(moved.select("__kh")))
+      }
+    // Index delta: new keys AND moved keys re-record (kh, bucket, new
+    // partition); a fold/reset records the full live set. Later records
+    // supersede older ones via the read-side `__io` latest-wins.
     val delta: Option[(DataFrame, Long)] =
       if (kind != "data") None
-      else if (fold || reset) {
-        val liveKeys = asg.count()
-        if (liveKeys == 0) None else Some((asg, liveKeys))
+      else {
+        val dfLoc = df.select((hash.as("__kh") +: partCols.map(col)): _*)
+        val recordKeys: DataFrame =
+          if (fold || reset) asg
+          else {
+            val nk = newAsg.getOrElse(spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              dynIdxSchema))
+            // disjoint by construction: moved keys are known, new aren't
+            movedKeys.map(mk => nk.unionByName(mk.join(asg, Seq("__kh"))))
+              .getOrElse(nk)
+          }
+        val deltaDf = recordKeys.join(dfLoc, Seq("__kh"))
+          .select(col("__kh") +: col("__b") +:
+            partCols.zipWithIndex.map { case (c, i) => col(c).as(s"__p$i") }: _*)
+          .localCheckpoint(true)
+        val nRec = deltaDf.count()
+        if (nRec == 0) None else Some((deltaDf, nRec))
       }
-      else newAsg.filter(_ => nNew > 0).map(a => (a, nNew))
-    (route(df), deleteDf.map(route), delta)
+    val routedDel: Option[DataFrame] = (userDel, movesTomb) match {
+      case (Some(u), Some(mv)) => Some(u.unionByName(mv))
+      case (a, b) => a.orElse(b)
+    }
+    index.unpersist()
+    allKeys.unpersist()
+    loc.unpersist()
+    (route(df), routedDel.map(route), delta)
   }
 
   /**
@@ -3729,8 +3976,41 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
     }: _*)
     val kh = row.select(xxhash64(pk.map(col): _*).as("h")).head().getLong(0)
+    val hits = readDynamicIndex(schema, table, m).filter(col("__kh") === kh)
+    if (!crossPartition(m))
+      hits.select("__b").collect().headOption.map(_.getInt(0))
+    else
+      // superseded move records share the key — latest dir ordinal wins
+      hits.orderBy(col("__io").desc).select("__b").collect()
+        .headOption.map(_.getInt(0))
+  }
+
+  /**
+   * A cross-partition key's CURRENT residence: (partition values in
+   * declared order, bucket) — the point-lookup against the global index
+   * (`__kh = v` pushes into the hash-sorted parquet deltas; the newest
+   * record wins, so a moved key reports its new partition). None = the
+   * key was never assigned.
+   */
+  def dynamicLocationFor(schema: String, table: String,
+      values: Seq[Any]): Option[(Seq[Any], Int)] = {
+    val m = readManifest(schema, table)
+    require(crossPartition(m),
+      s"$schema.$table is not a cross-partition upsert table — " +
+        "use dynamicBucketFor / bucketFor")
+    val pk = primaryKey(m)
+    require(values.length == pk.length, s"expected ${pk.length} pk values")
+    val cur = currentFields(m).map(f => f.name -> f.trinoType).toMap
+    val row = spark.range(1).select(pk.zip(values).map { case (c, v) =>
+      lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
+    }: _*)
+    val kh = row.select(xxhash64(pk.map(col): _*).as("h")).head().getLong(0)
+    val nParts = partitionColumns(m).length
     readDynamicIndex(schema, table, m).filter(col("__kh") === kh)
-      .select("__b").collect().headOption.map(_.getInt(0))
+      .orderBy(col("__io").desc).collect().headOption.map { r =>
+        ((0 until nParts).map(i => r.get(r.fieldIndex(s"__p$i"))),
+          r.getInt(r.fieldIndex("__b")))
+      }
   }
 
   /**
@@ -4001,8 +4281,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // sequence.field: the tombstone carries the victim's CURRENT sequence
     // value — tied sequence, later ordinal, so the delete wins; a later
     // upsert with a HIGHER sequence legitimately resurrects the key.
+    // Cross-partition tables: carry the victim's partition columns too
+    // (its current residence, straight from the image being filtered).
+    val extra = sequenceField(m).toSeq ++
+      (if (crossPartition(m)) partitionColumns(m) else Seq.empty)
     val victims = read(schema, table).filter(condition)
-      .select((pk ++ sequenceField(m)).map(col): _*)
+      .select((pk ++ extra).map(col): _*)
     commit(schema, table, victims, keepExisting = true, kind = "delete")
   }
 
@@ -4017,11 +4301,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     requireDeduplicate(m, s"$schema.$table", "deleteWhere")
     // sequence.field tables: fetch each victim's current sequence value
     // (one delta-sized semi join) so the tombstone wins the version race.
-    val keys = sequenceField(m) match {
-      case Some(sf) =>
+    // Cross-partition tables: fetch each victim's current residence the
+    // same way (partition values must ride the tombstone).
+    val keys = (sequenceField(m),
+        if (crossPartition(m)) partitionColumns(m) else Seq.empty) match {
+      case (None, Seq()) => victims.select(pk.map(col): _*)
+      case (sf, parts) =>
         read(schema, table).join(victims.select(pk.map(col): _*), pk, "left_semi")
-          .select((pk :+ sf).map(col): _*)
-      case None => victims.select(pk.map(col): _*)
+          .select((pk ++ sf.toSeq ++ parts).map(col): _*)
     }
     commit(schema, table, keys, keepExisting = true, kind = "delete")
   }
@@ -4176,6 +4463,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, table)
     if (primaryKey(m).nonEmpty)
       requireDeduplicate(m, s"$schema.$table", "readIncremental")
+    refuseCrossPartition(m, s"$schema.$table", "readIncremental")
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val all = (0 until snaps.size()).map(snaps.get)
     def entriesAt(id: Long): Seq[FileEntry] =
@@ -4245,6 +4533,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, table)
     if (primaryKey(m).nonEmpty)
       requireDeduplicate(m, s"$schema.$table", "readChangelog")
+    refuseCrossPartition(m, s"$schema.$table", "readChangelog")
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
     val target = changelogSchema(m)
     def emptyChangelog = spark.createDataFrame(
@@ -4364,6 +4653,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val pk = primaryKey(m)
     require(pk.nonEmpty, s"$schema.$table is append-only — full changelog " +
       "needs a primary-key table (no before image exists); use readChangelog")
+    refuseCrossPartition(m, s"$schema.$table", "readChangelogFull")
     // Field-wise engines (partial-update / aggregation / first-row) CAN
     // serve full changelog — a delta row is a PATCH, not the image, so
     // the after side must be the RESOLVED image, not the in-range winner.
@@ -4563,6 +4853,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // engines); FULL mode serves every engine — field-wise tables route
     // through fieldwiseChangelogFull's resolved-image pairs.
     val m0 = readManifest(schema, table)
+    refuseCrossPartition(m0, s"$schema.$table", "readChangelogStream")
     if (primaryKey(m0).nonEmpty && mode == "upsert")
       requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
     // deletion-vector commits stream fine: readChangelog resolves each
@@ -5324,7 +5615,8 @@ object GraftCatalog {
     * 1) is deliberately absent: rows carrying 1 with `sum` express it. */
   val FieldAggregates: Set[String] =
     Set("sum", "min", "max", "last_non_null", "bool_and", "bool_or",
-      "product", "listagg", "first_value", "first_non_null", "last_value")
+      "product", "listagg", "first_value", "first_non_null", "last_value",
+      "collect", "merge_map")
 
   /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
     * `-D` delete (Flink/Paimon RowKind shorthand). */

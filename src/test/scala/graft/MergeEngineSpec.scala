@@ -132,6 +132,63 @@ class MergeEngineSpec extends SparkSpecBase {
         "fields.v.aggregate-function" -> "product"), primaryKey = Seq("id")))
   }
 
+  test("aggregation: collect concatenates array versions in commit order; " +
+      "distinct dedups; merge_map folds maps entry-wise newest-wins") {
+    import spark.implicits._
+    gc.createTable("db", "agc",
+      Seq((1L, Seq("a"), Seq("a"), Map("k" -> 1L)))
+        .toDF("id", "tags", "dtags", "attrs").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.tags.aggregate-function" -> "collect",
+        "fields.dtags.aggregate-function" -> "collect",
+        "fields.dtags.distinct" -> "true",
+        "fields.attrs.aggregate-function" -> "merge_map"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "agc", Seq(
+      (1L, Option(Seq("a", "b")), Option(Seq("a", "b")),
+        Option(Map("k1" -> 1L, "k2" -> 2L))),
+      (2L, Option.empty[Seq[String]], Option.empty[Seq[String]],
+        Option.empty[Map[String, Long]]))
+      .toDF("id", "tags", "dtags", "attrs"))
+    gc.upsert("db", "agc", Seq(
+      (1L, Option(Seq("b", "c")), Option(Seq("b", "c")),
+        Option(Map("k2" -> 20L, "k3" -> 3L))))
+      .toDF("id", "tags", "dtags", "attrs"))
+    def img() = gc.read("db", "agc").orderBy("id").collect().map { r =>
+      (r.getLong(0), Option(r.get(1)).map(_ => r.getSeq[String](1).toList),
+        Option(r.get(2)).map(_ => r.getSeq[String](2).toList),
+        Option(r.get(3)).map(_ => r.getMap[String, Long](3).toMap))
+    }.toSeq
+    assert(img() === Seq(
+      (1L, Some(Seq("a", "b", "b", "c")), Some(Seq("a", "b", "c")),
+        Some(Map("k1" -> 1L, "k2" -> 20L, "k3" -> 3L))),
+      (2L, None, None, None)))
+    // associative over a compacted partial: fold, then keep folding
+    gc.compact("db", "agc")
+    gc.upsert("db", "agc", Seq(
+      (1L, Option(Seq("d")), Option(Seq("a")),
+        Option(Map("k1" -> 100L))),
+      (2L, Option(Seq("z")), Option(Seq("z")), Option(Map("n" -> 9L))))
+      .toDF("id", "tags", "dtags", "attrs"))
+    assert(img() === Seq(
+      (1L, Some(Seq("a", "b", "b", "c", "d")), Some(Seq("a", "b", "c")),
+        Some(Map("k1" -> 100L, "k2" -> 20L, "k3" -> 3L))),
+      (2L, Some(Seq("z")), Some(Seq("z")), Some(Map("n" -> 9L)))))
+    // type + option guards
+    intercept[IllegalArgumentException](gc.createTable("db", "agcbad",
+      Seq((1L, "s")).toDF("id", "v").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "collect"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "agcbad2",
+      Seq((1L, "s")).toDF("id", "v").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "merge_map"), primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "agcbad3",
+      Seq((1L, Seq("s"))).toDF("id", "v").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.distinct" -> "true"), primaryKey = Seq("id")))
+  }
+
   test("partial-update sequence-groups: per-group version columns") {
     import spark.implicits._
     // columns: pk id | group (ga: a1, a2 versioned by sa) | plain p

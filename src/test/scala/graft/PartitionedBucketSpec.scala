@@ -97,17 +97,31 @@ class PartitionedBucketSpec extends SparkSpecBase {
       cat.readBucket("db", "c", 1).count() === 36)
   }
 
-  test("validation: partition must be in the primary key; dynamic mode " +
-      "refuses partitions; partition replacement refuses PK tables") {
+  test("validation: fixed buckets require partition in the primary key; " +
+      "cross-partition mode restrictions; partition replacement refuses " +
+      "PK tables") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
     cat.createSchema("db")
     intercept[IllegalArgumentException](cat.createTable("db", "bad", pkvSchema,
       partitionBy = Seq("part"), options = Map("bucket" -> "4"),
       primaryKey = Seq("id")))
-    intercept[IllegalArgumentException](cat.createTable("db", "bad2", pkvSchema,
+    // dynamic bucket + partition ⊆ PK is the ordinary per-partition
+    // dynamic layout — legal
+    cat.createTable("db", "dynok", pkvSchema,
       partitionBy = Seq("part"), options = Map("bucket" -> "-1"),
-      primaryKey = Seq("part", "id")))
+      primaryKey = Seq("part", "id"))
+    // cross-partition mode (pk excludes partition): sequence.field and
+    // non-deduplicate merge engines are refused — commit order is the only
+    // arbiter a move tombstone can respect
+    intercept[IllegalArgumentException](cat.createTable("db", "bad2", pkvSchema,
+      partitionBy = Seq("part"),
+      options = Map("bucket" -> "-1", "sequence.field" -> "v"),
+      primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](cat.createTable("db", "bad3", pkvSchema,
+      partitionBy = Seq("part"),
+      options = Map("bucket" -> "-1", "merge-engine" -> "partial-update"),
+      primaryKey = Seq("id")))
     create(cat, "g")
     cat.upsert("db", "g", rows(Seq("a"), 5, "v").toDF("part", "id", "v"))
     // partition expiration / dynamic overwrite route through
