@@ -572,6 +572,36 @@ object CatalogQueries {
         .withColumn("lang", lit("X")).withColumn("small", lit(2L)))
       cat.read("q", t).orderBy("doc_id")
     }),
+    // aggregation merge engine, container functions: `collect` CONCATENATES
+    // array versions in commit order (`fields.<f>.distinct` dedups at fold
+    // time), `merge_map` folds maps entry-wise with later versions winning
+    // per entry key. Output flattens both to scalar columns (sorted-joined
+    // tag string, two probed map entries) so the DuckDB oracle hashes the
+    // same image.
+    "catalog_merge_agg_collect" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val base = Tables(s, dir, "documents")
+      val d = base.select(col("doc_id"),
+        array(col("lang")).as("tags"),
+        map(lit("a"), col("n_chars")).as("attrs"))
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.tags.aggregate-function" -> "collect",
+          "fields.tags.distinct" -> "true",
+          "fields.attrs.aggregate-function" -> "merge_map"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), array(lit("X")).as("tags"),
+          map(lit("a"), lit(-1L), lit("b"), col("doc_id")).as("attrs")))
+      cat.read("q", t)
+        .select(col("doc_id"),
+          array_join(array_sort(col("tags")), ",").as("tags"),
+          col("attrs")("a").as("attr_a"),
+          col("attrs")("b").as("attr_b"))
+        .orderBy("doc_id")
+    }),
     // sequence.field (Paimon's CoreOption): a USER column, not commit
     // order, decides which version of a key wins — a LATE batch with a
     // smaller sequence must not clobber newer state, a batch with a
@@ -871,6 +901,14 @@ object CatalogQueries {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0 THEN lang || ',X' ELSE lang END AS lang,
         |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 2 ELSE doc_id % 7 END AS small
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_merge_agg_collect" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN array_to_string(list_sort([lang, 'X']), ',')
+        |       ELSE lang END AS tags,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(-1 AS BIGINT) ELSE n_chars END AS attr_a,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id ELSE NULL END AS attr_b
         |FROM documents ORDER BY doc_id""".stripMargin,
     "catalog_sequence_field" ->
       """SELECT doc_id,
