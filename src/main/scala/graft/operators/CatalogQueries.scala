@@ -156,6 +156,27 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // PER-BUCKET compaction (Paimon's per-bucket CompactManager shape):
+    // after three upsert waves and a delete, fold ONLY half the buckets'
+    // sorted runs; the other buckets keep their uncompacted version
+    // runs and a FOURTH wave lands on top of both classes — the read
+    // must resolve compacted-then-updated, compacted-only, and
+    // never-compacted buckets to the identical merged image.
+    "catalog_bucket_compact" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema, options = Map("bucket" -> "8"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 4 === 0)
+        .withColumn("lang", lit("W2")))
+      cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
+      cat.compactBuckets("q", t, Seq(0, 2, 4, 6))
+      cat.upsert("q", t, d.filter(col("doc_id") % 6 === 1)
+        .withColumn("n_chars", col("n_chars") + 1000000L))
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // PARTITIONED + BUCKETED PK table (Paimon's standard production
     // layout, `source=v/__bucket=k` dirs): partition ⊆ primary key, so
     // every bucket leg merges key-disjoint slices across partitions; the
@@ -902,6 +923,13 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 3 = 0 THEN lang || ',X' ELSE lang END AS lang,
         |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7) * 2 ELSE doc_id % 7 END AS small
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_bucket_compact" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'W2' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 6 = 1 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 11 <> 5 OR doc_id % 6 = 1
+        |ORDER BY doc_id""".stripMargin,
     "catalog_merge_agg_collect" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 3 = 0

@@ -753,7 +753,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // Options applied atomically WITH the snapshot in the same manifest
       // CAS — the bucket-rescale path: data written under the new layout
       // and the option that describes it become visible together.
-      optionOverrides: Map[String, String] = Map.empty): Long = {
+      optionOverrides: Map[String, String] = Map.empty,
+      // Per-BUCKET compaction (bucketed PK tables): the new snapshot
+      // inherits the previous file list with these buckets marked
+      // retired on every inherited entry — the committed dir carries
+      // their merged images, other buckets' bytes are untouched, and the
+      // serialized delta stays O(1) (one `xbuckets` list, applied at
+      // inflate). Older snapshots keep the unexcluded entries (time
+      // travel); expiration reclaims retired subdirs.
+      excludeBucketsFromPrior: Set[Int] = Set.empty): Long = {
     val m = readManifest(schema, table)
     // Derived-content commits (DV deletes) pass the manifest version their
     // victims were computed against: if the head advanced in between (a
@@ -948,11 +956,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         FileStats.toJson(dn, ds)
         zoneToken.foreach(dn.put("filesExt", _))
       }
-      val prevFiles: Seq[FileEntry] =
-        if (keepExisting && sn2.size() > 0)
-          filesOf(sn2.get(sn2.size() - 1))
-            .filterNot(fe => replacedDirs.contains(fe.dir))
-        else Seq.empty
+      val prevFiles: Seq[FileEntry] = {
+        val inherited =
+          if (keepExisting && sn2.size() > 0)
+            filesOf(sn2.get(sn2.size() - 1))
+              .filterNot(fe => replacedDirs.contains(fe.dir))
+          else Seq.empty
+        if (excludeBucketsFromPrior.isEmpty) inherited
+        else inherited.map(fe => fe.copy(excludeBuckets =
+          (fe.excludeBuckets ++ excludeBucketsFromPrior).distinct.sorted))
+      }
       // Delta basis for the serialized form: an additive commit's file
       // list is prev ++ added, so the head stores {baseId, added}; a
       // REPLACE-SUBSET commit (minor compaction, partition expiration,
@@ -1021,6 +1034,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       def addEntry(arr: ArrayNode, fe: FileEntry): Unit = {
         val e = arr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
         if (fe.kind != "data") e.put("kind", fe.kind)
+        if (fe.excludeBuckets.nonEmpty) {
+          val xa = e.putArray("xb"); fe.excludeBuckets.foreach(xa.add)
+        }
       }
       val fArr = sn.putArray("files")
       val added = FileEntry(landDir, sv, kind) +:
@@ -1034,6 +1050,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         if (replacedDirs.nonEmpty) {
           val rArr = sn.putArray("removed")
           replacedDirs.toSeq.sorted.foreach(rArr.add)
+        }
+        if (excludeBucketsFromPrior.nonEmpty) {
+          // O(1) delta for a per-bucket compaction: inflate applies the
+          // exclusion to every INHERITED entry instead of re-serializing
+          // the whole list with per-entry `xb` fields.
+          val xArr = sn.putArray("xbuckets")
+          excludeBucketsFromPrior.toSeq.sorted.foreach(xArr.add)
         }
       }
       streamBatchId.foreach(b => mm.put("lastStreamBatchId", b))
@@ -1228,6 +1251,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (opts.get("write-only").contains("true")) return
       opts.get("compaction.max-file-dirs").map(_.toInt).foreach { n =>
         compactIfNeeded(schema, table, maxFileDirs = n)
+      }
+      // Paimon's num-sorted-run.compaction-trigger: per-BUCKET compaction
+      // of hot buckets once that many sorted runs accumulate — the
+      // write-side maintenance shape that survives streaming ingest at
+      // 100 TB (O(hot buckets) per call, never O(table)).
+      opts.get("num-sorted-run.compaction-trigger").map(_.toInt).foreach { n =>
+        compactHotBuckets(schema, table, trigger = n)
       }
       // Paimon's full-compaction.delta-commits: a FULL compact after
       // every N data commits since the last compaction snapshot —
@@ -1508,6 +1538,115 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def compact(schema: String, table: String): Long =
     commit(schema, table, read(schema, table), keepExisting = false,
       compaction = true)
+
+  /**
+   * PER-BUCKET compaction — Paimon's actual compaction granularity (its
+   * CompactManager works per bucket, triggered by that bucket's
+   * sorted-run count, never table-wide): fold ONLY the given buckets'
+   * version runs into one fresh dir and leave every other bucket's
+   * bytes untouched. On a 100 TB table under streaming ingest this is
+   * the difference between compaction you can run continuously
+   * (O(hot buckets)) and one you cannot run at all (full [[compact]] is
+   * O(table) every time).
+   *
+   * Mechanics: the merged image of the chosen buckets (resolved through
+   * the ordinary per-bucket merge legs, tombstones folded) lands as a
+   * normal compaction-marked commit, and every INHERITED manifest entry
+   * marks those buckets RETIRED (`xb`) — reads skip the retired subdirs
+   * at dir level (zero I/O), older snapshots still reference the
+   * unexcluded entries (time travel intact), and expiration deletes a
+   * retired `__bucket=k` subtree once NO retained snapshot references
+   * the dir without the exclusion. The serialized snapshot delta is
+   * O(1): one `xbuckets` list applied at inflate, not a re-serialized
+   * file list. Content derives from the current head, so a concurrent
+   * commit ABORTS this one, never the reverse.
+   *
+   * Fixed-bucket PK tables only (flat or partitioned): dynamic-bucket
+   * tables fold their key index in full [[compact]]; append-only tables
+   * use [[compactSmall]].
+   */
+  def compactBuckets(schema: String, table: String, buckets: Seq[Int]): Long = {
+    val m = readManifest(schema, table)
+    val n = bucketCount(m).getOrElse(throw new IllegalArgumentException(
+      s"$schema.$table is not bucketed — per-bucket compaction needs a " +
+        "fixed bucket layout; use compact() or compactSmall()"))
+    require(n >= 1, s"$schema.$table uses dynamic bucket mode — compact() " +
+      "folds its key index atomically; per-bucket compaction serves fixed layouts")
+    require(primaryKey(m).nonEmpty,
+      s"$schema.$table is append-only — use compactSmall for minor maintenance")
+    require(buckets.nonEmpty, "no buckets given")
+    require(buckets.forall(b => b >= 0 && b < n),
+      s"buckets must be in [0, $n), got ${buckets.mkString(", ")}")
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    require(snaps.size() > 0, s"$schema.$table has no snapshots")
+    val entries = filesOf(snaps.get(snaps.size() - 1))
+    val img = bucketedResolve(schema, table, m, entries, n,
+      onlyBuckets = Some(buckets.distinct.sorted)).getOrElse(emptyFrame(m))
+    commit(schema, table, img, keepExisting = true, compaction = true,
+      basisVersion = Some(basis), excludeBucketsFromPrior = buckets.toSet)
+  }
+
+  /**
+   * Sorted-run count per bucket at the current head: how many un-retired
+   * dirs contribute files to each bucket (tombstone runs count — they
+   * are merge debt too). Metadata-only when per-file zones exist (the
+   * zone sidecar doubles as the dir's file listing); dirs without zones
+   * pay one FS listing each.
+   */
+  def bucketSortedRuns(schema: String, table: String): Map[Int, Int] = {
+    val m = readManifest(schema, table)
+    val n = bucketCount(m).getOrElse(return Map.empty)
+    if (n < 1 || primaryKey(m).isEmpty) return Map.empty
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) return Map.empty
+    val entries = filesOf(snaps.get(snaps.size() - 1))
+      .filter(fe => fe.kind == "data" || fe.kind == "delete")
+    val perFile = fileStatsFrom(schema, table, m)
+    val partDepth = partitionColumns(m).length
+    def fromPath(rel: String): Option[Int] =
+      rel.split('/').find(_.startsWith(s"$BucketCol="))
+        .flatMap(s => s.stripPrefix(s"$BucketCol=").toIntOption)
+    def listed(fe: FileEntry): Set[Int] = {
+      val depth = if (fe.kind == "data") partDepth else 0
+      def walk(p: Path, d: Int): Seq[Int] =
+        if (!fs.exists(p)) Seq.empty
+        else fs.listStatus(p).toSeq.flatMap { st =>
+          val nm = st.getPath.getName
+          if (nm.startsWith(s"$BucketCol="))
+            nm.stripPrefix(s"$BucketCol=").toIntOption
+          else if (d > 0 && st.isDirectory && nm.contains("="))
+            walk(st.getPath, d - 1)
+          else Seq.empty
+        }
+      walk(dirPath(schema, table, fe.dir), depth).toSet
+    }
+    val counts = mutable.Map.empty[Int, Int].withDefaultValue(0)
+    entries.foreach { fe =>
+      val present: Set[Int] = perFile.get(fe.dir).filter(_.nonEmpty) match {
+        case Some(fm) => fm.keysIterator.flatMap(fromPath).toSet
+        case None => listed(fe)
+      }
+      (present -- fe.excludeBuckets).foreach(k => counts(k) += 1)
+    }
+    counts.toMap
+  }
+
+  /**
+   * Compact every bucket whose sorted-run count reached `trigger`
+   * (Paimon's `num-sorted-run.compaction-trigger`, default 5) in ONE
+   * commit. Returns the new snapshot id when any bucket was hot. The
+   * streaming-ingest maintenance loop for bucketed PK tables: each call
+   * costs O(hot buckets) data I/O and leaves every compacted bucket at
+   * one run, so back-to-back calls are no-ops.
+   */
+  def compactHotBuckets(schema: String, table: String,
+      trigger: Int = 5): Option[Long] = {
+    require(trigger >= 2, s"trigger must be >= 2, got $trigger")
+    val hot = bucketSortedRuns(schema, table)
+      .collect { case (k, c) if c >= trigger => k }.toSeq.sorted
+    if (hot.isEmpty) None else Some(compactBuckets(schema, table, hot))
+  }
 
   /**
    * Bucket rescaling (Paimon's `rescale` maintenance action): rewrite
@@ -2076,6 +2215,32 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     orphanDirs.foreach { d =>
       if (!pinnedElsewhere.contains(baseRelativeDir(table, d)))
         fs.delete(dirPath(schema, table, d), true)
+    }
+    // Per-bucket compaction leftovers: once EVERY retained snapshot
+    // referencing a dir retires bucket k there (intersection of the
+    // entries' exclusion sets), no reader — current or time-traveling —
+    // can need that subtree, so its bytes are reclaimed in place. Dirs a
+    // sibling lineage (branch) still references are left whole: the
+    // other lineage's entries may carry no exclusion.
+    val keptRefs = kept.flatMap(filesOf).groupBy(_.dir)
+      .filter { case (_, fes) => fes.forall(_.excludeBuckets.nonEmpty) }
+    keptRefs.foreach { case (d, fes) =>
+      val common = fes.map(_.excludeBuckets.toSet).reduce(_ intersect _)
+      if (common.nonEmpty && !pinnedElsewhere.contains(baseRelativeDir(table, d))) {
+        def walk(p: Path): Unit =
+          if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+            val nm = st.getPath.getName
+            if (st.isDirectory) {
+              if (nm.startsWith(s"$BucketCol=")) {
+                if (nm.stripPrefix(s"$BucketCol=").toIntOption
+                    .exists(common.contains))
+                  fs.delete(st.getPath, true)
+              } else if (nm.contains("=")) walk(st.getPath)
+            }
+          }
+        try walk(dirPath(schema, table, d))
+        catch { case _: java.io.IOException => () }
+      }
     }
   }
 
@@ -3405,12 +3570,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           dirPath(schema, table, fe.dir), depthOf(fe)).nonEmpty)
         .map(fe => fe -> frameFor(schema, table, m, fe, withBucket = true))
     val legs = wanted.flatMap { k =>
+      // A dir whose entry RETIRES bucket k (per-bucket compaction folded
+      // it into a later dir) contributes nothing to k's leg — dir-level
+      // skip, zero I/O, exact because the compacted dir carries the
+      // resolved image of everything excluded.
       val frames =
         if (partCols.isEmpty) entries.flatMap { fe =>
           val p = new Path(dirPath(schema, table, fe.dir), s"$BucketCol=$k")
-          if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p))) else None
+          if (fe.excludeBuckets.contains(k)) None
+          else if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p)))
+          else None
         }
-        else partFrames.map { case (_, f) =>
+        else partFrames.collect { case (fe, f) if !fe.excludeBuckets.contains(k) =>
           f.filter(col(BucketCol) === k).drop(BucketCol)
         }
       if (frames.isEmpty) None
@@ -4962,10 +5133,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val n = it.next().getPath.getName
         if (n.endsWith(".parquet") || n.endsWith(".orc")) parts += 1
       }
-      (fe.dir, fe.kind, fe.schemaVersion, parts, summary.getLength)
+      (fe.dir, fe.kind, fe.schemaVersion, parts, summary.getLength,
+        fe.excludeBuckets.mkString(","))
     }
     spark.createDataFrame(rows).toDF(
-      "file_dir", "kind", "schema_version", "n_part_files", "size_bytes")
+      "file_dir", "kind", "schema_version", "n_part_files", "size_bytes",
+      "retired_buckets")
   }
 
   /**
@@ -5246,13 +5419,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       StructType(currentFields(m).map(f =>
         StructField(f.name, TypeMapping.toSparkType(f.trinoType)))))
 
+  private def entryOf(e: JsonNode): FileEntry =
+    FileEntry(e.get("dir").asText(), e.get("schemaVersion").asInt(),
+      if (e.has("kind")) e.get("kind").asText() else "data",
+      if (e.has("xb")) {
+        val xa = e.get("xb").asInstanceOf[ArrayNode]
+        (0 until xa.size()).map(xa.get(_).asInt())
+      } else Nil)
+
   private def filesOf(snap: JsonNode): Seq[FileEntry] = {
     val fArr = snap.get("files").asInstanceOf[ArrayNode]
-    (0 until fArr.size()).map { i =>
-      val e = fArr.get(i)
-      FileEntry(e.get("dir").asText(), e.get("schemaVersion").asInt(),
-        if (e.has("kind")) e.get("kind").asText() else "data")
-    }
+    (0 until fArr.size()).map(i => entryOf(fArr.get(i)))
   }
 
   /**
@@ -5270,11 +5447,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case o: ObjectNode if o.has("added") && o.has("baseId") && i > 0 &&
           o.get("baseId").asLong() == all(i - 1).get("id").asLong() =>
         val aArr = o.get("added").asInstanceOf[ArrayNode]
-        Some((0 until aArr.size()).map { j =>
-          val e = aArr.get(j)
-          FileEntry(e.get("dir").asText(), e.get("schemaVersion").asInt(),
-            if (e.has("kind")) e.get("kind").asText() else "data")
-        })
+        Some((0 until aArr.size()).map(j => entryOf(aArr.get(j))))
       case _ => None
     }
     delta.getOrElse {
@@ -5377,14 +5550,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             "predecessor")
         val full = mapper.createArrayNode()
         val prevArr = prev.get("files").asInstanceOf[ArrayNode]
+        // Per-bucket compaction delta: retire these buckets on every
+        // inherited entry. Entries are DEEP-COPIED before mutation —
+        // prevArr's nodes are shared with the predecessor's own list.
+        val xb: Seq[Int] = if (s.has("xbuckets")) {
+          val xArr = s.get("xbuckets").asInstanceOf[ArrayNode]
+          (0 until xArr.size()).map(xArr.get(_).asInt())
+        } else Nil
+        def inherit(e: JsonNode): JsonNode =
+          if (xb.isEmpty) e
+          else {
+            val c = e.deepCopy[JsonNode]().asInstanceOf[ObjectNode]
+            val cur = if (c.has("xb")) {
+              val xa = c.get("xb").asInstanceOf[ArrayNode]
+              (0 until xa.size()).map(xa.get(_).asInt())
+            } else Nil
+            val merged = (cur ++ xb).distinct.sorted
+            val xa = c.putArray("xb"); merged.foreach(xa.add)
+            c
+          }
         if (s.has("removed")) {
           val rArr = s.get("removed").asInstanceOf[ArrayNode]
           val rm = (0 until rArr.size()).map(rArr.get(_).asText()).toSet
           (0 until prevArr.size()).foreach { j =>
             val e = prevArr.get(j)
-            if (!rm.contains(e.get("dir").asText())) full.add(e)
+            if (!rm.contains(e.get("dir").asText())) full.add(inherit(e))
           }
-        } else full.addAll(prevArr)
+        } else if (xb.isEmpty) full.addAll(prevArr)
+        else (0 until prevArr.size()).foreach(j => full.add(inherit(prevArr.get(j))))
         full.addAll(s.get("added").asInstanceOf[ArrayNode])
         s.set[JsonNode]("files", full)
       }
@@ -5412,7 +5605,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (s.has("baseId")) {
         if (s.get("baseId").asLong() == prevId && s.has("added"))
           detached += s -> s.remove("files")
-        else { s.remove("baseId"); s.remove("added"); s.remove("removed") }
+        else { s.remove("baseId"); s.remove("added"); s.remove("removed")
+          s.remove("xbuckets") }
       }
       prevId = s.get("id").asLong()
     }
@@ -5695,8 +5889,13 @@ object GraftCatalog {
   case class FieldInfo(id: Int, name: String, trinoType: String,
       comment: Option[String] = None)
   case class SnapshotInfo(id: Long, timestampMillis: Long)
-  /** One snapshot file-list entry; kind is "data" or "delete" (tombstone). */
-  case class FileEntry(dir: String, schemaVersion: Int, kind: String)
+  /** One snapshot file-list entry; kind is "data" or "delete" (tombstone).
+    * `excludeBuckets` (bucketed PK tables only): buckets whose files in
+    * this dir are RETIRED as of the owning snapshot — a per-bucket
+    * compaction folded them into its own dir, so reads skip them; the
+    * bytes stay for older snapshots until expiration reclaims them. */
+  case class FileEntry(dir: String, schemaVersion: Int, kind: String,
+      excludeBuckets: Seq[Int] = Nil)
 }
 
 /**

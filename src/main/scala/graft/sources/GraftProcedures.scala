@@ -170,6 +170,23 @@ object GraftProcedures {
       one("snapshot_id", LongType),
       (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
         Seq(gc.fastForward(s, t, args(1).asInstanceOf[String])) }),
+    Spec("compact_buckets",
+      "per-bucket compaction: fold only the named buckets' sorted runs " +
+        "(comma-separated ids); other buckets' bytes untouched",
+      Seq(p("table", StringType), p("buckets", StringType)),
+      one("snapshot_id", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        val bs = args(1).asInstanceOf[String].split(',').map(_.trim)
+          .filter(_.nonEmpty).map(_.toInt).toSeq
+        Seq(gc.compactBuckets(s, t, bs)) }),
+    Spec("compact_hot_buckets",
+      "compact every bucket whose sorted-run count reached trigger " +
+        "(num-sorted-run.compaction-trigger shape); -1 when none is hot",
+      Seq(p("table", StringType), pd("trigger", IntegerType, "5")),
+      one("snapshot_id", LongType),
+      (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
+        Seq(gc.compactHotBuckets(s, t, args(1).asInstanceOf[Int])
+          .getOrElse(-1L)) }),
     Spec("remove_orphan_files",
       "reclaim claimed-but-never-landed dirs older than grace_millis",
       Seq(p("table", StringType), pd("grace_millis", LongType, "3600000")),
