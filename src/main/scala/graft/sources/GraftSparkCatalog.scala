@@ -54,7 +54,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * parquet scans where legal — PK predicates prune before the merge).
  */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
