@@ -23,6 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Manifest zone-map pruning + metadata-only count(*) (GraftZoneRules)
     ext.injectOptimizerRule(_ => new GraftZonePrune)
     ext.injectOptimizerRule(_ => new GraftCountFromStats)
+    // Native columnar MoR reads: splice the merge plan under the scan at
+    // pre-CBO (after filter pushdown, before V2ScanRelationPushDown would
+    // build the V1 row bridge) — see GraftMorNativeRead.
+    ext.injectPreCBORule(_ => new GraftMorNativeRead)
     // (Runtime join filtering needs no injection: GraftSqlTable's scan
     // builder returns a SupportsRuntimeV2Filtering scan natively —
     // see graft.plans.GraftScanBuilder.)

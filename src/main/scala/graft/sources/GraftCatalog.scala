@@ -3437,12 +3437,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             case "listagg" => array_join(transform(
               array_sort(collect_list(ordStruct(f.name, nonNullOnly = true))),
               x => x.getField("v")), ",")
-            case "first_value" => fmin(ordStruct(f.name, nonNullOnly = false))
-              .getField("v")
-            case "first_non_null" => fmin(ordStruct(f.name, nonNullOnly = true))
-              .getField("v")
-            case "last_value" => fmax(ordStruct(f.name, nonNullOnly = false))
-              .getField("v")
+            // min_by/max_by on the ordinal: no struct comparison, so the
+            // value type may be unorderable (array<map>, map) — and rows
+            // whose ordering key is NULL are skipped, which gives
+            // first_non_null for free.
+            case "first_value" =>
+              org.apache.spark.sql.functions.min_by(col(f.name), col("__ord"))
+            case "first_non_null" =>
+              org.apache.spark.sql.functions.min_by(col(f.name),
+                fwhen(col(f.name).isNotNull, col("__ord")))
+            case "last_value" =>
+              org.apache.spark.sql.functions.max_by(col(f.name), col("__ord"))
             case "last_non_null" => lastNonNull(f.name)
             // Paimon's `collect`: non-null array versions CONCATENATE in
             // commit order (associative over a compacted prefix exactly
@@ -3451,8 +3456,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             case "collect" =>
               import org.apache.spark.sql.functions.{flatten, array_distinct,
                 size => fsize, when => fwhen}
+              // explicit ordinal-only comparator (as in merge_map below):
+              // the default struct ordering would demand an ORDERABLE
+              // element type, rejecting e.g. collect on array<map<...>>
               val versions = array_sort(
-                collect_list(ordStruct(f.name, nonNullOnly = true)))
+                collect_list(ordStruct(f.name, nonNullOnly = true)),
+                (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
+                  .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
               val flat = flatten(transform(versions, x => x.getField("v")))
               val merged = if (fieldCollectDistinct(m, f.name))
                 array_distinct(flat) else flat

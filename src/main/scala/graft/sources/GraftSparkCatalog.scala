@@ -464,6 +464,69 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     // mapping), so the fresh handle is immediately scannable.
     loadTable(ident)
   }
+
+  // ---- staged CTAS / RTAS --------------------------------------------------
+  // Spark plans `CREATE TABLE ... AS SELECT` against a StagingTableCatalog
+  // through AtomicCreateTableAsSelectExec: stage, write, then commit — or
+  // abort on write failure. The snapshot commit protocol already makes the
+  // WRITE atomic, so staging only has to guarantee the catalog entry never
+  // outlives a failed write: commit is a no-op, abort drops the table
+  // (CTAS) or restores the renamed-aside original (RTAS).
+
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(ident.namespace.head, ident.name))
+    val t = createTable(ident, info.schema, info.partitions, info.properties)
+    new GraftStagedTable(t.asInstanceOf[GraftSqlTable],
+      onCommit = () => (), onAbort = () => { dropTable(ident); () })
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
+    if (tableExists(ident)) stageReplace(ident, info)
+    else stageCreate(ident, info)
+
+  /** RTAS: the write lands in a STAGING-NAMED table while the original
+    * stays untouched and readable — so `REPLACE t AS SELECT ... FROM t`
+    * (the common self-referencing rewrite) reads the pre-replace image.
+    * Commit swaps the staged lineage in (drop original + rename); abort
+    * just drops the staged copy, leaving the original byte-identical. */
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(Seq(ident.namespace.head, ident.name))
+    val s = ns1(ident.namespace)
+    val cat = gc
+    val stage = ident.name + "__rtas_stage"
+    // a stage left behind by a crashed earlier RTAS is dead weight — clear it
+    if (cat.listTables(s).contains(stage)) cat.dropTable(s, stage)
+    val t = createTable(Identifier.of(ident.namespace, stage),
+      info.schema, info.partitions, info.properties)
+    new GraftStagedTable(t.asInstanceOf[GraftSqlTable],
+      onCommit = () => {
+        cat.dropTable(s, ident.name)
+        cat.renameTable(s, stage, ident.name)
+      },
+      onAbort = () => { cat.dropTable(s, stage); () })
+  }
+}
+
+/** Staged handle for atomic CTAS/RTAS: delegates reads and writes to the
+  * already-created table (writes land through the snapshot commit
+  * protocol), with commit/abort hooks finalizing the catalog entry. */
+private[sources] class GraftStagedTable(delegate: GraftSqlTable,
+    onCommit: () => Unit, onAbort: () => Unit)
+  extends StagedTable with SupportsRead with SupportsWrite {
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def capabilities(): util.Set[TableCapability] = delegate.capabilities()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def properties(): util.Map[String, String] = delegate.properties()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    delegate.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = onCommit()
+  override def abortStagedChanges(): Unit = onAbort()
 }
 
 /**
@@ -505,7 +568,7 @@ private[sources] class GraftV1ReadTable(tableName: String,
 /** Translate DSv2 source filters to Column predicates (the supported
   * subset mirrors the reference's TrinoFilterConverter.java:81–215 —
   * =, <, <=, >, >=, IN, IS NULL, AND/OR/NOT). */
-private[sources] object FilterTranslation {
+private[graft] object FilterTranslation {
   def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v) => Some(F.col(a) === F.lit(v))
     case EqualNullSafe(a, v) => Some(F.col(a) <=> F.lit(v))
@@ -588,6 +651,14 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       * cost unless a MoR scan is actually planned. */
     morRowsHintIn: () => Option[Long] = () => None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  /** The read-time merge reader, exposed for the native plan-injection
+    * rule (graft.plans.GraftMorNativeRead): defined iff this snapshot is
+    * MoR-pending. The reader's argument is the pushable filter set — used
+    * for bucket point-lookup routing and zone-prune file-list shrinking;
+    * the returned frame is always a SUPERSET under those filters. */
+  private[graft] def morReader: Option[Array[Filter] => org.apache.spark.sql.DataFrame] =
+    morRead
 
   private[graft] lazy val zoneStats: Option[Map[String, FileStats.DirStats]] =
     zoneStatsIn()

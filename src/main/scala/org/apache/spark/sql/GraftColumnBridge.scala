@@ -11,6 +11,19 @@ object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Catalyst predicate → DSv2 source filter (protected[sql] upstream) —
+    * the MoR native-read rule uses it to hand the merge reader the same
+    * pushable set the V1 bridge's pushFilters would have received. */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
+  /** `from` readable as `to` up to nullability widening (private[sql]
+    * upstream) — the splice's type-alignment gate. */
+  def compatibleType(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreCompatibleNullability(from, to)
+
   /** DataFrame over an analyzed logical plan (the MERGE rewrite carries
     * the source subplan through to execution this way). */
   def dataFrame(spark: SparkSession,

@@ -573,4 +573,109 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
     assert(q.count() ===
       gc.read("db", "factbig").join(gc.read("db", "dimsmall"), "k").count())
   }
+
+  test("MoR-pending SQL reads execute NATIVELY: merge plan spliced under " +
+      "the query, no V1 row-bridge RDD scan, codegen + parquet columnar") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    gc.createTable("db", "mornative", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("w", LongType))), primaryKey = Seq("id"))
+    gc.upsert("db", "mornative", (1L to 200L).map(i => (i, s"a$i", i)).toDF("id", "v", "w"))
+    gc.upsert("db", "mornative", (1L to 50L).map(i => (i, s"b$i", i * 2)).toDF("id", "v", "w"))
+    gc.deleteWhere("db", "mornative", col("id") > 190L)
+    val q = spark.sql("SELECT id, v FROM g.db.mornative WHERE w <= 60 ORDER BY id")
+    // result identical to the library read (and to the V1 bridge fallback)
+    val expected = gc.read("db", "mornative").filter(col("w") <= 60)
+      .select("id", "v").orderBy("id").collect().toSeq
+    assert(q.collect().toSeq === expected)
+    // plan-shape asserts on the FINAL adaptive plan (post-execution)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD") && !plan.contains("RDDScan")
+        && !plan.contains("GraftMorScanBuilder"),
+      s"MoR SQL read still routes through the V1 row bridge:\n$plan")
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"no native parquet scan in the spliced plan:\n$plan")
+    // AQE final plans print codegen stages as `*(n)` operator prefixes
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"merge plan lost whole-stage codegen:\n$plan")
+    // a full-PK equality lookup pushes the key below the merge window
+    // into the parquet scans (partition-key predicates pass Window)
+    val pt = spark.sql("SELECT v FROM g.db.mornative WHERE id = 7")
+    assert(pt.head().getString(0) === "b7")
+    val ptPlan = pt.queryExecution.executedPlan.toString
+    assert(ptPlan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,7)")
+      || ptPlan.contains("EqualTo(id,7)"),
+      s"PK point lookup not pushed into the parquet scans:\n$ptPlan")
+    spark.conf.set("spark.graft.morNativeRead.enabled", "false")
+    try {
+      val fb = spark.sql("SELECT id, v FROM g.db.mornative WHERE w <= 60 ORDER BY id")
+      assert(fb.queryExecution.executedPlan.toString.contains("GraftMorScanBuilder"),
+        "fallback path should use the V1 bridge when disabled")
+      assert(fb.collect().toSeq === expected)
+    } finally spark.conf.set("spark.graft.morNativeRead.enabled", "true")
+    // aggregates over the spliced merge plan stay correct
+    assert(spark.sql("SELECT count(*) FROM g.db.mornative").head().getLong(0) === 190L)
+    assert(spark.sql(
+      "SELECT sum(w) FROM g.db.mornative WHERE id <= 50").head().getLong(0)
+      === (1L to 50L).map(_ * 2).sum)
+  }
+
+  test("CTAS: CREATE TABLE AS SELECT stages, writes one snapshot commit, " +
+      "and aborts cleanly on write failure") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    gc.createTable("db", "ctas_src",
+      Seq((1L, "a")).toDF("id", "name").schema)
+    gc.append("db", "ctas_src",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name"))
+    spark.sql("CREATE TABLE g.db.ctas_t AS SELECT id, upper(name) AS name " +
+      "FROM g.db.ctas_src WHERE id >= 2")
+    assert(spark.sql("SELECT * FROM g.db.ctas_t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((2L, "B"), (3L, "C")))
+    // the CTAS write is one ordinary snapshot commit — time-travelable
+    assert(gc.snapshots("db", "ctas_t").size === 1)
+    // a write that fails at execution must abort the stage, removing the
+    // staged catalog entry (no half-created table left behind)
+    val err = intercept[Exception] {
+      spark.sql("CREATE TABLE g.db.ctas_bad AS SELECT id, " +
+        "CAST(raise_error('boom') AS STRING) AS v FROM g.db.ctas_src")
+    }
+    assert(err.getMessage != null)
+    assert(!gc.listTables("db").contains("ctas_bad"),
+      "aborted CTAS left the staged table behind")
+    // and a successful PK CTAS carries the key into the new table
+    spark.sql("CREATE TABLE g.db.ctas_pk TBLPROPERTIES('primary-key'='id') " +
+      "AS SELECT id, name FROM g.db.ctas_src")
+    assert(gc.primaryKeyOf("db", "ctas_pk") === Seq("id"))
+    assert(spark.sql("SELECT count(*) FROM g.db.ctas_pk").head().getLong(0) === 3)
+  }
+
+  test("RTAS: REPLACE TABLE AS SELECT swaps atomically; abort restores " +
+      "the original lineage") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    gc.createTable("db", "rtas_t", Seq((1L, "a")).toDF("id", "v").schema)
+    gc.append("db", "rtas_t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    gc.append("db", "rtas_t", Seq((3L, "c")).toDF("id", "v"))
+    spark.sql("CREATE OR REPLACE TABLE g.db.rtas_t AS " +
+      "SELECT id * 10 AS id2 FROM g.db.rtas_t")
+    assert(spark.sql("SELECT * FROM g.db.rtas_t ORDER BY id2").collect()
+      .map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L))
+    assert(!gc.listTables("db").contains("rtas_t__rtas_stage"),
+      "committed RTAS left the staging copy behind")
+    // failing RTAS (write errors at execution) must restore the ORIGINAL
+    // table — data, schema, and snapshot history intact
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE g.db.rtas_t AS " +
+        "SELECT CAST(raise_error('boom') AS BIGINT) AS k")
+    }
+    assert(spark.sql("SELECT * FROM g.db.rtas_t ORDER BY id2").collect()
+      .map(_.getLong(0)).toSeq === Seq(10L, 20L, 30L),
+      "aborted RTAS did not restore the original table")
+    // plain REPLACE on a missing table refuses (CREATE OR REPLACE allows)
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE g.db.rtas_missing AS SELECT 1L AS x")
+    }
+  }
 }

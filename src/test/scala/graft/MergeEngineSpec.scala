@@ -189,6 +189,43 @@ class MergeEngineSpec extends SparkSpecBase {
         "fields.v.distinct" -> "true"), primaryKey = Seq("id")))
   }
 
+  test("aggregation: collect and first/last work on UNORDERABLE value " +
+      "types (array<map>, map) — the version sort compares ordinals only") {
+    import spark.implicits._
+    gc.createTable("db", "agu",
+      Seq((1L, Seq(Map("k" -> 1L)), Map("m" -> 1L), Map("m" -> 1L)))
+        .toDF("id", "evs", "fst", "lst").schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.evs.aggregate-function" -> "collect",
+        "fields.fst.aggregate-function" -> "first_non_null",
+        "fields.lst.aggregate-function" -> "last_value"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "agu", Seq(
+      (1L, Option(Seq(Map("a" -> 1L))), Option.empty[Map[String, Long]],
+        Option(Map("x" -> 1L))))
+      .toDF("id", "evs", "fst", "lst"))
+    gc.upsert("db", "agu", Seq(
+      (1L, Option(Seq(Map("b" -> 2L), Map("c" -> 3L))), Option(Map("f" -> 9L)),
+        Option.empty[Map[String, Long]]))
+      .toDF("id", "evs", "fst", "lst"))
+    def img() = gc.read("db", "agu").collect().map { r =>
+      (r.getLong(0), r.getSeq[Map[String, Long]](1).map(_.toMap).toList,
+        Option(r.get(2)).map(_ => r.getMap[String, Long](2).toMap),
+        Option(r.get(3)).map(_ => r.getMap[String, Long](3).toMap))
+    }.head
+    assert(img() === ((1L, List(Map("a" -> 1L), Map("b" -> 2L), Map("c" -> 3L)),
+      Some(Map("f" -> 9L)), None)))
+    // fold stays associative over a compacted partial
+    gc.compact("db", "agu")
+    gc.upsert("db", "agu", Seq(
+      (1L, Option(Seq(Map("d" -> 4L))), Option(Map("late" -> 0L)),
+        Option(Map("y" -> 2L))))
+      .toDF("id", "evs", "fst", "lst"))
+    assert(img() === ((1L,
+      List(Map("a" -> 1L), Map("b" -> 2L), Map("c" -> 3L), Map("d" -> 4L)),
+      Some(Map("f" -> 9L)), Some(Map("y" -> 2L)))))
+  }
+
   test("partial-update sequence-groups: per-group version columns") {
     import spark.implicits._
     // columns: pk id | group (ga: a1, a2 versioned by sa) | plain p

@@ -180,4 +180,52 @@ class PartitionedBucketSpec extends SparkSpecBase {
     assert(all.map(r => (r._1, r._2)).toSet ===
       (for (p <- Seq("a", "b"); i <- 1L to 3L) yield (p, i)).toSet + (("b", 9L)))
   }
+
+  test("dynamic bucket (-1) + partitioned with partition in the PK: " +
+      "upsert/delete/point-lookup/compact over the combined layout") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "dyn", pkvSchema, partitionBy = Seq("part"),
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "20"),
+      primaryKey = Seq("part", "id"))
+    // enough keys per partition to force multiple dynamic buckets
+    cat.upsert("db", "dyn", rows(Seq("a", "b"), 50, "v1").toDF("part", "id", "v"))
+    // second commit: updates to existing keys + brand-new keys (routing
+    // must honor the persisted index for old keys, assign for new)
+    cat.upsert("db", "dyn", (rows(Seq("a"), 10, "v2") ++
+      rows(Seq("b"), 5, "v2") ++ Seq(("a", 900L, "v2-a-900"), ("b", 901L, "v2-b-901")))
+      .toDF("part", "id", "v"))
+    def img() = cat.read("db", "dyn").as[(String, Long, String)].collect().toSet
+    val expected1 =
+      (for (i <- 1L to 50L) yield ("a", i, if (i <= 10) s"v2-a-$i" else s"v1-a-$i")).toSet ++
+      (for (i <- 1L to 50L) yield ("b", i, if (i <= 5) s"v2-b-$i" else s"v1-b-$i")).toSet +
+      (("a", 900L, "v2-a-900")) + (("b", 901L, "v2-b-901"))
+    assert(img() === expected1)
+    // tombstone deletes across both partitions
+    cat.deleteWhere("db", "dyn", col("id") > 45L && col("id") < 100L)
+    val expected2 = expected1.filterNot(r => r._2 > 45L && r._2 < 100L)
+    assert(img() === expected2)
+    // point lookup routes through the persisted hash index: the assigned
+    // bucket's single-leg read contains the key
+    val b = cat.dynamicBucketFor("db", "dyn", Seq("a", 7L))
+    assert(b.isDefined)
+    assert(cat.readBucket("db", "dyn", b.get).filter(
+      col("part") === "a" && col("id") === 7L).count() === 1)
+    // never-assigned key reports None
+    assert(cat.dynamicBucketFor("db", "dyn", Seq("a", 123456L)).isEmpty)
+    // SQL point lookup on the full PK (bucket-pruned merge read).
+    // Fresh catalog name: the CatalogManager caches instances per name,
+    // so reusing `gpb` would pin the earlier test's warehouse.
+    spark.conf.set("spark.sql.catalog.gpbdyn", "graft.sources.GraftSparkCatalog")
+    spark.conf.set("spark.sql.catalog.gpbdyn.warehouse", wh)
+    assert(spark.sql(
+      "SELECT v FROM gpbdyn.db.dyn WHERE part = 'a' AND id = 7").head().getString(0)
+      === "v2-a-7")
+    // compact folds the layout; image unchanged; further upserts keep merging
+    cat.compact("db", "dyn")
+    assert(img() === expected2)
+    cat.upsert("db", "dyn", Seq(("b", 3L, "v3-b-3")).toDF("part", "id", "v"))
+    assert(img() === (expected2 - (("b", 3L, "v2-b-3")) + (("b", 3L, "v3-b-3"))))
+  }
 }
