@@ -100,16 +100,27 @@ class GraftMorNativeRead extends Rule[LogicalPlan] with PredicateHelper {
     // merge plan's columns/filters before it joins the outer tree (the
     // outer optimizer batches that do that work have already run)
     val sub = pruned.queryExecution.optimizedPlan
-    val byName = sub.output.map(a => a.name.toLowerCase -> a).toMap
-    val aligned = required.map { o =>
-      byName.get(o.name.toLowerCase).collect {
-        case a if GraftColumnBridge.compatibleType(a.dataType, o.dataType) =>
-          Alias(a, o.name)(exprId = o.exprId, qualifier = o.qualifier,
-            explicitMetadata = Some(o.metadata))
+    // name resolution follows the SESSION's case sensitivity; if two
+    // merge-plan outputs collide under it, aliasing could silently bind
+    // the wrong column — refuse to splice and fall back to the V1 bridge
+    val caseSensitive =
+      org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis
+    def nameKey(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val grouped = sub.output.groupBy(a => nameKey(a.name))
+    if (grouped.valuesIterator.exists(_.size > 1)) None
+    else {
+      val byName = grouped.map { case (k, v) => (k, v.head) }
+      val aligned = required.map { o =>
+        byName.get(nameKey(o.name)).collect {
+          case a if GraftColumnBridge.compatibleType(a.dataType, o.dataType) =>
+            Alias(a, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+              explicitMetadata = Some(o.metadata))
+        }
       }
+      if (aligned.exists(_.isEmpty)) None
+      else Some(Project(aligned.map(_.get), sub))
     }
-    if (aligned.exists(_.isEmpty)) None
-    else Some(Project(aligned.map(_.get), sub))
   } catch {
     // any surprise (exotic travel state, schema drift mid-plan) falls
     // back to the always-correct V1 bridge rather than failing the query

@@ -25,4 +25,17 @@ object kernels {
 
   def slidingMin(arr: Column, w: Int): Column =
     column(SlidingMin(expression(arr), w))
+
+  // roaring-bitmap primitives (rbm32/rbm64 merge-engine functions)
+  def rbmBuild(values: Column, bits64: Boolean): Column =
+    column(RbmBuild(expression(values), bits64))
+
+  def rbmCardinality(bm: Column, bits64: Boolean): Column =
+    column(RbmCardinality(expression(bm), bits64))
+
+  def rbmToArray(bm: Column, bits64: Boolean): Column =
+    column(RbmToArray(expression(bm), bits64))
+
+  def rbmOr(bm: Column, bits64: Boolean): Column =
+    column(RoaringOrAgg(expression(bm), bits64).toAggregateExpression())
 }

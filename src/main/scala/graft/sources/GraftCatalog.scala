@@ -360,7 +360,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(allMembers.distinct.size == allMembers.size,
       s"columns in multiple sequence-groups: ${allMembers.diff(allMembers.distinct).distinct.mkString(", ")}")
     options.keys.filter(k => k.startsWith("fields.") &&
-        !k.endsWith(".sequence-group") && !k.endsWith(".distinct")).foreach { k =>
+        !k.endsWith(".sequence-group") && !k.endsWith(".distinct") &&
+        !k.endsWith(".nested-key")).foreach { k =>
       require(options.get("merge-engine").contains("aggregation"),
         s"$k requires merge-engine=aggregation")
       val f = k.stripPrefix("fields.").stripSuffix(".aggregate-function")
@@ -390,6 +391,38 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             org.apache.spark.sql.types.MapType],
           s"$k: merge_map requires a map field, $f is " +
             structType(f).dataType.simpleString)
+      // sketch folds carry SERIALIZED state (roaring bitmap / HLL) per
+      // version — the field must be binary
+      if (options(k) == "rbm32" || options(k) == "rbm64" ||
+          options(k) == "hll_sketch")
+        require(structType(f).dataType == org.apache.spark.sql.types.BinaryType,
+          s"$k: ${options(k)} requires a binary field (serialized sketch), " +
+            s"$f is ${structType(f).dataType.simpleString}")
+      if (options(k) == "nested_update") {
+        val ok = structType(f).dataType match {
+          case org.apache.spark.sql.types.ArrayType(
+            _: org.apache.spark.sql.types.StructType, _) => true
+          case _ => false
+        }
+        require(ok, s"$k: nested_update requires an array<row> field, " +
+          s"$f is ${structType(f).dataType.simpleString}")
+      }
+    }
+    // Paimon's `fields.<f>.nested-key` (nested_update companion): the
+    // nested columns that key the per-element upsert
+    options.keys.filter(k => k.startsWith("fields.") &&
+        k.endsWith(".nested-key")).foreach { k =>
+      val f = k.stripPrefix("fields.").stripSuffix(".nested-key")
+      require(k == s"fields.$f.nested-key" &&
+        options.get(s"fields.$f.aggregate-function").contains("nested_update"),
+        s"$k applies only alongside fields.$f.aggregate-function=nested_update")
+      val elem = structType(f).dataType
+        .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+        .elementType.asInstanceOf[StructType]
+      options(k).split(',').map(_.trim).filter(_.nonEmpty).foreach { nk =>
+        require(elem.fieldNames.contains(nk),
+          s"$k: nested column $nk not in ${elem.simpleString}")
+      }
     }
     // Paimon's `fields.<f>.distinct` (collect companion): dedup the
     // collected array at fold time.
@@ -435,6 +468,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory)
       .map(_.getPath.getName)
+      .filterNot(isStage) // in-flight CTAS/RTAS stages are not tables yet
       .filter(t => tableManifestExists(schema, t))
       .toSeq.sorted
   }
@@ -460,6 +494,115 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, to)
     m.put("name", to)
     writeManifest(schema, to, m)
+  }
+
+  // ---- staging lineages (atomic CTAS / RTAS) ----------------------------
+  // A staged write lands in a table whose name carries a reserved,
+  // per-attempt-unique prefix; it is hidden from listTables and promoted
+  // over the target in one recoverable sequence. The reference exposes
+  // the same surface through Trino's beginCreateTable/finishCreateTable
+  // staging contract (TrinoMetadataBase analog); here the commit point is
+  // a durable marker file so a driver crash mid-swap is completable.
+
+  /** True for names the staging machinery owns (stages and moved-aside
+    * old images). Hidden from listTables; user DDL may not create them. */
+  def isStage(table: String): Boolean =
+    table.startsWith(GraftCatalog.StagePrefix)
+
+  private def swapMarker(schema: String, table: String): Path =
+    new Path(tablePath(schema, table), GraftCatalog.SwapMarkerFile)
+
+  /** Target named by a stage's commit marker, if the swap had reached its
+    * commit point before the driver died. */
+  private def swapTarget(schema: String, stage: String): Option[String] = {
+    val mk = swapMarker(schema, stage)
+    if (!fs.exists(mk)) None
+    else {
+      val in = fs.open(mk)
+      try {
+        val buf = new Array[Byte](4096)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Promote a staged lineage over `target`. The commit point is the
+    * durable marker write: before it, a crash leaves only a sweepable
+    * stage; after it, recovery COMPLETES the swap. The old image is
+    * renamed aside (never deleted) until the stage is in place, so no
+    * crash window leaves the target without a recoverable table. */
+  def promoteStage(schema: String, stage: String, target: String,
+      replaceExisting: Boolean): Unit = {
+    require(isStage(stage) && tableManifestExists(schema, stage),
+      s"no staged lineage $schema.$stage")
+    require(!isStage(target) && !target.contains("$"), s"bad target $target")
+    val targetExists = tableManifestExists(schema, target)
+    if (targetExists && !replaceExisting) {
+      fs.delete(tablePath(schema, stage), true)
+      throw new IllegalStateException(s"table $schema.$target already exists")
+    }
+    // durable commit point
+    val out = fs.create(swapMarker(schema, stage), true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
+    // move the current image aside — deleted only after the swap lands
+    val trash = GraftCatalog.StagePrefix + "old-" +
+      java.util.UUID.randomUUID().toString.substring(0, 8)
+    if (targetExists) {
+      fs.rename(tablePath(schema, target), tablePath(schema, trash))
+      GraftCatalog.purgeHeadCache(
+        fs.makeQualified(tablePath(schema, target)).toString)
+    }
+    finishSwap(schema, stage, target)
+    if (targetExists) { fs.delete(tablePath(schema, trash), true); () }
+  }
+
+  private def finishSwap(schema: String, stage: String, target: String): Unit = {
+    renameTable(schema, stage, target)
+    fs.delete(swapMarker(schema, target), false)
+    ()
+  }
+
+  /** Crash recovery: if `table` is missing but a stage's commit marker
+    * names it, the interrupted swap is completed. Returns true when
+    * `table` exists afterwards. Cheap (one schema-dir listing) and only
+    * invoked on the miss path. */
+  def recoverStage(schema: String, table: String): Boolean = {
+    if (tableManifestExists(schema, table)) return true
+    val p = schemaPath(schema)
+    if (!fs.exists(p)) return false
+    val stale = fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(isStage).filter(st => tableManifestExists(schema, st))
+    stale.find(st => swapTarget(schema, st).contains(table)) match {
+      case Some(st) => finishSwap(schema, st, table); true
+      case None => false
+    }
+  }
+
+  /** GC for crashed staging attempts: a marker-carrying stage whose
+    * target is missing is completed (its commit point was declared);
+    * every other stage or moved-aside dir older than `ttlMs` belonged to
+    * a driver that died mid-write and is deleted. Invoked
+    * opportunistically before new staging — one schema-dir listing. */
+  def sweepStaleStages(schema: String, ttlMs: Long): Unit = {
+    val p = schemaPath(schema)
+    if (!fs.exists(p)) return
+    val now = System.currentTimeMillis()
+    fs.listStatus(p).filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      if (isStage(name)) {
+        swapTarget(schema, name) match {
+          case Some(t) if !tableManifestExists(schema, t) =>
+            finishSwap(schema, name, t)
+          case _ =>
+            // no marker (mid-write crash) or target present (the swap
+            // never started replacing): stale once past the TTL
+            if (now - st.getModificationTime > ttlMs) {
+              fs.delete(st.getPath, true); ()
+            }
+        }
+      }
+    }
   }
 
   def tableOptions(schema: String, table: String): Map[String, String] = {
@@ -3487,6 +3630,46 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
                   map_filter(acc, (k, _) =>
                     !map_contains_key(x.getField("v"), k)),
                   x.getField("v"))))
+            // Exact distinct-state sketches: versions hold SERIALIZED
+            // roaring bitmaps that fold by OR — associative/commutative,
+            // so compacted partials OR with later deltas to the same
+            // result. Partial buffers OR map-side (TypedImperativeAggregate),
+            // so N versions shuffle as one bitmap per partition.
+            case "rbm32" => graft.plans.kernels.rbmOr(col(f.name), bits64 = false)
+            case "rbm64" => graft.plans.kernels.rbmOr(col(f.name), bits64 = true)
+            // Approximate distinct-state: serialized Apache DataSketches
+            // HLL folded with Spark's native union aggregate (codegen'd,
+            // merge-associative). allowDifferentLgConfigK: writers may
+            // size sketches differently; the union downgrades to the
+            // smaller K, exactly Paimon's hll_sketch tolerance.
+            case "hll_sketch" =>
+              org.apache.spark.sql.functions.hll_union_agg(col(f.name),
+                allowDifferentLgConfigK = true)
+            // Paimon's `nested_update`: array<row> versions fold in
+            // commit order. With `fields.<f>.nested-key` each incoming
+            // element REPLACES any accumulated element sharing its key
+            // (null-safe equality); without keys versions append. Same
+            // lambda-aggregate shape as merge_map — maps/structs may be
+            // unorderable, so the version sort uses the ordinal comparator.
+            case "nested_update" =>
+              import org.apache.spark.sql.functions.{aggregate => fagg,
+                filter => ffilter, exists => fexists, concat => fconcat,
+                size => fsize, when => fwhen, array}
+              val sorted = array_sort(
+                collect_list(ordStruct(f.name, nonNullOnly = true)),
+                (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
+                  .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
+              val keys = fieldNestedKeys(m, f.name)
+              val empty = array().cast(dt)
+              val step: (org.apache.spark.sql.Column,
+                  org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+                if (keys.isEmpty) (acc, x) => fconcat(acc, x.getField("v"))
+                else (acc, x) => fconcat(
+                  ffilter(acc, e => !fexists(x.getField("v"), n =>
+                    keys.map(k => n.getField(k) <=> e.getField(k))
+                      .reduce(_ && _))),
+                  x.getField("v"))
+              fwhen(fsize(sorted) > 0, fagg(sorted, empty, step))
           }
           e.as(f.name)
         }
@@ -3762,6 +3945,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     val key = s"fields.$field.aggregate-function"
     if (opts != null && opts.has(key)) opts.get(key).asText() else "last_non_null"
+  }
+
+  /** `fields.<f>.nested-key` (nested_update only): nested columns keying
+    * the per-element upsert; empty → plain append semantics. */
+  private def fieldNestedKeys(m: ObjectNode, field: String): Seq[String] = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    val key = s"fields.$field.nested-key"
+    if (opts != null && opts.has(key))
+      opts.get(key).asText().split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
   }
 
   /** The bucket a primary-key tuple hashes to — the same expression on
@@ -5703,6 +5896,23 @@ object GraftCatalog {
   /** Shared JSON mapper for manifest-adjacent sidecar files. */
   private[sources] val jsonMapper = new ObjectMapper()
 
+  /** Reserved name prefix for staging lineages (atomic CTAS/RTAS) and
+    * moved-aside old images. Hidden from listTables; rejected in user
+    * DDL so the staging machinery can never collide with (or sweep) a
+    * real table. */
+  val StagePrefix = "__stage-"
+
+  /** Durable commit-point marker inside a stage dir: its presence +
+    * content (the target name) makes an interrupted swap completable. */
+  private[sources] val SwapMarkerFile = ".swap-commit"
+
+  /** Per-attempt-unique stage name: two concurrent RTAS on one table
+    * stage independently and the loser fails at promote, never
+    * clobbering the winner's in-flight copy. */
+  def newStageName(target: String): String =
+    StagePrefix + java.util.UUID.randomUUID().toString.substring(0, 8) +
+      "-" + target
+
   /** Dot-prefixed per-commit claim-ownership marker (see commit()'s FS
     * contract note); invisible to parquet discovery like the bloom
     * sidecar dir. */
@@ -5820,7 +6030,7 @@ object GraftCatalog {
   val FieldAggregates: Set[String] =
     Set("sum", "min", "max", "last_non_null", "bool_and", "bool_or",
       "product", "listagg", "first_value", "first_non_null", "last_value",
-      "collect", "merge_map")
+      "collect", "merge_map", "rbm32", "rbm64", "hll_sketch", "nested_update")
 
   /** Row-kind column of changelog reads: `+I` append, `+U` upsert,
     * `-D` delete (Flink/Paimon RowKind shorthand). */

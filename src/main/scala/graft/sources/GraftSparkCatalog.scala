@@ -141,7 +141,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         case (base, Some(br)) => // branch lineage: `t$branch_dev`
           cat.listTables(ident.namespace.head).contains(base) &&
             cat.branchNames(ident.namespace.head, base).contains(br)
-        case _ => cat.listTables(ident.namespace.head).contains(ident.name)
+        case _ =>
+          cat.listTables(ident.namespace.head).contains(ident.name) ||
+            // miss path only: complete a crash-interrupted CTAS/RTAS swap
+            // whose commit point had been declared (marker names us)
+            (!cat.isStage(ident.name) &&
+              cat.recoverStage(ident.namespace.head, ident.name))
       }
     }
 
@@ -394,6 +399,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(!gc.isStage(ident.name),
+      s"'${GraftCatalog.StagePrefix}…' names are reserved for CTAS/RTAS staging")
+    doCreateTable(ident, schema, partitions, properties)
+  }
+
+  private def doCreateTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val partitionCols = partitions.toSeq.map {
       case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
       case t => throw new UnsupportedOperationException(
@@ -468,44 +480,60 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // ---- staged CTAS / RTAS --------------------------------------------------
   // Spark plans `CREATE TABLE ... AS SELECT` against a StagingTableCatalog
   // through AtomicCreateTableAsSelectExec: stage, write, then commit — or
-  // abort on write failure. The snapshot commit protocol already makes the
-  // WRITE atomic, so staging only has to guarantee the catalog entry never
-  // outlives a failed write: commit is a no-op, abort drops the table
-  // (CTAS) or restores the renamed-aside original (RTAS).
+  // abort on write failure. BOTH forms write into a hidden, per-attempt-
+  // unique staging lineage (invisible to listTables, so concurrent readers
+  // never see a half-written table) and commit by promoting it over the
+  // target through GraftCatalog.promoteStage — a marker-declared commit
+  // point with crash recovery, so no failure window strands the data or
+  // leaves the target name empty. Crashed stages are swept here
+  // opportunistically (TTL'd) before each new staging attempt.
+
+  private def stageTtlMs: Long =
+    spark.conf.get("spark.graft.staging.ttlMs", "3600000").toLong
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    val s = ns1(ident.namespace)
+    val cat = gc
+    cat.sweepStaleStages(s, stageTtlMs)
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(ident.namespace.head, ident.name))
-    val t = createTable(ident, info.schema, info.partitions, info.properties)
+    val stage = GraftCatalog.newStageName(ident.name)
+    val t = doCreateTable(Identifier.of(ident.namespace, stage),
+      info.schema, info.partitions, info.properties)
     new GraftStagedTable(t.asInstanceOf[GraftSqlTable],
-      onCommit = () => (), onAbort = () => { dropTable(ident); () })
+      onCommit = () =>
+        // promote re-checks existence: a concurrently-created table wins
+        // and the stage is discarded with AlreadyExists, never clobbered
+        try cat.promoteStage(s, stage, ident.name, replaceExisting = false)
+        catch { case _: IllegalStateException =>
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(Seq(ident.namespace.head, ident.name))
+        },
+      onAbort = () => { cat.dropTable(s, stage); () })
   }
 
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     if (tableExists(ident)) stageReplace(ident, info)
     else stageCreate(ident, info)
 
-  /** RTAS: the write lands in a STAGING-NAMED table while the original
+  /** RTAS: the write lands in a hidden staging lineage while the original
     * stays untouched and readable — so `REPLACE t AS SELECT ... FROM t`
     * (the common self-referencing rewrite) reads the pre-replace image.
-    * Commit swaps the staged lineage in (drop original + rename); abort
-    * just drops the staged copy, leaving the original byte-identical. */
+    * Commit promotes the stage over the original (rename-aside, marker
+    * commit point, crash-recoverable); abort drops the staged copy,
+    * leaving the original byte-identical. */
   override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
     if (!tableExists(ident))
       throw new NoSuchTableException(Seq(ident.namespace.head, ident.name))
     val s = ns1(ident.namespace)
     val cat = gc
-    val stage = ident.name + "__rtas_stage"
-    // a stage left behind by a crashed earlier RTAS is dead weight — clear it
-    if (cat.listTables(s).contains(stage)) cat.dropTable(s, stage)
-    val t = createTable(Identifier.of(ident.namespace, stage),
+    cat.sweepStaleStages(s, stageTtlMs)
+    val stage = GraftCatalog.newStageName(ident.name)
+    val t = doCreateTable(Identifier.of(ident.namespace, stage),
       info.schema, info.partitions, info.properties)
     new GraftStagedTable(t.asInstanceOf[GraftSqlTable],
-      onCommit = () => {
-        cat.dropTable(s, ident.name)
-        cat.renameTable(s, stage, ident.name)
-      },
+      onCommit = () => cat.promoteStage(s, stage, ident.name, replaceExisting = true),
       onAbort = () => { cat.dropTable(s, stage); () })
   }
 }

@@ -678,4 +678,50 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       spark.sql("REPLACE TABLE g.db.rtas_missing AS SELECT 1L AS x")
     }
   }
+
+  test("staging hygiene: reserved prefix refused in DDL, stages hidden and " +
+      "TTL-swept, crash-interrupted swap recovered on next access") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    // user DDL may not squat on the reserved staging prefix
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE g.db.`${GraftCatalog.StagePrefix}squat` (id BIGINT)")
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.io.File(warehouse).toURI, spark.sparkContext.hadoopConfiguration)
+    def stageDirs(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(warehouse, "db"))
+        .map(_.getPath.getName).filter(_.startsWith(GraftCatalog.StagePrefix)).toSeq
+    // a committed RTAS leaves zero staging dirs on disk
+    gc.createTable("db", "stg_t", Seq((1L, "a")).toDF("id", "v").schema)
+    gc.append("db", "stg_t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql("CREATE OR REPLACE TABLE g.db.stg_t AS SELECT id * 2 AS id2 FROM g.db.stg_t")
+    assert(spark.sql("SELECT * FROM g.db.stg_t ORDER BY id2").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L, 4L))
+    assert(stageDirs().isEmpty, s"staging dirs left behind: ${stageDirs()}")
+    // a crashed mid-WRITE stage (no commit marker): hidden from SHOW
+    // TABLES, then swept by the TTL'd GC on the next staging attempt
+    val dead = GraftCatalog.newStageName("stg_never")
+    gc.createTable("db", dead, Seq((1L, "x")).toDF("id", "v").schema)
+    assert(!spark.sql("SHOW TABLES IN g.db").collect()
+      .map(_.getString(1)).contains(dead), "in-flight stage leaked into SHOW TABLES")
+    spark.conf.set("spark.graft.staging.ttlMs", "0")
+    try {
+      Thread.sleep(5) // ensure mtime is strictly past the zero TTL
+      spark.sql("CREATE TABLE g.db.stg_sweeper AS SELECT 1L AS x")
+      assert(!stageDirs().contains(dead), "stale mid-write stage not swept")
+    } finally spark.conf.unset("spark.graft.staging.ttlMs")
+    // crash recovery: a stage that reached its COMMIT POINT (marker names
+    // the target) but died before the swap completes on next access
+    val rec = GraftCatalog.newStageName("stg_rec")
+    gc.createTable("db", rec, Seq((1L, "x")).toDF("id", "v").schema)
+    gc.append("db", rec, Seq((7L, "seven")).toDF("id", "v"))
+    val mk = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse, s"db/$rec"), ".swap-commit")
+    val out = fs.create(mk, true)
+    out.write("stg_rec".getBytes("UTF-8")); out.close()
+    assert(spark.sql("SELECT v FROM g.db.stg_rec WHERE id = 7").head().getString(0)
+      === "seven", "declared-commit-point stage was not recovered")
+    assert(stageDirs().forall(d => d != rec), "recovered stage dir still present")
+  }
 }
