@@ -800,6 +800,88 @@ object CatalogQueries {
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy("doc_id", "_row_kind")
     }),
+    // aggregation merge engine, EXACT distinct-state sketches: rbm32/rbm64
+    // fields hold serialized roaring bitmaps that OR across upserts — the
+    // canonical distinct-count rollup table. Cardinality and member-sum
+    // are exact, so the whole fold is DuckDB-checkable (count/sum DISTINCT
+    // over the source). rbm64 members exceed int range on purpose.
+    "catalog_agg_rbm" -> ((s, dir) => {
+      import graft.plans.kernels
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      def batch(b: Int) = o.filter(col("o_orderkey") % 3 === lit(b))
+        .groupBy("o_orderpriority")
+        .agg(collect_list(col("o_custkey")).as("cl"),
+          collect_list(col("o_orderkey") * 1000000L).as("kl"))
+        .select(col("o_orderpriority").as("grp"),
+          kernels.rbmBuild(col("cl"), bits64 = false).as("users32"),
+          kernels.rbmBuild(col("kl"), bits64 = true).as("keys64"))
+      cat.createTable("q", t, batch(0).schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.users32.aggregate-function" -> "rbm32",
+          "fields.keys64.aggregate-function" -> "rbm64"),
+        primaryKey = Seq("grp"))
+      (0 to 2).foreach(b => cat.upsert("q", t, batch(b)))
+      cat.read("q", t).select(col("grp"),
+        kernels.rbmCardinality(col("users32"), bits64 = false).as("users_card"),
+        aggregate(kernels.rbmToArray(col("users32"), bits64 = false),
+          lit(0L), (a, x) => a + x).as("users_sum"),
+        kernels.rbmCardinality(col("keys64"), bits64 = true).as("keys_card"),
+        aggregate(kernels.rbmToArray(col("keys64"), bits64 = true),
+          lit(0L), (a, x) => a + x).as("keys_sum"))
+        .orderBy("grp")
+    }),
+    // aggregation merge engine, nested_update + nested-key: array<row>
+    // versions fold as a per-element UPSERT keyed by `k` — a later batch's
+    // element replaces the accumulated one with the same key. Exploded to
+    // scalar rows so DuckDB reconstructs the exact winner set (latest
+    // batch per (grp,k), pre-aggregated max inside each batch).
+    "catalog_agg_nested" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      def batch(b: Int) = o.filter(col("o_orderkey") % 3 === lit(b))
+        .groupBy(col("o_orderpriority"), col("o_custkey"))
+        .agg(max("o_orderkey").as("v"))
+        .groupBy(col("o_orderpriority"))
+        .agg(collect_list(struct(col("o_custkey").as("k"), col("v"))).as("lines"))
+        .select(col("o_orderpriority").as("grp"), col("lines"))
+      cat.createTable("q", t, batch(0).schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.lines.aggregate-function" -> "nested_update",
+          "fields.lines.nested-key" -> "k"),
+        primaryKey = Seq("grp"))
+      (0 to 2).foreach(b => cat.upsert("q", t, batch(b)))
+      cat.read("q", t)
+        .select(col("grp"), explode(col("lines")).as("e"))
+        .select(col("grp"), col("e.k").as("k"), col("e.v").as("v"))
+        .orderBy("grp", "k")
+    }),
+    // aggregation merge engine, hll_sketch: serialized DataSketches HLL
+    // per version, folded with Spark's native union aggregate. Estimates
+    // are deterministic but approximate — rows-only here; the ±5% accuracy
+    // and fold-associativity gates live in MergeEngineSpec.
+    "catalog_agg_hll" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      def batch(b: Int) = o.filter(col("o_orderkey") % 3 === lit(b))
+        .groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+        .select(col("o_orderpriority").as("grp"), col("sk"))
+      cat.createTable("q", t, batch(0).schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.sk.aggregate-function" -> "hll_sketch"),
+        primaryKey = Seq("grp"))
+      (0 to 2).foreach(b => cat.upsert("q", t, batch(b)))
+      cat.read("q", t)
+        .select(col("grp"), hll_sketch_estimate(col("sk")).as("approx_users"))
+        .orderBy("grp")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1005,5 +1087,22 @@ object CatalogQueries {
         |  UNION ALL
         |  SELECT doc_id + 10000000, 'NEW' FROM documents WHERE doc_id % 97 = 0
         |) t ORDER BY doc_id""".stripMargin,
+    "catalog_agg_rbm" ->
+      """SELECT o_orderpriority AS grp,
+        |  count(DISTINCT o_custkey) AS users_card,
+        |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS users_sum,
+        |  count(DISTINCT o_orderkey) AS keys_card,
+        |  CAST(sum(DISTINCT o_orderkey * 1000000) AS BIGINT) AS keys_sum
+        |FROM orders GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
+    "catalog_agg_nested" ->
+      """WITH per AS (
+        |  SELECT o_orderpriority AS grp, o_custkey AS k,
+        |         o_orderkey % 3 AS b, max(o_orderkey) AS v
+        |  FROM orders GROUP BY 1, 2, 3),
+        |win AS (
+        |  SELECT grp, k, v,
+        |         row_number() OVER (PARTITION BY grp, k ORDER BY b DESC) AS rn
+        |  FROM per)
+        |SELECT grp, k, v FROM win WHERE rn = 1 ORDER BY grp, k""".stripMargin,
   )
 }

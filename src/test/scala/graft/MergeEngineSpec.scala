@@ -226,6 +226,104 @@ class MergeEngineSpec extends SparkSpecBase {
       Some(Map("f" -> 9L)), Some(Map("y" -> 2L)))))
   }
 
+  test("aggregation: rbm32/rbm64 OR serialized roaring bitmaps — exact " +
+      "membership, associative over compacted partials, range-checked") {
+    import spark.implicits._
+    import graft.plans.kernels
+    def df(rows: Seq[(Long, Seq[Long])]) =
+      rows.toDF("id", "vs").select(col("id"),
+        kernels.rbmBuild(col("vs"), bits64 = false).as("bm"),
+        // 64-bit members deliberately above int range
+        kernels.rbmBuild(transform(col("vs"), x => x + 5000000000L),
+          bits64 = true).as("bm64"))
+    gc.createTable("db", "rbm", df(Seq((1L, Seq(1L)))).schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.bm.aggregate-function" -> "rbm32",
+        "fields.bm64.aggregate-function" -> "rbm64"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "rbm", df(Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq(10L)))))
+    gc.upsert("db", "rbm", df(Seq((1L, Seq(3L, 4L)), (2L, Seq(10L, 11L)))))
+    def img() = gc.read("db", "rbm").select(col("id"),
+        kernels.rbmToArray(col("bm"), bits64 = false).as("a"),
+        kernels.rbmCardinality(col("bm64"), bits64 = true).as("c64"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getLong(2))).toSeq
+    val expect2 = Seq((1L, List(1L, 2L, 3L, 4L), 4L), (2L, List(10L, 11L), 2L))
+    assert(img() === expect2)
+    // compaction materializes the OR; later deltas fold onto the partial
+    gc.compact("db", "rbm")
+    assert(img() === expect2)
+    gc.upsert("db", "rbm", df(Seq((1L, Seq(2L, 9L)))))
+    assert(img() === Seq((1L, List(1L, 2L, 3L, 4L, 9L), 5L),
+      (2L, List(10L, 11L), 2L)))
+    // rbm32 build refuses values outside int range — loud, not truncated
+    val e = intercept[Exception] {
+      Seq((9L, Seq(5000000000L))).toDF("id", "vs")
+        .select(kernels.rbmBuild(col("vs"), bits64 = false)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("aggregation: hll_sketch folds DataSketches HLL by union — within " +
+      "5% of exact, deterministic, invariant under compaction") {
+    val src = spark.range(1, 5001)
+      .select((col("id") % 3).as("b"), lit(1L).as("k"), col("id"))
+    def batch(b: Int) = src.filter(col("b") === b).groupBy("k")
+      .agg(hll_sketch_agg(col("id")).as("sk"))
+      .select(col("k"), col("sk"))
+    gc.createTable("db", "hll", batch(0).schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.sk.aggregate-function" -> "hll_sketch"),
+      primaryKey = Seq("k"))
+    (0 to 2).foreach(b => gc.upsert("db", "hll", batch(b)))
+    def est(): Long = gc.read("db", "hll")
+      .select(hll_sketch_estimate(col("sk"))).head().getLong(0)
+    val e1 = est()
+    assert(math.abs(e1 - 5000L) <= 250L, s"HLL estimate $e1 off >5% from 5000")
+    assert(est() === e1, "HLL estimate not deterministic across reads")
+    // compaction materializes the union of the same version set — the
+    // estimate must be bit-identical, and later deltas still fold
+    gc.compact("db", "hll")
+    assert(est() === e1, "compaction changed the HLL estimate")
+    gc.upsert("db", "hll", spark.range(5001, 6001).groupBy(lit(1L).as("k"))
+      .agg(hll_sketch_agg(col("id")).as("sk")).select(col("k"), col("sk")))
+    val e2 = est()
+    assert(math.abs(e2 - 6000L) <= 300L, s"post-delta estimate $e2 off >5%")
+  }
+
+  test("aggregation: nested_update upserts array<row> elements by " +
+      "nested-key; without a key versions append") {
+    def df(valuesSql: String) =
+      spark.sql(s"SELECT * FROM VALUES $valuesSql AS t(id, lines, notes)")
+    val v1 = df("(1L, array(named_struct('k', 1L, 'v', 'a'), " +
+      "named_struct('k', 2L, 'v', 'b')), array(named_struct('t', 'n1')))")
+    gc.createTable("db", "nu", v1.schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.lines.aggregate-function" -> "nested_update",
+        "fields.lines.nested-key" -> "k",
+        "fields.notes.aggregate-function" -> "nested_update"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "nu", v1)
+    gc.upsert("db", "nu", df("(1L, array(named_struct('k', 2L, 'v', 'B2'), " +
+      "named_struct('k', 3L, 'v', 'c')), array(named_struct('t', 'n2')))"))
+    def img() = gc.read("db", "nu").selectExpr("id",
+        "array_sort(transform(lines, e -> concat(e.k, ':', e.v)))",
+        "transform(notes, e -> e.t)")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getSeq[String](2).toList)).toSeq
+    // keyed: element 2 REPLACED, 3 added; keyless: commit-order append
+    val expect = Seq((1L, List("1:a", "2:B2", "3:c"), List("n1", "n2")))
+    assert(img() === expect)
+    // associative over a compacted partial
+    gc.compact("db", "nu")
+    assert(img() === expect)
+    gc.upsert("db", "nu", df("(1L, array(named_struct('k', 1L, 'v', 'A3')), " +
+      "CAST(NULL AS array<struct<t: string>>))"))
+    assert(img() === Seq((1L, List("1:A3", "2:B2", "3:c"),
+      List("n1", "n2"))))
+  }
+
   test("partial-update sequence-groups: per-group version columns") {
     import spark.implicits._
     // columns: pk id | group (ga: a1, a2 versioned by sa) | plain p
