@@ -84,6 +84,18 @@ object AnnQueries {
       VectorIndex.build(cat, "idx", t, cands, nlist = 8, iters = 3)
       VectorIndex.query(cat, "idx", t, qs, K, nprobe = 8).orderBy("qid", "rank")
     }),
+    // Persisted PQ index: codebooks train once into a catalog table, the
+    // corpus persists as (id, codes, qv, nn) — ADC scans the codes-only
+    // projection (columnar pruning = the "codes-sized scan" PQ promise),
+    // bounded survivors re-rank exactly. Statistical recall (≥0.8 gated
+    // in AnnSpec with build-once/query-many + append-no-retrain); no
+    // DuckDB oracle by design, like ann_pq.
+    "ann_pq_indexed" -> ((s, dir) => {
+      val (cands, qs) = qc(s, dir)
+      val (cat, t) = freshIdx(s)
+      VectorIndex.buildPq(cat, "idx", t, cands)
+      VectorIndex.queryPq(cat, "idx", t, qs, K).orderBy("qid", "rank")
+    }),
     // Per-label centroids (class prototypes / cluster seeds): exact
     // integer sums over quantized components — one shuffle on
     // (label, pos) after a scan-stage posexplode; the mean is a single

@@ -180,10 +180,20 @@ object Similarity {
    */
   def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    val codebooks = trainPqCodebooks(candidates, m, ksub)
+    pqSearch(encodePq(candidates, codebooks), candidates, queries,
+      codebooks, k, rerank)
+  }
+
+  /** PQ codebook training: Lloyd per subspace over ONE bounded
+    * deterministic sample (≤4096 vectors, driver-side — same contract as
+    * the IVF trainer). Factored out so [[VectorIndex]] can train ONCE,
+    * persist, and encode/query forever without retraining. */
+  private[operators] def trainPqCodebooks(candidates: DataFrame, m: Int,
+      ksub: Int): Array[Array[Array[Double]]] = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    require(m >= 1 && ksub >= 2 && rerank >= 1, "bad PQ parameters")
-    // --- train: bounded deterministic sample, Lloyd per subspace ---
+    require(m >= 1 && ksub >= 2, "bad PQ parameters")
     val sample = candidates
       .orderBy(xxhash64(col("id")), col("id")).limit(4096)
       .select("id", "qv", "nn").as[(Long, Array[Long], Long)].collect()
@@ -197,7 +207,7 @@ object Similarity {
     val bounds = Array.tabulate(m + 1)(i => i * d / m)
     def sub(v: Array[Double], s: Int): Array[Double] =
       java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1))
-    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+    Array.tabulate(m) { s =>
       val subs = sample.map(sub(_, s))
       var cents: Array[Array[Double]] =
         Array.tabulate(math.min(ksub, subs.length))(i => subs(i).clone())
@@ -216,28 +226,49 @@ object Similarity {
       }
       cents
     }
+  }
+
+  /** Encode quantized (id, qv, nn) rows to (id, codes): scan-stage
+    * argmin-L2 centroid per subspace, no shuffle. */
+  private[operators] def encodePq(rows: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): Dataset[(Long, Array[Int])] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     val bcCb = spark.sparkContext.broadcast(codebooks)
-    // --- encode candidates: scan-stage argmin per subspace ---
-    val codes: Dataset[(Long, Array[Int])] =
-      candidates.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
-        .mapPartitions { it =>
-          val cb = bcCb.value
-          it.map { case (id, qv, nn) =>
-            val norm = math.sqrt(nn.toDouble)
-            val v = qv.map(_ / norm)
-            (id, Array.tabulate(cb.length) { s =>
-              val lo = s * v.length / cb.length
-              val hi = (s + 1) * v.length / cb.length
-              nearestL2(java.util.Arrays.copyOfRange(v, lo, hi), cb(s))
-            })
-          }
+    rows.select("id", "qv", "nn").as[(Long, Array[Long], Long)]
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        it.map { case (id, qv, nn) =>
+          val norm = math.sqrt(nn.toDouble)
+          val v = qv.map(_ / norm)
+          (id, Array.tabulate(cb.length) { s =>
+            val lo = s * v.length / cb.length
+            val hi = (s + 1) * v.length / cb.length
+            nearestL2(java.util.Arrays.copyOfRange(v, lo, hi), cb(s))
+          })
         }
+      }
+  }
+
+  /** ADC scoring + exact re-rank over pre-encoded codes. `vectors`
+    * supplies the original (id, qv, nn) rows the bounded survivor set
+    * re-ranks against (with a persisted index both come from the same
+    * table — column pruning keeps the scoring scan codes-only). */
+  private[operators] def pqSearch(codes: Dataset[(Long, Array[Int])],
+      vectors: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int, rerank: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    require(rerank >= 1, "bad PQ parameters")
+    val m = codebooks.length
     // --- ADC lookup tables per query (bounded probe set by contract) ---
     val qs = queries.select("id", "qv", "nn").as[(Long, Array[Long], Long)].collect()
     val tables: Array[(Long, Array[Array[Double]])] = qs.map { case (qid, qqv, qnn) =>
       val norm = math.sqrt(qnn.toDouble)
       val v = qqv.map(_ / norm)
-      qid -> Array.tabulate(m)(s => codebooks(s).map(c => dot(sub(v, s), c)))
+      val bounds = Array.tabulate(m + 1)(i => i * v.length / m)
+      qid -> Array.tabulate(m)(s => codebooks(s).map(c =>
+        dot(java.util.Arrays.copyOfRange(v, bounds(s), bounds(s + 1)), c)))
     }
     val bcT = spark.sparkContext.broadcast(tables)
     val keep = rerank * k
@@ -275,7 +306,7 @@ object Similarity {
     // --- exact re-rank: survivors fetch their original vectors ---
     val qdf = broadcast(qs.toSeq.toDF("qid2", "qqv", "qnn"))
     val scored = survivors.toDF("qid", "cand")
-      .join(candidates.select(col("id").as("cand"), col("qv"), col("nn")), "cand")
+      .join(vectors.select(col("id").as("cand"), col("qv"), col("nn")), "cand")
       .join(qdf, col("qid") === col("qid2"))
       .select(col("qid"), col("cand"),
         VectorOps.qcosine(VectorOps.qdot(col("qv"), col("qqv")),

@@ -93,6 +93,74 @@ object VectorIndex {
    * [[Similarity.topKScalable]]); the probed-cell set is ≤ nlist values
    * regardless of query count. Output: (qid, rank, cand, cos).
    */
+  // ---- persisted product quantization --------------------------------------
+  // PQ as tables: sub-codebooks train ONCE (bounded driver Lloyd, the
+  // Similarity contract) into `<table>_codebooks`; the corpus persists as
+  // (id, codes, qv, nn) in ONE table. The ADC scoring pass projects only
+  // (id, codes) — columnar pruning makes the scan codes-sized (the "few
+  // TB of codes for a 100 TB corpus" PQ promise, for free from parquet) —
+  // while the bounded survivor set re-reads (id, qv, nn) for the exact
+  // re-rank. Appends encode against the PERSISTED codebooks: O(batch),
+  // no retrain, index never offline (FAISS's train/add split).
+
+  private def codebookTable(table: String) = s"${table}_codebooks"
+
+  /** Train sub-codebooks on `corpus` (quantized (id, qv, nn) rows) and
+    * persist both tables. */
+  def buildPq(cat: GraftCatalog, schema: String, table: String,
+      corpus: DataFrame, m: Int = 8, ksub: Int = 16): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cb = Similarity.trainPqCodebooks(corpus, m, ksub)
+    val cdf = cb.zipWithIndex.toSeq.flatMap { case (cents, s) =>
+      cents.zipWithIndex.map { case (v, c) => (s, c, v.toSeq) }
+    }.toDF("s", "c", "vec")
+    cat.createTable(schema, codebookTable(table), cdf.schema)
+    cat.append(schema, codebookTable(table), cdf)
+    val enc = encodedRows(corpus, cb)
+    cat.createTable(schema, table, enc.schema)
+    cat.append(schema, table, enc)
+  }
+
+  private def encodedRows(rows: DataFrame,
+      cb: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    Similarity.encodePq(rows, cb).toDF("id", "codes")
+      .join(rows.select("id", "qv", "nn"), "id")
+  }
+
+  /** The persisted sub-codebooks. Bounded collect (m·ksub rows). */
+  def codebooksOf(cat: GraftCatalog, schema: String,
+      table: String): Array[Array[Array[Double]]] = {
+    val df = cat.read(schema, codebookTable(table))
+    import df.sparkSession.implicits._
+    df.select("s", "c", "vec").as[(Int, Int, Array[Double])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
+  }
+
+  /** Incremental add: encode with the PERSISTED codebooks and append —
+    * no retrain, one O(batch) commit. */
+  def appendPqVectors(cat: GraftCatalog, schema: String, table: String,
+      rows: DataFrame): Long =
+    cat.append(schema, table,
+      encodedRows(rows, codebooksOf(cat, schema, table)))
+
+  /** Query the persisted PQ index: ADC over the codes-only projection,
+    * exact re-rank of the `rerank·k` survivors against (qv, nn) from the
+    * same table. Output: (qid, rank, cand, cos). */
+  def queryPq(cat: GraftCatalog, schema: String, table: String,
+      queries: DataFrame, k: Int, rerank: Int = 4): DataFrame = {
+    val cb = codebooksOf(cat, schema, table)
+    val t = cat.read(schema, table)
+    val spark = t.sparkSession
+    import spark.implicits._
+    val codes = t.select("id", "codes").as[(Long, Array[Int])]
+    Similarity.pqSearch(codes, t.select("id", "qv", "nn"), queries,
+      cb, k, rerank)
+  }
+
   def query(cat: GraftCatalog, schema: String, table: String,
       queries: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession

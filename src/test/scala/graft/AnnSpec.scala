@@ -243,6 +243,71 @@ class AnnSpec extends SparkSpecBase {
     assert(brute === idx, "appended vectors must be exactly findable")
   }
 
+  // ---- persisted PQ index (codebooks + codes as catalog tables) ----
+
+  test("persisted PQ index: build-once/query-many, recall gate, exact re-rank") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = for {
+      c <- 0 until 40
+      center = Array.fill(64)(rnd.nextGaussian())
+      m <- 0 until 25
+    } yield ((c * 25 + m).toLong,
+      center.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    val all = Similarity.quantized(rows.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val qs = all.filter(col("id") % 100 === 0)
+    val cat = freshIdxCat()
+    VectorIndex.buildPq(cat, "idx", "pqe", all)
+    val brute = Similarity.bruteForceTopK(all, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = VectorIndex.queryPq(cat, "idx", "pqe", qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.8, s"persisted-PQ recall $recall < 0.8 (clustered)")
+    // query-many: a second query batch reuses the PERSISTED codebooks —
+    // identical results, no retrain (codebook snapshot count unchanged)
+    val snapsBefore = cat.snapshots("idx", "pqe_codebooks").size
+    val again = VectorIndex.queryPq(cat, "idx", "pqe", qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again === got, "repeat query over the persisted index must match")
+    assert(cat.snapshots("idx", "pqe_codebooks").size === snapsBefore,
+      "querying must not write (retrain) the codebook table")
+    // the re-rank is exact: reported cosines equal brute-force cosines
+    val bruteCos = Similarity.bruteForceTopK(all, qs, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    VectorIndex.queryPq(cat, "idx", "pqe", qs, 10).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(math.abs(bruteCos.getOrElse(key, r.getDouble(3)) - r.getDouble(3)) < 1e-12)
+    }
+  }
+
+  test("appendPqVectors encodes with persisted codebooks — no retrain, " +
+      "new rows findable") {
+    val (all, _) = realVectors()
+    val base = all.filter(col("id") % 2 === 0)
+    val extra = all.filter(col("id") % 2 =!= 0)
+    val cat = freshIdxCat()
+    VectorIndex.buildPq(cat, "idx", "pqg", base)
+    val cbBefore = VectorIndex.codebooksOf(cat, "idx", "pqg")
+    VectorIndex.appendPqVectors(cat, "idx", "pqg", extra)
+    val cbAfter = VectorIndex.codebooksOf(cat, "idx", "pqg")
+    assert(cbBefore.map(_.map(_.toSeq).toSeq).toSeq ===
+      cbAfter.map(_.map(_.toSeq).toSeq).toSeq,
+      "append must not retrain the codebooks")
+    // appended rows participate: with rerank covering the corpus the
+    // exact re-rank makes results equal brute force over the union
+    val qs = all.filter(col("id") % 50 === 0)
+    val n = all.count().toInt
+    val brute = Similarity.bruteForceTopK(all, qs, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val idx = VectorIndex.queryPq(cat, "idx", "pqg", qs, 5,
+        rerank = n / 5 + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(brute === idx,
+      "full-rerank persisted-PQ query must equal brute force exactly")
+  }
+
   test("lsh prunes: candidate pairs well below all-pairs") {
     val (cands, qs) = realVectors()
     val k = 5
