@@ -193,6 +193,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       require(!structType.fieldNames.contains(BucketCol),
         s"column name $BucketCol is reserved on bucketed tables")
     }
+    options.get("dynamic-bucket.index-fold.deltas").foreach { t =>
+      require(options.get("bucket").contains("-1"),
+        "dynamic-bucket.index-fold.deltas applies to dynamic-bucket (bucket = -1) tables")
+      require(t.toInt >= 0,
+        s"dynamic-bucket.index-fold.deltas must be >= 0 (0 disables), got $t")
+    }
     options.get("dynamic-bucket.target-row-num").foreach { t =>
       require(options.get("bucket").contains("-1"),
         "dynamic-bucket.target-row-num applies to dynamic-bucket (bucket = -1) tables")
@@ -904,7 +910,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // serialized delta stays O(1) (one `xbuckets` list, applied at
       // inflate). Older snapshots keep the unexcluded entries (time
       // travel); expiration reclaims retired subdirs.
-      excludeBucketsFromPrior: Set[Int] = Set.empty): Long = {
+      excludeBucketsFromPrior: Set[Int] = Set.empty,
+      // Index-only fold (kind = "idx"): the pre-folded live key→bucket
+      // set replaces EVERY prior `.dbidx` delta — the new dir carries
+      // only the consolidated index, zero data bytes move, and the
+      // manifest's dynIdx node is rebuilt to reference it alone.
+      dynIdxFold: Option[(DataFrame, Long)] = None): Long = {
     val m = readManifest(schema, table)
     // Derived-content commits (DV deletes) pass the manifest version their
     // victims were computed against: if the head advanced in between (a
@@ -978,17 +989,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // delta inside the staging dir, atomic with the data under the
     // ordinal claim-rename.
     val dynamicBucket = buckets.contains(-1)
+    // kind "idx" carries no rows to route — its payload is the folded
+    // index passed via dynIdxFold
     val (routedDf, routedDel, dynIdxDelta) =
-      if (!dynamicBucket) (dedupedDf, deleteDf, None)
+      if (!dynamicBucket || kind == "idx") (dedupedDf, deleteDf, dynIdxFold)
       else dynamicRoute(schema, table, m, dedupedDf, deleteDf, kind,
         fold = compaction, reset = !keepExisting && !compaction)
+    // Full-fold commits — index-only fold, compaction, overwrite reset —
+    // record the ENTIRE live key set in their own dir: the manifest's
+    // dynIdx node is rebuilt to that one flag (stale flags on surviving
+    // dirs would double-count keys) and prior index-only dirs leave the
+    // file list (their bytes reclaim on expiration).
+    val dynIdxReplace = dynamicBucket &&
+      (kind == "idx" || compaction || !keepExisting)
     def write(frame: DataFrame, toDir: String, frameKind: String): Unit = {
-      val (toWrite0, bucketPart) = buckets match {
-        case Some(-1) => (frame, Seq(BucketCol)) // pre-routed via the hash index
-        case Some(n) =>
-          (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
-        case None => (frame, Seq.empty)
-      }
+      val (toWrite0, bucketPart) =
+        if (frameKind == "idx") (frame, Seq.empty) // no rows, no layout
+        else buckets match {
+          case Some(-1) => (frame, Seq(BucketCol)) // pre-routed via the hash index
+          case Some(n) =>
+            (frame.withColumn(BucketCol, bucketExpr(primaryKey(m), n)), Seq(BucketCol))
+          case None => (frame, Seq.empty)
+        }
       val parted =
         (if (frameKind == "data") partitionColumns(m) else Seq.empty) ++ bucketPart
       // Cluster the batch by its physical layout keys before a bucketed
@@ -1099,11 +1121,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         FileStats.toJson(dn, ds)
         zoneToken.foreach(dn.put("filesExt", _))
       }
+      // a full index fold supersedes prior index-only dirs — they drop
+      // from the file list exactly like a minor compaction's victims
+      val droppedIdxDirs: Set[String] =
+        if (dynIdxReplace && keepExisting && sn2.size() > 0)
+          filesOf(sn2.get(sn2.size() - 1))
+            .filter(_.kind == "idx").map(_.dir).toSet
+        else Set.empty
+      val allReplaced = replacedDirs ++ droppedIdxDirs
       val prevFiles: Seq[FileEntry] = {
         val inherited =
           if (keepExisting && sn2.size() > 0)
             filesOf(sn2.get(sn2.size() - 1))
-              .filterNot(fe => replacedDirs.contains(fe.dir))
+              .filterNot(fe => allReplaced.contains(fe.dir))
           else Seq.empty
         if (excludeBucketsFromPrior.isEmpty) inherited
         else inherited.map(fe => fe.copy(excludeBuckets =
@@ -1170,6 +1200,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // with that many key assignments — readDynamicIndex unions exactly
       // the flagged dirs of the current snapshot, zero FS probes.
       dynIdxKeys.foreach { keys =>
+        // full-fold commits rebuild the node: their delta records EVERY
+        // live key, so any older flag would double-count
+        if (dynIdxReplace) mm.remove("dynIdx")
         val dn = if (mm.has("dynIdx")) mm.get("dynIdx").asInstanceOf[ObjectNode]
           else mm.putObject("dynIdx")
         dn.putObject(landDir).put("keys", keys)
@@ -1190,9 +1223,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         sn.put("baseId", b)
         val aArr = sn.putArray("added")
         added.foreach(addEntry(aArr, _))
-        if (replacedDirs.nonEmpty) {
+        if (allReplaced.nonEmpty) {
           val rArr = sn.putArray("removed")
-          replacedDirs.toSeq.sorted.foreach(rArr.add)
+          allReplaced.toSeq.sorted.foreach(rArr.add)
         }
         if (excludeBucketsFromPrior.nonEmpty) {
           // O(1) delta for a per-bucket compaction: inflate applies the
@@ -1420,6 +1453,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             .map(_.toLong).getOrElse(32L << 20)
           compactSmall(schema, table, smallBytes, minDirs = math.max(n, 2))
         }
+      }
+      // Dynamic-bucket hash-index fold: streaming ingest fragments the
+      // index into one `.dbidx` delta per commit; past the threshold the
+      // live set folds into a single delta — O(keys), zero data bytes
+      // rewritten (see foldDynamicBucketIndex). Never reentered: the
+      // fold commit is kind "idx"/compaction, which skips autoMaintain.
+      if (opts.get("bucket").contains("-1")) {
+        val thresh = opts.get("dynamic-bucket.index-fold.deltas")
+          .map(_.toInt).getOrElse(32)
+        if (thresh > 0 && dynIdxDeltaCount(schema, table) >= thresh)
+          foldDynamicBucketIndex(schema, table)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -4043,7 +4087,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
         if (snaps.size() == 0) Seq.empty
         else filesOf(snaps.get(snaps.size() - 1))
-          .filter(fe => fe.kind == "data" && dn.has(fe.dir)).map(_.dir)
+          .filter(fe => (fe.kind == "data" || fe.kind == "idx") &&
+            dn.has(fe.dir)).map(_.dir)
       }
     val idxSchema = dynIdxSchemaFor(m)
     if (dirs.isEmpty)
@@ -4067,6 +4112,53 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           org.apache.spark.sql.functions.regexp_extract(
             col("_metadata.file_path"), "/snap-(\\d+)", 1).cast("long"))
     }
+  }
+
+  /** Number of `.dbidx` delta dirs the CURRENT snapshot's index reads
+    * union — the fragmentation metric the index-only fold triggers on. */
+  def dynIdxDeltaCount(schema: String, table: String): Int = {
+    val m = readManifest(schema, table)
+    if (!m.has("dynIdx")) return 0
+    val dn = m.get("dynIdx").asInstanceOf[ObjectNode]
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) 0
+    else filesOf(snaps.get(snaps.size() - 1)).count(fe => dn.has(fe.dir))
+  }
+
+  /**
+   * Index-only fold for dynamic-bucket tables — the minor-compaction
+   * analog for the key→bucket hash index. Streaming ingest lands one
+   * immutable `.dbidx` delta per commit, so routing reads fragment to
+   * O(commits) files between full compactions; this folds the CURRENT
+   * live assignment set into a single consolidated delta carried by an
+   * index-only snapshot dir (kind "idx") and rebuilds the manifest flag
+   * to it alone. O(live keys) read+write, ZERO data bytes rewritten;
+   * superseded index-only dirs leave the file list and reclaim on
+   * expiration. Auto-triggered after data commits once
+   * `dynamic-bucket.index-fold.deltas` (default 32; 0 disables) deltas
+   * accumulate. Cross-partition tables fold latest-wins (the new dir's
+   * ordinal supersedes every prior record). Derived-content commit: a
+   * concurrent write aborts it loudly rather than losing assignments.
+   * Returns the fold snapshot id, or -1 when there is nothing to fold.
+   */
+  def foldDynamicBucketIndex(schema: String, table: String): Long = {
+    val m = readManifest(schema, table)
+    require(bucketCount(m).contains(-1),
+      s"$schema.$table is not a dynamic-bucket table")
+    if (dynIdxDeltaCount(schema, table) <= 1) return -1L
+    val idx = readDynamicIndex(schema, table, m)
+    val folded =
+      if (!crossPartition(m)) idx // key-disjoint: the fold IS the union
+      else dynIdxLatest(m, idx) // resolve moves; new ordinal re-stamps
+    val keys = folded.count()
+    if (keys == 0) return -1L
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      currentSchema(schema, table))
+    commit(schema, table, empty, keepExisting = true, kind = "idx",
+      compaction = true, basisVersion = Some(basis),
+      dynIdxFold = Some((folded, keys)))
   }
 
   /** Latest index record per key of a cross-partition table — apply

@@ -257,6 +257,70 @@ class DynamicBucketSpec extends SparkSpecBase {
     assert(dbidxBytes(dirs.last.dir) === 0L, "update-only commit wrote a delta")
   }
 
+  test("index-only fold consolidates .dbidx deltas without rewriting any " +
+      "data bytes; auto-triggers on the delta-count option") {
+    import spark.implicits._
+    val (cat, wh) = freshCatalog()
+    cat.createSchema("db")
+    cat.createTable("db", "f", kvSchema, primaryKey = Seq("id"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "50",
+        "dynamic-bucket.index-fold.deltas" -> "0")) // manual first
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 6).foreach { i =>
+      cat.upsert("db", "f",
+        (1L to 20L).map(j => (i * 100L + j, s"v$j")).toDF("id", "v"))
+    }
+    assert(cat.dynIdxDeltaCount("db", "f") === 6)
+    val dataDirsBefore = cat.snapshotFileEntries("db", "f")
+      .filter(_.kind == "data").map(_.dir)
+    val mtimes = dataDirsBefore.map { d =>
+      d -> fs.getFileStatus(new Path(new Path(new Path(wh, "db"), "f"), d))
+        .getModificationTime
+    }.toMap
+    val foldId = cat.foldDynamicBucketIndex("db", "f")
+    assert(foldId > 0, "fold should commit a snapshot")
+    // ONE delta dir now backs routing reads
+    assert(cat.dynIdxDeltaCount("db", "f") === 1, "fold must leave one delta")
+    // zero data rewrites: every data dir survives byte-identical (same
+    // dirs, untouched mtimes), and the folded routing stays exact
+    val dataDirsAfter = cat.snapshotFileEntries("db", "f")
+      .filter(_.kind == "data").map(_.dir)
+    assert(dataDirsAfter === dataDirsBefore, "fold must not touch data dirs")
+    dataDirsAfter.foreach { d =>
+      val t = fs.getFileStatus(
+        new Path(new Path(new Path(wh, "db"), "f"), d)).getModificationTime
+      assert(t === mtimes(d), s"fold rewrote data dir $d")
+    }
+    assert(cat.read("db", "f").count() === 120)
+    // routing after the fold: existing keys keep their buckets
+    val before = bucketContents(cat, wh, "f")
+    cat.upsert("db", "f", Seq((1L, "UPD"), (501L, "new")).toDF("id", "v"))
+    val after = bucketContents(cat, wh, "f")
+    before.foreach { case (k, ids) =>
+      assert(ids.subsetOf(after(k)), s"fold moved keys out of bucket $k")
+    }
+    assert(cat.read("db", "f").filter(col("id") === 1L)
+      .head().getString(1) === "UPD")
+    // repeated folds don't stack index-only dirs: at most one idx entry
+    cat.foldDynamicBucketIndex("db", "f")
+    val idxDirs = cat.snapshotFileEntries("db", "f").filter(_.kind == "idx")
+    assert(idxDirs.size <= 1, s"index-only dirs accumulated: $idxDirs")
+    // auto-trigger: with the option at 3, the third delta folds back to 1
+    cat.createTable("db", "fa", kvSchema, primaryKey = Seq("id"),
+      options = Map("bucket" -> "-1",
+        "dynamic-bucket.target-row-num" -> "50",
+        "dynamic-bucket.index-fold.deltas" -> "3"))
+    (0 until 3).foreach { i =>
+      cat.upsert("db", "fa",
+        (1L to 10L).map(j => (i * 100L + j, s"v$j")).toDF("id", "v"))
+    }
+    assert(cat.dynIdxDeltaCount("db", "fa") === 1,
+      "auto fold should have consolidated the index at the threshold")
+    assert(cat.read("db", "fa").count() === 30)
+  }
+
   test("oversized batches route through the shuffle path identically") {
     import spark.implicits._
     // Force the backfill arm: with the broadcast cap at 0 every join in
