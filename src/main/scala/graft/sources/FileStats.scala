@@ -52,8 +52,12 @@ private[graft] object FileStats {
   final case class ColZone(min: Option[Any], max: Option[Any], nulls: Long)
 
   /** Zone map of one commit dir: exact row count + per-column zones
-    * (keyed by lower-cased write-time column name). */
-  final case class DirStats(rows: Long, cols: Map[String, ColZone])
+    * (keyed by lower-cased write-time column name). `bytes` is the
+    * on-disk size (file level: that file's length; dir level: sum);
+    * -1 = unknown (pre-bytes manifests) — readers fall back to a
+    * filesystem listing for those dirs only. */
+  final case class DirStats(rows: Long, cols: Map[String, ColZone],
+      bytes: Long = -1L)
 
   /** Type tag for JSON round-trip: l=long, d=double, s=string, b=bool. */
   private def tagOf(v: Any): String = v match {
@@ -230,11 +234,15 @@ private[graft] object FileStats {
     * when EVERY file tracks it (a file that dropped it proves nothing
     * about its rows); null counts go unknown (-1) if any file's are. */
   private def mergeZones(allFiles: Seq[DirStats]): DirStats = {
+    // bytes sum over EVERY file (zero-row files still occupy disk);
+    // any unknown poisons the dir total to unknown
+    val totalBytes = if (allFiles.exists(_.bytes < 0)) -1L
+      else allFiles.map(_.bytes).sum
     // A zero-row file (external writers emit them) tracks no columns and
     // proves nothing about any row — it must not erase the columns every
     // data-carrying file tracks from the intersection below.
     val files = allFiles.filter(_.rows > 0L)
-    if (files.isEmpty) return DirStats(0L, Map.empty)
+    if (files.isEmpty) return DirStats(0L, Map.empty, totalBytes)
     val rows = files.map(_.rows).sum
     val names = files.map(_.cols.keySet).reduce(_ intersect _)
     val cols = names.iterator.map { n =>
@@ -249,17 +257,18 @@ private[graft] object FileStats {
       // a valueless column with unknown null count carries nothing usable
       case (n, z) if z.min.isDefined || z.nulls >= 0 => n -> z
     }.toMap
-    DirStats(rows, cols)
+    DirStats(rows, cols, totalBytes)
   }
 
   /** List every `.parquet` file under `dir` recursively as
-    * (relative-path, absolute-path) — one metadata listing, no footer
-    * reads. None = dir missing or listing failed. */
-  private def listParquet(fs: FileSystem, dir: Path): Option[Seq[(String, String)]] =
+    * (relative-path, absolute-path, length) — one metadata listing, no
+    * footer reads. None = dir missing or listing failed. */
+  private def listParquet(fs: FileSystem,
+      dir: Path): Option[Seq[(String, String, Long)]] =
     try {
       if (!fs.exists(dir)) return None
       val qdir = fs.makeQualified(dir).toString
-      val out = mutable.ArrayBuffer[(String, String)]()
+      val out = mutable.ArrayBuffer[(String, String, Long)]()
       val it = fs.listFiles(dir, true)
       while (it.hasNext) {
         val st = it.next()
@@ -267,7 +276,7 @@ private[graft] object FileStats {
         if (p.getName.endsWith(".parquet")) {
           val abs = p.toString
           val rel = abs.stripPrefix(qdir).stripPrefix("/")
-          out += ((rel, abs))
+          out += ((rel, abs, st.getLen))
         }
       }
       Some(out.toSeq)
@@ -300,9 +309,9 @@ private[graft] object FileStats {
     val perFile: Seq[(String, Option[DirStats])] =
       try {
         val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
-        sc.parallelize(files, slices).map { case (rel, abs) =>
+        sc.parallelize(files, slices).map { case (rel, abs, len) =>
           rel -> fileZone(conf.value, abs, rel.split('/').toSeq.dropRight(1),
-            tracked, typeByName)
+            tracked, typeByName).map(_.copy(bytes = len))
         }.collect().toSeq
       } catch { case scala.util.control.NonFatal(_) =>
         // no job could run (e.g. stopped context): sequential fallback
@@ -330,9 +339,10 @@ private[graft] object FileStats {
       case Some(fl) if fl.isEmpty => return Some(DirStats(0L, Map.empty))
       case Some(fl) => fl
     }
-    val zones = files.map { case (rel, abs) =>
+    val zones = files.map { case (rel, abs, len) =>
       driverFooterReads.incrementAndGet()
       fileZone(conf, abs, rel.split('/').toSeq.dropRight(1), tracked, typeByName)
+        .map(_.copy(bytes = len))
     }
     if (zones.exists(_.isEmpty)) None else Some(mergeZones(zones.map(_.get)))
   }
@@ -347,6 +357,7 @@ private[graft] object FileStats {
 
   private def statsToJson(node: ObjectNode, ds: DirStats): Unit = {
     node.put("rows", ds.rows)
+    if (ds.bytes >= 0) node.put("bytes", ds.bytes)
     val cols = node.putObject("cols")
     ds.cols.foreach { case (name, z) =>
       val c = cols.putObject(name)
@@ -381,6 +392,7 @@ private[graft] object FileStats {
 
   private def statsFromJson(node: JsonNode): DirStats = {
     val rows = node.get("rows").asLong()
+    val bytes = node.path("bytes").asLong(-1L)
     val cols = mutable.LinkedHashMap[String, ColZone]()
     val cn = node.get("cols").asInstanceOf[ObjectNode]
     cn.fieldNames().forEachRemaining { name =>
@@ -396,7 +408,7 @@ private[graft] object FileStats {
         cols += name -> ColZone(Some(mn), Some(mx), nulls)
       } else cols += name -> ColZone(None, None, nulls)
     }
-    DirStats(rows, cols.toMap)
+    DirStats(rows, cols.toMap, bytes)
   }
 
   def fromJson(node: JsonNode): DirStats = statsFromJson(node)

@@ -5418,17 +5418,41 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         require(s.isDefined, s"no snapshot $id for $schema.$table"); s
       case None => all.lastOption
     }
+    // Per-dir file counts/bytes answer from the ZONE SIDECARS (the same
+    // manifest tier `$partitions` reads — per-file entries now carry the
+    // on-disk length): a 10⁵-file table costs cached sidecar reads, not
+    // an O(files) recursive listing per dir. Only dirs WITHOUT complete
+    // sidecar stats (tombstone/DV dirs, ORC, pre-bytes manifests) fall
+    // back to the filesystem — bounded by those dirs alone, counted by
+    // the tripwire below.
+    val perFile = fileStatsFrom(schema, table, m)
     val rows = chosen.map(filesOf).getOrElse(Seq.empty).map { fe =>
-      val p = dirPath(schema, table, fe.dir)
-      val summary = fs.getContentSummary(p)
-      // recursive: partitioned dirs nest part-files under col=value/
-      var parts = 0
-      val it = fs.listFiles(p, true)
-      while (it.hasNext) {
-        val n = it.next().getPath.getName
-        if (n.endsWith(".parquet") || n.endsWith(".orc")) parts += 1
+      // retired buckets' subtrees may already be reclaimed from disk —
+      // drop their sidecar entries so counts match what a reader plans
+      val sidecar = perFile.get(fe.dir)
+        .map(_.filter { case (rel, _) =>
+          !fe.excludeBuckets.exists(k => rel.split('/').contains(s"$BucketCol=$k"))
+        })
+        .filter(fm => fm.nonEmpty && fm.valuesIterator.forall(_.bytes >= 0))
+      val (parts, bytes) = sidecar match {
+        case Some(fm) => (fm.size, fm.valuesIterator.map(_.bytes).sum)
+        case None =>
+          GraftCatalog.filesTableListings.incrementAndGet()
+          val p = dirPath(schema, table, fe.dir)
+          // recursive: partitioned dirs nest part-files under col=value/
+          var n = 0
+          var b = 0L
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val nm = st.getPath.getName
+            if (nm.endsWith(".parquet") || nm.endsWith(".orc")) {
+              n += 1; b += st.getLen
+            }
+          }
+          (n, b)
       }
-      (fe.dir, fe.kind, fe.schemaVersion, parts, summary.getLength,
+      (fe.dir, fe.kind, fe.schemaVersion, parts, bytes,
         fe.excludeBuckets.mkString(","))
     }
     spark.createDataFrame(rows).toDF(
@@ -6009,6 +6033,12 @@ object GraftCatalog {
     * contract note); invisible to parquet discovery like the bloom
     * sidecar dir. */
   private[graft] val ClaimMarker = ".claim"
+
+  /** Recursive listings the `$files` view had to fall back to (dirs
+    * without complete sidecar byte stats) — a tripwire so tests prove a
+    * sidecar-complete table answers with ZERO filesystem recursion. */
+  private[graft] val filesTableListings =
+    new java.util.concurrent.atomic.AtomicLong()
 
   /** Per-dir zone sidecar file (hierarchical manifest tier): the dir's
     * per-FILE zones, written once into the staging dir so the ordinal

@@ -1237,4 +1237,48 @@ class GraftCatalogSpec extends SparkSpecBase {
       spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
     }
   }
+
+  test("$files answers from zone sidecars: zero recursive listings on a " +
+      "sidecar-complete table, counts and bytes match the filesystem") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createSchema("db")
+    // partitioned: part-files nest under col=value — the recursive case
+    cat.createTable("db", "zf", StructType(Seq(
+        StructField("id", LongType), StructField("p", StringType))),
+      partitionBy = Seq("p"))
+    cat.append("db", "zf",
+      (1L to 40L).map(i => (i, s"p${i % 3}")).toDF("id", "p"))
+    cat.append("db", "zf",
+      (41L to 60L).map(i => (i, s"p${i % 3}")).toDF("id", "p"))
+    val before = graft.sources.GraftCatalog.filesTableListings.get()
+    val files = cat.filesTable("db", "zf").orderBy("file_dir").collect()
+    assert(graft.sources.GraftCatalog.filesTableListings.get() === before,
+      "$files recursed into the filesystem despite complete sidecars")
+    // ground truth straight from the filesystem
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    files.foreach { r =>
+      val d = new org.apache.hadoop.fs.Path(
+        cat.dirLocation("db", "zf", r.getString(0)))
+      var n = 0
+      var b = 0L
+      val it = fs.listFiles(d, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) { n += 1; b += st.getLen }
+      }
+      assert(r.getInt(3) === n, s"${r.getString(0)}: n_part_files")
+      assert(r.getLong(4) === b, s"${r.getString(0)}: size_bytes")
+    }
+    // a tombstone dir (no zone stats recorded) takes the counted fallback
+    cat.createTable("db", "zd", abSchema, primaryKey = Seq("id"))
+    cat.upsert("db", "zd", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    cat.deleteRowsByKey("db", "zd", Seq(1L).toDF("id"))
+    val b2 = graft.sources.GraftCatalog.filesTableListings.get()
+    val zd = cat.filesTable("db", "zd").collect()
+    assert(zd.forall(_.getLong(4) > 0L))
+    assert(graft.sources.GraftCatalog.filesTableListings.get() > b2,
+      "tombstone dirs have no sidecar bytes and must take the fallback")
+  }
 }
