@@ -1654,20 +1654,81 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    */
   def streamLookupAppend(schema: String, dimTable: String, dstTable: String,
       stream: DataFrame, checkpointDir: String, joinKeys: Seq[String],
-      broadcastDim: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery =
+      broadcastDim: Boolean = true,
+      // zero-Exchange route for a BUCKETED dim: each micro-batch row
+      // joins inside its key's bucket task — no BroadcastExchange (the
+      // dim may exceed executor memory), no shuffle of the dim.
+      bucketedDim: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val dim0 = read(schema, dimTable)
-          val dim = if (broadcastDim)
-            org.apache.spark.sql.functions.broadcast(dim0) else dim0
-          appendStreamBatch(schema, dstTable,
-            batch.toDF().join(dim, joinKeys, "left"), batchId)
+          val enriched =
+            if (bucketedDim) bucketedLookup(schema, dimTable, batch.toDF(), joinKeys)
+            else {
+              val dim0 = read(schema, dimTable)
+              val dim = if (broadcastDim)
+                org.apache.spark.sql.functions.broadcast(dim0) else dim0
+              batch.toDF().join(dim, joinKeys, "left")
+            }
+          appendStreamBatch(schema, dstTable, enriched, batchId)
           ()
         }
       }
       .start()
+
+  /**
+   * Zero-Exchange lookup enrichment of a delta-sized frame against a
+   * BUCKETED PK dim table: each bucket leg unions the dim bucket's
+   * resolved rows with the batch rows whose join keys HASH to that
+   * bucket (the write path's own [[bucketExpr]], so the routing can
+   * never drift from the layout) and joins them IN-TASK — no
+   * BroadcastExchange (the dim may exceed executor memory) and no
+   * shuffle Exchange (the bucket layout is the co-location), the same
+   * contract as [[bucketedJoin]]. Per-leg dim I/O is bucket k's files
+   * only; the batch side of each leg is a narrow filter over the
+   * (micro-batch-sized) frame. Output: every batch column, then the
+   * dim's value columns (left join; duplicate batch keys each probe
+   * independently).
+   */
+  def bucketedLookup(schema: String, dimTable: String, batch: DataFrame,
+      joinKeys: Seq[String]): DataFrame = {
+    val n = bucketCountOf(schema, dimTable).getOrElse(
+      throw new IllegalArgumentException(s"$schema.$dimTable is not bucketed"))
+    require(n >= 1, "dynamic-bucket dims have no static hash contract — " +
+      "bucketed lookup requires a fixed bucket count")
+    val dSchema = currentSchema(schema, dimTable)
+    val pk = primaryKeyOf(schema, dimTable)
+    require(joinKeys.length == pk.length &&
+      joinKeys.map(k => batch.schema(k).dataType) == pk.map(dSchema(_).dataType),
+      s"join keys $joinKeys are not hash-compatible with ${dimTable}'s " +
+        s"primary key $pk (column count/types must match)")
+    val dVal = dSchema.fields.filterNot(f => pk.contains(f.name)).toSeq
+    dVal.foreach(f => require(!batch.columns.contains(f.name),
+      s"dim column ${f.name} collides with a batch column"))
+    val bCols = batch.schema.fields.toSeq
+    val outSchema = StructType(bCols ++ dVal.map(_.copy(nullable = true)))
+    val names = "__side" +: (pk.indices.map(i => s"__k$i") ++
+      bCols.map(f => s"__l_${f.name}") ++ dVal.map(f => s"__r_${f.name}"))
+    val leftOutIdx = Array.tabulate(bCols.length)(i => 1 + pk.length + i)
+    val rightStart = 1 + pk.length + bCols.length
+    val legs = (0 until n).map { k =>
+      val lb = batch.filter(bucketExpr(joinKeys, n) === k)
+      val taggedL = lb.select(lit(0) +: (joinKeys.map(col) ++
+          bCols.map(f => col(f.name)) ++
+          dVal.map(f => lit(null).cast(f.dataType))): _*).toDF(names: _*)
+      val taggedR = readBucket(schema, dimTable, k)
+        .select(lit(1) +: (pk.map(col) ++
+          bCols.map(f => lit(null).cast(f.dataType)) ++
+          dVal.map(f => col(f.name))): _*).toDF(names: _*)
+      GraftCatalog.joinBucketInTask(taggedR.unionByName(taggedL).coalesce(1),
+        pk.length, leftOutIdx, rightStart, dVal.length,
+        leftOuter = true, outSchema)
+    }
+    legs.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        outSchema))
+  }
 
   /**
    * Streaming read of an append-only table: a Structured Streaming

@@ -481,6 +481,62 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("bucketed streaming lookup join: zero-Exchange enrichment against a " +
+      "bucketed dim — no broadcast, no shuffle of the dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val wh = java.nio.file.Files.createTempDirectory("graft-blookup-wh").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createSchema("db")
+    cat.createTable("db", "bdim", StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType))),
+      options = Map("bucket" -> "4"), primaryKey = Seq("k"))
+    cat.upsert("db", "bdim",
+      (1L to 40L).map(i => (i, s"n$i")).toDF("k", "name"))
+    // plan shape: the enrichment joins in-task per bucket — NO
+    // BroadcastExchange and NO shuffle Exchange anywhere in the plan
+    val batch = Seq((1L, 10L), (7L, 70L), (99L, 990L)).toDF("k", "amount")
+    val enriched = cat.bucketedLookup("db", "bdim", batch, Seq("k"))
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"bucketed lookup must not broadcast the dim:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("ShuffleExchange"),
+      s"bucketed lookup must not shuffle:\n$plan")
+    assert(enriched.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+      Set((1L, 10L, "n1"), (7L, 70L, "n70".replace("70", "7")), (99L, 990L, null)),
+      "bucketed lookup image wrong")
+    // duplicate batch keys each probe independently
+    val dup = cat.bucketedLookup("db", "bdim",
+      Seq((5L, 1L), (5L, 2L)).toDF("k", "amount"), Seq("k"))
+    assert(dup.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet === Set((5L, 1L, "n5"), (5L, 2L, "n5")))
+    // end-to-end: the streaming route with bucketedDim = true enriches
+    // each micro-batch against the LATEST dim image
+    cat.createTable("db", "benriched", StructType(Seq(
+      StructField("k", LongType), StructField("amount", LongType),
+      StructField("name", StringType))))
+    val stream = MemoryStream[(Long, Long)]
+    val q = cat.streamLookupAppend("db", "bdim", "benriched",
+      stream.toDF().toDF("k", "amount"),
+      java.nio.file.Files.createTempDirectory("graft-blookup-ckpt").toString,
+      joinKeys = Seq("k"), bucketedDim = true)
+    try {
+      stream.addData(Seq((2L, 20L), (50L, 500L)))
+      q.processAllAvailable()
+      val r1 = cat.read("db", "benriched").as[(Long, Long, String)]
+        .collect().toSet
+      assert(r1 === Set((2L, 20L, "n2"), (50L, 500L, null)))
+      cat.upsert("db", "bdim", Seq((50L, "fifty")).toDF("k", "name"))
+      stream.addData(Seq((50L, 501L)))
+      q.processAllAvailable()
+      assert(cat.read("db", "benriched").as[(Long, Long, String)]
+        .collect().toSet === r1 + ((50L, 501L, "fifty")))
+    } finally q.stop()
+  }
+
   test("from-timestamp at/below the retention floor clamps the start to a " +
       "retained snapshot instead of planning an expired one") {
     import org.apache.spark.sql.types._
