@@ -2850,6 +2850,64 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * refuses with a pointer — replay the branch onto a fresh branch of
    * the current head instead. Returns the new head snapshot id.
    */
+  /**
+   * Diverged-history report backing `CALL sys.fast_forward_diff`: WHY a
+   * branch can (or cannot) be adopted, one `(position, status, detail)`
+   * row per disagreement — so an operator refused by [[fastForward]]
+   * sees the concrete divergence (extra base snapshots, mismatched ids,
+   * per-snapshot dir diffs, schema drift) instead of just the refusal.
+   * Metadata-only: manifest reads, no data touched. An empty diff
+   * reports one summary row (`fast_forwardable` / `in_sync`).
+   */
+  def fastForwardDiff(schema: String, table: String,
+      branch: String): Seq[(Long, String, String)] = {
+    require(splitBranch(table)._2.isEmpty,
+      s"$table is itself a branch — fast-forward targets the base table")
+    val bt = s"$table$BranchSep$branch"
+    require(tableManifestExists(schema, bt),
+      s"no branch $branch of $schema.$table")
+    val m = readManifest(schema, table)
+    val bm = readManifest(schema, bt)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val bsnaps = bm.get("snapshots").asInstanceOf[ArrayNode]
+    val out = mutable.ArrayBuffer[(Long, String, String)]()
+    if (bsnaps.size() < snaps.size())
+      out += ((-1L, "base_longer",
+        s"base has ${snaps.size()} snapshots, branch has ${bsnaps.size()} — " +
+          "the base advanced past the branch point"))
+    (0 until math.min(snaps.size(), bsnaps.size())).foreach { i =>
+      val a = snaps.get(i)
+      val b = bsnaps.get(i)
+      val aid = a.get("id").asLong()
+      val bid = b.get("id").asLong()
+      if (aid != bid)
+        out += ((i.toLong, "id_mismatch", s"base snapshot $aid vs branch $bid"))
+      else {
+        val aDirs = filesOf(a).map(fe => baseRelativeDir(table, fe.dir)).toSet
+        val bDirs = filesOf(b).map(fe => baseRelativeDir(bt, fe.dir)).toSet
+        if (aDirs != bDirs)
+          out += ((i.toLong, "dirs_differ",
+            s"snapshot $aid: base-only [${(aDirs -- bDirs).toSeq.sorted.mkString(",")}], " +
+              s"branch-only [${(bDirs -- aDirs).toSeq.sorted.mkString(",")}]"))
+      }
+    }
+    val aSchemas = m.get("schemas").asInstanceOf[ArrayNode]
+    val bSchemas = bm.get("schemas").asInstanceOf[ArrayNode]
+    if (aSchemas.size() > bSchemas.size())
+      out += ((-1L, "schema_diverged",
+        s"base has ${aSchemas.size()} schema versions, branch has ${bSchemas.size()}"))
+    else (0 until aSchemas.size()).foreach { i =>
+      if (aSchemas.get(i) != bSchemas.get(i))
+        out += ((i.toLong, "schema_diverged", s"schema version $i differs"))
+    }
+    if (out.isEmpty) {
+      val ahead = bsnaps.size() - snaps.size()
+      out += ((-1L, if (ahead > 0) "fast_forwardable" else "in_sync",
+        s"branch is $ahead snapshot(s) ahead of the base"))
+    }
+    out.toSeq
+  }
+
   def fastForward(schema: String, table: String, branch: String): Long = {
     require(splitBranch(table)._2.isEmpty,
       s"$table is itself a branch — fast-forward targets the base table")

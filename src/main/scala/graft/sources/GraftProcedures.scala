@@ -32,7 +32,10 @@ object GraftProcedures {
   private case class Spec(name: String, description: String,
       params: Seq[(String, DataType, Option[String])],
       out: StructType,
-      body: (GraftCatalog, Seq[Any]) => Seq[Any])
+      body: (GraftCatalog, Seq[Any]) => Seq[Any],
+      // report-style procedures return MULTIPLE rows; when set, `body`
+      // is ignored and each inner Seq becomes one output row
+      multiRows: Option[(GraftCatalog, Seq[Any]) => Seq[Seq[Any]]] = None)
 
   private def p(name: String, dt: DataType): (String, DataType, Option[String]) =
     (name, dt, None)
@@ -170,6 +173,19 @@ object GraftProcedures {
       one("snapshot_id", LongType),
       (gc, args) => { val (s, t) = split(args.head.asInstanceOf[String])
         Seq(gc.fastForward(s, t, args(1).asInstanceOf[String])) }),
+    Spec("fast_forward_diff",
+      "diverged-history report for fast_forward: one row per base/branch " +
+        "disagreement (ids, per-snapshot dir diffs, schema drift) — the " +
+        "WHY behind a refused fast_forward; metadata-only",
+      Seq(p("table", StringType), p("branch", StringType)),
+      StructType(Seq(StructField("position", LongType),
+        StructField("status", StringType), StructField("detail", StringType))),
+      (_, _) => Seq.empty,
+      multiRows = Some((gc, args) => {
+        val (s, t) = split(args.head.asInstanceOf[String])
+        gc.fastForwardDiff(s, t, args(1).asInstanceOf[String])
+          .map { case (pos, status, detail) => Seq(pos, status, detail) }
+      })),
     Spec("compact_buckets",
       "per-bucket compaction: fold only the named buckets' sorted runs " +
         "(comma-separated ids); other buckets' bytes untouched",
@@ -229,13 +245,16 @@ object GraftProcedures {
               case other => throw new IllegalStateException(s"unsupported $other")
             }
           }
-          val result = spec.body(gc, args)
-          val row = InternalRow.fromSeq(result.map {
+          val resultRows: Seq[Seq[Any]] = spec.multiRows match {
+            case Some(f) => f(gc, args)
+            case None => Seq(spec.body(gc, args))
+          }
+          val outRows = resultRows.map(r => InternalRow.fromSeq(r.map {
             case s: String => UTF8String.fromString(s)
             case v => v
-          })
+          })).toArray
           val scan: Scan = new LocalScan {
-            override def rows(): Array[InternalRow] = Array(row)
+            override def rows(): Array[InternalRow] = outRows
             override def readSchema(): StructType = spec.out
           }
           java.util.Collections.singletonList(scan).iterator()

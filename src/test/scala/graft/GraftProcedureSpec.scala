@@ -153,4 +153,34 @@ class GraftProcedureSpec extends SparkSpecBase {
     assert(st2("id").getAs[String]("max") === "5")
     assert(st2("name").getAs[Long]("snapshot_id") === 2L)
   }
+
+  test("fast_forward_diff reports WHY a diverged branch is refused; a " +
+      "clean branch reports fast_forwardable") {
+    import spark.implicits._
+    gc.createTable("db", "ffd", Seq((1L, "x")).toDF("id", "v").schema)
+    gc.append("db", "ffd", Seq((1L, "a")).toDF("id", "v"))
+    gc.createBranch("db", "ffd", "dev")
+    // branch advances cleanly: one row, fast_forwardable
+    gc.append("db", "ffd$branch_dev", Seq((2L, "b")).toDF("id", "v"))
+    val clean = spark.sql(
+      "CALL gp.sys.fast_forward_diff(table => 'db.ffd', branch => 'dev')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(clean.length === 1 && clean.head._2 === "fast_forwardable",
+      s"clean branch should be adoptable: ${clean.toSeq}")
+    assert(clean.head._3.contains("1 snapshot"))
+    // now the BASE advances too — diverged
+    gc.append("db", "ffd", Seq((3L, "c")).toDF("id", "v"))
+    val diff = spark.sql(
+      "CALL gp.sys.fast_forward_diff(table => 'db.ffd', branch => 'dev')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(diff.exists(_._2 == "dirs_differ"),
+      s"diverged histories must name the differing snapshot: ${diff.toSeq}")
+    val d = diff.find(_._2 == "dirs_differ").get
+    assert(d._3.contains("base-only") && d._3.contains("branch-only"))
+    // the refusal path still throws; the report is the WHY companion
+    intercept[Exception] {
+      spark.sql("CALL gp.sys.fast_forward(table => 'db.ffd', branch => 'dev')")
+        .collect()
+    }
+  }
 }
