@@ -70,10 +70,31 @@ object Bench {
     val (wh, rp) = results.partition(_._1.startsWith("catalog_"))
     val whSec = wh.map(_._2).sum
     val rpSec = rp.map(_._2).sum
+    // FIXED 32-query headline subset (frozen at round 13): one stable,
+    // family-representative bar that registry growth can never move —
+    // round-over-round comparisons use headline_sec; the full total only
+    // tracks coverage. Do NOT edit this list; add new queries to the
+    // registry, not here.
+    val headline = Set(
+      "q1_agg", "q3_shipping", "q6_forecast", "q9_product_profit",
+      "q18_large_orders",
+      "scan_filter_compound", "scan_projection", "topn",
+      "join_shuffle", "join_broadcast", "join_asof", "join_runtime_filter",
+      "agg_rollup", "window_ranks", "window_running",
+      "dedup_exact", "dedup_minhash", "dedup_substring_spans", "dedup_clusters",
+      "text_quality", "text_tokens", "text_tfidf",
+      "ann_scalable", "ann_indexed",
+      "pipeline_pack_sequences", "pipeline_shuffle_shards",
+      "catalog_upsert_mor", "catalog_sql_mor", "catalog_bucketed_join",
+      "catalog_dynamic_bucket", "catalog_stream_changelog",
+      "media_dedup_dhash")
+    val hl = results.filter(r => headline.contains(r._1))
+    val hlSec = hl.map(_._2).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""subtotals":{"warehouse_catalog":$whSec,"read_path":$rpSec,""" +
-        s""""n_warehouse":${wh.size},"n_read_path":${rp.size}},"sf":"$sfDir"}"""
+        s""""n_warehouse":${wh.size},"n_read_path":${rp.size},""" +
+        s""""headline_sec":$hlSec,"n_headline":${hl.size}},"sf":"$sfDir"}"""
     println(line)
     // Also persist to a file: the driver captures stdout's tail, which a
     // 130-query JSON line can overrun (BENCH_r07 was truncated mid-stream
@@ -85,7 +106,8 @@ object Bench {
     // Short trailing headline: even if a capture truncates the long JSON
     // line above, the tail still carries the round's key numbers.
     println(f"[bench-summary] queries=${results.size} total_sec=$total%.1f " +
-      f"warehouse_sec=$whSec%.1f read_path_sec=$rpSec%.1f runs=$runs sf=$sfDir")
+      f"warehouse_sec=$whSec%.1f read_path_sec=$rpSec%.1f " +
+      f"headline_sec=$hlSec%.1f(n=${hl.size}) runs=$runs sf=$sfDir")
     spark.stop()
   }
 }
