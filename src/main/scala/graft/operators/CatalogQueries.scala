@@ -835,30 +835,35 @@ object CatalogQueries {
     }),
     // aggregation merge engine, nested_update + nested-key: array<row>
     // versions fold as a per-element UPSERT keyed by `k` — a later batch's
-    // element replaces the accumulated one with the same key. Exploded to
+    // element replaces the accumulated one with the same key. One row per
+    // CUSTOMER with a ≤5-element nested array (per-priority latest order)
+    // — the bounded-nested-collection shape nested_update exists for (the
+    // per-element fold is quadratic in array size by design, so the pk
+    // must bound the array, never carry a corpus-sized one). Exploded to
     // scalar rows so DuckDB reconstructs the exact winner set (latest
-    // batch per (grp,k), pre-aggregated max inside each batch).
+    // batch per (cust, priority), pre-aggregated max inside each batch).
     "catalog_agg_nested" -> ((s, dir) => {
       val (cat, t) = freshCat(s)
       cat.createSchema("q")
       val o = Tables(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority")
       def batch(b: Int) = o.filter(col("o_orderkey") % 3 === lit(b))
-        .groupBy(col("o_orderpriority"), col("o_custkey"))
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
         .agg(max("o_orderkey").as("v"))
-        .groupBy(col("o_orderpriority"))
-        .agg(collect_list(struct(col("o_custkey").as("k"), col("v"))).as("lines"))
-        .select(col("o_orderpriority").as("grp"), col("lines"))
+        .groupBy(col("o_custkey"))
+        .agg(collect_list(struct(col("o_orderpriority").as("k"), col("v")))
+          .as("lines"))
+        .select(col("o_custkey").as("cust"), col("lines"))
       cat.createTable("q", t, batch(0).schema,
         options = Map("merge-engine" -> "aggregation",
           "fields.lines.aggregate-function" -> "nested_update",
           "fields.lines.nested-key" -> "k"),
-        primaryKey = Seq("grp"))
+        primaryKey = Seq("cust"))
       (0 to 2).foreach(b => cat.upsert("q", t, batch(b)))
       cat.read("q", t)
-        .select(col("grp"), explode(col("lines")).as("e"))
-        .select(col("grp"), col("e.k").as("k"), col("e.v").as("v"))
-        .orderBy("grp", "k")
+        .select(col("cust"), explode(col("lines")).as("e"))
+        .select(col("cust"), col("e.k").as("k"), col("e.v").as("v"))
+        .orderBy("cust", "k")
     }),
     // aggregation merge engine, hll_sketch: serialized DataSketches HLL
     // per version, folded with Spark's native union aggregate. Estimates
@@ -1096,13 +1101,13 @@ object CatalogQueries {
         |FROM orders GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
     "catalog_agg_nested" ->
       """WITH per AS (
-        |  SELECT o_orderpriority AS grp, o_custkey AS k,
+        |  SELECT o_custkey AS cust, o_orderpriority AS k,
         |         o_orderkey % 3 AS b, max(o_orderkey) AS v
         |  FROM orders GROUP BY 1, 2, 3),
         |win AS (
-        |  SELECT grp, k, v,
-        |         row_number() OVER (PARTITION BY grp, k ORDER BY b DESC) AS rn
+        |  SELECT cust, k, v,
+        |         row_number() OVER (PARTITION BY cust, k ORDER BY b DESC) AS rn
         |  FROM per)
-        |SELECT grp, k, v FROM win WHERE rn = 1 ORDER BY grp, k""".stripMargin,
+        |SELECT cust, k, v FROM win WHERE rn = 1 ORDER BY cust, k""".stripMargin,
   )
 }
