@@ -34,22 +34,26 @@ object MorBench {
     spark.conf.set("spark.sql.catalog.g.warehouse", wh)
     val cat = new graft.sources.GraftCatalog(spark, wh)
     cat.createSchema("db")
-    // Uncompacted MoR-pending corpus: full documents base + two delta
-    // waves touching ~30% of keys — three versions to merge for those.
-    val d = graft.sources.Tables(spark, sfDir, "documents")
-      .select("doc_id", "lang", "source", "n_chars", "text")
-    cat.createTable("db", "mor", d.schema, primaryKey = Seq("doc_id"))
+    // Uncompacted MoR-pending corpus: the LARGEST fact table (lineitem,
+    // 6M rows / 11 columns at the 10x scale), full base + two delta
+    // waves touching ~53% of keys — three versions to merge for a third
+    // of them, and enough row volume that the bridge's per-row
+    // InternalRow→Row→InternalRow conversion actually shows.
+    val d = graft.sources.Tables(spark, sfDir, "lineitem")
+    cat.createTable("db", "mor", d.schema,
+      primaryKey = Seq("l_orderkey", "l_linenumber"))
     cat.upsert("db", "mor", d)
-    cat.upsert("db", "mor", d.filter(col("doc_id") % 3 === 0)
-      .withColumn("lang", lit("d1")))
-    cat.upsert("db", "mor", d.filter(col("doc_id") % 5 === 0)
-      .withColumn("n_chars", col("n_chars") + 1L))
+    cat.upsert("db", "mor", d.filter(col("l_orderkey") % 3 === 0)
+      .withColumn("l_returnflag", lit("D")))
+    cat.upsert("db", "mor", d.filter(col("l_orderkey") % 5 === 0)
+      .withColumn("l_quantity", col("l_quantity") + 1.0))
     val queries = Seq(
-      "agg_all" -> "SELECT count(*) AS n, sum(n_chars) AS s FROM g.db.mor",
-      "filter_proj" -> ("SELECT doc_id, lang, n_chars FROM g.db.mor " +
-        "WHERE n_chars > 500 AND lang <> 'd1'"),
-      "group_lang" -> ("SELECT lang, count(*) AS n, avg(n_chars) AS a " +
-        "FROM g.db.mor GROUP BY lang"))
+      "agg_all" -> ("SELECT count(*) AS n, sum(l_quantity) AS s, " +
+        "sum(l_extendedprice) AS p FROM g.db.mor"),
+      "filter_proj" -> ("SELECT l_orderkey, l_linenumber, l_quantity " +
+        "FROM g.db.mor WHERE l_quantity > 25 AND l_returnflag <> 'D'"),
+      "group_flag" -> ("SELECT l_returnflag, count(*) AS n, " +
+        "avg(l_extendedprice) AS a FROM g.db.mor GROUP BY l_returnflag"))
     def time(mode: Boolean, q: String): Double = {
       spark.conf.set("spark.graft.morNativeRead.enabled", mode.toString)
       spark.catalog.clearCache()

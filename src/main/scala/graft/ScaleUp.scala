@@ -4,104 +4,81 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
- * Dev tool: derive an sf1-scale benchmark dataset from the driver's sf0.1
- * testdata by deterministic `factor`× replication with key-offset
- * remapping — join fan-in, key cardinalities, and value distributions all
- * scale together, so relative plan costs are representative of a real
- * 10× corpus. `runMain graft.ScaleUp [src] [dst] [factor]`.
+ * Deterministic 10× scale-up of the driver's sf0.1 testdata, for scaling
+ * benches when the container ships no sf1 (round 13+). Referentially
+ * consistent TPC-H-style scaling: every fact AND dim replicates with
+ * disjoint key-space offsets applied consistently on both sides of each
+ * FK (orders.o_custkey and customer.c_custkey shift together), except
+ * `region`/`nation` which stay fixed as in TPC-H. Replica 0 is the
+ * identity, so sf0.1 results are a subset. No randomness — bytes are a
+ * pure function of the source.
  *
- * Replica 0 is the identity; replica r offsets every surrogate key by
- * r×(max+1) of its table so no keys collide and every foreign key still
- * joins to exactly one parent. Document text gets a per-replica suffix
- * token, so replicas of one doc are near-duplicates (jaccard ≈ 0.97) —
- * dedup queries see realistic 10-member families rather than exact
- * clones. nation/region (fixed dimensions) and events/embeddings (not in
- * the sf1 headline subset) copy through unchanged.
+ * Corpus tables replicate verbatim apart from ids: a replica IS an exact
+ * duplicate family (10 copies per document/vector), which the banded
+ * dedup/ANN designs must — and do — handle with bounded buckets. Noted
+ * in BASELINE.md where it affects per-query scaling interpretation.
  *
- * Output lives under target/ (never committed, never touching the
- * read-only /root/testdata).
- *
- * Document replication modes (4th arg): `neardup` (default) appends a
- * per-replica suffix token, so all replicas of one doc are mutual
- * near-dups — chaining derivations MULTIPLIES family sizes and hence
- * SQUARES near-dup pair density (factor² pairs at factor× docs: a
- * stress corpus for pair-linear operators). `distinct` rewrites each
- * replica with a per-replica vowel→consonant translation of the whole
- * text (cross-replica jaccard ≈ 0 — LSH must not even CANDIDATE those
- * pairs; an appended-copy variant was tried first and left jaccard at
- * 0.33, a gray zone r=4 bands still pass ~38% of the time, inflating
- * verify volume 40×), while docs within one replica keep their source
- * family structure — pair density scales LINEARLY with factor, the
- * scaling a real 10× crawl exhibits.
+ * Usage: sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf1synth 10"
  */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dst = args.lift(1).getOrElse("target/sf1")
-    val factor = args.lift(2).map(_.toInt).getOrElse(10)
-    val docMode = args.lift(3).getOrElse("neardup")
-    require(docMode == "neardup" || docMode == "distinct",
-      s"doc mode must be 'neardup' or 'distinct', got '$docMode'")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val dst = args.lift(1).getOrElse("target/sf1synth")
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val done = new java.io.File(s"$dst/_SCALE_DONE")
-    if (done.exists()) { println(s"[scaleup] $dst already built"); spark.stop(); return }
 
-    def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    /** max(key)+1 — the per-replica offset stride for a key space. */
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key))).head().getLong(0) + 1L
-    /** Union of `factor` replicas with the given key columns offset by
-      * r×stride (strides passed per column). */
-    def replicate(df: DataFrame, offsets: Map[String, Long],
-        mutate: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
-      (0 until factor).map { r =>
-        val shifted = offsets.foldLeft(df) { case (d, (c, s)) =>
-          d.withColumn(c, col(c) + lit(r * s))
-        }
-        mutate(shifted, r)
+    // key-space stride per replica, per id domain — far above any base id
+    val C = 10000000L   // custkey
+    val S = 10000000L   // suppkey
+    val P = 10000000L   // partkey
+    val O = 100000000L  // orderkey
+    // the MERGE queries synthesize "NEW" keys at doc_id + 1e7; a 2e7
+    // stride keeps corpus and corpus+1e7 id spaces provably disjoint
+    // (base ids < 5001), so synthesized keys never collide with a replica
+    val D = 20000000L   // doc_id
+    // dedup_semantic plants duplicate ids at base+100000 and guards that
+    // the corpus stays below that offset — so vec_id strides must keep
+    // 10 replicas under 100000 (base max 2000; replicas reach 92000)
+    val V = 10000L      // vec_id
+    val E = 1000000000L // event_id
+    val U = 10000000L   // user_id
+
+    def replicate(name: String, offsets: Map[String, Long]): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+      val reps10: DataFrame = (0 until reps).map { r =>
+        df.select(df.columns.map { c =>
+          offsets.get(c) match {
+            case Some(stride) => (col(c) + lit(stride * r)).as(c)
+            case None => col(c)
+          }
+        }: _*)
       }.reduce(_ unionByName _)
+      reps10.write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: ${df.count()} -> ${reps10.count()} rows")
+    }
+    def copy(name: String): Unit = {
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      println(s"[scaleup] $name: copied 1x")
+    }
 
-    val (cust, ord, li, part, supp, docs) =
-      (rd("customer"), rd("orders"), rd("lineitem"), rd("part"), rd("supplier"), rd("documents"))
-    val cS = stride(cust, "c_custkey")
-    val oS = stride(ord, "o_orderkey")
-    val pS = stride(part, "p_partkey")
-    val sS = stride(supp, "s_suppkey")
-    val dS = stride(docs, "doc_id")
-
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
-    wr(rd("events"), "events")
-    wr(rd("embeddings"), "embeddings")
-    wr(replicate(cust, Map("c_custkey" -> cS)), "customer")
-    wr(replicate(supp, Map("s_suppkey" -> sS)), "supplier")
-    wr(replicate(part, Map("p_partkey" -> pS)), "part")
-    wr(replicate(ord, Map("o_orderkey" -> oS, "o_custkey" -> cS)), "orders")
-    wr(replicate(li, Map("l_orderkey" -> oS, "l_partkey" -> pS, "l_suppkey" -> sS)),
-      "lineitem")
-    wr(replicate(docs, Map("doc_id" -> dS),
-      (d, r) => if (r == 0) d
-        else if (docMode == "distinct") {
-          // per-replica vowel→consonant mapping over the WHOLE text:
-          // replicas of one source doc share almost no shingles
-          val cons = "bcdfghjklmnpqrstvwxz"
-          val map5 = (0 until 5).map(i => cons((r + i * 3) % cons.length)).mkString
-          d.withColumn("text", translate(col("text"), "aeiou", map5))
-        } else d.withColumn("text", concat(col("text"), lit(s" replica$r")))
-          .withColumn("n_chars", col("n_chars") + lit(s" replica$r".length.toLong))),
-      "documents")
-    done.getParentFile.mkdirs(); done.createNewFile()
-    println(s"[scaleup] built $dst at ${factor}x from $src")
+    copy("region")
+    copy("nation")
+    replicate("customer", Map("c_custkey" -> C))
+    replicate("supplier", Map("s_suppkey" -> S))
+    replicate("part", Map("p_partkey" -> P))
+    replicate("orders", Map("o_orderkey" -> O, "o_custkey" -> C))
+    replicate("lineitem", Map("l_orderkey" -> O, "l_partkey" -> P,
+      "l_suppkey" -> S))
+    replicate("events", Map("event_id" -> E, "user_id" -> U))
+    replicate("documents", Map("doc_id" -> D))
+    replicate("embeddings", Map("vec_id" -> V))
     spark.stop()
   }
 }

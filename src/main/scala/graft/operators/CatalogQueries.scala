@@ -811,10 +811,12 @@ object CatalogQueries {
       cat.createSchema("q")
       val o = Tables(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority")
+      // 64-bit members via a +5e9 OFFSET (beyond int range at every SF)
+      // — never a multiply: summed checksums must stay < 2^63 at 100x
       def batch(b: Int) = o.filter(col("o_orderkey") % 3 === lit(b))
         .groupBy("o_orderpriority")
         .agg(collect_list(col("o_custkey")).as("cl"),
-          collect_list(col("o_orderkey") * 1000000L).as("kl"))
+          collect_list(col("o_orderkey") + 5000000000L).as("kl"))
         .select(col("o_orderpriority").as("grp"),
           kernels.rbmBuild(col("cl"), bits64 = false).as("users32"),
           kernels.rbmBuild(col("kl"), bits64 = true).as("keys64"))
@@ -1097,7 +1099,7 @@ object CatalogQueries {
         |  count(DISTINCT o_custkey) AS users_card,
         |  CAST(sum(DISTINCT o_custkey) AS BIGINT) AS users_sum,
         |  count(DISTINCT o_orderkey) AS keys_card,
-        |  CAST(sum(DISTINCT o_orderkey * 1000000) AS BIGINT) AS keys_sum
+        |  CAST(sum(DISTINCT o_orderkey + 5000000000) AS BIGINT) AS keys_sum
         |FROM orders GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
     "catalog_agg_nested" ->
       """WITH per AS (
