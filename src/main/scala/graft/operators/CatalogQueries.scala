@@ -141,6 +141,20 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // file.format=avro (r13): the same MoR image through the bundled
+    // avro source — writes, merge resolution, tombstones all format-aware.
+    "catalog_avro_mor" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang")
+      cat.createTable("q", t, d.schema,
+        options = Map("file.format" -> "avro"), primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 10 === 0).withColumn("lang", lit("UPDATED")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // The same upsert/tombstone state on a BUCKETED PK table (bucket=8):
     // the read resolves per bucket in-task — zero exchanges — and must
     // produce the identical image (Paimon's bucketed merge-on-read).
@@ -1054,6 +1068,10 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 10 = 0 THEN 'DEV' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     "catalog_orc_mor" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
+        |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_avro_mor" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 0 THEN 'UPDATED' ELSE lang END AS lang
         |FROM documents WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,

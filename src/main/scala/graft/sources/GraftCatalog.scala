@@ -259,20 +259,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         "rowkind.field on a field-wise merge engine requires " +
           "ignore-delete=true (no tombstone path exists there)")
     }
-    // File format (Paimon's `file.format`, default parquet): ORC writes
-    // through Spark's native ORC source — reads, merge-on-read, schema
-    // evolution (write-time names, honored by ORC's by-name column
-    // resolution), compaction, streaming, changelog all work unchanged
-    // through the format-aware read/write seams. Parquet-footer-specific
-    // machinery degrades CONSERVATIVELY on ORC: no zone/bloom skipping
-    // (nothing prunes, nothing wrong), metadata-only countRows
-    // unavailable (falls back to a scan), deletion vectors refuse (they
-    // pin parquet row_index semantics). Avro is unsupported: the Spark
-    // distribution ships no spark-avro connector.
+    // File format (Paimon's `file.format`, default parquet): ORC and
+    // AVRO write through Spark's native sources (Spark 4 bundles the
+    // avro source in spark-sql) — reads, merge-on-read, schema evolution
+    // (each dir is read at its WRITE-TIME schema and mapped forward by
+    // field id, so by-name file resolution suffices), compaction,
+    // streaming, changelog all work unchanged through the format-aware
+    // read/write seams. Parquet-footer-specific machinery degrades
+    // CONSERVATIVELY on both: no zone/bloom skipping (nothing prunes,
+    // nothing wrong), metadata-only countRows unavailable (falls back to
+    // a scan), deletion vectors refuse (they pin parquet row_index
+    // semantics). The `$partitions` view counts ORC rows from footers
+    // and AVRO rows from block headers (I/O-only, no decode).
     options.get("file.format").foreach { f =>
-      require(f == "parquet" || f == "orc",
-        s"file.format must be parquet or orc, got $f")
-      if (f == "orc") {
+      require(f == "parquet" || f == "orc" || f == "avro",
+        s"file.format must be parquet, orc or avro, got $f")
+      if (f != "parquet") {
         require(!options.get("deletion-vectors").contains("true"),
           "deletion-vectors requires file.format=parquet (row positions " +
             "pin parquet row_index semantics)")
@@ -285,9 +287,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // validated against what the chosen format's Spark writer accepts.
     options.get("file.compression").foreach { c =>
       val fmt = options.getOrElse("file.format", "parquet")
-      val valid =
-        if (fmt == "orc") Set("none", "snappy", "zlib", "zstd", "lz4")
-        else Set("none", "uncompressed", "snappy", "gzip", "zstd", "lz4")
+      val valid = fmt match {
+        case "orc" => Set("none", "snappy", "zlib", "zstd", "lz4")
+        case "avro" => Set("uncompressed", "snappy", "deflate", "bzip2",
+          "xz", "zstandard")
+        case _ => Set("none", "uncompressed", "snappy", "gzip", "zstd", "lz4")
+      }
       require(valid(c.toLowerCase(java.util.Locale.ROOT)),
         s"file.compression '$c' is not a valid $fmt codec " +
           s"(${valid.toSeq.sorted.mkString(", ")})")
@@ -1027,7 +1032,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // DV sidecar frames stay parquet regardless of the table's data
       // format (DVs exist only on parquet tables — validated at create)
       val fmt = if (frameKind == "dv") "parquet" else fileFormat(m)
-      val writer0 = toWrite.write.mode("overwrite").format(fmt)
+      val writer0 = toWrite.write.mode("overwrite").format(providerFor(fmt))
       // Paimon's file.compression: per-table codec for data files
       // (engine default — snappy — when unset). DV sidecars keep the
       // default; they are position lists, not data.
@@ -1773,7 +1778,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val fmt = fileFormat(m)
     val reader = spark.readStream.schema(target)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.option("pathGlobFilter", s"*.$fmt").format(fmt)
+    reader.option("pathGlobFilter", s"*.$fmt").format(providerFor(fmt))
       .load(new Path(tablePath(schema, table), "snap-*").toString)
   }
 
@@ -2002,7 +2007,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // identity-partition structure $partitions and pruning expect).
     clustered
       .withColumn("__range", org.apache.spark.sql.functions.spark_partition_id())
-      .write.mode("overwrite").format(fileFormat(m))
+      .write.mode("overwrite").format(providerFor(fileFormat(m)))
       .partitionBy(("__range" +: partitionColumns(m)): _*)
       .save(staging.toString)
     // Promote each __range=i subdir to its own dir entry (rename = O(1)
@@ -3497,8 +3502,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // partition segments between the dir root and each file still
       // resolve as partition columns of the declared schema
       case Some(files) => spark.read.schema(writeSchema)
-        .option("basePath", base.toString).format(fmt).load(files: _*)
-      case None => spark.read.schema(writeSchema).format(fmt)
+        .option("basePath", base.toString).format(providerFor(fmt)).load(files: _*)
+      case None => spark.read.schema(writeSchema).format(providerFor(fmt))
         .load(base.toString)
     }
     // Map write-time schema → current schema by field id.
@@ -4048,9 +4053,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def sequenceFieldOf(schema: String, table: String): Option[String] =
     sequenceField(readManifest(schema, table))
 
-  /** Data file format (Paimon's `file.format`): parquet (default) or orc. */
+  /** Data file format (Paimon's `file.format`): parquet (default), orc, avro. */
   def fileFormatOf(schema: String, table: String): String =
     fileFormat(readManifest(schema, table))
+
+  /** Spark DataSource provider for a table format. The avro source is
+    * BUNDLED in spark-sql on this distribution but not service-registered
+    * (the short name fails lookup with the "external module" hint), so
+    * data I/O addresses its FileFormat class directly; file extensions
+    * (globs, listings) still use the short name. */
+  private def providerFor(fmt: String): String =
+    if (fmt == "avro") "org.apache.spark.sql.avro.AvroFileFormat" else fmt
 
   private def fileFormat(m: ObjectNode): String = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
@@ -5565,7 +5578,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           while (it.hasNext) {
             val st = it.next()
             val nm = st.getPath.getName
-            if (nm.endsWith(".parquet") || nm.endsWith(".orc")) {
+            if (nm.endsWith(".parquet") || nm.endsWith(".orc") ||
+                nm.endsWith(".avro")) {
               n += 1; b += st.getLen
             }
           }
@@ -5616,8 +5630,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val it = fs.listFiles(base, true)
         while (it.hasNext) {
           val st = it.next()
-          val isParquet = st.getPath.getName.endsWith(".parquet")
-          if (isParquet || st.getPath.getName.endsWith(".orc")) {
+          val nm = st.getPath.getName
+          val isParquet = nm.endsWith(".parquet")
+          if (isParquet || nm.endsWith(".orc") || nm.endsWith(".avro")) {
             val fileRel = st.getPath.toString.stripPrefix(qbase).stripPrefix("/")
             val rel = fileRel.split('/').dropRight(1).mkString("/")
             val rows = dirStats.get(fileRel).map(_.rows).getOrElse {
@@ -5626,10 +5641,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
                 val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
                   org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
                 try rd.getRecordCount finally rd.close()
-              } else {
+              } else if (nm.endsWith(".orc")) {
                 val rd = org.apache.orc.OrcFile.createReader(st.getPath,
                   org.apache.orc.OrcFile.readerOptions(conf))
                 try rd.getNumberOfRows finally rd.close()
+              } else {
+                // avro: sum per-block record counts from block headers —
+                // I/O over the file, zero record decode
+                val in = new org.apache.avro.mapred.FsInput(st.getPath, conf)
+                val rd = new org.apache.avro.file.DataFileReader(in,
+                  new org.apache.avro.generic.GenericDatumReader[AnyRef]())
+                try {
+                  var n = 0L
+                  while (rd.hasNext) { n += rd.getBlockCount; rd.nextBlock() }
+                  n
+                } finally rd.close()
               }
             }
             val key = (rel, fe.kind)

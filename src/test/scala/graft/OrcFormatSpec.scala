@@ -87,11 +87,12 @@ class OrcFormatSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) FROM go.db.o3 WHERE id >= 2").head().getLong(0) === 1)
   }
 
-  test("validation: avro refused, DV/bloom require parquet, format immutable") {
+  test("validation: unknown formats refused, DV/bloom require parquet, " +
+      "format immutable") {
     import spark.implicits._
     val sch = Seq((1L, "x")).toDF("id", "v").schema
     intercept[IllegalArgumentException](gc.createTable("db", "bad1", sch,
-      options = Map("file.format" -> "avro")))
+      options = Map("file.format" -> "csv")))
     intercept[IllegalArgumentException](gc.createTable("db", "bad2", sch,
       options = Map("file.format" -> "orc", "deletion-vectors" -> "true")))
     intercept[IllegalArgumentException](gc.createTable("db", "bad3", sch,
