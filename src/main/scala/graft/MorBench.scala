@@ -64,9 +64,12 @@ object MorBench {
     // warmup both modes (JIT, footer caches)
     queries.foreach { case (_, q) => time(true, q); time(false, q) }
     val rows = queries.map { case (name, q) =>
-      val on = (1 to runs).map(_ => time(mode = true, q)).min
-      val off = (1 to runs).map(_ => time(mode = false, q)).min
-      // sanity: the plans actually differ
+      // alternate modes per repetition so a mid-query ambient drift step
+      // hits both modes equally (an all-on-then-all-off block would bias
+      // whichever mode ran during the quiet half)
+      val pairs = (1 to runs).map(_ => (time(mode = true, q), time(mode = false, q)))
+      val on = pairs.map(_._1).min
+      val off = pairs.map(_._2).min
       name -> (on, off)
     }
     // plan-shape proof in the same process

@@ -46,6 +46,12 @@ object ScaleUp {
     // the corpus stays below that offset — so vec_id strides must keep
     // 10 replicas under 100000 (base max 2000; replicas reach 92000)
     val V = 10000L      // vec_id
+    // base vec_ids are < 2001; replica vec_ids reach (reps-1)*V + 2000 and
+    // MUST stay below the 100000 planted-duplicate offset or they collide
+    // with dedup_semantic's planted ids and silently corrupt its results
+    require((reps - 1) * V + 2000 < 100000,
+      s"replication factor $reps pushes vec_ids into dedup_semantic's " +
+        "planted-duplicate id space (>= 100000) — max supported is 10")
     val E = 1000000000L // event_id
     val U = 10000000L   // user_id
 

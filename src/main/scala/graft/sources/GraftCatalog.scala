@@ -472,6 +472,35 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     m.put("lastFieldId", structType.fields.length)
     m.putArray("snapshots")
     writeManifest(schema, table, m)
+    // Staging lineages carry an explicit creation stamp: sweepStaleStages
+    // ages from it, never from dir mtime (a trash dir renamed aside keeps
+    // the ORIGINAL table's ancient mtime and would otherwise be sweepable
+    // during the promote window).
+    if (isStage(table)) stampStage(schema, table)
+  }
+
+  private def stageStampPath(schema: String, table: String): Path =
+    new Path(tablePath(schema, table), GraftCatalog.StageStampFile)
+
+  /** Write/refresh a stage (or trash) dir's creation stamp — the clock
+    * sweepStaleStages ages it by. */
+  private def stampStage(schema: String, table: String): Unit = {
+    val out = fs.create(stageStampPath(schema, table), true)
+    try out.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Stamp millis if present/readable; None falls back to dir mtime. */
+  private def stageStamp(schema: String, table: String): Option[Long] = {
+    val p = stageStampPath(schema, table)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](64)
+      val n = in.read(buf)
+      scala.util.Try(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        .toOption
+    } finally in.close()
   }
 
   def listTables(schema: String): Seq[String] = {
@@ -561,6 +590,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       java.util.UUID.randomUUID().toString.substring(0, 8)
     if (targetExists) {
       fs.rename(tablePath(schema, target), tablePath(schema, trash))
+      // fresh stamp: the moved-aside image keeps the original table's
+      // ancient dir mtime — without this a concurrent sweep could delete
+      // it DURING the promote window, breaking the never-deleted-until-
+      // the-stage-is-in-place guarantee
+      stampStage(schema, trash)
       GraftCatalog.purgeHeadCache(
         fs.makeQualified(tablePath(schema, target)).toString)
     }
@@ -569,8 +603,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   private def finishSwap(schema: String, stage: String, target: String): Unit = {
-    renameTable(schema, stage, target)
+    // Idempotent completion: a concurrent promoteStage/recoverStage may
+    // have finished this very swap between our marker check and here
+    // (stage gone, target in place, marker already cleared) — that is
+    // SUCCESS for an actually-committed CTAS/RTAS, not a failure.
+    def completedByOther(): Boolean =
+      !tableManifestExists(schema, stage) && tableManifestExists(schema, target)
+    if (completedByOther()) { fs.delete(swapMarker(schema, target), false); return }
+    try renameTable(schema, stage, target)
+    catch {
+      case _: IllegalArgumentException if completedByOther() => () // lost the race
+    }
     fs.delete(swapMarker(schema, target), false)
+    fs.delete(stageStampPath(schema, target), false) // stamp rode the rename
     ()
   }
 
@@ -607,8 +652,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             finishSwap(schema, name, t)
           case _ =>
             // no marker (mid-write crash) or target present (the swap
-            // never started replacing): stale once past the TTL
-            if (now - st.getModificationTime > ttlMs) {
+            // never started replacing): stale once past the TTL, aged
+            // from the explicit creation/rename-aside stamp — dir mtime
+            // only as a fallback for stamps from older writers
+            val born = stageStamp(schema, name).getOrElse(st.getModificationTime)
+            if (now - born > ttlMs) {
               fs.delete(st.getPath, true); ()
             }
         }
@@ -6166,6 +6214,10 @@ object GraftCatalog {
   /** Durable commit-point marker inside a stage dir: its presence +
     * content (the target name) makes an interrupted swap completable. */
   private[sources] val SwapMarkerFile = ".swap-commit"
+
+  /** Creation stamp inside a stage/trash dir: sweepStaleStages ages from
+    * it instead of dir mtime (see promoteStage's rename-aside note). */
+  private[sources] val StageStampFile = ".stage-stamp"
 
   /** Per-attempt-unique stage name: two concurrent RTAS on one table
     * stage independently and the loser fails at promote, never

@@ -488,8 +488,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   // leaves the target name empty. Crashed stages are swept here
   // opportunistically (TTL'd) before each new staging attempt.
 
+  // default 24h: a sweep must never outpace a plausible large-CTAS write
+  // duration — stages age from their creation stamp, so the TTL is the
+  // only guard for a still-writing concurrent session's stage
   private def stageTtlMs: Long =
-    spark.conf.get("spark.graft.staging.ttlMs", "3600000").toLong
+    spark.conf.get("spark.graft.staging.ttlMs", "86400000").toLong
 
   override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
     val s = ns1(ident.namespace)
@@ -510,8 +513,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           throw new org.apache.spark.sql.catalyst.analysis
             .TableAlreadyExistsException(Seq(ident.namespace.head, ident.name))
         },
-      onAbort = () => { cat.dropTable(s, stage); () })
+      // idempotent: promote's already-exists path deletes the stage before
+      // throwing, and Spark then still calls abortStagedChanges — a
+      // second dropTable on the gone stage must not mask the real error
+      onAbort = () => dropStageIfPresent(s, stage))
   }
+
+  private def dropStageIfPresent(s: String, stage: String): Unit =
+    try { gc.dropTable(s, stage); () }
+    catch { case _: IllegalArgumentException => () } // already gone
 
   override def stageCreateOrReplace(ident: Identifier, info: TableInfo): StagedTable =
     if (tableExists(ident)) stageReplace(ident, info)
@@ -534,7 +544,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       info.schema, info.partitions, info.properties)
     new GraftStagedTable(t.asInstanceOf[GraftSqlTable],
       onCommit = () => cat.promoteStage(s, stage, ident.name, replaceExisting = true),
-      onAbort = () => { cat.dropTable(s, stage); () })
+      onAbort = () => dropStageIfPresent(s, stage))
   }
 }
 
