@@ -500,6 +500,30 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Deletion vectors on a PRIMARY-KEY table (Paimon's flagship
+    // deletion-vectors.enabled mode): upserts and deletes accumulate MoR
+    // state, buildDeletionVectors encodes it positionally at compaction
+    // (tombstone dirs replaced, zero data bytes rewritten), the read goes
+    // merge-free below the build, and post-build deltas — an upsert that
+    // RESURRECTS some deleted keys, plus another delete — resolve through
+    // the hybrid base/delta split.
+    "catalog_delete_vectors_pk" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("upd")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.buildDeletionVectors("q", t)
+      cat.upsert("q", t, d.filter(col("doc_id") % 9 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000))
+      cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // Append-only UPDATE via deletion vectors: the matched rows' old
     // positions land in a DV dir and their updated images in a data dir
     // under ONE atomic snapshot (no file rewritten). A following DELETE
@@ -984,6 +1008,16 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents
         |WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    // the %9 upsert lands AFTER the %7 delete, so it resurrects those
+    // keys with the ORIGINAL lang (full-row replace under deduplicate)
+    "catalog_delete_vectors_pk" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN lang
+        |       WHEN doc_id % 10 = 0 THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 9 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 7 <> 3 OR doc_id % 9 = 0) AND doc_id % 11 <> 5
+        |ORDER BY doc_id""".stripMargin,
     "catalog_bloom_lookup" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id IN (7, 42, 101, 256) ORDER BY doc_id""".stripMargin,

@@ -301,17 +301,43 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // snapshot.time-retained): applied automatically after every commit
     // (see autoExpire) — validated here AND in setTableOptions (mutable).
     validateRetentionOptions(options)
-    // Deletion vectors (Paimon's `deletion-vectors.enabled`): row-level
-    // DELETE on APPEND-ONLY tables as per-file position indexes — no
-    // copy-on-write rewrite, no tombstone merge. PK tables already delete
-    // via merge-on-read tombstones, so the option is append-only here.
+    // Deletion vectors (Paimon's `deletion-vectors.enabled`), two scopes:
+    //
+    //  - APPEND-ONLY tables: row-level DELETE/UPDATE as per-file position
+    //    indexes written directly by deleteWhere/update — no copy-on-write
+    //    rewrite (TrinoTableOptionUtils surfaces the same CoreOption).
+    //  - PRIMARY-KEY tables (Paimon's flagship read-optimized mode): DVs
+    //    are BUILT at compaction over the version history
+    //    ([[buildDeletionVectors]]) so delete-heavy reads skip the
+    //    keep-latest merge for everything at or below the build — see
+    //    [[pkDvResolve]]. The base/delta split orders by snapshot ordinal
+    //    alone, so the mode pins merge-engine=deduplicate, no
+    //    sequence.field (an out-of-order writer could land a version that
+    //    must LOSE to an already-DV-built row), and partition ⊆ primary
+    //    key (a cross-partition move's two-residence resolution has no
+    //    per-ordinal split point).
     options.get("deletion-vectors").foreach { v =>
       require(v == "true" || v == "false",
         s"deletion-vectors must be true or false, got $v")
       if (v == "true") {
-        require(primaryKey.isEmpty,
-          "deletion-vectors applies to append-only tables " +
-            "(primary-key tables delete via merge-on-read tombstones)")
+        if (primaryKey.nonEmpty) {
+          require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
+            "deletion-vectors on a primary-key table requires " +
+              "merge-engine=deduplicate (a DV build resolves keep-latest " +
+              "semantics; field-wise engines fold values instead)")
+          require(!options.contains("sequence.field"),
+            "deletion-vectors on a primary-key table is incompatible with " +
+              "sequence.field: the merge-free base/delta split orders by " +
+              "snapshot ordinal, which a user sequence could contradict")
+          require(partitionBy.forall(primaryKey.contains),
+            "deletion-vectors on a primary-key table requires partition " +
+              "columns inside the primary key (cross-partition upsert has " +
+              "no per-ordinal merge-free split point)")
+          require(!options.get("bucket").contains("-1"),
+            "deletion-vectors on a primary-key table requires a fixed " +
+              "bucket count (dynamic-bucket snapshots interleave hash-index " +
+              "dirs the merge-free base/delta split cannot order)")
+        }
         Seq(DvFileCol, DvPosCol).foreach(c =>
           require(!structType.fieldNames.contains(c),
             s"column name $c is reserved on deletion-vector tables"))
@@ -1058,6 +1084,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     def write(frame: DataFrame, toDir: String, frameKind: String): Unit = {
       val (toWrite0, bucketPart) =
         if (frameKind == "idx") (frame, Seq.empty) // no rows, no layout
+        // DV sidecars are (file, pos) lists with no key columns — they
+        // never take the bucket layout (a PK DV build on a bucketed
+        // table would otherwise try to hash absent key columns)
+        else if (frameKind == "dv") (frame, Seq.empty)
         else buckets match {
           case Some(-1) => (frame, Seq(BucketCol)) // pre-routed via the hash index
           case Some(n) =>
@@ -1500,6 +1530,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           .reverse.takeWhile(!_.has("compaction")).size
         if (since >= n) compact(schema, table)
       }
+      // PK deletion-vector maintenance cadence: build DVs after every N
+      // data commits — the lookup-compaction rhythm that keeps a DV
+      // table's reads merge-free WITHOUT rewriting data bytes (the build
+      // is compaction-kind, so the counter resets and it never reenters).
+      opts.get("deletion-vectors.build-delta-commits").map(_.toInt).foreach { n =>
+        require(n >= 1, "deletion-vectors.build-delta-commits must be >= 1")
+        if (opts.get("deletion-vectors").contains("true") &&
+            primaryKeyOf(schema, table).nonEmpty) {
+          val m = readManifest(schema, table)
+          val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+          val since = (0 until snaps.size()).map(snaps.get)
+            .reverse.takeWhile(!_.has("compaction")).size
+          if (since >= n) buildDeletionVectors(schema, table)
+        }
+      }
       opts.get("compaction.min.small-files").map(_.toInt).foreach { n =>
         if (primaryKeyOf(schema, table).isEmpty) {
           val smallBytes = opts.get("compaction.small-bytes")
@@ -1882,6 +1927,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     require(snaps.size() > 0, s"$schema.$table has no snapshots")
     val entries = filesOf(snaps.get(snaps.size() - 1))
+    refuseDvEntries(entries, s"$schema.$table", "compactBuckets")
     val img = bucketedResolve(schema, table, m, entries, n,
       onlyBuckets = Some(buckets.distinct.sorted)).getOrElse(emptyFrame(m))
     commit(schema, table, img, keepExisting = true, compaction = true,
@@ -1944,6 +1990,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def compactHotBuckets(schema: String, table: String,
       trigger: Int = 5): Option[Long] = {
     require(trigger >= 2, s"trigger must be >= 2, got $trigger")
+    // PK deletion-vector tables do their read-optimizing maintenance via
+    // buildDeletionVectors (a per-bucket fold would resurrect DV'd
+    // versions once their tombstone dirs were replaced) — skip quietly
+    // so commit-time auto-maintenance stays usable on DV tables
+    locally {
+      val m = readManifest(schema, table)
+      val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+      if (primaryKey(m).nonEmpty && snaps.size() > 0 &&
+          filesOf(snaps.get(snaps.size() - 1)).exists(_.kind == "dv"))
+        return None
+    }
     val hot = bucketSortedRuns(schema, table)
       .collect { case (k, c) if c >= trigger => k }.toSeq.sorted
     if (hot.isEmpty) None else Some(compactBuckets(schema, table, hot))
@@ -3687,6 +3744,174 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     (clean ++ deduped).reduce(_ unionByName _)
   }
 
+  /** Snapshot ordinal of an entry's dir: leading digits of the dir name
+    * ("snap-7" and its paired "snap-7-del" share ordinal 7). */
+  private def entryOrdinal(fe: FileEntry): Long =
+    dirKey(fe.dir).stripPrefix("snap-").takeWhile(_.isDigit).toLong
+
+  /** Bucket-granular ops don't compose with PK deletion-vector state (a
+    * DV'd stale version inside one bucket's legs would resurrect once
+    * its tombstone dir was replaced) — refused, not silently wrong.
+    * Time travel to pre-DV snapshots still resolves (their entry lists
+    * carry no dv entries). Callers are all bucketed-PK contexts
+    * (append-only DV tables are never bucketed — bucket requires a PK). */
+  private def refuseDvEntries(entries: Seq[FileEntry], tbl: String,
+      op: String): Unit =
+    require(!entries.exists(_.kind == "dv"),
+      s"$op on $tbl: snapshot carries live deletion vectors — " +
+        "bucket-granular reads/compactions don't compose with DV state; " +
+        "compact() retires the DVs first")
+
+  /**
+   * Merge-free hybrid read of a PRIMARY-KEY deletion-vector table —
+   * Paimon's flagship `deletion-vectors.enabled` read economics, which
+   * the reference serves transparently through DV-aware splits
+   * (TrinoPageSourceBase reads DV-enabled Paimon tables via
+   * SnapshotReader; TrinoTableOptionUtils surfaces the CoreOption).
+   *
+   * Invariant from [[buildDeletionVectors]]: at or below the newest DV
+   * build's ordinal, every key has AT MOST ONE live (non-DV'd) version
+   * and no tombstone dirs survive. So the BASE reads with no merge state
+   * at all — clean files keep the pure vectorized scan, DV-dirty files
+   * pay a (file, pos) anti-join, nothing shuffles on the key. Deltas
+   * committed after the build resolve through the ordinary keep-latest
+   * window over O(delta) rows, then subtract their keys from the base
+   * with one delta-sized anti-join (broadcast under AQE). With no
+   * post-build deltas the plan carries NO window and no key exchange —
+   * a delete-heavy 100 TB PK table reads at append-table speed.
+   */
+  private def pkDvResolve(schema: String, table: String, m: ObjectNode,
+      entries: Seq[FileEntry]): Option[DataFrame] = {
+    val pk = primaryKey(m)
+    val names = currentFields(m).map(_.name)
+    val dvEs = entries.filter(_.kind == "dv")
+    val buildOrd = dvEs.map(entryOrdinal).max
+    val (base, delta) = entries.filterNot(_.kind == "dv")
+      .partition(fe => entryOrdinal(fe) <= buildOrd)
+    // a build replaces every tombstone dir at or below its ordinal — a
+    // surviving one means a foreign writer broke the DV invariant
+    require(base.forall(_.kind == "data"),
+      s"$schema.$table: tombstone dir at or below DV-build ordinal " +
+        s"$buildOrd — the merge-free base invariant does not hold")
+    val bucketed = bucketCount(m).isDefined
+    val baseLive: Option[DataFrame] =
+      if (base.isEmpty) None
+      else if (!bucketed)
+        // clean/dirty file split via the dvIndex: clean files keep the
+        // pure vectorized scan, only DV-touched files pay the anti-join
+        Some(appendUnion(schema, table, m, base.map((_, None)), dvEs)
+          .select(names.map(col): _*))
+      else {
+        // bucketed layout: dirs hold __bucket=k subdirs that appendUnion's
+        // per-file machinery doesn't resolve — read whole dirs with the
+        // bucket column retained and apply the anti-join uniformly (the
+        // DV side holds deleted positions only; AQE broadcasts it)
+        val all = base.map(frameFor(schema, table, m, _,
+            withMeta = true, withBucket = true)).reduce(_ unionByName _)
+        Some(all.join(dvFrame(schema, table, dvEs),
+            Seq(DvFileCol, DvPosCol), "left_anti")
+          .select(names.map(col): _*))
+      }
+    if (delta.isEmpty) return baseLive
+    val deltaAll = delta.map { fe =>
+      val f = frameFor(schema, table, m, fe, withBucket = bucketed)
+      if (bucketed) f.drop(BucketCol) else f
+    }.reduce(_ unionByName _)
+    // no sequence.field on PK DV tables (refused at create): pure
+    // ordinal order is the version order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+    val deltaTop = deltaAll.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val live = deltaTop.filter(!col("__del")).select(names.map(col): _*)
+    baseLive match {
+      case None => Some(live)
+      case Some(b) =>
+        val deltaKeys = deltaTop.select(pk.map(col): _*)
+        Some(b.join(deltaKeys, pk, "left_anti").unionByName(live))
+    }
+  }
+
+  /**
+   * Build deletion vectors for a primary-key table — the compaction-time
+   * maintenance that buys [[pkDvResolve]]'s merge-free reads WITHOUT
+   * rewriting a byte of data (Paimon builds DVs during lookup/full
+   * compactions the same way; full [[compact]] still rewrites and
+   * retires them). One keep-latest window over the DV-applied history
+   * finds every data row superseded by a newer version or tombstone;
+   * those (file, pos) pairs land as a DV dir in a compaction-kind
+   * snapshot (changelog-invisible — no logical content changed), and
+   * every tombstone dir is REPLACED by it (their effect is now encoded
+   * positionally; older snapshots still reference them for time travel).
+   * On a delete-heavy 100 TB table this commits O(superseded rows)
+   * positions instead of rewriting O(table) bytes.
+   *
+   * Returns the new snapshot id (the current one when nothing was
+   * superseded and no tombstone dirs needed replacing).
+   */
+  def buildDeletionVectors(schema: String, table: String): Long = {
+    val m = readManifest(schema, table)
+    val pk = primaryKey(m)
+    require(pk.nonEmpty,
+      s"$schema.$table is append-only — its DVs are written directly by " +
+        "deleteWhere/update; buildDeletionVectors serves primary-key tables")
+    require(deletionVectors(m),
+      s"$schema.$table does not have deletion-vectors enabled")
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    if (snaps.size() == 0) return 0L
+    val latest = snaps.get(snaps.size() - 1)
+    val entries = filesOf(latest)
+    require(entries.forall(_.excludeBuckets.isEmpty),
+      s"$schema.$table carries per-bucket-compacted history — run a full " +
+        "compact() before building deletion vectors (retired-bucket dirs " +
+        "have no per-file position identity to DV against)")
+    val dvEs = entries.filter(_.kind == "dv")
+    val delEs = entries.filter(_.kind == "delete")
+    val dataEs = entries.filter(_.kind == "data")
+    if (dataEs.isEmpty) return latest.get("id").asLong()
+    val bucketed = bucketCount(m).isDefined
+    val dataAll = dataEs.map(frameFor(schema, table, m, _,
+        withMeta = true, withBucket = bucketed)).reduce(_ unionByName _)
+    // victims are found over the DV-APPLIED image: an already-dead row
+    // must not be counted twice (same contract as deleteWhereDv)
+    val dataLive = if (dvEs.isEmpty) dataAll
+      else dataAll.join(dvFrame(schema, table, dvEs),
+        Seq(DvFileCol, DvPosCol), "left_anti")
+    // tombstones join the version race with null position identity
+    val delAll = delEs.map(frameFor(schema, table, m, _,
+        withBucket = bucketed)).reduceOption(_ unionByName _)
+      .map(_.withColumn(DvFileCol,
+          lit(null).cast(org.apache.spark.sql.types.StringType))
+        .withColumn(DvPosCol, lit(null).cast(org.apache.spark.sql.types.LongType)))
+    val all = delAll.map(d => dataLive.unionByName(d.select(dataLive.columns
+      .map(col): _*))).getOrElse(dataLive)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+    // every data row that is not its key's live winner is a victim —
+    // including all versions of a key whose winner is a tombstone
+    val victims = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
+      .select(col(DvFileCol), col(DvPosCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perFile = victims.groupBy(DvFileCol)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
+      if (perFile.isEmpty && delEs.isEmpty) return latest.get("id").asLong()
+      val files = perFile.map(_.getString(0)).toSeq.sorted
+      val rows = perFile.map(_.getLong(1)).sum
+      commit(schema, table,
+        victims.sortWithinPartitions(DvFileCol, DvPosCol),
+        keepExisting = true, kind = "dv",
+        compaction = true, // bytes re-indexed, no logical change: changelog skips it
+        dvIndexEntry = Some((files, rows)),
+        replacedDirs = delEs.map(_.dir).toSet,
+        // victims are (file, pos) pairs derived from THIS head — abort
+        // if a concurrent commit moved it (same contract as deleteWhereDv)
+        basisVersion = Some(
+          if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L))
+    } finally { victims.unpersist(); () }
+  }
+
   /**
    * Union the mapped frames and resolve merge-on-read state per the
    * table's merge engine (Paimon's `merge-engine`, default deduplicate):
@@ -3707,6 +3932,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def resolveFrames(schema: String, table: String, m: ObjectNode,
       entries: Seq[FileEntry]): Option[DataFrame] = {
     if (entries.isEmpty) return None
+    // PK tables carrying deletion vectors (built at compaction) read
+    // merge-free below the build ordinal — see pkDvResolve. Checked
+    // before the bucketed dispatch: the hybrid read subsumes it.
+    if (primaryKey(m).nonEmpty && entries.exists(_.kind == "dv"))
+      return pkDvResolve(schema, table, m, entries)
     bucketCount(m) match {
       case Some(n) if primaryKey(m).nonEmpty =>
         return bucketedResolve(schema, table, m, entries, n)
@@ -3714,9 +3944,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     val pk = primaryKey(m)
     if (pk.isEmpty) {
-      // Append-only: plain union, minus any deletion-vector positions
-      // (DV entries exist only on append-only tables — createTable
-      // enforces it).
+      // Append-only: plain union, minus any deletion-vector positions.
       val (dvEs, dataEs) = entries.partition(_.kind == "dv")
       if (dataEs.isEmpty) return None
       return Some(appendUnion(schema, table, m, dataEs.map((_, None)), dvEs)
@@ -4678,7 +4906,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val target = StructType(currentFields(m).map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
     chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
-      .flatMap(s => bucketedResolve(schema, table, m, filesOf(s), n, Some(Seq(bucket))))
+      .flatMap { s =>
+        val entries = filesOf(s)
+        refuseDvEntries(entries, s"$schema.$table", "readBucket")
+        bucketedResolve(schema, table, m, entries, n, Some(Seq(bucket)))
+      }
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))
   }

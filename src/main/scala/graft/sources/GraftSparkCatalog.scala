@@ -280,7 +280,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           case EqualTo(a, v) if pk.contains(a) => a -> v
         }.toMap
         val prunedBucket =
-          if (bucketed && pk.nonEmpty && pk.forall(eq.contains)) {
+          // live PK deletion vectors: single-bucket resolution doesn't
+          // compose with DV state (readBucket refuses) — fall through to
+          // the hybrid read, which is itself merge-free below the build
+          if (bucketed && pk.nonEmpty && pk.forall(eq.contains) &&
+              !entries.exists(_.kind == "dv")) {
             // dynamic-bucket tables route point lookups through the hash
             // index; an unassigned key (None) falls through to the
             // ordinary read, which correctly returns nothing

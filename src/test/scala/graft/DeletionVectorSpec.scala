@@ -139,11 +139,13 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("deletion-vectors"))
     // snapshot-level changelog streaming now serves DV tables
     assert(gc.readChangelogStream("db", "t1").isStreaming)
-    // option validation: PK tables refuse it, reserved names refuse
+    // option validation: PK scope pins deduplicate/ordinal-only ordering,
+    // reserved names refuse
     val e5 = intercept[IllegalArgumentException](
       gc.createTable("db", "bad1", batch(0, 0).schema,
-        options = Map("deletion-vectors" -> "true"), primaryKey = Seq("id")))
-    assert(e5.getMessage.contains("append-only"))
+        options = Map("deletion-vectors" -> "true",
+          "sequence.field" -> "grp"), primaryKey = Seq("id")))
+    assert(e5.getMessage.contains("sequence.field"))
     val e6 = intercept[IllegalArgumentException](
       gc.createTable("db", "bad2",
         spark.range(1).selectExpr("id", "'x' AS __file").schema,
@@ -310,5 +312,156 @@ class DeletionVectorSpec extends SparkSpecBase {
     gc.update("db", "tux", col("id") === 3L, Map("grp" -> lit(0)))
     assert(gc.read("db", "tux").filter(col("id") === 3L)
       .head.getInt(2) === 0)
+  }
+
+  // ---- PK scope: deletion vectors built at compaction --------------------
+
+  test("PK DV: build at compaction yields a merge-free read") {
+    gc.createTable("db", "pk1", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true"), primaryKey = Seq("id"))
+    gc.upsert("db", "pk1", batch(1, 100).toDF())                   // snap 1
+    gc.upsert("db", "pk1", batch(1, 30).toDF()                     // snap 2
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", "pk1", col("id") > 90)                    // snap 3
+    val dataFilesBefore = gc.snapshotFileEntries("db", "pk1")
+      .filter(_.kind == "data").map(_.dir).toSet
+    val built = gc.buildDeletionVectors("db", "pk1")               // snap 4
+    assert(built === 4)
+    // tombstone dir replaced by the DV dir; data dirs untouched
+    val entries = gc.snapshotFileEntries("db", "pk1")
+    assert(entries.map(_.kind).sorted === Seq("data", "data", "dv"))
+    assert(entries.filter(_.kind == "data").map(_.dir).toSet === dataFilesBefore)
+    val df = gc.read("db", "pk1")
+    assert(df.count() === 90)
+    assert(df.filter(col("id") <= 30 && col("name").startsWith("u")).count() === 30)
+    assert(df.filter(col("id") > 90).count() === 0)
+    assert(df.select("id").distinct().count() === 90) // one live version per key
+    // merge-free: no keep-latest window anywhere in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // the build is changelog-invisible (compaction-kind): range (2, 4]
+    // carries only snap 3's deletes
+    val cl = gc.readChangelog("db", "pk1", 2, 4).collect()
+    assert(cl.forall(_.getString(3) == "-D"))
+    assert(cl.map(_.getLong(0)).sorted.toSeq === (91L to 100L))
+    // time travel: pre-build image identical to post-build image
+    val pre = gc.read("db", "pk1", snapshotId = Some(3))
+    assert(pre.count() === 90)
+    assert(df.exceptAll(pre).count() === 0 && pre.exceptAll(df).count() === 0)
+  }
+
+  test("PK DV: post-build deltas resolve exactly; a second build re-covers") {
+    gc.upsert("db", "pk1", batch(26, 40).toDF()                    // snap 5
+      .withColumn("name", concat(lit("v"), col("id"))))
+    gc.deleteWhere("db", "pk1", col("id") <= 10)                   // snap 6
+    val df = gc.read("db", "pk1")
+    assert(df.count() === 80)
+    assert(df.filter(col("name").startsWith("v")).count() === 15)
+    assert(df.filter(col("name").startsWith("u")).count() === 15) // 11..25
+    assert(df.filter(col("id") <= 10).count() === 0)
+    val built2 = gc.buildDeletionVectors("db", "pk1")              // snap 7
+    assert(built2 === 7)
+    val df2 = gc.read("db", "pk1")
+    assert(df2.count() === 80)
+    assert(!df2.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df2.exceptAll(df).count() === 0 && df.exceptAll(df2).count() === 0)
+    // a build with nothing superseded and no tombstones is a no-op
+    assert(gc.buildDeletionVectors("db", "pk1") === 7)
+  }
+
+  test("PK DV: bucketed tables read merge-free; bucket ops refuse while live") {
+    gc.createTable("db", "pkb", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "bucket" -> "4"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "pkb", batch(1, 200).toDF())
+    gc.upsert("db", "pkb", batch(50, 60).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", "pkb", col("id") % 13 === 0)
+    gc.buildDeletionVectors("db", "pkb")
+    val df = gc.read("db", "pkb")
+    assert(df.count() === 185)
+    // ids 50..60 were renamed, then id 52 (a multiple of 13) deleted
+    assert(df.filter(col("name").startsWith("u")).count() === 10)
+    assert(df.filter(col("id") % 13 === 0).count() === 0)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // bucket-granular ops refuse while DVs are live
+    val e1 = intercept[IllegalArgumentException](
+      gc.readBucket("db", "pkb", 0).collect())
+    assert(e1.getMessage.contains("deletion vectors"))
+    val e2 = intercept[IllegalArgumentException](
+      gc.compactBuckets("db", "pkb", Seq(0)))
+    assert(e2.getMessage.contains("deletion vectors"))
+    // post-build delta on a bucketed table resolves through the hybrid
+    gc.upsert("db", "pkb", batch(1, 5).toDF()
+      .withColumn("name", lit("w")))
+    assert(gc.read("db", "pkb").filter(col("name") === "w").count() === 5)
+    assert(gc.read("db", "pkb").count() === 185)
+    // full compact retires the DVs and re-enables bucket ops
+    gc.compact("db", "pkb")
+    assert(gc.snapshotFileEntries("db", "pkb").map(_.kind) === Seq("data"))
+    assert(gc.read("db", "pkb").count() === 185)
+    assert(gc.readBucket("db", "pkb", 0).count() > 0)
+  }
+
+  test("PK DV: partitioned (partition inside PK) builds and reads exactly") {
+    gc.createTable("db", "pkp", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true"),
+      partitionBy = Seq("grp"), primaryKey = Seq("grp", "id"))
+    gc.upsert("db", "pkp", batch(1, 70).toDF())
+    gc.deleteWhere("db", "pkp", col("grp") === 3 && col("id") < 35)
+    gc.upsert("db", "pkp", batch(40, 45).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.buildDeletionVectors("db", "pkp")
+    val df = gc.read("db", "pkp")
+    assert(df.count() === 65)
+    assert(df.filter(col("grp") === 3 && col("id") < 35).count() === 0)
+    assert(df.filter(col("name").startsWith("u")).count() === 6)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("PK DV: auto-build via deletion-vectors.build-delta-commits") {
+    gc.createTable("db", "pka", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true",
+        "deletion-vectors.build-delta-commits" -> "2"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "pka", batch(1, 20).toDF())
+    assert(!gc.snapshotFileEntries("db", "pka").exists(_.kind == "dv"))
+    gc.upsert("db", "pka", batch(10, 30).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    // second data commit hit the cadence: the head is an auto DV build
+    assert(gc.snapshotFileEntries("db", "pka").exists(_.kind == "dv"))
+    val df = gc.read("db", "pka")
+    assert(df.count() === 30)
+    assert(df.filter(col("name").startsWith("u")).count() === 21)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("PK DV: creation guards pin the merge-free contract") {
+    // field-wise merge engines refuse
+    val e1 = intercept[IllegalArgumentException](
+      gc.createTable("db", "pkx1", batch(0, 0).schema,
+        options = Map("deletion-vectors" -> "true",
+          "merge-engine" -> "partial-update"), primaryKey = Seq("id")))
+    assert(e1.getMessage.contains("deduplicate"))
+    // dynamic bucket refuses
+    val e2 = intercept[IllegalArgumentException](
+      gc.createTable("db", "pkx2", batch(0, 0).schema,
+        options = Map("deletion-vectors" -> "true", "bucket" -> "-1"),
+        primaryKey = Seq("id")))
+    assert(e2.getMessage.contains("fixed"))
+    // cross-partition (partition outside PK) refuses
+    val e3 = intercept[IllegalArgumentException](
+      gc.createTable("db", "pkx3", batch(0, 0).schema,
+        options = Map("deletion-vectors" -> "true"),
+        partitionBy = Seq("grp"), primaryKey = Seq("id")))
+    assert(e3.getMessage.contains("partition"))
+    // buildDeletionVectors needs the option and a PK
+    gc.createTable("db", "pkx4", batch(0, 0).schema, primaryKey = Seq("id"))
+    val e4 = intercept[IllegalArgumentException](
+      gc.buildDeletionVectors("db", "pkx4"))
+    assert(e4.getMessage.contains("deletion-vectors"))
+    val e5 = intercept[IllegalArgumentException](
+      gc.buildDeletionVectors("db", "t1"))
+    assert(e5.getMessage.contains("append-only"))
   }
 }
