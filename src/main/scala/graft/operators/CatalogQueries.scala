@@ -524,6 +524,25 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Write-time changelog materialization (Paimon's changelog-producer=
+    // lookup): every commit persists its full -U/+U/-D retraction pairs;
+    // the consumer's range is then served from files with NO before-image
+    // join (collapsed to the read-time form — hash-gated here against the
+    // same history expressed in SQL).
+    "catalog_changelog_producer" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("changelog-producer" -> "lookup"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("u")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.readChangelogFull("q", t, 1, 3)
+        .orderBy("doc_id", graft.sources.GraftCatalog.RowKindCol)
+    }),
     // Append-only UPDATE via deletion vectors: the matched rows' old
     // positions land in a DV dir and their updated images in a data dir
     // under ONE atomic snapshot (no file rewritten). A following DELETE
@@ -1008,6 +1027,18 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents
         |WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    // range (1, 3]: updated keys pair -U(original)/+U(u); deleted keys
+    // emit -D with the image as of snapshot 1 (original values)
+    "catalog_changelog_producer" ->
+      """SELECT doc_id, lang, n_chars, '-U' AS _row_kind FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT doc_id, 'u' AS lang, n_chars, '+U' AS _row_kind FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id % 7 <> 3
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars, '-D' AS _row_kind FROM documents
+        |WHERE doc_id % 7 = 3
+        |ORDER BY doc_id, _row_kind""".stripMargin,
     // the %9 upsert lands AFTER the %7 delete, so it resurrects those
     // keys with the ORIGINAL lang (full-row replace under deduplicate)
     "catalog_delete_vectors_pk" ->

@@ -343,6 +343,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             s"column name $c is reserved on deletion-vector tables"))
       }
     }
+    // Write-time changelog materialization (Paimon's `changelog-producer`,
+    // surfaced by the reference through TrinoTableOptionUtils's option
+    // mapping): `input` persists each commit's rows kinded as written,
+    // `lookup` persists full -U/+U/-D retraction pairs per commit (one
+    // before-image lookup paid at WRITE instead of by every consumer),
+    // `full-compaction` persists the accumulated diff at each compact().
+    options.get("changelog-producer").foreach { v =>
+      require(GraftCatalog.ChangelogProducers(v),
+        s"changelog-producer must be one of " +
+          s"${GraftCatalog.ChangelogProducers.toSeq.sorted.mkString(", ")}, got $v")
+      if (v != "none") {
+        require(primaryKey.nonEmpty,
+          "changelog-producer requires a primary-key table (append-only " +
+            "tables changelog as pure +I already — nothing to materialize)")
+        require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
+          "changelog-producer requires merge-engine=deduplicate (field-wise " +
+            "engines patch rows — their images resolve only at read)")
+      }
+    }
     // Bloom-filter file index (Paimon's `file-index.bloom-filter.columns`):
     // per-file membership bitsets for equality/IN lookups on columns no
     // clustering helps. Append-only scope: that's the path [[readWhere]]
@@ -994,7 +1013,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // set replaces EVERY prior `.dbidx` delta — the new dir carries
       // only the consolidated index, zero data bytes move, and the
       // manifest's dynIdx node is rebuilt to reference it alone.
-      dynIdxFold: Option[(DataFrame, Long)] = None): Long = {
+      dynIdxFold: Option[(DataFrame, Long)] = None,
+      // Explicit pre-built changelog (full-compaction producer): the
+      // frame (table columns + _row_kind) pairs with this snapshot as a
+      // `-cl` dir covering (the given from-id, this snapshot]. When
+      // absent, the input/lookup producers derive one from the staged
+      // dirs (see producerChangelog).
+      changelogDf: Option[(DataFrame, Long)] = None): Long = {
     val m = readManifest(schema, table)
     // Derived-content commits (DV deletes) pass the manifest version their
     // victims were computed against: if the head advanced in between (a
@@ -1086,8 +1111,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         if (frameKind == "idx") (frame, Seq.empty) // no rows, no layout
         // DV sidecars are (file, pos) lists with no key columns — they
         // never take the bucket layout (a PK DV build on a bucketed
-        // table would otherwise try to hash absent key columns)
-        else if (frameKind == "dv") (frame, Seq.empty)
+        // table would otherwise try to hash absent key columns).
+        // Changelog dirs stay flat too: they are consumed whole-range,
+        // never bucket-routed.
+        else if (frameKind == "dv" || frameKind == "cl") (frame, Seq.empty)
         else buckets match {
           case Some(-1) => (frame, Seq(BucketCol)) // pre-routed via the hash index
           case Some(n) =>
@@ -1126,6 +1153,25 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     routedDel.foreach(write(_, s"$dir-del", "delete"))
     // an append-only UPDATE pairs the data dir with a DV dir the same way
     dvDf.foreach(write(_, s"$dir-dv", "dv"))
+    // Write-time changelog materialization (changelog-producer): the
+    // snapshot pairs a `-cl` dir of row-kinded changelog rows — consumers
+    // then read O(changelog files) per batch instead of paying the
+    // before-image resolve (see readChangelogFull's file-served path).
+    val clProducerMode = changelogProducer(m)
+    val clPair: Option[(DataFrame, Option[Long])] =
+      changelogDf.map { case (f, from) => (f, Some(from): Option[Long]) }
+        .orElse {
+          if ((clProducerMode == "input" || clProducerMode == "lookup") &&
+              primaryKey(m).nonEmpty && keepExisting && !compaction &&
+              (kind == "data" || kind == "delete"))
+            producerChangelog(schema, table, m, clProducerMode,
+              if (kind == "data") Some(dir) else None,
+              if (routedDel.isDefined) Some(s"$dir-del")
+              else if (kind == "delete") Some(dir) else None)
+              .map((_, None: Option[Long]))
+          else None
+        }
+    clPair.foreach { case (f, _) => write(f, s"$dir-cl", "cl") }
     // The files' write-time schema version — pinned BEFORE any conflict
     // rebase (a concurrent DDL may bump the current version; these bytes
     // are at THIS version and map forward by field id like any other dir).
@@ -1268,6 +1314,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val fa = e.putArray("files")
         files.foreach(fa.add)
       }
+      // Changelog-producer registration: the `-cl` dir, its write-time
+      // schema version, and its coverage link (the snapshot its rows
+      // change FROM — the previous head unless the producer passed an
+      // explicit range, as full-compaction does).
+      clPair.foreach { case (_, explicitFrom) =>
+        // the new snapshot is already appended — the previous head sits
+        // one element back
+        val prevId = if (sn2.size() < 2) 0L
+          else sn2.get(sn2.size() - 2).get("id").asLong()
+        val cn = if (mm.has("changelog")) mm.get("changelog").asInstanceOf[ObjectNode]
+          else mm.putObject("changelog")
+        val e = cn.putObject(s"$landDir-cl")
+        e.put("id", landId)
+        e.put("ver", sv)
+        e.put("from", explicitFrom.getOrElse(prevId))
+      }
       // Bloom-index pointer: which columns this dir's sidecar indexes,
       // plus a cache token (fresh per build — an ordinal reused after
       // rollback never serves a stale cached index).
@@ -1351,8 +1413,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // consumed the capacity this batch filled, so rebasing would corrupt
     // the key→bucket contract. Single writer per dynamic table, as in
     // Paimon's dynamic-bucket assigner; conflicts abort loudly.
+    // A lookup-produced changelog's before images were resolved against
+    // THIS head — a rebase would publish stale -U rows, so those commits
+    // conflict-abort like other derived-content commits.
     val retryable = keepExisting && kind == "data" && !compaction &&
-      dvDf.isEmpty && replacedDirs.isEmpty && !dynamicBucket
+      dvDf.isEmpty && replacedDirs.isEmpty && !dynamicBucket &&
+      !(clPair.isDefined && clProducerMode == "lookup")
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       fs.makeQualified(tablePath(schema, table)).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -1379,6 +1445,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     writeClaimMarker(dir)
     if (routedDel.isDefined) writeClaimMarker(s"$dir-del")
     if (dvDf.isDefined) writeClaimMarker(s"$dir-dv")
+    if (clPair.isDefined) writeClaimMarker(s"$dir-cl")
     // Reads the whole marker (a single read() may legally return short)
     // and retries transient IO errors, so only a genuine token mismatch —
     // never a short read or a blip — downgrades a successful rename into
@@ -1428,6 +1495,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     var curDir = dir // staging at first, then the last claimed ordinal dir
     var curDelDir = s"$dir-del"
     var curDvDir = s"$dir-dv"
+    var curClDir = s"$dir-cl"
     var landId = id
     var attempts = 0
     while (attempts < 20) {
@@ -1445,6 +1513,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (ok && dvDf.isDefined && curDvDir != s"$target-dv") {
         ok = claim(curDvDir, s"$target-dv")
         if (ok) curDvDir = s"$target-dv"
+      }
+      if (ok && clPair.isDefined && curClDir != s"$target-cl") {
+        ok = claim(curClDir, s"$target-cl")
+        if (ok) curClDir = s"$target-cl"
       }
       if (ok) {
         try {
@@ -1881,9 +1953,27 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
    * schema — Paimon's small-file compaction, expressed as an ordinary
    * overwrite commit. Old snapshots remain time-travelable.
    */
-  def compact(schema: String, table: String): Long =
+  def compact(schema: String, table: String): Long = {
+    // full-compaction changelog producer: this compaction carries the
+    // accumulated row-kinded diff since the last carrier (Paimon's
+    // full-compaction mode — the before-image resolve runs here, once,
+    // and consumers read only files). The first compaction emits the
+    // whole image as +I, exactly Paimon's initial full-compaction scan.
+    val m0 = readManifest(schema, table)
+    val cl: Option[(DataFrame, Long)] =
+      if (changelogProducer(m0) == "full-compaction" &&
+          primaryKey(m0).nonEmpty) {
+        val snaps = m0.get("snapshots").asInstanceOf[ArrayNode]
+        val headId = if (snaps.size() == 0) 0L
+          else snaps.get(snaps.size() - 1).get("id").asLong()
+        val from = changelogIndexFrom(m0).values.map(_._1).maxOption.getOrElse(0L)
+        if (headId > from)
+          Some((readChangelogFull(schema, table, from, headId), from))
+        else None
+      } else None
     commit(schema, table, read(schema, table), keepExisting = false,
-      compaction = true)
+      compaction = true, changelogDf = cl)
+  }
 
   /**
    * PER-BUCKET compaction — Paimon's actual compaction granularity (its
@@ -2515,7 +2605,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val m = readManifest(schema, table)
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     val referenced = (0 until snaps.size()).map(snaps.get)
-      .flatMap(filesOf).map(_.dir).toSet
+      .flatMap(filesOf).map(_.dir).toSet ++
+      changelogIndexFrom(m).keySet // producer changelog dirs are live too
     val cutoff = System.currentTimeMillis() - graceMillis
     // a local dir another lineage of the same base still references
     // (a branch inheriting it, or the base after a fast-forward) is not
@@ -2562,6 +2653,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       val dNode = m.get("dynIdx").asInstanceOf[ObjectNode]
       orphanDirs.foreach(dNode.remove)
     }
+    // changelog dirs belong to their snapshot: dropped snapshot → entry
+    // removed here, dir deleted below with the other orphans
+    val deadClDirs: Seq[String] =
+      if (!m.has("changelog")) Seq.empty
+      else {
+        val cn = m.get("changelog").asInstanceOf[ObjectNode]
+        val droppedIds = dropped.map(_.get("id").asLong()).toSet
+        val dead = changelogIndexFrom(m).collect {
+          case (d, (id, _, _)) if droppedIds.contains(id) => d
+        }.toSeq
+        dead.foreach(cn.remove)
+        dead
+      }
     writeManifest(schema, table, m)
     // Cross-lineage pinning: a dir still referenced by ANY other lineage
     // of the same base table (a branch that inherited it, or the base
@@ -2570,7 +2674,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // them; the LAST lineage to stop referencing a dir reclaims it
     // (directly here, or via sweepOrphanDirs using the same pin set).
     val pinnedElsewhere = siblingLineageRefs(schema, table)
-    orphanDirs.foreach { d =>
+    (orphanDirs ++ deadClDirs).foreach { d =>
       if (!pinnedElsewhere.contains(baseRelativeDir(table, d)))
         fs.delete(dirPath(schema, table, d), true)
     }
@@ -2935,6 +3039,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     m.remove("consumers")
     m.remove("lastStreamBatchId")
+    // producer changelog dirs stay with the base lineage (their node keys
+    // are base-local dirs); the branch recomputes changelogs at read and
+    // re-materializes from its own commits
+    m.remove("changelog")
     if (m.has("statistics") &&
         m.get("statistics").get("snapshotId").asLong() > fromId)
       m.remove("statistics")
@@ -3075,7 +3183,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         conv.foreach(r.add)
       }
     }
-    Seq("dirStats", "dvIndex", "bloomIdx", "dynIdx").foreach { f =>
+    // "changelog" rides along: its keys are dirs too, and the adopted
+    // snapshots keep their ids, so branch-built producer coverage
+    // survives the fast-forward (pre-fork coverage was dropped at branch
+    // creation and falls back to read-time resolution)
+    Seq("dirStats", "dvIndex", "bloomIdx", "dynIdx", "changelog").foreach { f =>
       if (bm.has(f)) {
         val old = bm.get(f).asInstanceOf[ObjectNode]
         val next = mapper.createObjectNode()
@@ -5484,11 +5596,23 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       return (inserts.toSeq ++ deletes.toSeq)
         .reduceOption(_ unionByName _).getOrElse(emptyChangelog)
     }
-    // PK tables: DV entries are unreachable (DVs are append-only-table
-    // constructs by construction — createTable enforces it).
-    // Latest in-range version per key wins — the same newest-wins rule
-    // as merge-on-read, restricted to the delta. The shuffle is O(delta),
-    // bounded by the micro-batch, never the table.
+    // Producer-served fast path (input/lookup): the commits persisted
+    // their changelog — when files exactly cover the range, serve them
+    // (collapsed to the same newest-wins-per-key form this method
+    // computes, so consumers see identical batches either way). `-U`
+    // rows are dropped first: upsert mode carries no retraction arm.
+    if (changelogProducer(m) != "none")
+      changelogCover(m, fromSnapshotId, toSnapshotId).foreach { dirs =>
+        val parts = dirs.map { case (d, v) =>
+          changelogDirFrame(schema, table, m, d, v)
+            .filter(col(RowKindCol) =!= "-U")
+        }
+        return if (parts.isEmpty) emptyChangelog
+          else collapseUpsertChangelog(m, parts)
+      }
+    // PK tables: latest in-range version per key wins — the same
+    // newest-wins rule as merge-on-read, restricted to the delta. The
+    // shuffle is O(delta), bounded by the micro-batch, never the table.
     val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
@@ -5537,6 +5661,24 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // the after side must be the RESOLVED image, not the in-range winner.
     if (mergeEngine(m) != "deduplicate")
       return fieldwiseChangelogFull(schema, table, m, fromSnapshotId, toSnapshotId)
+    // Producer-served fast path: lookup tables persisted full retraction
+    // pairs at every commit, full-compaction tables at every compact —
+    // when the files exactly cover the range, serve them with NO
+    // before-image join (the whole point of paying the resolve at write:
+    // N consumers × M batches read files, the join ran once). `input`
+    // files carry no before images, so full mode falls through to the
+    // read-time resolve there.
+    if (changelogProducer(m) == "lookup" ||
+        changelogProducer(m) == "full-compaction")
+      changelogCover(m, fromSnapshotId, toSnapshotId).foreach { dirs =>
+        val parts = dirs.map { case (d, v) =>
+          changelogDirFrame(schema, table, m, d, v)
+        }
+        return if (parts.isEmpty) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            changelogSchema(m))
+          else collapseFullChangelog(m, parts)
+      }
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
     // unreachable on PK tables (DVs are append-only by construction);
     // on append-only tables a DV commit REMOVES rows, which a +I-only
@@ -5593,6 +5735,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             .getOrElse(emptyFrame(m))
         case None => read(schema, table, snapshotId = Some(fromSnapshotId))
       }
+    pairWithPreImage(m, news, pre)
+  }
+
+  /**
+   * Pair post-change rows against a before image into full row-kinded
+   * changelog rows — shared by the read-time [[readChangelogFull]] and
+   * the write-time `lookup` changelog producer (the same resolve, paid
+   * once at commit instead of by every consumer). `news`: the table's
+   * columns plus a `__del` tombstone flag (tombstone rows carry nulls
+   * outside the key/sequence columns); `pre`: the resolved before image.
+   */
+  private def pairWithPreImage(m: ObjectNode, news: DataFrame,
+      pre: DataFrame): DataFrame = {
+    val pk = primaryKey(m)
+    val names = currentFields(m).map(_.name)
     val preR = pre.select(names.map(c => col(c).as(s"__pre_$c")): _*)
     val joined = news.join(preR,
       pk.map(k => news(k) === col(s"__pre_$k")).reduce(_ && _), "left")
@@ -5619,6 +5776,212 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           .when(preExists, array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
           .otherwise(array(ev("+I", fromPre = false)))).as("__e"))
       .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
+  }
+
+  // ---- write-time changelog materialization (changelog-producer) ---------
+
+  /** The table's `changelog-producer` mode (default `none`). */
+  private def changelogProducer(m: ObjectNode): String =
+    m.get("options").asInstanceOf[ObjectNode].path("changelog-producer").asText("none")
+
+  /** Persisted changelog dirs from the manifest's changelog node:
+    * dir → (snapshot id, write-time schema version, coverage-from
+    * EXCLUSIVE — the snapshot the dir's rows change FROM). */
+  private def changelogIndexFrom(m: ObjectNode): Map[String, (Long, Int, Long)] = {
+    if (!m.has("changelog")) return Map.empty
+    val node = m.get("changelog").asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, (Long, Int, Long)]()
+    node.fieldNames().forEachRemaining { d =>
+      val e = node.get(d)
+      out += d -> ((e.get("id").asLong(), e.get("ver").asInt(),
+        e.get("from").asLong()))
+    }
+    out.toMap
+  }
+
+  /** One persisted changelog dir mapped to the CURRENT schema by field
+    * id (same contract as frameFor): table columns + `_row_kind`. */
+  private def changelogDirFrame(schema: String, table: String, m: ObjectNode,
+      dir: String, ver: Int): DataFrame = {
+    val cur = currentFields(m)
+    val writeFields = schemaVersions(m)(ver)
+    val writeSchema = StructType(writeFields.map(f =>
+      StructField(f.name, TypeMapping.toSparkType(f.trinoType))) :+
+      StructField(RowKindCol, org.apache.spark.sql.types.StringType))
+    val raw = spark.read.schema(writeSchema).format(providerFor(fileFormat(m)))
+      .load(dirPath(schema, table, dir).toString)
+    val byId = writeFields.map(f => f.id -> f).toMap
+    raw.select(cur.map { cf =>
+      byId.get(cf.id) match {
+        case Some(wf) =>
+          col(wf.name).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+        case None =>
+          lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+      }
+    } :+ col(RowKindCol): _*)
+  }
+
+  /**
+   * The persisted changelog dirs that exactly cover `(fromId, toId]`,
+   * walked through each carrier's coverage link — or None when any gap
+   * could hide a logical change (a data commit without files: overwrite,
+   * pre-producer history, a foreign writer). Compaction-kind snapshots
+   * in a gap are fine — they change bytes, not content.
+   */
+  private def changelogCover(m: ObjectNode, fromId: Long,
+      toId: Long): Option[Seq[(String, Int)]] = {
+    if (fromId >= toId) return Some(Seq.empty)
+    val carriers = changelogIndexFrom(m).toSeq
+      .map { case (d, (id, ver, from)) => (id, d, ver, from) }
+      .filter { case (id, _, _, _) => id > fromId && id <= toId }
+      .sortBy(_._1)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val kindOf = (0 until snaps.size()).map(snaps.get)
+      .map(s => s.get("id").asLong() -> s.has("compaction")).toMap
+    // snapshot ids are dense ordinals: every id in a gap must be PRESENT
+    // (not expired away — an absent id is unknown history, never "no
+    // change") and compaction-kind
+    def noChange(a: Long, b: Long): Boolean =
+      (a + 1 to b).forall(id => kindOf.get(id).contains(true))
+    var expected = fromId
+    val out = mutable.ArrayBuffer.empty[(String, Int)]
+    carriers.foreach { case (id, d, ver, from) =>
+      if (from < expected) return None // carrier overlaps the range start
+      if (from > expected && !noChange(expected, from)) return None
+      out += ((d, ver)); expected = id
+    }
+    if (expected < toId && !noChange(expected, toId)) return None
+    Some(out.toSeq)
+  }
+
+  /**
+   * Collapse per-commit changelog parts (ordered by snapshot id) to the
+   * ≤-one-change-per-key form the read-time resolve emits — exact parity
+   * with [[readChangelogFull]]'s collapsed output AND applyChangelog's
+   * key-disjoint batch contract, while staying JOIN-FREE (one key-grouped
+   * aggregate over O(changelog rows in range)). The first event fixes
+   * whether the key existed at range start (its `-U`/`-D` image IS the
+   * range-start image); the last event fixes survival and the final
+   * image; a key inserted and deleted inside the range nets to nothing.
+   */
+  private def collapseFullChangelog(m: ObjectNode,
+      parts: Seq[DataFrame]): DataFrame = {
+    if (parts.size == 1) return parts.head
+    import org.apache.spark.sql.functions.{min_by, max_by}
+    val names = currentFields(m).map(_.name)
+    val pk = primaryKey(m)
+    val tagged = parts.zipWithIndex.map { case (f, i) =>
+      f.withColumn("__o", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    // within one commit a key has at most one logical event; a -U sorts
+    // before its +U partner so first/last land on the right halves
+    val ordKey = col("__o") * 2 +
+      when(col(RowKindCol) === "-U", lit(0L)).otherwise(lit(1L))
+    val ev = struct(col(RowKindCol).as("__k") +: names.map(col): _*)
+    val agg = tagged.groupBy(pk.map(col): _*)
+      .agg(min_by(ev, ordKey).as("__first"), max_by(ev, ordKey).as("__last"))
+    val existed = col("__first.__k") =!= "+I"
+    val dead = col("__last.__k") === "-D"
+    def img(side: String, kind: String) = struct(
+      names.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(RowKindCol): _*)
+    agg.filter(existed || !dead) // net-zero inside the range elides
+      .select(explode(
+        when(existed && dead, array(img("__first", "-D")))
+          .when(existed, array(img("__first", "-U"), img("__last", "+U")))
+          .otherwise(array(img("__last", "+I")))).as("__e"))
+      .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
+  }
+
+  /** Upsert-mode collapse: the key's LAST in-range event wins (-U rows
+    * were already dropped by the caller) — the same newest-wins rule the
+    * read-time upsert resolve applies. Join-free. */
+  private def collapseUpsertChangelog(m: ObjectNode,
+      parts: Seq[DataFrame]): DataFrame = {
+    if (parts.size == 1) return parts.head
+    import org.apache.spark.sql.functions.max_by
+    val names = currentFields(m).map(_.name)
+    val pk = primaryKey(m)
+    val tagged = parts.zipWithIndex.map { case (f, i) =>
+      f.withColumn("__o", lit(i.toLong))
+    }.reduce(_ unionByName _)
+    val ev = struct(col(RowKindCol).as("__k") +: names.map(col): _*)
+    tagged.groupBy(pk.map(col): _*)
+      .agg(max_by(ev, col("__o")).as("__last"))
+      .select(names.map(c => col(s"__last.$c").as(c)) :+
+        col("__last.__k").as(RowKindCol): _*)
+  }
+
+  /**
+   * Commit-side changelog builder for the `input`/`lookup` producers.
+   * Derives the rows from the STAGED dirs just written (one evaluation of
+   * the input plan — the committed bytes are the source of truth), so a
+   * nondeterministic input frame can never diverge between data and
+   * changelog. `input` kinds the rows as written (+I data, -D tombstone
+   * — Paimon's input mode trusts the writer's stream to BE the
+   * changelog); `lookup` pays the before-image resolve here, ONCE, via
+   * [[pairWithPreImage]] — bucket-pruned to the buckets the staged dirs
+   * touched on fixed-bucket tables, so a small commit against a 4096-
+   * bucket 100 TB table looks up a handful of bucket legs, never the
+   * image.
+   */
+  private def producerChangelog(schema: String, table: String, m: ObjectNode,
+      producer: String, dataDir: Option[String],
+      delDir: Option[String]): Option[DataFrame] = {
+    val cur = currentFields(m)
+    val names = cur.map(_.name)
+    val bucketed = bucketCount(m).isDefined
+    def stagedBack(d: String, tombstone: Boolean): DataFrame = {
+      val keep = if (!tombstone) cur else {
+        val k = primaryKey(m).toSet ++ sequenceField(m) ++ partitionColumns(m)
+        cur.filter(f => k.contains(f.name))
+      }
+      val sch = StructType(keep.map(f =>
+        StructField(f.name, TypeMapping.toSparkType(f.trinoType))) ++
+        (if (bucketed)
+          Seq(StructField(BucketCol, org.apache.spark.sql.types.IntegerType))
+        else Seq.empty))
+      val raw = spark.read.schema(sch).format(providerFor(fileFormat(m)))
+        .load(new Path(tablePath(schema, table), d).toString)
+      raw.select(names.map { c =>
+        if (keep.exists(_.name == c)) col(c)
+        else lit(null).cast(TypeMapping.toSparkType(
+          cur.find(_.name == c).get.trinoType)).as(c)
+      }: _*)
+    }
+    val ups = dataDir.map(stagedBack(_, tombstone = false))
+    val dels = delDir.map(stagedBack(_, tombstone = true))
+    if (ups.isEmpty && dels.isEmpty) return None
+    if (producer == "input") {
+      val kinded =
+        ups.map(_.withColumn(RowKindCol, lit("+I"))).toSeq ++
+          dels.map(_.withColumn(RowKindCol, lit("-D")))
+      return Some(kinded.reduce(_ unionByName _))
+    }
+    // lookup: full retraction pairs against the pre-commit image
+    val news = (ups.map(_.withColumn("__del", lit(false))).toSeq ++
+      dels.map(_.withColumn("__del", lit(true)))).reduce(_ unionByName _)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val headEntries =
+      if (snaps.size() == 0) Seq.empty
+      else filesOf(snaps.get(snaps.size() - 1))
+    val pre = bucketCount(m) match {
+      case Some(n) if n >= 1 && headEntries.nonEmpty &&
+          !headEntries.exists(_.kind == "dv") =>
+        // changed buckets from the staged dirs' `__bucket=k` subdirs —
+        // one driver listing per staged dir, zero Spark jobs
+        val changed = (dataDir.toSeq ++ delDir).flatMap { d =>
+          fs.listStatus(new Path(tablePath(schema, table), d)).toSeq
+            .map(_.getPath.getName)
+            .filter(_.startsWith(s"$BucketCol="))
+            .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption)
+        }.distinct.sorted
+        if (changed.isEmpty) emptyFrame(m)
+        else bucketedResolve(schema, table, m, headEntries, n, Some(changed))
+          .getOrElse(emptyFrame(m))
+      case _ =>
+        resolveFrames(schema, table, m, headEntries).getOrElse(emptyFrame(m))
+    }
+    Some(pairWithPreImage(m, news, pre))
   }
 
   /**
@@ -6567,7 +6930,14 @@ object GraftCatalog {
     * semantics — immutable after create (see [[GraftCatalog.setTableOptions]]). */
   val ImmutableOptions: Set[String] =
     Set("bucket", "merge-engine", "sequence.field", "deletion-vectors",
-      "file.format")
+      "file.format", "changelog-producer")
+
+  /** `changelog-producer` modes (Paimon's ChangelogProducer enum, which
+    * the reference surfaces through TrinoTableOptionUtils.java's option
+    * mapping): `none` computes changelogs at read; the others persist
+    * row-kinded changelog files at write/compaction. */
+  val ChangelogProducers: Set[String] =
+    Set("none", "input", "lookup", "full-compaction")
 
   /** PK-table merge engines (Paimon's `merge-engine` table option). */
   val MergeEngines: Set[String] =

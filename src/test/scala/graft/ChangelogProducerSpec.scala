@@ -1,0 +1,189 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.GraftCatalog
+
+/**
+ * Write-time changelog materialization (Paimon's `changelog-producer`,
+ * surfaced by the reference through TrinoTableOptionUtils's option
+ * mapping): `input` persists each commit's rows kinded as written,
+ * `lookup` persists full -U/+U/-D retraction pairs per commit (the
+ * before-image resolve paid ONCE at write), `full-compaction` persists
+ * the accumulated diff at each compact(). Consumers then read
+ * O(changelog files) per batch — the file-served ranges plan NO
+ * before-image join, asserted below.
+ */
+class ChangelogProducerSpec extends SparkSpecBase {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-clwh").toString
+  private lazy val gc: GraftCatalog = new GraftCatalog(spark, warehouse)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    gc.createSchema("db")
+  }
+
+  private def batch(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+    .selectExpr("id", "concat('n', id) AS name", "CAST(id % 7 AS INT) AS grp")
+
+  /** Same three-commit history on any PK table. */
+  private def history(t: String): Unit = {
+    gc.upsert("db", t, batch(1, 50).toDF())                        // snap 1
+    gc.upsert("db", t, batch(10, 20).toDF()                        // snap 2
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", t, col("id") % 5 === 0)                   // snap 3
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("lookup producer: per-commit files equal the read-computed changelog") {
+    gc.createTable("db", "tl", batch(0, 0).schema,
+      options = Map("changelog-producer" -> "lookup"), primaryKey = Seq("id"))
+    gc.createTable("db", "tn", batch(0, 0).schema, primaryKey = Seq("id"))
+    history("tl"); history("tn")
+    // every single-snapshot range: file-served == read-computed, exactly
+    (1L to 3L).foreach { i =>
+      assert(rows(gc.readChangelogFull("db", "tl", i - 1, i)) ===
+        rows(gc.readChangelogFull("db", "tn", i - 1, i)), s"range (${i - 1}, $i]")
+    }
+    // the files exist, one per data commit
+    val clDirs = new java.io.File(s"$warehouse/db/tl").listFiles()
+      .map(_.getName).filter(_.endsWith("-cl")).sorted
+    assert(clDirs.toSeq === Seq("snap-1-cl", "snap-2-cl", "snap-3-cl"))
+  }
+
+  test("lookup producer: file-served batches plan NO before-image join") {
+    val served = gc.readChangelogFull("db", "tl", 0, 3)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"),
+      served.queryExecution.executedPlan.toString)
+    // the none-producer table pays the join at read
+    val computed = gc.readChangelogFull("db", "tn", 1, 2)
+    assert(computed.queryExecution.executedPlan.toString.contains("Join"))
+    // multi-snapshot file-served range: per-commit granularity — a
+    // replica applying it converges to the same image as the source
+    gc.createTable("db", "repl", batch(0, 0).schema, primaryKey = Seq("id"))
+    gc.applyChangelog("db", "repl", served)
+    assert(rows(gc.read("db", "repl")) === rows(gc.read("db", "tl")))
+  }
+
+  test("lookup producer: upsert-mode fast path drops -U and converges") {
+    val up = gc.readChangelog("db", "tl", 0, 3)
+    assert(!up.queryExecution.executedPlan.toString.contains("Join"))
+    val kinds = up.select(GraftCatalog.RowKindCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(!kinds.contains("-U"))
+    gc.createTable("db", "repl2", batch(0, 0).schema, primaryKey = Seq("id"))
+    gc.applyChangelog("db", "repl2", up)
+    assert(rows(gc.read("db", "repl2")) === rows(gc.read("db", "tl")))
+  }
+
+  test("lookup producer: full-mode changelog STREAM serves from files") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("graft-clstream")
+    val q = gc.readChangelogStream("db", "tl", mode = "full")
+      .writeStream.format("memory").queryName("cl_prod_stream")
+      .option("checkpointLocation", s"$out/cp")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM cl_prod_stream")
+    assert(rows(streamed) === rows(gc.readChangelogFull("db", "tl", 0, 3)))
+  }
+
+  test("input producer: commit rows persist kinded, replica converges") {
+    gc.createTable("db", "ti", batch(0, 0).schema,
+      options = Map("changelog-producer" -> "input"), primaryKey = Seq("id"))
+    history("ti")
+    val cl = gc.readChangelog("db", "ti", 0, 3)
+    assert(!cl.queryExecution.executedPlan.toString.contains("Join"))
+    val byKind = cl.groupBy(GraftCatalog.RowKindCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // files record rows AS WRITTEN; the served range collapses to the
+    // last event per key: 10 deleted keys, 40 surviving inserts
+    assert(byKind === Map("+I" -> 40L, "-D" -> 10L))
+    gc.createTable("db", "repl3", batch(0, 0).schema, primaryKey = Seq("id"))
+    gc.applyChangelog("db", "repl3", cl)
+    assert(rows(gc.read("db", "repl3")) === rows(gc.read("db", "ti")))
+    // full mode has no before images in input files — read-time resolve
+    val full = gc.readChangelogFull("db", "ti", 1, 2)
+    assert(full.queryExecution.executedPlan.toString.contains("Join"))
+    assert(rows(full) === rows(gc.readChangelogFull("db", "tn", 1, 2)))
+  }
+
+  test("full-compaction producer: carrier at compact, file-served range") {
+    gc.createTable("db", "tf", batch(0, 0).schema,
+      options = Map("changelog-producer" -> "full-compaction"),
+      primaryKey = Seq("id"))
+    gc.createTable("db", "tf_twin", batch(0, 0).schema, primaryKey = Seq("id"))
+    history("tf"); history("tf_twin")
+    // data commits carry NO files in this mode
+    assert(new java.io.File(s"$warehouse/db/tf").listFiles()
+      .forall(f => !f.getName.endsWith("-cl")))
+    val c = gc.compact("db", "tf")                                 // snap 4
+    gc.compact("db", "tf_twin")                                    // ids align
+    assert(new java.io.File(s"$warehouse/db/tf/snap-$c-cl").exists())
+    val served = gc.readChangelogFull("db", "tf", 0, c)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"))
+    assert(rows(served) === rows(gc.readChangelogFull("db", "tf_twin", 0, 3)))
+    // second round: the next carrier covers exactly (c, c2]
+    gc.upsert("db", "tf", batch(100, 110).toDF())                  // snap 5
+    gc.deleteWhere("db", "tf", col("id") === 1)                    // snap 6
+    gc.upsert("db", "tf_twin", batch(100, 110).toDF())
+    gc.deleteWhere("db", "tf_twin", col("id") === 1)
+    val c2 = gc.compact("db", "tf")
+    val c2t = gc.compact("db", "tf_twin")
+    val served2 = gc.readChangelogFull("db", "tf", c, c2)
+    assert(!served2.queryExecution.executedPlan.toString.contains("Join"))
+    assert(rows(served2) ===
+      rows(gc.readChangelogFull("db", "tf_twin", 4, c2t - 1)))
+  }
+
+  test("schema evolution: persisted changelog maps forward by field id") {
+    gc.addColumn("db", "tl", org.apache.spark.sql.types
+      .StructField("extra", org.apache.spark.sql.types.LongType))
+    val cl = gc.readChangelogFull("db", "tl", 0, 3)
+    assert(cl.columns.contains("extra"))
+    assert(cl.filter(col("extra").isNotNull).count() === 0)
+    assert(cl.count() > 0)
+  }
+
+  test("expiration reclaims changelog dirs with their snapshots") {
+    gc.createTable("db", "te", batch(0, 0).schema,
+      options = Map("changelog-producer" -> "lookup"), primaryKey = Seq("id"))
+    gc.upsert("db", "te", batch(1, 10).toDF())
+    gc.upsert("db", "te", batch(5, 15).toDF())
+    gc.upsert("db", "te", batch(12, 20).toDF())
+    gc.expireSnapshots("db", "te", keepLast = 2)
+    val dirs = new java.io.File(s"$warehouse/db/te").listFiles()
+      .map(_.getName).filter(_.endsWith("-cl")).sorted
+    assert(dirs.toSeq === Seq("snap-2-cl", "snap-3-cl"))
+    // the surviving covered range still serves from files
+    val served = gc.readChangelogFull("db", "te", 1, 3)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"))
+    assert(served.count() > 0)
+    // the expired range falls back loudly (snapshot gone), not silently
+    intercept[Exception](gc.readChangelogFull("db", "te", 0, 1).collect())
+  }
+
+  test("guards: PK-only, deduplicate-only, immutable") {
+    val e1 = intercept[IllegalArgumentException](
+      gc.createTable("db", "bad1", batch(0, 0).schema,
+        options = Map("changelog-producer" -> "lookup")))
+    assert(e1.getMessage.contains("primary-key"))
+    val e2 = intercept[IllegalArgumentException](
+      gc.createTable("db", "bad2", batch(0, 0).schema,
+        options = Map("changelog-producer" -> "lookup",
+          "merge-engine" -> "partial-update"), primaryKey = Seq("id")))
+    assert(e2.getMessage.contains("deduplicate"))
+    val e3 = intercept[IllegalArgumentException](
+      gc.createTable("db", "bad3", batch(0, 0).schema,
+        options = Map("changelog-producer" -> "sometimes"),
+        primaryKey = Seq("id")))
+    assert(e3.getMessage.contains("changelog-producer"))
+    val e4 = intercept[IllegalArgumentException](
+      gc.setTableOptions("db", "tl", Map("changelog-producer" -> "none")))
+    assert(e4.getMessage.toLowerCase.contains("immutable"))
+  }
+}
