@@ -308,6 +308,19 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Same zone-map pruning on an ORC table (r14: ORC footers feed the
+    // same .zones.json sidecars — the 13r "no stats pruning beyond
+    // parquet" weak mark closed); result hash-gated like the parquet one.
+    "catalog_orc_stats_prune" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema, options = Map("file.format" -> "orc"))
+      cat.append("q", t, d.filter(col("doc_id") < 150))
+      cat.append("q", t, d.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+      cat.append("q", t, d.filter(col("doc_id") >= 300))
+      cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
+    }),
     // Bucket rescale mid-history: the same MoR state as
     // catalog_bucketed_mor, rescaled 8 -> 3 buckets after the deltas,
     // then ANOTHER upsert under the new layout — the final image must be
@@ -984,6 +997,9 @@ object CatalogQueries {
         |FROM documents WHERE doc_id % 7 = 3
         |ORDER BY doc_id, "_row_kind"""".stripMargin,
     "catalog_stats_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
+    "catalog_orc_stats_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
     "catalog_compact_small" ->

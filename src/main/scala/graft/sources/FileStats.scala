@@ -150,42 +150,68 @@ private[graft] object FileStats {
    * file — runs in executor tasks ([[collectWithFiles]]) or on the
    * driver ([[collect]] fallback). None = footer unreadable.
    */
-  private def fileZone(conf: Configuration, absPath: String,
-      segments: Seq[String], tracked: Map[String, Domain],
-      typeByName: Map[String, DataType]): Option[DirStats] = {
+  /** Shared mutable-state collector for one file's zones; the
+    * parquet/ORC footer walkers feed it, [[toDirStats]] folds it. */
+  private final class ZoneAcc {
     var rows = 0L
     val mins = mutable.HashMap[String, Any]()
     val maxs = mutable.HashMap[String, Any]()
     val nulls = mutable.HashMap[String, Long]()
     val sawValue = mutable.HashSet[String]()
     val dropped = mutable.HashSet[String]()
-    try {
+    def see(path: String, mn: Any, mx: Any): Unit = {
+      sawValue += path
+      if (!mins.contains(path) || lt(mn, mins(path))) mins(path) = mn
+      if (!maxs.contains(path) || lt(maxs(path), mx)) maxs(path) = mx
+    }
+    /** `col=value` partition-path zones (partition columns never appear
+      * in the file itself; null partitions conservatively drop). */
+    def applySegments(segments: Seq[String], tracked: Map[String, Domain],
+        typeByName: Map[String, DataType]): Unit =
       segments.foreach { name =>
         val eq = name.indexOf('=')
         if (eq > 0) {
           val colName = org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils.unescapePathName(name.take(eq)).toLowerCase
-          tracked.get(colName).filterNot(_ => dropped.contains(colName)).foreach { dom =>
+          tracked.get(colName).filterNot(_ => dropped.contains(colName)).foreach { _ =>
             val raw = name.drop(eq + 1)
             if (raw == "__HIVE_DEFAULT_PARTITION__") dropped += colName
-            else partitionValue(dom, typeByName(colName), raw) match {
+            else partitionValue(tracked(colName), typeByName(colName), raw) match {
               case Some(v) =>
-                sawValue += colName
                 nulls.getOrElseUpdate(colName, 0L)
-                if (!mins.contains(colName) || lt(v, mins(colName))) mins(colName) = v
-                if (!maxs.contains(colName) || lt(maxs(colName), v)) maxs(colName) = v
+                see(colName, v, v)
               case None => dropped += colName
             }
           }
         }
       }
+    def toDirStats(tracked: Map[String, Domain]): DirStats = {
+      val cols = tracked.keysIterator.filterNot(dropped.contains).flatMap { p =>
+        val nn = nulls.getOrElse(p, -1L)
+        if (sawValue.contains(p))
+          Some(p -> ColZone(Some(mins(p)), Some(maxs(p)), nn))
+        else if (nn >= 0) // all-null column with known null count
+          Some(p -> ColZone(None, None, nn))
+        else None
+      }.toMap
+      DirStats(rows, cols)
+    }
+  }
+
+  private def fileZone(conf: Configuration, absPath: String,
+      segments: Seq[String], tracked: Map[String, Domain],
+      typeByName: Map[String, DataType]): Option[DirStats] = {
+    val acc = new ZoneAcc
+    import acc.{mins, maxs, nulls, sawValue, dropped}
+    try {
+      acc.applySegments(segments, tracked, typeByName)
       val rd = ParquetFileReader.open(
         HadoopInputFile.fromPath(new Path(absPath), conf))
       try {
         val bi = rd.getFooter.getBlocks.iterator()
         while (bi.hasNext) {
           val block = bi.next()
-          rows += block.getRowCount
+          acc.rows += block.getRowCount
           val ci = block.getColumns.iterator()
           while (ci.hasNext) {
             val chunk = ci.next()
@@ -203,10 +229,7 @@ private[graft] object FileStats {
                 if (s.hasNonNullValue) {
                   (widen(dom, s.genericGetMin.asInstanceOf[AnyRef]),
                       widen(dom, s.genericGetMax.asInstanceOf[AnyRef])) match {
-                    case (Some(mn), Some(mx)) =>
-                      sawValue += path
-                      if (!mins.contains(path) || lt(mn, mins(path))) mins(path) = mn
-                      if (!maxs.contains(path) || lt(maxs(path), mx)) maxs(path) = mx
+                    case (Some(mn), Some(mx)) => acc.see(path, mn, mx)
                     case _ => dropped += path
                   }
                 } else if (!s.isNumNullsSet) {
@@ -219,15 +242,70 @@ private[graft] object FileStats {
         }
       } finally rd.close()
     } catch { case scala.util.control.NonFatal(_) => return None }
-    val cols = tracked.keysIterator.filterNot(dropped.contains).flatMap { p =>
-      val nn = nulls.getOrElse(p, -1L)
-      if (sawValue.contains(p))
-        Some(p -> ColZone(Some(mins(p)), Some(maxs(p)), nn))
-      else if (nn >= 0) // all-null column with known null count
-        Some(p -> ColZone(None, None, nn))
-      else None
-    }.toMap
-    Some(DirStats(rows, cols))
+    Some(acc.toDirStats(tracked))
+  }
+
+  /**
+   * Zone of ONE ORC file — the same contract as the parquet [[fileZone]],
+   * read from the ORC footer's per-column statistics (ORC carries
+   * min/max/value counts exactly like parquet, which is why the 13r
+   * degradation was a gap, not a design limit). Timestamp columns are
+   * conservatively DROPPED: ORC's timestamp statistics are writer-zone
+   * sensitive, and a mis-zoned timestamp would mis-prune. Date columns
+   * use day-of-epoch (the same Long domain as parquet DATE int32 days);
+   * truncated string statistics fall back to the writer's lower/upper
+   * bounds, which remain sound zone endpoints.
+   */
+  private def fileZoneOrc(conf: Configuration, absPath: String,
+      segments: Seq[String], tracked: Map[String, Domain],
+      typeByName: Map[String, DataType]): Option[DirStats] = {
+    val acc = new ZoneAcc
+    import acc.{nulls, dropped}
+    try {
+      acc.applySegments(segments, tracked, typeByName)
+      val rd = org.apache.orc.OrcFile.createReader(new Path(absPath),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try {
+        acc.rows = rd.getNumberOfRows
+        val orcSchema = rd.getSchema
+        val names = orcSchema.getFieldNames
+        val children = orcSchema.getChildren
+        val stats = rd.getStatistics
+        (0 until names.size()).foreach { i =>
+          val path = names.get(i).toLowerCase
+          tracked.get(path).filterNot(_ => dropped.contains(path)).foreach { _ =>
+            val sparkDt = typeByName(path)
+            val cs = stats(children.get(i).getId)
+            if (sparkDt == TimestampType || sparkDt == TimestampNTZType)
+              dropped += path
+            else {
+              val nonNull = cs.getNumberOfValues
+              // exact for top-level columns: every row has an entry
+              if (nulls.getOrElse(path, 0L) >= 0L)
+                nulls(path) = nulls.getOrElse(path, 0L) + (acc.rows - nonNull)
+              if (nonNull > 0) cs match {
+                case s: org.apache.orc.IntegerColumnStatistics =>
+                  acc.see(path, s.getMinimum, s.getMaximum)
+                case s: org.apache.orc.DoubleColumnStatistics =>
+                  acc.see(path, s.getMinimum, s.getMaximum)
+                case s: org.apache.orc.StringColumnStatistics =>
+                  (Option(s.getMinimum).orElse(Option(s.getLowerBound)),
+                    Option(s.getMaximum).orElse(Option(s.getUpperBound))) match {
+                    case (Some(mn), Some(mx)) => acc.see(path, mn, mx)
+                    case _ => dropped += path
+                  }
+                case s: org.apache.orc.DateColumnStatistics =>
+                  acc.see(path, s.getMinimumDayOfEpoch, s.getMaximumDayOfEpoch)
+                case s: org.apache.orc.BooleanColumnStatistics =>
+                  acc.see(path, s.getFalseCount == 0L, s.getTrueCount > 0L)
+                case _ => dropped += path // unexpected stats shape
+              }
+            }
+          }
+        }
+      } finally rd.close()
+    } catch { case scala.util.control.NonFatal(_) => return None }
+    Some(acc.toDirStats(tracked))
   }
 
   /** Fold per-file zones into the dir aggregate. A column survives only
@@ -260,11 +338,12 @@ private[graft] object FileStats {
     DirStats(rows, cols, totalBytes)
   }
 
-  /** List every `.parquet` file under `dir` recursively as
+  /** List every data file of the given format under `dir` recursively as
     * (relative-path, absolute-path, length) — one metadata listing, no
     * footer reads. None = dir missing or listing failed. */
-  private def listParquet(fs: FileSystem,
-      dir: Path): Option[Seq[(String, String, Long)]] =
+  private def listDataFiles(fs: FileSystem, dir: Path,
+      fmt: String): Option[Seq[(String, String, Long)]] = {
+    val ext = "." + fmt
     try {
       if (!fs.exists(dir)) return None
       val qdir = fs.makeQualified(dir).toString
@@ -273,7 +352,7 @@ private[graft] object FileStats {
       while (it.hasNext) {
         val st = it.next()
         val p = st.getPath
-        if (p.getName.endsWith(".parquet")) {
+        if (p.getName.endsWith(ext)) {
           val abs = p.toString
           val rel = abs.stripPrefix(qdir).stripPrefix("/")
           out += ((rel, abs, st.getLen))
@@ -281,6 +360,7 @@ private[graft] object FileStats {
       }
       Some(out.toSeq)
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /**
    * Collect the dir's zone map AND its per-file zones, reading footers in
@@ -294,12 +374,13 @@ private[graft] object FileStats {
    * if the job itself cannot run.
    */
   def collectWithFiles(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
-      dir: Path, schema: StructType): Option[(DirStats, Map[String, DirStats])] = {
+      dir: Path, schema: StructType,
+      fmt: String = "parquet"): Option[(DirStats, Map[String, DirStats])] = {
     val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
       domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
     val typeByName: Map[String, DataType] =
       schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    val files = listParquet(fs, dir) match {
+    val files = listDataFiles(fs, dir, fmt) match {
       case None => return None
       case Some(fl) if fl.isEmpty => return Some((DirStats(0L, Map.empty), Map.empty))
       case Some(fl) => fl
@@ -309,13 +390,17 @@ private[graft] object FileStats {
     val perFile: Seq[(String, Option[DirStats])] =
       try {
         val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
+        val orc = fmt == "orc"
         sc.parallelize(files, slices).map { case (rel, abs, len) =>
-          rel -> fileZone(conf.value, abs, rel.split('/').toSeq.dropRight(1),
-            tracked, typeByName).map(_.copy(bytes = len))
+          val segs = rel.split('/').toSeq.dropRight(1)
+          rel -> (if (orc) fileZoneOrc(conf.value, abs, segs, tracked, typeByName)
+            else fileZone(conf.value, abs, segs, tracked, typeByName))
+            .map(_.copy(bytes = len))
         }.collect().toSeq
       } catch { case scala.util.control.NonFatal(_) =>
         // no job could run (e.g. stopped context): sequential fallback
-        return collect(fs, sc.hadoopConfiguration, dir, schema).map(_ -> Map.empty)
+        return collect(fs, sc.hadoopConfiguration, dir, schema, fmt)
+          .map(_ -> Map.empty)
       }
     if (perFile.exists(_._2.isEmpty)) return None
     val fileMap = perFile.map { case (rel, z) => rel -> z.get }.toMap
@@ -329,19 +414,21 @@ private[graft] object FileStats {
    * this path's reads so tests can prove commits never take it.
    */
   def collect(fs: FileSystem, conf: Configuration, dir: Path,
-      schema: StructType): Option[DirStats] = {
+      schema: StructType, fmt: String = "parquet"): Option[DirStats] = {
     val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
       domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
     val typeByName: Map[String, DataType] =
       schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    val files = listParquet(fs, dir) match {
+    val files = listDataFiles(fs, dir, fmt) match {
       case None => return None
       case Some(fl) if fl.isEmpty => return Some(DirStats(0L, Map.empty))
       case Some(fl) => fl
     }
     val zones = files.map { case (rel, abs, len) =>
       driverFooterReads.incrementAndGet()
-      fileZone(conf, abs, rel.split('/').toSeq.dropRight(1), tracked, typeByName)
+      val segs = rel.split('/').toSeq.dropRight(1)
+      (if (fmt == "orc") fileZoneOrc(conf, abs, segs, tracked, typeByName)
+       else fileZone(conf, abs, segs, tracked, typeByName))
         .map(_.copy(bytes = len))
     }
     if (zones.exists(_.isEmpty)) None else Some(mergeZones(zones.map(_.get)))

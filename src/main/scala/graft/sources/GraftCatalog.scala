@@ -265,12 +265,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // (each dir is read at its WRITE-TIME schema and mapped forward by
     // field id, so by-name file resolution suffices), compaction,
     // streaming, changelog all work unchanged through the format-aware
-    // read/write seams. Parquet-footer-specific machinery degrades
-    // CONSERVATIVELY on both: no zone/bloom skipping (nothing prunes,
-    // nothing wrong), metadata-only countRows unavailable (falls back to
-    // a scan), deletion vectors refuse (they pin parquet row_index
-    // semantics). The `$partitions` view counts ORC rows from footers
-    // and AVRO rows from block headers (I/O-only, no decode).
+    // read/write seams. ORC footers carry min/max/null statistics like
+    // parquet, so ORC tables get zone maps, data skipping, and
+    // metadata-only countRows (r14; timestamp columns conservatively
+    // untracked — ORC timestamp stats are writer-zone sensitive). AVRO
+    // files carry no column statistics: no zone skipping, countRows
+    // falls back to a scan (conservative, never wrong). Bloom indexes
+    // and deletion vectors stay parquet-only (bitsets are sized from
+    // parquet footer row counts; DVs pin parquet row_index semantics).
+    // The `$partitions` view counts ORC rows from footers and AVRO rows
+    // from block headers (I/O-only, no decode).
     options.get("file.format").foreach { f =>
       require(f == "parquet" || f == "orc" || f == "avro",
         s"file.format must be parquet, orc or avro, got $f")
@@ -1176,20 +1180,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // rebase (a concurrent DDL may bump the current version; these bytes
     // are at THIS version and map forward by field id like any other dir).
     val sv = m.get("currentSchemaVersion").asInt()
-    // Zone maps: aggregate the new dir's parquet footer stats into the
-    // manifest (Paimon manifests carry per-file field stats the same
-    // way; TrinoMetadataBase.applyFilter prunes splits with them). Dirs
-    // are immutable, so this runs exactly once per dir. The footer reads
+    // Zone maps: aggregate the new dir's footer stats into the manifest
+    // (Paimon manifests carry per-file field stats the same way;
+    // TrinoMetadataBase.applyFilter prunes splits with them). Dirs are
+    // immutable, so this runs exactly once per dir. The footer reads
     // run in a DISTRIBUTED job (one driver listing, executor-side
     // footers), so a bulk load landing 10⁴–10⁵ files in one snapshot
     // never stalls the commit on sequential driver round-trips; per-FILE
     // zones ride along for file-granular skipping. Data dirs only —
     // tombstone dirs are never zone-pruned (MoR must see every delta).
-    // Zone stats read parquet footers — ORC dirs carry none and are
-    // simply never pruned / never metadata-counted (conservative).
-    val stats = if (kind == "data" && fileFormat(m) == "parquet")
+    // Parquet AND ORC footers both carry min/max/null counts (r14 closed
+    // the ORC gap); AVRO files carry no column statistics — those dirs
+    // are simply never pruned / never metadata-counted (conservative).
+    val stats = if (kind == "data" &&
+        (fileFormat(m) == "parquet" || fileFormat(m) == "orc"))
       FileStats.collectWithFiles(spark, fs,
-        new Path(tablePath(schema, table), dir), df.schema)
+        new Path(tablePath(schema, table), dir), df.schema, fileFormat(m))
     else None
     // Bloom-filter file index (see [[BloomIndex]]): one distributed job
     // over the dir just written, bitsets sized from the footer row counts
@@ -2245,12 +2251,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     entries.foreach { fe =>
       val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
     }
-    // ORC dirs carry no zones: collecting here would list zero parquet
-    // files and record a bogus 0-row aggregate that countRows would
-    // serve as truth — skip, matching commit()'s format gate.
-    entries.filter(_ => fileFormat(m) == "parquet").foreach { fe =>
+    // AVRO dirs carry no column statistics: collecting would list zero
+    // files of the stats format and record a bogus 0-row aggregate that
+    // countRows would serve as truth — skip, matching commit()'s gate.
+    entries.filter(_ => fileFormat(m) == "parquet" || fileFormat(m) == "orc")
+      .foreach { fe =>
       FileStats.collectWithFiles(spark, fs,
-          dirPath(schema, table, fe.dir), cur).foreach {
+          dirPath(schema, table, fe.dir), cur, fileFormat(m)).foreach {
         case (ds, fileZones) =>
           val statsNode =
             if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]

@@ -10,8 +10,9 @@ import graft.sources.GraftCatalog
  * the reference like every option): table data writes/reads through
  * Spark's native ORC source; merge-on-read, schema evolution,
  * compaction, changelog, streaming all work through the format-aware
- * seams. Parquet-footer machinery degrades conservatively: no zone/bloom
- * skipping, no metadata-only counts, deletion vectors refuse.
+ * seams. ORC footers carry min/max/null statistics, so zone maps, data
+ * skipping and metadata-only counts work like parquet (r14); bloom
+ * indexes and deletion vectors stay parquet-only.
  */
 class OrcFormatSpec extends SparkSpecBase {
 
@@ -40,10 +41,14 @@ class OrcFormatSpec extends SparkSpecBase {
       if (p.toString.endsWith(".parquet")) parquet += 1
     }
     assert(orc > 0 && parquet === 0)
-    // no zone stats → metadata-only count unavailable (falls back), and
-    // readWhere still answers exactly (zero pruning, never wrong)
-    assert(gc.countRows("db", "o1") === None)
-    assert(gc.readWhere("db", "o1", col("id") between (10, 20)).count() === 11)
+    // ORC footers carry stats: metadata-only count is exact, and
+    // readWhere zone-prunes the dir whose range can't match
+    assert(gc.countRows("db", "o1") === Some(150L))
+    val pruned = gc.readWhere("db", "o1", col("id") between (10, 20))
+    assert(pruned.count() === 11)
+    val dirs = pruned.inputFiles.map(f =>
+      f.split("/").reverse.dropWhile(!_.startsWith("snap-")).head).toSet
+    assert(dirs === Set("snap-1"), s"scanned $dirs") // snap-2 (101..150) pruned
     // $files and $partitions views work; row counts via ORC footers
     assert(gc.filesTable("db", "o1").agg(sum("n_part_files")).head().getLong(0) > 0)
     assert(gc.partitionsTable("db", "o1")
@@ -118,5 +123,30 @@ class OrcFormatSpec extends SparkSpecBase {
       assert(spark.table("orc_stream_out").select("id")
         .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
     } finally q.stop()
+  }
+
+  test("ORC zone maps: long/string/date domains prune dirs, stay sound") {
+    import spark.implicits._
+    def day(i: Long) = java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(19000 + i))
+    val df = (1L to 90L).map(i => (i, f"k${100 + i}%03d", day(i), i % 2 == 0))
+      .toDF("id", "name", "d", "flag")
+    gc.createTable("db", "oz", df.schema, options = Map("file.format" -> "orc"))
+    gc.append("db", "oz", df.filter(col("id") <= 30))
+    gc.append("db", "oz", df.filter(col("id") > 30 && col("id") <= 60))
+    gc.append("db", "oz", df.filter(col("id") > 60))
+    def dirsOf(p: org.apache.spark.sql.DataFrame): Set[String] =
+      p.inputFiles.map(f =>
+        f.split("/").reverse.dropWhile(!_.startsWith("snap-")).head).toSet
+    val q1 = gc.readWhere("db", "oz", col("id") > 65)
+    assert(q1.count() === 25 && dirsOf(q1) === Set("snap-3"))
+    val q2 = gc.readWhere("db", "oz", col("name") === "k145")
+    assert(q2.count() === 1 && dirsOf(q2) === Set("snap-2"))
+    val q3 = gc.readWhere("db", "oz", col("d") < lit(day(31)))
+    assert(q3.count() === 30 && dirsOf(q3) === Set("snap-1"))
+    // soundness: a predicate matching everything loses no rows
+    assert(gc.readWhere("db", "oz",
+      col("flag") === true || col("flag") === false).count() === 90)
+    // metadata-only count stays exact across the three ORC dirs
+    assert(gc.countRows("db", "oz") === Some(90L))
   }
 }
