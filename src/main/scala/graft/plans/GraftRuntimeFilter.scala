@@ -74,9 +74,10 @@ private[graft] class GraftScanBuilder(d: ScanBuilder, gt: GraftSqlTable)
     // Aggregate-pushdown scans return pre-aggregated rows — never under a
     // join, so a runtime filter can't reach them; leave those unwrapped.
     case ps: ParquetScan if ps.pushedAggregate.isEmpty &&
-        (gt.zoneStats.exists(_.nonEmpty) || gt.bloomInfo.nonEmpty) =>
+        (gt.zoneStats.exists(_.nonEmpty) || gt.bloomInfo.nonEmpty ||
+          gt.cboStats.isDefined) =>
       new GraftRuntimeScan(ps, gt.zoneStats.getOrElse(Map.empty),
-        gt.fileZones.getOrElse(Map.empty), gt.bloomInfo)
+        gt.fileZones.getOrElse(Map.empty), gt.bloomInfo, gt.cboStats)
     case other => other
   }
 }
@@ -98,7 +99,8 @@ private[graft] class GraftRuntimeScan(
     @volatile private var delegate: ParquetScan,
     zoneStats: Map[String, FileStats.DirStats],
     fileZones: Map[String, Map[String, FileStats.DirStats]],
-    bloomInfo: Map[String, (String, Set[String])])
+    bloomInfo: Map[String, (String, Set[String])],
+    cboStats: Option[graft.sources.GraftCboStats.Stats] = None)
   extends Scan with SupportsRuntimeV2Filtering with SupportsReportStatistics {
 
   /** The (possibly runtime-pruned) underlying file scan — test/ops
@@ -129,7 +131,14 @@ private[graft] class GraftRuntimeScan(
   override def toBatch: Batch = delegate.toBatch
   override def description(): String =
     s"GraftRuntimeFilter ${delegate.description()}"
-  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+  // ANALYZE statistics beat the delegate's compressed-file-size estimate:
+  // exact rows, logical (avgLen-weighted) width over the projected
+  // schema, per-column NDV/null counts for CBO join estimation (r14).
+  override def estimateStatistics(): Statistics = cboStats match {
+    case Some((rows, cols)) =>
+      graft.sources.GraftCboStats.toV2(rows, readSchema(), cols)
+    case None => delegate.estimateStatistics()
+  }
   override def supportedCustomMetrics = delegate.supportedCustomMetrics()
   override def reportDriverMetrics = delegate.reportDriverMetrics()
   override def columnarSupportMode = delegate.columnarSupportMode()

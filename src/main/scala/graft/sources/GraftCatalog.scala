@@ -1834,7 +1834,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       // zero-Exchange route for a BUCKETED dim: each micro-batch row
       // joins inside its key's bucket task — no BroadcastExchange (the
       // dim may exceed executor memory), no shuffle of the dim.
-      bucketedDim: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      bucketedDim: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    // Quiet-dim cache (broadcast route): the dim's resolved MoR image is
+    // persisted and keyed by its head snapshot id — micro-batches between
+    // dim commits reuse the cached image instead of re-resolving (and
+    // re-broadcasting the merge) every batch; a new dim commit is
+    // detected by one manifest-head read and swaps the cache, so the
+    // per-batch freshness contract is unchanged. The cache lives for the
+    // query's lifetime and holds ONE image (the broadcast contract
+    // already implies the dim fits in memory). The bucketed route keys
+    // its per-bucket legs off the batch, so it re-plans per batch by
+    // construction — but its dim I/O is already O(touched buckets).
+    var cachedDim: Option[(Long, DataFrame)] = None
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -1842,7 +1853,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           val enriched =
             if (bucketedDim) bucketedLookup(schema, dimTable, batch.toDF(), joinKeys)
             else {
-              val dim0 = read(schema, dimTable)
+              val head = chosenSnapshotId(schema, dimTable).getOrElse(0L)
+              val dim0 = cachedDim match {
+                case Some((id, df)) if id == head => df
+                case stale =>
+                  stale.foreach(_._2.unpersist(blocking = false))
+                  GraftCatalog.lookupDimResolves.incrementAndGet()
+                  val fresh = read(schema, dimTable)
+                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                  cachedDim = Some((head, fresh))
+                  fresh
+              }
               val dim = if (broadcastDim)
                 org.apache.spark.sql.functions.broadcast(dim0) else dim0
               batch.toDF().join(dim, joinKeys, "left")
@@ -1852,6 +1873,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         }
       }
       .start()
+  }
 
   /**
    * Zero-Exchange lookup enrichment of a delta-sized frame against a
@@ -6448,6 +6470,38 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     sid
   }
 
+  /**
+   * ANALYZE statistics for the CBO (r14): exact row count plus per-column
+   * (ndv, nulls, avgLen), keyed by lower-cased column name — the numbers
+   * [[analyzeTable]] collected, served ONLY when the analyzed snapshot IS
+   * the snapshot being scanned (stale statistics would mis-size joins;
+   * re-run ANALYZE after ingest, as in Spark's own catalog workflow).
+   * These flow into the DSv2 scan's reported Statistics so the optimizer
+   * sizes joins from LOGICAL rows/widths, not compressed file bytes, and
+   * join selectivity estimation sees NDVs under spark.sql.cbo.enabled.
+   */
+  def analyzeStatsOf(schema: String, table: String,
+      snapshotId: Option[Long] = None, asOfMillis: Option[Long] = None)
+      : Option[(Long, Map[String, (Option[Long], Option[Long], Option[Double])])] = {
+    val m = readManifest(schema, table)
+    if (!m.has("statistics")) return None
+    val st = m.get("statistics").asInstanceOf[ObjectNode]
+    val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
+      .map(_.get("id").asLong())
+    if (!chosen.contains(st.get("snapshotId").asLong())) return None
+    val colsNode = st.get("cols").asInstanceOf[ObjectNode]
+    val cols = mutable.LinkedHashMap[String,
+      (Option[Long], Option[Long], Option[Double])]()
+    colsNode.fieldNames().forEachRemaining { name =>
+      val c = colsNode.get(name).asInstanceOf[ObjectNode]
+      cols += name.toLowerCase(java.util.Locale.ROOT) -> ((
+        if (c.has("ndv")) Some(c.get("ndv").asLong()) else None,
+        if (c.has("nulls")) Some(c.get("nulls").asLong()) else None,
+        if (c.has("avgLen")) Some(c.get("avgLen").asDouble()) else None))
+    }
+    Some((st.get("rows").asLong(), cols.toMap))
+  }
+
   /** `t$statistics`: one row per column from the last [[analyzeTable]]
     * run (empty until analyzed) — column name, type, analyzed snapshot,
     * row/null/ndv counts, min/max, average length. */
@@ -6832,6 +6886,11 @@ object GraftCatalog {
     * contract note); invisible to parquet discovery like the bloom
     * sidecar dir. */
   private[graft] val ClaimMarker = ".claim"
+
+  /** Dim-image (re)resolutions performed by streamLookupAppend's
+    * broadcast route — tests assert quiet-dim batches don't grow it. */
+  private[graft] val lookupDimResolves =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Recursive listings the `$files` view had to fall back to (dirs
     * without complete sidecar byte stats) — a tripwire so tests prove a

@@ -379,6 +379,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       bloomIn = () => gc.bloomIndexInfo(schemaName, tableName)
         .map { case (d, v) => dirPath(d) -> v },
       morRowsHintIn = () => gc.estimatedRowsUpperBound(
+        schemaName, tableName, snapshotId, asOfMillis),
+      cboStatsIn = () => gc.analyzeStatsOf(
         schemaName, tableName, snapshotId, asOfMillis))
   }
 
@@ -691,7 +693,11 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       * auto-broadcast in a SQL join; an upper bound can only
       * under-broadcast, never over-broadcast. Thunked: zero manifest
       * cost unless a MoR scan is actually planned. */
-    morRowsHintIn: () => Option[Long] = () => None)
+    morRowsHintIn: () => Option[Long] = () => None,
+    /** ANALYZE statistics (exact rows + per-column ndv/nulls/avgLen) for
+      * the scanned snapshot — thunked like the zones; feeds the scan's
+      * reported DSv2 Statistics (see GraftCboStats). */
+    cboStatsIn: () => Option[GraftCboStats.Stats] = () => None)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   /** The read-time merge reader, exposed for the native plan-injection
@@ -708,12 +714,14 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
   private[graft] lazy val fileZones: Option[Map[String, Map[String, FileStats.DirStats]]] =
     fileZonesIn()
   private[graft] lazy val bloomInfo: Map[String, (String, Set[String])] = bloomIn()
+  private[graft] lazy val cboStats: Option[GraftCboStats.Stats] = cboStatsIn()
 
   /** This table as a read-only view (same scan, no write surface). */
   private[graft] def asReadOnly: GraftSqlTable =
     new GraftSqlTable(delegate, partitionCols, props, morRead, commitInsert,
       commitDelete, canDelete, coords, () => zoneStats, () => exactRowCount,
-      readOnly = true, fileZonesIn = () => fileZones)
+      readOnly = true, fileZonesIn = () => fileZones,
+      cboStatsIn = () => cboStats)
 
   private[graft] def currentPaths: Seq[String] = delegate.paths
 
@@ -786,7 +794,7 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
       case Some(reader) =>
         val hint = morRowsHintIn().map(rows =>
           (rows, rows * math.max(1L, delegate.schema.defaultSize.toLong)))
-        new GraftMorScanBuilder(delegate.schema, reader, hint)
+        new GraftMorScanBuilder(delegate.schema, reader, hint, cboStatsIn())
       case None =>
         val base = delegate.newScanBuilder(options)
         // Runtime (dynamic) join filtering: wrap the parquet builder so
@@ -833,12 +841,76 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
  * applied to the DataFrame, where Catalyst pushes them through the merge
  * window into the underlying parquet scans when semantics allow.
  */
+/**
+ * ANALYZE statistics → DSv2 [[org.apache.spark.sql.connector.read.Statistics]]
+ * (r14): row counts size joins from LOGICAL width (avgLen-weighted — a
+ * 100x-compressed dim must not masquerade as broadcastable, nor a small
+ * logical table be kept off the build side by a fat on-disk footprint),
+ * and per-column NDV/null counts feed Spark's CBO join estimation
+ * through `transformV2Stats` when spark.sql.cbo.enabled is on.
+ */
+private[graft] object GraftCboStats {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+
+  /** (ndv, nulls, avgLen) per lower-cased column name. */
+  type Col = (Option[Long], Option[Long], Option[Double])
+  type Stats = (Long, Map[String, Col])
+
+  /** Logical (uncompressed) row width over the PROJECTED schema — the
+    * CBO sizing convention: avgLen for measured variable-width columns,
+    * the type's default size otherwise. */
+  def rowWidth(schema: StructType, cols: Map[String, Col]): Long =
+    math.max(1L, schema.fields.map { f =>
+      cols.get(f.name.toLowerCase(java.util.Locale.ROOT)).flatMap(_._3)
+        .map(l => math.max(1L, l.round))
+        .getOrElse(f.dataType.defaultSize.toLong)
+    }.sum)
+
+  def toV2(rows: Long, schema: StructType, cols: Map[String, Col])
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, rows) * rowWidth(schema, cols))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[NamedReference, ColumnStatistics] = {
+        val out = new java.util.HashMap[NamedReference, ColumnStatistics]()
+        schema.fields.foreach { f =>
+          cols.get(f.name.toLowerCase(java.util.Locale.ROOT)).foreach {
+            case (ndv, nulls, avg) =>
+              out.put(Expressions.column(f.name), new ColumnStatistics {
+                override def distinctCount(): java.util.OptionalLong =
+                  ndv.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def nullCount(): java.util.OptionalLong =
+                  nulls.map(java.util.OptionalLong.of)
+                    .getOrElse(java.util.OptionalLong.empty())
+                override def avgLen(): java.util.OptionalLong =
+                  avg.map(l => java.util.OptionalLong.of(math.max(1L, l.round)))
+                    .getOrElse(java.util.OptionalLong.empty())
+              })
+          }
+        }
+        out
+      }
+    }
+}
+
 private[sources] class GraftMorScanBuilder(fullSchema: StructType,
     reader: Array[Filter] => org.apache.spark.sql.DataFrame,
     /** Upper-bound (rows, bytes) from manifest stats — reported through
       * SupportsReportStatistics so the optimizer can auto-broadcast a
       * small MoR dim instead of assuming the V1 default huge size. */
-    sizeHint: Option[(Long, Long)] = None)
+    sizeHint: Option[(Long, Long)] = None,
+    /** Exact ANALYZE statistics for the scanned snapshot — preferred
+      * over the upper-bound hint when present. Caveat: Spark's
+      * V1ScanWrapper does not forward SupportsReportStatistics, so the
+      * optimizer sees neither through the V1 bridge today (MoR SQL
+      * reads default to the native splice; AQE re-plans the bridge from
+      * runtime sizes) — reported here so the scan is ready the moment
+      * the wrapper forwards, and for direct estimateStatistics callers. */
+    cboStats: Option[GraftCboStats.Stats] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -856,8 +928,11 @@ private[sources] class GraftMorScanBuilder(fullSchema: StructType,
   override def build(): Scan = new V1Scan
       with org.apache.spark.sql.connector.read.SupportsReportStatistics {
     override def estimateStatistics()
-        : org.apache.spark.sql.connector.read.Statistics =
-      new org.apache.spark.sql.connector.read.Statistics {
+        : org.apache.spark.sql.connector.read.Statistics = cboStats match {
+      // exact ANALYZE numbers (rows + ndv/nulls/avgLen) beat the
+      // pre-merge upper bound; width taken over the PROJECTED schema
+      case Some((rows, cols)) => GraftCboStats.toV2(rows, required, cols)
+      case None => new org.apache.spark.sql.connector.read.Statistics {
         override def sizeInBytes(): java.util.OptionalLong = sizeHint
           .map(h => java.util.OptionalLong.of(h._2))
           .getOrElse(java.util.OptionalLong.empty())
@@ -865,6 +940,7 @@ private[sources] class GraftMorScanBuilder(fullSchema: StructType,
           .map(h => java.util.OptionalLong.of(h._1))
           .getOrElse(java.util.OptionalLong.empty())
       }
+    }
     override def readSchema(): StructType = required
     override def toV1TableScan[T <: BaseRelation with TableScan](
         context: org.apache.spark.sql.SQLContext): T =

@@ -464,12 +464,22 @@ class StreamingSpec extends SparkSpecBase {
       java.nio.file.Files.createTempDirectory("graft-lookup-ckpt").toString,
       joinKeys = Seq("k"))
     try {
+      val resolves0 = graft.sources.GraftCatalog.lookupDimResolves.get()
       stream.addData(Seq((1L, 10L), (2L, 20L), (3L, 30L)))
       q.processAllAvailable()
       // batch 1: dim as of now — key 3 unmatched (left join keeps it)
       val r1 = cat.read("db", "enriched").as[(Long, Long, String)]
         .collect().toSet
       assert(r1 === Set((1L, 10L, "one"), (2L, 20L, "two"), (3L, 30L, null)))
+      assert(graft.sources.GraftCatalog.lookupDimResolves.get() === resolves0 + 1)
+      // QUIET dim: a second batch with no dim commit in between reuses
+      // the cached image — no re-resolve, no re-plan (r14)
+      stream.addData(Seq((1L, 11L)))
+      q.processAllAvailable()
+      assert(graft.sources.GraftCatalog.lookupDimResolves.get() === resolves0 + 1,
+        "quiet-dim batch re-resolved the dim image")
+      assert(cat.read("db", "enriched").as[(Long, Long, String)].collect().toSet
+        === r1 + ((1L, 11L, "one")))
       // dim UPDATE between batches: the next batch sees the new image —
       // the refresh-per-batch freshness contract of a lookup join
       cat.upsert("db", "dim", Seq((2L, "TWO"), (3L, "three")).toDF("k", "name"))
@@ -477,7 +487,8 @@ class StreamingSpec extends SparkSpecBase {
       q.processAllAvailable()
       val r2 = cat.read("db", "enriched").as[(Long, Long, String)]
         .collect().toSet
-      assert(r2 === r1 ++ Set((2L, 21L, "TWO"), (3L, 31L, "three")))
+      assert(r2 === r1 ++ Set((1L, 11L, "one"), (2L, 21L, "TWO"), (3L, 31L, "three")))
+      assert(graft.sources.GraftCatalog.lookupDimResolves.get() === resolves0 + 2)
     } finally q.stop()
   }
 
