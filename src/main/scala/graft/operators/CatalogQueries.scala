@@ -537,6 +537,30 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Nested struct evolution (r14): add + rename INSIDE a row<...>
+    // column — old files keep serving a renamed member's bytes (nested
+    // lineage ids), the added member reads null there; new files carry
+    // the full shape. The merge-free flattening at the end makes the
+    // result DuckDB-comparable.
+    "catalog_struct_evolve" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang").as("a"), col("n_chars").as("b")).as("s"))
+      cat.createTable("q", t, d.schema)
+      cat.append("q", t, d.filter(col("doc_id") % 2 === 0))
+      cat.addNestedField("q", t, "s.c",
+        org.apache.spark.sql.types.LongType)
+      cat.renameNestedField("q", t, "s.a", "lang2")
+      val d2 = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          struct(col("lang").as("lang2"), col("n_chars").as("b"),
+            (col("n_chars") * 2).as("c")).as("s"))
+      cat.append("q", t, d2.filter(col("doc_id") % 2 =!= 0))
+      cat.read("q", t).select(col("doc_id"), col("s.lang2").as("lang2"),
+        col("s.b").as("b"), col("s.c").as("c")).orderBy("doc_id")
+    }),
     // Write-time changelog materialization (Paimon's changelog-producer=
     // lookup): every commit persists its full -U/+U/-D retraction pairs;
     // the consumer's range is then served from files with NO before-image
@@ -1043,6 +1067,10 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 5 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents
         |WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
+    "catalog_struct_evolve" ->
+      """SELECT doc_id, lang AS lang2, n_chars AS b,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars * 2 END AS c
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // range (1, 3]: updated keys pair -U(original)/+U(u); deleted keys
     // emit -D with the image as of snapshot 1 (original values)
     "catalog_changelog_producer" ->

@@ -922,6 +922,240 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       fields.filterNot(_.name == name)
     }
 
+  // ---- nested struct evolution (r14) --------------------------------------
+  // Fields INSIDE `row(...)` columns evolve like top-level ones: add /
+  // rename / drop are metadata-only schema versions, and reads map old
+  // files forward BY NESTED FIELD LINEAGE — a per-column `nestedIds` node
+  // assigns stable ids to nested paths the first time a column is
+  // nested-evolved (renames keep the id, adds mint one), so a renamed
+  // member keeps serving the bytes files wrote under its old name.
+  // Paths traverse row types only (array/map ELEMENT types don't evolve
+  // — their values have no per-field storage identity to map).
+
+  /** Inner member list of a `row(a integer, b row(...))` trino string. */
+  private def rowMembers(trino: String): Seq[(String, String)] = {
+    val t = trino.trim
+    require(t.toLowerCase(java.util.Locale.ROOT).startsWith("row("),
+      s"$trino is not a row type")
+    val inner = t.substring(t.indexOf('(') + 1, t.lastIndexOf(')'))
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    inner.foreach {
+      case '(' => depth += 1; sb.append('(')
+      case ')' => depth -= 1; sb.append(')')
+      case ',' if depth == 0 => out += sb.toString.trim; sb.clear()
+      case c => sb.append(c)
+    }
+    if (sb.toString.trim.nonEmpty) out += sb.toString.trim
+    out.toSeq.map { p =>
+      val i = p.indexOf(' ')
+      require(i > 0, s"malformed row member '$p' in $trino")
+      (p.take(i), p.drop(i + 1).trim)
+    }
+  }
+
+  private def mkRow(members: Seq[(String, String)]): String =
+    members.map { case (n, t) => s"$n $t" }.mkString("row(", ", ", ")")
+
+  /** Rewrite the member list of the row type at `segs` under `trino`. */
+  private def editRowAt(trino: String, segs: Seq[String],
+      f: Seq[(String, String)] => Seq[(String, String)]): String =
+    if (segs.isEmpty) mkRow(f(rowMembers(trino)))
+    else {
+      val ms = rowMembers(trino)
+      require(ms.exists(_._1 == segs.head),
+        s"no nested field ${segs.head} in $trino")
+      mkRow(ms.map { case (n, t) =>
+        if (n == segs.head) (n, editRowAt(t, segs.tail, f)) else (n, t)
+      })
+    }
+
+  /** Every nested path (intermediate struct nodes AND leaves) of a row
+    * type, dotted, in declaration order. */
+  private def nestedPathsOf(trino: String, prefix: String = ""): Seq[String] =
+    if (!trino.trim.toLowerCase(java.util.Locale.ROOT).startsWith("row("))
+      Seq.empty
+    else rowMembers(trino).flatMap { case (n, t) =>
+      val p = if (prefix.isEmpty) n else s"$prefix.$n"
+      p +: nestedPathsOf(t, p)
+    }
+
+  /** The column's nested-id map valid at `version`: the newest recorded
+    * map at or below it (naming only changes at recorded versions), or
+    * the oldest recorded one for pre-history versions (identical naming
+    * — the first nested op snapshots the pre-op structure). None = the
+    * column was never nested-evolved (name-identity mapping applies). */
+  private def nestedIdsAt(m: ObjectNode, colId: Int,
+      version: Int): Option[Map[String, Int]] = {
+    if (!m.has("nestedIds")) return None
+    val colNode = m.get("nestedIds").asInstanceOf[ObjectNode].get(colId.toString)
+    if (colNode == null) return None
+    val node = colNode.asInstanceOf[ObjectNode]
+    val versions = mutable.ArrayBuffer.empty[Int]
+    node.fieldNames().forEachRemaining { k =>
+      if (k != "_last") versions += k.toInt
+    }
+    if (versions.isEmpty) return None
+    val pick = versions.filter(_ <= version).maxOption.getOrElse(versions.min)
+    val vn = node.get(pick.toString).asInstanceOf[ObjectNode]
+    val out = mutable.LinkedHashMap[String, Int]()
+    vn.fieldNames().forEachRemaining(p => out += p -> vn.get(p).asInt())
+    Some(out.toMap)
+  }
+
+  /** Current-naming nested path → write-time path for files of `colId`
+    * written at schema version `w` (None = the member didn't exist).
+    * Name identity when the column was never nested-evolved. */
+  private def nestedCurToWrite(m: ObjectNode, colId: Int,
+      w: Int): String => Option[String] = {
+    val cur = nestedIdsAt(m, colId, m.get("currentSchemaVersion").asInt())
+    val write = nestedIdsAt(m, colId, w)
+    (cur, write) match {
+      case (Some(c), Some(wr)) =>
+        val writeById = wr.map(_.swap)
+        (p: String) => c.get(p).flatMap(writeById.get)
+      case _ => (p: String) => Some(p)
+    }
+  }
+
+  /** Shared shell of the three nested ops: resolves the top column,
+    * ensures its nestedIds lineage exists (snapshotting the pre-op
+    * structure under the PREVIOUS version — it names every older file's
+    * layout, unchanged until now), applies the type edit and the id-map
+    * edit, and lands one schema version. */
+  private def nestedEvolve(schema: String, table: String, path: String)(
+      editType: (Seq[String], String) => String)(
+      editIds: (Seq[String], Map[String, Int], () => Int) => Map[String, Int])
+      : Unit =
+    evolveSchema(schema, table) { (m, fields) =>
+      val segs = path.split('.').toSeq
+      require(segs.length >= 2,
+        s"'$path' is not a nested path (use the top-level column DDL)")
+      val top = fields.find(_.name == segs.head).getOrElse(
+        throw new IllegalArgumentException(s"no column ${segs.head}"))
+      // validate the path traverses row types only (clear refusal beats
+      // editRowAt's parse error), before any manifest mutation
+      segs.tail.init.foldLeft(top.trinoType) { (t, seg) =>
+        val ms = rowMembers(t)
+        val hit = ms.find(_._1 == seg).getOrElse(
+          throw new IllegalArgumentException(s"no nested field $seg in $t"))
+        require(hit._2.trim.toLowerCase(java.util.Locale.ROOT).startsWith("row("),
+          s"nested path '$path' traverses non-row type ${hit._2} at '$seg' " +
+            "(array/map element types don't evolve)")
+        hit._2
+      }
+      val newType = editType(segs.tail, top.trinoType)
+      // nested-id lineage
+      val root = if (m.has("nestedIds")) m.get("nestedIds").asInstanceOf[ObjectNode]
+        else m.putObject("nestedIds")
+      val colNode =
+        if (root.has(top.id.toString)) root.get(top.id.toString).asInstanceOf[ObjectNode]
+        else root.putObject(top.id.toString)
+      val curVersion = m.get("currentSchemaVersion").asInt()
+      val prior: Map[String, Int] = nestedIdsAt(m, top.id, curVersion) match {
+        case Some(existing) => existing
+        case None =>
+          // first nested op on this column: snapshot the pre-op structure
+          // (valid for EVERY older version — naming never changed before)
+          var n = 0
+          val snap = nestedPathsOf(top.trinoType).map { p => n += 1; p -> n }.toMap
+          colNode.put("_last", n)
+          val vn = colNode.putObject(curVersion.toString)
+          snap.toSeq.sortBy(_._2).foreach { case (p, i) => vn.put(p, i) }
+          snap
+      }
+      var last = colNode.get("_last").asInt()
+      val next = editIds(segs.tail, prior, () => { last += 1; last })
+      colNode.put("_last", last)
+      val vn = colNode.putObject((curVersion + 1).toString)
+      next.toSeq.sortBy(_._2).foreach { case (p, i) => vn.put(p, i) }
+      fields.map(f => if (f.id == top.id) f.copy(trinoType = newType) else f)
+    }
+
+  /** Add a field inside a `row(...)` column: `path` = dotted location of
+    * the NEW member (e.g. "s.inner.c"); old files read it as null. */
+  def addNestedField(schema: String, table: String, path: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit =
+    nestedEvolve(schema, table, path) { (segs, trino) =>
+      editRowAt(trino, segs.init, { ms =>
+        require(!ms.exists(_._1 == segs.last),
+          s"nested field ${segs.last} exists at ${segs.init.mkString(".")}")
+        ms :+ (segs.last -> TypeMapping.fieldTrinoType(
+          org.apache.spark.sql.types.StructField(segs.last, dataType)))
+      })
+    } { (segs, ids, mint) =>
+      val parent = segs.init.mkString(".")
+      val p = if (parent.isEmpty) segs.last else s"$parent.${segs.last}"
+      ids + (p -> mint())
+    }
+
+  /** Rename a field inside a `row(...)` column — files written under the
+    * old name keep serving it (the nested id is the lineage). */
+  def renameNestedField(schema: String, table: String, path: String,
+      to: String): Unit =
+    nestedEvolve(schema, table, path) { (segs, trino) =>
+      editRowAt(trino, segs.init, { ms =>
+        require(ms.exists(_._1 == segs.last), s"no nested field ${segs.last}")
+        require(!ms.exists(_._1 == to), s"nested field $to exists")
+        ms.map { case (n, t) => if (n == segs.last) (to, t) else (n, t) }
+      })
+    } { (segs, ids, _) =>
+      val prefix = segs.mkString(".")
+      val toPath = (segs.init :+ to).mkString(".")
+      ids.map { case (p, i) =>
+        if (p == prefix) toPath -> i
+        else if (p.startsWith(prefix + ".")) // descendants follow the parent
+          (toPath + p.stripPrefix(prefix)) -> i
+        else p -> i
+      }
+    }
+
+  /** Drop a field inside a `row(...)` column (metadata-only; the bytes
+    * stay in old files for time travel). */
+  def dropNestedField(schema: String, table: String, path: String): Unit =
+    nestedEvolve(schema, table, path) { (segs, trino) =>
+      editRowAt(trino, segs.init, { ms =>
+        require(ms.exists(_._1 == segs.last), s"no nested field ${segs.last}")
+        require(ms.length > 1,
+          s"cannot drop the last member of ${segs.init.mkString(".")}")
+        ms.filterNot(_._1 == segs.last)
+      })
+    } { (segs, ids, _) =>
+      val prefix = segs.mkString(".")
+      ids.filterNot { case (p, _) => p == prefix || p.startsWith(prefix + ".") }
+    }
+
+  /**
+   * Map a write-time value expression onto the current type by nested
+   * field LINEAGE: struct members resolve through `curToWrite` (renames
+   * keep serving old bytes, added members read null, dropped ones
+   * disappear); atomic leaves cast as before. Null struct rows stay
+   * null — never a struct of nulls.
+   */
+  private def adaptExpr(e: org.apache.spark.sql.Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType,
+      curPath: String,
+      curToWrite: String => Option[String]): org.apache.spark.sql.Column =
+    (from, to) match {
+      case (f: StructType, t: StructType) =>
+        val kids = t.fields.toSeq.map { tf =>
+          val p = if (curPath.isEmpty) tf.name else s"$curPath.${tf.name}"
+          curToWrite(p).flatMap { wp =>
+            val wName = wp.substring(wp.lastIndexOf('.') + 1)
+            f.fields.find(_.name == wName).map(wf =>
+              adaptExpr(e.getField(wName), wf.dataType, tf.dataType, p,
+                curToWrite).as(tf.name))
+          }.getOrElse(lit(null).cast(tf.dataType).as(tf.name))
+        }
+        org.apache.spark.sql.functions.when(e.isNull,
+            lit(null).cast(t))
+          .otherwise(org.apache.spark.sql.functions.struct(kids: _*))
+      case (f, t) if f == t => e
+      case (_, t) => e.cast(t)
+    }
+
   private def evolveSchema(schema: String, table: String)(
       f: (ObjectNode, Seq[FieldInfo]) => Seq[FieldInfo]): Unit = {
     val m = readManifest(schema, table)
@@ -3752,12 +3986,23 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case None => spark.read.schema(writeSchema).format(providerFor(fmt))
         .load(base.toString)
     }
-    // Map write-time schema → current schema by field id.
+    // Map write-time schema → current schema by field id; struct columns
+    // whose SHAPE evolved map member-wise by nested lineage (adaptExpr —
+    // a positional cast would mis-wire renamed/added members).
     val byId = writeFields.map(f => f.id -> f).toMap
     val cols = curFields.map { cf =>
+      val toDt = TypeMapping.toSparkType(cf.trinoType)
       byId.get(cf.id) match {
-        case Some(wf) => col(wf.name).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
-        case None => lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+        case Some(wf) =>
+          val fromDt = TypeMapping.toSparkType(wf.trinoType)
+          (fromDt, toDt) match {
+            case (f0, t0) if f0 == t0 => col(wf.name).as(cf.name)
+            case (_: StructType, _: StructType) =>
+              adaptExpr(col(wf.name), fromDt, toDt, curPath = "",
+                nestedCurToWrite(m, cf.id, fe.schemaVersion)).as(cf.name)
+            case _ => col(wf.name).cast(toDt).as(cf.name)
+          }
+        case None => lit(null).cast(toDt).as(cf.name)
       }
     }
     // Deletion-vector identity of each row: the file's table-relative
@@ -5841,11 +6086,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .load(dirPath(schema, table, dir).toString)
     val byId = writeFields.map(f => f.id -> f).toMap
     raw.select(cur.map { cf =>
+      val toDt = TypeMapping.toSparkType(cf.trinoType)
       byId.get(cf.id) match {
         case Some(wf) =>
-          col(wf.name).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
-        case None =>
-          lit(null).cast(TypeMapping.toSparkType(cf.trinoType)).as(cf.name)
+          val fromDt = TypeMapping.toSparkType(wf.trinoType)
+          (fromDt, toDt) match {
+            case (f0, t0) if f0 == t0 => col(wf.name).as(cf.name)
+            case (_: StructType, _: StructType) =>
+              adaptExpr(col(wf.name), fromDt, toDt, curPath = "",
+                nestedCurToWrite(m, cf.id, ver)).as(cf.name)
+            case _ => col(wf.name).cast(toDt).as(cf.name)
+          }
+        case None => lit(null).cast(toDt).as(cf.name)
       }
     } :+ col(RowKindCol): _*)
   }

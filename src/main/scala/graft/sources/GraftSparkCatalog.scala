@@ -450,20 +450,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val (s, t) = (ns1(ident.namespace), ident.name)
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames.length == 1, "nested adds not supported")
-        val sf = org.apache.spark.sql.types.StructField(
-          add.fieldNames.head, add.dataType)
-        gc.addColumn(s, t,
-          Option(add.comment).map(sf.withComment).getOrElse(sf))
+        if (add.fieldNames.length == 1) {
+          val sf = org.apache.spark.sql.types.StructField(
+            add.fieldNames.head, add.dataType)
+          gc.addColumn(s, t,
+            Option(add.comment).map(sf.withComment).getOrElse(sf))
+        } else // ALTER TABLE t ADD COLUMN s.inner.c — nested struct member
+          gc.addNestedField(s, t, add.fieldNames.mkString("."), add.dataType)
       case cmt: TableChange.UpdateColumnComment =>
         require(cmt.fieldNames.length == 1, "nested comments not supported")
         gc.setColumnComment(s, t, cmt.fieldNames.head, Option(cmt.newComment))
       case ren: TableChange.RenameColumn =>
-        require(ren.fieldNames.length == 1, "nested renames not supported")
-        gc.renameColumn(s, t, ren.fieldNames.head, ren.newName)
+        if (ren.fieldNames.length == 1)
+          gc.renameColumn(s, t, ren.fieldNames.head, ren.newName)
+        else gc.renameNestedField(s, t, ren.fieldNames.mkString("."), ren.newName)
       case del: TableChange.DeleteColumn =>
-        require(del.fieldNames.length == 1, "nested drops not supported")
-        gc.dropColumn(s, t, del.fieldNames.head)
+        if (del.fieldNames.length == 1) gc.dropColumn(s, t, del.fieldNames.head)
+        else gc.dropNestedField(s, t, del.fieldNames.mkString("."))
       case up: TableChange.UpdateColumnType =>
         require(up.fieldNames.length == 1, "nested type changes not supported")
         gc.alterColumnType(s, t, up.fieldNames.head,
