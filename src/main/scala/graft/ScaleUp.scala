@@ -18,13 +18,25 @@ import org.apache.spark.sql.functions._
  * dedup/ANN designs must — and do — handle with bounded buckets. Noted
  * in BASELINE.md where it affects per-query scaling interpretation.
  *
- * Usage: sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf1synth 10"
+ * Usage: sbt "runMain graft.ScaleUp /root/testdata/sf0.1 target/sf1synth 10 [verbatim|distinct]"
  */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("target/sf1synth")
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    // Corpus mode: `verbatim` (default) replicates documents/embeddings
+    // byte-identically apart from ids — every doc/vector then belongs to
+    // a `reps`-member exact-duplicate family (a legitimate but DENSE
+    // corpus for the near-dup/ANN family). `distinct` mutates each
+    // replica deterministically (every word prefixed with a
+    // replica-specific token; embeddings circularly rotated by the
+    // replica index) so cross-replica near-dup/ANN pair density scales
+    // LINEARLY, like organically grown data. Replica 0 is the identity
+    // in both modes.
+    val mode = args.lift(3).getOrElse("verbatim")
+    require(mode == "verbatim" || mode == "distinct",
+      s"mode must be verbatim or distinct, got $mode")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,15 +67,17 @@ object ScaleUp {
     val E = 1000000000L // event_id
     val U = 10000000L   // user_id
 
-    def replicate(name: String, offsets: Map[String, Long]): Unit = {
+    def replicate(name: String, offsets: Map[String, Long],
+        mutate: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")
       val reps10: DataFrame = (0 until reps).map { r =>
-        df.select(df.columns.map { c =>
+        val shifted = df.select(df.columns.map { c =>
           offsets.get(c) match {
             case Some(stride) => (col(c) + lit(stride * r)).as(c)
             case None => col(c)
           }
         }: _*)
+        if (r == 0) shifted else mutate(shifted, r) // replica 0 = identity
       }.reduce(_ unionByName _)
       reps10.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       println(s"[scaleup] $name: ${df.count()} -> ${reps10.count()} rows")
@@ -83,8 +97,24 @@ object ScaleUp {
     replicate("lineitem", Map("l_orderkey" -> O, "l_partkey" -> P,
       "l_suppkey" -> S))
     replicate("events", Map("event_id" -> E, "user_id" -> U))
-    replicate("documents", Map("doc_id" -> D))
-    replicate("embeddings", Map("vec_id" -> V))
+    // distinct mode: prefixing EVERY word with a replica token changes
+    // every shingle, so replicas are not near-dups of each other (MinHash
+    // / SimHash / n-gram pair density stays linear); n_chars follows the
+    // text. Embeddings rotate circularly by the replica index — norms
+    // preserved, cosine neighborhoods disjoint across replicas.
+    val mutDocs: (DataFrame, Int) => DataFrame =
+      if (mode == "verbatim") (df, _) => df
+      else (df, r) => df
+        .withColumn("text", concat_ws(" ",
+          transform(split(col("text"), " "), w => concat(lit(s"r$r"), w))))
+        .withColumn("n_chars", length(col("text")))
+    val mutVecs: (DataFrame, Int) => DataFrame =
+      if (mode == "verbatim") (df, _) => df
+      else (df, r) => df.withColumn("embedding", concat(
+        slice(col("embedding"), lit(r + 1), size(col("embedding")) - lit(r)),
+        slice(col("embedding"), lit(1), lit(r))))
+    replicate("documents", Map("doc_id" -> D), mutDocs)
+    replicate("embeddings", Map("vec_id" -> V), mutVecs)
     spark.stop()
   }
 }
