@@ -3919,6 +3919,27 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
     if (chosen.isEmpty) return Some(0L)
     val entries = filesOf(chosen.get)
+    // DV-covered PK snapshot (every data dir at/below the newest build,
+    // no tombstone dirs, no retired buckets): the live image holds
+    // exactly one row per key, so the count is metadata-exact by
+    // subtraction — the read-optimized mode answers count(*) with zero
+    // I/O, like an append table (positions never double-count: each
+    // build derives victims over the DV-applied image).
+    if (primaryKey(m).nonEmpty) {
+      val dvEs0 = entries.filter(_.kind == "dv")
+      if (dvEs0.isEmpty) return None
+      val buildOrd = dvEs0.map(entryOrdinal).max
+      val others = entries.filterNot(_.kind == "dv")
+      if (!others.forall(fe => fe.kind == "data" &&
+          entryOrdinal(fe) <= buildOrd && fe.excludeBuckets.isEmpty))
+        return None
+      val stats0 = dirStatsFrom(m)
+      val counts0 = others.map(fe => stats0.get(fe.dir).map(_.rows))
+      val dvIdx0 = dvIndexFrom(m)
+      val dvRows0 = dvEs0.map(e => dvIdx0.get(e.dir).map(_._2))
+      return if (counts0.exists(_.isEmpty) || dvRows0.exists(_.isEmpty)) None
+        else Some(counts0.flatten.sum - dvRows0.flatten.sum)
+    }
     if (!zonePrunable(m, entries)) return None
     val (dvEs, dataEs) = entries.partition(_.kind == "dv")
     val stats = dirStatsFrom(m)

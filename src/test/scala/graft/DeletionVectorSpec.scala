@@ -367,6 +367,14 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(df2.exceptAll(df).count() === 0 && df.exceptAll(df2).count() === 0)
     // a build with nothing superseded and no tombstones is a no-op
     assert(gc.buildDeletionVectors("db", "pk1") === 7)
+    // DV-covered PK snapshot: count(*) is metadata-exact by subtraction
+    assert(gc.countRows("db", "pk1") === Some(80L))
+    // a post-build delta breaks coverage — falls back (never wrong)
+    gc.upsert("db", "pk1", batch(200, 205).toDF())                 // snap 8
+    assert(gc.countRows("db", "pk1") === None)
+    assert(gc.read("db", "pk1").count() === 86)
+    // the covered snapshot stays metadata-countable under time travel
+    assert(gc.countRows("db", "pk1", snapshotId = Some(7)) === Some(80L))
   }
 
   test("PK DV: bucketed tables read merge-free; bucket ops refuse while live") {
