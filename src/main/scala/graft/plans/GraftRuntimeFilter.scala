@@ -134,9 +134,33 @@ private[graft] class GraftRuntimeScan(
   // ANALYZE statistics beat the delegate's compressed-file-size estimate:
   // exact rows, logical (avgLen-weighted) width over the projected
   // schema, per-column NDV/null counts for CBO join estimation (r14).
+  // ANALYZE numbers are WHOLE-TABLE, while the delegate's estimate
+  // reflects partition/file pruning from pushed filters (which Catalyst
+  // removes from the logical plan, so nothing downstream re-applies the
+  // factor): scale rows by the pruned/full physical-bytes ratio so a
+  // partition-pruned scan keeps its pruning factor (r15 ADVICE). Both
+  // sides of the ratio are compressed on-disk bytes — apples to apples.
   override def estimateStatistics(): Statistics = cboStats match {
     case Some((rows, cols)) =>
-      graft.sources.GraftCboStats.toV2(rows, readSchema(), cols)
+      // Raw on-disk bytes of the files the (partition-pruned, possibly
+      // runtime-pruned) delegate will actually scan vs the table's full
+      // file set — deliberately NOT the delegate's estimateStatistics(),
+      // which also folds in a projected-column fraction that must not
+      // masquerade as a pruning factor.
+      val fullBytes =
+        scala.util.Try(plannedDelegate.fileIndex.sizeInBytes).getOrElse(0L)
+      val prunedBytes = scala.util.Try(
+        delegate.fileIndex
+          .listFiles(delegate.partitionFilters, delegate.dataFilters)
+          .iterator.flatMap(_.files).map(_.getLen).sum).getOrElse(fullBytes)
+      val frac =
+        if (fullBytes > 0L && prunedBytes < fullBytes)
+          prunedBytes.toDouble / fullBytes
+        else 1.0
+      val scaledRows =
+        if (frac >= 1.0) rows
+        else math.max(math.min(rows, 1L), (rows * frac).round)
+      graft.sources.GraftCboStats.toV2(scaledRows, readSchema(), cols)
     case None => delegate.estimateStatistics()
   }
   override def supportedCustomMetrics = delegate.supportedCustomMetrics()

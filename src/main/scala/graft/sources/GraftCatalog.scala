@@ -540,17 +540,16 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     finally out.close()
   }
 
-  /** Stamp millis if present/readable; None falls back to dir mtime. */
+  /** Stamp millis if present/readable; None falls back to dir mtime.
+    * Reads to EOF (a single read() may legally return short — a truncated
+    * millis string would parse to a tiny timestamp and make a LIVE stage
+    * look ancient to sweepStaleStages), and rejects any parsed value below
+    * a plausible epoch-millis floor as unreadable. */
   private def stageStamp(schema: String, table: String): Option[Long] = {
     val p = stageStampPath(schema, table)
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    try {
-      val buf = new Array[Byte](64)
-      val n = in.read(buf)
-      scala.util.Try(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-        .toOption
-    } finally in.close()
+    scala.util.Try(readSmallFile(p, 64).toLong)
+      .toOption.filter(_ >= GraftCatalog.MinPlausibleStampMillis)
   }
 
   def listTables(schema: String): Seq[String] = {
@@ -602,19 +601,26 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   private def swapMarker(schema: String, table: String): Path =
     new Path(tablePath(schema, table), GraftCatalog.SwapMarkerFile)
 
+  /** Read a small control file fully — a single read() may legally
+    * return short, and a truncated marker/stamp must never be acted on. */
+  private def readSmallFile(p: Path, cap: Int): String = {
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](cap)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n >= 0 })
+        off += n
+      new String(buf, 0, off, "UTF-8").trim
+    } finally in.close()
+  }
+
   /** Target named by a stage's commit marker, if the swap had reached its
     * commit point before the driver died. */
   private def swapTarget(schema: String, stage: String): Option[String] = {
     val mk = swapMarker(schema, stage)
     if (!fs.exists(mk)) None
-    else {
-      val in = fs.open(mk)
-      try {
-        val buf = new Array[Byte](4096)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
-      } finally in.close()
-    }
+    else Some(readSmallFile(mk, 4096))
   }
 
   /** Promote a staged lineage over `target`. The commit point is the
@@ -2071,32 +2077,43 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       // dim may exceed executor memory), no shuffle of the dim.
       bucketedDim: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
     // Quiet-dim cache (broadcast route): the dim's resolved MoR image is
-    // persisted and keyed by its head snapshot id — micro-batches between
-    // dim commits reuse the cached image instead of re-resolving (and
-    // re-broadcasting the merge) every batch; a new dim commit is
-    // detected by one manifest-head read and swaps the cache, so the
-    // per-batch freshness contract is unchanged. The cache lives for the
-    // query's lifetime and holds ONE image (the broadcast contract
-    // already implies the dim fits in memory). The bucketed route keys
-    // its per-bucket legs off the batch, so it re-plans per batch by
-    // construction — but its dim I/O is already O(touched buckets).
-    var cachedDim: Option[(Long, DataFrame)] = None
-    stream.writeStream
+    // persisted and keyed by (head snapshot id, manifest commitVersion) —
+    // micro-batches between dim commits reuse the cached image instead of
+    // re-resolving (and re-broadcasting the merge) every batch; a new dim
+    // commit is detected by one manifest read and swaps the cache, so the
+    // per-batch freshness contract is unchanged. commitVersion is in the
+    // key because snapshot ORDINALS are reused after rollbackTo (the
+    // bloom-index cache salts a per-build token for the same reason): a
+    // dim rolled back and re-committed to the same head id mid-stream
+    // must not serve the stale image. The cache lives for the query's
+    // lifetime (unpersisted via a termination listener below) and holds
+    // ONE image (the broadcast contract already implies the dim fits in
+    // memory). The bucketed route keys its per-bucket legs off the batch,
+    // so it re-plans per batch by construction — but its dim I/O is
+    // already O(touched buckets).
+    var cachedDim: Option[((Long, Long), DataFrame)] = None
+    val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val enriched =
             if (bucketedDim) bucketedLookup(schema, dimTable, batch.toDF(), joinKeys)
             else {
-              val head = chosenSnapshotId(schema, dimTable).getOrElse(0L)
+              val m = readManifest(schema, dimTable)
+              val head = chooseSnapshot(m, schema, dimTable, None, None)
+                .map(_.get("id").asLong()).getOrElse(0L)
+              val cv =
+                if (m.has("commitVersion")) m.get("commitVersion").asLong()
+                else 0L
+              val dimKey = (head, cv)
               val dim0 = cachedDim match {
-                case Some((id, df)) if id == head => df
+                case Some((k, df)) if k == dimKey => df
                 case stale =>
                   stale.foreach(_._2.unpersist(blocking = false))
                   GraftCatalog.lookupDimResolves.incrementAndGet()
                   val fresh = read(schema, dimTable)
                     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  cachedDim = Some((head, fresh))
+                  cachedDim = Some((dimKey, fresh))
                   fresh
               }
               val dim = if (broadcastDim)
@@ -2108,6 +2125,23 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         }
       }
       .start()
+    // Release the persisted dim image when THIS query stops — without
+    // this the blocks outlive the stream for the session's lifetime.
+    val streams = spark.streams
+    streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == query.id) {
+          cachedDim.foreach(_._2.unpersist(blocking = false))
+          cachedDim = None
+          streams.removeListener(this)
+        }
+    })
+    query
   }
 
   /**
@@ -4278,28 +4312,144 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val dataEs = entries.filter(_.kind == "data")
     if (dataEs.isEmpty) return latest.get("id").asLong()
     val bucketed = bucketCount(m).isDefined
-    val dataAll = dataEs.map(frameFor(schema, table, m, _,
-        withMeta = true, withBucket = bucketed)).reduce(_ unionByName _)
-    // victims are found over the DV-APPLIED image: an already-dead row
-    // must not be counted twice (same contract as deleteWhereDv)
-    val dataLive = if (dvEs.isEmpty) dataAll
-      else dataAll.join(dvFrame(schema, table, dvEs),
-        Seq(DvFileCol, DvPosCol), "left_anti")
     // tombstones join the version race with null position identity
-    val delAll = delEs.map(frameFor(schema, table, m, _,
-        withBucket = bucketed)).reduceOption(_ unionByName _)
-      .map(_.withColumn(DvFileCol,
-          lit(null).cast(org.apache.spark.sql.types.StringType))
-        .withColumn(DvPosCol, lit(null).cast(org.apache.spark.sql.types.LongType)))
-    val all = delAll.map(d => dataLive.unionByName(d.select(dataLive.columns
-      .map(col): _*))).getOrElse(dataLive)
+    def tombstoneFrame(es: Seq[FileEntry]): Option[DataFrame] =
+      es.map(frameFor(schema, table, m, _,
+          withBucket = bucketed)).reduceOption(_ unionByName _)
+        .map(_.withColumn(DvFileCol,
+            lit(null).cast(org.apache.spark.sql.types.StringType))
+          .withColumn(DvPosCol, lit(null).cast(org.apache.spark.sql.types.LongType)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
-    // every data row that is not its key's live winner is a victim —
-    // including all versions of a key whose winner is a tombstone
-    val victims = all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
-      .select(col(DvFileCol), col(DvPosCol))
+    // A prior build at ordinal B guarantees (pkDvResolve's invariant) that
+    // the DV-applied base at or below B holds AT MOST ONE live version per
+    // key and no tombstone dirs — so a REBUILD only needs the post-B
+    // delta, never the table: any delta version (data or tombstone)
+    // supersedes its key's base version outright, and in-delta races
+    // resolve with an O(delta) window. Base victims are found by reading
+    // only the base files the delta's keys can live in — touched buckets
+    // on bucketed tables (Paimon's lookup-compaction granularity),
+    // zone-admitting files otherwise — each semi-joined against the
+    // (small, broadcastable) delta key set. The auto-cadence hook
+    // (deletion-vectors.build-delta-commits) therefore pays O(delta) per
+    // build as a standing cost, not an O(table) key shuffle.
+    val buildOrd = if (dvEs.isEmpty) -1L else dvEs.map(entryOrdinal).max
+    val (baseEs, deltaDataEs) = dataEs.partition(entryOrdinal(_) <= buildOrd)
+    val incremental = dvEs.nonEmpty && baseEs.nonEmpty &&
+      delEs.forall(entryOrdinal(_) > buildOrd)
+    val victimsUnpersisted: DataFrame = if (incremental) {
+      if (deltaDataEs.isEmpty && delEs.isEmpty)
+        return latest.get("id").asLong() // no post-build commits: no-op
+      val deltaData = deltaDataEs.map(frameFor(schema, table, m, _,
+          withMeta = true, withBucket = bucketed)).reduceOption(_ unionByName _)
+      val allDelta = (deltaData, tombstoneFrame(delEs)) match {
+        case (Some(d), Some(t)) => d.unionByName(t.select(d.columns.map(col): _*))
+        case (Some(d), None) => d
+        case (None, Some(t)) => t
+        case (None, None) => return latest.get("id").asLong() // unreachable
+      }
+      // (a) versions superseded WITHIN the delta — O(delta) window
+      val inDelta = allDelta.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
+        .select(col(DvFileCol), col(DvPosCol))
+      // (b) base versions of every delta-touched key (base ordinal < any
+      // delta ordinal, so membership alone decides) — read only the base
+      // files those keys can live in
+      val deltaKeys = allDelta.select(pk.map(col): _*).distinct()
+      val baseScan: Option[DataFrame] =
+        if (bucketed) {
+          // changed-bucket set from the delta dirs' `__bucket=k` children:
+          // one driver listing per delta dir, zero jobs (the
+          // readChangelogFull before-image pattern). A flat delta dir
+          // (unknown layout) keeps every bucket — conservative.
+          val n = bucketCount(m).get
+          val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
+          val changed = (deltaDataEs ++ delEs).flatMap { fe =>
+            fs.listStatus(dirPath(schema, table, fe.dir)).toSeq
+              .flatMap(_.getPath.getName match {
+                case bucketRe(i) => Seq(i.toInt)
+                case _ => Nil
+              }) match {
+              case Nil => 0 until n
+              case bs => bs
+            }
+          }.distinct.sorted
+          // filter on the discovered __bucket partition column: Spark's
+          // partition pruning cuts the file listing to the touched
+          // buckets' subdirs — per-build I/O is O(touched buckets)
+          Some(baseEs.map(frameFor(schema, table, m, _,
+              withMeta = true, withBucket = true)).reduce(_ unionByName _)
+            .filter(col(BucketCol).isin(changed.map(Integer.valueOf): _*)))
+        } else {
+          // zone-prune base files against the delta's pk bounds (one
+          // O(delta) min/max agg): a file whose pk zone is disjoint from
+          // the delta's range on ANY key column can hold no touched key.
+          // Sharpest when keys cluster (monotonic ids, time-prefixed
+          // keys); conservative full-coverage fallback otherwise — and
+          // the scan below projects only (pk, file, pos) regardless, so
+          // even the fallback reads key bytes, not row bytes.
+          val bounds = allDelta.select(pk.flatMap(k => Seq(
+            org.apache.spark.sql.functions.min(col(k)).as(s"__mn_$k"),
+            org.apache.spark.sql.functions.max(col(k)).as(s"__mx_$k"))): _*)
+            .head()
+          val rangePred: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+            pk.flatMap { k =>
+              val mn = bounds.getAs[Any](s"__mn_$k")
+              val mx = bounds.getAs[Any](s"__mx_$k")
+              if (mn == null || mx == null) None
+              else {
+                import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+                  GreaterThanOrEqual, LessThanOrEqual, Literal => CLit}
+                Some(CAnd(
+                  GreaterThanOrEqual(UnresolvedAttribute(k), CLit(mn)),
+                  LessThanOrEqual(UnresolvedAttribute(k), CLit(mx))))
+              }
+            }.reduceOption(
+              org.apache.spark.sql.catalyst.expressions.And(_, _))
+          val perFile = fileStatsFrom(schema, table, m)
+          val frames = baseEs.flatMap { fe =>
+            (rangePred, perFile.get(fe.dir).filter(_.nonEmpty)) match {
+              case (Some(p), Some(fm)) =>
+                val admit = fm.collect {
+                  case (rel, z) if FileStats.mightMatch(z, p) => rel
+                }.toSeq.sorted
+                if (admit.isEmpty) None
+                else Some(frameFor(schema, table, m, fe,
+                  fileSubset = Some(admit.map(r =>
+                    new Path(dirPath(schema, table, fe.dir), r).toString)),
+                  withMeta = true))
+              case _ =>
+                Some(frameFor(schema, table, m, fe, withMeta = true))
+            }
+          }
+          frames.reduceOption(_ unionByName _)
+        }
+      val baseVictims = baseScan.map { b =>
+        b.select((pk.map(col) ++ Seq(col(DvFileCol), col(DvPosCol))): _*)
+          .join(dvFrame(schema, table, dvEs),
+            Seq(DvFileCol, DvPosCol), "left_anti") // already-dead rows don't re-count
+          .join(deltaKeys, pk, "left_semi")
+          .select(col(DvFileCol), col(DvPosCol))
+      }
+      baseVictims.map(inDelta.unionByName(_)).getOrElse(inDelta)
+    } else {
+      val dataAll = dataEs.map(frameFor(schema, table, m, _,
+          withMeta = true, withBucket = bucketed)).reduce(_ unionByName _)
+      // victims are found over the DV-APPLIED image: an already-dead row
+      // must not be counted twice (same contract as deleteWhereDv)
+      val dataLive = if (dvEs.isEmpty) dataAll
+        else dataAll.join(dvFrame(schema, table, dvEs),
+          Seq(DvFileCol, DvPosCol), "left_anti")
+      val all = tombstoneFrame(delEs).map(d => dataLive.unionByName(
+        d.select(dataLive.columns.map(col): _*))).getOrElse(dataLive)
+      // every data row that is not its key's live winner is a victim —
+      // including all versions of a key whose winner is a tombstone
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
+        .select(col(DvFileCol), col(DvPosCol))
+    }
+    val victims = victimsUnpersisted
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val perFile = victims.groupBy(DvFileCol)
@@ -4371,6 +4521,24 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         .filter(col("__rn") === 1 && !col("__del"))
         .drop("__ord", "__rn", "__del")
     }
+    Some(mergeEngine(m) match {
+      case "deduplicate" => ordinalPick(earliest = false)
+      case "first-row" => ordinalPick(earliest = true)
+      case engine => // partial-update | aggregation
+        fieldwiseFold(m, all, engine)
+    })
+  }
+
+  /** Fold an `__ord`-tagged frame of row versions per a FIELD-WISE merge
+    * engine (partial-update | aggregation) — one groupBy aggregation
+    * over the versions, partial map-side combine, no sort. Shared by
+    * [[resolveFrames]] (snapshot reads) and the write-time `lookup`
+    * changelog producer (which folds a staged patch batch onto the
+    * touched keys' resolved images). */
+  private def fieldwiseFold(m: ObjectNode, all: DataFrame,
+      engine: String): DataFrame = {
+    val pk = primaryKey(m)
+    val names = currentFields(m).map(_.name)
     /** Latest non-null value of `f` across a key's versions: max over
       * structs ordered by ordinal, built only when `f` is non-null so
       * `max` skips null versions entirely. Deterministic — ordinals are
@@ -4380,156 +4548,152 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         org.apache.spark.sql.functions.when(col(f).isNotNull,
           org.apache.spark.sql.functions.struct(col("__ord").as("o"), col(f).as("v"))))
         .getField("v")
-    Some(mergeEngine(m) match {
-      case "deduplicate" => ordinalPick(earliest = false)
-      case "first-row" => ordinalPick(earliest = true)
-      case engine => // partial-update | aggregation
-        val cur = currentFields(m)
-        // sequence-group routing (partial-update only): member field →
-        // its group's sequence column; the seq column routes to itself
-        val groups = if (engine == "partial-update") sequenceGroups(m)
-          else Map.empty[String, Seq[String]]
-        val fieldGroup: Map[String, String] =
-          groups.flatMap { case (g, ms) => ms.map(_ -> g) } ++
-            groups.keys.map(g => g -> g)
-        /** The group's winner row is the largest (group-seq, ordinal)
-          * among rows with a NON-NULL group sequence; take its value for
-          * `f` — nulls included (a higher-versioned row may null a
-          * member), unlike the groupless latest-non-null rule. */
-        def groupPick(g: String, f0: String) =
-          org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.when(col(g).isNotNull,
-              org.apache.spark.sql.functions.struct(col(g).as("__s"),
-                col("__ord").as("__o"), col(f0).as("__v"))))
-            .getField("__v")
-        val aggs = cur.filterNot(f => pk.contains(f.name)).map { f =>
-          val dt = TypeMapping.toSparkType(f.trinoType)
-          import org.apache.spark.sql.functions.{sum => fsum, min => fmin,
-            max => fmax, bool_and, bool_or, product, when => fwhen,
-            struct => fstruct, collect_list, array_sort, transform,
-            array_join}
-          // version-ordered struct (ordinal first ⇒ struct comparison /
-          // sort IS commit order); built only for non-null values when
-          // `nonNullOnly`, so min/max skip null versions entirely
-          def ordStruct(f0: String, nonNullOnly: Boolean) = {
-            val s0 = fstruct(col("__ord").as("o"), col(f0).as("v"))
-            if (nonNullOnly) fwhen(col(f0).isNotNull, s0) else s0
-          }
-          val e = if (engine == "partial-update")
-            fieldGroup.get(f.name) match {
-              case Some(g) => groupPick(g, f.name)
-              case None => lastNonNull(f.name)
-            }
-          else fieldAggregate(m, f.name) match {
-            case "sum" => fsum(col(f.name)).cast(dt)
-            case "min" => fmin(col(f.name))
-            case "max" => fmax(col(f.name))
-            case "bool_and" => bool_and(col(f.name))
-            case "bool_or" => bool_or(col(f.name))
-            case "product" => product(col(f.name)).cast(dt)
-            // non-null values joined in COMMIT ORDER — associative over
-            // a compacted prefix (its ordinal precedes later versions)
-            case "listagg" => array_join(transform(
-              array_sort(collect_list(ordStruct(f.name, nonNullOnly = true))),
-              x => x.getField("v")), ",")
-            // min_by/max_by on the ordinal: no struct comparison, so the
-            // value type may be unorderable (array<map>, map) — and rows
-            // whose ordering key is NULL are skipped, which gives
-            // first_non_null for free.
-            case "first_value" =>
-              org.apache.spark.sql.functions.min_by(col(f.name), col("__ord"))
-            case "first_non_null" =>
-              org.apache.spark.sql.functions.min_by(col(f.name),
-                fwhen(col(f.name).isNotNull, col("__ord")))
-            case "last_value" =>
-              org.apache.spark.sql.functions.max_by(col(f.name), col("__ord"))
-            case "last_non_null" => lastNonNull(f.name)
-            // Paimon's `collect`: non-null array versions CONCATENATE in
-            // commit order (associative over a compacted prefix exactly
-            // like listagg); `fields.<f>.distinct=true` dedups the result.
-            // All-null history folds to null, as a fresh accumulator would.
-            case "collect" =>
-              import org.apache.spark.sql.functions.{flatten, array_distinct,
-                size => fsize, when => fwhen}
-              // explicit ordinal-only comparator (as in merge_map below):
-              // the default struct ordering would demand an ORDERABLE
-              // element type, rejecting e.g. collect on array<map<...>>
-              val versions = array_sort(
-                collect_list(ordStruct(f.name, nonNullOnly = true)),
-                (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
-                  .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
-              val flat = flatten(transform(versions, x => x.getField("v")))
-              val merged = if (fieldCollectDistinct(m, f.name))
-                array_distinct(flat) else flat
-              fwhen(fsize(versions) > 0, merged)
-            // Paimon's `merge_map`: version maps fold entry-wise, a later
-            // version's value wins per entry key. Maps are unorderable, so
-            // the version sort uses an explicit ordinal comparator and the
-            // fold is a lambda aggregate over disjoint-key map_concat.
-            case "merge_map" =>
-              import org.apache.spark.sql.functions.{aggregate => fagg,
-                filter => ffilter, map_filter, map_concat, map_contains_key,
-                size => fsize, when => fwhen, map_from_arrays, array,
-                expr => _}
-              val sorted = array_sort(
-                collect_list(fstruct(col("__ord").as("o"), col(f.name).as("v"))),
-                (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
-                  .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
-              val nonNull = ffilter(sorted, x => x.getField("v").isNotNull)
-              val emptyMap = map_from_arrays(array(), array()).cast(dt)
-              fwhen(fsize(nonNull) > 0,
-                fagg(nonNull, emptyMap, (acc, x) => map_concat(
-                  map_filter(acc, (k, _) =>
-                    !map_contains_key(x.getField("v"), k)),
-                  x.getField("v"))))
-            // Exact distinct-state sketches: versions hold SERIALIZED
-            // roaring bitmaps that fold by OR — associative/commutative,
-            // so compacted partials OR with later deltas to the same
-            // result. Partial buffers OR map-side (TypedImperativeAggregate),
-            // so N versions shuffle as one bitmap per partition.
-            case "rbm32" => graft.plans.kernels.rbmOr(col(f.name), bits64 = false)
-            case "rbm64" => graft.plans.kernels.rbmOr(col(f.name), bits64 = true)
-            // Approximate distinct-state: serialized Apache DataSketches
-            // HLL folded with Spark's native union aggregate (codegen'd,
-            // merge-associative). allowDifferentLgConfigK: writers may
-            // size sketches differently; the union downgrades to the
-            // smaller K, exactly Paimon's hll_sketch tolerance.
-            case "hll_sketch" =>
-              org.apache.spark.sql.functions.hll_union_agg(col(f.name),
-                allowDifferentLgConfigK = true)
-            // Paimon's `nested_update`: array<row> versions fold in
-            // commit order. With `fields.<f>.nested-key` each incoming
-            // element REPLACES any accumulated element sharing its key
-            // (null-safe equality); without keys versions append. Same
-            // lambda-aggregate shape as merge_map — maps/structs may be
-            // unorderable, so the version sort uses the ordinal comparator.
-            case "nested_update" =>
-              import org.apache.spark.sql.functions.{aggregate => fagg,
-                filter => ffilter, exists => fexists, concat => fconcat,
-                size => fsize, when => fwhen, array}
-              val sorted = array_sort(
-                collect_list(ordStruct(f.name, nonNullOnly = true)),
-                (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
-                  .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
-              val keys = fieldNestedKeys(m, f.name)
-              val empty = array().cast(dt)
-              val step: (org.apache.spark.sql.Column,
-                  org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
-                if (keys.isEmpty) (acc, x) => fconcat(acc, x.getField("v"))
-                else (acc, x) => fconcat(
-                  ffilter(acc, e => !fexists(x.getField("v"), n =>
-                    keys.map(k => n.getField(k) <=> e.getField(k))
-                      .reduce(_ && _))),
-                  x.getField("v"))
-              fwhen(fsize(sorted) > 0, fagg(sorted, empty, step))
-          }
-          e.as(f.name)
+    val cur = currentFields(m)
+    // sequence-group routing (partial-update only): member field →
+    // its group's sequence column; the seq column routes to itself
+    val groups = if (engine == "partial-update") sequenceGroups(m)
+      else Map.empty[String, Seq[String]]
+    val fieldGroup: Map[String, String] =
+      groups.flatMap { case (g, ms) => ms.map(_ -> g) } ++
+        groups.keys.map(g => g -> g)
+    /** The group's winner row is the largest (group-seq, ordinal)
+      * among rows with a NON-NULL group sequence; take its value for
+      * `f` — nulls included (a higher-versioned row may null a
+      * member), unlike the groupless latest-non-null rule. */
+    def groupPick(g: String, f0: String) =
+      org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.when(col(g).isNotNull,
+          org.apache.spark.sql.functions.struct(col(g).as("__s"),
+            col("__ord").as("__o"), col(f0).as("__v"))))
+        .getField("__v")
+    val aggs = cur.filterNot(f => pk.contains(f.name)).map { f =>
+      val dt = TypeMapping.toSparkType(f.trinoType)
+      import org.apache.spark.sql.functions.{sum => fsum, min => fmin,
+        max => fmax, bool_and, bool_or, product, when => fwhen,
+        struct => fstruct, collect_list, array_sort, transform,
+        array_join}
+      // version-ordered struct (ordinal first ⇒ struct comparison /
+      // sort IS commit order); built only for non-null values when
+      // `nonNullOnly`, so min/max skip null versions entirely
+      def ordStruct(f0: String, nonNullOnly: Boolean) = {
+        val s0 = fstruct(col("__ord").as("o"), col(f0).as("v"))
+        if (nonNullOnly) fwhen(col(f0).isNotNull, s0) else s0
+      }
+      val e = if (engine == "partial-update")
+        fieldGroup.get(f.name) match {
+          case Some(g) => groupPick(g, f.name)
+          case None => lastNonNull(f.name)
         }
-        if (aggs.isEmpty) all.select(pk.map(col): _*).distinct()
-        else all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
-          .select(names.map(col): _*)
-    })
+      else fieldAggregate(m, f.name) match {
+        case "sum" => fsum(col(f.name)).cast(dt)
+        case "min" => fmin(col(f.name))
+        case "max" => fmax(col(f.name))
+        case "bool_and" => bool_and(col(f.name))
+        case "bool_or" => bool_or(col(f.name))
+        case "product" => product(col(f.name)).cast(dt)
+        // non-null values joined in COMMIT ORDER — associative over
+        // a compacted prefix (its ordinal precedes later versions)
+        case "listagg" => array_join(transform(
+          array_sort(collect_list(ordStruct(f.name, nonNullOnly = true))),
+          x => x.getField("v")), ",")
+        // min_by/max_by on the ordinal: no struct comparison, so the
+        // value type may be unorderable (array<map>, map) — and rows
+        // whose ordering key is NULL are skipped, which gives
+        // first_non_null for free.
+        case "first_value" =>
+          org.apache.spark.sql.functions.min_by(col(f.name), col("__ord"))
+        case "first_non_null" =>
+          org.apache.spark.sql.functions.min_by(col(f.name),
+            fwhen(col(f.name).isNotNull, col("__ord")))
+        case "last_value" =>
+          org.apache.spark.sql.functions.max_by(col(f.name), col("__ord"))
+        case "last_non_null" => lastNonNull(f.name)
+        // Paimon's `collect`: non-null array versions CONCATENATE in
+        // commit order (associative over a compacted prefix exactly
+        // like listagg); `fields.<f>.distinct=true` dedups the result.
+        // All-null history folds to null, as a fresh accumulator would.
+        case "collect" =>
+          import org.apache.spark.sql.functions.{flatten, array_distinct,
+            size => fsize, when => fwhen}
+          // explicit ordinal-only comparator (as in merge_map below):
+          // the default struct ordering would demand an ORDERABLE
+          // element type, rejecting e.g. collect on array<map<...>>
+          val versions = array_sort(
+            collect_list(ordStruct(f.name, nonNullOnly = true)),
+            (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
+              .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
+          val flat = flatten(transform(versions, x => x.getField("v")))
+          val merged = if (fieldCollectDistinct(m, f.name))
+            array_distinct(flat) else flat
+          fwhen(fsize(versions) > 0, merged)
+        // Paimon's `merge_map`: version maps fold entry-wise, a later
+        // version's value wins per entry key. Maps are unorderable, so
+        // the version sort uses an explicit ordinal comparator and the
+        // fold is a lambda aggregate over disjoint-key map_concat.
+        case "merge_map" =>
+          import org.apache.spark.sql.functions.{aggregate => fagg,
+            filter => ffilter, map_filter, map_concat, map_contains_key,
+            size => fsize, when => fwhen, map_from_arrays, array,
+            expr => _}
+          val sorted = array_sort(
+            collect_list(fstruct(col("__ord").as("o"), col(f.name).as("v"))),
+            (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
+              .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
+          val nonNull = ffilter(sorted, x => x.getField("v").isNotNull)
+          val emptyMap = map_from_arrays(array(), array()).cast(dt)
+          fwhen(fsize(nonNull) > 0,
+            fagg(nonNull, emptyMap, (acc, x) => map_concat(
+              map_filter(acc, (k, _) =>
+                !map_contains_key(x.getField("v"), k)),
+              x.getField("v"))))
+        // Exact distinct-state sketches: versions hold SERIALIZED
+        // roaring bitmaps that fold by OR — associative/commutative,
+        // so compacted partials OR with later deltas to the same
+        // result. Partial buffers OR map-side (TypedImperativeAggregate),
+        // so N versions shuffle as one bitmap per partition.
+        case "rbm32" => graft.plans.kernels.rbmOr(col(f.name), bits64 = false)
+        case "rbm64" => graft.plans.kernels.rbmOr(col(f.name), bits64 = true)
+        // Approximate distinct-state: serialized Apache DataSketches
+        // HLL folded with Spark's native union aggregate (codegen'd,
+        // merge-associative). allowDifferentLgConfigK: writers may
+        // size sketches differently; the union downgrades to the
+        // smaller K, exactly Paimon's hll_sketch tolerance.
+        case "hll_sketch" =>
+          org.apache.spark.sql.functions.hll_union_agg(col(f.name),
+            allowDifferentLgConfigK = true)
+        // Paimon's `nested_update`: array<row> versions fold in
+        // commit order. With `fields.<f>.nested-key` each incoming
+        // element REPLACES any accumulated element sharing its key
+        // (null-safe equality); without keys versions append. Same
+        // lambda-aggregate shape as merge_map — maps/structs may be
+        // unorderable, so the version sort uses the ordinal comparator.
+        case "nested_update" =>
+          import org.apache.spark.sql.functions.{aggregate => fagg,
+            filter => ffilter, exists => fexists, concat => fconcat,
+            size => fsize, when => fwhen, array}
+          val sorted = array_sort(
+            collect_list(ordStruct(f.name, nonNullOnly = true)),
+            (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
+              .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
+          val keys = fieldNestedKeys(m, f.name)
+          val empty = array().cast(dt)
+          val step: (org.apache.spark.sql.Column,
+              org.apache.spark.sql.Column) => org.apache.spark.sql.Column =
+            if (keys.isEmpty) (acc, x) => fconcat(acc, x.getField("v"))
+            else (acc, x) => fconcat(
+              ffilter(acc, e => !fexists(x.getField("v"), n =>
+                keys.map(k => n.getField(k) <=> e.getField(k))
+                  .reduce(_ && _))),
+              x.getField("v"))
+          fwhen(fsize(sorted) > 0, fagg(sorted, empty, step))
+      }
+      e.as(f.name)
+    }
+    if (aggs.isEmpty) all.select(pk.map(col): _*).distinct()
+    else all.groupBy(pk.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .select(names.map(col): _*)
   }
+
 
   /** Ops whose semantics assume latest-version-wins (tombstones,
     * changelogs, in-range merges) are deduplicate-only — same restriction
@@ -6773,6 +6937,9 @@ object GraftCatalog {
   /** Creation stamp inside a stage/trash dir: sweepStaleStages ages from
     * it instead of dir mtime (see promoteStage's rename-aside note). */
   private[sources] val StageStampFile = ".stage-stamp"
+  /** 2001-09-09 in epoch millis — any stamp parsing below this is a
+    * truncated/garbled read, not a real creation time. */
+  private[sources] val MinPlausibleStampMillis = 1000000000000L
 
   /** Per-attempt-unique stage name: two concurrent RTAS on one table
     * stage independently and the loser fails at promote, never

@@ -764,7 +764,17 @@ private[graft] class GraftSqlTable(delegate: ParquetTable,
     new GraftSqlTable(newDelegate, partitionCols, props,
       morRead, commitInsert, commitDelete, canDelete, coords,
       () => Some(newStats), exactRowCountIn = () => None, readOnly = readOnly,
-      fileZonesIn = () => Some(newFileZones).filter(_.nonEmpty))
+      fileZonesIn = () => Some(newFileZones).filter(_.nonEmpty),
+      // Whole-table ANALYZE rows must not survive a path prune unscaled
+      // (the pruned delegate's fileIndex IS the kept set, so the byte
+      // ratio in GraftRuntimeScan can no longer recover the factor):
+      // re-key the row count to the kept paths' exact manifest rows when
+      // zone coverage is complete, else drop to the delegate's estimate.
+      // Column NDV/avgLen stay whole-table — CBO caps NDV at rows.
+      cboStatsIn = () => cboStats.collect {
+        case (_, cols) if kept.forall(newStats.contains) =>
+          (kept.map(newStats(_).rows).sum, cols)
+      })
   }
 
   /** `DELETE FROM` → one tombstone snapshot commit (PK tables only, as

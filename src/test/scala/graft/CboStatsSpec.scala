@@ -114,6 +114,30 @@ class CboStatsSpec extends SparkSpecBase {
     assert(relBack.stats.sizeInBytes > BigInt(8L << 20))
   }
 
+  test("partition pruning keeps its factor: whole-table ANALYZE rows are " +
+      "scaled by the pruned/full byte ratio (r15 ADVICE)") {
+    val part = spark.range(50000)
+      .selectExpr("id AS k", "md5(cast(id AS string)) AS v",
+        "cast(id % 10 AS int) AS p")
+    gc.createTable("db", "partt", part.schema, partitionBy = Seq("p"))
+    gc.append("db", "partt", part)
+    gc.analyzeTable("db", "partt")
+    def scanRows(q: String): BigInt = {
+      val rel = spark.sql(q).queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.getOrElse(fail("no V2 scan relation"))
+      rel.stats.rowCount.getOrElse(fail("no rowCount reported"))
+    }
+    // unfiltered: exact ANALYZE rows
+    assert(scanRows("SELECT k, v FROM gcbo.db.partt") === BigInt(50000))
+    // one partition of ten: Catalyst removed the pushed partition filter
+    // from the logical plan, so the SCAN must carry the pruning factor —
+    // ~5k rows, never the whole-table 50k
+    val pruned = scanRows("SELECT k, v FROM gcbo.db.partt WHERE p = 3")
+    assert(pruned < BigInt(10000) && pruned > BigInt(1000),
+      s"partition-pruned scan reported $pruned of 50000 rows")
+  }
+
   // NOTE: MoR-bridge scans (V1Scan fallback) cannot surface these stats
   // to the optimizer — Spark's V1ScanWrapper does not forward
   // SupportsReportStatistics, so DataSourceV2ScanRelation.computeStats

@@ -472,4 +472,100 @@ class DeletionVectorSpec extends SparkSpecBase {
       gc.buildDeletionVectors("db", "t1"))
     assert(e5.getMessage.contains("append-only"))
   }
+
+  /** Records scanned by every task during `body` (listener-observed
+    * input metrics; the bus is flushed before reading). Rows that
+    * partition pruning / zone skipping removed never become records, so
+    * this measures exactly the "reads O(delta)" contract. (Bytes-read
+    * counters are blind here: the local-mode vectorized parquet reader
+    * bypasses Hadoop FileSystem statistics.) */
+  private def recordsScanned(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
+
+  test("PK DV: a REBUILD after a small delta reads O(delta), not O(table) " +
+      "— zone-pruned base files on unbucketed tables") {
+    val fat = spark.range(1, 100001).selectExpr(
+      "id", "repeat(md5(cast(id AS string)), 8) AS payload")
+    gc.createTable("db", "pkinc", fat.schema,
+      options = Map("deletion-vectors" -> "true"), primaryKey = Seq("id"))
+    gc.upsert("db", "pkinc", fat)
+    // cluster by id so per-file pk zones are disjoint ranges (the layout
+    // a time-keyed or monotonic-id table has naturally)
+    gc.sortCompact("db", "pkinc", Seq("id"))
+    gc.deleteWhere("db", "pkinc", col("id") % 1000 === 0)
+    val b1 = recordsScanned { gc.buildDeletionVectors("db", "pkinc") } // full
+    assert(gc.read("db", "pkinc").count() === 99900)
+    // small delta: 50 updated keys in one narrow id range + 3 deletes
+    gc.upsert("db", "pkinc", spark.range(200, 250).selectExpr(
+      "id", "'upd' AS payload"))
+    gc.deleteWhere("db", "pkinc", col("id").isin(301L, 302L, 303L))
+    val b2 = recordsScanned { val built = gc.buildDeletionVectors("db", "pkinc")
+      assert(built > 0) }
+    // the tripwire: the rebuild scans the delta plus the zone-admitted
+    // base files — a small fraction of the full build's rows, never a
+    // second table scan
+    assert(b2 * 5 < b1, s"rebuild scanned $b2 records vs full build's $b1")
+    // and it is still exactly right
+    val df = gc.read("db", "pkinc")
+    assert(df.count() === 99897)
+    assert(df.filter(col("payload") === "upd").count() === 50)
+    assert(df.filter(col("id").isin(301L, 302L, 303L)).count() === 0)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    assert(gc.countRows("db", "pkinc") === Some(99897L))
+  }
+
+  test("PK DV: a REBUILD after a small delta touches only the delta's " +
+      "buckets on bucketed tables") {
+    val fat = spark.range(1, 100001).selectExpr(
+      "id", "repeat(md5(cast(id AS string)), 8) AS payload")
+    gc.createTable("db", "pkincb", fat.schema,
+      options = Map("deletion-vectors" -> "true", "bucket" -> "16"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "pkincb", fat)
+    gc.deleteWhere("db", "pkincb", col("id") % 1000 === 0)
+    val b1 = recordsScanned { gc.buildDeletionVectors("db", "pkincb") } // full
+    // delta: 4 keys → at most 4 of 16 buckets touched
+    gc.upsert("db", "pkincb", spark.range(10, 14).selectExpr(
+      "id", "'upd' AS payload"))
+    val b2 = recordsScanned { gc.buildDeletionVectors("db", "pkincb") }
+    assert(b2 * 3 < b1, s"bucketed rebuild scanned $b2 records vs full build's $b1")
+    val df = gc.read("db", "pkincb")
+    assert(df.count() === 99900)
+    assert(df.filter(col("payload") === "upd").count() === 4)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("PK DV: auto-cadence rebuilds run the incremental path and stay exact") {
+    gc.createTable("db", "pkac", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true",
+        "deletion-vectors.build-delta-commits" -> "2"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "pkac", batch(1, 50).toDF())
+    gc.upsert("db", "pkac", batch(20, 60).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))   // cadence → build 1
+    assert(gc.snapshotFileEntries("db", "pkac").count(_.kind == "dv") === 1)
+    gc.upsert("db", "pkac", batch(30, 35).toDF()
+      .withColumn("name", lit("w")))
+    gc.deleteWhere("db", "pkac", col("id") === 40)        // cadence → build 2
+    val entries = gc.snapshotFileEntries("db", "pkac")
+    assert(entries.count(_.kind == "dv") === 2, entries.map(_.kind).toString)
+    assert(!entries.exists(_.kind == "delete")) // tombstone dir replaced
+    val df = gc.read("db", "pkac")
+    assert(df.count() === 59)
+    assert(df.filter(col("name") === "w").count() === 6)
+    assert(df.filter(col("id") === 40).count() === 0)
+    assert(df.filter(col("name").startsWith("u")).count() === 34) // 20..60 minus 30..35 minus 40
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+  }
 }

@@ -724,4 +724,25 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       === "seven", "declared-commit-point stage was not recovered")
     assert(stageDirs().forall(d => d != rec), "recovered stage dir still present")
   }
+
+  test("stage sweep: a truncated/garbled creation stamp falls back to dir " +
+      "mtime instead of parsing to an ancient timestamp (r15 ADVICE)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.io.File(warehouse).toURI, spark.sparkContext.hadoopConfiguration)
+    val live = GraftCatalog.newStageName("stg_live")
+    gc.createTable("db", live, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))))
+    // simulate a short read / garbled stamp: "17" parses to epoch-1970,
+    // which the old single-read path aged as ancient and deleted
+    val stampP = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(warehouse, s"db/$live"), ".stage-stamp")
+    val out = fs.create(stampP, true)
+    out.write("17".getBytes("UTF-8")); out.close()
+    gc.sweepStaleStages("db", ttlMs = 3600000L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(warehouse, s"db/$live")),
+      "live stage with a garbled stamp was swept inside the TTL window")
+    fs.delete(new org.apache.hadoop.fs.Path(warehouse, s"db/$live"), true)
+  }
 }

@@ -489,6 +489,20 @@ class StreamingSpec extends SparkSpecBase {
         .collect().toSet
       assert(r2 === r1 ++ Set((1L, 11L, "one"), (2L, 21L, "TWO"), (3L, 31L, "three")))
       assert(graft.sources.GraftCatalog.lookupDimResolves.get() === resolves0 + 2)
+      // ROLLBACK + re-commit reuses the head snapshot ORDINAL — the cache
+      // must key on commitVersion too, or it serves the pre-rollback
+      // image (r15 ADVICE)
+      val headBefore = cat.chosenSnapshotId("db", "dim").get
+      cat.rollbackTo("db", "dim", headBefore - 1)
+      cat.upsert("db", "dim", Seq((2L, "deux")).toDF("k", "name"))
+      assert(cat.chosenSnapshotId("db", "dim").get === headBefore,
+        "test premise: rollback + re-commit reuses the head ordinal")
+      stream.addData(Seq((2L, 22L)))
+      q.processAllAvailable()
+      assert(graft.sources.GraftCatalog.lookupDimResolves.get() === resolves0 + 3,
+        "rolled-back-and-recommitted dim served a stale cached image")
+      assert(cat.read("db", "enriched").as[(Long, Long, String)].collect().toSet
+        .contains((2L, 22L, "deux")))
     } finally q.stop()
   }
 
