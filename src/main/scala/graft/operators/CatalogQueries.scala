@@ -321,6 +321,22 @@ object CatalogQueries {
       cat.append("q", t, d.filter(col("doc_id") >= 300))
       cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
     }),
+    // Avro zone stats (r15): avro files carry no footer statistics, so
+    // the commit job collects per-file min/max/nulls from the DATA
+    // itself — zone pruning, per-file skipping and metadata-only
+    // countRows then work exactly as on parquet/ORC.
+    "catalog_avro_stats_prune" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema, options = Map("file.format" -> "avro"))
+      cat.append("q", t, d.filter(col("doc_id") < 150))
+      cat.append("q", t, d.filter(col("doc_id") >= 150 && col("doc_id") < 300))
+      cat.append("q", t, d.filter(col("doc_id") >= 300))
+      require(cat.countRows("q", t).isDefined,
+        "avro table must metadata-count from write-time stats")
+      cat.readWhere("q", t, col("doc_id").between(200, 320)).orderBy("doc_id")
+    }),
     // Bucket rescale mid-history: the same MoR state as
     // catalog_bucketed_mor, rescaled 8 -> 3 buckets after the deltas,
     // then ANOTHER upsert under the new layout — the final image must be
@@ -577,6 +593,31 @@ object CatalogQueries {
       cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
         .withColumn("lang", lit("u")))
       cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.readChangelogFull("q", t, 1, 3)
+        .orderBy("doc_id", graft.sources.GraftCatalog.RowKindCol)
+    }),
+    // Write-time changelog on a FIELD-WISE engine (r15): a partial-update
+    // patch has no self-contained image, so the lookup producer
+    // materializes RESOLVED -U/+U pairs at commit; the served range reads
+    // files only (no before-image join), and a net-zero all-null patch
+    // batch materializes an EMPTY changelog.
+    "catalog_changelog_producer_pu" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "partial-update",
+          "changelog-producer" -> "lookup"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      // patch only n_chars (null lang keeps the prior value)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("lang"),
+          (col("n_chars") + 1000).as("n_chars")))
+      // all-null patch: resolved image unchanged → nothing materialized
+      cat.upsert("q", t, d.filter(col("doc_id") % 13 === 1)
+        .select(col("doc_id"), lit(null).cast("string").as("lang"),
+          lit(null).cast("bigint").as("n_chars")))
       cat.readChangelogFull("q", t, 1, 3)
         .orderBy("doc_id", graft.sources.GraftCatalog.RowKindCol)
     }),
@@ -1026,6 +1067,9 @@ object CatalogQueries {
     "catalog_orc_stats_prune" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
+    "catalog_avro_stats_prune" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id BETWEEN 200 AND 320 ORDER BY doc_id""".stripMargin,
     "catalog_compact_small" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id >= 300 ORDER BY doc_id""".stripMargin,
@@ -1082,6 +1126,16 @@ object CatalogQueries {
         |UNION ALL
         |SELECT doc_id, lang, n_chars, '-D' AS _row_kind FROM documents
         |WHERE doc_id % 7 = 3
+        |ORDER BY doc_id, _row_kind""".stripMargin,
+    // range (1, 3]: the n_chars patch pairs -U(resolved before)/
+    // +U(resolved after, lang KEPT — partial-update); the all-null
+    // snap-3 patch is net-zero and contributes nothing
+    "catalog_changelog_producer_pu" ->
+      """SELECT doc_id, lang, n_chars, '-U' AS _row_kind FROM documents
+        |WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, lang, n_chars + 1000 AS n_chars, '+U' AS _row_kind
+        |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY doc_id, _row_kind""".stripMargin,
     // the %9 upsert lands AFTER the %7 delete, so it resurrects those
     // keys with the ORIGINAL lang (full-row replace under deduplicate)

@@ -376,6 +376,9 @@ private[graft] object FileStats {
   def collectWithFiles(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
       dir: Path, schema: StructType,
       fmt: String = "parquet"): Option[(DirStats, Map[String, DirStats])] = {
+    // Formats whose files carry no usable column statistics (avro)
+    // collect from the DATA itself — same sidecars, same pruning.
+    if (fmt == "avro") return collectFromData(spark, fs, dir, schema, fmt)
     val tracked: Map[String, Domain] = schema.fields.flatMap(f =>
       domainOf(f.dataType).map(d => f.name.toLowerCase -> d)).toMap
     val typeByName: Map[String, DataType] =
@@ -405,6 +408,85 @@ private[graft] object FileStats {
     if (perFile.exists(_._2.isEmpty)) return None
     val fileMap = perFile.map { case (rel, z) => rel -> z.get }.toMap
     Some((mergeZones(fileMap.values.toSeq), fileMap))
+  }
+
+  /**
+   * Collect a dir's zone map + per-file zones from the DATA ITSELF in one
+   * distributed aggregation job — the write-time stats path for formats
+   * whose files carry no usable column statistics (avro). Paimon collects
+   * per-file stats at WRITE time into the manifest for every format
+   * (SimpleStatsCollector, format-independent); here the commit job pays
+   * one re-read of the just-written bytes (O(commit), never O(table)) and
+   * feeds the same `.zones.json` sidecars, so avro tables zone-prune,
+   * file-skip, metadata-count and serve `$partitions` exactly like
+   * parquet/ORC. TimestampNTZ columns are left untracked on this path
+   * (their epoch-micros extraction would route through the session zone;
+   * untracked = never pruned, conservative).
+   */
+  def collectFromData(spark: org.apache.spark.sql.SparkSession, fs: FileSystem,
+      dir: Path, schema: StructType,
+      fmt: String): Option[(DirStats, Map[String, DirStats])] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max => fmax,
+      min => fmin, sum, when, datediff, unix_micros}
+    val files = listDataFiles(fs, dir, fmt) match {
+      case None => return None
+      case Some(fl) if fl.isEmpty => return Some((DirStats(0L, Map.empty), Map.empty))
+      case Some(fl) => fl
+    }
+    val lenByRel = files.map { case (rel, _, len) => rel -> len }.toMap
+    /** Column cast into its zone domain's runtime type — matching what
+      * the footer readers store (dates as epoch days, timestamps as
+      * epoch micros, integrals widened to long, floats to double). */
+    def domCast(f: StructField): Option[org.apache.spark.sql.Column] =
+      f.dataType match {
+        case TimestampNTZType => None // session-zone-dependent: untracked
+        case DateType =>
+          Some(datediff(col(f.name), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long"))
+        case TimestampType => Some(unix_micros(col(f.name)))
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(col(f.name).cast("long"))
+        case FloatType | DoubleType => Some(col(f.name).cast("double"))
+        case StringType | BooleanType => Some(col(f.name))
+        case _ => None
+      }
+    val trackedFs = schema.fields.flatMap(f => domCast(f).map(f.name -> _))
+    try {
+      val qdir = fs.makeQualified(dir).toString
+      // explicit schema + basePath: partition `col=value` segments resolve
+      // as typed partition columns without inference coercion (the
+      // frameFor contract), so their zones come out as exact points
+      // the avro short name is not registered in every environment — use
+      // the class name, as GraftCatalog.providerFor does
+      val provider =
+        if (fmt == "avro") "org.apache.spark.sql.avro.AvroFileFormat" else fmt
+      val df = spark.read.schema(schema).format(provider)
+        .option("basePath", qdir).load(files.map(_._2): _*)
+      val aggs = count(lit(1)).as("__rows") +: trackedFs.toSeq.flatMap {
+        case (n, c) => Seq(fmin(c).as(s"__mn_$n"), fmax(c).as(s"__mx_$n"),
+          sum(when(col(n).isNull, 1L).otherwise(0L)).as(s"__nl_$n"))
+      }
+      val rows = df.groupBy(col("_metadata.file_path").as("__f"))
+        .agg(aggs.head, aggs.tail: _*).collect() // one row per file
+      val statByRel: Map[String, DirStats] = rows.map { r =>
+        val rel = r.getString(0).stripPrefix(qdir).stripPrefix("/")
+        val cols = trackedFs.flatMap { case (n, _) =>
+          val mn = Option(r.get(r.fieldIndex(s"__mn_$n")))
+          val mx = Option(r.get(r.fieldIndex(s"__mx_$n")))
+          val nulls = r.getLong(r.fieldIndex(s"__nl_$n"))
+          Some(n.toLowerCase -> ColZone(mn, mx, nulls))
+        }.toMap
+        rel -> DirStats(r.getLong(r.fieldIndex("__rows")), cols,
+          bytes = lenByRel.getOrElse(rel, -1L))
+      }.toMap
+      // a zero-row file produces no aggregate group: give it an empty
+      // zone (never pruned, counts 0) so per-file coverage stays total
+      val fileMap = statByRel ++ files.collect {
+        case (rel, _, len) if !statByRel.contains(rel) =>
+          rel -> DirStats(0L, Map.empty, bytes = len)
+      }
+      Some((mergeZones(fileMap.values.toSeq), fileMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /**

@@ -362,9 +362,19 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         require(primaryKey.nonEmpty,
           "changelog-producer requires a primary-key table (append-only " +
             "tables changelog as pure +I already — nothing to materialize)")
-        require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate",
-          "changelog-producer requires merge-engine=deduplicate (field-wise " +
-            "engines patch rows — their images resolve only at read)")
+        // Field-wise engines (partial-update / aggregation / first-row)
+        // take the lookup and full-compaction producers — Paimon surfaces
+        // ChangelogProducer for ALL PK tables, and these producers exist
+        // PRECISELY for patch tables (a patch row has no self-contained
+        // image, so the changelog must be materialized from the resolved
+        // image). Only `input` stays deduplicate-only: it trusts the
+        // writer's rows to BE the changelog, which a patch row is not.
+        if (options.getOrElse("merge-engine", "deduplicate") != "deduplicate")
+          require(v == "lookup" || v == "full-compaction",
+            "changelog-producer=input requires merge-engine=deduplicate " +
+              "(a field-wise engine's input row is a PATCH, not the " +
+              "changelog image — use the lookup or full-compaction " +
+              "producer, which materialize resolved-image pairs)")
       }
     }
     // Bloom-filter file index (Paimon's `file-index.bloom-filter.columns`):
@@ -1431,10 +1441,12 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     // zones ride along for file-granular skipping. Data dirs only —
     // tombstone dirs are never zone-pruned (MoR must see every delta).
     // Parquet AND ORC footers both carry min/max/null counts (r14 closed
-    // the ORC gap); AVRO files carry no column statistics — those dirs
-    // are simply never pruned / never metadata-counted (conservative).
-    val stats = if (kind == "data" &&
-        (fileFormat(m) == "parquet" || fileFormat(m) == "orc"))
+    // the ORC gap); AVRO files carry none, so their stats are collected
+    // from the DATA in the same distributed job shape (r15 — Paimon's
+    // writer-side SimpleStatsCollector is format-independent the same
+    // way), feeding identical sidecars: avro tables zone-prune and
+    // metadata-count like parquet.
+    val stats = if (kind == "data")
       FileStats.collectWithFiles(spark, fs,
         new Path(tablePath(schema, table), dir), df.schema, fileFormat(m))
     else None
@@ -2542,11 +2554,9 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     entries.foreach { fe =>
       val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
     }
-    // AVRO dirs carry no column statistics: collecting would list zero
-    // files of the stats format and record a bogus 0-row aggregate that
-    // countRows would serve as truth — skip, matching commit()'s gate.
-    entries.filter(_ => fileFormat(m) == "parquet" || fileFormat(m) == "orc")
-      .foreach { fe =>
+    // every format collects here since r15 — avro stats come from the
+    // data itself (FileStats.collectFromData), same sidecars
+    entries.foreach { fe =>
       FileStats.collectWithFiles(spark, fs,
           dirPath(schema, table, fe.dir), cur, fileFormat(m)).foreach {
         case (ds, fileZones) =>
@@ -4529,6 +4539,25 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     })
   }
 
+  /** Resolve an arbitrary `__ord`-tagged frame of row versions under the
+    * table's merge engine — the ad-hoc analog of [[resolveFrames]] for
+    * frames that are not snapshot entries (the write-time lookup
+    * producer's image ∪ patch fold). Tombstone-free input only. */
+  private def resolveVersions(m: ObjectNode, all: DataFrame): DataFrame = {
+    val pk = primaryKey(m)
+    val names = currentFields(m).map(_.name)
+    mergeEngine(m) match {
+      case "deduplicate" | "first-row" =>
+        val earliest = mergeEngine(m) == "first-row"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(pk.map(col): _*)
+          .orderBy(if (earliest) col("__ord").asc else col("__ord").desc)
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).select(names.map(col): _*)
+      case engine => fieldwiseFold(m, all, engine)
+    }
+  }
+
   /** Fold an `__ord`-tagged frame of row versions per a FIELD-WISE merge
     * engine (partial-update | aggregation) — one groupBy aggregation
     * over the versions, partial map-side combine, no sort. Shared by
@@ -6116,18 +6145,14 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     require(pk.nonEmpty, s"$schema.$table is append-only — full changelog " +
       "needs a primary-key table (no before image exists); use readChangelog")
     refuseCrossPartition(m, s"$schema.$table", "readChangelogFull")
-    // Field-wise engines (partial-update / aggregation / first-row) CAN
-    // serve full changelog — a delta row is a PATCH, not the image, so
-    // the after side must be the RESOLVED image, not the in-range winner.
-    if (mergeEngine(m) != "deduplicate")
-      return fieldwiseChangelogFull(schema, table, m, fromSnapshotId, toSnapshotId)
     // Producer-served fast path: lookup tables persisted full retraction
     // pairs at every commit, full-compaction tables at every compact —
     // when the files exactly cover the range, serve them with NO
     // before-image join (the whole point of paying the resolve at write:
     // N consumers × M batches read files, the join ran once). `input`
     // files carry no before images, so full mode falls through to the
-    // read-time resolve there.
+    // read-time resolve there. Checked BEFORE the engine dispatch: a
+    // field-wise table's producer files are resolved-image pairs too.
     if (changelogProducer(m) == "lookup" ||
         changelogProducer(m) == "full-compaction")
       changelogCover(m, fromSnapshotId, toSnapshotId).foreach { dirs =>
@@ -6139,6 +6164,11 @@ class GraftCatalog(private[sources] val spark: SparkSession,
             changelogSchema(m))
           else collapseFullChangelog(m, parts)
       }
+    // Field-wise engines (partial-update / aggregation / first-row) CAN
+    // serve full changelog — a delta row is a PATCH, not the image, so
+    // the after side must be the RESOLVED image, not the in-range winner.
+    if (mergeEngine(m) != "deduplicate")
+      return fieldwiseChangelogFull(schema, table, m, fromSnapshotId, toSnapshotId)
     val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
     // unreachable on PK tables (DVs are append-only by construction);
     // on append-only tables a DV commit REMOVES rows, which a +I-only
@@ -6424,6 +6454,32 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           dels.map(_.withColumn(RowKindCol, lit("-D")))
       return Some(kinded.reduce(_ unionByName _))
     }
+    if (mergeEngine(m) != "deduplicate") {
+      // Field-wise lookup producer: a staged row is a PATCH, so the
+      // persisted changelog must carry RESOLVED images on both sides —
+      // exactly the pairs fieldwiseChangelogFull computes read-time,
+      // materialized once here instead of by every consumer. The before
+      // image is the head's resolved rows for the TOUCHED keys only
+      // (version frames semi-join the key set BEFORE the fold, so the
+      // shuffle is O(touched keys' versions), never table-wide), and the
+      // after image folds the staged patch batch onto it with the same
+      // engine (associative, so the two-layer fold equals the direct one).
+      val staged = ups.getOrElse(return None) // field-wise refuses deletes
+      val pk = primaryKey(m)
+      val keys = staged.select(pk.map(col): _*).distinct()
+      val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
+      val headEs = if (snaps0.size() == 0) Seq.empty
+        else filesOf(snaps0.get(snaps0.size() - 1))
+      val pre = headEs.filter(_.kind == "data")
+        .map(frameFor(schema, table, m, _))
+        .reduceOption(_ unionByName _)
+        .map(v => resolveVersions(m, v.join(keys, pk, "left_semi")))
+        .getOrElse(emptyFrame(m))
+      val after = resolveVersions(m,
+        pre.withColumn("__ord", lit(0L)).unionByName(
+          staged.withColumn("__ord", lit(1L))))
+      return Some(pairResolvedImages(m, after, pre))
+    }
     // lookup: full retraction pairs against the pre-commit image
     val news = (ups.map(_.withColumn("__del", lit(false))).toSeq ++
       dels.map(_.withColumn("__del", lit(true)))).reduce(_ unionByName _)
@@ -6487,6 +6543,21 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val before = (if (fromSnapshotId == 0) emptyFrame(m)
       else read(schema, table, snapshotId = Some(fromSnapshotId)))
       .join(changedKeys, pk, "left_semi")
+    pairResolvedImages(m, after, before)
+  }
+
+  /** Pair RESOLVED after/before images per key into `+I` / `-U`,`+U`
+    * changelog rows with net-zero suppression (images equal null-safe →
+    * nothing emitted). No `-D` arm: the field-wise engines refuse
+    * deletes, so a key can never leave the after image. Shared by
+    * [[fieldwiseChangelogFull]] (read-time) and the field-wise `lookup`
+    * producer (the same pairing paid once at write). */
+  private def pairResolvedImages(m: ObjectNode, after: DataFrame,
+      before: DataFrame): DataFrame = {
+    val pk = primaryKey(m)
+    val names = currentFields(m).map(_.name)
+    require(!names.exists(n => n.startsWith("__pre_") || n == "__e"),
+      "table has columns colliding with changelog scratch names (__pre_*, __e)")
     val preR = before.select(names.map(c => col(c).as(s"__pre_$c")): _*)
     val joined = after.join(preR,
       pk.map(k => after(k) === col(s"__pre_$k")).reduce(_ && _), "left")

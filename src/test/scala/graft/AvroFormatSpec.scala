@@ -25,7 +25,7 @@ class AvroFormatSpec extends SparkSpecBase {
     gc.createSchema("db")
   }
 
-  test("append-only avro: round trip, .avro files on disk, conservative stats") {
+  test("append-only avro: round trip, .avro files on disk, write-time stats") {
     import spark.implicits._
     gc.createTable("db", "a1", Seq((1L, "x")).toDF("id", "v").schema,
       options = Map("file.format" -> "avro"))
@@ -42,10 +42,14 @@ class AvroFormatSpec extends SparkSpecBase {
       if (p.toString.endsWith(".parquet")) parquet += 1
     }
     assert(avro > 0 && parquet === 0)
-    // no zone stats → metadata-only count unavailable (falls back), and
-    // readWhere still answers exactly (zero pruning, never wrong)
-    assert(gc.countRows("db", "a1") === None)
-    assert(gc.readWhere("db", "a1", col("id") between (10, 20)).count() === 11)
+    // r15: avro files carry no footer stats, so the commit job collects
+    // them from the DATA — metadata-only count is exact, and readWhere
+    // zone-prunes the second dir for a first-dir id range
+    assert(gc.countRows("db", "a1") === Some(150L))
+    val pruned = gc.readWhere("db", "a1", col("id") between (10, 20))
+    assert(pruned.count() === 11)
+    assert(!pruned.inputFiles.exists(_.contains("snap-2")),
+      "id<=20 scan opened snap-2 (ids 101..150) despite write-time zones")
     // $files and $partitions views work; row counts via avro block headers
     assert(gc.filesTable("db", "a1").agg(sum("n_part_files")).head().getLong(0) > 0)
     assert(gc.partitionsTable("db", "a1")

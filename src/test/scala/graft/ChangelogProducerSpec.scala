@@ -172,9 +172,11 @@ class ChangelogProducerSpec extends SparkSpecBase {
       gc.createTable("db", "bad1", batch(0, 0).schema,
         options = Map("changelog-producer" -> "lookup")))
     assert(e1.getMessage.contains("primary-key"))
+    // `input` stays deduplicate-only (a patch row is not the changelog
+    // image); lookup/full-compaction serve field-wise engines since r15
     val e2 = intercept[IllegalArgumentException](
       gc.createTable("db", "bad2", batch(0, 0).schema,
-        options = Map("changelog-producer" -> "lookup",
+        options = Map("changelog-producer" -> "input",
           "merge-engine" -> "partial-update"), primaryKey = Seq("id")))
     assert(e2.getMessage.contains("deduplicate"))
     val e3 = intercept[IllegalArgumentException](
@@ -185,5 +187,108 @@ class ChangelogProducerSpec extends SparkSpecBase {
     val e4 = intercept[IllegalArgumentException](
       gc.setTableOptions("db", "tl", Map("changelog-producer" -> "none")))
     assert(e4.getMessage.toLowerCase.contains("immutable"))
+  }
+
+  test("lookup producer on a partial-update table (+ sequence group): " +
+      "file-served batches plan NO resolve join, parity with read-time") {
+    val sch = spark.range(1).selectExpr("id", "CAST(NULL AS STRING) AS a",
+      "CAST(NULL AS BIGINT) AS b", "CAST(NULL AS BIGINT) AS sb").schema
+    def mk(t: String, producer: Option[String]): Unit =
+      gc.createTable("db", t, sch,
+        options = Map("merge-engine" -> "partial-update",
+          "fields.sb.sequence-group" -> "b") ++
+          producer.map("changelog-producer" -> _),
+        primaryKey = Seq("id"))
+    mk("pu_l", Some("lookup")); mk("pu_n", None)
+    def up(t: String, sqlRows: String): Unit =
+      gc.upsert("db", t, spark.sql(
+        s"SELECT CAST(id AS BIGINT) id, CAST(a AS STRING) a, " +
+          s"CAST(b AS BIGINT) b, CAST(sb AS BIGINT) sb " +
+          s"FROM VALUES $sqlRows AS t(id, a, b, sb)"))
+    def hist(t: String): Unit = {
+      up(t, "(1, 'x', 10, 1), (2, 'y', 20, 1)")                    // snap 1
+      // patches: null fields keep prior values; b guarded by group seq sb
+      // (stale seq 0 on key 1 → b keeps 10); key 3 is a true insert
+      up(t, "(1, NULL, 99, 0), (2, 'Y', NULL, 2), (3, 'z', 30, 1)") // snap 2
+      // net-zero patch: all-null for an existing key emits NOTHING
+      up(t, "(1, NULL, NULL, NULL)")                               // snap 3
+    }
+    hist("pu_l"); hist("pu_n")
+    // tables resolve identically
+    assert(rows(gc.read("db", "pu_l")) === rows(gc.read("db", "pu_n")))
+    // per-commit parity: file-served == read-computed, exactly
+    (1L to 3L).foreach { i =>
+      assert(rows(gc.readChangelogFull("db", "pu_l", i - 1, i)) ===
+        rows(gc.readChangelogFull("db", "pu_n", i - 1, i)), s"range (${i - 1}, $i]")
+    }
+    // the net-zero commit materialized an EMPTY changelog
+    assert(gc.readChangelogFull("db", "pu_l", 2, 3).count() === 0)
+    // file-served full range: no before-image resolve join in the plan
+    val served = gc.readChangelogFull("db", "pu_l", 0, 3)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"),
+      served.queryExecution.executedPlan.toString)
+    // the producer-less twin pays the resolve at read
+    assert(gc.readChangelogFull("db", "pu_n", 1, 2)
+      .queryExecution.executedPlan.toString.contains("Join"))
+    // the sequence-group guard survived materialization: b stayed 10
+    assert(served.filter(col("id") === 1 && col(GraftCatalog.RowKindCol) === "+I")
+      .head().getLong(2) === 10L)
+  }
+
+  test("lookup producer on an aggregation table: persisted pairs fold " +
+      "sums exactly and a replica of images converges") {
+    val sch = spark.range(1).selectExpr("id",
+      "CAST(NULL AS BIGINT) AS total").schema
+    gc.createTable("db", "ag_l", sch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum",
+        "changelog-producer" -> "lookup"),
+      primaryKey = Seq("id"))
+    gc.createTable("db", "ag_n", sch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum"),
+      primaryKey = Seq("id"))
+    import spark.implicits._
+    def hist(t: String): Unit = {
+      gc.upsert("db", t, Seq((1L, 5L), (2L, 7L)).toDF("id", "total"))
+      gc.upsert("db", t, Seq((1L, 3L), (3L, 1L)).toDF("id", "total"))
+      gc.upsert("db", t, Seq((1L, 0L)).toDF("id", "total")) // net-zero sum
+    }
+    hist("ag_l"); hist("ag_n")
+    (1L to 3L).foreach { i =>
+      assert(rows(gc.readChangelogFull("db", "ag_l", i - 1, i)) ===
+        rows(gc.readChangelogFull("db", "ag_n", i - 1, i)), s"range (${i - 1}, $i]")
+    }
+    // sum of 0 leaves the image unchanged → empty materialization
+    assert(gc.readChangelogFull("db", "ag_l", 2, 3).count() === 0)
+    val served = gc.readChangelogFull("db", "ag_l", 0, 2)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"))
+    // pairs carry RESOLVED images: id 1 collapses over (0,2] to a +I
+    // whose final image is the FOLDED sum 5+3
+    assert(served.filter(col("id") === 1 &&
+      col(GraftCatalog.RowKindCol) === "+I").head().getLong(1) === 8L)
+  }
+
+  test("full-compaction producer on a field-wise table: carrier diff at " +
+      "compact equals the read-computed resolved-image pairs") {
+    val sch = spark.range(1).selectExpr("id",
+      "CAST(NULL AS BIGINT) AS total").schema
+    gc.createTable("db", "ag_f", sch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum",
+        "changelog-producer" -> "full-compaction"),
+      primaryKey = Seq("id"))
+    import spark.implicits._
+    gc.upsert("db", "ag_f", Seq((1L, 5L), (2L, 7L)).toDF("id", "total"))
+    gc.upsert("db", "ag_f", Seq((1L, 3L)).toDF("id", "total"))
+    val c = gc.compact("db", "ag_f")
+    val served = gc.readChangelogFull("db", "ag_f", 0, c)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"))
+    // first carrier: whole image as +I with RESOLVED values
+    assert(rows(served) === Seq("[1,8,+I]", "[2,7,+I]"))
+    gc.upsert("db", "ag_f", Seq((2L, -2L)).toDF("id", "total"))
+    val c2 = gc.compact("db", "ag_f")
+    val served2 = gc.readChangelogFull("db", "ag_f", c, c2)
+    assert(rows(served2) === Seq("[2,5,+U]", "[2,7,-U]"))
   }
 }

@@ -820,4 +820,40 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(refuted > 10L, s"evaluator refuted only $refuted times over 400 " +
       "group checks — the fuzz stopped exercising pruning")
   }
+
+  test("avro tables collect WRITE-TIME zone stats from the data: dir " +
+      "pruning, exact metadata count, typed min/max (r15)") {
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .selectExpr("id", "concat('n', id) AS name",
+        "CAST(id AS DOUBLE) / 10 AS score",
+        "DATE_ADD(DATE'2020-01-01', CAST(id % 365 AS INT)) AS d",
+        "TIMESTAMP'2024-05-06 07:08:09' + make_interval(0,0,0,0,0,0,id) AS ts")
+    gc.createTable("db", "zav", batch(0, 0).schema,
+      options = Map("file.format" -> "avro"))
+    gc.append("db", "zav", batch(1, 100).toDF())
+    gc.append("db", "zav", batch(101, 200).toDF())
+    gc.append("db", "zav", batch(201, 300).toDF())
+    // per-dir zones present with exact rows and typed domains
+    val stats = gc.dirStats("db", "zav")
+    assert(stats.keySet === Set("snap-1", "snap-2", "snap-3"))
+    val s2 = stats("snap-2")
+    assert(s2.rows === 100L)
+    assert(s2.cols("id").min.contains(101L) && s2.cols("id").max.contains(200L))
+    assert(s2.cols("score").min.contains(10.1) && s2.cols("score").max.contains(20.0))
+    assert(s2.cols("name").min.contains("n101"))
+    assert(s2.cols.contains("d") && s2.cols.contains("ts"))
+    // metadata-only exact count — no scan
+    assert(gc.countRows("db", "zav") === Some(300L))
+    // dir pruning: an id range inside snap-2/3 never opens snap-1
+    val pruned = gc.readWhere("db", "zav", col("id").between(150, 250))
+    assert(!scannedDirs(pruned).contains("snap-1"), scannedDirs(pruned).toString)
+    assert(pruned.count() === 101)
+    // date/timestamp predicates prune with the epoch-domain zones
+    val dp = gc.readWhere("db", "zav", col("d") < lit("2020-04-11").cast("date"))
+    assert(pruned.columns.nonEmpty && dp.count() ===
+      gc.read("db", "zav").filter(col("d") < lit("2020-04-11").cast("date")).count())
+    // parity: pruned read equals unpruned read under the same predicate
+    val full = gc.read("db", "zav").filter(col("id").between(150, 250))
+    assert(pruned.exceptAll(full).count() === 0 && full.exceptAll(pruned).count() === 0)
+  }
 }
