@@ -596,6 +596,33 @@ object CatalogQueries {
       cat.readChangelogFull("q", t, 1, 3)
         .orderBy("doc_id", graft.sources.GraftCatalog.RowKindCol)
     }),
+    // PK deletion vectors + sequence.field (r15): builds and hybrid reads
+    // race versions on (sequence, ordinal) — a late LOWER-sequence batch
+    // landing after a DV build must stay dead, a higher one wins, and a
+    // key deleted pre-build resurrects only through the sequence race.
+    "catalog_dv_sequence" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true",
+          "sequence.field" -> "n_chars"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.buildDeletionVectors("q", t)
+      // late lower-sequence batch: loses to the DV-built base everywhere
+      // a base version exists (deleted keys have none - it lands there)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit("late").as("lang"),
+          (col("n_chars") - 1).as("n_chars")))
+      // genuinely newer sequence: wins everywhere
+      cat.upsert("q", t, d.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), lit("new").as("lang"),
+          (col("n_chars") + 1).as("n_chars")))
+      cat.buildDeletionVectors("q", t)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // Write-time changelog on a FIELD-WISE engine (r15): a partial-update
     // patch has no self-contained image, so the lookup producer
     // materializes RESOLVED -U/+U pairs at commit; the served range reads
@@ -1127,6 +1154,17 @@ object CatalogQueries {
         |SELECT doc_id, lang, n_chars, '-D' AS _row_kind FROM documents
         |WHERE doc_id % 7 = 3
         |ORDER BY doc_id, _row_kind""".stripMargin,
+    "catalog_dv_sequence" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN 'new'
+        |       WHEN doc_id % 7 = 3 AND doc_id % 10 = 0 THEN 'late'
+        |       ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 9 = 0 THEN n_chars + 1
+        |       WHEN doc_id % 7 = 3 AND doc_id % 10 = 0 THEN n_chars - 1
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 OR doc_id % 9 = 0 OR doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     // range (1, 3]: the n_chars patch pairs -U(resolved before)/
     // +U(resolved after, lang KEPT — partial-update); the all-null
     // snap-3 patch is net-zero and contributes nothing

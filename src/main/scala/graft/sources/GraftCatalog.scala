@@ -315,12 +315,12 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     //    are BUILT at compaction over the version history
     //    ([[buildDeletionVectors]]) so delete-heavy reads skip the
     //    keep-latest merge for everything at or below the build — see
-    //    [[pkDvResolve]]. The base/delta split orders by snapshot ordinal
-    //    alone, so the mode pins merge-engine=deduplicate, no
-    //    sequence.field (an out-of-order writer could land a version that
-    //    must LOSE to an already-DV-built row), and partition ⊆ primary
-    //    key (a cross-partition move's two-residence resolution has no
-    //    per-ordinal split point).
+    //    [[pkDvResolve]]. The mode pins merge-engine=deduplicate (a DV
+    //    build resolves keep-latest, not a field fold) and partition ⊆
+    //    primary key (a cross-partition move's two-residence resolution
+    //    has no per-ordinal split point). sequence.field composes (r15):
+    //    builds and hybrid reads race versions on (sequence, ordinal),
+    //    and post-build deltas arbitrate against the base's sequence.
     options.get("deletion-vectors").foreach { v =>
       require(v == "true" || v == "false",
         s"deletion-vectors must be true or false, got $v")
@@ -330,10 +330,11 @@ class GraftCatalog(private[sources] val spark: SparkSession,
             "deletion-vectors on a primary-key table requires " +
               "merge-engine=deduplicate (a DV build resolves keep-latest " +
               "semantics; field-wise engines fold values instead)")
-          require(!options.contains("sequence.field"),
-            "deletion-vectors on a primary-key table is incompatible with " +
-              "sequence.field: the merge-free base/delta split orders by " +
-              "snapshot ordinal, which a user sequence could contradict")
+          // sequence.field composes since r15: builds and hybrid reads
+          // order the version race by (sequence, ordinal) like every
+          // other resolution path, and post-build deltas arbitrate
+          // against the base version's sequence (a late lower-sequence
+          // row stays dead across a build)
           require(partitionBy.forall(primaryKey.contains),
             "deletion-vectors on a primary-key table requires partition " +
               "columns inside the primary key (cross-partition upsert has " +
@@ -4269,18 +4270,41 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       val f = frameFor(schema, table, m, fe, withBucket = bucketed)
       if (bucketed) f.drop(BucketCol) else f
     }.reduce(_ unionByName _)
-    // no sequence.field on PK DV tables (refused at create): pure
-    // ordinal order is the version order
+    // version order: (sequence, ordinal) on sequence.field tables, pure
+    // ordinal otherwise — the same rule as every other resolution path
+    // (r15: the sequence.field + DV refusal is lifted)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
     val deltaTop = deltaAll.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-    val live = deltaTop.filter(!col("__del")).select(names.map(col): _*)
     baseLive match {
-      case None => Some(live)
+      case None => Some(deltaTop.filter(!col("__del")).select(names.map(col): _*))
       case Some(b) =>
-        val deltaKeys = deltaTop.select(pk.map(col): _*)
-        Some(b.join(deltaKeys, pk, "left_anti").unionByName(live))
+        sequenceField(m) match {
+          case None =>
+            // ordinal-only order: base ordinals are strictly below every
+            // delta's, so ANY delta version supersedes its key's base
+            val live = deltaTop.filter(!col("__del")).select(names.map(col): _*)
+            val deltaKeys = deltaTop.select(pk.map(col): _*)
+            Some(b.join(deltaKeys, pk, "left_anti").unionByName(live))
+          case Some(sf) =>
+            // a late LOWER-sequence delta must LOSE to the DV-built base:
+            // arbitrate each touched key on (sequence, ordinal) — base
+            // ordinals sit below every delta's, so sequence ties go to
+            // the delta, and a null sequence loses to any non-null one.
+            // Cost: one extra (pk, sequence)-projected pass over the base
+            // for the touched keys, O(delta keys) join — covered reads
+            // (no post-build delta) are untouched.
+            val bk = b.join(deltaTop.select(pk.map(col): _*), pk, "left_semi")
+              .select((pk.map(col) :+ col(sf).as("__bseq")): _*)
+            val arbit = deltaTop.join(bk, pk, "left")
+            val deltaWins = col("__bseq").isNull ||
+              (col(sf).isNotNull && col(sf) >= col("__bseq"))
+            val winKeys = arbit.filter(deltaWins).select(pk.map(col): _*)
+            val liveWin = deltaTop.join(winKeys, pk, "left_semi")
+              .filter(!col("__del")).select(names.map(col): _*)
+            Some(b.join(winKeys, pk, "left_anti").unionByName(liveWin))
+        }
     }
   }
 
@@ -4329,8 +4353,11 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         .map(_.withColumn(DvFileCol,
             lit(null).cast(org.apache.spark.sql.types.StringType))
           .withColumn(DvPosCol, lit(null).cast(org.apache.spark.sql.types.LongType)))
+    // version order: (sequence, ordinal) on sequence.field tables, pure
+    // ordinal otherwise — tombstones carry their victim's sequence, so
+    // they race correctly (a stale-sequence delete never wins)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(col("__ord").desc)
+      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
     // A prior build at ordinal B guarantees (pkDvResolve's invariant) that
     // the DV-applied base at or below B holds AT MOST ONE live version per
     // key and no tombstone dirs — so a REBUILD only needs the post-B
@@ -4358,13 +4385,16 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         case (None, Some(t)) => t
         case (None, None) => return latest.get("id").asLong() // unreachable
       }
-      // (a) versions superseded WITHIN the delta — O(delta) window
-      val inDelta = allDelta.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
+      val ranked = allDelta.withColumn("__rn", row_number().over(w))
+      // (a) versions superseded WITHIN the delta — O(delta) window (a
+      // non-top version loses to the delta top, which is itself no
+      // better than the overall winner — victim either way)
+      val inDelta = ranked.filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
         .select(col(DvFileCol), col(DvPosCol))
-      // (b) base versions of every delta-touched key (base ordinal < any
-      // delta ordinal, so membership alone decides) — read only the base
-      // files those keys can live in
+      // (b) arbitrate each delta-touched key against its base version —
+      // reading only the base files those keys can live in. Without
+      // sequence.field, base ordinals sit strictly below every delta's,
+      // so membership alone decides
       val deltaKeys = allDelta.select(pk.map(col): _*).distinct()
       val baseScan: Option[DataFrame] =
         if (bucketed) {
@@ -4435,12 +4465,32 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           }
           frames.reduceOption(_ unionByName _)
         }
-      val baseVictims = baseScan.map { b =>
-        b.select((pk.map(col) ++ Seq(col(DvFileCol), col(DvPosCol))): _*)
+      val baseVictims = baseScan.map { b0 =>
+        val touchedCols = pk.map(col) ++
+          sequenceField(m).map(col).toSeq ++ Seq(col(DvFileCol), col(DvPosCol))
+        val touched = b0.select(touchedCols: _*)
           .join(dvFrame(schema, table, dvEs),
             Seq(DvFileCol, DvPosCol), "left_anti") // already-dead rows don't re-count
           .join(deltaKeys, pk, "left_semi")
-          .select(col(DvFileCol), col(DvPosCol))
+        sequenceField(m) match {
+          case None => touched.select(col(DvFileCol), col(DvPosCol))
+          case Some(sf) =>
+            // sequence arbitration: the delta top beats the base iff its
+            // (sequence, ordinal) is higher — ties go to the delta (its
+            // ordinal is higher), a null sequence loses to any non-null.
+            // Base wins → the DELTA TOP's bytes are the victims instead.
+            val deltaTop = ranked.filter(col("__rn") === 1)
+            val bk = touched.select((pk.map(col) :+ col(sf).as("__bseq") :+
+              col(DvFileCol).as("__bfile") :+ col(DvPosCol).as("__bpos")): _*)
+            val arbit = deltaTop.join(bk, pk, "left")
+            val deltaWins = col("__bseq").isNull ||
+              (col(sf).isNotNull && col(sf) >= col("__bseq"))
+            arbit.filter(deltaWins && col("__bfile").isNotNull)
+              .select(col("__bfile").as(DvFileCol), col("__bpos").as(DvPosCol))
+              .unionByName(
+                arbit.filter(!deltaWins && col(DvFileCol).isNotNull)
+                  .select(col(DvFileCol), col(DvPosCol)))
+        }
       }
       baseVictims.map(inDelta.unionByName(_)).getOrElse(inDelta)
     } else {
@@ -6488,8 +6538,14 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       if (snaps.size() == 0) Seq.empty
       else filesOf(snaps.get(snaps.size() - 1))
     val pre = bucketCount(m) match {
-      case Some(n) if n >= 1 && headEntries.nonEmpty &&
-          !headEntries.exists(_.kind == "dv") =>
+      // fixed buckets AND dynamic (-1): dynamic assignment is STICKY
+      // (the .dbidx index routes every later version of a key to its
+      // original bucket), so the staged dirs' buckets are exactly where
+      // the before images live — same pruning, no index read (r15; the
+      // cross-partition case re-assigns on move and is refused from
+      // changelog ops at definition anyway, but falls through safely).
+      case Some(n) if (n >= 1 || n == -1) && !crossPartition(m) &&
+          headEntries.nonEmpty && !headEntries.exists(_.kind == "dv") =>
         // changed buckets from the staged dirs' `__bucket=k` subdirs —
         // one driver listing per staged dir, zero Spark jobs
         val changed = (dataDir.toSeq ++ delDir).flatMap { d =>

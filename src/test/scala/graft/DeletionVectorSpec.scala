@@ -139,13 +139,11 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(e3.getMessage.contains("deletion-vectors"))
     // snapshot-level changelog streaming now serves DV tables
     assert(gc.readChangelogStream("db", "t1").isStreaming)
-    // option validation: PK scope pins deduplicate/ordinal-only ordering,
-    // reserved names refuse
-    val e5 = intercept[IllegalArgumentException](
-      gc.createTable("db", "bad1", batch(0, 0).schema,
-        options = Map("deletion-vectors" -> "true",
-          "sequence.field" -> "grp"), primaryKey = Seq("id")))
-    assert(e5.getMessage.contains("sequence.field"))
+    // option validation: sequence.field COMPOSES with PK DVs since r15
+    // (see the dedicated sequence test); reserved names still refuse
+    gc.createTable("db", "dvseq_ok", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true",
+        "sequence.field" -> "grp"), primaryKey = Seq("id"))
     val e6 = intercept[IllegalArgumentException](
       gc.createTable("db", "bad2",
         spark.range(1).selectExpr("id", "'x' AS __file").schema,
@@ -471,26 +469,6 @@ class DeletionVectorSpec extends SparkSpecBase {
     val e5 = intercept[IllegalArgumentException](
       gc.buildDeletionVectors("db", "t1"))
     assert(e5.getMessage.contains("append-only"))
-  }
-
-  /** Records scanned by every task during `body` (listener-observed
-    * input metrics; the bus is flushed before reading). Rows that
-    * partition pruning / zone skipping removed never become records, so
-    * this measures exactly the "reads O(delta)" contract. (Bytes-read
-    * counters are blind here: the local-mode vectorized parquet reader
-    * bypasses Hadoop FileSystem statistics.) */
-  private def recordsScanned(body: => Unit): Long = {
-    val acc = new java.util.concurrent.atomic.AtomicLong(0)
-    val l = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (e.taskMetrics != null)
-          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
-    }
-    spark.sparkContext.addSparkListener(l)
-    try { body; org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext) }
-    finally spark.sparkContext.removeSparkListener(l)
-    acc.get()
   }
 
   test("PK DV: a REBUILD after a small delta reads O(delta), not O(table) " +

@@ -373,4 +373,40 @@ class DynamicBucketSpec extends SparkSpecBase {
     assert(byId(7L).map(_._2).forall(Set("+I", "+U")))
     assert(byId.keySet === (1L to 7L).toSet)
   }
+
+  test("lookup producer on a dynamic-bucket table resolves the before " +
+      "image bucket-pruned: a small commit reads O(touched buckets) (r15)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.createSchema("db")
+    def mkT(t: String, producer: Option[String]): Unit =
+      cat.createTable("db", t, kvSchema, primaryKey = Seq("id"),
+        options = Map("bucket" -> "-1",
+          "dynamic-bucket.target-row-num" -> "500") ++
+          producer.map("changelog-producer" -> _))
+    mkT("dprod", Some("lookup")); mkT("dtwin", None)
+    // 10k keys over ~20 buckets
+    Seq("dprod", "dtwin").foreach(t => cat.upsert("db", t,
+      (1L to 10000L).map(i => (i, s"v$i")).toDF("id", "v")))
+    // small delta: 3 keys — sticky assignment pins them to ≤3 buckets,
+    // so the producer's before-image resolve must read ≤3 bucket legs
+    // (~500 rows each), never the 10k-row image. Measured as the
+    // MARGINAL cost over an identical producer-less commit (the upsert
+    // itself pays a .dbidx routing probe either way).
+    def smallCommit(t: String): Long = recordsScanned {
+      cat.upsert("db", t, Seq((10L, "u10"), (20L, "u20"),
+        (5000L, "u5000")).toDF("id", "v"))
+    }
+    val twin = smallCommit("dtwin")
+    val prod = smallCommit("dprod")
+    assert(prod - twin < 4000L,
+      s"producer resolve cost: $prod vs twin $twin — more than the " +
+        "touched buckets' rows, the before image was not bucket-pruned")
+    // and the persisted pairs are exactly right (resolved before images)
+    val cl = cat.readChangelogFull("db", "dprod", 1, 2)
+    assert(!cl.queryExecution.executedPlan.toString.contains("Join"))
+    assert(cl.collect().map(_.toString).sorted.toSeq === Seq(
+      "[10,u10,+U]", "[10,v10,-U]", "[20,u20,+U]", "[20,v20,-U]",
+      "[5000,u5000,+U]", "[5000,v5000,-U]"))
+  }
 }

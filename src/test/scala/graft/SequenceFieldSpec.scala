@@ -207,4 +207,52 @@ class SequenceFieldSpec extends SparkSpecBase {
       gc.dropColumn("db", "t6", "event_seq")
     }
   }
+
+  test("deletion vectors compose with sequence.field: builds race on " +
+      "(sequence, ordinal) and a late lower-sequence delta stays dead " +
+      "across the merge-free base (r15)") {
+    import spark.implicits._
+    mk("tdv", Map("deletion-vectors" -> "true"))
+    def noWindow(): org.apache.spark.sql.DataFrame = {
+      val df = gc.read("db", "tdv")
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        "DV-covered read planned a keep-latest window")
+      df
+    }
+    gc.upsert("db", "tdv", Seq((1L, "v10", 10L), (2L, "w10", 10L),
+      (3L, "z10", 10L)).toDF("id", "v", "seq"))                    // snap 1
+    gc.upsert("db", "tdv", Seq((1L, "v20", 20L)).toDF("id", "v", "seq"))
+    gc.deleteWhere("db", "tdv", col("id") === 3)                   // snap 3
+    gc.buildDeletionVectors("db", "tdv")                           // snap 4
+    assert(img("tdv") === Seq((1L, "v20", 20L), (2L, "w10", 10L)))
+    noWindow()
+    // LATE post-build delta: lower sequence must lose to the DV-built
+    // base (the hybrid read's arbitration, not ordinal order)
+    gc.upsert("db", "tdv", Seq((1L, "late", 5L)).toDF("id", "v", "seq"))
+    assert(img("tdv") === Seq((1L, "v20", 20L), (2L, "w10", 10L)))
+    // genuinely newer sequence wins as usual
+    gc.upsert("db", "tdv", Seq((2L, "w30", 30L)).toDF("id", "v", "seq"))
+    assert(img("tdv") === Seq((1L, "v20", 20L), (2L, "w30", 30L)))
+    // incremental REBUILD arbitrates both directions: key 1's late bytes
+    // become victims (base won), key 2's base bytes do (delta won)
+    gc.buildDeletionVectors("db", "tdv")
+    assert(img("tdv") === Seq((1L, "v20", 20L), (2L, "w30", 30L)))
+    noWindow()
+    assert(gc.countRows("db", "tdv") === Some(2L))
+    // delete + stale resurrect attempt inside one post-build delta: the
+    // tombstone carries seq 20, the stale row's 15 loses in-delta
+    gc.deleteWhere("db", "tdv", col("id") === 1)
+    gc.upsert("db", "tdv", Seq((1L, "old", 15L)).toDF("id", "v", "seq"))
+    assert(img("tdv") === Seq((2L, "w30", 30L)))
+    gc.buildDeletionVectors("db", "tdv")
+    assert(img("tdv") === Seq((2L, "w30", 30L)))
+    noWindow()
+    // a genuinely newer row re-inserts the key after the build
+    gc.upsert("db", "tdv", Seq((1L, "new", 25L)).toDF("id", "v", "seq"))
+    assert(img("tdv") === Seq((1L, "new", 25L), (2L, "w30", 30L)))
+    // time travel to each pre-build image still resolves exactly
+    assert(gc.read("db", "tdv", snapshotId = Some(2))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq ===
+      Seq((1L, "v20", 20L), (2L, "w10", 10L), (3L, "z10", 10L)))
+  }
 }

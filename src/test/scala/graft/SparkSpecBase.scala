@@ -8,6 +8,25 @@ import org.scalatest.BeforeAndAfterAll
 trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpecBase.session
   lazy val sfDir: String = "/root/testdata/sf0.001"
+
+  /** Records scanned by every task during `body` (listener-observed
+    * input metrics; the bus is flushed before reading). Rows removed by
+    * partition pruning / zone skipping never become records — the
+    * "reads O(delta)" tripwire. (Bytes-read counters are blind here:
+    * the local-mode vectorized readers bypass Hadoop FS statistics.) */
+  def recordsScanned(body: => Unit): Long = {
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; org.apache.spark.GraftTestBus.waitUntilEmpty(spark.sparkContext) }
+    finally spark.sparkContext.removeSparkListener(l)
+    acc.get()
+  }
 }
 
 object SparkSpecBase {
