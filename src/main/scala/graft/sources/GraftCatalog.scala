@@ -50,11 +50,14 @@ import org.apache.spark.sql.types.{NumericType, StructField, StructType}
  * disk, HDFS, or object stores on a real cluster.
  */
 class GraftCatalog(private[sources] val spark: SparkSession,
-    private[sources] val warehouse: String) extends GraftMetadataViews {
+    private[sources] val warehouse: String)
+  extends GraftMetadataViews with GraftChangelog
+    with GraftDeletionVectors with GraftMaintenance
+    with GraftDynamicBucket with GraftTagsBranches with GraftStreamingOps {
 
   import GraftCatalog._
 
-  private val mapper = new ObjectMapper()
+  private[sources] val mapper = new ObjectMapper()
 
   private[sources] def fs: FileSystem =
     new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -96,7 +99,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   /** A dir reference in BASE-relative form — the cross-lineage identity
     * under which two lineages of one table compare references (pinning:
     * a dir is deletable only when NO lineage references it). */
-  private def baseRelativeDir(table: String, dir: String): String =
+  private[sources] def baseRelativeDir(table: String, dir: String): String =
     if (dir.startsWith(BaseRelMarker)) dir.substring(BaseRelMarker.length)
     else splitBranch(table) match {
       case (_, Some(br)) => s"$BranchDirName/$br/$dir"
@@ -110,7 +113,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * manifest — a lineage assigns ids strictly above every retained id,
     * inherited included, so a shared and a local dir can never collide
     * on their name. */
-  private def dirKey(dir: String): String = {
+  private[sources] def dirKey(dir: String): String = {
     val i = dir.lastIndexOf("snap-")
     if (i <= 0) dir else dir.substring(i)
   }
@@ -1025,7 +1028,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   /** Current-naming nested path → write-time path for files of `colId`
     * written at schema version `w` (None = the member didn't exist).
     * Name identity when the column was never nested-evolved. */
-  private def nestedCurToWrite(m: ObjectNode, colId: Int,
+  private[sources] def nestedCurToWrite(m: ObjectNode, colId: Int,
       w: Int): String => Option[String] = {
     val cur = nestedIdsAt(m, colId, m.get("currentSchemaVersion").asInt())
     val write = nestedIdsAt(m, colId, w)
@@ -1151,7 +1154,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
    * disappear); atomic leaves cast as before. Null struct rows stay
    * null — never a struct of nulls.
    */
-  private def adaptExpr(e: org.apache.spark.sql.Column,
+  private[sources] def adaptExpr(e: org.apache.spark.sql.Column,
       from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType,
       curPath: String,
@@ -1822,140 +1825,6 @@ class GraftCatalog(private[sources] val spark: SparkSession,
    * fails or retries the commit. All pins hold: tags, consumer-unread
    * history, replay bases, the current snapshot.
    */
-  /**
-   * Commit-time auto-compaction (the writer-side compaction Paimon
-   * tables run from their options): `compaction.max-file-dirs` triggers
-   * a FULL [[compact]] when the snapshot references more dirs (any
-   * table), `compaction.min.small-files` a MINOR [[compactSmall]] when
-   * that many sub-`compaction.small-bytes` dirs accumulate (append-only
-   * — the only tables compactSmall serves). Best-effort after the land;
-   * never reentered from a compaction commit itself, and each trigger
-   * drops its own metric below threshold, so the chain terminates.
-   */
-  private def autoMaintain(schema: String, table: String,
-      fromCompaction: Boolean): Unit =
-    if (!fromCompaction) try {
-      val opts = tableOptions(schema, table)
-      // Paimon's write-only: ingestion-only writers skip ALL commit-time
-      // maintenance (a dedicated maintenance job runs it elsewhere) —
-      // the latency knob for high-frequency streaming commits
-      if (opts.get("write-only").contains("true")) return
-      opts.get("compaction.max-file-dirs").map(_.toInt).foreach { n =>
-        compactIfNeeded(schema, table, maxFileDirs = n)
-      }
-      // Paimon's num-sorted-run.compaction-trigger: per-BUCKET compaction
-      // of hot buckets once that many sorted runs accumulate — the
-      // write-side maintenance shape that survives streaming ingest at
-      // 100 TB (O(hot buckets) per call, never O(table)).
-      opts.get("num-sorted-run.compaction-trigger").map(_.toInt).foreach { n =>
-        compactHotBuckets(schema, table, trigger = n)
-      }
-      // Paimon's full-compaction.delta-commits: a FULL compact after
-      // every N data commits since the last compaction snapshot —
-      // the cadence knob for changelog-heavy PK tables where dir count
-      // alone understates merge debt (many small same-bucket versions).
-      opts.get("full-compaction.delta-commits").map(_.toInt).foreach { n =>
-        require(n >= 1, "full-compaction.delta-commits must be >= 1")
-        val m = readManifest(schema, table)
-        val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-        val since = (0 until snaps.size()).map(snaps.get)
-          .reverse.takeWhile(!_.has("compaction")).size
-        if (since >= n) compact(schema, table)
-      }
-      // PK deletion-vector maintenance cadence: build DVs after every N
-      // data commits — the lookup-compaction rhythm that keeps a DV
-      // table's reads merge-free WITHOUT rewriting data bytes (the build
-      // is compaction-kind, so the counter resets and it never reenters).
-      opts.get("deletion-vectors.build-delta-commits").map(_.toInt).foreach { n =>
-        require(n >= 1, "deletion-vectors.build-delta-commits must be >= 1")
-        if (opts.get("deletion-vectors").contains("true") &&
-            primaryKeyOf(schema, table).nonEmpty) {
-          val m = readManifest(schema, table)
-          val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-          val since = (0 until snaps.size()).map(snaps.get)
-            .reverse.takeWhile(!_.has("compaction")).size
-          if (since >= n) buildDeletionVectors(schema, table)
-        }
-      }
-      opts.get("compaction.min.small-files").map(_.toInt).foreach { n =>
-        if (primaryKeyOf(schema, table).isEmpty) {
-          val smallBytes = opts.get("compaction.small-bytes")
-            .map(_.toLong).getOrElse(32L << 20)
-          compactSmall(schema, table, smallBytes, minDirs = math.max(n, 2))
-        }
-      }
-      // Dynamic-bucket hash-index fold: streaming ingest fragments the
-      // index into one `.dbidx` delta per commit; past the threshold the
-      // live set folds into a single delta — O(keys), zero data bytes
-      // rewritten (see foldDynamicBucketIndex). Never reentered: the
-      // fold commit is kind "idx"/compaction, which skips autoMaintain.
-      if (opts.get("bucket").contains("-1")) {
-        val thresh = opts.get("dynamic-bucket.index-fold.deltas")
-          .map(_.toInt).getOrElse(32)
-        if (thresh > 0 && dynIdxDeltaCount(schema, table) >= thresh)
-          foldDynamicBucketIndex(schema, table)
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
-
-  private def autoExpire(schema: String, table: String): Unit =
-    try {
-      val opts = tableOptions(schema, table)
-      if (opts.get("write-only").contains("true")) return // see autoMaintain
-      opts.get("snapshot.num-retained").map(_.toInt).foreach { n =>
-        expireSnapshots(schema, table, keepLast = n)
-      }
-      opts.get("snapshot.time-retained")
-        .map(GraftCatalog.parseDurationMillis).foreach { ms =>
-          expireSnapshotsOlderThan(schema, table,
-            System.currentTimeMillis() - ms)
-        }
-      // Paimon's tag.automatic-creation (process-time): the first commit
-      // of each period pins its snapshot under a period-named tag —
-      // periodic savepoints as a table contract (a tag is a retention
-      // promise, so snapshot expiration keeps one image per period).
-      // `tag.num-retained-max` bounds the savepoint set: oldest
-      // PERIOD-NAMED tags beyond the cap are deleted; manually named
-      // tags are never touched.
-      if (opts.get("tag.automatic-creation").contains("process-time")) {
-        val period = opts.getOrElse("tag.creation-period", "daily")
-        val now = java.time.ZonedDateTime.now(java.time.ZoneOffset.UTC)
-        val name = period match {
-          case "daily" => now.toLocalDate.toString
-          case "hourly" =>
-            f"${now.toLocalDate} ${now.getHour}%02d".replace(' ', 'T')
-          case other => throw new IllegalArgumentException(
-            s"tag.creation-period must be daily|hourly, got '$other'")
-        }
-        val existing = tags(schema, table)
-        if (!existing.contains(name))
-          snapshots(schema, table).lastOption.foreach(s =>
-            createTag(schema, table, name, Some(s.id)))
-        opts.get("tag.num-retained-max").map(_.toInt).foreach { cap =>
-          val auto = tags(schema, table).keys.toSeq
-            .filter(_.matches("\\d{4}-\\d{2}-\\d{2}(T\\d{2})?")).sorted
-          auto.dropRight(cap).foreach(deleteTag(schema, table, _))
-        }
-      }
-      // Paimon's partition.expiration-time: partitions whose DATE value
-      // (parsed from the partition column named by
-      // `partition.expiration.column`, default the first partition
-      // column) is older than the cutoff expire after each commit. The
-      // inner commit re-enters autoExpire; it terminates because the
-      // re-entry finds nothing expired.
-      opts.get("partition.expiration-time")
-        .map(GraftCatalog.parseDurationMillis).foreach { ms =>
-          val pcols = partitionColumnsOf(schema, table)
-          opts.get("partition.expiration.column").orElse(pcols.headOption)
-            .foreach { pc =>
-              val cutoff = java.time.LocalDate.ofInstant(
-                java.time.Instant.ofEpochMilli(System.currentTimeMillis() - ms),
-                java.time.ZoneOffset.UTC).toString
-              expirePartitions(schema, table,
-                col(pc).cast(org.apache.spark.sql.types.DateType) <
-                  lit(cutoff).cast(org.apache.spark.sql.types.DateType))
-            }
-        }
-    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** The atomicity primitive every protocol CAS (snapshot-dir claim,
     * sortCompact range promotion, manifest version publish) goes
@@ -1981,1106 +1850,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * compact/overwrite retires the very files the victims name. */
   private[graft] var dvVictimsTestHook: () => Unit = () => ()
 
-  /** Highest streaming batchId committed to this table (-1 = none). */
-  def lastStreamBatchId(schema: String, table: String): Long = {
-    val m = readManifest(schema, table)
-    if (m.has("lastStreamBatchId")) m.get("lastStreamBatchId").asLong() else -1L
-  }
 
-  /**
-   * Idempotent micro-batch append: commits the batch as one snapshot and
-   * records its batchId in the manifest atomically, so a batch replayed
-   * after a failure/restart (same checkpoint, same batchId) is skipped
-   * instead of committed twice — exactly-once table contents on top of
-   * foreachBatch's at-least-once delivery. Returns true iff committed.
-   */
-  def appendStreamBatch(schema: String, table: String, df: DataFrame,
-      batchId: Long): Boolean = {
-    if (batchId <= lastStreamBatchId(schema, table)) false
-    else { commit(schema, table, df, keepExisting = true, streamBatchId = Some(batchId)); true }
-  }
-
-  /**
-   * Streaming ingestion: append each micro-batch as a catalog snapshot —
-   * the Spark-native analog of Paimon's streaming table writes (the
-   * reference connector reads tables a Flink stream writes; here the
-   * stream and the table store are one system). Returns the started query;
-   * each batch becomes one immutable, time-travelable snapshot. Replayed
-   * batches (failure/restart) are skipped via [[appendStreamBatch]]'s
-   * batchId bookkeeping, so table contents are exactly-once.
-   */
-  def streamAppend(schema: String, table: String, stream: DataFrame,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) { appendStreamBatch(schema, table, batch.toDF(), batchId); () }
-      }
-      .start()
-
-  /**
-   * Streaming ingestion WITH cross-batch near-dedup — the end-to-end
-   * shape of a deduplicating corpus pipeline: each micro-batch (1) drops
-   * exact duplicates within itself (keep-first by id), (2) drops
-   * near-duplicates of everything already ingested via
-   * [[graft.operators.Dedup.dedupAgainstCorpus]] against the persisted
-   * signature table (the corpus text is never re-read — the state table
-   * carries hashed shingle sets + signatures), then (3) lands the
-   * survivors in `docsTable` and their state in `sigsTable`, each as a
-   * batchId-idempotent snapshot. A replayed batch after restart skips
-   * whichever of the two appends already committed, so BOTH tables
-   * converge exactly-once even if a crash lands between them.
-   * Within-batch NEAR-dups (distinct ids, similar text) are deliberately
-   * not removed here — both land and the second batch onward dedups
-   * against them; run [[graft.operators.Dedup.minhashPairs]] offline if
-   * batch-internal near-dedup matters.
-   */
-  def streamDedupAppend(schema: String, docsTable: String, sigsTable: String,
-      stream: DataFrame, checkpointDir: String,
-      idCol: String, textCol: String, tau: Double,
-      maxBucket: Int = 1024): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val unique = {
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(md5(col(textCol).cast("binary"))).orderBy(idCol)
-            batch.toDF().withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn")
-          }
-          val kept = graft.operators.Dedup.dedupAgainstCorpus(unique,
-            read(schema, sigsTable), idCol, textCol, tau,
-            maxBucket = maxBucket).persist()
-          try {
-            appendStreamBatch(schema, docsTable, kept, batchId)
-            appendStreamBatch(schema, sigsTable,
-              graft.operators.Dedup.signatureState(kept, idCol, textCol),
-              batchId)
-          } finally kept.unpersist()
-          ()
-        }
-      }
-      .start()
-
-  /**
-   * Streaming LOOKUP JOIN (Paimon's lookup join, the flagship Flink-side
-   * consumption pattern, expressed Spark-first): each micro-batch
-   * left-joins the arriving rows against the dim table's LATEST
-   * merge-on-read image — re-resolved at batch time, so a dim upsert is
-   * visible to every later batch. That is the refresh-per-batch point on
-   * Paimon's lookup freshness axis (its Flink cache refreshes on a TTL;
-   * a micro-batch IS our refresh tick, with no staleness window inside a
-   * batch because the join runs against one immutable snapshot).
-   * Enriched rows land in `dstTable` batchId-idempotently — exactly-once
-   * under restart like every streaming sink here.
-   *
-   * Scale shape: the dim side broadcasts by default (the lookup-join
-   * contract — a dim that doesn't fit an executor should be a bucketed
-   * co-located join instead, see [[bucketedJoin]]); with
-   * `broadcastDim = false` it degrades to a shuffle join for mid-size
-   * dims. The fact stream never re-reads history — each batch pays
-   * O(batch) plus the dim resolution.
-   */
-  def streamLookupAppend(schema: String, dimTable: String, dstTable: String,
-      stream: DataFrame, checkpointDir: String, joinKeys: Seq[String],
-      broadcastDim: Boolean = true,
-      // zero-Exchange route for a BUCKETED dim: each micro-batch row
-      // joins inside its key's bucket task — no BroadcastExchange (the
-      // dim may exceed executor memory), no shuffle of the dim.
-      bucketedDim: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
-    // Quiet-dim cache (broadcast route): the dim's resolved MoR image is
-    // persisted and keyed by (head snapshot id, manifest commitVersion) —
-    // micro-batches between dim commits reuse the cached image instead of
-    // re-resolving (and re-broadcasting the merge) every batch; a new dim
-    // commit is detected by one manifest read and swaps the cache, so the
-    // per-batch freshness contract is unchanged. commitVersion is in the
-    // key because snapshot ORDINALS are reused after rollbackTo (the
-    // bloom-index cache salts a per-build token for the same reason): a
-    // dim rolled back and re-committed to the same head id mid-stream
-    // must not serve the stale image. The cache lives for the query's
-    // lifetime (unpersisted via a termination listener below) and holds
-    // ONE image (the broadcast contract already implies the dim fits in
-    // memory). The bucketed route keys its per-bucket legs off the batch,
-    // so it re-plans per batch by construction — but its dim I/O is
-    // already O(touched buckets).
-    var cachedDim: Option[((Long, Long), DataFrame)] = None
-    val query = stream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty) {
-          val enriched =
-            if (bucketedDim) bucketedLookup(schema, dimTable, batch.toDF(), joinKeys)
-            else {
-              val m = readManifest(schema, dimTable)
-              val head = chooseSnapshot(m, schema, dimTable, None, None)
-                .map(_.get("id").asLong()).getOrElse(0L)
-              val cv =
-                if (m.has("commitVersion")) m.get("commitVersion").asLong()
-                else 0L
-              val dimKey = (head, cv)
-              val dim0 = cachedDim match {
-                case Some((k, df)) if k == dimKey => df
-                case stale =>
-                  stale.foreach(_._2.unpersist(blocking = false))
-                  GraftCatalog.lookupDimResolves.incrementAndGet()
-                  val fresh = read(schema, dimTable)
-                    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  cachedDim = Some((dimKey, fresh))
-                  fresh
-              }
-              val dim = if (broadcastDim)
-                org.apache.spark.sql.functions.broadcast(dim0) else dim0
-              batch.toDF().join(dim, joinKeys, "left")
-            }
-          appendStreamBatch(schema, dstTable, enriched, batchId)
-          ()
-        }
-      }
-      .start()
-    // Release the persisted dim image when THIS query stops — without
-    // this the blocks outlive the stream for the session's lifetime.
-    val streams = spark.streams
-    streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == query.id) {
-          cachedDim.foreach(_._2.unpersist(blocking = false))
-          cachedDim = None
-          streams.removeListener(this)
-        }
-    })
-    query
-  }
-
-  /**
-   * Zero-Exchange lookup enrichment of a delta-sized frame against a
-   * BUCKETED PK dim table: each bucket leg unions the dim bucket's
-   * resolved rows with the batch rows whose join keys HASH to that
-   * bucket (the write path's own [[bucketExpr]], so the routing can
-   * never drift from the layout) and joins them IN-TASK — no
-   * BroadcastExchange (the dim may exceed executor memory) and no
-   * shuffle Exchange (the bucket layout is the co-location), the same
-   * contract as [[bucketedJoin]]. Per-leg dim I/O is bucket k's files
-   * only; the batch side of each leg is a narrow filter over the
-   * (micro-batch-sized) frame. Output: every batch column, then the
-   * dim's value columns (left join; duplicate batch keys each probe
-   * independently).
-   */
-  def bucketedLookup(schema: String, dimTable: String, batch: DataFrame,
-      joinKeys: Seq[String]): DataFrame = {
-    val n = bucketCountOf(schema, dimTable).getOrElse(
-      throw new IllegalArgumentException(s"$schema.$dimTable is not bucketed"))
-    require(n >= 1, "dynamic-bucket dims have no static hash contract — " +
-      "bucketed lookup requires a fixed bucket count")
-    val dSchema = currentSchema(schema, dimTable)
-    val pk = primaryKeyOf(schema, dimTable)
-    require(joinKeys.length == pk.length &&
-      joinKeys.map(k => batch.schema(k).dataType) == pk.map(dSchema(_).dataType),
-      s"join keys $joinKeys are not hash-compatible with ${dimTable}'s " +
-        s"primary key $pk (column count/types must match)")
-    val dVal = dSchema.fields.filterNot(f => pk.contains(f.name)).toSeq
-    dVal.foreach(f => require(!batch.columns.contains(f.name),
-      s"dim column ${f.name} collides with a batch column"))
-    val bCols = batch.schema.fields.toSeq
-    val outSchema = StructType(bCols ++ dVal.map(_.copy(nullable = true)))
-    val names = "__side" +: (pk.indices.map(i => s"__k$i") ++
-      bCols.map(f => s"__l_${f.name}") ++ dVal.map(f => s"__r_${f.name}"))
-    val leftOutIdx = Array.tabulate(bCols.length)(i => 1 + pk.length + i)
-    val rightStart = 1 + pk.length + bCols.length
-    val legs = (0 until n).map { k =>
-      val lb = batch.filter(bucketExpr(joinKeys, n) === k)
-      val taggedL = lb.select(lit(0) +: (joinKeys.map(col) ++
-          bCols.map(f => col(f.name)) ++
-          dVal.map(f => lit(null).cast(f.dataType))): _*).toDF(names: _*)
-      val taggedR = readBucket(schema, dimTable, k)
-        .select(lit(1) +: (pk.map(col) ++
-          bCols.map(f => lit(null).cast(f.dataType)) ++
-          dVal.map(f => col(f.name))): _*).toDF(names: _*)
-      GraftCatalog.joinBucketInTask(taggedR.unionByName(taggedL).coalesce(1),
-        pk.length, leftOutIdx, rightStart, dVal.length,
-        leftOuter = true, outSchema)
-    }
-    legs.reduceOption(_ unionByName _).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        outSchema))
-  }
-
-  /**
-   * Streaming read of an append-only table: a Structured Streaming
-   * DataFrame that emits rows as new snapshots commit — the consumer half
-   * of Paimon's streaming tables (a downstream job follows the table
-   * instead of rescanning it). Built on Spark's file-stream source
-   * watching the immutable `snap-*` dirs: snapshots only ever ADD files,
-   * so file discovery is exactly snapshot discovery, and the source's
-   * checkpointed file log gives exactly-once per file. Combine with
-   * [[streamAppend]] on the producer side for an end-to-end exactly-once
-   * table-to-table pipeline.
-   *
-   * Restrictions (refused, not silently wrong — [[readChangelogStream]]
-   * serves every refused shape at snapshot granularity): PK tables
-   * (merge-on-read resolution is a table-level, not file-level,
-   * operation), partitioned tables (partition values live in dir names
-   * the glob stream cannot resolve), and evolved tables (the file source
-   * applies one fixed schema). The followed table must stay pure-append
-   * while streamed: [[compact]] and [[overwrite]] rewrite rows into
-   * fresh dirs (the old dirs stay on disk for time travel), which a
-   * file-level follower would re-emit.
-   */
-  def readStream(schema: String, table: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    require(primaryKeyOf(schema, table).isEmpty,
-      s"$schema.$table has a primary key — use readChangelogStream (PK " +
-        "tables stream as row-kinded upsert changelogs)")
-    require(partitionColumnsOf(schema, table).isEmpty,
-      s"$schema.$table is partitioned — partition values live in dir names, " +
-        "which the glob file stream cannot resolve; use readChangelogStream")
-    val m = readManifest(schema, table)
-    require(m.get("currentSchemaVersion").asInt() == 0,
-      s"$schema.$table has evolved schemas — compact() first or use " +
-        "readChangelogStream (it maps schemas by field id)")
-    // a DV dir's (file, pos) parquet would match the snap-* glob and be
-    // emitted as data; and a delete is not expressible file-level anyway
-    require(!deletionVectors(m),
-      s"$schema.$table has deletion-vectors enabled — file-level " +
-        "streaming cannot express deletes; use a primary-key table for CDC")
-    val target = StructType(currentFields(m).map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))))
-    val fmt = fileFormat(m)
-    val reader = spark.readStream.schema(target)
-    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.option("pathGlobFilter", s"*.$fmt").format(providerFor(fmt))
-      .load(new Path(tablePath(schema, table), "snap-*").toString)
-  }
-
-  /**
-   * Compaction: rewrite the current snapshot's (possibly many, possibly
-   * schema-heterogeneous) files into one fresh snapshot at the current
-   * schema — Paimon's small-file compaction, expressed as an ordinary
-   * overwrite commit. Old snapshots remain time-travelable.
-   */
-  def compact(schema: String, table: String): Long = {
-    // full-compaction changelog producer: this compaction carries the
-    // accumulated row-kinded diff since the last carrier (Paimon's
-    // full-compaction mode — the before-image resolve runs here, once,
-    // and consumers read only files). The first compaction emits the
-    // whole image as +I, exactly Paimon's initial full-compaction scan.
-    val m0 = readManifest(schema, table)
-    val cl: Option[(DataFrame, Long)] =
-      if (changelogProducer(m0) == "full-compaction" &&
-          primaryKey(m0).nonEmpty) {
-        val snaps = m0.get("snapshots").asInstanceOf[ArrayNode]
-        val headId = if (snaps.size() == 0) 0L
-          else snaps.get(snaps.size() - 1).get("id").asLong()
-        val from = changelogIndexFrom(m0).values.map(_._1).maxOption.getOrElse(0L)
-        if (headId > from)
-          Some((readChangelogFull(schema, table, from, headId), from))
-        else None
-      } else None
-    commit(schema, table, read(schema, table), keepExisting = false,
-      compaction = true, changelogDf = cl)
-  }
-
-  /**
-   * PER-BUCKET compaction — Paimon's actual compaction granularity (its
-   * CompactManager works per bucket, triggered by that bucket's
-   * sorted-run count, never table-wide): fold ONLY the given buckets'
-   * version runs into one fresh dir and leave every other bucket's
-   * bytes untouched. On a 100 TB table under streaming ingest this is
-   * the difference between compaction you can run continuously
-   * (O(hot buckets)) and one you cannot run at all (full [[compact]] is
-   * O(table) every time).
-   *
-   * Mechanics: the merged image of the chosen buckets (resolved through
-   * the ordinary per-bucket merge legs, tombstones folded) lands as a
-   * normal compaction-marked commit, and every INHERITED manifest entry
-   * marks those buckets RETIRED (`xb`) — reads skip the retired subdirs
-   * at dir level (zero I/O), older snapshots still reference the
-   * unexcluded entries (time travel intact), and expiration deletes a
-   * retired `__bucket=k` subtree once NO retained snapshot references
-   * the dir without the exclusion. The serialized snapshot delta is
-   * O(1): one `xbuckets` list applied at inflate, not a re-serialized
-   * file list. Content derives from the current head, so a concurrent
-   * commit ABORTS this one, never the reverse.
-   *
-   * Fixed-bucket PK tables only (flat or partitioned): dynamic-bucket
-   * tables fold their key index in full [[compact]]; append-only tables
-   * use [[compactSmall]].
-   */
-  def compactBuckets(schema: String, table: String, buckets: Seq[Int]): Long = {
-    val m = readManifest(schema, table)
-    val n = bucketCount(m).getOrElse(throw new IllegalArgumentException(
-      s"$schema.$table is not bucketed — per-bucket compaction needs a " +
-        "fixed bucket layout; use compact() or compactSmall()"))
-    require(n >= 1, s"$schema.$table uses dynamic bucket mode — compact() " +
-      "folds its key index atomically; per-bucket compaction serves fixed layouts")
-    require(primaryKey(m).nonEmpty,
-      s"$schema.$table is append-only — use compactSmall for minor maintenance")
-    require(buckets.nonEmpty, "no buckets given")
-    require(buckets.forall(b => b >= 0 && b < n),
-      s"buckets must be in [0, $n), got ${buckets.mkString(", ")}")
-    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    require(snaps.size() > 0, s"$schema.$table has no snapshots")
-    val entries = filesOf(snaps.get(snaps.size() - 1))
-    refuseDvEntries(entries, s"$schema.$table", "compactBuckets")
-    val img = bucketedResolve(schema, table, m, entries, n,
-      onlyBuckets = Some(buckets.distinct.sorted)).getOrElse(emptyFrame(m))
-    commit(schema, table, img, keepExisting = true, compaction = true,
-      basisVersion = Some(basis), excludeBucketsFromPrior = buckets.toSet)
-  }
-
-  /**
-   * Sorted-run count per bucket at the current head: how many un-retired
-   * dirs contribute files to each bucket (tombstone runs count — they
-   * are merge debt too). Metadata-only when per-file zones exist (the
-   * zone sidecar doubles as the dir's file listing); dirs without zones
-   * pay one FS listing each.
-   */
-  def bucketSortedRuns(schema: String, table: String): Map[Int, Int] = {
-    val m = readManifest(schema, table)
-    val n = bucketCount(m).getOrElse(return Map.empty)
-    if (n < 1 || primaryKey(m).isEmpty) return Map.empty
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return Map.empty
-    val entries = filesOf(snaps.get(snaps.size() - 1))
-      .filter(fe => fe.kind == "data" || fe.kind == "delete")
-    val perFile = fileStatsFrom(schema, table, m)
-    val partDepth = partitionColumns(m).length
-    def fromPath(rel: String): Option[Int] =
-      rel.split('/').find(_.startsWith(s"$BucketCol="))
-        .flatMap(s => s.stripPrefix(s"$BucketCol=").toIntOption)
-    def listed(fe: FileEntry): Set[Int] = {
-      val depth = if (fe.kind == "data") partDepth else 0
-      def walk(p: Path, d: Int): Seq[Int] =
-        if (!fs.exists(p)) Seq.empty
-        else fs.listStatus(p).toSeq.flatMap { st =>
-          val nm = st.getPath.getName
-          if (nm.startsWith(s"$BucketCol="))
-            nm.stripPrefix(s"$BucketCol=").toIntOption
-          else if (d > 0 && st.isDirectory && nm.contains("="))
-            walk(st.getPath, d - 1)
-          else Seq.empty
-        }
-      walk(dirPath(schema, table, fe.dir), depth).toSet
-    }
-    val counts = mutable.Map.empty[Int, Int].withDefaultValue(0)
-    entries.foreach { fe =>
-      val present: Set[Int] = perFile.get(fe.dir).filter(_.nonEmpty) match {
-        case Some(fm) => fm.keysIterator.flatMap(fromPath).toSet
-        case None => listed(fe)
-      }
-      (present -- fe.excludeBuckets).foreach(k => counts(k) += 1)
-    }
-    counts.toMap
-  }
-
-  /**
-   * Compact every bucket whose sorted-run count reached `trigger`
-   * (Paimon's `num-sorted-run.compaction-trigger`, default 5) in ONE
-   * commit. Returns the new snapshot id when any bucket was hot. The
-   * streaming-ingest maintenance loop for bucketed PK tables: each call
-   * costs O(hot buckets) data I/O and leaves every compacted bucket at
-   * one run, so back-to-back calls are no-ops.
-   */
-  def compactHotBuckets(schema: String, table: String,
-      trigger: Int = 5): Option[Long] = {
-    require(trigger >= 2, s"trigger must be >= 2, got $trigger")
-    // PK deletion-vector tables do their read-optimizing maintenance via
-    // buildDeletionVectors (a per-bucket fold would resurrect DV'd
-    // versions once their tombstone dirs were replaced) — skip quietly
-    // so commit-time auto-maintenance stays usable on DV tables
-    locally {
-      val m = readManifest(schema, table)
-      val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-      if (primaryKey(m).nonEmpty && snaps.size() > 0 &&
-          filesOf(snaps.get(snaps.size() - 1)).exists(_.kind == "dv"))
-        return None
-    }
-    val hot = bucketSortedRuns(schema, table)
-      .collect { case (k, c) if c >= trigger => k }.toSeq.sorted
-    if (hot.isEmpty) None else Some(compactBuckets(schema, table, hot))
-  }
-
-  /**
-   * Bucket rescaling (Paimon's `rescale` maintenance action): rewrite
-   * the table's full merged image under a NEW bucket count and flip the
-   * `bucket` option in the SAME manifest CAS — a reader before the
-   * commit sees the old layout with the old option, a reader after sees
-   * the new pair; no mixed state is ever observable, which is why the
-   * option is immutable through [[setTableOptions]]. The rewrite is
-   * compaction-marked (bytes move, logical content doesn't — changelog
-   * consumers stay silent) and carries the basis-version fence, so a
-   * concurrent commit aborts the rescale instead of being swallowed by
-   * its overwrite. Time travel to pre-rescale snapshots still resolves
-   * under the OLD count (bucket membership is read from the `__bucket=k`
-   * dirs of each snapshot's own files).
-   */
-  def rescaleBucket(schema: String, table: String, newBuckets: Int): Long = {
-    require(newBuckets >= 1, s"bucket count must be >= 1, got $newBuckets")
-    val m = readManifest(schema, table)
-    val old = bucketCount(m).getOrElse(throw new IllegalArgumentException(
-      s"$schema.$table is not bucketed — set `bucket` at create"))
-    require(old != -1, s"$schema.$table is a dynamic-bucket table — it " +
-      "sizes itself (dynamic-bucket.target-row-num); rescale applies to " +
-      "fixed-bucket layouts")
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val headId = if (snaps.size() == 0) 0L
-      else snaps.get(snaps.size() - 1).get("id").asLong()
-    if (old == newBuckets) return headId
-    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
-    commit(schema, table, read(schema, table), keepExisting = false,
-      compaction = true, basisVersion = Some(basis),
-      optionOverrides = Map("bucket" -> newBuckets.toString))
-  }
-
-  /**
-   * Sort-compaction (Paimon's `sort-compact` / order-by maintenance):
-   * rewrite the table's current image range-partitioned and sorted by
-   * `by`, landing ONE snapshot that references `ranges` separate file
-   * dirs — each dir covers a disjoint value range, so its manifest zone
-   * map is tight and [[readWhere]]/the SQL GraftZonePrune rule skip all
-   * but the matching dirs at planning time. This is the maintenance op
-   * that turns append-order data into data-skipping layout: a 100 TB
-   * table sort-compacted by event date answers a one-day query by
-   * planning 1/ranges of its files. Within each dir, rows are sorted, so
-   * parquet row-group stats are tight too (scan-time skipping).
-   *
-   * One distributed job: repartitionByRange (a range shuffle) + in-task
-   * sort, written once via a staging dir whose range subdirs are
-   * renamed into per-range dirs driver-side (metadata-only moves).
-   * With `zorder = true`, clustering is by the interleaved-bit z-value
-   * of the `by` columns instead of their lexicographic order — every
-   * listed dimension gets a tight per-dir zone (multi-dimensional data
-   * skipping: a query on the SECOND column alone still prunes, which a
-   * lexicographic sort cannot give). Numeric/date/timestamp columns only.
-   * Refused on bucketed tables (the bucket layout is their contract);
-   * PK tables compact their merged image (rows are key-unique, and all
-   * dirs share the new snapshot's ordinal).
-   */
-  def sortCompact(schema: String, table: String, by: Seq[String],
-      ranges: Int = 16, zorder: Boolean = false): Long = {
-    require(by.nonEmpty, "sortCompact needs at least one order-by column")
-    require(ranges >= 1, "ranges must be >= 1")
-    val m = readManifest(schema, table)
-    // __range / __z are scratch columns of this rewrite (mirrors the
-    // BucketCol reservation in createTable): a user column with either
-    // name would be silently overwritten by withColumn and corrupted in
-    // the rewritten snapshot.
-    currentFields(m).map(_.name).foreach { n =>
-      require(n != "__range" && !(zorder && n == "__z"),
-        s"sortCompact reserves column name $n (rename the column first)")
-    }
-    require(bucketCount(m).isEmpty || primaryKey(m).isEmpty,
-      s"$schema.$table is bucketed — its layout is the read contract; " +
-        "use compact() instead")
-    val cur = currentSchema(schema, table)
-    by.foreach(c => require(cur.fieldNames.contains(c), s"unknown column $c"))
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val lastId = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("id").asLong()
-    val lastTs = if (snaps.size() == 0) 0L else snaps.get(snaps.size() - 1).get("timestampMillis").asLong()
-    val id = lastId + 1
-    // UNIQUE per-attempt staging dir (same rule as commit()'s): two
-    // concurrent sortCompacts at the same head must never share or
-    // clobber each other's staging bytes.
-    val staging = new Path(tablePath(schema, table),
-      s".staging-sort-${java.util.UUID.randomUUID()}")
-    // Linear order: range-partition + sort by the columns themselves.
-    // Z-order: range-partition + sort by the interleaved-bit z-value, so
-    // EVERY `by` column gets a tight per-dir zone (a lexicographic sort
-    // only tightens the leading column; a query on the second column
-    // alone would prune nothing). The z-value is a scratch column
-    // computed from 16-bit quantized ranks (min/max from one agg job)
-    // and dropped before write.
-    val img = read(schema, table)
-    val clustered =
-      if (!zorder) img.repartitionByRange(ranges, by.map(col): _*)
-        .sortWithinPartitions(by.map(col): _*)
-      else {
-        val z = zValueColumn(img, by, cur)
-        img.withColumn("__z", z)
-          .repartitionByRange(ranges, col("__z"))
-          .sortWithinPartitions(col("__z"))
-          .drop("__z")
-      }
-    // __range leads the partition spec so each range subdir still nests
-    // the table's own col=value layout inside it (renamed dirs keep the
-    // identity-partition structure $partitions and pruning expect).
-    clustered
-      .withColumn("__range", org.apache.spark.sql.functions.spark_partition_id())
-      .write.mode("overwrite").format(providerFor(fileFormat(m)))
-      .partitionBy(("__range" +: partitionColumns(m)): _*)
-      .save(staging.toString)
-    // Promote each __range=i subdir to its own dir entry (rename = O(1)
-    // metadata per dir on HDFS/posix; object stores see a copy per file).
-    val rangeDirs = fs.listStatus(staging).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("__range="))
-      .sortBy(_.stripPrefix("__range=").toInt)
-    val sv = m.get("currentSchemaVersion").asInt()
-    // Promote each range subdir by the SAME exclusive-rename claim
-    // commit() uses: the rename fails if the target exists, so a
-    // concurrent sortCompact (or a dead attempt's leftover) at the same
-    // ordinal ABORTS instead of deleting dirs another writer may own —
-    // delete-then-rename here could silently replace a winner's promoted
-    // files and make its recorded zone maps wrong. An aborted attempt
-    // leaves only unreferenced dirs, reclaimed by sweepOrphanDirs.
-    val fcSort = org.apache.hadoop.fs.FileContext.getFileContext(
-      fs.makeQualified(tablePath(schema, table)).toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val entries = rangeDirs.map { rd =>
-      val dir = s"snap-$id-r${rd.stripPrefix("__range=")}"
-      val dst = fs.makeQualified(new Path(tablePath(schema, table), dir))
-      val won = commitLockImpl.publishIfAbsent(fs, fcSort,
-        fs.makeQualified(new Path(staging, rd)), dst)
-      if (!won) {
-        try fs.delete(staging, true) catch { case _: java.io.IOException => () }
-        throw new java.util.ConcurrentModificationException(
-          s"$schema.$table: snap-$id-r* is claimed by a concurrent " +
-            "sortCompact (or a dead attempt's leftover) — re-run; orphan " +
-            "dirs are reclaimed by sweepOrphanDirs")
-      }
-      FileEntry(dir, sv, "data")
-    }.toSeq
-    fs.delete(staging, true)
-    val sn = snaps.addObject()
-    sn.put("id", id)
-    sn.put("timestampMillis", math.max(System.currentTimeMillis(), lastTs + 1))
-    sn.put("compaction", true) // rewrites bytes, not content: changelog skips it
-    sn.put("commitKind", "compact")
-    val fArr = sn.putArray("files")
-    entries.foreach { fe =>
-      val e = fArr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
-    }
-    // every format collects here since r15 — avro stats come from the
-    // data itself (FileStats.collectFromData), same sidecars
-    entries.foreach { fe =>
-      FileStats.collectWithFiles(spark, fs,
-          dirPath(schema, table, fe.dir), cur, fileFormat(m)).foreach {
-        case (ds, fileZones) =>
-          val statsNode =
-            if (m.has("dirStats")) m.get("dirStats").asInstanceOf[ObjectNode]
-            else m.putObject("dirStats")
-          // same hierarchical split as commit(): per-file zones go to the
-          // dir's immutable sidecar (written before the manifest CAS — a
-          // head that references it always finds it), head keeps the
-          // aggregate + token
-          val dn = statsNode.putObject(fe.dir)
-          FileStats.toJson(dn, ds)
-          if (fileZones.nonEmpty)
-            dn.put("filesExt", writeZoneSidecar(
-              dirPath(schema, table, fe.dir), fileZones))
-      }
-    }
-    writeManifest(schema, table, m)
-    id
-  }
-
-  /**
-   * Interleaved-bit z-value for [[sortCompact]]'s `zorder` mode: each
-   * `by` column is quantized to a 16-bit rank between its global min and
-   * max (one agg job), and the ranks' bits are interleaved into one
-   * bigint — points close in EVERY dimension get close z-values, so
-   * range-partitioning by z gives every dimension a tight per-dir zone.
-   * Pure bitwise/arithmetic Column expressions (shiftleft/and/or), fully
-   * inside whole-stage codegen; numeric/date/timestamp columns only.
-   */
-  private def zValueColumn(df: DataFrame, by: Seq[String],
-      schema: StructType): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{floor, greatest, least, lit, max, min, shiftleft, shiftright, unix_date}
-    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
-    def numeric(c: String): org.apache.spark.sql.Column = schema(c).dataType match {
-      case DateType => unix_date(col(c)).cast("double")
-      case TimestampType | TimestampNTZType => col(c).cast("double")
-      case _: NumericType => col(c).cast("double")
-      case dt => throw new IllegalArgumentException(
-        s"zorder column $c must be numeric/date/timestamp, got ${dt.simpleString}")
-    }
-    val aggs = by.flatMap(c =>
-      Seq(min(numeric(c)).as(s"__mn_$c"), max(numeric(c)).as(s"__mx_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = by.size
-    // total interleaved width must fit a signed long: 16 bits per
-    // dimension up to 3 dims, then 63/n (4 dims -> 15 bits, 8 -> 7, ...)
-    val bits = math.min(16, 63 / n)
-    require(bits >= 1, s"zorder supports at most 63 columns, got $n")
-    val maxRank = (1 << bits) - 1
-    by.zipWithIndex.map { case (c, ci) =>
-      val mn = Option(row.getAs[java.lang.Double](s"__mn_$c")).map(_.toDouble).getOrElse(0d)
-      val mx = Option(row.getAs[java.lang.Double](s"__mx_$c")).map(_.toDouble).getOrElse(0d)
-      val q =
-        if (mx <= mn) lit(0L)
-        else least(greatest(floor((numeric(c) - lit(mn)) / lit(mx - mn) * lit(maxRank.toDouble)),
-          lit(0d)), lit(maxRank.toDouble)).cast("bigint")
-      (0 until bits).map(b =>
-        shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * n + ci))
-        .reduce(_ bitwiseOR _)
-    }.reduce(_ bitwiseOR _)
-  }
-
-  /**
-   * Compact only when the current snapshot references more than
-   * `maxFileDirs` file dirs — the Paimon-style small-file trigger
-   * (num-sorted-run threshold) a streaming ingest loop calls after each
-   * batch without paying a rewrite every time. Returns the new snapshot
-   * id when compaction ran.
-   */
-  def compactIfNeeded(schema: String, table: String,
-      maxFileDirs: Int = 10): Option[Long] = {
-    require(maxFileDirs >= 1, "maxFileDirs must be >= 1")
-    if (snapshotFileEntries(schema, table).size > maxFileDirs)
-      Some(compact(schema, table))
-    else None
-  }
-
-  /**
-   * MINOR (small-file) compaction for append-only tables — Paimon's
-   * streaming-ingest maintenance shape, which a full [[compact]] cannot
-   * replace at scale: rewrite ONLY the data dirs smaller than
-   * `smallBytes` into one fresh dir and leave large dirs untouched. The
-   * new snapshot's file list is the previous list minus the compacted
-   * dirs plus the new one, so the cost is O(small dirs) — on a 100 TB
-   * table ingesting micro-batches this is the difference between a
-   * maintenance op you can run hourly and one you cannot run at all
-   * (full compact is O(table) every time). Older snapshots still
-   * reference the compacted dirs (time travel intact); expiration
-   * reclaims them once unreferenced. The snapshot carries the
-   * compaction marker, so changelog reads skip it (bytes moved, no
-   * logical change).
-   *
-   * Scope: append-only tables only — PK tables interleave per-key
-   * version ordinals across dirs, and merging an ordinal SUBSET would
-   * need the merged dir to sit at the subset's ordinal position, which
-   * the full-image [[compact]] sidesteps. DV-DIRTY dirs are skipped
-   * (rewriting them belongs to full compact, which applies and retires
-   * the DVs; a dirty dir rewritten here would orphan its (file, pos)
-   * entries). Content derives from the current head, so a concurrent
-   * commit ABORTS this one, never the reverse. Returns the new snapshot
-   * id, or None when fewer than two small clean dirs exist.
-   */
-  def compactSmall(schema: String, table: String,
-      smallBytes: Long = 32L << 20, minDirs: Int = 2): Option[Long] = {
-    require(smallBytes > 0, "smallBytes must be positive")
-    require(minDirs >= 2, "minDirs must be >= 2 (one dir has nothing to merge)")
-    val m = readManifest(schema, table)
-    require(primaryKey(m).isEmpty,
-      s"$schema.$table has a primary key — use compact(): per-key version " +
-        "ordinals interleave across dirs, so only the full image merges soundly")
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return None
-    val entries = filesOf(snaps.get(snaps.size() - 1))
-    // a DV-dirty dir: any dir some deletion-vector entry names a file in
-    val dirtyDirs: Set[String] = dvIndexFrom(m).values
-      .flatMap(_._1).map(_.takeWhile(_ != '/')).toSet
-    val candidates = entries.filter(e => e.kind == "data" &&
-      !dirtyDirs.contains(dirKey(e.dir)) &&
-      (try fs.getContentSummary(
-        dirPath(schema, table, e.dir)).getLength < smallBytes
-      catch { case _: java.io.IOException => false }))
-    if (candidates.size < minDirs) return None
-    val img = candidates
-      .map(fe => frameFor(schema, table, m, fe))
-      .reduce(_ unionByName _)
-      .drop("__ord", "__del")
-    // Pin the head the candidates were derived from: a commit landing in
-    // between (e.g. a DV delete touching a candidate dir) would make the
-    // rewrite stale — abort via the basis-version fence, same contract
-    // as DV deletes.
-    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
-    Some(commit(schema, table, img, keepExisting = true, compaction = true,
-      replacedDirs = candidates.map(_.dir).toSet,
-      basisVersion = Some(basis)))
-  }
-
-  /**
-   * Snapshot expiration (Paimon's snapshot.num-retained): keep the last
-   * `keepLast` snapshots, drop the older entries from the manifest, and
-   * delete file dirs no surviving snapshot references. Time travel to
-   * expired snapshots fails thereafter; the current image is untouched.
-   * This is the maintenance op that bounds storage at 100 TB — without
-   * it every overwrite/compact doubles the footprint forever.
-   */
-  def expireSnapshots(schema: String, table: String, keepLast: Int): Seq[Long] = {
-    require(keepLast >= 1, "must keep at least the current snapshot")
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val all = (0 until snaps.size()).map(snaps.get)
-    if (all.size <= keepLast) return Seq.empty
-    // Tagged snapshots are pinned (a tag is a retention promise), and so
-    // is everything a registered consumer has not yet processed
-    // (Paimon's consumer-id: never expire unread history).
-    val tagged = tags(schema, table).values.toSet
-    // keep next-1 too: it is the consumer's exclusive replay BASIS — the
-    // changelog range (next-1, to] needs that snapshot's position so the
-    // per-snapshot set difference stays exact (dropping it would attribute
-    // already-processed history to the oldest retained snapshot and
-    // over-replay it)
-    val minUnconsumed = consumerOffsetsFrom(m).values.minOption
-      .map(n => math.max(1L, n - 1)).getOrElse(Long.MaxValue)
-    val (candidates, kept0) = all.splitAt(all.size - keepLast)
-    val (pinned, dropped) = candidates.partition { s =>
-      val id = s.get("id").asLong()
-      tagged.contains(id) || id >= minUnconsumed
-    }
-    if (dropped.isEmpty) return Seq.empty
-    val kept = (pinned ++ kept0).sortBy(_.get("id").asLong())
-    dropSnapshots(schema, table, m, kept, dropped)
-    try sweepOrphanDirs(schema, table)
-    catch { case _: java.io.IOException => () }
-    dropped.map(_.get("id").asLong())
-  }
-
-  /**
-   * Time-based snapshot expiration (Paimon's `snapshot.time-retained`):
-   * drop snapshots whose commit timestamp is older than `olderThanMillis`,
-   * always keeping the current snapshot and any tag-pinned ones — the
-   * companion retention policy to [[expireSnapshots]]'s count-based one
-   * (production tables typically run both: keep N days AND at most M
-   * snapshots). Returns the dropped snapshot ids.
-   */
-  def expireSnapshotsOlderThan(schema: String, table: String,
-      olderThanMillis: Long): Seq[Long] = {
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val all = (0 until snaps.size()).map(snaps.get)
-    if (all.isEmpty) return Seq.empty
-    val tagged = tags(schema, table).values.toSet
-    // next-1 kept as the consumer's exclusive replay basis (see above)
-    val minUnconsumed = consumerOffsetsFrom(m).values.minOption
-      .map(n => math.max(1L, n - 1)).getOrElse(Long.MaxValue)
-    val currentId = all.last.get("id").asLong()
-    val (dropped, kept) = all.partition { s =>
-      val id = s.get("id").asLong()
-      s.get("timestampMillis").asLong() < olderThanMillis &&
-        id != currentId && !tagged.contains(id) && id < minUnconsumed
-    }
-    if (dropped.isEmpty) return Seq.empty
-    dropSnapshots(schema, table, m, kept, dropped)
-    try sweepOrphanDirs(schema, table)
-    catch { case _: java.io.IOException => () }
-    dropped.map(_.get("id").asLong())
-  }
-
-  /**
-   * Partition expiration (the action behind Paimon's
-   * `partition.expiration-time` CoreOption): drop every identity
-   * partition matching `where` — a predicate over the PARTITION columns
-   * only — from the current image as ONE snapshot commit. Dirs whose
-   * live files all belong to expired partitions are dropped with ZERO
-   * data I/O (the replace-subset commit simply stops referencing them —
-   * the time-partitioned common case, where a day's commits carry that
-   * day's partition); dirs mixing live and expired partitions rewrite
-   * only their surviving rows into a fresh dir. Older snapshots still
-   * see the partitions until snapshot expiration reclaims the bytes.
-   *
-   * Append-only tables only (a PK table's per-key ordinals interleave
-   * across dirs; its row-level path is [[deleteWhere]]), and not under
-   * live deletion vectors (their (file,pos) entries name files this
-   * commit would retire — compact first). Like [[overwrite]], the drop
-   * carries no row-kinded retraction — pause changelog consumers across
-   * it. Rows whose partition value is NULL (the default-partition dir)
-   * expire only if `where` is literally true for null input.
-   * Returns the expired partition paths (`c1=v1[/c2=v2]`), sorted.
-   */
-  def expirePartitions(schema: String, table: String,
-      where: org.apache.spark.sql.Column): Seq[String] =
-    replacePartitions(schema, table, where, None)._1
-
-  /** Shared partition-replacement commit behind [[expirePartitions]]
-    * (drop only) and [[overwriteDynamic]] (drop + land replacement
-    * data). Returns (replaced partition paths, committed snapshot id).
-    */
-  private def replacePartitions(schema: String, table: String,
-      where: org.apache.spark.sql.Column,
-      newData: Option[DataFrame]): (Seq[String], Option[Long]) = {
-    import scala.jdk.CollectionConverters._
-    val m = readManifest(schema, table)
-    require(primaryKey(m).isEmpty,
-      s"$schema.$table has a primary key — partition expiration serves " +
-        "append-only tables; use deleteWhere for row-level PK deletes")
-    require(dvIndexFrom(m).isEmpty,
-      s"$schema.$table has live deletion vectors — compact() first so no " +
-        "DV names a file this commit would retire")
-    val pcols = partitionColumnsOf(schema, table)
-    require(pcols.nonEmpty, s"$schema.$table is not partitioned")
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return (Seq.empty,
-      newData.map(d => commit(schema, table, d, keepExisting = true)))
-    val allEntries = filesOf(snaps.get(snaps.size() - 1)).filter(_.kind == "data")
-    // Candidate prefilter from the head's dir-level zones (partition
-    // columns carry path-segment zones): a dir the evaluator PROVES
-    // cannot hold a row matching `where` holds no expired partition, so
-    // its recursive listing is skipped. Steady-state auto mode on a
-    // time-partitioned table costs ZERO listings per commit — old dirs
-    // drop once, new dirs' zones refute the cutoff. Conservative: dirs
-    // without stats or unmodeled predicate shapes stay candidates.
-    val resolvedCond = read(schema, table).filter(where)
-      .queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }
-    val headStats = dirStatsFrom(m)
-    val entries = resolvedCond match {
-      case Some(cond) => allEntries.filter(fe =>
-        headStats.get(fe.dir).forall(FileStats.mightMatch(_, cond)))
-      case None => allEntries
-    }
-    if (entries.isEmpty) return (Seq.empty,
-      newData.map(d => commit(schema, table, d, keepExisting = true)))
-    // live partition paths per dir: one recursive metadata listing
-    val dirParts: Map[String, Set[String]] = entries.map { fe =>
-      val basePath = dirPath(schema, table, fe.dir)
-      val qbase = fs.makeQualified(basePath).toString
-      val acc = mutable.Set[String]()
-      if (fs.exists(basePath)) {
-        val it = fs.listFiles(basePath, true)
-        while (it.hasNext) {
-          val p = it.next().getPath
-          if (p.getName.endsWith(".parquet") || p.getName.endsWith(".orc")) {
-            val part = p.toString.stripPrefix(qbase).stripPrefix("/")
-              .split('/').dropRight(1).mkString("/")
-            if (part.nonEmpty) acc += part
-          }
-        }
-      }
-      fe.dir -> acc.toSet
-    }.toMap
-    val allParts = dirParts.values.flatten.toSet.toSeq.sorted
-    if (allParts.isEmpty) return (Seq.empty,
-      newData.map(d => commit(schema, table, d, keepExisting = true)))
-    // Evaluate `where` over the distinct partition tuples, typed exactly
-    // as Spark partition discovery types them: unescape the path value,
-    // NULL for the default-partition token, explicit cast to the
-    // declared column type (never inference).
-    val sch = currentSchema(schema, table)
-    val typeOf = sch.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
-    val rows = allParts.map { pp =>
-      val vals = pp.split('/').map(_.split("=", 2)).map { kv =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(kv(1))
-      }
-      org.apache.spark.sql.Row.fromSeq(pp +: vals.toSeq)
-    }
-    val strSchema = StructType(
-      StructField("__part", org.apache.spark.sql.types.StringType) +:
-        pcols.map(c => StructField(c, org.apache.spark.sql.types.StringType)))
-    val typed = spark.createDataFrame(rows.asJava, strSchema)
-      .select(col("__part") +: pcols.map { c =>
-        when(col(c) === "__HIVE_DEFAULT_PARTITION__", lit(null))
-          .otherwise(col(c)).cast(typeOf(c.toLowerCase)).as(c)
-      }: _*)
-    val expired = typed.filter(where).select("__part")
-      .collect().map(_.getString(0)).toSet
-    if (expired.isEmpty) return (Seq.empty,
-      newData.map(d => commit(schema, table, d, keepExisting = true)))
-    val affected = entries.filter(fe => dirParts(fe.dir).exists(expired.contains))
-    val mixed = affected.filter(fe => !dirParts(fe.dir).forall(expired.contains))
-    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
-    // Survivor filter keeps null-predicate rows: a partition `where`
-    // cannot decide must NOT silently vanish from a rewritten dir.
-    val keep = org.apache.spark.sql.functions.not(
-      org.apache.spark.sql.functions.coalesce(where, lit(false)))
-    val survivors = mixed.map(fe => frameFor(schema, table, m, fe)
-        .drop("__ord", "__del").filter(keep))
-      .reduceOption(_ unionByName _)
-    val img = (survivors, newData) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => emptyFrame(m)
-    }
-    val sid = commit(schema, table, img, keepExisting = true,
-      replacedDirs = affected.map(_.dir).toSet,
-      basisVersion = Some(basis))
-    (expired.toSeq.sorted, Some(sid))
-  }
-
-  /**
-   * Reclaim orphan dirs: `snap-*` dirs on disk that NO manifest snapshot
-   * references (a claimed-but-never-landed commit attempt — e.g. a
-   * non-retryable CAS loss or a crash between dir claim and manifest
-   * write — leaves a full data copy referenced by nothing; expiration
-   * alone never reclaims it because [[dropSnapshots]] only deletes dirs
-   * that dropped snapshot ENTRIES referenced), plus dead dot-staging
-   * files. Only entries older than `graceMillis` are touched, so an
-   * in-flight commit between its dir claim and manifest CAS is never
-   * swept. Runs best-effort from both expiration entry points; callable
-   * directly for immediate cleanup. Returns the deleted dir names.
-   */
-  def sweepOrphanDirs(schema: String, table: String,
-      graceMillis: Long = 3600000L): Seq[String] = {
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val referenced = (0 until snaps.size()).map(snaps.get)
-      .flatMap(filesOf).map(_.dir).toSet ++
-      changelogIndexFrom(m).keySet // producer changelog dirs are live too
-    val cutoff = System.currentTimeMillis() - graceMillis
-    // a local dir another lineage of the same base still references
-    // (a branch inheriting it, or the base after a fast-forward) is not
-    // an orphan — it is shared history owned here but pinned there
-    val pinned = siblingLineageRefs(schema, table)
-    fs.listStatus(tablePath(schema, table)).toSeq.flatMap { st =>
-      val name = st.getPath.getName
-      val orphanSnap = name.startsWith("snap-") && !referenced.contains(name) &&
-        !pinned.contains(baseRelativeDir(table, name))
-      val deadStaging = (name.startsWith(".staging-") ||
-        name.startsWith(".manifest.tmp-") || name.startsWith(".snap-"))
-      if ((orphanSnap || deadStaging) && st.getModificationTime < cutoff) {
-        try { fs.delete(st.getPath, true); Some(name) }
-        catch { case _: java.io.IOException => None }
-      } else None
-    }
-  }
-
-  /** Shared tail of [[expireSnapshots]] and [[rollbackTo]]: rewrite the
-    * snapshot list to `kept`, remove the zone maps of newly-orphaned
-    * dirs, commit the manifest FIRST and delete orphan dirs after (a
-    * crash between the two leaves unreferenced dirs, never a dangling
-    * manifest). */
-  private def dropSnapshots(schema: String, table: String, m: ObjectNode,
-      kept: Seq[JsonNode], dropped: Seq[JsonNode]): Unit = {
-    val keptDirs = kept.flatMap(filesOf).map(_.dir).toSet
-    val orphanDirs = dropped.flatMap(filesOf).map(_.dir).distinct
-      .filterNot(keptDirs.contains)
-    val arr = m.putArray("snapshots")
-    kept.foreach(arr.add)
-    if (m.has("dirStats")) {
-      val statsNode = m.get("dirStats").asInstanceOf[ObjectNode]
-      orphanDirs.foreach(statsNode.remove)
-    }
-    if (m.has("dvIndex")) {
-      val idxNode = m.get("dvIndex").asInstanceOf[ObjectNode]
-      orphanDirs.foreach(idxNode.remove)
-    }
-    if (m.has("bloomIdx")) {
-      val bNode = m.get("bloomIdx").asInstanceOf[ObjectNode]
-      orphanDirs.foreach(bNode.remove)
-    }
-    if (m.has("dynIdx")) {
-      val dNode = m.get("dynIdx").asInstanceOf[ObjectNode]
-      orphanDirs.foreach(dNode.remove)
-    }
-    // changelog dirs belong to their snapshot: dropped snapshot → entry
-    // removed here, dir deleted below with the other orphans
-    val deadClDirs: Seq[String] =
-      if (!m.has("changelog")) Seq.empty
-      else {
-        val cn = m.get("changelog").asInstanceOf[ObjectNode]
-        val droppedIds = dropped.map(_.get("id").asLong()).toSet
-        val dead = changelogIndexFrom(m).collect {
-          case (d, (id, _, _)) if droppedIds.contains(id) => d
-        }.toSeq
-        dead.foreach(cn.remove)
-        dead
-      }
-    writeManifest(schema, table, m)
-    // Cross-lineage pinning: a dir still referenced by ANY other lineage
-    // of the same base table (a branch that inherited it, or the base
-    // after fast-forwarding a branch) survives — its manifest entry here
-    // is gone, but the bytes belong to every lineage that references
-    // them; the LAST lineage to stop referencing a dir reclaims it
-    // (directly here, or via sweepOrphanDirs using the same pin set).
-    val pinnedElsewhere = siblingLineageRefs(schema, table)
-    (orphanDirs ++ deadClDirs).foreach { d =>
-      if (!pinnedElsewhere.contains(baseRelativeDir(table, d)))
-        fs.delete(dirPath(schema, table, d), true)
-    }
-    // Per-bucket compaction leftovers: once EVERY retained snapshot
-    // referencing a dir retires bucket k there (intersection of the
-    // entries' exclusion sets), no reader — current or time-traveling —
-    // can need that subtree, so its bytes are reclaimed in place. Dirs a
-    // sibling lineage (branch) still references are left whole: the
-    // other lineage's entries may carry no exclusion.
-    val keptRefs = kept.flatMap(filesOf).groupBy(_.dir)
-      .filter { case (_, fes) => fes.forall(_.excludeBuckets.nonEmpty) }
-    keptRefs.foreach { case (d, fes) =>
-      val common = fes.map(_.excludeBuckets.toSet).reduce(_ intersect _)
-      if (common.nonEmpty && !pinnedElsewhere.contains(baseRelativeDir(table, d))) {
-        def walk(p: Path): Unit =
-          if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-            val nm = st.getPath.getName
-            if (st.isDirectory) {
-              if (nm.startsWith(s"$BucketCol=")) {
-                if (nm.stripPrefix(s"$BucketCol=").toIntOption
-                    .exists(common.contains))
-                  fs.delete(st.getPath, true)
-              } else if (nm.contains("=")) walk(st.getPath)
-            }
-          }
-        try walk(dirPath(schema, table, d))
-        catch { case _: java.io.IOException => () }
-      }
-    }
-  }
-
-  /**
-   * Roll the table back to `snapshotId` (Paimon's rollback-to): snapshots
-   * NEWER than the target are dropped from the manifest and their
-   * newly-orphaned file dirs deleted — the emergency undo for a bad
-   * write. History up to the target is untouched (time travel within it
-   * still works). Refused while a tag pins a newer snapshot: delete the
-   * tag first (a tag is a retention promise, same as in expiration).
-   */
-  def rollbackTo(schema: String, table: String, snapshotId: Long): Unit = {
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val all = (0 until snaps.size()).map(snaps.get)
-    require(all.exists(_.get("id").asLong() == snapshotId),
-      s"no snapshot $snapshotId for $schema.$table")
-    val (kept, dropped) = all.partition(_.get("id").asLong() <= snapshotId)
-    if (dropped.isEmpty) return
-    val droppedIds = dropped.map(_.get("id").asLong()).toSet
-    val pinning = tags(schema, table).filter(kv => droppedIds.contains(kv._2))
-    require(pinning.isEmpty, s"cannot roll back $schema.$table past tagged " +
-      s"snapshot(s) ${pinning.map(kv => s"${kv._1}→${kv._2}").mkString(", ")} — " +
-      "delete the tag(s) first")
-    dropSnapshots(schema, table, m, kept, dropped)
-  }
-
-  /** Roll back to the snapshot a tag pins (rollback-to-tag). */
-  def rollbackToTag(schema: String, table: String, tag: String): Unit =
-    rollbackTo(schema, table, tags(schema, table).getOrElse(tag,
-      throw new IllegalArgumentException(s"no tag $tag on $schema.$table")))
-
-  /**
-   * Latest snapshot (optionally ≤ `upTo`) whose file set needs NO
-   * merge-on-read work: every entry is current-schema data, and for PK
-   * tables all dirs share one commit ordinal (exactly the post-compact /
-   * post-overwrite state). None when no such snapshot exists yet.
-   */
-  def resolvedSnapshotId(schema: String, table: String,
-      upTo: Option[Long] = None): Option[Long] = {
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val cur = m.get("currentSchemaVersion").asInt()
-    val pk = primaryKey(m)
-    def ordinal(dir: String) = dirKey(dir).stripPrefix("snap-").takeWhile(_.isDigit)
-    (0 until snaps.size()).reverseIterator.map(snaps.get).collectFirst {
-      case s if upTo.forall(s.get("id").asLong() <= _) && {
-        val entries = filesOf(s)
-        entries.nonEmpty &&
-          entries.forall(e => e.kind == "data" && e.schemaVersion == cur) &&
-          (pk.isEmpty || entries.map(e => ordinal(e.dir)).distinct.size == 1)
-      } => s.get("id").asLong()
-    }
-  }
-
-  /**
-   * Read-optimized read (Paimon's `table$ro`): the table as of its
-   * latest fully-compacted snapshot — zero merge work, the raw
-   * vectorized-scan path, at the cost of not seeing deltas committed
-   * since the last [[compact]]/[[sortCompact]]/overwrite. The
-   * speed-over-freshness trade for batch consumers over PK tables.
-   * Empty until a resolved snapshot exists.
-   */
-  def readOptimized(schema: String, table: String,
-      upTo: Option[Long] = None): DataFrame =
-    resolvedSnapshotId(schema, table, upTo) match {
-      case Some(id) => read(schema, table, snapshotId = Some(id))
-      case None => emptyFrame(readManifest(schema, table))
-    }
 
   // ---- consumers (durable reader offsets, Paimon consumer-id) ------------
 
@@ -3149,7 +1919,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   def consumerOffsets(schema: String, table: String): Map[String, Long] =
     consumerOffsetsFrom(readManifest(schema, table))
 
-  private def consumerOffsetsFrom(m: ObjectNode): Map[String, Long] = {
+  private[sources] def consumerOffsetsFrom(m: ObjectNode): Map[String, Long] = {
     if (!m.has("consumers")) return Map.empty
     val c = m.get("consumers").asInstanceOf[ObjectNode]
     val out = mutable.LinkedHashMap[String, Long]()
@@ -3164,421 +1934,6 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     spark.createDataFrame(rows).toDF("consumer_id", "next_snapshot_id")
   }
 
-  // ---- tags (named snapshots, Paimon-style) ------------------------------
-
-  /** Pin a snapshot under a name ("release-2026-08"): readable via
-    * [[readTag]] and protected from [[expireSnapshots]] until untagged. */
-  def createTag(schema: String, table: String, tag: String,
-      snapshotId: Option[Long] = None): Long = {
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    require(snaps.size() > 0, s"$schema.$table has no snapshots to tag")
-    val id = snapshotId.getOrElse(snaps.get(snaps.size() - 1).get("id").asLong())
-    require((0 until snaps.size()).exists(i => snaps.get(i).get("id").asLong() == id),
-      s"no snapshot $id for $schema.$table")
-    val t = if (m.has("tags")) m.get("tags").asInstanceOf[ObjectNode]
-      else m.putObject("tags")
-    require(!t.has(tag), s"tag $tag already exists")
-    t.put(tag, id)
-    writeManifest(schema, table, m)
-    id
-  }
-
-  def deleteTag(schema: String, table: String, tag: String): Unit = {
-    val m = readManifest(schema, table)
-    require(m.has("tags") && m.get("tags").has(tag), s"no tag $tag")
-    m.get("tags").asInstanceOf[ObjectNode].remove(tag)
-    writeManifest(schema, table, m)
-  }
-
-  /** All tags → snapshot ids. */
-  def tags(schema: String, table: String): Map[String, Long] = {
-    val m = readManifest(schema, table)
-    if (!m.has("tags")) Map.empty
-    else {
-      val t = m.get("tags").asInstanceOf[ObjectNode]
-      val out = mutable.LinkedHashMap[String, Long]()
-      t.fieldNames().forEachRemaining(k => out += k -> t.get(k).asLong())
-      out.toMap
-    }
-  }
-
-  /** Read the snapshot a tag pins. */
-  def readTag(schema: String, table: String, tag: String): DataFrame = {
-    val id = tags(schema, table).getOrElse(tag,
-      throw new IllegalArgumentException(s"no tag $tag on $schema.$table"))
-    read(schema, table, snapshotId = Some(id))
-  }
-
-  // ---- branches ----------------------------------------------------------
-
-  /** Branch lineages of a table (Paimon's table branches), by name. */
-  def branchNames(schema: String, table: String): Seq[String] = {
-    val base = splitBranch(table)._1
-    val p = new Path(tablePath(schema, base), BranchDirName)
-    val listed =
-      try fs.listStatus(p)
-      catch { case _: java.io.FileNotFoundException => return Seq.empty }
-    listed.filter(_.isDirectory).map(_.getPath.getName)
-      .filter(b => tableManifestExists(schema, s"$base$BranchSep$b"))
-      .toSeq.sorted
-  }
-
-  /** Dir references (base-relative form, see [[baseRelativeDir]]) held
-    * by every OTHER lineage of this table's base — the base itself plus
-    * each branch, minus the lineage `table` names. A dir is reclaimable
-    * only when no sibling still references it: the base expiring history
-    * must not pull dirs a branch inherited, and a branch expiring its
-    * history must not pull dirs the base adopted via fast-forward.
-    * O(lineages) cached manifest reads, zero file I/O. */
-  private def siblingLineageRefs(schema: String, table: String): Set[String] = {
-    val (base, br) = splitBranch(table)
-    val branches = branchNames(schema, base)
-    if (branches.isEmpty && br.isEmpty) return Set.empty
-    val siblings: Seq[String] =
-      (if (br.isDefined) Seq(base) else Seq.empty) ++
-        branches.filterNot(br.contains).map(b => s"$base$BranchSep$b")
-    siblings.flatMap { t =>
-      if (!tableManifestExists(schema, t)) Seq.empty
-      else {
-        val sm = readManifest(schema, t)
-        val snaps = sm.get("snapshots").asInstanceOf[ArrayNode]
-        (0 until snaps.size()).flatMap(i => filesOf(snaps.get(i)))
-          .map(fe => baseRelativeDir(t, fe.dir))
-      }
-    }.toSet
-  }
-
-  /**
-   * Create branch `branch` of `schema.table` at snapshot `fromSnapshotId`
-   * (or the snapshot `fromTag` pins; default the current head) — Paimon's
-   * table branch, O(manifest metadata) and ZERO data I/O at ANY table
-   * size: the new lineage's manifest inherits the base's snapshot history
-   * up to the branch point with every dir reference rewritten to the
-   * base-relative sharing form (`~/snap-N`), so both lineages read the
-   * SAME immutable dirs in place. From then on the lineages are fully
-   * isolated — separate manifest CAS chains, separate staging/snap dirs
-   * under `<table>/.branch/<name>/` — and the branch is addressable as
-   * `t$branch_<name>` through EVERY catalog API (reads, time travel,
-   * upserts, DDL, compaction, streaming) and the SQL catalog. Expiration
-   * on either lineage never reclaims a dir the other still references
-   * (cross-lineage pinning in dropSnapshots/sweepOrphanDirs).
-   *
-   * Branching a 100 TB table costs one manifest read + one manifest
-   * write — the whole point: experiment/backfill/schema-migrate against
-   * production data without copying a byte, then [[fastForward]].
-   */
-  def createBranch(schema: String, table: String, branch: String,
-      fromSnapshotId: Option[Long] = None, fromTag: Option[String] = None): Unit = {
-    require(splitBranch(table)._2.isEmpty,
-      s"$table is itself a branch — branches are one level deep; branch from the base table")
-    require(branch.nonEmpty && branch.forall(c =>
-      c.isLetterOrDigit || c == '_' || c == '-'),
-      s"branch name must be [A-Za-z0-9_-]+, got '$branch'")
-    require(fromSnapshotId.isEmpty || fromTag.isEmpty,
-      "pass fromSnapshotId OR fromTag, not both")
-    val bt = s"$table$BranchSep$branch"
-    require(!tableManifestExists(schema, bt),
-      s"branch $branch of $schema.$table exists")
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val headId =
-      if (snaps.size() == 0) 0L
-      else snaps.get(snaps.size() - 1).get("id").asLong()
-    val fromId = fromTag.map(t => tags(schema, table).getOrElse(t,
-        throw new IllegalArgumentException(s"no tag $t on $schema.$table")))
-      .orElse(fromSnapshotId).getOrElse(headId)
-    require(fromId == 0L || (0 until snaps.size()).exists(i =>
-      snaps.get(i).get("id").asLong() == fromId),
-      s"no snapshot $fromId for $schema.$table")
-    // truncate the log at the branch point; entry nodes are SHARED across
-    // snapshots after inflation, so guard the in-place dir rewrite
-    val keptArr = mapper.createArrayNode()
-    (0 until snaps.size()).foreach { i =>
-      val s = snaps.get(i).asInstanceOf[ObjectNode]
-      if (s.get("id").asLong() <= fromId) keptArr.add(s)
-    }
-    def markEntries(arr: ArrayNode): Unit =
-      (0 until arr.size()).foreach { j =>
-        val e = arr.get(j).asInstanceOf[ObjectNode]
-        val d = e.get("dir").asText()
-        if (!d.startsWith(BaseRelMarker)) e.put("dir", BaseRelMarker + d)
-      }
-    (0 until keptArr.size()).foreach { i =>
-      val s = keptArr.get(i).asInstanceOf[ObjectNode]
-      markEntries(s.get("files").asInstanceOf[ArrayNode])
-      if (s.has("added")) markEntries(s.get("added").asInstanceOf[ArrayNode])
-      if (s.has("removed")) {
-        val r = s.get("removed").asInstanceOf[ArrayNode]
-        val marked = (0 until r.size()).map { j =>
-          val d = r.get(j).asText()
-          if (d.startsWith(BaseRelMarker)) d else BaseRelMarker + d
-        }
-        r.removeAll()
-        marked.foreach(r.add)
-      }
-    }
-    m.set[JsonNode]("snapshots", keptArr)
-    val keptDirs = (0 until keptArr.size())
-      .flatMap(i => filesOf(keptArr.get(i))).map(_.dir).toSet
-    // per-dir aux state (zones, DV index, blooms, dynamic-bucket flags)
-    // follows the entries: keys re-marked, values shared by reference;
-    // entries of truncated-away dirs dropped
-    Seq("dirStats", "dvIndex", "bloomIdx", "dynIdx").foreach { f =>
-      if (m.has(f)) {
-        val old = m.get(f).asInstanceOf[ObjectNode]
-        val next = mapper.createObjectNode()
-        old.fieldNames().forEachRemaining { k =>
-          val marked = if (k.startsWith(BaseRelMarker)) k else BaseRelMarker + k
-          if (keptDirs.contains(marked)) next.set[JsonNode](marked, old.get(k))
-        }
-        m.set[JsonNode](f, next)
-      }
-    }
-    // tags at-or-before the branch point carry over (their snapshots are
-    // in the inherited log); consumers and streaming-sink idempotence
-    // state stay with the base — the branch is a fresh consumption scope
-    if (m.has("tags")) {
-      val old = m.get("tags").asInstanceOf[ObjectNode]
-      val next = mapper.createObjectNode()
-      old.fieldNames().forEachRemaining { k =>
-        if (old.get(k).asLong() <= fromId) next.put(k, old.get(k).asLong())
-      }
-      m.set[JsonNode]("tags", next)
-    }
-    m.remove("consumers")
-    m.remove("lastStreamBatchId")
-    // producer changelog dirs stay with the base lineage (their node keys
-    // are base-local dirs); the branch recomputes changelogs at read and
-    // re-materializes from its own commits
-    m.remove("changelog")
-    if (m.has("statistics") &&
-        m.get("statistics").get("snapshotId").asLong() > fromId)
-      m.remove("statistics")
-    m.remove("commitVersion") // fresh CAS lineage: first write lands v1
-    m.put("name", bt)
-    m.put("branchOf", table)
-    m.put("branchBaseId", fromId)
-    m.put("branchCreatedMillis", System.currentTimeMillis())
-    fs.mkdirs(tablePath(schema, bt))
-    writeManifest(schema, bt, m)
-  }
-
-  /**
-   * Fast-forward `schema.table` to branch `branch` — git semantics: the
-   * base log must be a PREFIX of the branch log (same ids, same dir sets
-   * under the cross-lineage identity; schema history a prefix too), i.e.
-   * the base has not diverged since the branch point. The base then
-   * ADOPTS the branch's full history in ONE manifest CAS with zero data
-   * movement: branch-local dirs are referenced in place under
-   * `~/.branch/<name>/snap-N`. The branch stays alive and readable; it
-   * cannot be deleted while the base references its dirs (deleteBranch
-   * refuses until expiration/compaction retires them). A diverged base
-   * refuses with a pointer — replay the branch onto a fresh branch of
-   * the current head instead. Returns the new head snapshot id.
-   */
-  /**
-   * Diverged-history report backing `CALL sys.fast_forward_diff`: WHY a
-   * branch can (or cannot) be adopted, one `(position, status, detail)`
-   * row per disagreement — so an operator refused by [[fastForward]]
-   * sees the concrete divergence (extra base snapshots, mismatched ids,
-   * per-snapshot dir diffs, schema drift) instead of just the refusal.
-   * Metadata-only: manifest reads, no data touched. An empty diff
-   * reports one summary row (`fast_forwardable` / `in_sync`).
-   */
-  def fastForwardDiff(schema: String, table: String,
-      branch: String): Seq[(Long, String, String)] = {
-    require(splitBranch(table)._2.isEmpty,
-      s"$table is itself a branch — fast-forward targets the base table")
-    val bt = s"$table$BranchSep$branch"
-    require(tableManifestExists(schema, bt),
-      s"no branch $branch of $schema.$table")
-    val m = readManifest(schema, table)
-    val bm = readManifest(schema, bt)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val bsnaps = bm.get("snapshots").asInstanceOf[ArrayNode]
-    val out = mutable.ArrayBuffer[(Long, String, String)]()
-    if (bsnaps.size() < snaps.size())
-      out += ((-1L, "base_longer",
-        s"base has ${snaps.size()} snapshots, branch has ${bsnaps.size()} — " +
-          "the base advanced past the branch point"))
-    (0 until math.min(snaps.size(), bsnaps.size())).foreach { i =>
-      val a = snaps.get(i)
-      val b = bsnaps.get(i)
-      val aid = a.get("id").asLong()
-      val bid = b.get("id").asLong()
-      if (aid != bid)
-        out += ((i.toLong, "id_mismatch", s"base snapshot $aid vs branch $bid"))
-      else {
-        val aDirs = filesOf(a).map(fe => baseRelativeDir(table, fe.dir)).toSet
-        val bDirs = filesOf(b).map(fe => baseRelativeDir(bt, fe.dir)).toSet
-        if (aDirs != bDirs)
-          out += ((i.toLong, "dirs_differ",
-            s"snapshot $aid: base-only [${(aDirs -- bDirs).toSeq.sorted.mkString(",")}], " +
-              s"branch-only [${(bDirs -- aDirs).toSeq.sorted.mkString(",")}]"))
-      }
-    }
-    val aSchemas = m.get("schemas").asInstanceOf[ArrayNode]
-    val bSchemas = bm.get("schemas").asInstanceOf[ArrayNode]
-    if (aSchemas.size() > bSchemas.size())
-      out += ((-1L, "schema_diverged",
-        s"base has ${aSchemas.size()} schema versions, branch has ${bSchemas.size()}"))
-    else (0 until aSchemas.size()).foreach { i =>
-      if (aSchemas.get(i) != bSchemas.get(i))
-        out += ((i.toLong, "schema_diverged", s"schema version $i differs"))
-    }
-    if (out.isEmpty) {
-      val ahead = bsnaps.size() - snaps.size()
-      out += ((-1L, if (ahead > 0) "fast_forwardable" else "in_sync",
-        s"branch is $ahead snapshot(s) ahead of the base"))
-    }
-    out.toSeq
-  }
-
-  def fastForward(schema: String, table: String, branch: String): Long = {
-    require(splitBranch(table)._2.isEmpty,
-      s"$table is itself a branch — fast-forward targets the base table")
-    val bt = s"$table$BranchSep$branch"
-    require(tableManifestExists(schema, bt),
-      s"no branch $branch of $schema.$table")
-    val m = readManifest(schema, table)
-    val bm = readManifest(schema, bt)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val bsnaps = bm.get("snapshots").asInstanceOf[ArrayNode]
-    def diverged(why: String) = throw new IllegalStateException(
-      s"cannot fast-forward $schema.$table to branch $branch: $why — " +
-        "the base advanced since the branch point; create a fresh branch " +
-        "from the current head and replay the work instead")
-    if (bsnaps.size() < snaps.size()) diverged("the base log is longer than the branch log")
-    (0 until snaps.size()).foreach { i =>
-      val a = snaps.get(i)
-      val b = bsnaps.get(i)
-      if (a.get("id").asLong() != b.get("id").asLong())
-        diverged(s"snapshot ids differ at position $i")
-      val aDirs = filesOf(a).map(fe => baseRelativeDir(table, fe.dir)).toSet
-      val bDirs = filesOf(b).map(fe => baseRelativeDir(bt, fe.dir)).toSet
-      if (aDirs != bDirs)
-        diverged(s"snapshot ${a.get("id").asLong()} references different dirs")
-    }
-    val aSchemas = m.get("schemas").asInstanceOf[ArrayNode]
-    val bSchemas = bm.get("schemas").asInstanceOf[ArrayNode]
-    if (aSchemas.size() > bSchemas.size()) diverged("schema history diverged")
-    (0 until aSchemas.size()).foreach { i =>
-      if (aSchemas.get(i) != bSchemas.get(i)) diverged("schema history diverged")
-    }
-    val headId =
-      if (bsnaps.size() == 0) 0L
-      else bsnaps.get(bsnaps.size() - 1).get("id").asLong()
-    if (bsnaps.size() == snaps.size()) return headId // nothing to adopt
-    // dir reference conversion INTO the base lineage: base-relative form,
-    // then plain for base-local names, `~/`-marked for everything shared
-    def toBaseRef(dir: String): String = {
-      val r = baseRelativeDir(bt, dir)
-      if (r.contains("/")) BaseRelMarker + r else r
-    }
-    def convertEntries(arr: ArrayNode): Unit =
-      (0 until arr.size()).foreach { j =>
-        val e = arr.get(j).asInstanceOf[ObjectNode]
-        e.put("dir", toBaseRef(e.get("dir").asText()))
-      }
-    (0 until bsnaps.size()).foreach { i =>
-      val s = bsnaps.get(i).asInstanceOf[ObjectNode]
-      convertEntries(s.get("files").asInstanceOf[ArrayNode])
-      if (s.has("added")) convertEntries(s.get("added").asInstanceOf[ArrayNode])
-      if (s.has("removed")) {
-        val r = s.get("removed").asInstanceOf[ArrayNode]
-        val conv = (0 until r.size()).map(j => toBaseRef(r.get(j).asText()))
-        r.removeAll()
-        conv.foreach(r.add)
-      }
-    }
-    // "changelog" rides along: its keys are dirs too, and the adopted
-    // snapshots keep their ids, so branch-built producer coverage
-    // survives the fast-forward (pre-fork coverage was dropped at branch
-    // creation and falls back to read-time resolution)
-    Seq("dirStats", "dvIndex", "bloomIdx", "dynIdx", "changelog").foreach { f =>
-      if (bm.has(f)) {
-        val old = bm.get(f).asInstanceOf[ObjectNode]
-        val next = mapper.createObjectNode()
-        old.fieldNames().forEachRemaining(k =>
-          next.set[JsonNode](toBaseRef(k), old.get(k)))
-        bm.set[JsonNode](f, next)
-      }
-    }
-    // retention promises merge; the base's win on a name conflict
-    if (m.has("tags")) {
-      val baseTags = m.get("tags").asInstanceOf[ObjectNode]
-      val next =
-        if (bm.has("tags")) bm.get("tags").asInstanceOf[ObjectNode]
-        else bm.putObject("tags")
-      baseTags.fieldNames().forEachRemaining(k =>
-        next.put(k, baseTags.get(k).asLong()))
-    }
-    // consumption scopes stay with the base lineage
-    bm.remove("consumers")
-    m.get("consumers") match {
-      case c: ObjectNode => bm.set[JsonNode]("consumers", c)
-      case _ => ()
-    }
-    bm.remove("lastStreamBatchId")
-    m.get("lastStreamBatchId") match {
-      case b: JsonNode if !b.isMissingNode && !b.isNull =>
-        bm.set[JsonNode]("lastStreamBatchId", b)
-      case _ => ()
-    }
-    bm.put("name", table)
-    bm.remove("branchOf")
-    bm.remove("branchBaseId")
-    bm.remove("branchCreatedMillis")
-    // continue the BASE's CAS chain — concurrent base commits lose/abort
-    if (m.has("commitVersion"))
-      bm.set[JsonNode]("commitVersion", m.get("commitVersion"))
-    else bm.remove("commitVersion")
-    writeManifest(schema, table, bm)
-    headId
-  }
-
-  /** Delete a branch lineage. Refused while another lineage still
-    * references dirs INSIDE the branch (the base adopted branch commits
-    * via fast-forward): deleting would tear shared history — expire or
-    * compact the referencing lineage first, then delete. Dirs of the
-    * BASE the branch alone was pinning become reclaimable by the base's
-    * next expiration/orphan sweep. */
-  def deleteBranch(schema: String, table: String, branch: String): Unit = {
-    require(splitBranch(table)._2.isEmpty,
-      s"$table is itself a branch — deleteBranch targets the base table")
-    val bt = s"$table$BranchSep$branch"
-    require(tableManifestExists(schema, bt),
-      s"no branch $branch of $schema.$table")
-    val prefix = s"$BranchDirName/$branch/"
-    val pinnedInside = siblingLineageRefs(schema, bt).filter(_.startsWith(prefix))
-    require(pinnedInside.isEmpty,
-      s"cannot delete branch $branch of $schema.$table: " +
-        s"${pinnedInside.size} of its dirs (e.g. ${pinnedInside.head}) are " +
-        "still referenced by another lineage (fast-forwarded history) — " +
-        "expire or compact that lineage first")
-    fs.delete(tablePath(schema, bt), true)
-    GraftCatalog.purgeHeadCache(fs.makeQualified(tablePath(schema, bt)).toString)
-    ()
-  }
-
-  /** One row per branch: (branch, base_snapshot_id, head_snapshot_id,
-    * commits_since_branch, created_millis) — the `$branches` view. */
-  def branchesTable(schema: String, table: String): DataFrame = {
-    import spark.implicits._
-    branchNames(schema, table).map { b =>
-      val bm = readManifest(schema, s"$table$BranchSep$b")
-      val snaps = bm.get("snapshots").asInstanceOf[ArrayNode]
-      val head =
-        if (snaps.size() == 0) 0L
-        else snaps.get(snaps.size() - 1).get("id").asLong()
-      val baseId = bm.path("branchBaseId").asLong(0L)
-      (b, baseId, head,
-        (0 until snaps.size()).count(i => snaps.get(i).get("id").asLong() > baseId).toLong,
-        bm.path("branchCreatedMillis").asLong(0L))
-    }.toDF("branch", "base_snapshot_id", "head_snapshot_id",
-      "commits_since_branch", "created_millis")
-  }
 
   // ---- reads + time travel ----------------------------------------------
 
@@ -3613,7 +1968,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   def dirStats(schema: String, table: String): Map[String, FileStats.DirStats] =
     dirStatsFrom(readManifest(schema, table))
 
-  private def dirStatsFrom(m: ObjectNode): Map[String, FileStats.DirStats] = {
+  private[sources] def dirStatsFrom(m: ObjectNode): Map[String, FileStats.DirStats] = {
     if (!m.has("dirStats")) return Map.empty
     val node = m.get("dirStats").asInstanceOf[ObjectNode]
     val out = mutable.LinkedHashMap[String, FileStats.DirStats]()
@@ -3705,7 +2060,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
 
   /** Write one dir's per-file zones as its immutable `.zones.json`
     * sidecar; returns the fresh cache token the head manifest records. */
-  private def writeZoneSidecar(dirPath: Path,
+  private[sources] def writeZoneSidecar(dirPath: Path,
       files: Map[String, FileStats.DirStats]): String = {
     val token = java.util.UUID.randomUUID().toString
     val bytes = mapper.writeValueAsBytes(FileStats.sidecarToJson(files))
@@ -4005,7 +2360,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
    * column (by stable field id; missing → null) plus the snapshot ordinal
    * `__ord` and the tombstone flag `__del` used for merge-on-read.
    */
-  private def frameFor(schema: String, table: String, m: ObjectNode,
+  private[sources] def frameFor(schema: String, table: String, m: ObjectNode,
       fe: FileEntry, pathOverride: Option[Path] = None,
       fileSubset: Option[Seq[String]] = None,
       withMeta: Boolean = false,
@@ -4096,439 +2451,6 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       lit(fe.kind == "delete").as("__del")): _*)
   }
 
-  // ---- deletion vectors (append-only row-level delete) -------------------
-
-  /** Is the `deletion-vectors` table option on? (Paimon's
-    * `deletion-vectors.enabled`; here scoped to append-only tables.) */
-  private def deletionVectors(m: ObjectNode): Boolean =
-    m.get("options").asInstanceOf[ObjectNode].path("deletion-vectors").asText("") == "true"
-
-  /** DV dir → (affected data files table-relative, deleted-position count)
-    * from the manifest's dvIndex node. */
-  private def dvIndexFrom(m: ObjectNode): Map[String, (Seq[String], Long)] = {
-    if (!m.has("dvIndex")) return Map.empty
-    val node = m.get("dvIndex").asInstanceOf[ObjectNode]
-    val out = mutable.LinkedHashMap[String, (Seq[String], Long)]()
-    node.fieldNames().forEachRemaining { d =>
-      val e = node.get(d)
-      val files = (0 until e.get("files").size()).map(e.get("files").get(_).asText())
-      out += d -> (files, e.get("rows").asLong())
-    }
-    out.toMap
-  }
-
-  private def dvStorageSchema = StructType(Seq(
-    StructField(DvFileCol, org.apache.spark.sql.types.StringType),
-    StructField(DvPosCol, org.apache.spark.sql.types.LongType)))
-
-  /** Union of a snapshot's deletion-vector dirs: (file, pos) pairs. */
-  private def dvFrame(schema: String, table: String,
-      dvEs: Seq[FileEntry]): DataFrame =
-    dvEs.map(fe => spark.read.schema(dvStorageSchema)
-      .parquet(dirPath(schema, table, fe.dir).toString))
-      .reduce(_ unionByName _)
-
-  /**
-   * Union an append-only snapshot's data frames with deletion vectors
-   * applied. The manifest's dvIndex names exactly which files a DV
-   * touches, so CLEAN files keep the pure vectorized scan — no join, no
-   * metadata columns — and only DIRTY files pay the (file, pos)
-   * anti-join. A 100 TB table with a few thousand deleted rows reads at
-   * full scan speed everywhere except the touched files; nothing is ever
-   * rewritten. `selections` carries each data entry's zone-pruned file
-   * list (None = whole dir), so [[readWhere]]'s skipping composes with
-   * DV application. Output keeps the `__ord`/`__del` bookkeeping columns
-   * for the caller to drop.
-   */
-  private def appendUnion(schema: String, table: String, m: ObjectNode,
-      selections: Seq[(FileEntry, Option[Seq[String]])],
-      dvEs: Seq[FileEntry]): DataFrame = {
-    def frame(fe: FileEntry, files: Option[Seq[String]], meta: Boolean) =
-      frameFor(schema, table, m, fe, fileSubset = files, withMeta = meta)
-    if (dvEs.isEmpty)
-      return selections.map { case (fe, sel) => frame(fe, sel, meta = false) }
-        .reduce(_ unionByName _)
-    val idx = dvIndexFrom(m)
-    // every DV commit writes its index; `known = false` only for a
-    // manifest from a foreign writer — then every file is treated dirty
-    // (correct, just joins more)
-    val known = dvEs.forall(e => idx.contains(e.dir))
-    val affected: Set[String] =
-      if (known) dvEs.flatMap(e => idx(e.dir)._1).toSet else Set.empty
-    val perFile = fileStatsFrom(schema, table, m)
-    // DV file refs are dir-NAME-anchored (regex over _metadata.file_path,
-    // marker-free); entry dirs may carry the `~/` sharing form — compare
-    // and rebuild paths through dirKey/dirPath so a DV laid over an
-    // INHERITED dir (branch deleting rows of shared history) resolves.
-    def absIn(fe: FileEntry, rel: String) =
-      new Path(dirPath(schema, table, fe.dir), rel).toString
-    val clean = mutable.ArrayBuffer.empty[DataFrame]
-    val dirty = mutable.ArrayBuffer.empty[DataFrame]
-    selections.foreach { case (fe, sel) =>
-      val key = dirKey(fe.dir)
-      val dirAffected: Option[Set[String]] = // relative to fe.dir
-        if (!known) None
-        else Some(affected.filter(_.startsWith(key + "/"))
-          .map(_.stripPrefix(key + "/")))
-      (sel, dirAffected) match {
-        case (Some(files), Some(aff)) =>
-          val affAbs = aff.map(r => absIn(fe, r))
-          val (d, c) = files.partition(affAbs.contains)
-          if (c.nonEmpty) clean += frame(fe, Some(c), meta = false)
-          if (d.nonEmpty) dirty += frame(fe, Some(d), meta = true)
-        case (Some(files), None) => dirty += frame(fe, Some(files), meta = true)
-        case (None, Some(aff)) if aff.isEmpty => clean += frame(fe, None, meta = false)
-        case (None, Some(aff)) =>
-          perFile.get(fe.dir).filter(_.nonEmpty) match {
-            case Some(fm) => // per-file zones double as the dir's file listing
-              val cleanRel = (fm.keySet -- aff).toSeq.sorted
-              if (cleanRel.nonEmpty)
-                clean += frame(fe, Some(cleanRel.map(r => absIn(fe, r))), meta = false)
-              dirty += frame(fe,
-                Some(aff.toSeq.sorted.map(r => absIn(fe, r))), meta = true)
-            case None => dirty += frame(fe, None, meta = true)
-          }
-        case (None, None) => dirty += frame(fe, None, meta = true)
-      }
-    }
-    val dv = dvFrame(schema, table, dvEs)
-    val deduped = dirty.reduceOption(_ unionByName _).map(
-      _.join(dv, Seq(DvFileCol, DvPosCol), "left_anti").drop(DvFileCol, DvPosCol))
-    (clean ++ deduped).reduce(_ unionByName _)
-  }
-
-  /** Snapshot ordinal of an entry's dir: leading digits of the dir name
-    * ("snap-7" and its paired "snap-7-del" share ordinal 7). */
-  private def entryOrdinal(fe: FileEntry): Long =
-    dirKey(fe.dir).stripPrefix("snap-").takeWhile(_.isDigit).toLong
-
-  /** Bucket-granular ops don't compose with PK deletion-vector state (a
-    * DV'd stale version inside one bucket's legs would resurrect once
-    * its tombstone dir was replaced) — refused, not silently wrong.
-    * Time travel to pre-DV snapshots still resolves (their entry lists
-    * carry no dv entries). Callers are all bucketed-PK contexts
-    * (append-only DV tables are never bucketed — bucket requires a PK). */
-  private def refuseDvEntries(entries: Seq[FileEntry], tbl: String,
-      op: String): Unit =
-    require(!entries.exists(_.kind == "dv"),
-      s"$op on $tbl: snapshot carries live deletion vectors — " +
-        "bucket-granular reads/compactions don't compose with DV state; " +
-        "compact() retires the DVs first")
-
-  /**
-   * Merge-free hybrid read of a PRIMARY-KEY deletion-vector table —
-   * Paimon's flagship `deletion-vectors.enabled` read economics, which
-   * the reference serves transparently through DV-aware splits
-   * (TrinoPageSourceBase reads DV-enabled Paimon tables via
-   * SnapshotReader; TrinoTableOptionUtils surfaces the CoreOption).
-   *
-   * Invariant from [[buildDeletionVectors]]: at or below the newest DV
-   * build's ordinal, every key has AT MOST ONE live (non-DV'd) version
-   * and no tombstone dirs survive. So the BASE reads with no merge state
-   * at all — clean files keep the pure vectorized scan, DV-dirty files
-   * pay a (file, pos) anti-join, nothing shuffles on the key. Deltas
-   * committed after the build resolve through the ordinary keep-latest
-   * window over O(delta) rows, then subtract their keys from the base
-   * with one delta-sized anti-join (broadcast under AQE). With no
-   * post-build deltas the plan carries NO window and no key exchange —
-   * a delete-heavy 100 TB PK table reads at append-table speed.
-   */
-  private def pkDvResolve(schema: String, table: String, m: ObjectNode,
-      entries: Seq[FileEntry]): Option[DataFrame] = {
-    val pk = primaryKey(m)
-    val names = currentFields(m).map(_.name)
-    val dvEs = entries.filter(_.kind == "dv")
-    val buildOrd = dvEs.map(entryOrdinal).max
-    val (base, delta) = entries.filterNot(_.kind == "dv")
-      .partition(fe => entryOrdinal(fe) <= buildOrd)
-    // a build replaces every tombstone dir at or below its ordinal — a
-    // surviving one means a foreign writer broke the DV invariant
-    require(base.forall(_.kind == "data"),
-      s"$schema.$table: tombstone dir at or below DV-build ordinal " +
-        s"$buildOrd — the merge-free base invariant does not hold")
-    val bucketed = bucketCount(m).isDefined
-    val baseLive: Option[DataFrame] =
-      if (base.isEmpty) None
-      else if (!bucketed)
-        // clean/dirty file split via the dvIndex: clean files keep the
-        // pure vectorized scan, only DV-touched files pay the anti-join
-        Some(appendUnion(schema, table, m, base.map((_, None)), dvEs)
-          .select(names.map(col): _*))
-      else {
-        // bucketed layout: dirs hold __bucket=k subdirs that appendUnion's
-        // per-file machinery doesn't resolve — read whole dirs with the
-        // bucket column retained and apply the anti-join uniformly (the
-        // DV side holds deleted positions only; AQE broadcasts it)
-        val all = base.map(frameFor(schema, table, m, _,
-            withMeta = true, withBucket = true)).reduce(_ unionByName _)
-        Some(all.join(dvFrame(schema, table, dvEs),
-            Seq(DvFileCol, DvPosCol), "left_anti")
-          .select(names.map(col): _*))
-      }
-    if (delta.isEmpty) return baseLive
-    val deltaAll = delta.map { fe =>
-      val f = frameFor(schema, table, m, fe, withBucket = bucketed)
-      if (bucketed) f.drop(BucketCol) else f
-    }.reduce(_ unionByName _)
-    // version order: (sequence, ordinal) on sequence.field tables, pure
-    // ordinal otherwise — the same rule as every other resolution path
-    // (r15: the sequence.field + DV refusal is lifted)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
-    val deltaTop = deltaAll.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    baseLive match {
-      case None => Some(deltaTop.filter(!col("__del")).select(names.map(col): _*))
-      case Some(b) =>
-        sequenceField(m) match {
-          case None =>
-            // ordinal-only order: base ordinals are strictly below every
-            // delta's, so ANY delta version supersedes its key's base
-            val live = deltaTop.filter(!col("__del")).select(names.map(col): _*)
-            val deltaKeys = deltaTop.select(pk.map(col): _*)
-            Some(b.join(deltaKeys, pk, "left_anti").unionByName(live))
-          case Some(sf) =>
-            // a late LOWER-sequence delta must LOSE to the DV-built base:
-            // arbitrate each touched key on (sequence, ordinal) — base
-            // ordinals sit below every delta's, so sequence ties go to
-            // the delta, and a null sequence loses to any non-null one.
-            // Cost: one extra (pk, sequence)-projected pass over the base
-            // for the touched keys, O(delta keys) join — covered reads
-            // (no post-build delta) are untouched.
-            val bk = b.join(deltaTop.select(pk.map(col): _*), pk, "left_semi")
-              .select((pk.map(col) :+ col(sf).as("__bseq")): _*)
-            val arbit = deltaTop.join(bk, pk, "left")
-            val deltaWins = col("__bseq").isNull ||
-              (col(sf).isNotNull && col(sf) >= col("__bseq"))
-            val winKeys = arbit.filter(deltaWins).select(pk.map(col): _*)
-            val liveWin = deltaTop.join(winKeys, pk, "left_semi")
-              .filter(!col("__del")).select(names.map(col): _*)
-            Some(b.join(winKeys, pk, "left_anti").unionByName(liveWin))
-        }
-    }
-  }
-
-  /**
-   * Build deletion vectors for a primary-key table — the compaction-time
-   * maintenance that buys [[pkDvResolve]]'s merge-free reads WITHOUT
-   * rewriting a byte of data (Paimon builds DVs during lookup/full
-   * compactions the same way; full [[compact]] still rewrites and
-   * retires them). One keep-latest window over the DV-applied history
-   * finds every data row superseded by a newer version or tombstone;
-   * those (file, pos) pairs land as a DV dir in a compaction-kind
-   * snapshot (changelog-invisible — no logical content changed), and
-   * every tombstone dir is REPLACED by it (their effect is now encoded
-   * positionally; older snapshots still reference them for time travel).
-   * On a delete-heavy 100 TB table this commits O(superseded rows)
-   * positions instead of rewriting O(table) bytes.
-   *
-   * Returns the new snapshot id (the current one when nothing was
-   * superseded and no tombstone dirs needed replacing).
-   */
-  def buildDeletionVectors(schema: String, table: String): Long = {
-    val m = readManifest(schema, table)
-    val pk = primaryKey(m)
-    require(pk.nonEmpty,
-      s"$schema.$table is append-only — its DVs are written directly by " +
-        "deleteWhere/update; buildDeletionVectors serves primary-key tables")
-    require(deletionVectors(m),
-      s"$schema.$table does not have deletion-vectors enabled")
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return 0L
-    val latest = snaps.get(snaps.size() - 1)
-    val entries = filesOf(latest)
-    require(entries.forall(_.excludeBuckets.isEmpty),
-      s"$schema.$table carries per-bucket-compacted history — run a full " +
-        "compact() before building deletion vectors (retired-bucket dirs " +
-        "have no per-file position identity to DV against)")
-    val dvEs = entries.filter(_.kind == "dv")
-    val delEs = entries.filter(_.kind == "delete")
-    val dataEs = entries.filter(_.kind == "data")
-    if (dataEs.isEmpty) return latest.get("id").asLong()
-    val bucketed = bucketCount(m).isDefined
-    // tombstones join the version race with null position identity
-    def tombstoneFrame(es: Seq[FileEntry]): Option[DataFrame] =
-      es.map(frameFor(schema, table, m, _,
-          withBucket = bucketed)).reduceOption(_ unionByName _)
-        .map(_.withColumn(DvFileCol,
-            lit(null).cast(org.apache.spark.sql.types.StringType))
-          .withColumn(DvPosCol, lit(null).cast(org.apache.spark.sql.types.LongType)))
-    // version order: (sequence, ordinal) on sequence.field tables, pure
-    // ordinal otherwise — tombstones carry their victim's sequence, so
-    // they race correctly (a stale-sequence delete never wins)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
-    // A prior build at ordinal B guarantees (pkDvResolve's invariant) that
-    // the DV-applied base at or below B holds AT MOST ONE live version per
-    // key and no tombstone dirs — so a REBUILD only needs the post-B
-    // delta, never the table: any delta version (data or tombstone)
-    // supersedes its key's base version outright, and in-delta races
-    // resolve with an O(delta) window. Base victims are found by reading
-    // only the base files the delta's keys can live in — touched buckets
-    // on bucketed tables (Paimon's lookup-compaction granularity),
-    // zone-admitting files otherwise — each semi-joined against the
-    // (small, broadcastable) delta key set. The auto-cadence hook
-    // (deletion-vectors.build-delta-commits) therefore pays O(delta) per
-    // build as a standing cost, not an O(table) key shuffle.
-    val buildOrd = if (dvEs.isEmpty) -1L else dvEs.map(entryOrdinal).max
-    val (baseEs, deltaDataEs) = dataEs.partition(entryOrdinal(_) <= buildOrd)
-    val incremental = dvEs.nonEmpty && baseEs.nonEmpty &&
-      delEs.forall(entryOrdinal(_) > buildOrd)
-    val victimsUnpersisted: DataFrame = if (incremental) {
-      if (deltaDataEs.isEmpty && delEs.isEmpty)
-        return latest.get("id").asLong() // no post-build commits: no-op
-      val deltaData = deltaDataEs.map(frameFor(schema, table, m, _,
-          withMeta = true, withBucket = bucketed)).reduceOption(_ unionByName _)
-      val allDelta = (deltaData, tombstoneFrame(delEs)) match {
-        case (Some(d), Some(t)) => d.unionByName(t.select(d.columns.map(col): _*))
-        case (Some(d), None) => d
-        case (None, Some(t)) => t
-        case (None, None) => return latest.get("id").asLong() // unreachable
-      }
-      val ranked = allDelta.withColumn("__rn", row_number().over(w))
-      // (a) versions superseded WITHIN the delta — O(delta) window (a
-      // non-top version loses to the delta top, which is itself no
-      // better than the overall winner — victim either way)
-      val inDelta = ranked.filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
-        .select(col(DvFileCol), col(DvPosCol))
-      // (b) arbitrate each delta-touched key against its base version —
-      // reading only the base files those keys can live in. Without
-      // sequence.field, base ordinals sit strictly below every delta's,
-      // so membership alone decides
-      val deltaKeys = allDelta.select(pk.map(col): _*).distinct()
-      val baseScan: Option[DataFrame] =
-        if (bucketed) {
-          // changed-bucket set from the delta dirs' `__bucket=k` children:
-          // one driver listing per delta dir, zero jobs (the
-          // readChangelogFull before-image pattern). A flat delta dir
-          // (unknown layout) keeps every bucket — conservative.
-          val n = bucketCount(m).get
-          val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
-          val changed = (deltaDataEs ++ delEs).flatMap { fe =>
-            fs.listStatus(dirPath(schema, table, fe.dir)).toSeq
-              .flatMap(_.getPath.getName match {
-                case bucketRe(i) => Seq(i.toInt)
-                case _ => Nil
-              }) match {
-              case Nil => 0 until n
-              case bs => bs
-            }
-          }.distinct.sorted
-          // filter on the discovered __bucket partition column: Spark's
-          // partition pruning cuts the file listing to the touched
-          // buckets' subdirs — per-build I/O is O(touched buckets)
-          Some(baseEs.map(frameFor(schema, table, m, _,
-              withMeta = true, withBucket = true)).reduce(_ unionByName _)
-            .filter(col(BucketCol).isin(changed.map(Integer.valueOf): _*)))
-        } else {
-          // zone-prune base files against the delta's pk bounds (one
-          // O(delta) min/max agg): a file whose pk zone is disjoint from
-          // the delta's range on ANY key column can hold no touched key.
-          // Sharpest when keys cluster (monotonic ids, time-prefixed
-          // keys); conservative full-coverage fallback otherwise — and
-          // the scan below projects only (pk, file, pos) regardless, so
-          // even the fallback reads key bytes, not row bytes.
-          val bounds = allDelta.select(pk.flatMap(k => Seq(
-            org.apache.spark.sql.functions.min(col(k)).as(s"__mn_$k"),
-            org.apache.spark.sql.functions.max(col(k)).as(s"__mx_$k"))): _*)
-            .head()
-          val rangePred: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-            pk.flatMap { k =>
-              val mn = bounds.getAs[Any](s"__mn_$k")
-              val mx = bounds.getAs[Any](s"__mx_$k")
-              if (mn == null || mx == null) None
-              else {
-                import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
-                  GreaterThanOrEqual, LessThanOrEqual, Literal => CLit}
-                Some(CAnd(
-                  GreaterThanOrEqual(UnresolvedAttribute(k), CLit(mn)),
-                  LessThanOrEqual(UnresolvedAttribute(k), CLit(mx))))
-              }
-            }.reduceOption(
-              org.apache.spark.sql.catalyst.expressions.And(_, _))
-          val perFile = fileStatsFrom(schema, table, m)
-          val frames = baseEs.flatMap { fe =>
-            (rangePred, perFile.get(fe.dir).filter(_.nonEmpty)) match {
-              case (Some(p), Some(fm)) =>
-                val admit = fm.collect {
-                  case (rel, z) if FileStats.mightMatch(z, p) => rel
-                }.toSeq.sorted
-                if (admit.isEmpty) None
-                else Some(frameFor(schema, table, m, fe,
-                  fileSubset = Some(admit.map(r =>
-                    new Path(dirPath(schema, table, fe.dir), r).toString)),
-                  withMeta = true))
-              case _ =>
-                Some(frameFor(schema, table, m, fe, withMeta = true))
-            }
-          }
-          frames.reduceOption(_ unionByName _)
-        }
-      val baseVictims = baseScan.map { b0 =>
-        val touchedCols = pk.map(col) ++
-          sequenceField(m).map(col).toSeq ++ Seq(col(DvFileCol), col(DvPosCol))
-        val touched = b0.select(touchedCols: _*)
-          .join(dvFrame(schema, table, dvEs),
-            Seq(DvFileCol, DvPosCol), "left_anti") // already-dead rows don't re-count
-          .join(deltaKeys, pk, "left_semi")
-        sequenceField(m) match {
-          case None => touched.select(col(DvFileCol), col(DvPosCol))
-          case Some(sf) =>
-            // sequence arbitration: the delta top beats the base iff its
-            // (sequence, ordinal) is higher — ties go to the delta (its
-            // ordinal is higher), a null sequence loses to any non-null.
-            // Base wins → the DELTA TOP's bytes are the victims instead.
-            val deltaTop = ranked.filter(col("__rn") === 1)
-            val bk = touched.select((pk.map(col) :+ col(sf).as("__bseq") :+
-              col(DvFileCol).as("__bfile") :+ col(DvPosCol).as("__bpos")): _*)
-            val arbit = deltaTop.join(bk, pk, "left")
-            val deltaWins = col("__bseq").isNull ||
-              (col(sf).isNotNull && col(sf) >= col("__bseq"))
-            arbit.filter(deltaWins && col("__bfile").isNotNull)
-              .select(col("__bfile").as(DvFileCol), col("__bpos").as(DvPosCol))
-              .unionByName(
-                arbit.filter(!deltaWins && col(DvFileCol).isNotNull)
-                  .select(col(DvFileCol), col(DvPosCol)))
-        }
-      }
-      baseVictims.map(inDelta.unionByName(_)).getOrElse(inDelta)
-    } else {
-      val dataAll = dataEs.map(frameFor(schema, table, m, _,
-          withMeta = true, withBucket = bucketed)).reduce(_ unionByName _)
-      // victims are found over the DV-APPLIED image: an already-dead row
-      // must not be counted twice (same contract as deleteWhereDv)
-      val dataLive = if (dvEs.isEmpty) dataAll
-        else dataAll.join(dvFrame(schema, table, dvEs),
-          Seq(DvFileCol, DvPosCol), "left_anti")
-      val all = tombstoneFrame(delEs).map(d => dataLive.unionByName(
-        d.select(dataLive.columns.map(col): _*))).getOrElse(dataLive)
-      // every data row that is not its key's live winner is a victim —
-      // including all versions of a key whose winner is a tombstone
-      all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") > 1 && col(DvFileCol).isNotNull)
-        .select(col(DvFileCol), col(DvPosCol))
-    }
-    val victims = victimsUnpersisted
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val perFile = victims.groupBy(DvFileCol)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
-      if (perFile.isEmpty && delEs.isEmpty) return latest.get("id").asLong()
-      val files = perFile.map(_.getString(0)).toSeq.sorted
-      val rows = perFile.map(_.getLong(1)).sum
-      commit(schema, table,
-        victims.sortWithinPartitions(DvFileCol, DvPosCol),
-        keepExisting = true, kind = "dv",
-        compaction = true, // bytes re-indexed, no logical change: changelog skips it
-        dvIndexEntry = Some((files, rows)),
-        replacedDirs = delEs.map(_.dir).toSet,
-        // victims are (file, pos) pairs derived from THIS head — abort
-        // if a concurrent commit moved it (same contract as deleteWhereDv)
-        basisVersion = Some(
-          if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L))
-    } finally { victims.unpersist(); () }
-  }
 
   /**
    * Union the mapped frames and resolve merge-on-read state per the
@@ -4547,7 +2469,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
    * engines — partial map-side combine, no sort; window for the
    * ordinal-wise ones).
    */
-  private def resolveFrames(schema: String, table: String, m: ObjectNode,
+  private[sources] def resolveFrames(schema: String, table: String, m: ObjectNode,
       entries: Seq[FileEntry]): Option[DataFrame] = {
     if (entries.isEmpty) return None
     // PK tables carrying deletion vectors (built at compaction) read
@@ -4593,7 +2515,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * table's merge engine — the ad-hoc analog of [[resolveFrames]] for
     * frames that are not snapshot entries (the write-time lookup
     * producer's image ∪ patch fold). Tombstone-free input only. */
-  private def resolveVersions(m: ObjectNode, all: DataFrame): DataFrame = {
+  private[sources] def resolveVersions(m: ObjectNode, all: DataFrame): DataFrame = {
     val pk = primaryKey(m)
     val names = currentFields(m).map(_.name)
     mergeEngine(m) match {
@@ -4777,7 +2699,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   /** Ops whose semantics assume latest-version-wins (tombstones,
     * changelogs, in-range merges) are deduplicate-only — same restriction
     * Paimon places on the field-wise merge engines. */
-  private def requireDeduplicate(m: ObjectNode, table: String, op: String): Unit =
+  private[sources] def requireDeduplicate(m: ObjectNode, table: String, op: String): Unit =
     require(mergeEngine(m) == "deduplicate",
       s"$op on $table requires merge-engine=deduplicate, " +
         s"table uses ${mergeEngine(m)}")
@@ -4787,7 +2709,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * ONE ordinal, which that resolution would tie arbitrarily — refuse
     * at definition time (consuming a changelog INTO a cross-partition
     * table via applyChangelog remains supported). */
-  private def refuseCrossPartition(m: ObjectNode, table: String, op: String): Unit =
+  private[sources] def refuseCrossPartition(m: ObjectNode, table: String, op: String): Unit =
     require(!crossPartition(m),
       s"$op on $table is not supported for cross-partition upsert tables " +
         "(partition not in primary key): a move's tombstone and new image " +
@@ -4809,7 +2731,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
    * (a 100 TB table with 4096 buckets merges ~25 GB per task of raw
    * input, and only live key versions are retained in the map).
    */
-  private def bucketedResolve(schema: String, table: String, m: ObjectNode,
+  private[sources] def bucketedResolve(schema: String, table: String, m: ObjectNode,
       entries: Seq[FileEntry], n: Int,
       onlyBuckets: Option[Seq[Int]] = None): Option[DataFrame] = {
     val curFields = currentFields(m)
@@ -4957,7 +2879,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   def bucketCountOf(schema: String, table: String): Option[Int] =
     bucketCount(readManifest(schema, table))
 
-  private def bucketCount(m: ObjectNode): Option[Int] = {
+  private[sources] def bucketCount(m: ObjectNode): Option[Int] = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("bucket")) Some(opts.get("bucket").asText().toInt)
     else None
@@ -4968,7 +2890,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   def mergeEngineOf(schema: String, table: String): String =
     mergeEngine(readManifest(schema, table))
 
-  private def mergeEngine(m: ObjectNode): String = {
+  private[sources] def mergeEngine(m: ObjectNode): String = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("merge-engine")) opts.get("merge-engine").asText()
     else "deduplicate"
@@ -4989,10 +2911,10 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * (the short name fails lookup with the "external module" hint), so
     * data I/O addresses its FileFormat class directly; file extensions
     * (globs, listings) still use the short name. */
-  private def providerFor(fmt: String): String =
+  private[sources] def providerFor(fmt: String): String =
     if (fmt == "avro") "org.apache.spark.sql.avro.AvroFileFormat" else fmt
 
-  private def fileFormat(m: ObjectNode): String = {
+  private[sources] def fileFormat(m: ObjectNode): String = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("file.format")) opts.get("file.format").asText()
     else "parquet"
@@ -5005,7 +2927,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     else None
   }
 
-  private def sequenceField(m: ObjectNode): Option[String] = {
+  private[sources] def sequenceField(m: ObjectNode): Option[String] = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("sequence.field"))
       Some(opts.get("sequence.field").asText())
@@ -5031,7 +2953,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   /** Newest-version-first window ordering for per-key resolution: the
     * sequence field (when declared) beats the commit ordinal; NULL
     * sequence sorts smallest, so `desc_nulls_last`. */
-  private def newestFirst(m: ObjectNode): Seq[org.apache.spark.sql.Column] =
+  private[sources] def newestFirst(m: ObjectNode): Seq[org.apache.spark.sql.Column] =
     sequenceField(m).map(f => col(f).desc_nulls_last).toSeq :+ col("__ord").desc
 
   /** Per-field aggregate function of the `aggregation` merge engine
@@ -5062,7 +2984,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
 
   /** The bucket a primary-key tuple hashes to — the same expression on
     * the write path (commit) and any read-side pruning. */
-  private def bucketExpr(pk: Seq[String], n: Int): org.apache.spark.sql.Column =
+  private[sources] def bucketExpr(pk: Seq[String], n: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(pk.map(col): _*), lit(n.toLong)).cast("int")
 
   /** The bucket a concrete primary-key tuple lands in — evaluated with
@@ -5085,458 +3007,6 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     row.select(bucketExpr(pk, n).as("b")).head().getInt(0)
   }
 
-  // ---- dynamic bucket (Paimon's bucket = -1) -----------------------------
-
-  /** Keys-per-bucket target of a dynamic-bucket table (Paimon's
-    * `dynamic-bucket.target-row-num`, same default). */
-  private def dynamicTargetRows(m: ObjectNode): Long = {
-    val opts = m.get("options").asInstanceOf[ObjectNode]
-    if (opts != null && opts.has("dynamic-bucket.target-row-num"))
-      opts.get("dynamic-bucket.target-row-num").asText().toLong
-    else 2000000L
-  }
-
-  private def dynIdxSchema = StructType(Seq(
-    StructField("__kh", org.apache.spark.sql.types.LongType),
-    StructField("__b", org.apache.spark.sql.types.IntegerType)))
-
-  /** Cross-partition upsert mode (Paimon's partitioned PK table whose
-    * primary key does NOT contain the partition columns — legal only
-    * under dynamic bucket): the index tracks each key's current
-    * partition and upserts may MOVE a key, tombstoning its old
-    * residence. */
-  private def crossPartition(m: ObjectNode): Boolean = {
-    val parts = partitionColumns(m)
-    val pk = primaryKey(m)
-    parts.nonEmpty && pk.nonEmpty && !parts.forall(pk.contains)
-  }
-
-  /** Index storage columns for a cross-partition table's partition
-    * values: POSITIONAL names (`__p0`, `__p1`, …) so a partition-column
-    * rename never strands old `.dbidx` files (the partitions list keeps
-    * its order across renames). */
-  private def dynIdxPartFields(m: ObjectNode): Seq[StructField] = {
-    val byName = currentFields(m).map(f => f.name -> f).toMap
-    partitionColumns(m).zipWithIndex.map { case (c, i) =>
-      StructField(s"__p$i", TypeMapping.toSparkType(byName(c).trinoType))
-    }
-  }
-
-  private def dynIdxSchemaFor(m: ObjectNode): StructType =
-    if (!crossPartition(m)) dynIdxSchema
-    else StructType(dynIdxSchema.fields ++ dynIdxPartFields(m))
-
-  /**
-   * The persisted key→bucket hash index of a dynamic-bucket table
-   * (Paimon's dynamic-bucket hash index files): a DataFrame of
-   * `(__kh = xxhash64(primary key), __b = bucket)`, the union of the
-   * immutable per-commit `.dbidx` parquet deltas inside every data dir
-   * the CURRENT snapshot references and the manifest flags. Deltas are
-   * key-disjoint by construction — a commit records only the keys it
-   * newly assigned; compaction re-records the live fold in its own dir,
-   * so expired pre-compact dirs take their deltas with them safely.
-   * O(keys) bytes read DISTRIBUTED, never collected to the driver.
-   */
-  private def readDynamicIndex(schema: String, table: String,
-      m: ObjectNode): DataFrame = {
-    val dirs: Seq[String] =
-      if (!m.has("dynIdx")) Seq.empty
-      else {
-        val dn = m.get("dynIdx").asInstanceOf[ObjectNode]
-        val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-        if (snaps.size() == 0) Seq.empty
-        else filesOf(snaps.get(snaps.size() - 1))
-          .filter(fe => (fe.kind == "data" || fe.kind == "idx") &&
-            dn.has(fe.dir)).map(_.dir)
-      }
-    val idxSchema = dynIdxSchemaFor(m)
-    if (dirs.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        if (!crossPartition(m)) idxSchema
-        else StructType(idxSchema.fields :+
-          StructField("__io", org.apache.spark.sql.types.LongType)))
-    else {
-      val raw = spark.read.schema(idxSchema).parquet(
-        dirs.map(d => new Path(dirPath(schema, table, d),
-          DynIdxDir).toString): _*)
-      if (!crossPartition(m)) raw
-      else
-        // Cross-partition deltas are NOT key-disjoint: a move RE-RECORDS
-        // its key with the new partition, superseding the older entry.
-        // Stamp each row with its dir ordinal (from the immutable
-        // `snap-<id>` path segment) so callers resolve latest-wins; the
-        // plain-bucket contract (disjoint deltas) stays stamp-free.
-        raw.withColumn("__io",
-          org.apache.spark.sql.functions.regexp_extract(
-            col("_metadata.file_path"), "/snap-(\\d+)", 1).cast("long"))
-    }
-  }
-
-  /** Number of `.dbidx` delta dirs the CURRENT snapshot's index reads
-    * union — the fragmentation metric the index-only fold triggers on. */
-  def dynIdxDeltaCount(schema: String, table: String): Int = {
-    val m = readManifest(schema, table)
-    if (!m.has("dynIdx")) return 0
-    val dn = m.get("dynIdx").asInstanceOf[ObjectNode]
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) 0
-    else filesOf(snaps.get(snaps.size() - 1)).count(fe => dn.has(fe.dir))
-  }
-
-  /**
-   * Index-only fold for dynamic-bucket tables — the minor-compaction
-   * analog for the key→bucket hash index. Streaming ingest lands one
-   * immutable `.dbidx` delta per commit, so routing reads fragment to
-   * O(commits) files between full compactions; this folds the CURRENT
-   * live assignment set into a single consolidated delta carried by an
-   * index-only snapshot dir (kind "idx") and rebuilds the manifest flag
-   * to it alone. O(live keys) read+write, ZERO data bytes rewritten;
-   * superseded index-only dirs leave the file list and reclaim on
-   * expiration. Auto-triggered after data commits once
-   * `dynamic-bucket.index-fold.deltas` (default 32; 0 disables) deltas
-   * accumulate. Cross-partition tables fold latest-wins (the new dir's
-   * ordinal supersedes every prior record). Derived-content commit: a
-   * concurrent write aborts it loudly rather than losing assignments.
-   * Returns the fold snapshot id, or -1 when there is nothing to fold.
-   */
-  def foldDynamicBucketIndex(schema: String, table: String): Long = {
-    val m = readManifest(schema, table)
-    require(bucketCount(m).contains(-1),
-      s"$schema.$table is not a dynamic-bucket table")
-    if (dynIdxDeltaCount(schema, table) <= 1) return -1L
-    val idx = readDynamicIndex(schema, table, m)
-    val folded =
-      if (!crossPartition(m)) idx // key-disjoint: the fold IS the union
-      else dynIdxLatest(m, idx) // resolve moves; new ordinal re-stamps
-    val keys = folded.count()
-    if (keys == 0) return -1L
-    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      currentSchema(schema, table))
-    commit(schema, table, empty, keepExisting = true, kind = "idx",
-      compaction = true, basisVersion = Some(basis),
-      dynIdxFold = Some((folded, keys)))
-  }
-
-  /** Latest index record per key of a cross-partition table — apply
-    * AFTER any batch-key semi join so a micro-batch never shuffles the
-    * whole index through the latest-wins aggregate. */
-  private def dynIdxLatest(m: ObjectNode, idx: DataFrame): DataFrame = {
-    val partIdx = dynIdxPartFields(m).map(_.name)
-    val payload = org.apache.spark.sql.functions.struct(
-      (col("__io") +: col("__b") +: partIdx.map(col)): _*)
-    idx.groupBy("__kh")
-      .agg(org.apache.spark.sql.functions.max(payload).as("__best"))
-      .select(col("__kh") +: col("__best.__b").as("__b") +:
-        partIdx.map(p => col(s"__best.$p").as(p)): _*)
-  }
-
-  /**
-   * Route a dynamic-bucket commit through the hash index — Paimon's
-   * dynamic-bucket assigner, expressed as joins: existing keys go to
-   * their recorded bucket; NEW keys (data commits only) fill the
-   * lowest-numbered buckets with free capacity up to
-   * `dynamic-bucket.target-row-num` assigned keys each, then open fresh
-   * buckets. Tombstones for never-assigned keys are no-ops and drop.
-   *
-   * Scale shape: the batch key set is SIZE-ADAPTIVE — a micro-batch's
-   * keys broadcast against the distributed index scan (the index never
-   * shuffles), while a bulk backfill / compaction fold (whose "batch"
-   * keys are table-sized) falls back to a shuffle join instead of
-   * broadcasting a table-sized key set. Per-bucket assigned-key counts
-   * collect O(buckets) rows to the driver; new-key ranking is a
-   * DISTRIBUTED two-phase global rank (range-shuffle on key hash,
-   * per-partition local ranks + O(partitions) collected offsets) — no
-   * single-partition window, which beats Paimon's single assigner
-   * operator on huge backfills. The batch-key-sized assignment table is
-   * local-checkpointed eagerly so no index-lineage cache leaks past the
-   * commit.
-   *
-   * `fold` (compaction): the returned delta is the full LIVE assignment
-   * set — the compacted dir becomes the index's sole basis and dead
-   * keys' slots are reclaimed. `reset` (overwrite): the previous index
-   * is ignored and every key assigns fresh from bucket 0.
-   *
-   * Returns (routed main frame, routed delete frame, index delta with
-   * its key count — None when the commit assigns nothing new).
-   */
-  private def dynamicRoute(schema: String, table: String, m: ObjectNode,
-      df: DataFrame, deleteDf: Option[DataFrame], kind: String,
-      fold: Boolean, reset: Boolean):
-      (DataFrame, Option[DataFrame], Option[(DataFrame, Long)]) = {
-    val pk = primaryKey(m)
-    val hash = xxhash64(pk.map(col): _*)
-    val crossPart = crossPartition(m)
-    val partCols = partitionColumns(m)
-    val index = (if (reset)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          if (!crossPart) dynIdxSchema
-          else StructType(dynIdxSchemaFor(m).fields :+
-            StructField("__io", org.apache.spark.sql.types.LongType)))
-      else readDynamicIndex(schema, table, m)).persist()
-    val allKeys = (Seq(df) ++ deleteDf.toSeq)
-      .map(_.select(hash.as("__kh"))).reduce(_ unionByName _)
-      .distinct().persist()
-    // Size-adaptive join strategy: only hint broadcast when the batch's
-    // key set is executor-memory-safe; above the cap (a backfill or a
-    // compaction fold routing the whole table) the joins shuffle — the
-    // one extra job here is a delta-sized distinct count.
-    val nKeys = allKeys.count()
-    val smallBatch = nKeys <= spark.conf
-      .getOption("graft.dynamic-bucket.broadcast-keys")
-      .map(_.toLong).getOrElse(DynBroadcastKeys)
-    def sized(d: DataFrame): DataFrame =
-      if (smallBatch) org.apache.spark.sql.functions.broadcast(d) else d
-    // Cross-partition tables: the batch-keyed index subset, resolved
-    // latest-wins to each key's CURRENT (bucket, partition) — the
-    // latest-wins aggregate runs on the batch-sized subset, never the
-    // whole index (a micro-batch stays broadcast-cheap). `__p<i>` carry
-    // the recorded partition values for move detection and tombstone
-    // synthesis below.
-    val knownLoc: Option[DataFrame] =
-      if (!crossPart) None
-      else Some(dynIdxLatest(m, index.join(sized(allKeys), Seq("__kh")))
-        .persist())
-    val known = knownLoc.map(_.select("__kh", "__b"))
-      .getOrElse(index.join(sized(allKeys), Seq("__kh")))
-    val (assignment, newAssigned, nNew) =
-      if (kind != "data") (known, None, 0L)
-      else {
-        val newKeys = df.select(hash.as("__kh")).distinct()
-          .join(index, Seq("__kh"), "left_anti")
-        val n = newKeys.count()
-        if (n == 0) (known, None, 0L)
-        else {
-          val target = dynamicTargetRows(m)
-          // O(buckets) rows — the table-layout metadata scale, same
-          // class as a partition census. Cross-partition deltas may
-          // RE-RECORD a key on a move (same bucket, new partition), so
-          // count distinct keys per bucket there; plain deltas are
-          // key-disjoint and count raw.
-          val countsBase = if (crossPart)
-            index.select("__kh", "__b").distinct() else index
-          val counts = countsBase.groupBy("__b")
-            .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-          val maxB = counts.keys.maxOption.getOrElse(-1)
-          val slots = mutable.ArrayBuffer[(Int, Long, Long)]()
-          var need = n
-          var lo = 1L
-          var b = 0
-          while (need > 0) {
-            val free = if (b > maxB) target
-              else math.max(0L, target - counts.getOrElse(b, 0L))
-            if (free > 0) {
-              val take = math.min(free, need)
-              slots += ((b, lo, lo + take - 1)); lo += take; need -= take
-            }
-            b += 1
-          }
-          val slotsDf = spark.createDataFrame(slots.toSeq)
-            .toDF("__b", "__lo", "__hi")
-          // New-key GLOBAL rank, size-adaptive like the join strategy
-          // above. Micro-batches (the broadcast-safe size class) rank in
-          // ONE single-partition window — batch-bound by the same
-          // contract that lets them broadcast, and three Spark jobs
-          // cheaper. Backfills rank in TWO distributed phases: range-
-          // shuffle on __kh (RangePartitioner gives ascending partitions
-          // ascending ids), rank locally WITHIN each partition, then add
-          // the exclusive prefix sum of earlier partitions' counts —
-          // collected O(shuffle-partitions) rows, never the keys. Both
-          // equal rank-by-__kh exactly (hashes are distinct and totally
-          // ordered; DynamicBucketSpec asserts route parity), so
-          // assignment stays deterministic — and no single-partition
-          // window bottlenecks a billion-new-key backfill.
-          var rankCache: Option[DataFrame] = None
-          val ranked =
-            if (smallBatch)
-              newKeys.withColumn("__rank", row_number().over(
-                org.apache.spark.sql.expressions.Window.orderBy("__kh"))
-                .cast("long"))
-            else {
-              val ranked0 = newKeys.repartitionByRange(col("__kh"))
-                .withColumn("__pid", org.apache.spark.sql.functions
-                  .spark_partition_id())
-                .withColumn("__lr", row_number().over(
-                  org.apache.spark.sql.expressions.Window
-                    .partitionBy("__pid").orderBy("__kh")))
-                .persist()
-              rankCache = Some(ranked0)
-              val pidCounts = ranked0.groupBy("__pid")
-                .agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
-                .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-              val offsets = pidCounts.keys.toSeq.sorted.foldLeft(
-                (Map.empty[Int, Long], 0L)) { case ((acc, run), pid) =>
-                (acc + (pid -> run), run + pidCounts(pid))
-              }._1
-              val offDf = spark.createDataFrame(offsets.toSeq)
-                .toDF("__pid", "__off")
-              ranked0
-                .join(org.apache.spark.sql.functions.broadcast(offDf),
-                  Seq("__pid"))
-                .withColumn("__rank", col("__off") + col("__lr"))
-            }
-          // eager local checkpoint: batch-key-sized; materialized HERE so
-          // the delta never recomputes through the index lineage after
-          // the cache below is released
-          val assigned = ranked
-            .join(org.apache.spark.sql.functions.broadcast(slotsDf),
-              col("__rank") >= col("__lo") && col("__rank") <= col("__hi"))
-            .select(col("__kh"), col("__b"))
-            .localCheckpoint(true)
-          rankCache.foreach(_.unpersist())
-          (known.unionByName(assigned), Some(assigned), n)
-        }
-      }
-    // eager local checkpoint: batch-key-sized (two longs per key); all
-    // index reads complete here so its cache releases deterministically
-    val asg = assignment.localCheckpoint(true)
-    val newAsg = newAssigned
-    def route(frame: DataFrame): DataFrame = {
-      val cols = frame.columns
-      // |asg| <= |allKeys| — the same size class, so reuse the decision
-      frame.withColumn("__kh", hash)
-        .join(sized(asg), Seq("__kh"))
-        .select((cols.map(col) :+ col("__b").as(BucketCol)): _*)
-    }
-    if (!crossPart) {
-      index.unpersist()
-      allKeys.unpersist()
-      val delta: Option[(DataFrame, Long)] =
-        if (kind != "data") None
-        else if (fold || reset) {
-          val liveKeys = asg.count()
-          if (liveKeys == 0) None else Some((asg, liveKeys))
-        }
-        else newAsg.filter(_ => nNew > 0).map(a => (a, nNew))
-      return (route(df), deleteDf.map(route), delta)
-    }
-    // ---- cross-partition upsert (partition not in primary key) ----------
-    // Every tombstone must land in the key's RECORDED partition: user
-    // deletes resolve their residence from the index, and a data row
-    // whose partition differs from the recorded one is a MOVE — the new
-    // image lands in its own partition while a synthesized tombstone
-    // kills the old residence in the SAME atomic snapshot (Paimon's
-    // cross-partition update). All joins here are batch-keyed against
-    // the already-resolved `knownLoc` subset, so a micro-batch stays
-    // broadcast-cheap; every produced frame is delta-sized and eagerly
-    // local-checkpointed so no index lineage survives the commit.
-    val loc = knownLoc.get
-    val oldPartCols = partCols.zipWithIndex.map { case (c, i) =>
-      col(s"__p$i").as(c) }
-    val userDel: Option[DataFrame] = deleteDf.map { d =>
-      d.select(pk.map(col): _*).withColumn("__kh", hash)
-        .join(sized(loc), Seq("__kh"))
-        .select(pk.map(col) ++ oldPartCols: _*).localCheckpoint(true)
-    }
-    // Move detection only on incremental data commits: a compaction fold
-    // routes the resolved image (residences already current) and a reset
-    // starts from an empty index — neither can move a key.
-    val (movesTomb, movedKeys): (Option[DataFrame], Option[DataFrame]) =
-      if (kind != "data" || fold || reset) (None, None)
-      else {
-        val movedPred = partCols.zipWithIndex.map { case (c, i) =>
-          !(col(c) <=> col(s"__p$i")) }.reduce(_ || _)
-        val moved = df.withColumn("__kh", hash)
-          .join(sized(loc), Seq("__kh")).filter(movedPred)
-          .select((col("__kh") +: pk.map(col)) ++ oldPartCols: _*)
-          .localCheckpoint(true)
-        if (moved.isEmpty) (None, None)
-        else (Some(moved.drop("__kh")), Some(moved.select("__kh")))
-      }
-    // Index delta: new keys AND moved keys re-record (kh, bucket, new
-    // partition); a fold/reset records the full live set. Later records
-    // supersede older ones via the read-side `__io` latest-wins.
-    val delta: Option[(DataFrame, Long)] =
-      if (kind != "data") None
-      else {
-        val dfLoc = df.select((hash.as("__kh") +: partCols.map(col)): _*)
-        val recordKeys: DataFrame =
-          if (fold || reset) asg
-          else {
-            val nk = newAsg.getOrElse(spark.createDataFrame(
-              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              dynIdxSchema))
-            // disjoint by construction: moved keys are known, new aren't
-            movedKeys.map(mk => nk.unionByName(mk.join(asg, Seq("__kh"))))
-              .getOrElse(nk)
-          }
-        val deltaDf = recordKeys.join(dfLoc, Seq("__kh"))
-          .select(col("__kh") +: col("__b") +:
-            partCols.zipWithIndex.map { case (c, i) => col(c).as(s"__p$i") }: _*)
-          .localCheckpoint(true)
-        val nRec = deltaDf.count()
-        if (nRec == 0) None else Some((deltaDf, nRec))
-      }
-    val routedDel: Option[DataFrame] = (userDel, movesTomb) match {
-      case (Some(u), Some(mv)) => Some(u.unionByName(mv))
-      case (a, b) => a.orElse(b)
-    }
-    index.unpersist()
-    allKeys.unpersist()
-    loc.unpersist()
-    (route(df), routedDel.map(route), delta)
-  }
-
-  /**
-   * The bucket the index assigns to a concrete primary-key tuple of a
-   * DYNAMIC-bucket table — the point-lookup router (the dynamic analog
-   * of [[bucketFor]]'s modular hash). None = the key was never assigned,
-   * i.e. the table has no such key. One index read with `__kh = v`
-   * pushed into the parquet scan (deltas are hash-sorted, so row-group
-   * stats skip non-matching files).
-   */
-  def dynamicBucketFor(schema: String, table: String,
-      values: Seq[Any]): Option[Int] = {
-    val m = readManifest(schema, table)
-    require(bucketCount(m).contains(-1),
-      s"$schema.$table is not a dynamic-bucket table")
-    val pk = primaryKey(m)
-    require(values.length == pk.length, s"expected ${pk.length} pk values")
-    val cur = currentFields(m).map(f => f.name -> f.trinoType).toMap
-    val row = spark.range(1).select(pk.zip(values).map { case (c, v) =>
-      lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
-    }: _*)
-    val kh = row.select(xxhash64(pk.map(col): _*).as("h")).head().getLong(0)
-    val hits = readDynamicIndex(schema, table, m).filter(col("__kh") === kh)
-    if (!crossPartition(m))
-      hits.select("__b").collect().headOption.map(_.getInt(0))
-    else
-      // superseded move records share the key — latest dir ordinal wins
-      hits.orderBy(col("__io").desc).select("__b").collect()
-        .headOption.map(_.getInt(0))
-  }
-
-  /**
-   * A cross-partition key's CURRENT residence: (partition values in
-   * declared order, bucket) — the point-lookup against the global index
-   * (`__kh = v` pushes into the hash-sorted parquet deltas; the newest
-   * record wins, so a moved key reports its new partition). None = the
-   * key was never assigned.
-   */
-  def dynamicLocationFor(schema: String, table: String,
-      values: Seq[Any]): Option[(Seq[Any], Int)] = {
-    val m = readManifest(schema, table)
-    require(crossPartition(m),
-      s"$schema.$table is not a cross-partition upsert table — " +
-        "use dynamicBucketFor / bucketFor")
-    val pk = primaryKey(m)
-    require(values.length == pk.length, s"expected ${pk.length} pk values")
-    val cur = currentFields(m).map(f => f.name -> f.trinoType).toMap
-    val row = spark.range(1).select(pk.zip(values).map { case (c, v) =>
-      lit(v).cast(TypeMapping.toSparkType(cur(c))).as(c)
-    }: _*)
-    val kh = row.select(xxhash64(pk.map(col): _*).as("h")).head().getLong(0)
-    val nParts = partitionColumns(m).length
-    readDynamicIndex(schema, table, m).filter(col("__kh") === kh)
-      .orderBy(col("__io").desc).collect().headOption.map { r =>
-        ((0 until nParts).map(i => r.get(r.fieldIndex(s"__p$i"))),
-          r.getInt(r.fieldIndex("__b")))
-      }
-  }
 
   /**
    * Read ONE bucket of a bucketed PK table, merge-on-read resolved — the
@@ -5842,53 +3312,6 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     commit(schema, table, keys, keepExisting = true, kind = "delete")
   }
 
-  /**
-   * Deletion-vector DELETE on an append-only table (Paimon's
-   * `deletion-vectors.enabled`, scoped here to append-only tables):
-   * matching rows are recorded as (file, position) pairs in a DV dir —
-   * data files are NEVER rewritten, so deleting 0.1% of a 100 TB table
-   * costs one predicate scan plus a position write, not a copy-on-write
-   * of every touched file. Reads split clean from dirty files via the
-   * manifest's dvIndex (see [[appendUnion]]); [[compact]] and
-   * [[sortCompact]] materialize the deletions and retire the DVs.
-   * Returns the new snapshot id (or the current one if nothing matched
-   * — no empty snapshots).
-   */
-  private def deleteWhereDv(schema: String, table: String, m: ObjectNode,
-      condition: org.apache.spark.sql.Column): Long = {
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return 0L
-    val latest = snaps.get(snaps.size() - 1)
-    val (dvEs, dataEs) = filesOf(latest).partition(_.kind == "dv")
-    if (dataEs.isEmpty) return latest.get("id").asLong()
-    val withMeta = dataEs.map(frameFor(schema, table, m, _, withMeta = true))
-      .reduce(_ unionByName _)
-    // evaluate the predicate over the DV-APPLIED image: an already-deleted
-    // row must be invisible, or positions would double-count
-    val live = if (dvEs.isEmpty) withMeta
-      else withMeta.join(dvFrame(schema, table, dvEs),
-        Seq(DvFileCol, DvPosCol), "left_anti")
-    val victims = live.filter(condition).select(col(DvFileCol), col(DvPosCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // one small job gives the affected-file index AND the exact count;
-      // row count is bounded by deleted positions, file count by the table
-      val perFile = victims.groupBy(DvFileCol)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
-      if (perFile.isEmpty) return latest.get("id").asLong()
-      val files = perFile.map(_.getString(0)).toSeq.sorted
-      val rows = perFile.map(_.getLong(1)).sum
-      dvVictimsTestHook()
-      commit(schema, table,
-        victims.sortWithinPartitions(DvFileCol, DvPosCol),
-        keepExisting = true, kind = "dv", dvIndexEntry = Some((files, rows)),
-        // victims are (file, pos) pairs derived from THIS manifest's file
-        // set — a concurrent compact/overwrite would retire those files,
-        // so the commit must abort if the head moved (see commit()).
-        basisVersion = Some(
-          if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L))
-    } finally { victims.unpersist(); () }
-  }
 
   /**
    * Row-level UPDATE on a primary-key table: reads the current image of
@@ -5921,833 +3344,6 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     upsert(schema, table, updated)
   }
 
-  /**
-   * Row-level UPDATE on an append-only deletion-vector table: the matched
-   * rows' (file, position) pairs land in a DV dir and their updated
-   * images in a data dir, paired under ONE snapshot ordinal — retraction
-   * and replacement become visible atomically, data files are never
-   * rewritten (updating 0.1% of a 100 TB table costs one predicate scan
-   * plus the new rows, not a copy-on-write of every touched file — the
-   * same economics as [[deleteWhereDv]]). The changelog reads the pair
-   * as `-D` old image / `+I` new image, so CDC consumers converge; the
-   * victims carry the basis manifest version, so a concurrent
-   * compact/overwrite aborts the update instead of landing positions
-   * into retired files.
-   */
-  private def updateWhereDv(schema: String, table: String,
-      condition: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
-    val m = readManifest(schema, table)
-    val cur = currentSchema(schema, table)
-    assignments.keys.foreach { c =>
-      require(cur.fieldNames.contains(c), s"unknown column $c")
-    }
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    if (snaps.size() == 0) return 0L
-    val latest = snaps.get(snaps.size() - 1)
-    val (dvEs, dataEs) = filesOf(latest).partition(_.kind == "dv")
-    if (dataEs.isEmpty) return latest.get("id").asLong()
-    val withMeta = dataEs.map(frameFor(schema, table, m, _, withMeta = true))
-      .reduce(_ unionByName _)
-    // evaluate over the DV-APPLIED image: an already-retracted row must
-    // be invisible, or its position would be deleted twice
-    val live = if (dvEs.isEmpty) withMeta
-      else withMeta.join(dvFrame(schema, table, dvEs),
-        Seq(DvFileCol, DvPosCol), "left_anti")
-    val matched = live.filter(condition)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val perFile = matched.groupBy(DvFileCol)
-        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
-      if (perFile.isEmpty) return latest.get("id").asLong()
-      val files = perFile.map(_.getString(0)).toSeq.sorted
-      val rows = perFile.map(_.getLong(1)).sum
-      // ONE select evaluating every assignment against the OLD row (SQL
-      // UPDATE semantics, same contract as the PK path above)
-      val updated = matched.select(cur.fieldNames.toSeq.map(c =>
-        assignments.get(c).map(_.as(c)).getOrElse(col(c))): _*)
-      dvVictimsTestHook()
-      commit(schema, table, updated, keepExisting = true, kind = "data",
-        dvDf = Some(matched.select(col(DvFileCol), col(DvPosCol))
-          .sortWithinPartitions(DvFileCol, DvPosCol)),
-        dvIndexEntry = Some((files, rows)),
-        basisVersion = Some(
-          if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L))
-    } finally { matched.unpersist(); () }
-  }
-
-  /**
-   * Incremental read: the rows added between `fromSnapshotId` (exclusive)
-   * and `toSnapshotId` (inclusive) — Paimon's `incremental-between` scan,
-   * the thing a downstream consumer uses to process only the delta instead
-   * of rescanning 100 TB. Only the delta files are opened, so cost is
-   * O(new data). For PK tables the delta is resolved merge-on-read within
-   * the range (latest version per key; keys whose latest change in range
-   * is a delete are omitted).
-   */
-  def readIncremental(schema: String, table: String, fromSnapshotId: Long,
-      toSnapshotId: Long): DataFrame = {
-    require(fromSnapshotId <= toSnapshotId,
-      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
-    val m = readManifest(schema, table)
-    if (primaryKey(m).nonEmpty)
-      requireDeduplicate(m, s"$schema.$table", "readIncremental")
-    refuseCrossPartition(m, s"$schema.$table", "readIncremental")
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val all = (0 until snaps.size()).map(snaps.get)
-    def entriesAt(id: Long): Seq[FileEntry] =
-      if (id == 0) Seq.empty
-      else {
-        val s = all.find(_.get("id").asLong() == id)
-        require(s.isDefined, s"no snapshot $id for $schema.$table")
-        filesOf(s.get)
-      }
-    val before = entriesAt(fromSnapshotId).map(_.dir).toSet
-    val delta = entriesAt(toSnapshotId).filterNot(fe => before.contains(fe.dir))
-    // a DV commit in range REMOVES rows — an additive incremental read
-    // cannot express that (no row-kinded retraction here)
-    require(delta.forall(_.kind != "dv"),
-      s"readIncremental on $schema.$table crosses a deletion-vector " +
-        "commit — deletions have no additive delta; compact() first or " +
-        "use a primary-key table for CDC")
-    resolveFrames(schema, table, m, delta).getOrElse(emptyFrame(m))
-  }
-
-  /**
-   * Incremental read between two TIMESTAMPS (Paimon's
-   * `incremental-between-timestamp` CoreOption, the wall-clock twin of
-   * [[readIncremental]]'s snapshot-id form): the delta between the last
-   * snapshot committed at/before `fromMillis` and the last committed
-   * at/before `toMillis`. Resolution is two scans of the snapshot log's
-   * (id, timestampMillis) pairs — one manifest read, no file I/O — then
-   * the ordinary O(delta) incremental read. A `fromMillis` predating
-   * every commit reads from the beginning; a `toMillis` past the head
-   * reads up to it.
-   */
-  def readIncrementalBetweenTimestamps(schema: String, table: String,
-      fromMillis: Long, toMillis: Long): DataFrame = {
-    require(fromMillis <= toMillis,
-      s"fromMillis $fromMillis > toMillis $toMillis")
-    val snaps = snapshots(schema, table)
-    def lastAtOrBefore(ts: Long): Long =
-      snaps.takeWhile(_.timestampMillis <= ts).lastOption.map(_.id).getOrElse(0L)
-    readIncremental(schema, table,
-      lastAtOrBefore(fromMillis), lastAtOrBefore(toMillis))
-  }
-
-  /**
-   * Changelog between two snapshots — the row-kinded delta a CDC-style
-   * consumer applies downstream (Paimon's flagship consumption pattern:
-   * PK tables read as upsert changelogs). Output: the table's columns
-   * plus `_row_kind`:
-   *
-   *  - append-only tables: every added row as `+I`;
-   *  - PK tables: the latest in-range version per changed key — `+U`
-   *    (upsert: insert-or-update, undistinguished without the pre-image,
-   *    exactly Paimon's default no-changelog-producer semantics) or `-D`
-   *    (delete tombstone won: primary-key columns set, the rest null).
-   *
-   * Cost is O(delta): only file dirs ADDED by in-range snapshots are
-   * opened, never the table image. Compaction snapshots (marker written
-   * by [[compact]]) rewrite bytes, not content, and are skipped; an
-   * [[overwrite]] in range emits its new rows but cannot retract the
-   * replaced image (no per-key tombstones exist) — pause changelog
-   * consumers across overwrites, as in Paimon's default
-   * streaming-read-overwrite behavior.
-   */
-  def readChangelog(schema: String, table: String, fromSnapshotId: Long,
-      toSnapshotId: Long): DataFrame = {
-    require(fromSnapshotId <= toSnapshotId,
-      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
-    val m = readManifest(schema, table)
-    if (primaryKey(m).nonEmpty)
-      requireDeduplicate(m, s"$schema.$table", "readChangelog")
-    refuseCrossPartition(m, s"$schema.$table", "readChangelog")
-    val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
-    val target = changelogSchema(m)
-    def emptyChangelog = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    if (delta.isEmpty) return emptyChangelog
-    val pk = primaryKey(m)
-    if (pk.isEmpty) {
-      // Append-only changelog, DV-aware: a deletion-vector commit in
-      // range emits `-D` retractions carrying the FULL before image —
-      // the DV names (file, pos), the file still holds the bytes (DVs
-      // never rewrite), so the image resolves by position from exactly
-      // the touched files (dvIndex), never a table scan. Paimon's DV
-      // tables serve changelog consumers the same way. Net-zero rows
-      // (inserted AND deleted inside the range) are elided: in-range
-      // `+I` rows anti-join the in-range DV pairs, and `-D` resolution
-      // is restricted to files already visible at `fromSnapshotId`.
-      val (dvDelta, dataDelta) = delta.partition(_.kind == "dv")
-      val names = currentFields(m).map(_.name)
-      val dv = if (dvDelta.isEmpty) None
-        else Some(dvFrame(schema, table, dvDelta))
-      val inserts = if (dataDelta.isEmpty) None else Some {
-        val base = dv match {
-          case None => dataDelta.map(frameFor(schema, table, m, _))
-            .reduce(_ unionByName _)
-          case Some(d) =>
-            dataDelta.map(frameFor(schema, table, m, _, withMeta = true))
-              .reduce(_ unionByName _)
-              .join(d, Seq(DvFileCol, DvPosCol), "left_anti")
-        }
-        base.select(names.map(col): _*).withColumn(RowKindCol, lit("+I"))
-      }
-      val deletes = dv.flatMap { d =>
-        val idx = dvIndexFrom(m)
-        // A dv dir with no dvIndex entry (e.g. a foreign-writer manifest)
-        // can't be narrowed to its touched files — fall back to resolving
-        // against EVERY before-snapshot file (the semi-join on (file, pos)
-        // still picks only the retracted rows), mirroring appendUnion's
-        // conservative all-dirty treatment, rather than dropping the
-        // retractions while the +I side still anti-joins them.
-        val touched: Option[Seq[String]] =
-          if (dvDelta.exists(e => !idx.contains(e.dir))) None
-          else Some(dvDelta.flatMap(e => idx(e.dir)._1).distinct)
-        val beforeEntries: Seq[FileEntry] =
-          if (fromSnapshotId == 0) Seq.empty
-          else {
-            val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-            (0 until snaps.size()).map(snaps.get)
-              .find(_.get("id").asLong() == fromSnapshotId)
-              .map(filesOf).getOrElse(Seq.empty).filter(_.kind == "data")
-          }
-        val frames = beforeEntries.flatMap { fe =>
-          touched match {
-            case None =>
-              Some(frameFor(schema, table, m, fe, withMeta = true))
-            case Some(t) =>
-              val rel = t.filter(_.startsWith(dirKey(fe.dir) + "/"))
-                .map(_.stripPrefix(dirKey(fe.dir) + "/"))
-              if (rel.isEmpty) None
-              else Some(frameFor(schema, table, m, fe, fileSubset = Some(
-                rel.sorted.map(r => new Path(
-                  dirPath(schema, table, fe.dir), r).toString)),
-                withMeta = true))
-          }
-        }
-        if (frames.isEmpty) None
-        else Some(frames.reduce(_ unionByName _)
-          .join(d, Seq(DvFileCol, DvPosCol), "left_semi")
-          .select(names.map(col): _*).withColumn(RowKindCol, lit("-D")))
-      }
-      return (inserts.toSeq ++ deletes.toSeq)
-        .reduceOption(_ unionByName _).getOrElse(emptyChangelog)
-    }
-    // Producer-served fast path (input/lookup): the commits persisted
-    // their changelog — when files exactly cover the range, serve them
-    // (collapsed to the same newest-wins-per-key form this method
-    // computes, so consumers see identical batches either way). `-U`
-    // rows are dropped first: upsert mode carries no retraction arm.
-    if (changelogProducer(m) != "none")
-      changelogCover(m, fromSnapshotId, toSnapshotId).foreach { dirs =>
-        val parts = dirs.map { case (d, v) =>
-          changelogDirFrame(schema, table, m, d, v)
-            .filter(col(RowKindCol) =!= "-U")
-        }
-        return if (parts.isEmpty) emptyChangelog
-          else collapseUpsertChangelog(m, parts)
-      }
-    // PK tables: latest in-range version per key wins — the same
-    // newest-wins rule as merge-on-read, restricted to the delta. The
-    // shuffle is O(delta), bounded by the micro-batch, never the table.
-    val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .withColumn(RowKindCol,
-        org.apache.spark.sql.functions.when(col("__del"), "-D").otherwise("+U"))
-      .drop("__ord", "__rn", "__del")
-  }
-
-  /**
-   * Full changelog between two snapshots — like [[readChangelog]] but
-   * with UPDATE_BEFORE images (Paimon's `full-compaction` / `lookup`
-   * changelog-producer row kinds), so a downstream consumer maintaining
-   * an AGGREGATE (not just a replica) can retract the old contribution
-   * before adding the new one:
-   *
-   *  - `+I` — key did not exist at `fromSnapshotId` (a true insert,
-   *    distinguishable here because the before image is consulted);
-   *  - `-U`/`+U` — retraction pair for an updated key: the row as of
-   *    `fromSnapshotId`, then the new version (pair them by key);
-   *  - `-D` — deleted key, carrying the full before image (not the
-   *    pk-only tombstone of upsert mode).
-   *
-   * Cost: O(delta) for the new side plus ONE merge-on-read scan of the
-   * table at `fromSnapshotId` for the before image (a read-time lookup —
-   * Paimon pays this at write time in the `lookup` producer and at
-   * compaction in `full-compaction`; a snapshot reader must pay it on
-   * read). The two sides meet in a single left equi-join on the primary
-   * key; per-row output is a ≤2-element exploded array, so the whole
-   * plan stays codegen. PK deduplicate-engine tables only (the before
-   * image is the resolved prior version; append-only tables have no
-   * before image — use [[readChangelog]]).
-   */
-  def readChangelogFull(schema: String, table: String, fromSnapshotId: Long,
-      toSnapshotId: Long): DataFrame = {
-    require(fromSnapshotId <= toSnapshotId,
-      s"fromSnapshotId $fromSnapshotId > toSnapshotId $toSnapshotId")
-    val m = readManifest(schema, table)
-    val pk = primaryKey(m)
-    require(pk.nonEmpty, s"$schema.$table is append-only — full changelog " +
-      "needs a primary-key table (no before image exists); use readChangelog")
-    refuseCrossPartition(m, s"$schema.$table", "readChangelogFull")
-    // Producer-served fast path: lookup tables persisted full retraction
-    // pairs at every commit, full-compaction tables at every compact —
-    // when the files exactly cover the range, serve them with NO
-    // before-image join (the whole point of paying the resolve at write:
-    // N consumers × M batches read files, the join ran once). `input`
-    // files carry no before images, so full mode falls through to the
-    // read-time resolve there. Checked BEFORE the engine dispatch: a
-    // field-wise table's producer files are resolved-image pairs too.
-    if (changelogProducer(m) == "lookup" ||
-        changelogProducer(m) == "full-compaction")
-      changelogCover(m, fromSnapshotId, toSnapshotId).foreach { dirs =>
-        val parts = dirs.map { case (d, v) =>
-          changelogDirFrame(schema, table, m, d, v)
-        }
-        return if (parts.isEmpty) spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            changelogSchema(m))
-          else collapseFullChangelog(m, parts)
-      }
-    // Field-wise engines (partial-update / aggregation / first-row) CAN
-    // serve full changelog — a delta row is a PATCH, not the image, so
-    // the after side must be the RESOLVED image, not the in-range winner.
-    if (mergeEngine(m) != "deduplicate")
-      return fieldwiseChangelogFull(schema, table, m, fromSnapshotId, toSnapshotId)
-    val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
-    // unreachable on PK tables (DVs are append-only by construction);
-    // on append-only tables a DV commit REMOVES rows, which a +I-only
-    // changelog cannot express
-    require(delta.forall(_.kind != "dv"),
-      s"changelog on $schema.$table crosses a deletion-vector commit — " +
-        "position deletes carry no row image to emit as -D; use a " +
-        "primary-key table for CDC")
-    val target = changelogSchema(m)
-    if (delta.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    val names = currentFields(m).map(_.name)
-    // scratch-name reservation, mirroring sortCompact's __range/__z guard
-    require(!names.exists(n => n.startsWith("__pre_") || n == "__rn" || n == "__e"),
-      s"$schema.$table has columns colliding with readChangelogFull scratch " +
-        "names (__pre_*, __rn, __e)")
-    // Latest in-range version per key — same newest-wins rule as
-    // readChangelog; __del marks keys whose last in-range change is a
-    // tombstone.
-    val all = delta.map(frameFor(schema, table, m, _)).reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(pk.map(col): _*).orderBy(newestFirst(m): _*)
-    val news = all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__ord", "__rn")
-    // Before image: the resolved table at fromSnapshotId (renamed so the
-    // join output carries both versions side by side). For BUCKETED
-    // tables the lookup is pruned to the buckets the delta touched —
-    // bucketed commits materialize `__bucket=k` subdirs, so the changed
-    // bucket set is one driver metadata listing per delta dir, ZERO
-    // Spark jobs. A small micro-batch against a 4096-bucket 100 TB
-    // table then resolves a handful of bucket legs, never the whole
-    // image. A delta dir with no bucket children (unknown layout) falls
-    // back to every bucket — conservative, never wrong.
-    val pre =
-      if (fromSnapshotId == 0) emptyFrame(m)
-      else bucketCount(m) match {
-        case Some(n) =>
-          val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
-          val changed = delta.flatMap { fe =>
-            fs.listStatus(dirPath(schema, table, fe.dir)).toSeq
-              .flatMap(_.getPath.getName match {
-                case bucketRe(i) => Seq(i.toInt)
-                case _ => Nil
-              }) match {
-              case Nil => 0 until n // flat delta dir: keep every bucket
-              case bs => bs
-            }
-          }.distinct.sorted
-          val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
-          val sFrom = (0 until snaps0.size()).map(snaps0.get)
-            .find(_.get("id").asLong() == fromSnapshotId).get // checked above
-          bucketedResolve(schema, table, m, filesOf(sFrom), n, Some(changed))
-            .getOrElse(emptyFrame(m))
-        case None => read(schema, table, snapshotId = Some(fromSnapshotId))
-      }
-    pairWithPreImage(m, news, pre)
-  }
-
-  /**
-   * Pair post-change rows against a before image into full row-kinded
-   * changelog rows — shared by the read-time [[readChangelogFull]] and
-   * the write-time `lookup` changelog producer (the same resolve, paid
-   * once at commit instead of by every consumer). `news`: the table's
-   * columns plus a `__del` tombstone flag (tombstone rows carry nulls
-   * outside the key/sequence columns); `pre`: the resolved before image.
-   */
-  private def pairWithPreImage(m: ObjectNode, news: DataFrame,
-      pre: DataFrame): DataFrame = {
-    val pk = primaryKey(m)
-    val names = currentFields(m).map(_.name)
-    val preR = pre.select(names.map(c => col(c).as(s"__pre_$c")): _*)
-    val joined = news.join(preR,
-      pk.map(k => news(k) === col(s"__pre_$k")).reduce(_ && _), "left")
-    val preExists = col(s"__pre_${pk.head}").isNotNull // pk never null in stored rows
-    def ev(kind: String, fromPre: Boolean) = struct(
-      names.map(c => (if (fromPre) col(s"__pre_$c") else col(c)).as(c)) :+
-        lit(kind).as(RowKindCol): _*)
-    // sequence.field: the in-range winner CHANGES the image only when it
-    // beats the before image's sequence (a tie goes to the in-range row —
-    // it carries the later commit ordinal; NULL sorts smallest). A late
-    // batch that loses the version race produces NO change — emitting a
-    // stale -U/+U pair would corrupt aggregate-maintaining consumers.
-    val beats = sequenceField(m) match {
-      case Some(sf) => !preExists || col(s"__pre_$sf").isNull ||
-        (col(sf).isNotNull && col(sf) >= col(s"__pre_$sf"))
-      case None => lit(true)
-    }
-    joined
-      .filter(beats)
-      // a key inserted and deleted entirely inside the range is net nothing
-      .filter(!col("__del") || preExists)
-      .select(explode(
-        when(col("__del"), array(ev("-D", fromPre = true)))
-          .when(preExists, array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
-          .otherwise(array(ev("+I", fromPre = false)))).as("__e"))
-      .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
-  }
-
-  // ---- write-time changelog materialization (changelog-producer) ---------
-
-  /** The table's `changelog-producer` mode (default `none`). */
-  private def changelogProducer(m: ObjectNode): String =
-    m.get("options").asInstanceOf[ObjectNode].path("changelog-producer").asText("none")
-
-  /** Persisted changelog dirs from the manifest's changelog node:
-    * dir → (snapshot id, write-time schema version, coverage-from
-    * EXCLUSIVE — the snapshot the dir's rows change FROM). */
-  private def changelogIndexFrom(m: ObjectNode): Map[String, (Long, Int, Long)] = {
-    if (!m.has("changelog")) return Map.empty
-    val node = m.get("changelog").asInstanceOf[ObjectNode]
-    val out = mutable.LinkedHashMap[String, (Long, Int, Long)]()
-    node.fieldNames().forEachRemaining { d =>
-      val e = node.get(d)
-      out += d -> ((e.get("id").asLong(), e.get("ver").asInt(),
-        e.get("from").asLong()))
-    }
-    out.toMap
-  }
-
-  /** One persisted changelog dir mapped to the CURRENT schema by field
-    * id (same contract as frameFor): table columns + `_row_kind`. */
-  private def changelogDirFrame(schema: String, table: String, m: ObjectNode,
-      dir: String, ver: Int): DataFrame = {
-    val cur = currentFields(m)
-    val writeFields = schemaVersions(m)(ver)
-    val writeSchema = StructType(writeFields.map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))) :+
-      StructField(RowKindCol, org.apache.spark.sql.types.StringType))
-    val raw = spark.read.schema(writeSchema).format(providerFor(fileFormat(m)))
-      .load(dirPath(schema, table, dir).toString)
-    val byId = writeFields.map(f => f.id -> f).toMap
-    raw.select(cur.map { cf =>
-      val toDt = TypeMapping.toSparkType(cf.trinoType)
-      byId.get(cf.id) match {
-        case Some(wf) =>
-          val fromDt = TypeMapping.toSparkType(wf.trinoType)
-          (fromDt, toDt) match {
-            case (f0, t0) if f0 == t0 => col(wf.name).as(cf.name)
-            case (_: StructType, _: StructType) =>
-              adaptExpr(col(wf.name), fromDt, toDt, curPath = "",
-                nestedCurToWrite(m, cf.id, ver)).as(cf.name)
-            case _ => col(wf.name).cast(toDt).as(cf.name)
-          }
-        case None => lit(null).cast(toDt).as(cf.name)
-      }
-    } :+ col(RowKindCol): _*)
-  }
-
-  /**
-   * The persisted changelog dirs that exactly cover `(fromId, toId]`,
-   * walked through each carrier's coverage link — or None when any gap
-   * could hide a logical change (a data commit without files: overwrite,
-   * pre-producer history, a foreign writer). Compaction-kind snapshots
-   * in a gap are fine — they change bytes, not content.
-   */
-  private def changelogCover(m: ObjectNode, fromId: Long,
-      toId: Long): Option[Seq[(String, Int)]] = {
-    if (fromId >= toId) return Some(Seq.empty)
-    val carriers = changelogIndexFrom(m).toSeq
-      .map { case (d, (id, ver, from)) => (id, d, ver, from) }
-      .filter { case (id, _, _, _) => id > fromId && id <= toId }
-      .sortBy(_._1)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val kindOf = (0 until snaps.size()).map(snaps.get)
-      .map(s => s.get("id").asLong() -> s.has("compaction")).toMap
-    // snapshot ids are dense ordinals: every id in a gap must be PRESENT
-    // (not expired away — an absent id is unknown history, never "no
-    // change") and compaction-kind
-    def noChange(a: Long, b: Long): Boolean =
-      (a + 1 to b).forall(id => kindOf.get(id).contains(true))
-    var expected = fromId
-    val out = mutable.ArrayBuffer.empty[(String, Int)]
-    carriers.foreach { case (id, d, ver, from) =>
-      if (from < expected) return None // carrier overlaps the range start
-      if (from > expected && !noChange(expected, from)) return None
-      out += ((d, ver)); expected = id
-    }
-    if (expected < toId && !noChange(expected, toId)) return None
-    Some(out.toSeq)
-  }
-
-  /**
-   * Collapse per-commit changelog parts (ordered by snapshot id) to the
-   * ≤-one-change-per-key form the read-time resolve emits — exact parity
-   * with [[readChangelogFull]]'s collapsed output AND applyChangelog's
-   * key-disjoint batch contract, while staying JOIN-FREE (one key-grouped
-   * aggregate over O(changelog rows in range)). The first event fixes
-   * whether the key existed at range start (its `-U`/`-D` image IS the
-   * range-start image); the last event fixes survival and the final
-   * image; a key inserted and deleted inside the range nets to nothing.
-   */
-  private def collapseFullChangelog(m: ObjectNode,
-      parts: Seq[DataFrame]): DataFrame = {
-    if (parts.size == 1) return parts.head
-    import org.apache.spark.sql.functions.{min_by, max_by}
-    val names = currentFields(m).map(_.name)
-    val pk = primaryKey(m)
-    val tagged = parts.zipWithIndex.map { case (f, i) =>
-      f.withColumn("__o", lit(i.toLong))
-    }.reduce(_ unionByName _)
-    // within one commit a key has at most one logical event; a -U sorts
-    // before its +U partner so first/last land on the right halves
-    val ordKey = col("__o") * 2 +
-      when(col(RowKindCol) === "-U", lit(0L)).otherwise(lit(1L))
-    val ev = struct(col(RowKindCol).as("__k") +: names.map(col): _*)
-    val agg = tagged.groupBy(pk.map(col): _*)
-      .agg(min_by(ev, ordKey).as("__first"), max_by(ev, ordKey).as("__last"))
-    val existed = col("__first.__k") =!= "+I"
-    val dead = col("__last.__k") === "-D"
-    def img(side: String, kind: String) = struct(
-      names.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(RowKindCol): _*)
-    agg.filter(existed || !dead) // net-zero inside the range elides
-      .select(explode(
-        when(existed && dead, array(img("__first", "-D")))
-          .when(existed, array(img("__first", "-U"), img("__last", "+U")))
-          .otherwise(array(img("__last", "+I")))).as("__e"))
-      .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
-  }
-
-  /** Upsert-mode collapse: the key's LAST in-range event wins (-U rows
-    * were already dropped by the caller) — the same newest-wins rule the
-    * read-time upsert resolve applies. Join-free. */
-  private def collapseUpsertChangelog(m: ObjectNode,
-      parts: Seq[DataFrame]): DataFrame = {
-    if (parts.size == 1) return parts.head
-    import org.apache.spark.sql.functions.max_by
-    val names = currentFields(m).map(_.name)
-    val pk = primaryKey(m)
-    val tagged = parts.zipWithIndex.map { case (f, i) =>
-      f.withColumn("__o", lit(i.toLong))
-    }.reduce(_ unionByName _)
-    val ev = struct(col(RowKindCol).as("__k") +: names.map(col): _*)
-    tagged.groupBy(pk.map(col): _*)
-      .agg(max_by(ev, col("__o")).as("__last"))
-      .select(names.map(c => col(s"__last.$c").as(c)) :+
-        col("__last.__k").as(RowKindCol): _*)
-  }
-
-  /**
-   * Commit-side changelog builder for the `input`/`lookup` producers.
-   * Derives the rows from the STAGED dirs just written (one evaluation of
-   * the input plan — the committed bytes are the source of truth), so a
-   * nondeterministic input frame can never diverge between data and
-   * changelog. `input` kinds the rows as written (+I data, -D tombstone
-   * — Paimon's input mode trusts the writer's stream to BE the
-   * changelog); `lookup` pays the before-image resolve here, ONCE, via
-   * [[pairWithPreImage]] — bucket-pruned to the buckets the staged dirs
-   * touched on fixed-bucket tables, so a small commit against a 4096-
-   * bucket 100 TB table looks up a handful of bucket legs, never the
-   * image.
-   */
-  private def producerChangelog(schema: String, table: String, m: ObjectNode,
-      producer: String, dataDir: Option[String],
-      delDir: Option[String]): Option[DataFrame] = {
-    val cur = currentFields(m)
-    val names = cur.map(_.name)
-    val bucketed = bucketCount(m).isDefined
-    def stagedBack(d: String, tombstone: Boolean): DataFrame = {
-      val keep = if (!tombstone) cur else {
-        val k = primaryKey(m).toSet ++ sequenceField(m) ++ partitionColumns(m)
-        cur.filter(f => k.contains(f.name))
-      }
-      val sch = StructType(keep.map(f =>
-        StructField(f.name, TypeMapping.toSparkType(f.trinoType))) ++
-        (if (bucketed)
-          Seq(StructField(BucketCol, org.apache.spark.sql.types.IntegerType))
-        else Seq.empty))
-      val raw = spark.read.schema(sch).format(providerFor(fileFormat(m)))
-        .load(new Path(tablePath(schema, table), d).toString)
-      raw.select(names.map { c =>
-        if (keep.exists(_.name == c)) col(c)
-        else lit(null).cast(TypeMapping.toSparkType(
-          cur.find(_.name == c).get.trinoType)).as(c)
-      }: _*)
-    }
-    val ups = dataDir.map(stagedBack(_, tombstone = false))
-    val dels = delDir.map(stagedBack(_, tombstone = true))
-    if (ups.isEmpty && dels.isEmpty) return None
-    if (producer == "input") {
-      val kinded =
-        ups.map(_.withColumn(RowKindCol, lit("+I"))).toSeq ++
-          dels.map(_.withColumn(RowKindCol, lit("-D")))
-      return Some(kinded.reduce(_ unionByName _))
-    }
-    if (mergeEngine(m) != "deduplicate") {
-      // Field-wise lookup producer: a staged row is a PATCH, so the
-      // persisted changelog must carry RESOLVED images on both sides —
-      // exactly the pairs fieldwiseChangelogFull computes read-time,
-      // materialized once here instead of by every consumer. The before
-      // image is the head's resolved rows for the TOUCHED keys only
-      // (version frames semi-join the key set BEFORE the fold, so the
-      // shuffle is O(touched keys' versions), never table-wide), and the
-      // after image folds the staged patch batch onto it with the same
-      // engine (associative, so the two-layer fold equals the direct one).
-      val staged = ups.getOrElse(return None) // field-wise refuses deletes
-      val pk = primaryKey(m)
-      val keys = staged.select(pk.map(col): _*).distinct()
-      val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
-      val headEs = if (snaps0.size() == 0) Seq.empty
-        else filesOf(snaps0.get(snaps0.size() - 1))
-      val pre = headEs.filter(_.kind == "data")
-        .map(frameFor(schema, table, m, _))
-        .reduceOption(_ unionByName _)
-        .map(v => resolveVersions(m, v.join(keys, pk, "left_semi")))
-        .getOrElse(emptyFrame(m))
-      val after = resolveVersions(m,
-        pre.withColumn("__ord", lit(0L)).unionByName(
-          staged.withColumn("__ord", lit(1L))))
-      return Some(pairResolvedImages(m, after, pre))
-    }
-    // lookup: full retraction pairs against the pre-commit image
-    val news = (ups.map(_.withColumn("__del", lit(false))).toSeq ++
-      dels.map(_.withColumn("__del", lit(true)))).reduce(_ unionByName _)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val headEntries =
-      if (snaps.size() == 0) Seq.empty
-      else filesOf(snaps.get(snaps.size() - 1))
-    val pre = bucketCount(m) match {
-      // fixed buckets AND dynamic (-1): dynamic assignment is STICKY
-      // (the .dbidx index routes every later version of a key to its
-      // original bucket), so the staged dirs' buckets are exactly where
-      // the before images live — same pruning, no index read (r15; the
-      // cross-partition case re-assigns on move and is refused from
-      // changelog ops at definition anyway, but falls through safely).
-      case Some(n) if (n >= 1 || n == -1) && !crossPartition(m) &&
-          headEntries.nonEmpty && !headEntries.exists(_.kind == "dv") =>
-        // changed buckets from the staged dirs' `__bucket=k` subdirs —
-        // one driver listing per staged dir, zero Spark jobs
-        val changed = (dataDir.toSeq ++ delDir).flatMap { d =>
-          fs.listStatus(new Path(tablePath(schema, table), d)).toSeq
-            .map(_.getPath.getName)
-            .filter(_.startsWith(s"$BucketCol="))
-            .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption)
-        }.distinct.sorted
-        if (changed.isEmpty) emptyFrame(m)
-        else bucketedResolve(schema, table, m, headEntries, n, Some(changed))
-          .getOrElse(emptyFrame(m))
-      case _ =>
-        resolveFrames(schema, table, m, headEntries).getOrElse(emptyFrame(m))
-    }
-    Some(pairWithPreImage(m, news, pre))
-  }
-
-  /**
-   * Full changelog for the FIELD-WISE merge engines (partial-update /
-   * aggregation / first-row) — Paimon's full-compaction / lookup
-   * changelog-producer semantics for patch tables: a delta row is a
-   * PATCH, not an image, so both sides of each retraction pair are
-   * RESOLVED images — `-U` the key's resolved row at `fromSnapshotId`,
-   * `+U` at `toSnapshotId`. Keys touched in range whose resolved image
-   * did not actually change (an all-null patch, an aggregation of zero,
-   * a first-row re-insert) emit NOTHING. No `-D` arm: these engines
-   * refuse deletes by construction.
-   *
-   * Cost: the delta files give the changed-key set (O(delta)); each side
-   * then pays one resolved read SEMI-JOINED to those keys. That is the
-   * read-time price of full images on engines where versions fold —
-   * Paimon pays the equivalent at write (lookup producer) or compaction
-   * (full-compaction producer); the deduplicate path above pays the same
-   * one before-image read.
-   */
-  private def fieldwiseChangelogFull(schema: String, table: String,
-      m: ObjectNode, fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
-    val pk = primaryKey(m)
-    val delta = changelogEntries(m, schema, table, fromSnapshotId, toSnapshotId)
-    val target = changelogSchema(m)
-    if (delta.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    val names = currentFields(m).map(_.name)
-    require(!names.exists(n => n.startsWith("__pre_") || n == "__e"),
-      s"$schema.$table has columns colliding with changelog scratch names")
-    val changedKeys = delta.map(frameFor(schema, table, m, _))
-      .reduce(_ unionByName _).select(pk.map(col): _*).distinct()
-    val after = read(schema, table, snapshotId = Some(toSnapshotId))
-      .join(changedKeys, pk, "left_semi")
-    val before = (if (fromSnapshotId == 0) emptyFrame(m)
-      else read(schema, table, snapshotId = Some(fromSnapshotId)))
-      .join(changedKeys, pk, "left_semi")
-    pairResolvedImages(m, after, before)
-  }
-
-  /** Pair RESOLVED after/before images per key into `+I` / `-U`,`+U`
-    * changelog rows with net-zero suppression (images equal null-safe →
-    * nothing emitted). No `-D` arm: the field-wise engines refuse
-    * deletes, so a key can never leave the after image. Shared by
-    * [[fieldwiseChangelogFull]] (read-time) and the field-wise `lookup`
-    * producer (the same pairing paid once at write). */
-  private def pairResolvedImages(m: ObjectNode, after: DataFrame,
-      before: DataFrame): DataFrame = {
-    val pk = primaryKey(m)
-    val names = currentFields(m).map(_.name)
-    require(!names.exists(n => n.startsWith("__pre_") || n == "__e"),
-      "table has columns colliding with changelog scratch names (__pre_*, __e)")
-    val preR = before.select(names.map(c => col(c).as(s"__pre_$c")): _*)
-    val joined = after.join(preR,
-      pk.map(k => after(k) === col(s"__pre_$k")).reduce(_ && _), "left")
-    val preExists = col(s"__pre_${pk.head}").isNotNull
-    // net-zero suppression: resolved images equal (null-safe) → no rows
-    val changed = !(struct(names.map(col): _*) <=>
-      struct(names.map(c => col(s"__pre_$c")): _*))
-    def ev(kind: String, fromPre: Boolean) = struct(
-      names.map(c => (if (fromPre) col(s"__pre_$c") else col(c)).as(c)) :+
-        lit(kind).as(RowKindCol): _*)
-    joined
-      .filter(!preExists || changed)
-      .select(explode(
-        when(preExists, array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
-          .otherwise(array(ev("+I", fromPre = false)))).as("__e"))
-      .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
-  }
-
-  /** The changelog row type: current table columns + `_row_kind`. */
-  private[sources] def changelogSchema(m: ObjectNode): StructType =
-    StructType(currentFields(m).map(f =>
-      StructField(f.name, TypeMapping.toSparkType(f.trinoType))) :+
-      StructField(RowKindCol, org.apache.spark.sql.types.StringType))
-
-  def changelogSchemaOf(schema: String, table: String): StructType =
-    changelogSchema(readManifest(schema, table))
-
-  /** File entries ADDED by each non-compaction snapshot in
-    * (fromId, toId] — per-snapshot set difference against its immediate
-    * predecessor, so an overwrite inside the range contributes only its
-    * own dirs and a compaction contributes nothing. */
-  private def changelogEntries(m: ObjectNode, schema: String, table: String,
-      fromId: Long, toId: Long): Seq[FileEntry] = {
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val all = (0 until snaps.size()).map(snaps.get)
-    def exists(id: Long) = id == 0 || all.exists(_.get("id").asLong() == id)
-    require(exists(fromId), s"no snapshot $fromId for $schema.$table " +
-      "(expired snapshots cannot be replayed as changelog)")
-    require(exists(toId), s"no snapshot $toId for $schema.$table")
-    all.zipWithIndex
-      .filter { case (s, _) =>
-        val id = s.get("id").asLong(); id > fromId && id <= toId }
-      .filterNot { case (s, _) => s.has("compaction") }
-      .flatMap { case (_, i) => addedEntries(all, i) }
-  }
-
-  /**
-   * Streaming changelog read — the consumption half Paimon PK tables are
-   * built for, as a Structured Streaming source: each micro-batch is
-   * [[readChangelog]] over the snapshots committed since the last batch
-   * (offset = snapshot id), so PK, bucketed, partitioned, and evolved
-   * tables all stream (lifting [[readStream]]'s file-level refusals).
-   * Exactly-once: offsets ride the query checkpoint, and a restarted
-   * batch recomputes the identical delta because snapshots are immutable
-   * — don't [[expireSnapshots]] past a live consumer's committed offset.
-   * Pair with [[appendStreamBatch]] on the sink side for end-to-end
-   * exactly-once table-to-table CDC.
-   */
-  def readChangelogStream(schema: String, table: String,
-      fromSnapshotId: Long = 0L,
-      maxSnapshotsPerTrigger: Option[Int] = None,
-      mode: String = "upsert",
-      maxRowsPerTrigger: Option[Long] = None,
-      consumerId: Option[String] = None,
-      scanMode: String = "full",
-      fromTimestampMillis: Option[Long] = None,
-      consumerIgnoreProgress: Boolean = false): DataFrame = {
-    require(mode == "upsert" || mode == "full",
-      s"changelog mode must be 'upsert' or 'full', got '$mode'")
-    // fail at stream definition, not first micro-batch. Upsert mode needs
-    // deduplicate (an in-range PATCH row is not the image on field-wise
-    // engines); FULL mode serves every engine — field-wise tables route
-    // through fieldwiseChangelogFull's resolved-image pairs.
-    val m0 = readManifest(schema, table)
-    refuseCrossPartition(m0, s"$schema.$table", "readChangelogStream")
-    if (primaryKey(m0).nonEmpty && mode == "upsert")
-      requireDeduplicate(m0, s"$schema.$table", "readChangelogStream")
-    // deletion-vector commits stream fine: readChangelog resolves each
-    // DV batch to full-image `-D` retractions (no refusal needed)
-    if (mode == "full")
-      require(primaryKey(m0).nonEmpty, s"$schema.$table is append-only — " +
-        "full changelog mode needs a primary-key table")
-    val r = spark.readStream.format("graft.sources.GraftChangelogProvider")
-      .option("warehouse", warehouse)
-      .option("schema", schema)
-      .option("table", table)
-      .option("mode", mode)
-      .option("fromSnapshotId", fromSnapshotId.toString)
-    maxSnapshotsPerTrigger.foreach(n =>
-      r.option("maxSnapshotsPerTrigger", n.toString))
-    maxRowsPerTrigger.foreach(n => r.option("maxRowsPerTrigger", n.toString))
-    consumerId.foreach(c => r.option("consumerId", c))
-    r.option("scanMode", scanMode)
-    fromTimestampMillis.foreach(t => r.option("fromTimestampMillis", t.toString))
-    if (consumerIgnoreProgress) r.option("consumerIgnoreProgress", "true")
-    r.load()
-  }
-
-  /**
-   * Per-snapshot NEW-row counts in `(fromExclusive, to]`, answered from
-   * head dir-level aggregates — one manifest read, zero file I/O. This
-   * is what the changelog source's `maxRowsPerTrigger` advisory rate
-   * limit plans micro-batch boundaries from (Paimon's
-   * scan.max-splits-per-task analog at snapshot granularity): a bulk
-   * backfill landing 10⁹ rows in one snapshot is VISIBLE to the planner
-   * before the batch is built, instead of discovered mid-execution.
-   * Dirs without recorded stats count 0 — the limit is advisory, and
-   * correctness never depends on where a batch boundary falls.
-   */
-  def snapshotDeltaRows(schema: String, table: String, fromExclusive: Long,
-      to: Long): Seq[(Long, Long)] = {
-    val m = readManifest(schema, table)
-    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-    val stats = dirStatsFrom(m)
-    val all = (0 until snaps.size()).map(snaps.get)
-    val out = mutable.ArrayBuffer[(Long, Long)]()
-    all.indices.foreach { i =>
-      val id = all(i).get("id").asLong()
-      if (id > fromExclusive && id <= to)
-        out += id -> addedEntries(all, i).filter(_.kind == "data")
-          .flatMap(fe => stats.get(fe.dir)).map(_.rows).sum
-    }
-    out.toSeq
-  }
-
-  /** [[readIncremental]] between two TAGS (Paimon's
-    * incremental-between-tags scan). */
-  def readIncrementalBetweenTags(schema: String, table: String,
-      fromTag: String, toTag: String): DataFrame = {
-    val t = tags(schema, table)
-    def id(tag: String): Long = t.getOrElse(tag,
-      throw new IllegalArgumentException(s"no tag $tag on $schema.$table"))
-    readIncremental(schema, table, id(fromTag), id(toTag))
-  }
 
 
   private[sources] def partitionColumns(m: ObjectNode): Seq[String] = m.get("partitions") match {
@@ -6755,7 +3351,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     case _ => Seq.empty
   }
 
-  private def currentFields(m: ObjectNode): Seq[FieldInfo] =
+  private[sources] def currentFields(m: ObjectNode): Seq[FieldInfo] =
     schemaVersions(m)(m.get("currentSchemaVersion").asInt())
 
   private[sources] def schemaVersions(m: ObjectNode): Map[Int, Seq[FieldInfo]] = {
@@ -6772,7 +3368,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   }
 
   /** Zero-row DataFrame with the table's current schema. */
-  private def emptyFrame(m: ObjectNode): DataFrame =
+  private[sources] def emptyFrame(m: ObjectNode): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(currentFields(m).map(f =>
         StructField(f.name, TypeMapping.toSparkType(f.trinoType)))))
@@ -6844,7 +3440,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     }
   }
 
-  private def tableManifestExists(schema: String, table: String): Boolean =
+  private[sources] def tableManifestExists(schema: String, table: String): Boolean =
     currentManifestFile(schema, table).isDefined
 
   private def fcFor(p: Path): org.apache.hadoop.fs.FileContext =
