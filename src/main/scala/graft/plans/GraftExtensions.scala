@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pre-CBO (after filter pushdown, before V2ScanRelationPushDown would
     // build the V1 row bridge) — see GraftMorNativeRead.
     ext.injectPreCBORule(_ => new GraftMorNativeRead)
+    // ...and the planning-time eraser for the ANALYZE-stats pin the
+    // splice leaves on its subtree (GraftStatsPin reports, never runs)
+    ext.injectPlannerStrategy(_ => GraftStatsPinStrategy)
     // (Runtime join filtering needs no injection: GraftSqlTable's scan
     // builder returns a SupportsRuntimeV2Filtering scan natively —
     // see graft.plans.GraftScanBuilder.)

@@ -119,7 +119,42 @@ class GraftMorNativeRead extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
       if (aligned.exists(_.isEmpty)) None
-      else Some(Project(aligned.map(_.get), sub))
+      else {
+        val projected = Project(aligned.map(_.get), sub)
+        // ANALYZE statistics for the scanned snapshot, pinned onto the
+        // spliced subtree (r15): the V1 bridge could never surface them
+        // (V1ScanWrapper forwards no Statistics) and the subtree's own
+        // estimate is compressed version-file bytes through join/window
+        // propagation — neither the post-merge row count nor the logical
+        // width. With the pin, a logically-small MoR dim auto-broadcasts
+        // and CBO sees rows/NDV exactly as on raw-file scans. The
+        // analyzed-snapshot == scanned-snapshot gate lives in
+        // GraftSqlTable.cboStats (stale stats are never served).
+        table.cboStats match {
+          case Some((rows, cols)) =>
+            val outSchema = org.apache.spark.sql.types.StructType(
+              projected.output.map(a =>
+                org.apache.spark.sql.types.StructField(a.name, a.dataType)))
+            val size = BigInt(math.max(1L, rows)) *
+              BigInt(graft.sources.GraftCboStats.rowWidth(outSchema, cols))
+            val attrStats =
+              org.apache.spark.sql.catalyst.expressions.AttributeMap(
+                projected.output.flatMap { a =>
+                  cols.get(a.name.toLowerCase(java.util.Locale.ROOT)).map {
+                    case (ndv, nulls, avgLen) =>
+                      a -> org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
+                        distinctCount = ndv.map(BigInt(_)),
+                        nullCount = nulls.map(BigInt(_)),
+                        avgLen = avgLen.map(l => math.max(1L, l.round)))
+                  }
+                })
+            Some(GraftStatsPin(projected,
+              org.apache.spark.sql.catalyst.plans.logical.Statistics(
+                sizeInBytes = size, rowCount = Some(BigInt(rows)),
+                attributeStats = attrStats)))
+          case None => Some(projected)
+        }
+      }
     }
   } catch {
     // any surprise (exotic travel state, schema drift mid-plan) falls

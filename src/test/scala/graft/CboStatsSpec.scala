@@ -138,12 +138,41 @@ class CboStatsSpec extends SparkSpecBase {
       s"partition-pruned scan reported $pruned of 50000 rows")
   }
 
-  // NOTE: MoR-bridge scans (V1Scan fallback) cannot surface these stats
-  // to the optimizer — Spark's V1ScanWrapper does not forward
-  // SupportsReportStatistics, so DataSourceV2ScanRelation.computeStats
-  // falls to the default size for ANY V1-bridged scan (this also
-  // swallows the r11 pre-merge rows hint; MoR SQL reads default to the
-  // native splice, whose plan derives stats from its own leaves, and
-  // AQE re-plans the bridge path from runtime sizes). The raw-file path
-  // above is where ANALYZE statistics reach planning-time decisions.
+  test("MoR-pending reads get ANALYZE stats through the spliced merge " +
+      "plan: the broadcast build side flips there too (r15)") {
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (2L << 20).toString)
+    try {
+      // PK dim upserted twice → MoR-pending (SQL reads go through the
+      // GraftMorNativeRead splice, not a single relation node); padding
+      // compresses ~100x on disk but is ~9 MB logical
+      val dim = spark.range(30000).selectExpr("id AS k", "repeat('x', 300) AS pad")
+      gc.createTable("db", "mdim", dim.schema, primaryKey = Seq("k"))
+      gc.upsert("db", "mdim", dim)
+      gc.upsert("db", "mdim", dim.limit(100))
+      val q = "SELECT f.fk, d.pad FROM gcbo.db.fact f JOIN gcbo.db.mdim d ON f.fk = d.k"
+      // without statistics the spliced subtree estimates compressed
+      // version-file bytes: the dim looks tiny and becomes the build side
+      assert(buildSideCols(q) === Set("k", "pad"))
+      gc.analyzeTable("db", "mdim")
+      // the pin reports 9 MB logical (over threshold) for the analyzed
+      // snapshot — the build side FLIPS to the fact, exactly as on the
+      // raw-file path above (the V1 bridge could never surface this:
+      // V1ScanWrapper forwards no Statistics)
+      assert(buildSideCols(q) === Set("fk"))
+      // a new commit detaches the stats (never served stale): the dim
+      // becomes the build side again
+      import spark.implicits._
+      gc.upsert("db", "mdim", Seq((999999L, "y")).toDF("k", "pad"))
+      assert(buildSideCols(q) === Set("k", "pad"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
+  // NOTE: shapes still on the V1 bridge (DELETE pushdown relations,
+  // `$audit_log`-style wrapped reads, splice fallbacks) cannot surface
+  // these stats — Spark's V1ScanWrapper does not forward
+  // SupportsReportStatistics (this also swallows the r11 pre-merge rows
+  // hint; AQE re-plans those from runtime sizes). MoR SQL reads default
+  // to the native splice, which since r15 pins ANALYZE statistics onto
+  // its subtree (GraftStatsPin) — tested above.
 }
