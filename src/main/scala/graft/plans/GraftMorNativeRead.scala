@@ -132,26 +132,8 @@ class GraftMorNativeRead extends Rule[LogicalPlan] with PredicateHelper {
         // GraftSqlTable.cboStats (stale stats are never served).
         table.cboStats match {
           case Some((rows, cols)) =>
-            val outSchema = org.apache.spark.sql.types.StructType(
-              projected.output.map(a =>
-                org.apache.spark.sql.types.StructField(a.name, a.dataType)))
-            val size = BigInt(math.max(1L, rows)) *
-              BigInt(graft.sources.GraftCboStats.rowWidth(outSchema, cols))
-            val attrStats =
-              org.apache.spark.sql.catalyst.expressions.AttributeMap(
-                projected.output.flatMap { a =>
-                  cols.get(a.name.toLowerCase(java.util.Locale.ROOT)).map {
-                    case (ndv, nulls, avgLen) =>
-                      a -> org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
-                        distinctCount = ndv.map(BigInt(_)),
-                        nullCount = nulls.map(BigInt(_)),
-                        avgLen = avgLen.map(l => math.max(1L, l.round)))
-                  }
-                })
-            Some(GraftStatsPin(projected,
-              org.apache.spark.sql.catalyst.plans.logical.Statistics(
-                sizeInBytes = size, rowCount = Some(BigInt(rows)),
-                attributeStats = attrStats)))
+            Some(GraftStatsPin(projected, graft.sources.GraftCboStats
+              .toCatalyst(rows, projected.output, cols)))
           case None => Some(projected)
         }
       }

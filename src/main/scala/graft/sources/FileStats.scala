@@ -468,8 +468,20 @@ private[graft] object FileStats {
       }
       val rows = df.groupBy(col("_metadata.file_path").as("__f"))
         .agg(aggs.head, aggs.tail: _*).collect() // one row per file
+      // `_metadata.file_path` is Spark's URL-ENCODED SparkPath rendering
+      // (a partition value with a space or '%' encodes differently from
+      // the decoded Hadoop-Path strings listDataFiles rels use). Key the
+      // group rows back to rels through an explicit map over BOTH
+      // renderings of each listed file, never by prefix-stripping the
+      // decoded dir off an encoded path.
+      val relByPath: Map[String, String] = files.flatMap {
+        case (rel, abs, _) =>
+          Seq(abs -> rel, new Path(abs).toUri.toString -> rel)
+      }.toMap
       val statByRel: Map[String, DirStats] = rows.map { r =>
-        val rel = r.getString(0).stripPrefix(qdir).stripPrefix("/")
+        val got = r.getString(0)
+        val rel = relByPath.getOrElse(got,
+          got.stripPrefix(qdir).stripPrefix("/"))
         val cols = trackedFs.flatMap { case (n, _) =>
           val mn = Option(r.get(r.fieldIndex(s"__mn_$n")))
           val mx = Option(r.get(r.fieldIndex(s"__mx_$n")))

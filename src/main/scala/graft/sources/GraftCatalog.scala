@@ -96,6 +96,35 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         dir.substring(BaseRelMarker.length))
     else new Path(tablePath(schema, table), dir)
 
+  /** Bucket ids a set of commit dirs touched, from their materialized
+    * `__bucket=k` children — one driver listing per dir (recursing
+    * through partition `col=value` levels on partitioned+bucketed
+    * layouts), ZERO Spark jobs. `None` = some dir carries non-bucket,
+    * non-partition children (unknown/flat layout): the caller must fall
+    * back to EVERY bucket, never to none — under dynamic buckets
+    * (`n == -1`) a `0 until n` fallback would silently mean "no
+    * buckets". Shared by the changelog before-image, the field-wise
+    * producer, and the incremental DV rebuild. */
+  private[sources] def changedBucketsOf(schema: String, table: String,
+      dirs: Seq[String]): Option[Seq[Int]] = {
+    val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
+    def walk(p: Path): Option[Seq[Int]] = {
+      val kids = fs.listStatus(p).toSeq
+      val per = kids.map { st =>
+        st.getPath.getName match {
+          case bucketRe(i) => Some(Seq(i.toInt))
+          case n if st.isDirectory && n.contains('=') => walk(st.getPath)
+          case n if n.startsWith(".") || n.startsWith("_") => Some(Nil)
+          case _ => None // flat data file / unknown layout
+        }
+      }
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.flatten)
+    }
+    val per = dirs.map(d => walk(dirPath(schema, table, d)))
+    if (per.exists(_.isEmpty)) None
+    else Some(per.flatten.flatten.distinct.sorted)
+  }
+
   /** A dir reference in BASE-relative form — the cross-lineage identity
     * under which two lineages of one table compare references (pinning:
     * a dir is deletable only when NO lineage references it). */
@@ -2528,6 +2557,53 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           .filter(col("__rn") === 1).select(names.map(col): _*)
       case engine => fieldwiseFold(m, all, engine)
     }
+  }
+
+  /** Union of `entries`' frames zone-pruned against the pk BOUNDS of a
+    * key-bearing frame — one O(keys) min/max agg, then per-file zone
+    * admission: a file whose pk zone is disjoint from the keys' range on
+    * ANY key column can hold none of them. Sharpest when keys cluster
+    * (monotonic ids, time-prefixed keys); entries without per-file zones
+    * are kept whole — conservative, never wrong. Shared by the
+    * incremental DV rebuild's base scan and the field-wise lookup
+    * producer's before-image read. */
+  private[sources] def keyBoundPrunedUnion(schema: String, table: String,
+      m: ObjectNode, entries: Seq[FileEntry], keyed: DataFrame,
+      pk: Seq[String], withMeta: Boolean = false): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    val bounds = keyed.select(pk.flatMap(k => Seq(
+      fmin(col(k)).as(s"__mn_$k"), fmax(col(k)).as(s"__mx_$k"))): _*).head()
+    val rangePred: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      pk.flatMap { k =>
+        val mn = bounds.getAs[Any](s"__mn_$k")
+        val mx = bounds.getAs[Any](s"__mx_$k")
+        if (mn == null || mx == null) None
+        else {
+          import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
+            GreaterThanOrEqual, LessThanOrEqual, Literal => CLit}
+          Some(CAnd(
+            GreaterThanOrEqual(UnresolvedAttribute(k), CLit(mn)),
+            LessThanOrEqual(UnresolvedAttribute(k), CLit(mx))))
+        }
+      }.reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+    val perFile = fileStatsFrom(schema, table, m)
+    val frames = entries.flatMap { fe =>
+      (rangePred, perFile.get(fe.dir).filter(_.nonEmpty)) match {
+        case (Some(p), Some(fm)) =>
+          val admit = fm.collect {
+            case (rel, z) if FileStats.mightMatch(z, p) => rel
+          }.toSeq.sorted
+          if (admit.isEmpty) None
+          else Some(frameFor(schema, table, m, fe,
+            fileSubset = Some(admit.map(r =>
+              new Path(dirPath(schema, table, fe.dir), r).toString)),
+            withMeta = withMeta))
+        case _ =>
+          Some(frameFor(schema, table, m, fe, withMeta = withMeta))
+      }
+    }
+    frames.reduceOption(_ unionByName _)
   }
 
   /** Fold an `__ord`-tagged frame of row versions per a FIELD-WISE merge

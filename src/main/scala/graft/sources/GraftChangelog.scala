@@ -304,17 +304,8 @@ trait GraftChangelog { self: GraftCatalog =>
       if (fromSnapshotId == 0) emptyFrame(m)
       else bucketCount(m) match {
         case Some(n) =>
-          val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
-          val changed = delta.flatMap { fe =>
-            fs.listStatus(dirPath(schema, table, fe.dir)).toSeq
-              .flatMap(_.getPath.getName match {
-                case bucketRe(i) => Seq(i.toInt)
-                case _ => Nil
-              }) match {
-              case Nil => 0 until n // flat delta dir: keep every bucket
-              case bs => bs
-            }
-          }.distinct.sorted
+          val changed = changedBucketsOf(schema, table, delta.map(_.dir))
+            .getOrElse(0 until n) // flat delta dir: keep every bucket
           val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
           val sFrom = (0 until snaps0.size()).map(snaps0.get)
             .find(_.get("id").asLong() == fromSnapshotId).get // checked above
@@ -478,7 +469,17 @@ trait GraftChangelog { self: GraftCatalog =>
     val dead = col("__last.__k") === "-D"
     def img(side: String, kind: String) = struct(
       names.map(c => col(s"$side.$c").as(c)) :+ lit(kind).as(RowKindCol): _*)
-    agg.filter(existed || !dead) // net-zero inside the range elides
+    // Field-wise engines suppress -U/+U pairs whose images net to zero
+    // across the range (a patch applied then reverted) — exact parity
+    // with pairResolvedImages' read-time filter. Deduplicate keeps them:
+    // its read-time pairWithPreImage emits identical-image pairs too
+    // (an upsert that rewrites the same row IS a logical event there).
+    val netZero =
+      if (mergeEngine(m) == "deduplicate") lit(false)
+      else existed && !dead &&
+        (struct(names.map(c => col(s"__first.$c")): _*) <=>
+          struct(names.map(c => col(s"__last.$c")): _*))
+    agg.filter((existed || !dead) && !netZero) // net-zero in range elides
       .select(explode(
         when(existed && dead, array(img("__first", "-D")))
           .when(existed, array(img("__first", "-U"), img("__last", "+U")))
@@ -567,9 +568,13 @@ trait GraftChangelog { self: GraftCatalog =>
       val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
       val headEs = if (snaps0.size() == 0) Seq.empty
         else filesOf(snaps0.get(snaps0.size() - 1))
-      val pre = headEs.filter(_.kind == "data")
-        .map(frameFor(schema, table, m, _))
-        .reduceOption(_ unionByName _)
+      // before-image file I/O is zone-pruned to the files the staged
+      // keys can live in (field-wise tables are never bucketed — the
+      // create guard pins bucket to deduplicate — so key-bound zones
+      // are the pruning lever here, same as the DV rebuild's base scan);
+      // the semi-join then cuts rows, not bytes
+      val pre = keyBoundPrunedUnion(schema, table, m,
+          headEs.filter(_.kind == "data"), keys, pk)
         .map(v => resolveVersions(m, v.join(keys, pk, "left_semi")))
         .getOrElse(emptyFrame(m))
       val after = resolveVersions(m,
@@ -594,16 +599,18 @@ trait GraftChangelog { self: GraftCatalog =>
       case Some(n) if (n >= 1 || n == -1) && !crossPartition(m) &&
           headEntries.nonEmpty && !headEntries.exists(_.kind == "dv") =>
         // changed buckets from the staged dirs' `__bucket=k` subdirs —
-        // one driver listing per staged dir, zero Spark jobs
-        val changed = (dataDir.toSeq ++ delDir).flatMap { d =>
-          fs.listStatus(new Path(tablePath(schema, table), d)).toSeq
-            .map(_.getPath.getName)
-            .filter(_.startsWith(s"$BucketCol="))
-            .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption)
-        }.distinct.sorted
-        if (changed.isEmpty) emptyFrame(m)
-        else bucketedResolve(schema, table, m, headEntries, n, Some(changed))
-          .getOrElse(emptyFrame(m))
+        // one driver listing per staged dir, zero Spark jobs. An
+        // unknown/flat staged layout (None) falls through to the
+        // unpruned resolve — NEVER to "no buckets" (under dynamic
+        // buckets there is no n to enumerate a conservative set from).
+        changedBucketsOf(schema, table, (dataDir.toSeq ++ delDir)) match {
+          case Some(Nil) => emptyFrame(m)
+          case Some(changed) =>
+            bucketedResolve(schema, table, m, headEntries, n, Some(changed))
+              .getOrElse(emptyFrame(m))
+          case None =>
+            resolveFrames(schema, table, m, headEntries).getOrElse(emptyFrame(m))
+        }
       case _ =>
         resolveFrames(schema, table, m, headEntries).getOrElse(emptyFrame(m))
     }

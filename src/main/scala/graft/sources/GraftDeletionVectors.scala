@@ -329,17 +329,8 @@ trait GraftDeletionVectors { self: GraftCatalog =>
           // readChangelogFull before-image pattern). A flat delta dir
           // (unknown layout) keeps every bucket — conservative.
           val n = bucketCount(m).get
-          val bucketRe = (java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)").r
-          val changed = (deltaDataEs ++ delEs).flatMap { fe =>
-            fs.listStatus(dirPath(schema, table, fe.dir)).toSeq
-              .flatMap(_.getPath.getName match {
-                case bucketRe(i) => Seq(i.toInt)
-                case _ => Nil
-              }) match {
-              case Nil => 0 until n
-              case bs => bs
-            }
-          }.distinct.sorted
+          val changed = changedBucketsOf(schema, table,
+            (deltaDataEs ++ delEs).map(_.dir)).getOrElse(0 until n)
           // filter on the discovered __bucket partition column: Spark's
           // partition pruning cuts the file listing to the touched
           // buckets' subdirs — per-build I/O is O(touched buckets)
@@ -347,49 +338,15 @@ trait GraftDeletionVectors { self: GraftCatalog =>
               withMeta = true, withBucket = true)).reduce(_ unionByName _)
             .filter(col(BucketCol).isin(changed.map(Integer.valueOf): _*)))
         } else {
-          // zone-prune base files against the delta's pk bounds (one
-          // O(delta) min/max agg): a file whose pk zone is disjoint from
-          // the delta's range on ANY key column can hold no touched key.
-          // Sharpest when keys cluster (monotonic ids, time-prefixed
-          // keys); conservative full-coverage fallback otherwise — and
-          // the scan below projects only (pk, file, pos) regardless, so
-          // even the fallback reads key bytes, not row bytes.
-          val bounds = allDelta.select(pk.flatMap(k => Seq(
-            org.apache.spark.sql.functions.min(col(k)).as(s"__mn_$k"),
-            org.apache.spark.sql.functions.max(col(k)).as(s"__mx_$k"))): _*)
-            .head()
-          val rangePred: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-            pk.flatMap { k =>
-              val mn = bounds.getAs[Any](s"__mn_$k")
-              val mx = bounds.getAs[Any](s"__mx_$k")
-              if (mn == null || mx == null) None
-              else {
-                import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-                import org.apache.spark.sql.catalyst.expressions.{And => CAnd,
-                  GreaterThanOrEqual, LessThanOrEqual, Literal => CLit}
-                Some(CAnd(
-                  GreaterThanOrEqual(UnresolvedAttribute(k), CLit(mn)),
-                  LessThanOrEqual(UnresolvedAttribute(k), CLit(mx))))
-              }
-            }.reduceOption(
-              org.apache.spark.sql.catalyst.expressions.And(_, _))
-          val perFile = fileStatsFrom(schema, table, m)
-          val frames = baseEs.flatMap { fe =>
-            (rangePred, perFile.get(fe.dir).filter(_.nonEmpty)) match {
-              case (Some(p), Some(fm)) =>
-                val admit = fm.collect {
-                  case (rel, z) if FileStats.mightMatch(z, p) => rel
-                }.toSeq.sorted
-                if (admit.isEmpty) None
-                else Some(frameFor(schema, table, m, fe,
-                  fileSubset = Some(admit.map(r =>
-                    new Path(dirPath(schema, table, fe.dir), r).toString)),
-                  withMeta = true))
-              case _ =>
-                Some(frameFor(schema, table, m, fe, withMeta = true))
-            }
-          }
-          frames.reduceOption(_ unionByName _)
+          // zone-prune base files against the delta's pk bounds: a file
+          // whose pk zone is disjoint from the delta's range on ANY key
+          // column can hold no touched key. Sharpest when keys cluster
+          // (monotonic ids, time-prefixed keys); conservative
+          // full-coverage fallback otherwise — and the scan below
+          // projects only (pk, file, pos) regardless, so even the
+          // fallback reads key bytes, not row bytes.
+          keyBoundPrunedUnion(schema, table, m, baseEs, allDelta, pk,
+            withMeta = true)
         }
       val baseVictims = baseScan.map { b0 =>
         val touchedCols = pk.map(col) ++

@@ -880,6 +880,29 @@ private[graft] object GraftCboStats {
         .getOrElse(f.dataType.defaultSize.toLong)
     }.sum)
 
+  /** The same stats as CATALYST logical-plan Statistics, for pinning
+    * onto a spliced MoR subtree (GraftStatsPin) — one sizing/width/NDV
+    * convention with [[toV2]], so broadcast decisions can't diverge
+    * between raw-file DSv2 scans and the native MoR splice. */
+  def toCatalyst(rows: Long, output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      cols: Map[String, Col]): org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val schema = StructType(output.map(a =>
+      org.apache.spark.sql.types.StructField(a.name, a.dataType)))
+    val attrStats = org.apache.spark.sql.catalyst.expressions.AttributeMap(
+      output.flatMap { a =>
+        cols.get(a.name.toLowerCase(java.util.Locale.ROOT)).map {
+          case (ndv, nulls, avgLen) =>
+            a -> org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
+              distinctCount = ndv.map(BigInt(_)),
+              nullCount = nulls.map(BigInt(_)),
+              avgLen = avgLen.map(l => math.max(1L, l.round)))
+        }
+      })
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = BigInt(math.max(1L, rows)) * BigInt(rowWidth(schema, cols)),
+      rowCount = Some(BigInt(rows)), attributeStats = attrStats)
+  }
+
   def toV2(rows: Long, schema: StructType, cols: Map[String, Col])
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {

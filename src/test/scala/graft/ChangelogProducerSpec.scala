@@ -235,6 +235,54 @@ class ChangelogProducerSpec extends SparkSpecBase {
       .head().getLong(2) === 10L)
   }
 
+  test("cross-commit net-zero collapse: a patch applied then reverted " +
+      "emits NOTHING over the covered range, parity with read-time") {
+    val sch = spark.range(1).selectExpr("id",
+      "CAST(NULL AS STRING) AS a", "CAST(NULL AS BIGINT) AS b").schema
+    def mk(t: String, producer: Option[String]): Unit =
+      gc.createTable("db", t, sch,
+        options = Map("merge-engine" -> "partial-update") ++
+          producer.map("changelog-producer" -> _),
+        primaryKey = Seq("id"))
+    mk("puz_l", Some("lookup")); mk("puz_n", None)
+    def up(t: String, sqlRows: String): Unit =
+      gc.upsert("db", t, spark.sql(
+        s"SELECT CAST(id AS BIGINT) id, CAST(a AS STRING) a, " +
+          s"CAST(b AS BIGINT) b FROM VALUES $sqlRows AS t(id, a, b)"))
+    def hist(t: String): Unit = {
+      up(t, "(1, 'x', 5), (2, 'y', 7)") // snap 1
+      up(t, "(1, NULL, 6)")             // snap 2: b 5 -> 6 (pair persisted)
+      up(t, "(1, NULL, 5)")             // snap 3: b 6 -> 5 (back where it was)
+    }
+    hist("puz_l"); hist("puz_n")
+    // per-commit ranges still emit their pairs (each commit DID change b)
+    assert(gc.readChangelogFull("db", "puz_l", 1, 2).count() === 2)
+    assert(gc.readChangelogFull("db", "puz_l", 2, 3).count() === 2)
+    // the spanning range nets to zero for key 1 — file-served (lookup)
+    // and read-time (producer-less) agree: NOTHING emitted
+    assert(rows(gc.readChangelogFull("db", "puz_n", 1, 3)) === Seq.empty)
+    assert(rows(gc.readChangelogFull("db", "puz_l", 1, 3)) === Seq.empty)
+    // from genesis the key nets to a single +I of its final image, both paths
+    assert(rows(gc.readChangelogFull("db", "puz_l", 0, 3)) ===
+      rows(gc.readChangelogFull("db", "puz_n", 0, 3)))
+    // DEDUPLICATE parity is the opposite contract: an upsert rewriting
+    // the identical row IS a logical event — the covered collapse keeps
+    // the -U/+U pair exactly like read-time pairWithPreImage
+    def mkd(t: String, producer: Option[String]): Unit =
+      gc.createTable("db", t, sch, options =
+        producer.map("changelog-producer" -> _).toMap, primaryKey = Seq("id"))
+    mkd("ddz_l", Some("lookup")); mkd("ddz_n", None)
+    def histd(t: String): Unit = {
+      up(t, "(1, 'x', 5)") // snap 1
+      up(t, "(1, 'x', 5)") // snap 2: identical rewrite
+      up(t, "(1, 'x', 5)") // snap 3: identical rewrite
+    }
+    histd("ddz_l"); histd("ddz_n")
+    val dl = rows(gc.readChangelogFull("db", "ddz_l", 1, 3))
+    assert(dl === rows(gc.readChangelogFull("db", "ddz_n", 1, 3)))
+    assert(dl.size === 2, dl.toString) // -U/+U pair survives on deduplicate
+  }
+
   test("lookup producer on an aggregation table: persisted pairs fold " +
       "sums exactly and a replica of images converges") {
     val sch = spark.range(1).selectExpr("id",

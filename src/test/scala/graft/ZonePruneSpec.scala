@@ -856,4 +856,42 @@ class ZonePruneSpec extends SparkSpecBase {
     val full = gc.read("db", "zav").filter(col("id").between(150, 250))
     assert(pruned.exceptAll(full).count() === 0 && full.exceptAll(pruned).count() === 0)
   }
+
+  test("avro write-time zones key files correctly under URL-encoding " +
+      "partition values (space, colon) — no bogus rels, reads stay exact") {
+    // `_metadata.file_path` is Spark's URL-ENCODED rendering: a partition
+    // value with a space renders as %20 and a Hive-escaped ':' (%3A on
+    // disk) as %253A — prefix-stripping the DECODED dir off it would key
+    // the per-file zones by bogus rels (and fillers would double the map)
+    def batch(lo: Long, hi: Long) = spark.range(lo, hi + 1)
+      .selectExpr("id",
+        "IF(id % 2 = 0, '2020-01-01 00:00:00', '2020-01-02 11:30:00') AS p")
+    gc.createTable("db", "zavenc", batch(0, 0).schema,
+      options = Map("file.format" -> "avro"), partitionBy = Seq("p"))
+    gc.append("db", "zavenc", batch(1, 100).toDF())
+    // every per-file zone rel resolves to a real file under its dir
+    // (java.nio comparison: no URI decode/encode in the way)
+    val pf = gc.fileStats("db", "zavenc")
+    assert(pf.nonEmpty && pf.values.forall(_.nonEmpty), pf.toString)
+    pf.foreach { case (dir, files) =>
+      val root = java.nio.file.Paths.get(warehouse, "db", "zavenc", dir)
+      val onDisk = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.walk(root)
+        try s.iterator().asScala.filter(_.toString.endsWith(".avro"))
+          .map(p => root.relativize(p).toString).toSet
+        finally s.close()
+      }
+      assert(files.keySet.subsetOf(onDisk),
+        s"per-file zones keyed by bogus rels: ${files.keySet -- onDisk}")
+      assert(files.values.map(_.rows).sum > 0, s"$dir zones carry no rows")
+    }
+    // dir rows are exact (no spurious filler double-count) and reads work
+    assert(gc.dirStats("db", "zavenc")("snap-1").rows === 100L)
+    assert(gc.countRows("db", "zavenc") === Some(100L))
+    val pruned = gc.readWhere("db", "zavenc", col("id") <= 40)
+    assert(pruned.count() === 40L)
+    assert(gc.read("db", "zavenc")
+      .filter(col("p") === "2020-01-02 11:30:00").count() === 50L)
+  }
 }
