@@ -553,6 +553,32 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // DV builds over per-bucket-compacted history (r15): a hot-bucket
+    // fold BEFORE the first build leaves retired-bucket marks on prior
+    // dirs; the build encodes the retirement positionally (retired rows
+    // lose the version race to their fold copies), so merge-free reads
+    // and incremental rebuilds compose with per-bucket maintenance.
+    "catalog_dv_bucket_fold" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true", "bucket" -> "4"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("upd")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.compactBuckets("q", t, Seq(0, 1)) // pre-build fold: marks appear
+      cat.upsert("q", t, d.filter(col("doc_id") % 9 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000))
+      cat.buildDeletionVectors("q", t)
+      // post-build delta + INCREMENTAL rebuild over the marks
+      cat.upsert("q", t, d.filter(col("doc_id") % 11 === 5)
+        .withColumn("lang", lit("z")))
+      cat.buildDeletionVectors("q", t)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // Nested struct evolution (r14): add + rename INSIDE a row<...>
     // column — old files keep serving a renamed member's bytes (nested
     // lineage ids), the added member reads null there; new files carry
@@ -1175,6 +1201,19 @@ object CatalogQueries {
         |SELECT doc_id, lang, n_chars + 1000 AS n_chars, '+U' AS _row_kind
         |FROM documents WHERE doc_id % 10 = 0
         |ORDER BY doc_id, _row_kind""".stripMargin,
+    // same logical history as catalog_delete_vectors_pk up to the %9
+    // upsert (the bucket fold and the DV builds are physical no-ops),
+    // then a %11 full-row replace lands as the post-build delta
+    "catalog_dv_bucket_fold" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 5 THEN 'z'
+        |       WHEN doc_id % 9 = 0 THEN lang
+        |       WHEN doc_id % 10 = 0 THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 11 = 5 THEN n_chars
+        |       WHEN doc_id % 9 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 3 OR doc_id % 9 = 0 OR doc_id % 11 = 5
+        |ORDER BY doc_id""".stripMargin,
     // the %9 upsert lands AFTER the %7 delete, so it resurrects those
     // keys with the ORIGINAL lang (full-row replace under deduplicate)
     "catalog_delete_vectors_pk" ->

@@ -2350,18 +2350,19 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     if (chosen.isEmpty) return Some(0L)
     val entries = filesOf(chosen.get)
     // DV-covered PK snapshot (every data dir at/below the newest build,
-    // no tombstone dirs, no retired buckets): the live image holds
-    // exactly one row per key, so the count is metadata-exact by
-    // subtraction — the read-optimized mode answers count(*) with zero
-    // I/O, like an append table (positions never double-count: each
-    // build derives victims over the DV-applied image).
+    // no tombstone dirs): the live image holds exactly one row per key,
+    // so the count is metadata-exact by subtraction — the read-optimized
+    // mode answers count(*) with zero I/O, like an append table
+    // (positions never double-count: each build derives victims over the
+    // DV-applied image). Retired-bucket marks at/below a build don't
+    // break this: the build DV'd those rows positionally, and dir stats
+    // count them, so the subtraction stays exact.
     if (primaryKey(m).nonEmpty) {
       val dvEs0 = entries.filter(_.kind == "dv")
       if (dvEs0.isEmpty) return None
       val buildOrd = dvEs0.map(entryOrdinal).max
       val others = entries.filterNot(_.kind == "dv")
-      if (!others.forall(fe => fe.kind == "data" &&
-          entryOrdinal(fe) <= buildOrd && fe.excludeBuckets.isEmpty))
+      if (!others.forall(fe => fe.kind == "data" && entryOrdinal(fe) <= buildOrd))
         return None
       val stats0 = dirStatsFrom(m)
       val counts0 = others.map(fe => stats0.get(fe.dir).map(_.rows))

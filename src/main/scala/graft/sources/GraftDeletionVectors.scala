@@ -263,10 +263,14 @@ trait GraftDeletionVectors { self: GraftCatalog =>
     if (snaps.size() == 0) return 0L
     val latest = snaps.get(snaps.size() - 1)
     val entries = filesOf(latest)
-    require(entries.forall(_.excludeBuckets.isEmpty),
-      s"$schema.$table carries per-bucket-compacted history — run a full " +
-        "compact() before building deletion vectors (retired-bucket dirs " +
-        "have no per-file position identity to DV against)")
+    // Per-bucket-compacted history COMPOSES: the build reads dirs whole
+    // (frameFor never consults excludeBuckets), so a retired bucket's
+    // rows enter the version race, lose to their compacted copies (the
+    // fold dir carries a higher ordinal), and land in the DV — the
+    // retirement marks become positional, exactly what [[pkDvResolve]]'s
+    // whole-dir merge-free read needs. Post-build compactBuckets is
+    // refused while DVs are live, so no mark can appear ABOVE a build
+    // ordinal and the incremental base invariant holds.
     val dvEs = entries.filter(_.kind == "dv")
     val delEs = entries.filter(_.kind == "delete")
     val dataEs = entries.filter(_.kind == "data")

@@ -409,6 +409,51 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(gc.readBucket("db", "pkb", 0).count() > 0)
   }
 
+  test("PK DV: builds COMPOSE with per-bucket-compacted history — " +
+      "retirement marks become positional, reads and counts stay exact") {
+    // twin without bucket maintenance = the logical-history oracle
+    def mk(t: String): Unit = gc.createTable("db", t, batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "bucket" -> "4"),
+      primaryKey = Seq("id"))
+    mk("pkxb"); mk("pkxb_o")
+    def hist(t: String): Unit = {
+      gc.upsert("db", t, batch(1, 200).toDF())
+      gc.upsert("db", t, batch(30, 90).toDF()
+        .withColumn("name", concat(lit("u"), col("id"))))
+      gc.deleteWhere("db", t, col("id") % 11 === 0)
+    }
+    hist("pkxb"); hist("pkxb_o")
+    // hot-bucket fold BEFORE any DV build (no dv entries yet — allowed);
+    // prior dirs now carry retired-bucket marks
+    gc.compactBuckets("db", "pkxb", Seq(1, 2))
+    assert(gc.snapshotFileEntries("db", "pkxb")
+      .exists(_.excludeBuckets.nonEmpty))
+    gc.upsert("db", "pkxb", batch(5, 15).toDF().withColumn("name", lit("w")))
+    gc.upsert("db", "pkxb_o", batch(5, 15).toDF().withColumn("name", lit("w")))
+    // the build now composes: retired rows are DV'd positionally
+    gc.buildDeletionVectors("db", "pkxb")
+    val rows = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(gc.read("db", "pkxb")) === rows(gc.read("db", "pkxb_o")))
+    // merge-free: the covered read plans no window
+    val df = gc.read("db", "pkxb")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // metadata-exact count despite the retirement marks
+    assert(gc.countRows("db", "pkxb") ===
+      Some(gc.read("db", "pkxb_o").count()))
+    // time travel BELOW the build still resolves under the marks
+    val pre = gc.read("db", "pkxb", snapshotId = Some(4)) // post-fold, pre-'w'
+    assert(pre.filter(col("name") === "w").count() === 0)
+    assert(pre.count() === gc.read("db", "pkxb_o", snapshotId = Some(3)).count())
+    // post-build delta + incremental rebuild stays exact over the marks
+    gc.upsert("db", "pkxb", batch(100, 120).toDF().withColumn("name", lit("z")))
+    gc.upsert("db", "pkxb_o", batch(100, 120).toDF().withColumn("name", lit("z")))
+    gc.buildDeletionVectors("db", "pkxb")
+    assert(rows(gc.read("db", "pkxb")) === rows(gc.read("db", "pkxb_o")))
+    assert(gc.countRows("db", "pkxb") ===
+      Some(gc.read("db", "pkxb_o").count()))
+  }
+
   test("PK DV: partitioned (partition inside PK) builds and reads exactly") {
     gc.createTable("db", "pkp", batch(0, 0).schema,
       options = Map("deletion-vectors" -> "true"),
