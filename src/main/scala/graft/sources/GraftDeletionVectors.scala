@@ -128,12 +128,13 @@ trait GraftDeletionVectors { self: GraftCatalog =>
   private[sources] def entryOrdinal(fe: FileEntry): Long =
     dirKey(fe.dir).stripPrefix("snap-").takeWhile(_.isDigit).toLong
 
-  /** Bucket-granular ops don't compose with PK deletion-vector state (a
-    * DV'd stale version inside one bucket's legs would resurrect once
-    * its tombstone dir was replaced) — refused, not silently wrong.
-    * Time travel to pre-DV snapshots still resolves (their entry lists
-    * carry no dv entries). Callers are all bucketed-PK contexts
-    * (append-only DV tables are never bucketed — bucket requires a PK). */
+  /** Bucket-granular READS don't compose with PK deletion-vector state
+    * (a DV'd stale version inside one bucket's legs would resurrect) —
+    * refused, not silently wrong; point lookups fall through to the
+    * hybrid read, which is merge-free below the build anyway. Bucket
+    * COMPACTION composes since r15 (compactBucketsDv builds, folds, and
+    * pairs the retired positions). Time travel to pre-DV snapshots still
+    * resolves (their entry lists carry no dv entries). */
   private[sources] def refuseDvEntries(entries: Seq[FileEntry], tbl: String,
       op: String): Unit =
     require(!entries.exists(_.kind == "dv"),

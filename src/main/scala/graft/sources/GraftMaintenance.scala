@@ -224,15 +224,68 @@ trait GraftMaintenance { self: GraftCatalog =>
     require(buckets.nonEmpty, "no buckets given")
     require(buckets.forall(b => b >= 0 && b < n),
       s"buckets must be in [0, $n), got ${buckets.mkString(", ")}")
-    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
     val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
     require(snaps.size() > 0, s"$schema.$table has no snapshots")
+    if (filesOf(snaps.get(snaps.size() - 1)).exists(_.kind == "dv"))
+      return compactBucketsDv(schema, table, buckets.distinct.sorted)
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
     val entries = filesOf(snaps.get(snaps.size() - 1))
-    refuseDvEntries(entries, s"$schema.$table", "compactBuckets")
     val img = bucketedResolve(schema, table, m, entries, n,
       onlyBuckets = Some(buckets.distinct.sorted)).getOrElse(emptyFrame(m))
     commit(schema, table, img, keepExisting = true, compaction = true,
       basisVersion = Some(basis), excludeBucketsFromPrior = buckets.toSet)
+  }
+
+  /**
+   * Per-bucket compaction of a LIVE deletion-vector snapshot — Paimon's
+   * lookup-compaction granularity: fold only the chosen buckets' bytes,
+   * keep the merge-free read contract. Runs in two steps: (1) an
+   * incremental [[buildDeletionVectors]] restores the one-live-version-
+   * per-key invariant (post-build deltas get covered, tombstone dirs are
+   * replaced — O(delta), a no-op when nothing changed since the last
+   * build); (2) the buckets' DV-APPLIED live rows (no window — step 1
+   * guarantees uniqueness) are rewritten as one fresh leg, whose commit
+   * PAIRS the copied rows' old (file, pos) positions as a DV dir under
+   * the same ordinal and marks the buckets retired on inherited entries.
+   * The paired DV dir raises the build ordinal to the fold commit, so
+   * the next read plans the merge-free base-only shape immediately, and
+   * metadata-only count(*) stays exact (old copies are DV-subtracted,
+   * the fold leg's stats add them back once).
+   */
+  private def compactBucketsDv(schema: String, table: String,
+      buckets: Seq[Int]): Long = {
+    buildDeletionVectors(schema, table) // restore the covered invariant
+    val m = readManifest(schema, table)
+    val basis = if (m.has("commitVersion")) m.get("commitVersion").asLong() else 0L
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val entries = filesOf(snaps.get(snaps.size() - 1))
+    val (dvEs, dataEs) = entries.partition(_.kind == "dv")
+    require(entries.forall(fe => fe.kind == "data" || fe.kind == "dv"),
+      s"$schema.$table: tombstone dirs survived a DV build — " +
+        "the covered invariant does not hold")
+    val names = currentFields(m).map(_.name)
+    val live = dataEs.map(frameFor(schema, table, m, _,
+        withMeta = true, withBucket = true)).reduceOption(_ unionByName _)
+      .map(_.filter(col(BucketCol).isin(buckets.map(Integer.valueOf): _*)))
+      .map(all => if (dvEs.isEmpty) all
+        else all.join(dvFrame(schema, table, dvEs),
+          Seq(DvFileCol, DvPosCol), "left_anti"))
+      .getOrElse(return snaps.get(snaps.size() - 1).get("id").asLong())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val perFile = live.groupBy(DvFileCol)
+        .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
+      val files = perFile.map(_.getString(0)).toSeq.sorted
+      val rows = perFile.map(_.getLong(1)).sum
+      commit(schema, table, live.select(names.map(col): _*),
+        keepExisting = true, compaction = true,
+        dvDf = if (perFile.isEmpty) None
+          else Some(live.select(col(DvFileCol), col(DvPosCol))
+            .sortWithinPartitions(DvFileCol, DvPosCol)),
+        dvIndexEntry = if (perFile.isEmpty) None else Some((files, rows)),
+        excludeBucketsFromPrior = buckets.toSet,
+        basisVersion = Some(basis))
+    } finally { live.unpersist(); () }
   }
 
   /**

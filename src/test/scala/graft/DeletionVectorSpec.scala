@@ -390,18 +390,26 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(df.filter(col("name").startsWith("u")).count() === 10)
     assert(df.filter(col("id") % 13 === 0).count() === 0)
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
-    // bucket-granular ops refuse while DVs are live
+    // bucket-granular READS refuse while DVs are live (point lookups
+    // fall through to the hybrid read, which is merge-free anyway)
     val e1 = intercept[IllegalArgumentException](
       gc.readBucket("db", "pkb", 0).collect())
     assert(e1.getMessage.contains("deletion vectors"))
-    val e2 = intercept[IllegalArgumentException](
-      gc.compactBuckets("db", "pkb", Seq(0)))
-    assert(e2.getMessage.contains("deletion vectors"))
     // post-build delta on a bucketed table resolves through the hybrid
     gc.upsert("db", "pkb", batch(1, 5).toDF()
       .withColumn("name", lit("w")))
     assert(gc.read("db", "pkb").filter(col("name") === "w").count() === 5)
     assert(gc.read("db", "pkb").count() === 185)
+    // per-bucket compaction COMPOSES with live DVs (r15): it builds DVs
+    // for the pending delta, folds the bucket's live rows into one leg,
+    // and pairs the copied rows' old positions as a DV dir — the read
+    // stays merge-free and exact, count stays metadata-only
+    gc.compactBuckets("db", "pkb", Seq(0))
+    val dfc = gc.read("db", "pkb")
+    assert(dfc.count() === 185)
+    assert(dfc.filter(col("name") === "w").count() === 5)
+    assert(!dfc.queryExecution.executedPlan.toString.contains("Window"))
+    assert(gc.countRows("db", "pkb") === Some(185L))
     // full compact retires the DVs and re-enables bucket ops
     gc.compact("db", "pkb")
     assert(gc.snapshotFileEntries("db", "pkb").map(_.kind) === Seq("data"))
@@ -452,6 +460,19 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(rows(gc.read("db", "pkxb")) === rows(gc.read("db", "pkxb_o")))
     assert(gc.countRows("db", "pkxb") ===
       Some(gc.read("db", "pkxb_o").count()))
+    // fold ON live DV state (pending delta included): builds + folds +
+    // pairs positions; read stays merge-free and exact, count exact
+    gc.upsert("db", "pkxb", batch(150, 170).toDF().withColumn("name", lit("q")))
+    gc.upsert("db", "pkxb_o", batch(150, 170).toDF().withColumn("name", lit("q")))
+    gc.compactBuckets("db", "pkxb", Seq(2, 3))
+    val post = gc.read("db", "pkxb")
+    assert(rows(post) === rows(gc.read("db", "pkxb_o")))
+    assert(!post.queryExecution.executedPlan.toString.contains("Window"))
+    assert(gc.countRows("db", "pkxb") ===
+      Some(gc.read("db", "pkxb_o").count()))
+    // hot-bucket accounting sees the fold: retired dirs stop counting
+    val runs = gc.bucketSortedRuns("db", "pkxb")
+    assert(runs(2) === 1 && runs(3) === 1, runs.toString)
   }
 
   test("PK DV: partitioned (partition inside PK) builds and reads exactly") {
