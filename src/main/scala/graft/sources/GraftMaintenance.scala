@@ -96,7 +96,14 @@ trait GraftMaintenance { self: GraftCatalog =>
         if (thresh > 0 && dynIdxDeltaCount(schema, table) >= thresh)
           foldDynamicBucketIndex(schema, table)
       }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      // best-effort by contract, but never SILENT: a failing maintenance
+      // hook (e.g. a misconfigured trigger) would otherwise starve the
+      // table of compaction forever with nothing in the logs
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"auto-maintenance skipped for $schema.$table: $e")
+    }
 
   private[sources] def autoExpire(schema: String, table: String): Unit =
     try {
@@ -156,7 +163,11 @@ trait GraftMaintenance { self: GraftCatalog =>
                   lit(cutoff).cast(org.apache.spark.sql.types.DateType))
             }
         }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) => // see autoMaintain: log, never throw
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"auto-expiration skipped for $schema.$table: $e")
+    }
 
   /**
    * Compaction: rewrite the current snapshot's (possibly many, possibly
@@ -268,7 +279,12 @@ trait GraftMaintenance { self: GraftCatalog =>
         withMeta = true, withBucket = true)).reduceOption(_ unionByName _)
       .map(_.filter(col(BucketCol).isin(buckets.map(Integer.valueOf): _*)))
       .map(all => if (dvEs.isEmpty) all
-        else all.join(dvFrame(schema, table, dvEs),
+        // the anti-join side shrinks to the chosen buckets' positions —
+        // file refs carry their `__bucket=k` path segment, and a
+        // position outside those files can't match a bucket-B row
+        else all.join(dvFrame(schema, table, dvEs).filter(
+            buckets.map(k => col(DvFileCol).contains(s"/$BucketCol=$k/"))
+              .reduce(_ || _)),
           Seq(DvFileCol, DvPosCol), "left_anti"))
       .getOrElse(return snaps.get(snaps.size() - 1).get("id").asLong())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -344,17 +360,6 @@ trait GraftMaintenance { self: GraftCatalog =>
   def compactHotBuckets(schema: String, table: String,
       trigger: Int = 5): Option[Long] = {
     require(trigger >= 2, s"trigger must be >= 2, got $trigger")
-    // PK deletion-vector tables do their read-optimizing maintenance via
-    // buildDeletionVectors (a per-bucket fold would resurrect DV'd
-    // versions once their tombstone dirs were replaced) — skip quietly
-    // so commit-time auto-maintenance stays usable on DV tables
-    locally {
-      val m = readManifest(schema, table)
-      val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
-      if (primaryKey(m).nonEmpty && snaps.size() > 0 &&
-          filesOf(snaps.get(snaps.size() - 1)).exists(_.kind == "dv"))
-        return None
-    }
     val hot = bucketSortedRuns(schema, table)
       .collect { case (k, c) if c >= trigger => k }.toSeq.sorted
     if (hot.isEmpty) None else Some(compactBuckets(schema, table, hot))

@@ -127,6 +127,26 @@ class BucketCompactSpec extends SparkSpecBase {
       pre.map { case (id, _) => (id, s"w4$id") })
   }
 
+  test("num-sorted-run trigger keeps firing on a LIVE deletion-vector " +
+      "table: the auto fold builds + retires, reads stay merge-free") {
+    val (c, _) = freshCatalog()
+    c.createTable("db", "t3dv", rows(1, "a").schema,
+      options = Map("bucket" -> "2", "deletion-vectors" -> "true",
+        "num-sorted-run.compaction-trigger" -> "4"),
+      primaryKey = Seq("id"))
+    (1 to 2).foreach(i => c.upsert("db", "t3dv", rows(100, s"w$i").toDF()))
+    c.buildDeletionVectors("db", "t3dv") // DVs now LIVE
+    (3 to 4).foreach(i => c.upsert("db", "t3dv", rows(100, s"w$i").toDF()))
+    // 4 data runs accumulated >= trigger: the auto per-bucket fold must
+    // have fired DESPITE live DVs (pre-r15 it threw and was swallowed)
+    val runs = c.bucketSortedRuns("db", "t3dv")
+    assert(runs.values.forall(_ === 1), s"post-trigger runs: $runs")
+    val df = c.read("db", "t3dv")
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    assert(img(c, "t3dv") === (0L until 100L).map(id => (id, s"w4$id")))
+    assert(c.countRows("db", "t3dv") === Some(100L))
+  }
+
   test("sequence.field arbitration survives per-bucket compaction: a late " +
       "small-sequence batch still loses to the compacted image") {
     import spark.implicits._
