@@ -3106,8 +3106,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
       .flatMap { s =>
         val entries = filesOf(s)
-        refuseDvEntries(entries, s"$schema.$table", "readBucket")
-        bucketedResolve(schema, table, m, entries, n, Some(Seq(bucket)))
+        // live deletion vectors: the hybrid merge-free read restricted
+        // to this bucket's legs (r15 — point lookups on a DV table read
+        // 1/N of the data, the same economics as the DV-free path)
+        if (entries.exists(_.kind == "dv"))
+          pkDvResolve(schema, table, m, entries,
+            onlyBuckets = Some(Seq(bucket)))
+        else bucketedResolve(schema, table, m, entries, n, Some(Seq(bucket)))
       }
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target))

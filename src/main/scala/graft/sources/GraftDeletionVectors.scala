@@ -128,20 +128,6 @@ trait GraftDeletionVectors { self: GraftCatalog =>
   private[sources] def entryOrdinal(fe: FileEntry): Long =
     dirKey(fe.dir).stripPrefix("snap-").takeWhile(_.isDigit).toLong
 
-  /** Bucket-granular READS don't compose with PK deletion-vector state
-    * (a DV'd stale version inside one bucket's legs would resurrect) —
-    * refused, not silently wrong; point lookups fall through to the
-    * hybrid read, which is merge-free below the build anyway. Bucket
-    * COMPACTION composes since r15 (compactBucketsDv builds, folds, and
-    * pairs the retired positions). Time travel to pre-DV snapshots still
-    * resolves (their entry lists carry no dv entries). */
-  private[sources] def refuseDvEntries(entries: Seq[FileEntry], tbl: String,
-      op: String): Unit =
-    require(!entries.exists(_.kind == "dv"),
-      s"$op on $tbl: snapshot carries live deletion vectors — " +
-        "bucket-granular reads/compactions don't compose with DV state; " +
-        "compact() retires the DVs first")
-
   /**
    * Merge-free hybrid read of a PRIMARY-KEY deletion-vector table —
    * Paimon's flagship `deletion-vectors.enabled` read economics, which
@@ -159,9 +145,16 @@ trait GraftDeletionVectors { self: GraftCatalog =>
    * with one delta-sized anti-join (broadcast under AQE). With no
    * post-build deltas the plan carries NO window and no key exchange —
    * a delete-heavy 100 TB PK table reads at append-table speed.
+   *
+   * `onlyBuckets` (bucketed tables only) restricts EVERY version source —
+   * base files, deltas, tombstones, DV positions — to those buckets'
+   * legs. Sound because keys are bucket-sticky (`hash(pk) % n`), so a
+   * bucket's slice contains every version of its keys: the point-lookup
+   * path reads 1/N of a 100 TB DV table, not the resolved image.
    */
   private[sources] def pkDvResolve(schema: String, table: String, m: ObjectNode,
-      entries: Seq[FileEntry]): Option[DataFrame] = {
+      entries: Seq[FileEntry],
+      onlyBuckets: Option[Seq[Int]] = None): Option[DataFrame] = {
     val pk = primaryKey(m)
     val names = currentFields(m).map(_.name)
     val dvEs = entries.filter(_.kind == "dv")
@@ -174,6 +167,8 @@ trait GraftDeletionVectors { self: GraftCatalog =>
       s"$schema.$table: tombstone dir at or below DV-build ordinal " +
         s"$buildOrd — the merge-free base invariant does not hold")
     val bucketed = bucketCount(m).isDefined
+    require(onlyBuckets.isEmpty || bucketed,
+      s"$schema.$table is not bucketed — no bucket restriction applies")
     val baseLive: Option[DataFrame] =
       if (base.isEmpty) None
       else if (!bucketed)
@@ -185,16 +180,28 @@ trait GraftDeletionVectors { self: GraftCatalog =>
         // bucketed layout: dirs hold __bucket=k subdirs that appendUnion's
         // per-file machinery doesn't resolve — read whole dirs with the
         // bucket column retained and apply the anti-join uniformly (the
-        // DV side holds deleted positions only; AQE broadcasts it)
-        val all = base.map(frameFor(schema, table, m, _,
+        // DV side holds deleted positions only; AQE broadcasts it).
+        // A bucket restriction partition-prunes the scan to those legs
+        // and shrinks the DV side to their files' positions.
+        val all0 = base.map(frameFor(schema, table, m, _,
             withMeta = true, withBucket = true)).reduce(_ unionByName _)
-        Some(all.join(dvFrame(schema, table, dvEs),
-            Seq(DvFileCol, DvPosCol), "left_anti")
+        val all = onlyBuckets.fold(all0)(bs =>
+          all0.filter(col(BucketCol).isin(bs.map(Integer.valueOf): _*)))
+        val dv0 = dvFrame(schema, table, dvEs)
+        val dv = onlyBuckets.fold(dv0)(bs => dv0.filter(
+          bs.map(k => col(DvFileCol).contains(s"/$BucketCol=$k/"))
+            .reduce(_ || _)))
+        Some(all.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
           .select(names.map(col): _*))
       }
     if (delta.isEmpty) return baseLive
     val deltaAll = delta.map { fe =>
-      val f = frameFor(schema, table, m, fe, withBucket = bucketed)
+      val f0 = frameFor(schema, table, m, fe, withBucket = bucketed)
+      val f = (onlyBuckets, bucketed) match {
+        case (Some(bs), true) =>
+          f0.filter(col(BucketCol).isin(bs.map(Integer.valueOf): _*))
+        case _ => f0
+      }
       if (bucketed) f.drop(BucketCol) else f
     }.reduce(_ unionByName _)
     // version order: (sequence, ordinal) on sequence.field tables, pure

@@ -280,11 +280,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           case EqualTo(a, v) if pk.contains(a) => a -> v
         }.toMap
         val prunedBucket =
-          // live PK deletion vectors: single-bucket resolution doesn't
-          // compose with DV state (readBucket refuses) — fall through to
-          // the hybrid read, which is itself merge-free below the build
-          if (bucketed && pk.nonEmpty && pk.forall(eq.contains) &&
-              !entries.exists(_.kind == "dv")) {
+          // composes with live PK deletion vectors since r15: readBucket
+          // routes through the bucket-restricted hybrid merge-free read
+          if (bucketed && pk.nonEmpty && pk.forall(eq.contains)) {
             // dynamic-bucket tables route point lookups through the hash
             // index; an unassigned key (None) falls through to the
             // ordinary read, which correctly returns nothing

@@ -390,16 +390,28 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(df.filter(col("name").startsWith("u")).count() === 10)
     assert(df.filter(col("id") % 13 === 0).count() === 0)
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
-    // bucket-granular READS refuse while DVs are live (point lookups
-    // fall through to the hybrid read, which is merge-free anyway)
-    val e1 = intercept[IllegalArgumentException](
-      gc.readBucket("db", "pkb", 0).collect())
-    assert(e1.getMessage.contains("deletion vectors"))
+    // bucket-granular reads COMPOSE with live DVs (r15): one bucket's
+    // legs resolve through the restricted hybrid read — exact slice,
+    // merge-free plan, and only that bucket's files scanned
+    val b0 = gc.readBucket("db", "pkb", 0)
+    assert(!b0.queryExecution.executedPlan.toString.contains("Window"))
+    // partition pruning cuts the data scan to this bucket's legs
+    // (inputFiles ignores partition filters — probe selectedPartitions)
+    val dataScanned = b0.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.toPartitionArray.toSeq.map(_.toPath.toString)
+    }.flatten.filter(_.contains("__bucket="))
+    assert(dataScanned.nonEmpty && dataScanned.forall(_.contains("__bucket=0")),
+      dataScanned.mkString("\n"))
+    assert((0 until 4).map(gc.readBucket("db", "pkb", _).count()).sum === 185L)
     // post-build delta on a bucketed table resolves through the hybrid
     gc.upsert("db", "pkb", batch(1, 5).toDF()
       .withColumn("name", lit("w")))
     assert(gc.read("db", "pkb").filter(col("name") === "w").count() === 5)
     assert(gc.read("db", "pkb").count() === 185)
+    // point-lookup slice stays exact ACROSS the post-build delta too
+    assert((0 until 4).map(b => gc.readBucket("db", "pkb", b)
+      .filter(col("name") === "w").count()).sum === 5L)
     // per-bucket compaction COMPOSES with live DVs (r15): it builds DVs
     // for the pending delta, folds the bucket's live rows into one leg,
     // and pairs the copied rows' old positions as a DV dir — the read
