@@ -2203,7 +2203,21 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
     val entries = chosen.map(filesOf).getOrElse(Seq.empty)
     val full = read(schema, table, snapshotId, asOfMillis).filter(condition)
-    if (entries.isEmpty || !zonePrunable(m, entries)) return full
+    // DV-COVERED PK snapshots (every data dir at/below the newest build,
+    // current schema) prune like append-only state: the base holds one
+    // live version per key, so a dir/file whose zones refute the
+    // predicate holds no matching live row — merge can't resurrect a
+    // version from a pruned file (it is either DV'd or THE live one).
+    // Post-build deltas make pruning unsound again (a pruned old version
+    // could mask a delta race) — those fall back to read().filter.
+    val pk0 = primaryKey(m)
+    val coveredPk = pk0.nonEmpty && entries.exists(_.kind == "dv") && {
+      val bo = entries.filter(_.kind == "dv").map(entryOrdinal).max
+      val cur = m.get("currentSchemaVersion").asInt()
+      entries.filterNot(_.kind == "dv").forall(fe =>
+        fe.kind == "data" && entryOrdinal(fe) <= bo && fe.schemaVersion == cur)
+    }
+    if (entries.isEmpty || !(zonePrunable(m, entries) || coveredPk)) return full
     // The Column's tree is unresolved (plain name + raw literal); the zone
     // evaluator needs the analyzer's output — typed literals, coercion
     // casts folded in — so pull the resolved predicate off the analyzed
@@ -2246,10 +2260,27 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     // zonePrunable ⇒ append-only (no PK, no tombstones): the frames union
     // without merge resolution, exactly resolveFrames' no-PK arm —
     // including deletion-vector application (pruning a dirty file is
-    // sound: its DV rows then match nothing).
+    // sound: its DV rows then match nothing). The covered-PK branch is
+    // the same shape with the merge-free DV-applied base.
     if (picked.isEmpty) emptyFrame(m).filter(condition)
-    else appendUnion(schema, table, m, picked, dvEntries)
-      .drop("__ord", "__del").filter(condition)
+    else if (!coveredPk)
+      appendUnion(schema, table, m, picked, dvEntries)
+        .drop("__ord", "__del").filter(condition)
+    else if (bucketCount(m).isEmpty)
+      appendUnion(schema, table, m, picked, dvEntries)
+        .select(currentFields(m).map(f => col(f.name)): _*).filter(condition)
+    else {
+      // bucketed covered base: dirs hold __bucket=k subdirs that
+      // appendUnion's per-file machinery doesn't resolve — DIR-level
+      // pruning only (whole kept dirs, uniform anti-join), which is
+      // where the zones' win lives anyway (time-ordered commits)
+      picked.map { case (fe, _) => frameFor(schema, table, m, fe,
+          withMeta = true, withBucket = true) }
+        .reduce(_ unionByName _)
+        .join(dvFrame(schema, table, dvEntries),
+          Seq(DvFileCol, DvPosCol), "left_anti")
+        .select(currentFields(m).map(f => col(f.name)): _*).filter(condition)
+    }
   }
 
   /**

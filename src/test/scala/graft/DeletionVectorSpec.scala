@@ -487,6 +487,43 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(runs(2) === 1 && runs(3) === 1, runs.toString)
   }
 
+  test("PK DV: readWhere zone-prunes DV-COVERED snapshots like append-only; " +
+      "post-build deltas fall back to the exact resolve") {
+    def dirsOf(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.inputFiles.map(_.split("/").reverse.dropWhile(!_.startsWith("snap-")).head).toSet
+    // unbucketed: per-file machinery (clean/dirty split) under the prune
+    gc.createTable("db", "pkzw", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true"), primaryKey = Seq("id"))
+    gc.upsert("db", "pkzw", batch(1, 100).toDF())
+    gc.upsert("db", "pkzw", batch(101, 200).toDF())
+    gc.upsert("db", "pkzw", batch(201, 300).toDF())
+    gc.deleteWhere("db", "pkzw", col("id") % 10 === 0)
+    gc.buildDeletionVectors("db", "pkzw")
+    val pruned = gc.readWhere("db", "pkzw", col("id").between(150, 250))
+    assert(!dirsOf(pruned).contains("snap-1"), dirsOf(pruned).toString)
+    val oracle = gc.read("db", "pkzw").filter(col("id").between(150, 250))
+    assert(pruned.count() === 90) // 101 ids minus the 11 deleted multiples of 10
+    assert(pruned.exceptAll(oracle).count() === 0 && oracle.exceptAll(pruned).count() === 0)
+    // bucketed: dir-level pruning with the uniform anti-join
+    gc.createTable("db", "pkzwb", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "bucket" -> "4"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "pkzwb", batch(1, 100).toDF())
+    gc.upsert("db", "pkzwb", batch(101, 200).toDF())
+    gc.deleteWhere("db", "pkzwb", col("id") % 10 === 0)
+    gc.buildDeletionVectors("db", "pkzwb")
+    val pb = gc.readWhere("db", "pkzwb", col("id") > 150)
+    assert(!dirsOf(pb).contains("snap-1"), dirsOf(pb).toString)
+    assert(pb.count() === 45) // 151..200 minus 160..200 by 10 (5 ids)
+    // post-build delta: pruning would be unsound — exactness is kept by
+    // the read().filter fallback (a delta-raced key must still resolve)
+    gc.upsert("db", "pkzw", batch(50, 60).toDF().withColumn("name", lit("w")))
+    val after = gc.readWhere("db", "pkzw", col("id").between(40, 70))
+    assert(after.filter(col("name") === "w").count() === 11)
+    assert(after.count() ===
+      gc.read("db", "pkzw").filter(col("id").between(40, 70)).count())
+  }
+
   test("PK DV: partitioned (partition inside PK) builds and reads exactly") {
     gc.createTable("db", "pkp", batch(0, 0).schema,
       options = Map("deletion-vectors" -> "true"),
