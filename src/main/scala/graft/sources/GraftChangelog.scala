@@ -304,13 +304,22 @@ trait GraftChangelog { self: GraftCatalog =>
       if (fromSnapshotId == 0) emptyFrame(m)
       else bucketCount(m) match {
         case Some(n) =>
-          val changed = changedBucketsOf(schema, table, delta.map(_.dir))
-            .getOrElse(0 until n) // flat delta dir: keep every bucket
           val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
           val sFrom = (0 until snaps0.size()).map(snaps0.get)
             .find(_.get("id").asLong() == fromSnapshotId).get // checked above
-          bucketedResolve(schema, table, m, filesOf(sFrom), n, Some(changed))
-            .getOrElse(emptyFrame(m))
+          changedBucketsOf(schema, table, delta.map(_.dir)) match {
+            case Some(changed) =>
+              bucketedResolve(schema, table, m, filesOf(sFrom), n, Some(changed))
+                .getOrElse(emptyFrame(m))
+            case None if n >= 1 => // flat delta dir: keep every bucket
+              bucketedResolve(schema, table, m, filesOf(sFrom), n,
+                  Some(0 until n)).getOrElse(emptyFrame(m))
+            case None =>
+              // dynamic buckets have no static range to enumerate — the
+              // conservative fallback is the UNPRUNED before image, never
+              // "no buckets" (0 until -1 would silently empty it)
+              read(schema, table, snapshotId = Some(fromSnapshotId))
+          }
         case None => read(schema, table, snapshotId = Some(fromSnapshotId))
       }
     pairWithPreImage(m, news, pre)
@@ -643,9 +652,7 @@ trait GraftChangelog { self: GraftCatalog =>
     if (delta.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    val names = currentFields(m).map(_.name)
-    require(!names.exists(n => n.startsWith("__pre_") || n == "__e"),
-      s"$schema.$table has columns colliding with changelog scratch names")
+    // scratch-name collisions are validated by pairResolvedImages below
     val changedKeys = delta.map(frameFor(schema, table, m, _))
       .reduce(_ unionByName _).select(pk.map(col): _*).distinct()
     val after = read(schema, table, snapshotId = Some(toSnapshotId))

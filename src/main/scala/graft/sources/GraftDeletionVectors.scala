@@ -54,6 +54,16 @@ trait GraftDeletionVectors { self: GraftCatalog =>
       .parquet(dirPath(schema, table, fe.dir).toString))
       .reduce(_ unionByName _)
 
+  /** A DV position frame shrunk to the given buckets' files — refs carry
+    * their `__bucket=k` path segment, and a position outside those files
+    * can't match a bucket-restricted row anyway (pure size reduction for
+    * the anti-join side). One definition of the path convention, shared
+    * by [[pkDvResolve]] and the per-bucket fold. */
+  private[sources] def dvPositionsInBuckets(dv: DataFrame,
+      buckets: Seq[Int]): DataFrame =
+    dv.filter(buckets.map(k => col(DvFileCol).contains(s"/$BucketCol=$k/"))
+      .reduce(_ || _))
+
   /**
    * Union an append-only snapshot's data frames with deletion vectors
    * applied. The manifest's dvIndex names exactly which files a DV
@@ -188,9 +198,7 @@ trait GraftDeletionVectors { self: GraftCatalog =>
         val all = onlyBuckets.fold(all0)(bs =>
           all0.filter(col(BucketCol).isin(bs.map(Integer.valueOf): _*)))
         val dv0 = dvFrame(schema, table, dvEs)
-        val dv = onlyBuckets.fold(dv0)(bs => dv0.filter(
-          bs.map(k => col(DvFileCol).contains(s"/$BucketCol=$k/"))
-            .reduce(_ || _)))
+        val dv = onlyBuckets.fold(dv0)(dvPositionsInBuckets(dv0, _))
         Some(all.join(dv, Seq(DvFileCol, DvPosCol), "left_anti")
           .select(names.map(col): _*))
       }

@@ -279,12 +279,9 @@ trait GraftMaintenance { self: GraftCatalog =>
         withMeta = true, withBucket = true)).reduceOption(_ unionByName _)
       .map(_.filter(col(BucketCol).isin(buckets.map(Integer.valueOf): _*)))
       .map(all => if (dvEs.isEmpty) all
-        // the anti-join side shrinks to the chosen buckets' positions —
-        // file refs carry their `__bucket=k` path segment, and a
-        // position outside those files can't match a bucket-B row
-        else all.join(dvFrame(schema, table, dvEs).filter(
-            buckets.map(k => col(DvFileCol).contains(s"/$BucketCol=$k/"))
-              .reduce(_ || _)),
+        // the anti-join side shrinks to the chosen buckets' positions
+        else all.join(
+          dvPositionsInBuckets(dvFrame(schema, table, dvEs), buckets),
           Seq(DvFileCol, DvPosCol), "left_anti"))
       .getOrElse(return snaps.get(snaps.size() - 1).get("id").asLong())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -139,8 +139,12 @@ trait GraftStreamingOps { self: GraftCatalog =>
     // ONE image (the broadcast contract already implies the dim fits in
     // memory). The bucketed route keys its per-bucket legs off the batch,
     // so it re-plans per batch by construction — but its dim I/O is
-    // already O(touched buckets).
-    var cachedDim: Option[((Long, Long), DataFrame)] = None
+    // already O(touched buckets). AtomicReference: the micro-batch thread
+    // writes it, the listener-bus thread clears it at termination — a
+    // plain var would let the listener observe a stale value under the
+    // JMM and unpersist the wrong image (leaking the fresh one).
+    val cachedDim = new java.util.concurrent.atomic.AtomicReference[
+      Option[((Long, Long), DataFrame)]](None)
     val query = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -155,14 +159,18 @@ trait GraftStreamingOps { self: GraftCatalog =>
                 if (m.has("commitVersion")) m.get("commitVersion").asLong()
                 else 0L
               val dimKey = (head, cv)
-              val dim0 = cachedDim match {
+              val dim0 = cachedDim.get() match {
                 case Some((k, df)) if k == dimKey => df
                 case stale =>
                   stale.foreach(_._2.unpersist(blocking = false))
                   GraftCatalog.lookupDimResolves.incrementAndGet()
                   val fresh = read(schema, dimTable)
                     .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-                  cachedDim = Some((dimKey, fresh))
+                  // the listener may have cleared the cache concurrently
+                  // (query terminating): if the swap loses, release the
+                  // image we just persisted instead of leaking it
+                  if (!cachedDim.compareAndSet(stale, Some((dimKey, fresh))))
+                    fresh.unpersist(blocking = false)
                   fresh
               }
               val dim = if (broadcastDim)
@@ -185,8 +193,7 @@ trait GraftStreamingOps { self: GraftCatalog =>
       override def onQueryTerminated(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
         if (e.id == query.id) {
-          cachedDim.foreach(_._2.unpersist(blocking = false))
-          cachedDim = None
+          cachedDim.getAndSet(None).foreach(_._2.unpersist(blocking = false))
           streams.removeListener(this)
         }
     })
