@@ -553,6 +553,28 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Deletion vectors on ORC (r16): same logical history as
+    // catalog_delete_vectors_pk but file.format=orc — row identity comes
+    // from the write-time stamped position column (ORC has no reader
+    // row_index), exercising DV build, merge-free hybrid read, and the
+    // post-build delta arbitration on a non-parquet format.
+    "catalog_orc_dv" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true", "file.format" -> "orc"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("upd")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.buildDeletionVectors("q", t)
+      cat.upsert("q", t, d.filter(col("doc_id") % 9 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000))
+      cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // DV builds over per-bucket-compacted history (r15): a hot-bucket
     // fold BEFORE the first build leaves retired-bucket marks on prior
     // dirs; the build encodes the retirement positionally (retired rows
@@ -787,6 +809,64 @@ object CatalogQueries {
     // per entry key. Output flattens both to scalar columns (sorted-joined
     // tag string, two probed map entries) so the DuckDB oracle hashes the
     // same image.
+    // Aggregation retraction (r16, Paimon's retract-input handling):
+    // `-U` rows INVERT the fold — sum subtracts, collect removes one
+    // occurrence per element. History: full retract + re-accumulate for
+    // %3 keys (two separate commits, deterministic fold order), partial
+    // sum retract for %5 keys.
+    "catalog_agg_retract" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val base = Tables(s, dir, "documents")
+      val d = base.select(col("doc_id"), col("n_chars"),
+        array(col("lang")).as("tags"), lit("+I").as("op"))
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.n_chars.aggregate-function" -> "sum",
+          "fields.tags.aggregate-function" -> "collect",
+          "rowkind.field" -> "op"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 3 === 0)
+        .withColumn("op", lit("-U"))) // full retraction: sum 0, tags []
+      cat.upsert("q", t, base.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("doc_id").as("n_chars"),
+          array(lit("x")).as("tags"), lit("+U").as("op")))
+      cat.upsert("q", t, base
+        .filter(col("doc_id") % 5 === 0 && col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), lit(100L).as("n_chars"),
+          array().cast("array<string>").as("tags"), lit("-U").as("op")))
+      cat.read("q", t)
+        .select(col("doc_id"), col("n_chars"),
+          array_join(array_sort(col("tags")), ",").as("tags"))
+        .orderBy("doc_id")
+    }),
+    // aggregation.remove-record-on-delete (r16): `-D` rows and
+    // deleteWhere REMOVE the key outright on an aggregation table; a
+    // later insert re-aggregates from scratch (tombstone resets the
+    // fold), while `+U` rows keep accumulating.
+    "catalog_agg_rrod" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val base = Tables(s, dir, "documents")
+      val d = base.select(col("doc_id"), col("n_chars"), lit("+I").as("op"))
+      cat.createTable("q", t, d.schema,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.n_chars.aggregate-function" -> "sum",
+          "rowkind.field" -> "op",
+          "aggregation.remove-record-on-delete" -> "true"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t,
+        d.filter(col("doc_id") % 7 === 3 && col("doc_id") % 10 =!= 0)
+          .withColumn("op", lit("-D"))
+        .unionByName(d.filter(col("doc_id") % 10 === 0)
+          .withColumn("op", lit("+U"))))
+      cat.upsert("q", t, base.filter(col("doc_id") % 14 === 3)
+        .select(col("doc_id"), lit(1L).as("n_chars"), lit("+I").as("op")))
+      cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
+      cat.read("q", t).select("doc_id", "n_chars").orderBy("doc_id")
+    }),
     "catalog_merge_agg_collect" -> ((s, dir) => {
       val (cat, t) = freshCat(s)
       cat.createSchema("q")
@@ -1214,6 +1294,16 @@ object CatalogQueries {
         |FROM documents
         |WHERE doc_id % 7 <> 3 OR doc_id % 9 = 0 OR doc_id % 11 = 5
         |ORDER BY doc_id""".stripMargin,
+    // identical logical history to catalog_delete_vectors_pk — the
+    // format swap (orc + stamped positions) must be invisible
+    "catalog_orc_dv" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN lang
+        |       WHEN doc_id % 10 = 0 THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 9 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 7 <> 3 OR doc_id % 9 = 0) AND doc_id % 11 <> 5
+        |ORDER BY doc_id""".stripMargin,
     // the %9 upsert lands AFTER the %7 delete, so it resurrects those
     // keys with the ORIGINAL lang (full-row replace under deduplicate)
     "catalog_delete_vectors_pk" ->
@@ -1272,6 +1362,22 @@ object CatalogQueries {
         |  CASE WHEN doc_id % 6 = 1 THEN n_chars + 1000000 ELSE n_chars END AS n_chars
         |FROM documents
         |WHERE doc_id % 11 <> 5 OR doc_id % 6 = 1
+        |ORDER BY doc_id""".stripMargin,
+    "catalog_agg_retract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id
+        |       WHEN doc_id % 5 = 0 THEN n_chars - 100
+        |       ELSE n_chars END AS n_chars,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'x' ELSE lang END AS tags
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "catalog_agg_rrod" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 14 = 3 THEN CAST(1 AS BIGINT)
+        |       WHEN doc_id % 10 = 0 THEN 2 * n_chars
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 7 <> 3 OR doc_id % 10 = 0 OR doc_id % 14 = 3)
+        |  AND doc_id % 11 <> 5
         |ORDER BY doc_id""".stripMargin,
     "catalog_merge_agg_collect" ->
       """SELECT doc_id,

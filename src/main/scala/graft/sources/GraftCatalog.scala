@@ -287,10 +287,23 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       require(fld.get.dataType == org.apache.spark.sql.types.StringType,
         s"rowkind.field $f must be a string column, got " +
           fld.get.dataType.simpleString)
-      require(options.getOrElse("merge-engine", "deduplicate") == "deduplicate" ||
-        options.get("ignore-delete").contains("true"),
+      // Field-wise engines and retractions (r16): the aggregation engine
+      // accepts `-U`/`-D` rows when every aggregated field's function
+      // has an exact retraction (sum/collect — see RetractableAggs), or
+      // when remove-record-on-delete turns `-D` into whole-row removal;
+      // ignore-delete drops them. partial-update has no retract path.
+      val engine = options.getOrElse("merge-engine", "deduplicate")
+      val aggRetractable = engine == "aggregation" && (
+        options.get("aggregation.remove-record-on-delete").contains("true") ||
+          structType.fieldNames.filterNot(primaryKey.contains)
+            .filterNot(_ == f).forall(c => RetractableAggs.contains(
+              options.getOrElse(s"fields.$c.aggregate-function", "last_non_null"))))
+      require(engine == "deduplicate" ||
+        options.get("ignore-delete").contains("true") || aggRetractable,
         "rowkind.field on a field-wise merge engine requires " +
-          "ignore-delete=true (no tombstone path exists there)")
+          "ignore-delete=true, aggregation.remove-record-on-delete=true, " +
+          "or retractable aggregate functions (sum/collect) on every " +
+          "aggregated field")
     }
     // File format (Paimon's `file.format`, default parquet): ORC and
     // AVRO write through Spark's native sources (Spark 4 bundles the
@@ -311,10 +324,20 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     options.get("file.format").foreach { f =>
       require(f == "parquet" || f == "orc" || f == "avro",
         s"file.format must be parquet, orc or avro, got $f")
-      if (f != "parquet") {
+      // r16: deletion vectors compose with ORC — Spark's ORC reader has
+      // no `_metadata.row_index`, so ORC DV tables stamp a hidden
+      // write-time position column ([[OrcPosCol]]) into every data file
+      // instead. Positions exist from the FIRST commit by construction:
+      // `deletion-vectors` is an ImmutableOption, so it can only be set
+      // at create. AVRO stays refused: spark-avro fails reads on schema
+      // fields absent from the file, so the hidden-column trick cannot
+      // degrade conservatively there.
+      if (f == "avro") {
         require(!options.get("deletion-vectors").contains("true"),
-          "deletion-vectors requires file.format=parquet (row positions " +
-            "pin parquet row_index semantics)")
+          "deletion-vectors requires file.format=parquet or orc (avro " +
+            "reads cannot carry the hidden position column)")
+      }
+      if (f != "parquet") {
         require(!options.contains(BloomIndex.OptionKey),
           "bloom-filter index requires file.format=parquet (bitsets are " +
             "sized from parquet footer row counts)")
@@ -510,6 +533,21 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         }
         require(ok, s"$k: nested_update requires an array<row> field, " +
           s"$f is ${structType(f).dataType.simpleString}")
+      }
+    }
+    // Paimon's `aggregation.remove-record-on-delete` (r16): a `-D` row
+    // through rowkind.field (or a deleteWhere) REMOVES the key outright
+    // — a tombstone path for the aggregation engine, whose fold then
+    // re-aggregates only the versions committed after the delete.
+    options.get("aggregation.remove-record-on-delete").foreach { v =>
+      require(v == "true" || v == "false",
+        s"aggregation.remove-record-on-delete must be true or false, got $v")
+      if (v == "true") {
+        require(options.get("merge-engine").contains("aggregation"),
+          "aggregation.remove-record-on-delete requires merge-engine=aggregation")
+        require(!options.get("ignore-delete").contains("true"),
+          "aggregation.remove-record-on-delete conflicts with " +
+            "ignore-delete=true (one drops deletes, the other applies them)")
       }
     }
     // Paimon's `fields.<f>.nested-key` (nested_update companion): the
@@ -1297,6 +1335,10 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       // inflate). Older snapshots keep the unexcluded entries (time
       // travel); expiration reclaims retired subdirs.
       excludeBucketsFromPrior: Set[Int] = Set.empty,
+      // Aggregation-engine retract batch (r16): the data dir carries the
+      // hidden RetractCol flag column; its manifest entry is marked `rk`
+      // so reads pull the column through the explicit schema.
+      retractDir: Boolean = false,
       // Index-only fold (kind = "idx"): the pre-folded live key→bucket
       // set replaces EVERY prior `.dbidx` delta — the new dir carries
       // only the consolidated index, zero data bytes move, and the
@@ -1323,8 +1365,12 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     }
     if (kind == "data") {
       val cur = currentSchema(schema, table)
-      require(df.schema.fieldNames.sameElements(cur.fieldNames),
-        s"dataframe columns ${df.schema.fieldNames.mkString(",")} != table ${cur.fieldNames.mkString(",")}")
+      // a retract batch (aggregation engine) carries the hidden flag
+      // column as its last field — everything else must still align
+      val expect = if (retractDir) cur.fieldNames :+ RetractCol
+        else cur.fieldNames
+      require(df.schema.fieldNames.sameElements(expect),
+        s"dataframe columns ${df.schema.fieldNames.mkString(",")} != table ${expect.mkString(",")}")
     }
     // Within-batch key resolution (deduplicate engine): all rows of one
     // commit share an ordinal, so duplicate keys INSIDE one batch would
@@ -1423,9 +1469,20 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       val toWrite = if (bucketPart.nonEmpty) toWrite0.repartition(parted.map(col): _*)
         else toWrite0
       // DV sidecar frames stay parquet regardless of the table's data
-      // format (DVs exist only on parquet tables — validated at create)
+      // format (position lists, not data)
       val fmt = if (frameKind == "dv") "parquet" else fileFormat(m)
-      val writer0 = toWrite.write.mode("overwrite").format(providerFor(fmt))
+      // ORC DV tables: stamp the write-time positional identity into
+      // every data file (see [[OrcPosCol]] — ORC has no reader-side
+      // row_index; identity only needs to be stable and unique, and
+      // monotonically_increasing_id is partition-prefixed unique within
+      // the commit's job). Data files only: tombstones and sidecars are
+      // never DV victims.
+      val stamped = if (frameKind == "data" && fmt == "orc" &&
+          deletionVectors(m))
+        toWrite.withColumn(OrcPosCol,
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+      else toWrite
+      val writer0 = stamped.write.mode("overwrite").format(providerFor(fmt))
       // Paimon's file.compression: per-table codec for data files
       // (engine default — snappy — when unset). DV sidecars keep the
       // default; they are position lists, not data.
@@ -1647,12 +1704,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       def addEntry(arr: ArrayNode, fe: FileEntry): Unit = {
         val e = arr.addObject(); e.put("dir", fe.dir); e.put("schemaVersion", fe.schemaVersion)
         if (fe.kind != "data") e.put("kind", fe.kind)
+        if (fe.retract) e.put("rk", true)
         if (fe.excludeBuckets.nonEmpty) {
           val xa = e.putArray("xb"); fe.excludeBuckets.foreach(xa.add)
         }
       }
       val fArr = sn.putArray("files")
-      val added = FileEntry(landDir, sv, kind) +:
+      val added = FileEntry(landDir, sv, kind, retract = retractDir) +:
         (routedDel.map(_ => FileEntry(s"$landDir-del", sv, "delete")).toSeq ++
           dvDf.map(_ => FileEntry(s"$landDir-dv", sv, "dv")).toSeq)
       (prevFiles ++ added).foreach(addEntry(fArr, _))
@@ -2230,12 +2288,18 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val stats = dirStatsFrom(m)
     val kept = dataEntries.filter(fe =>
       stats.get(fe.dir).forall(FileStats.mightMatch(_, resolved.get)))
+    // The bucketed covered-PK branch below reads whole kept dirs (its
+    // dirs hold __bucket=k subdirs the per-file machinery doesn't
+    // resolve) — computing per-file zone/bloom refinement for it would
+    // be sidecar I/O thrown away, so that shape stays dir-level.
+    val bucketedCovered = coveredPk && bucketCount(m).isDefined
     // Per-FILE refinement inside surviving dirs — the reference's skip
     // unit (Paimon per-file field stats). A large append dir whose files
     // were written range-clustered (or just time-ordered) prunes to the
     // matching files instead of all-or-nothing; dirs without per-file
     // zones (pre-files manifests) keep all their files.
-    val perFile = fileStatsFrom(schema, table, m)
+    val perFile = if (bucketedCovered) Map.empty[String, Map[String, FileStats.DirStats]]
+      else fileStatsFrom(schema, table, m)
     val zoneSel: Seq[(FileEntry, Option[Seq[String]])] = kept.map { fe =>
       perFile.get(fe.dir).filter(_.nonEmpty) match {
         case Some(fm) =>
@@ -2248,7 +2312,8 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     }
     // Bloom pass AFTER zones: membership pruning for the equality/IN
     // literals min/max can't rule out (unclustered point lookups).
-    val selections = bloomRefine(schema, table, m, resolved.get, perFile, zoneSel)
+    val selections = if (bucketedCovered) zoneSel
+      else bloomRefine(schema, table, m, resolved.get, perFile, zoneSel)
     if (kept.size == dataEntries.size && selections.forall(_._2.isEmpty)) return full
     val picked: Seq[(FileEntry, Option[Seq[String]])] = selections.flatMap {
       case (fe, Some(keptFiles)) =>
@@ -2446,20 +2511,34 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         val keepIds = curFields.filter(f => keep.contains(f.name)).map(_.id).toSet
         writeFieldsAll.filter(f => keepIds.contains(f.id))
       } else writeFieldsAll
+    // data AND tombstone dirs follow the table's file.format (ORC reads
+    // columns by write-time NAME, so the field-id mapping below works
+    // identically); DV sidecar dirs alone are parquet-pinned (position
+    // lists, not data)
+    val fmt = if (fe.kind == "dv") "parquet" else fileFormat(m)
+    // ORC data files of DV tables carry their row identity as a stored
+    // column ([[OrcPosCol]], stamped at write — ORC has no reader-side
+    // `_metadata.row_index`); a meta-requesting read pulls it through
+    // the explicit schema and surfaces it as [[DvPosCol]] below.
+    val orcPos = withMeta && fmt == "orc" && fe.kind == "data"
     // Explicit write-time schema: without it, Spark's partition-dir
     // type inference would coerce string partition values that look
     // numeric ("0123" -> 123) and corrupt the round-trip.
     val writeSchema = StructType(writeFields.map(f =>
       StructField(f.name, TypeMapping.toSparkType(f.trinoType))) ++
+      (if (orcPos)
+        Seq(StructField(OrcPosCol, org.apache.spark.sql.types.LongType))
+      else Seq.empty) ++
+      // retract-flagged dirs (aggregation engine) carry the hidden flag
+      // column; only flagged dirs read it — spark-avro refuses schema
+      // fields absent from the file, and unflagged dirs never wrote it
+      (if (fe.retract)
+        Seq(StructField(RetractCol, org.apache.spark.sql.types.BooleanType))
+      else Seq.empty) ++
       (if (withBucket)
         Seq(StructField(BucketCol, org.apache.spark.sql.types.IntegerType))
       else Seq.empty))
     val base = pathOverride.getOrElse(dirPath(schema, table, fe.dir))
-    // data AND tombstone dirs follow the table's file.format (ORC reads
-    // columns by write-time NAME, so the field-id mapping below works
-    // identically); DV sidecar dirs alone are parquet-pinned (DVs exist
-    // only on parquet tables by construction)
-    val fmt = if (fe.kind == "dv") "parquet" else fileFormat(m)
     val raw = fileSubset match {
       // zone-pruned file list: explicit files with basePath so `col=value`
       // partition segments between the dir root and each file still
@@ -2502,12 +2581,23 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val metaCols = if (!withMeta) Seq.empty else Seq(
       org.apache.spark.sql.functions.regexp_extract(
         col("_metadata.file_path"), "^.*/(snap-[^/]+(?:/.+)?)$", 1).as(DvFileCol),
-      col("_metadata.row_index").as(DvPosCol))
+      // parquet: the reader-generated row index (row-group offsets,
+      // stable across reads and pushdown). ORC: the stored write-time
+      // identity column — same stability contract, different source.
+      (if (orcPos) col(OrcPosCol) else col("_metadata.row_index"))
+        .as(DvPosCol))
     // ordinal = leading digits of the dir name: "snap-7" and a merge
     // commit's paired "snap-7-del" share ordinal 7 (one atomic snapshot;
     // a key never appears in both dirs, so the tie is unreachable)
     val bucketCols = if (withBucket) Seq(col(BucketCol)) else Seq.empty
-    raw.select(cols ++ metaCols ++ bucketCols ++ Seq(
+    // aggregation-engine frames always carry the retract flag so sibling
+    // dirs with and without retract batches union by name; unflagged
+    // dirs contribute constant false (their rows are all inserts)
+    val rkCols = if (mergeEngine(m) != "aggregation") Seq.empty
+      else Seq((if (fe.retract)
+        org.apache.spark.sql.functions.coalesce(col(RetractCol), lit(false))
+      else lit(false)).as(RetractCol))
+    raw.select(cols ++ metaCols ++ bucketCols ++ rkCols ++ Seq(
       lit(dirKey(fe.dir).stripPrefix("snap-").takeWhile(_.isDigit).toLong).as("__ord"),
       lit(fe.kind == "delete").as("__del")): _*)
   }
@@ -2568,7 +2658,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       case "deduplicate" => ordinalPick(earliest = false)
       case "first-row" => ordinalPick(earliest = true)
       case engine => // partial-update | aggregation
-        fieldwiseFold(m, all, engine)
+        // tombstone dirs exist on aggregation tables only under
+        // remove-record-on-delete (r16) — the fold then re-aggregates
+        // each key from the versions after its latest tombstone;
+        // retract-flagged dirs flip the fold to its inverting form
+        fieldwiseFold(m, all, engine,
+          tombstones = entries.exists(_.kind == "delete"),
+          retracts = entries.exists(_.retract))
     })
   }
 
@@ -2644,10 +2740,31 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * [[resolveFrames]] (snapshot reads) and the write-time `lookup`
     * changelog producer (which folds a staged patch batch onto the
     * touched keys' resolved images). */
-  private def fieldwiseFold(m: ObjectNode, all: DataFrame,
-      engine: String): DataFrame = {
+  private def fieldwiseFold(m: ObjectNode, all0: DataFrame,
+      engine: String, tombstones: Boolean = false,
+      retracts: Boolean = false): DataFrame = {
     val pk = primaryKey(m)
     val names = currentFields(m).map(_.name)
+    // remove-record-on-delete (aggregation, r16): versions at or below a
+    // key's latest tombstone ordinal are dead — the key re-aggregates
+    // from later versions only, and disappears when none follow. The
+    // window shares the groupBy's key partitioning (one exchange).
+    val all = if (!tombstones) all0 else {
+      val wDel = org.apache.spark.sql.expressions.Window.partitionBy(pk.map(col): _*)
+      val dOrd = org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.when(col("__del"), col("__ord"))).over(wDel)
+      all0.withColumn("__dord", dOrd)
+        .filter(!col("__del") &&
+          (col("__dord").isNull || col("__ord") > col("__dord")))
+        .drop("__dord")
+    }
+    // retract inputs present? Gated on the caller's ENTRY-level flag,
+    // not just the column (every aggregation frame carries it as
+    // constant false) — insert-only histories keep the cheaper
+    // comparison-free folds, and collect on unorderable element types
+    // (array<map>) keeps working there.
+    val hasRk = retracts && all.columns.contains(RetractCol)
+    val rkCol = if (hasRk) col(RetractCol) else lit(false)
     /** Latest non-null value of `f` across a key's versions: max over
       * structs ordered by ordinal, built only when `f` is non-null so
       * `max` skips null versions entirely. Deterministic — ordinals are
@@ -2694,7 +2811,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           case None => lastNonNull(f.name)
         }
       else fieldAggregate(m, f.name) match {
-        case "sum" => fsum(col(f.name)).cast(dt)
+        // retract inputs subtract (group inverse — exact, and associative
+        // over a compacted prefix); insert-only history folds as before
+        case "sum" =>
+          if (!hasRk) fsum(col(f.name)).cast(dt)
+          else fsum(fwhen(rkCol,
+              org.apache.spark.sql.functions.negate(col(f.name)))
+            .otherwise(col(f.name))).cast(dt)
         case "min" => fmin(col(f.name))
         case "max" => fmax(col(f.name))
         case "bool_and" => bool_and(col(f.name))
@@ -2723,18 +2846,52 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         // All-null history folds to null, as a fresh accumulator would.
         case "collect" =>
           import org.apache.spark.sql.functions.{flatten, array_distinct,
-            size => fsize, when => fwhen}
+            size => fsize, when => fwhen, aggregate => fagg,
+            concat => fconcat, slice, array_position, array, struct => fstruct2}
           // explicit ordinal-only comparator (as in merge_map below):
           // the default struct ordering would demand an ORDERABLE
           // element type, rejecting e.g. collect on array<map<...>>
-          val versions = array_sort(
-            collect_list(ordStruct(f.name, nonNullOnly = true)),
-            (l, r) => fwhen(l.getField("o") < r.getField("o"), -1)
-              .when(l.getField("o") > r.getField("o"), 1).otherwise(0))
-          val flat = flatten(transform(versions, x => x.getField("v")))
-          val merged = if (fieldCollectDistinct(m, f.name))
-            array_distinct(flat) else flat
-          fwhen(fsize(versions) > 0, merged)
+          val cmp = (l: org.apache.spark.sql.Column,
+              r: org.apache.spark.sql.Column) =>
+            fwhen(l.getField("o") < r.getField("o"), -1)
+              .when(l.getField("o") > r.getField("o"), 1).otherwise(0)
+          if (!hasRk) {
+            // insert-only history: versions concatenate in commit order
+            val versions = array_sort(
+              collect_list(ordStruct(f.name, nonNullOnly = true)), cmp)
+            val flat = flatten(transform(versions, x => x.getField("v")))
+            val merged = if (fieldCollectDistinct(m, f.name))
+              array_distinct(flat) else flat
+            fwhen(fsize(versions) > 0, merged)
+          } else {
+            // retract inputs REMOVE one occurrence per element (multiset
+            // subtraction — the compacted prefix keeps the full array,
+            // so retract-after-compact stays exact); fold in commit
+            // order so an element re-inserted after its retraction
+            // survives. An unfound element leaves the array unchanged.
+            val sorted = array_sort(
+              collect_list(fwhen(col(f.name).isNotNull,
+                fstruct2(col("__ord").as("o"), col(f.name).as("v"),
+                  rkCol.as("r")))), cmp)
+            def removeFirst(a: org.apache.spark.sql.Column,
+                e: org.apache.spark.sql.Column) = {
+              val p = array_position(a, e)
+              // tail length = size(a), never Int.MaxValue: Slice adds
+              // start + length internally and an int overflow silently
+              // yields an empty array
+              fwhen(p > 0, fconcat(
+                slice(a, lit(1), (p - 1).cast("int")),
+                slice(a, (p + 1).cast("int"), fsize(a))))
+                .otherwise(a)
+            }
+            val folded = fagg(sorted, array().cast(dt), (acc, x) =>
+              fwhen(x.getField("r"),
+                fagg(x.getField("v"), acc, (aa, e) => removeFirst(aa, e)))
+              .otherwise(fconcat(acc, x.getField("v"))))
+            val merged = if (fieldCollectDistinct(m, f.name))
+              array_distinct(folded) else folded
+            fwhen(fsize(sorted) > 0, merged)
+          }
         // Paimon's `merge_map`: version maps fold entry-wise, a later
         // version's value wins per entry key. Maps are unorderable, so
         // the version sort uses an explicit ordinal comparator and the
@@ -2810,6 +2967,19 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   private[sources] def requireDeduplicate(m: ObjectNode, table: String, op: String): Unit =
     require(mergeEngine(m) == "deduplicate",
       s"$op on $table requires merge-engine=deduplicate, " +
+        s"table uses ${mergeEngine(m)}")
+
+  /** Tombstone-landing ops (deleteWhere, mergeCommit): deduplicate as
+    * ever, plus the aggregation engine under
+    * `aggregation.remove-record-on-delete=true` (r16) — its fold
+    * re-aggregates each key from the versions after its latest
+    * tombstone, so a whole-row delete is well-defined there too. */
+  private[sources] def requireTombstoneCapable(m: ObjectNode, table: String,
+      op: String): Unit =
+    require(mergeEngine(m) == "deduplicate" ||
+      (mergeEngine(m) == "aggregation" && removeRecordOnDelete(m)),
+      s"$op on $table requires merge-engine=deduplicate (or aggregation " +
+        s"with aggregation.remove-record-on-delete=true), " +
         s"table uses ${mergeEngine(m)}")
 
   /** Changelog/incremental protocols resolve latest-in-range PER PRIMARY
@@ -3002,6 +3172,15 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val opts = m.get("options").asInstanceOf[ObjectNode]
     if (opts != null && opts.has("merge-engine")) opts.get("merge-engine").asText()
     else "deduplicate"
+  }
+
+  /** Paimon's `aggregation.remove-record-on-delete`: `-D` rows remove
+    * the key outright on an aggregation-engine table (the fold then
+    * re-aggregates only versions committed after the tombstone). */
+  private[sources] def removeRecordOnDelete(m: ObjectNode): Boolean = {
+    val opts = m.get("options").asInstanceOf[ObjectNode]
+    opts != null && opts.has("aggregation.remove-record-on-delete") &&
+      opts.get("aggregation.remove-record-on-delete").asText() == "true"
   }
 
   /** User-declared version-order column (Paimon's `sequence.field`):
@@ -3258,6 +3437,55 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         // tombstoning — the CDC-fed-patch-table mode
         if (opts.get("ignore-delete").contains("true"))
           append(schema, table, df.filter(!isRetract))
+        else if (mergeEngineOf(schema, table) == "aggregation") {
+          // r16 retraction: `-U` (and `-D` without remove-record-on-
+          // delete) rows land as RETRACT inputs the field-wise fold
+          // inverts — sum subtracts, collect removes one occurrence per
+          // element (see RetractableAggs). With remove-record-on-delete,
+          // `-D` rows instead tombstone their keys outright, paired with
+          // the data dir under ONE snapshot ordinal.
+          val m = readManifest(schema, table)
+          val pk = primaryKey(m)
+          val rrod = removeRecordOnDelete(m)
+          val isDel = kind === "-D" || kind === "D"
+          val retracts = if (rrod) df.filter(kind === "-U")
+            else df.filter(isRetract)
+          val hasRetracts = !retracts.isEmpty
+          if (hasRetracts) {
+            // refusal matrix: every aggregated field's function must
+            // have an exact retraction; the rowkind column itself is
+            // carried data (its last_non_null fold keeps the last kind)
+            val bad = currentFields(m).map(_.name)
+              .filterNot(pk.contains).filterNot(_.equalsIgnoreCase(rk))
+              .filter(c => !RetractableAggs.contains(fieldAggregate(m, c)))
+            require(bad.isEmpty,
+              s"$schema.$table: retract rows (-U/-D) arrived but " +
+                s"field(s) ${bad.map(c => s"$c=${fieldAggregate(m, c)}")
+                  .mkString(", ")} have no exact retraction " +
+                s"(only ${RetractableAggs.mkString("/")} retract; " +
+                "min/max/first/last/listagg/product/sketches cannot " +
+                "resurrect values a compacted prefix discarded — set " +
+                "aggregation.remove-record-on-delete=true or ignore-delete=true)")
+            require(changelogProducer(m) == "none",
+              s"$schema.$table: retract inputs are not composed with a " +
+                "write-time changelog-producer yet — consume the table " +
+                "state directly or disable the producer")
+          }
+          val ups = df.filter(!isRetract)
+          val data = if (!hasRetracts) ups
+            else ups.withColumn(RetractCol, lit(false))
+              .unionByName(retracts.withColumn(RetractCol, lit(true)))
+          val dels = if (rrod) df.filter(isDel) else df.limit(0)
+          if (rrod && !dels.isEmpty) {
+            // same one-ordinal disjointness contract as mergeCommit
+            require(data.join(dels, pk, "left_semi").isEmpty,
+              "a key cannot be both written and deleted in one batch")
+            commit(schema, table, data, keepExisting = true,
+              deleteDf = Some(dels.select(pk.map(col): _*)),
+              retractDir = hasRetracts)
+          } else commit(schema, table, data, keepExisting = true,
+            retractDir = hasRetracts)
+        }
         else {
           val ups = df.filter(!isRetract)
           // A `-U`/`+U` pair for ONE key in one batch is the canonical
@@ -3289,7 +3517,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val pk = primaryKeyOf(schema, table)
     require(pk.nonEmpty, s"$schema.$table has no primary key — MERGE needs one")
     val m = readManifest(schema, table)
-    requireDeduplicate(m, s"$schema.$table", "mergeCommit")
+    requireTombstoneCapable(m, s"$schema.$table", "mergeCommit")
     // Both dirs share one ordinal, so an overlapping key would resolve to
     // an arbitrary winner at read time — enforce the contract here (a
     // delta-sized semi join), not just in the SQL command's guard.
@@ -3389,7 +3617,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     require(pk.nonEmpty, s"$schema.$table has no primary key — row-level " +
       "delete needs one (append-only tables: set deletion-vectors=true, " +
       "filter at read, or overwrite)")
-    requireDeduplicate(m, s"$schema.$table", "deleteWhere")
+    requireTombstoneCapable(m, s"$schema.$table", "deleteWhere")
     // sequence.field: the tombstone carries the victim's CURRENT sequence
     // value — tied sequence, later ordinal, so the delete wins; a later
     // upsert with a HIGHER sequence legitimately resurrects the key.
@@ -3410,7 +3638,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     val m = readManifest(schema, table)
     val pk = primaryKey(m)
     require(pk.nonEmpty, s"$schema.$table has no primary key")
-    requireDeduplicate(m, s"$schema.$table", "deleteWhere")
+    requireTombstoneCapable(m, s"$schema.$table", "deleteWhere")
     // sequence.field tables: fetch each victim's current sequence value
     // (one delta-sized semi join) so the tombstone wins the version race.
     // Cross-partition tables: fetch each victim's current residence the
@@ -3492,7 +3720,8 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       if (e.has("xb")) {
         val xa = e.get("xb").asInstanceOf[ArrayNode]
         (0 until xa.size()).map(xa.get(_).asInt())
-      } else Nil)
+      } else Nil,
+      retract = e.has("rk") && e.get("rk").asBoolean())
 
   private[sources] def filesOf(snap: JsonNode): Seq[FileEntry] = {
     val fArr = snap.get("files").asInstanceOf[ArrayNode]
@@ -3931,6 +4160,38 @@ object GraftCatalog {
   val DvFileCol = "__file"
   val DvPosCol = "__pos"
 
+  /** Hidden retract flag of aggregation-engine data files (r16,
+    * Paimon's retract-input handling): a batch row marked `-U`/`-D`
+    * through `rowkind.field` lands as an ordinary data row with this
+    * boolean set, and the field-wise fold INVERTS it — sum subtracts,
+    * collect removes one occurrence per element. Only dirs whose
+    * manifest entry carries the `rk` flag are read with the column
+    * (spark-avro refuses missing fields; parquet/orc would just null),
+    * so pre-retraction files never pay for it. */
+  val RetractCol = "__rk"
+
+  /** Field functions whose retraction is exact AND associative over a
+    * compacted prefix: sum subtracts (group inverse), collect removes
+    * one occurrence per element (the compacted array keeps the full
+    * multiset). min/max/first/last/listagg/bool/product/sketches REFUSE
+    * retraction — a compacted prefix has already discarded the inferior
+    * values a retract could resurrect (same refusal matrix as Paimon's
+    * FieldAggregator.retract; product additionally divides inexactly). */
+  val RetractableAggs: Set[String] = Set("sum", "collect")
+
+  /** Write-time positional identity for ORC deletion-vector tables: a
+    * hidden long column stamped into every data file at write (Spark
+    * 4.1's ORC reader exposes no `_metadata.row_index` — only parquet
+    * overrides `metadataSchemaFields` with it). The DV contract needs a
+    * STABLE UNIQUE (file, position) row identity, not the physical row
+    * index: `monotonically_increasing_id()` evaluated once at write is
+    * unique within the commit's job (partition-id-prefixed), lands in
+    * the file bytes, and reads back identically forever. Paimon's row
+    * tracking stamps `_ROW_ID` into data files the same way. Invisible
+    * to user reads (frameFor maps columns by field id); surfaced as
+    * [[DvPosCol]] when a DV path asks for row identity on an ORC table. */
+  val OrcPosCol = "__gpos"
+
   /** In-task merge of one bucket's delta rows: highest `__ord` wins per
     * primary key — unless `seqIdx >= 0` (a `sequence.field` table), where
     * the sequence value wins first (NULL smallest, ties fall back to the
@@ -4002,9 +4263,12 @@ object GraftCatalog {
     * `excludeBuckets` (bucketed PK tables only): buckets whose files in
     * this dir are RETIRED as of the owning snapshot — a per-bucket
     * compaction folded them into its own dir, so reads skip them; the
-    * bytes stay for older snapshots until expiration reclaims them. */
+    * bytes stay for older snapshots until expiration reclaims them.
+    * `retract` (aggregation engine, r16): this data dir carries the
+    * hidden [[GraftCatalog.RetractCol]] flag column — some of its rows
+    * are `-U`/`-D` retract inputs the field-wise fold must invert. */
   case class FileEntry(dir: String, schemaVersion: Int, kind: String,
-      excludeBuckets: Seq[Int] = Nil)
+      excludeBuckets: Seq[Int] = Nil, retract: Boolean = false)
 }
 
 /**

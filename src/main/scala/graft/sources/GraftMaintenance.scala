@@ -102,7 +102,7 @@ trait GraftMaintenance { self: GraftCatalog =>
       // table of compaction forever with nothing in the logs
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"auto-maintenance skipped for $schema.$table: $e")
+          .warn(s"auto-maintenance skipped for $schema.$table", e)
     }
 
   private[sources] def autoExpire(schema: String, table: String): Unit =
@@ -166,7 +166,7 @@ trait GraftMaintenance { self: GraftCatalog =>
     } catch {
       case scala.util.control.NonFatal(e) => // see autoMaintain: log, never throw
         org.slf4j.LoggerFactory.getLogger(getClass)
-          .warn(s"auto-expiration skipped for $schema.$table: $e")
+          .warn(s"auto-expiration skipped for $schema.$table", e)
     }
 
   /**
@@ -288,14 +288,19 @@ trait GraftMaintenance { self: GraftCatalog =>
     try {
       val perFile = live.groupBy(DvFileCol)
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
+      // nothing lives in the chosen buckets: committing would land an
+      // empty fold dir plus retirement marks — a no-op snapshot per
+      // invocation (same short-circuit as buildDeletionVectors'
+      // nothing-superseded return)
+      if (perFile.isEmpty)
+        return snaps.get(snaps.size() - 1).get("id").asLong()
       val files = perFile.map(_.getString(0)).toSeq.sorted
       val rows = perFile.map(_.getLong(1)).sum
       commit(schema, table, live.select(names.map(col): _*),
         keepExisting = true, compaction = true,
-        dvDf = if (perFile.isEmpty) None
-          else Some(live.select(col(DvFileCol), col(DvPosCol))
-            .sortWithinPartitions(DvFileCol, DvPosCol)),
-        dvIndexEntry = if (perFile.isEmpty) None else Some((files, rows)),
+        dvDf = Some(live.select(col(DvFileCol), col(DvPosCol))
+          .sortWithinPartitions(DvFileCol, DvPosCol)),
+        dvIndexEntry = Some((files, rows)),
         excludeBucketsFromPrior = buckets.toSet,
         basisVersion = Some(basis))
     } finally { live.unpersist(); () }

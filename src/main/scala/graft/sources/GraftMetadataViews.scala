@@ -324,7 +324,17 @@ trait GraftMetadataViews { self: GraftCatalog =>
     val st = m.get("statistics").asInstanceOf[ObjectNode]
     val chosen = chooseSnapshot(m, schema, table, snapshotId, asOfMillis)
       .map(_.get("id").asLong())
-    if (!chosen.contains(st.get("snapshotId").asLong())) return None
+    if (!chosen.contains(st.get("snapshotId").asLong())) {
+      // surfaced, not silent (r16): a stale-stats fallback flips join
+      // strategies with nothing in the logs — at 100× scale an operator
+      // needs to know WHY a broadcast became a shuffle. `$statistics`
+      // carries the same signal as a `stale` column.
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"$schema.$table: ANALYZE statistics are STALE (analyzed snapshot " +
+          s"${st.get("snapshotId").asLong()}, scanning ${chosen.getOrElse(-1L)})" +
+          " — planning falls back to file-size estimates; re-run ANALYZE")
+      return None
+    }
     val colsNode = st.get("cols").asInstanceOf[ObjectNode]
     val cols = mutable.LinkedHashMap[String,
       (Option[Long], Option[Long], Option[Double])]()
@@ -340,11 +350,17 @@ trait GraftMetadataViews { self: GraftCatalog =>
 
   /** `t$statistics`: one row per column from the last [[analyzeTable]]
     * run (empty until analyzed) — column name, type, analyzed snapshot,
-    * row/null/ndv counts, min/max, average length. */
+    * row/null/ndv counts, min/max, average length, plus `stale` (r16):
+    * true when the analyzed snapshot is no longer the table head, i.e.
+    * scans are currently planning WITHOUT these numbers (the
+    * [[analyzeStatsOf]] gate never serves stale stats). */
   def statisticsTable(schema: String, table: String): DataFrame = {
     val m = readManifest(schema, table)
+    val snaps = m.get("snapshots").asInstanceOf[ArrayNode]
+    val head = if (snaps.size() == 0) 0L
+      else snaps.get(snaps.size() - 1).get("id").asLong()
     val rows: Seq[(String, String, Long, Long, Long, Long, String, String,
-        java.lang.Double)] =
+        java.lang.Double, Boolean)] =
       if (!m.has("statistics")) Seq.empty
       else {
         val st = m.get("statistics").asInstanceOf[ObjectNode]
@@ -352,7 +368,7 @@ trait GraftMetadataViews { self: GraftCatalog =>
         val nrows = st.get("rows").asLong()
         val cols = st.get("cols").asInstanceOf[ObjectNode]
         val out = mutable.ArrayBuffer[(String, String, Long, Long, Long, Long,
-          String, String, java.lang.Double)]()
+          String, String, java.lang.Double, Boolean)]()
         cols.fieldNames().forEachRemaining { name =>
           val c = cols.get(name).asInstanceOf[ObjectNode]
           out += ((name, c.get("dataType").asText(), sid, nrows,
@@ -360,12 +376,13 @@ trait GraftMetadataViews { self: GraftCatalog =>
             if (c.has("ndv")) c.get("ndv").asLong() else 0L,
             if (c.has("min")) c.get("min").asText() else null,
             if (c.has("max")) c.get("max").asText() else null,
-            if (c.has("avgLen")) Double.box(c.get("avgLen").asDouble()) else null))
+            if (c.has("avgLen")) Double.box(c.get("avgLen").asDouble()) else null,
+            sid != head))
         }
         out.toSeq
       }
     spark.createDataFrame(rows).toDF("column_name", "data_type", "snapshot_id",
-      "row_count", "null_count", "ndv", "min", "max", "avg_len")
+      "row_count", "null_count", "ndv", "min", "max", "avg_len", "stale")
   }
 
   def tagsTable(schema: String, table: String): DataFrame = {

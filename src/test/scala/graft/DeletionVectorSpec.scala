@@ -661,4 +661,98 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(df.filter(col("name").startsWith("u")).count() === 34) // 20..60 minus 30..35 minus 40
     assert(!df.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  // ---- r16: deletion vectors on ORC (write-time stamped positions) ----
+
+  test("ORC DV: append-only deleteWhere removes rows without rewriting " +
+      "data files; the position column stays invisible") {
+    newTable("orc1", options = Map(
+      "deletion-vectors" -> "true", "file.format" -> "orc"))
+    gc.append("db", "orc1", batch(1, 100).toDF())
+    gc.append("db", "orc1", batch(101, 200).toDF())
+    val filesBefore = gc.read("db", "orc1").inputFiles.toSet
+    assert(filesBefore.forall(_.endsWith(".orc")), filesBefore.take(3))
+    gc.deleteWhere("db", "orc1", col("id") % 10 === 0)
+    val after = gc.read("db", "orc1")
+    // the stamped identity column never surfaces in user reads
+    assert(after.columns.toSeq === Seq("id", "name", "grp"))
+    assert(after.count() === 180)
+    assert(after.filter(col("id") % 10 === 0).count() === 0)
+    // nothing rewritten: every pre-delete ORC file still serves the scan
+    assert(filesBefore.subsetOf(after.inputFiles.toSet))
+    // second delete composes over the DV-applied image (no double count)
+    gc.deleteWhere("db", "orc1", col("id") <= 20)
+    assert(gc.read("db", "orc1").count() === 162)
+    assert(gc.countRows("db", "orc1") === Some(162L)) // metadata-only, by subtraction
+    // time travel to each image
+    assert(gc.read("db", "orc1", snapshotId = Some(2)).count() === 200)
+    assert(gc.read("db", "orc1", snapshotId = Some(3)).count() === 180)
+  }
+
+  test("ORC DV: update is an atomic retract + replace; compaction " +
+      "materializes and retires the DVs") {
+    gc.update("db", "orc1", col("id") === 55,
+      Map("name" -> lit("upd55")))
+    val df = gc.read("db", "orc1")
+    assert(df.count() === 162)
+    assert(df.filter(col("id") === 55).select("name").head.getString(0) === "upd55")
+    val id = gc.compact("db", "orc1")
+    val entries = gc.snapshotFileEntries("db", "orc1")
+    assert(entries.map(_.kind) === Seq("data"))
+    val post = gc.read("db", "orc1")
+    assert(post.count() === 162)
+    assert(post.inputFiles.forall(_.endsWith(".orc")))
+    assert(post.filter(col("id") === 55).select("name").head.getString(0) === "upd55")
+    // compacted files are re-stamped: a fresh delete works on them
+    gc.deleteWhere("db", "orc1", col("id") === 55)
+    assert(gc.read("db", "orc1").count() === 161)
+    assert(gc.read("db", "orc1", snapshotId = Some(id)).count() === 162)
+  }
+
+  test("ORC DV: PK build yields a merge-free hybrid read; post-build " +
+      "deltas arbitrate exactly") {
+    gc.createTable("db", "orcpk", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "file.format" -> "orc"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "orcpk", batch(1, 100).toDF())
+    gc.upsert("db", "orcpk", batch(1, 30).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", "orcpk", col("id") > 90)
+    gc.buildDeletionVectors("db", "orcpk")
+    val entries = gc.snapshotFileEntries("db", "orcpk")
+    assert(entries.map(_.kind).sorted === Seq("data", "data", "dv"))
+    val df = gc.read("db", "orcpk")
+    assert(df.count() === 90)
+    assert(df.filter(col("id") <= 30 && col("name").startsWith("u")).count() === 30)
+    assert(df.select("id").distinct().count() === 90)
+    // merge-free: the covered base plans no keep-latest window
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // post-build delta: ordinary O(delta) resolution on top of the base
+    gc.upsert("db", "orcpk", batch(26, 40).toDF()
+      .withColumn("name", concat(lit("v"), col("id"))))
+    gc.deleteWhere("db", "orcpk", col("id") <= 10)
+    val df2 = gc.read("db", "orcpk")
+    assert(df2.count() === 80)
+    assert(df2.filter(col("name").startsWith("v")).count() === 15)
+    // incremental rebuild re-covers
+    gc.buildDeletionVectors("db", "orcpk")
+    val df3 = gc.read("db", "orcpk")
+    assert(df3.count() === 80)
+    assert(!df3.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df3.exceptAll(df2).count() === 0 && df2.exceptAll(df3).count() === 0)
+  }
+
+  test("ORC DV: avro stays refused; bloom index stays parquet-only") {
+    val e = intercept[IllegalArgumentException] {
+      gc.createTable("db", "avdv", batch(0, 0).schema,
+        options = Map("deletion-vectors" -> "true", "file.format" -> "avro"))
+    }
+    assert(e.getMessage.contains("parquet or orc"))
+    val b = intercept[IllegalArgumentException] {
+      gc.createTable("db", "orcbl", batch(0, 0).schema, options = Map(
+        "file.format" -> "orc",
+        graft.sources.BloomIndex.OptionKey -> "id"))
+    }
+    assert(b.getMessage.contains("parquet"))
+  }
 }

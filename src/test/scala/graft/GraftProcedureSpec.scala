@@ -143,15 +143,21 @@ class GraftProcedureSpec extends SparkSpecBase {
     assert(nm.getAs[Double]("avg_len") === 1.0)
     assert(st("score").getAs[Long]("null_count") === 1L)
     assert(st.values.forall(_.getAs[Long]("snapshot_id") === 1L))
-    // re-analyze after more data: stats refresh and re-tag
+    assert(st.values.forall(!_.getAs[Boolean]("stale")))
+    // re-analyze after more data: stats refresh and re-tag; in between,
+    // the view SURFACES the staleness (r16 — the analyzed snapshot is no
+    // longer the head, so scans are planning without these numbers)
     gc.append("db", "p6", Seq((5L, "ccc",
       Double.box(9.0))).toDF("id", "name", "score"))
+    val stale = spark.sql("SELECT * FROM gp.db.`p6$statistics`").collect()
+    assert(stale.nonEmpty && stale.forall(_.getAs[Boolean]("stale")))
     assert(spark.sql("CALL gp.sys.analyze('db.p6')").head().getLong(0) === 2L)
     val st2 = spark.sql("SELECT * FROM gp.db.`p6$statistics`")
       .collect().map(r => r.getString(0) -> r).toMap
     assert(st2("id").getAs[Long]("row_count") === 5L)
     assert(st2("id").getAs[String]("max") === "5")
     assert(st2("name").getAs[Long]("snapshot_id") === 2L)
+    assert(st2.values.forall(!_.getAs[Boolean]("stale")))
   }
 
   test("fast_forward_diff reports WHY a diverged branch is refused; a " +

@@ -334,4 +334,42 @@ class ManifestScaleSpec extends SparkSpecBase {
     assert(art("zones").length === 1)
     assert(art("bloom").length === 1)
   }
+
+  test("heavy metadata writers stay O(commit) on the head: DV builds " +
+      "(dvIndex), write-time changelog (coverage links), dynamic-bucket " +
+      "index flags — each node grows by its own commit's entries only") {
+    def headAfter(op: => Unit): Long = { op; gc.lastManifestBytes.get() }
+    def check(name: String, heads: Seq[Long], bound: Long): Unit = {
+      val g = (1 until heads.size).map(i => heads(i) - heads(i - 1))
+      g.foreach(d => assert(d >= 0 && d < bound,
+        s"$name head grew $d bytes in one round — not O(commit): $g"))
+      // flat, not compounding: the last round's growth must not dwarf
+      // the early rounds' (a node re-serializing O(history) per commit
+      // would show super-linear growth here)
+      assert(g.last < 3 * math.max(g.head, 500L),
+        s"$name head growth compounds over rounds: $g")
+    }
+    // (1) DV-building PK table: each round overlaps 50 keys, so every
+    // rebuild finds victims and appends a dvIndex entry
+    gc.createTable("db", "hdv", rows(0, 0).schema,
+      options = Map("deletion-vectors" -> "true"), primaryKey = Seq("id"))
+    check("dvIndex", (0 until 6).map { i =>
+      headAfter {
+        gc.upsert("db", "hdv", rows(i * 50L, i * 50L + 99).toDF())
+        gc.buildDeletionVectors("db", "hdv")
+      }
+    }, bound = 5000)
+    // (2) lookup producer: every commit pairs a `-cl` dir + coverage link
+    gc.createTable("db", "hcl", rows(0, 0).schema,
+      options = Map("changelog-producer" -> "lookup"), primaryKey = Seq("id"))
+    check("changelog", (0 until 6).map { i =>
+      headAfter(gc.upsert("db", "hcl", rows(i * 50L, i * 50L + 99).toDF()))
+    }, bound = 5000)
+    // (3) dynamic bucket: every commit lands a `.dbidx` delta + dynIdx flag
+    gc.createTable("db", "hdb", rows(0, 0).schema,
+      options = Map("bucket" -> "-1"), primaryKey = Seq("id"))
+    check("dynIdx", (0 until 6).map { i =>
+      headAfter(gc.upsert("db", "hdb", rows(i * 50L, i * 50L + 99).toDF()))
+    }, bound = 5000)
+  }
 }

@@ -497,4 +497,114 @@ class MergeEngineSpec extends SparkSpecBase {
       options = Map("merge-engine" -> "aggregation",
         "fields.note.aggregate-function" -> "sum"), primaryKey = Seq("id")))
   }
+
+  // ---- r16: retraction on the aggregation engine ----
+
+  test("aggregation retract: -U subtracts sums and removes collected " +
+      "elements; state survives compaction exactly") {
+    import spark.implicits._
+    val d = Seq((1L, 10L, Seq("a")), (2L, 20L, Seq("b")))
+      .toDF("id", "v", "tags").withColumn("op", lit("+I"))
+    gc.createTable("db", "ret", d.schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "sum",
+        "fields.tags.aggregate-function" -> "collect",
+        "rowkind.field" -> "op"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "ret", d)
+    gc.upsert("db", "ret", Seq((1L, 5L, Seq("c")), (2L, 7L, Seq("b")))
+      .toDF("id", "v", "tags").withColumn("op", lit("+U")))
+    // accumulate: v = 15/27, tags = [a,c]/[b,b]
+    gc.upsert("db", "ret", Seq((1L, 5L, Seq("a")), (2L, 27L, Seq("b")))
+      .toDF("id", "v", "tags").withColumn("op", lit("-U")))
+    def img() = gc.read("db", "ret").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[String](2).toList)).toSeq
+    // retract: key 1 v 15-5=10, tags [a,c] minus one 'a' = [c];
+    // key 2 v 27-27=0, tags [b,b] minus one 'b' = [b]
+    assert(img() === Seq((1L, 10L, List("c")), (2L, 0L, List("b"))))
+    // compaction materializes; a post-compaction retract stays exact
+    // (sum subtracts from the folded value, collect removes from the
+    // folded array — the associative-over-a-compacted-prefix contract)
+    gc.compact("db", "ret")
+    assert(img() === Seq((1L, 10L, List("c")), (2L, 0L, List("b"))))
+    gc.upsert("db", "ret", Seq((1L, 4L, Seq("c")))
+      .toDF("id", "v", "tags").withColumn("op", lit("-D")))
+    assert(img() === Seq((1L, 6L, List()), (2L, 0L, List("b"))))
+    // retracting an element that is not in the array leaves it unchanged
+    gc.upsert("db", "ret", Seq((2L, 0L, Seq("zz")))
+      .toDF("id", "v", "tags").withColumn("op", lit("-U")))
+    assert(img() === Seq((1L, 6L, List()), (2L, 0L, List("b"))))
+    // SQL reads resolve through the same inverted fold
+    assert(spark.sql("SELECT v FROM gm.db.ret WHERE id = 1").head().getLong(0) === 6L)
+  }
+
+  test("aggregation retract refusal matrix: non-retractable functions " +
+      "reject -U/-D loudly; create-time gate names the alternatives") {
+    import spark.implicits._
+    val d = Seq((1L, 10L)).toDF("id", "v").withColumn("op", lit("+I"))
+    // max has no exact retraction: rowkind.field + aggregation refuses
+    // at CREATE unless remove-record-on-delete or ignore-delete is set
+    val e = intercept[IllegalArgumentException](gc.createTable("db", "retbad",
+      d.schema, options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "max", "rowkind.field" -> "op"),
+      primaryKey = Seq("id")))
+    assert(e.getMessage.contains("remove-record-on-delete"))
+    // with remove-record-on-delete, -D works but -U still refuses (max
+    // cannot resurrect values a compacted prefix discarded)
+    gc.createTable("db", "retmax", d.schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "max", "rowkind.field" -> "op",
+        "aggregation.remove-record-on-delete" -> "true"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "retmax", d)
+    val u = intercept[IllegalArgumentException](gc.upsert("db", "retmax",
+      Seq((1L, 10L)).toDF("id", "v").withColumn("op", lit("-U"))))
+    assert(u.getMessage.contains("no exact retraction"))
+    // option validation
+    intercept[IllegalArgumentException](gc.createTable("db", "retbad2",
+      d.schema, options = Map("merge-engine" -> "deduplicate",
+        "aggregation.remove-record-on-delete" -> "true"),
+      primaryKey = Seq("id")))
+    intercept[IllegalArgumentException](gc.createTable("db", "retbad3",
+      d.schema, options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "sum",
+        "ignore-delete" -> "true",
+        "aggregation.remove-record-on-delete" -> "true"),
+      primaryKey = Seq("id")))
+  }
+
+  test("aggregation remove-record-on-delete: -D and deleteWhere remove " +
+      "the key; a later insert re-aggregates from scratch; time travel " +
+      "sees each image") {
+    import spark.implicits._
+    val d = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("id", "v").withColumn("op", lit("+I"))
+    gc.createTable("db", "rrod", d.schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.v.aggregate-function" -> "sum", "rowkind.field" -> "op",
+        "aggregation.remove-record-on-delete" -> "true"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "rrod", d)                                       // snap 1
+    gc.upsert("db", "rrod", Seq((2L, 0L)).toDF("id", "v")
+      .withColumn("op", lit("-D"))
+      .unionByName(Seq((1L, 1L)).toDF("id", "v")
+        .withColumn("op", lit("+U"))))                               // snap 2
+    def img() = gc.read("db", "rrod").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(img() === Seq((1L, 11L), (3L, 30L)))
+    // re-insert AFTER the tombstone: the fold resets (sum 99, not 119)
+    gc.upsert("db", "rrod", Seq((2L, 99L)).toDF("id", "v")
+      .withColumn("op", lit("+I")))                                  // snap 3
+    assert(img() === Seq((1L, 11L), (2L, 99L), (3L, 30L)))
+    // deleteWhere lands a tombstone through the same gate
+    gc.deleteWhere("db", "rrod", col("id") === 3L)                   // snap 4
+    assert(img() === Seq((1L, 11L), (2L, 99L)))
+    // time travel: each historical image resolves under its own fold
+    assert(gc.read("db", "rrod", snapshotId = Some(1)).count() === 3)
+    assert(gc.read("db", "rrod", snapshotId = Some(2)).orderBy("id")
+      .collect().map(_.getLong(1)).toSeq === Seq(11L, 30L))
+    // compaction materializes the post-tombstone state
+    gc.compact("db", "rrod")
+    assert(img() === Seq((1L, 11L), (2L, 99L)))
+  }
 }
