@@ -621,6 +621,52 @@ class GraftSparkCatalogSpec extends SparkSpecBase {
       === (1L to 50L).map(_ * 2).sum)
   }
 
+  test("multi-dir PARTITIONED reads execute natively through the splice " +
+      "(r16): no V1 row bridge, per-dir discovery-backed parquet scans") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g.db")
+    // append-only partitioned, several snapshot roots — the shape Spark's
+    // own partition discovery cannot serve from one ParquetTable
+    gc.createTable("db", "mdirpart", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType))), partitionBy = Seq("p"))
+    gc.append("db", "mdirpart", (1L to 100L).map(i =>
+      (i, s"a$i", s"p${i % 3}")).toDF("id", "v", "p"))
+    gc.append("db", "mdirpart", (101L to 200L).map(i =>
+      (i, s"b$i", s"p${i % 3}")).toDF("id", "v", "p"))
+    val q = spark.sql(
+      "SELECT id, v, p FROM g.db.mdirpart WHERE id <= 150 ORDER BY id")
+    assert(q.count() === 150)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan ExistingRDD") && !plan.contains("RDDScan")
+        && !plan.contains("GraftMorScanBuilder"),
+      s"multi-dir partitioned read still routes the V1 row bridge:\n$plan")
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"no native parquet scan under the splice:\n$plan")
+    // partition-column predicates prune at the per-dir scans
+    val pq = spark.sql("SELECT count(*) FROM g.db.mdirpart WHERE p = 'p0'")
+    assert(pq.head().getLong(0) ===
+      (1L to 200L).count(_ % 3 == 0))
+    // partitioned PK table, MoR-pending across several dirs: same deal
+    gc.createTable("db", "mdirpk", StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("p", StringType))),
+      partitionBy = Seq("p"), primaryKey = Seq("p", "id"))
+    gc.upsert("db", "mdirpk", (1L to 100L).map(i =>
+      (i, s"a$i", s"p${i % 3}")).toDF("id", "v", "p"))
+    gc.upsert("db", "mdirpk", (1L to 40L).map(i =>
+      (i, s"u$i", s"p${i % 3}")).toDF("id", "v", "p"))
+    val q2 = spark.sql("SELECT id, v FROM g.db.mdirpk WHERE p = 'p1' ORDER BY id")
+    val plan2 = q2.queryExecution.executedPlan.toString
+    assert(!plan2.contains("GraftMorScanBuilder") &&
+        !plan2.contains("Scan ExistingRDD"),
+      s"partitioned PK MoR read still routes the V1 row bridge:\n$plan2")
+    val got = q2.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = (1L to 100L).filter(_ % 3 == 1)
+      .map(i => (i, if (i <= 40) s"u$i" else s"a$i"))
+    assert(got === want)
+  }
+
   test("CTAS: CREATE TABLE AS SELECT stages, writes one snapshot commit, " +
       "and aborts cleanly on write failure") {
     import spark.implicits._
