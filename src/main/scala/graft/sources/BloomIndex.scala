@@ -180,7 +180,13 @@ private[graft] object BloomIndex {
    */
   def build(spark: SparkSession, fs: FileSystem, dirPath: Path,
       schema: StructType, colsWanted: Set[String],
-      fileRows: Map[String, Long]): Option[Seq[String]] = {
+      fileRows: Map[String, Long],
+      // Spark source provider of the dir's data files (r16: bloom
+      // indexes are format-independent — the build needs only
+      // `_metadata.file_path` plus the indexed columns, and `fileRows`
+      // comes from the same zone collection that serves orc footers and
+      // avro data-derived stats)
+      provider: String = "parquet"): Option[Seq[String]] = {
     val idxFields = schema.fields.filter(f =>
       colsWanted.contains(f.name.toLowerCase) && indexable(f.dataType))
     if (idxFields.isEmpty || fileRows.isEmpty) return None
@@ -193,7 +199,8 @@ private[graft] object BloomIndex {
       val sc = spark.sparkContext
       val proj = col("_metadata.file_path") +:
         idxFields.toSeq.map(f => canonical(f))
-      val df = spark.read.parquet(dirPath.toString).select(proj: _*)
+      val df = spark.read.format(provider).load(dirPath.toString)
+        .select(proj: _*)
       val bSizes = sc.broadcast(sizes)
       val confB = sc.broadcast(new FileStats.SerConf(sc.hadoopConfiguration))
       val dirStr = dirPath.toString

@@ -337,11 +337,11 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           "deletion-vectors requires file.format=parquet or orc (avro " +
             "reads cannot carry the hidden position column)")
       }
-      if (f != "parquet") {
-        require(!options.contains(BloomIndex.OptionKey),
-          "bloom-filter index requires file.format=parquet (bitsets are " +
-            "sized from parquet footer row counts)")
-      }
+      // bloom file indexes are format-independent since r16: the build
+      // reads `_metadata.file_path` + the indexed columns through the
+      // table's own source, and bitsets are sized from the per-file row
+      // counts the zone collection produces for ALL formats (parquet/orc
+      // footers; avro write-time data stats).
     }
     // File compression (Paimon's `file.compression`): per-table codec,
     // validated against what the chosen format's Spark writer accepts.
@@ -1550,7 +1550,8 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         stats.flatMap { case (_, fileZones) =>
           BloomIndex.build(spark, fs, new Path(tablePath(schema, table), dir),
             df.schema, bloomColsOf(m),
-            fileZones.map { case (r, s) => r -> s.rows })
+            fileZones.map { case (r, s) => r -> s.rows },
+            provider = providerFor(fileFormat(m)))
             .map(cols => (java.util.UUID.randomUUID().toString, cols))
         }
       else None

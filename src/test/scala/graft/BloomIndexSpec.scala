@@ -238,4 +238,27 @@ class BloomIndexSpec extends SparkSpecBase {
       "expected the 48-file bloom probe to overlap sidecar opens " +
         s"(peak=${graft.sources.BloomIndex.peakConcurrentLoads.get()})")
   }
+
+  test("bloom indexes are format-independent (r16): ORC and AVRO tables " +
+      "build per-file sidecars and point lookups prune files") {
+    for ((fmt, t) <- Seq("orc" -> "blorc", "avro" -> "blavro")) {
+      gc.createTable("db", t, batch(0).schema,
+        options = Map("file-index.bloom-filter.columns" -> "id,name",
+          "file.format" -> fmt))
+      (0L to 2L).foreach(m => gc.append("db", t, batch(m).toDF()))
+      val total = gc.read("db", t).inputFiles.length
+      assert(total === 12, s"$fmt: expected 12 files, got $total")
+      val q = gc.readWhere("db", t, col("id") === 1234L)
+      assert(q.inputFiles.length <= 3,
+        s"$fmt: expected bloom to prune to <=3 of $total files, " +
+          s"planned ${q.inputFiles.length}")
+      assert(q.collect().map(_.getLong(0)).toSeq === Seq(1234L))
+      // string column + absent value proves empty
+      val qs = gc.readWhere("db", t, col("name") === "n777")
+      assert(qs.inputFiles.length <= 3)
+      assert(qs.select("id").collect().map(_.getLong(0)).toSeq === Seq(777L))
+      assert(gc.readWhere("db", t, col("id") === N + 5).inputFiles.isEmpty,
+        s"$fmt: absent value should prove empty")
+    }
+  }
 }

@@ -742,17 +742,11 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(df3.exceptAll(df2).count() === 0 && df2.exceptAll(df3).count() === 0)
   }
 
-  test("ORC DV: avro stays refused; bloom index stays parquet-only") {
+  test("ORC DV: avro stays refused with the reason in the error") {
     val e = intercept[IllegalArgumentException] {
       gc.createTable("db", "avdv", batch(0, 0).schema,
         options = Map("deletion-vectors" -> "true", "file.format" -> "avro"))
     }
     assert(e.getMessage.contains("parquet or orc"))
-    val b = intercept[IllegalArgumentException] {
-      gc.createTable("db", "orcbl", batch(0, 0).schema, options = Map(
-        "file.format" -> "orc",
-        graft.sources.BloomIndex.OptionKey -> "id"))
-    }
-    assert(b.getMessage.contains("parquet"))
   }
 }
