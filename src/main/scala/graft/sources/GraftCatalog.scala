@@ -298,10 +298,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           structType.fieldNames.filterNot(primaryKey.contains)
             .filterNot(_ == f).forall(c => RetractableAggs.contains(
               options.getOrElse(s"fields.$c.aggregate-function", "last_non_null"))))
+      val puRemoves = engine == "partial-update" &&
+        options.get("partial-update.remove-record-on-delete").contains("true")
       require(engine == "deduplicate" ||
-        options.get("ignore-delete").contains("true") || aggRetractable,
+        options.get("ignore-delete").contains("true") || aggRetractable ||
+        puRemoves,
         "rowkind.field on a field-wise merge engine requires " +
-          "ignore-delete=true, aggregation.remove-record-on-delete=true, " +
+          "ignore-delete=true, <engine>.remove-record-on-delete=true, " +
           "or retractable aggregate functions (sum/collect) on every " +
           "aggregated field")
     }
@@ -535,19 +538,21 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           s"$f is ${structType(f).dataType.simpleString}")
       }
     }
-    // Paimon's `aggregation.remove-record-on-delete` (r16): a `-D` row
+    // Paimon's `<engine>.remove-record-on-delete` (r16): a `-D` row
     // through rowkind.field (or a deleteWhere) REMOVES the key outright
-    // — a tombstone path for the aggregation engine, whose fold then
-    // re-aggregates only the versions committed after the delete.
-    options.get("aggregation.remove-record-on-delete").foreach { v =>
-      require(v == "true" || v == "false",
-        s"aggregation.remove-record-on-delete must be true or false, got $v")
-      if (v == "true") {
-        require(options.get("merge-engine").contains("aggregation"),
-          "aggregation.remove-record-on-delete requires merge-engine=aggregation")
-        require(!options.get("ignore-delete").contains("true"),
-          "aggregation.remove-record-on-delete conflicts with " +
-            "ignore-delete=true (one drops deletes, the other applies them)")
+    // — a tombstone path for the field-wise engines, whose fold then
+    // re-folds only the versions committed after the delete.
+    Seq("aggregation", "partial-update").foreach { eng =>
+      options.get(s"$eng.remove-record-on-delete").foreach { v =>
+        require(v == "true" || v == "false",
+          s"$eng.remove-record-on-delete must be true or false, got $v")
+        if (v == "true") {
+          require(options.get("merge-engine").contains(eng),
+            s"$eng.remove-record-on-delete requires merge-engine=$eng")
+          require(!options.get("ignore-delete").contains("true"),
+            s"$eng.remove-record-on-delete conflicts with " +
+              "ignore-delete=true (one drops deletes, the other applies them)")
+        }
       }
     }
     // Paimon's `fields.<f>.nested-key` (nested_update companion): the
@@ -2971,16 +2976,17 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         s"table uses ${mergeEngine(m)}")
 
   /** Tombstone-landing ops (deleteWhere, mergeCommit): deduplicate as
-    * ever, plus the aggregation engine under
-    * `aggregation.remove-record-on-delete=true` (r16) — its fold
-    * re-aggregates each key from the versions after its latest
-    * tombstone, so a whole-row delete is well-defined there too. */
+    * ever, plus the field-wise engines under their
+    * `<engine>.remove-record-on-delete=true` option (r16) — the fold
+    * re-folds each key from the versions after its latest tombstone,
+    * so a whole-row delete is well-defined there too. */
   private[sources] def requireTombstoneCapable(m: ObjectNode, table: String,
       op: String): Unit =
     require(mergeEngine(m) == "deduplicate" ||
-      (mergeEngine(m) == "aggregation" && removeRecordOnDelete(m)),
-      s"$op on $table requires merge-engine=deduplicate (or aggregation " +
-        s"with aggregation.remove-record-on-delete=true), " +
+      ((mergeEngine(m) == "aggregation" ||
+        mergeEngine(m) == "partial-update") && removeRecordOnDelete(m)),
+      s"$op on $table requires merge-engine=deduplicate (or a field-wise " +
+        s"engine with ${mergeEngine(m)}.remove-record-on-delete=true), " +
         s"table uses ${mergeEngine(m)}")
 
   /** Changelog/incremental protocols resolve latest-in-range PER PRIMARY
@@ -3175,13 +3181,14 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     else "deduplicate"
   }
 
-  /** Paimon's `aggregation.remove-record-on-delete`: `-D` rows remove
-    * the key outright on an aggregation-engine table (the fold then
-    * re-aggregates only versions committed after the tombstone). */
+  /** Paimon's `<engine>.remove-record-on-delete`: `-D` rows remove the
+    * key outright on a field-wise-engine table (the fold then re-folds
+    * only versions committed after the tombstone). Keyed by the table's
+    * OWN engine, matching Paimon's per-engine option names. */
   private[sources] def removeRecordOnDelete(m: ObjectNode): Boolean = {
     val opts = m.get("options").asInstanceOf[ObjectNode]
-    opts != null && opts.has("aggregation.remove-record-on-delete") &&
-      opts.get("aggregation.remove-record-on-delete").asText() == "true"
+    val key = s"${mergeEngine(m)}.remove-record-on-delete"
+    opts != null && opts.has(key) && opts.get(key).asText() == "true"
   }
 
   /** User-declared version-order column (Paimon's `sequence.field`):
@@ -3486,6 +3493,32 @@ class GraftCatalog(private[sources] val spark: SparkSession,
               retractDir = hasRetracts)
           } else commit(schema, table, data, keepExisting = true,
             retractDir = hasRetracts)
+        }
+        else if (mergeEngineOf(schema, table) == "partial-update") {
+          // partial-update + remove-record-on-delete (r16): `-D` rows
+          // tombstone their keys (the fold re-patches from later
+          // versions only); `-U` has no retraction on this engine —
+          // a patch cannot be un-applied — so it refuses loudly.
+          val m = readManifest(schema, table)
+          require(removeRecordOnDelete(m),
+            s"$schema.$table: rowkind.field on partial-update requires " +
+              "partial-update.remove-record-on-delete=true or " +
+              "ignore-delete=true")
+          val bad = df.filter(kind === "-U").limit(1).collect()
+          require(bad.isEmpty,
+            s"$schema.$table: partial-update has no retraction for -U " +
+              "rows (a patch cannot be un-applied) — send -D (removes " +
+              s"the key) or +U (applies the patch); sample row: ${bad.headOption}")
+          val ups = df.filter(!isRetract)
+          val dels = df.filter(isRetract)
+          if (dels.isEmpty) append(schema, table, ups)
+          else {
+            val pk = primaryKey(m)
+            require(ups.join(dels, pk, "left_semi").isEmpty,
+              "a key cannot be both written and deleted in one batch")
+            commit(schema, table, ups, keepExisting = true,
+              deleteDf = Some(dels.select(pk.map(col): _*)))
+          }
         }
         else {
           val ups = df.filter(!isRetract)

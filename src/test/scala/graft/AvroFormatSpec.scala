@@ -91,15 +91,18 @@ class AvroFormatSpec extends SparkSpecBase {
     assert(spark.sql("SELECT v FROM ga.db.a3 WHERE id = 2").head().getString(0) === "b")
     assert(gc.fileFormatOf("db", "a3") === "avro")
     assert(spark.sql("SELECT count(*) FROM ga.db.a3 WHERE id >= 2").head().getLong(0) === 1)
-    // invalid avro codec refused; DV/bloom require parquet
+    // invalid avro codec refused; DVs need a readable position identity
+    // (parquet row_index / orc stamped column) — avro has neither.
+    // Bloom indexes are format-independent since r16 (BloomIndexSpec
+    // exercises the avro build + probe end-to-end).
     val sch = Seq((1L, "x")).toDF("id", "v").schema
     intercept[IllegalArgumentException](gc.createTable("db", "abad1", sch,
       options = Map("file.format" -> "avro", "file.compression" -> "zlib")))
     intercept[IllegalArgumentException](gc.createTable("db", "abad2", sch,
       options = Map("file.format" -> "avro", "deletion-vectors" -> "true")))
-    intercept[IllegalArgumentException](gc.createTable("db", "abad3", sch,
+    gc.createTable("db", "abloom", sch,
       options = Map("file.format" -> "avro",
-        "file-index.bloom-filter.columns" -> "id")))
+        "file-index.bloom-filter.columns" -> "id"))
   }
 
   test("file-level streaming read follows avro appends") {

@@ -573,6 +573,48 @@ class MergeEngineSpec extends SparkSpecBase {
       primaryKey = Seq("id")))
   }
 
+  test("partial-update remove-record-on-delete: -D tombstones the key, " +
+      "later patches re-build from scratch; -U refuses loudly") {
+    import spark.implicits._
+    val d = Seq[(Long, Option[String], Option[Long], String)](
+      (1L, Some("a"), Some(10L), "+I"), (2L, Some("b"), Some(20L), "+I"))
+      .toDF("id", "v", "w", "op")
+    gc.createTable("db", "purrod", d.schema,
+      options = Map("merge-engine" -> "partial-update",
+        "rowkind.field" -> "op",
+        "partial-update.remove-record-on-delete" -> "true"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "purrod", d)
+    // patch key 1's w only
+    gc.upsert("db", "purrod", Seq[(Long, Option[String], Option[Long], String)](
+      (1L, None, Some(77L), "+U")).toDF("id", "v", "w", "op"))
+    def img() = gc.read("db", "purrod").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+    assert(img() === Seq((1L, "a", 77L), (2L, "b", 20L)))
+    // -D removes the key; the earlier patches do NOT resurrect
+    gc.upsert("db", "purrod", Seq[(Long, Option[String], Option[Long], String)](
+      (1L, None, None, "-D")).toDF("id", "v", "w", "op"))
+    assert(img() === Seq((2L, "b", 20L)))
+    // a later patch re-builds key 1 from scratch (v is null again)
+    gc.upsert("db", "purrod", Seq[(Long, Option[String], Option[Long], String)](
+      (1L, None, Some(5L), "+U")).toDF("id", "v", "w", "op"))
+    assert(img() === Seq((1L, null, 5L), (2L, "b", 20L)))
+    // deleteWhere lands through the same gate; compaction materializes
+    gc.deleteWhere("db", "purrod", col("id") === 2L)
+    gc.compact("db", "purrod")
+    assert(img() === Seq((1L, null, 5L)))
+    // -U refuses loudly (no retraction on partial-update)
+    val e = intercept[IllegalArgumentException](gc.upsert("db", "purrod",
+      Seq[(Long, Option[String], Option[Long], String)](
+        (1L, None, Some(5L), "-U")).toDF("id", "v", "w", "op")))
+    assert(e.getMessage.contains("no retraction"))
+    // without the option, rowkind.field on partial-update still refuses
+    val c = intercept[IllegalArgumentException](gc.createTable("db", "pubad",
+      d.schema, options = Map("merge-engine" -> "partial-update",
+        "rowkind.field" -> "op"), primaryKey = Seq("id")))
+    assert(c.getMessage.contains("remove-record-on-delete"))
+  }
+
   test("aggregation remove-record-on-delete: -D and deleteWhere remove " +
       "the key; a later insert re-aggregates from scratch; time travel " +
       "sees each image") {

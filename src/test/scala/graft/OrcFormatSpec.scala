@@ -92,17 +92,19 @@ class OrcFormatSpec extends SparkSpecBase {
     assert(spark.sql("SELECT count(*) FROM go.db.o3 WHERE id >= 2").head().getLong(0) === 1)
   }
 
-  test("validation: unknown formats refused, DV/bloom require parquet, " +
-      "format immutable") {
+  test("validation: unknown formats refused, format immutable; ORC " +
+      "composes with DVs and bloom indexes (r16)") {
     import spark.implicits._
     val sch = Seq((1L, "x")).toDF("id", "v").schema
     intercept[IllegalArgumentException](gc.createTable("db", "bad1", sch,
       options = Map("file.format" -> "csv")))
-    intercept[IllegalArgumentException](gc.createTable("db", "bad2", sch,
-      options = Map("file.format" -> "orc", "deletion-vectors" -> "true")))
-    intercept[IllegalArgumentException](gc.createTable("db", "bad3", sch,
+    // DVs and bloom indexes are ORC-capable since r16 (DeletionVectorSpec
+    // and BloomIndexSpec exercise both end-to-end)
+    gc.createTable("db", "odv", sch,
+      options = Map("file.format" -> "orc", "deletion-vectors" -> "true"))
+    gc.createTable("db", "obl", sch,
       options = Map("file.format" -> "orc",
-        "file-index.bloom-filter.columns" -> "id")))
+        "file-index.bloom-filter.columns" -> "id"))
     gc.createTable("db", "o4", sch, options = Map("file.format" -> "orc"))
     intercept[IllegalArgumentException](
       gc.setTableOptions("db", "o4", Map("file.format" -> "parquet")))
