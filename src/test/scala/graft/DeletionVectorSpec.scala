@@ -742,6 +742,33 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(df3.exceptAll(df2).count() === 0 && df2.exceptAll(df3).count() === 0)
   }
 
+  test("ORC DV: bucketed PK tables read merge-free and point lookups " +
+      "prune to one bucket") {
+    gc.createTable("db", "orcpkb", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "file.format" -> "orc",
+        "bucket" -> "4"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "orcpkb", batch(1, 100).toDF())
+    gc.upsert("db", "orcpkb", batch(1, 30).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", "orcpkb", col("id") > 90)
+    gc.buildDeletionVectors("db", "orcpkb")
+    val df = gc.read("db", "orcpkb")
+    assert(df.count() === 90)
+    assert(df.filter(col("id") <= 30 && col("name").startsWith("u")).count() === 30)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // bucket-restricted point lookup over live ORC DV state
+    val one = gc.readBucket("db", "orcpkb",
+      gc.bucketFor("db", "orcpkb", Seq(7L)))
+    assert(one.filter(col("id") === 7L).select("name").head.getString(0) === "u7")
+    // the lookup restricts every leg to the key's bucket (partition
+    // pruning on the discovered __bucket column — the filter shows in
+    // the plan; the file listing is cut at execution, not planning)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("__bucket"),
+      s"no bucket restriction in the lookup plan:\n${plan.take(2000)}")
+  }
+
   test("ORC DV: avro stays refused with the reason in the error") {
     val e = intercept[IllegalArgumentException] {
       gc.createTable("db", "avdv", batch(0, 0).schema,
