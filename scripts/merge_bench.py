@@ -32,15 +32,22 @@ HEADLINE = {
 }
 
 def load(path):
+    # a log with multiple appended bench runs keeps the LAST (freshest)
+    # one — taking the first would silently merge a stale rerun
     with open(path) as f:
-        m = re.search(r'\{"metric".*', f.read())
-    if not m:
+        ms = re.findall(r'\{"metric".*', f.read())
+    if not ms:
         raise SystemExit(f"no bench JSON line in {path}")
-    return json.loads(m.group(0))
+    if len(ms) > 1:
+        print(f"warning: {path} holds {len(ms)} bench runs, using the last")
+    return json.loads(ms[-1])
 
 def main():
     out, logs = sys.argv[1], sys.argv[2:]
     runs = [load(p) for p in logs]
+    sfs = {str(r.get("sf", "?")) for r in runs}
+    if len(sfs) > 1:
+        raise SystemExit(f"refusing to merge mixed scale factors: {sorted(sfs)}")
     queries = {}
     for r in runs:
         for q, sec in r["queries"].items():

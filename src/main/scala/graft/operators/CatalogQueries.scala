@@ -575,6 +575,29 @@ object CatalogQueries {
       cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
       cat.read("q", t).orderBy("doc_id")
     }),
+    // Deletion vectors on AVRO (r17): the same write-time `__gpos`
+    // position stamp as ORC — DV is create-time structural, so every
+    // data file of the table carries the column from birth. Same
+    // history as catalog_orc_dv: PK build, merge-free hybrid read,
+    // post-build delta, second delete — the whole DV lifecycle over a
+    // format with no reader-side row_index and no footer stats.
+    "catalog_avro_dv" -> ((s, dir) => {
+      val (cat, t) = freshCat(s)
+      cat.createSchema("q")
+      val d = Tables(s, dir, "documents").select("doc_id", "lang", "n_chars")
+      cat.createTable("q", t, d.schema,
+        options = Map("deletion-vectors" -> "true", "file.format" -> "avro"),
+        primaryKey = Seq("doc_id"))
+      cat.upsert("q", t, d)
+      cat.upsert("q", t, d.filter(col("doc_id") % 10 === 0)
+        .withColumn("lang", lit("upd")))
+      cat.deleteWhere("q", t, col("doc_id") % 7 === 3)
+      cat.buildDeletionVectors("q", t)
+      cat.upsert("q", t, d.filter(col("doc_id") % 9 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000))
+      cat.deleteWhere("q", t, col("doc_id") % 11 === 5)
+      cat.read("q", t).orderBy("doc_id")
+    }),
     // DV builds over per-bucket-compacted history (r15): a hot-bucket
     // fold BEFORE the first build leaves retired-bucket marks on prior
     // dirs; the build encodes the retirement positionally (retired rows
@@ -1297,6 +1320,14 @@ object CatalogQueries {
     // identical logical history to catalog_delete_vectors_pk — the
     // format swap (orc + stamped positions) must be invisible
     "catalog_orc_dv" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 0 THEN lang
+        |       WHEN doc_id % 10 = 0 THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 9 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE (doc_id % 7 <> 3 OR doc_id % 9 = 0) AND doc_id % 11 <> 5
+        |ORDER BY doc_id""".stripMargin,
+    "catalog_avro_dv" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 9 = 0 THEN lang
         |       WHEN doc_id % 10 = 0 THEN 'upd' ELSE lang END AS lang,

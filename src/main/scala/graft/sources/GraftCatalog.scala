@@ -289,15 +289,20 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           fld.get.dataType.simpleString)
       // Field-wise engines and retractions (r16): the aggregation engine
       // accepts `-U`/`-D` rows when every aggregated field's function
-      // has an exact retraction (sum/collect — see RetractableAggs), or
+      // has an exact retraction (sum/collect — see retractableField), or
       // when remove-record-on-delete turns `-D` into whole-row removal;
       // ignore-delete drops them. partial-update has no retract path.
+      // The rowkind column is excluded case-INSENSITIVELY, matching the
+      // runtime retract gate (the field lookup above already resolved
+      // it case-insensitively).
       val engine = options.getOrElse("merge-engine", "deduplicate")
       val aggRetractable = engine == "aggregation" && (
         options.get("aggregation.remove-record-on-delete").contains("true") ||
-          structType.fieldNames.filterNot(primaryKey.contains)
-            .filterNot(_ == f).forall(c => RetractableAggs.contains(
-              options.getOrElse(s"fields.$c.aggregate-function", "last_non_null"))))
+          structType.fields.filterNot(fd => primaryKey.contains(fd.name))
+            .filterNot(_.name.equalsIgnoreCase(f)).forall(fd =>
+              GraftCatalog.retractableField(
+                options.getOrElse(s"fields.${fd.name}.aggregate-function",
+                  "last_non_null"), fd.dataType)))
       val puRemoves = engine == "partial-update" &&
         options.get("partial-update.remove-record-on-delete").contains("true")
       require(engine == "deduplicate" ||
@@ -318,28 +323,24 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     // parquet, so ORC tables get zone maps, data skipping, and
     // metadata-only countRows (r14; timestamp columns conservatively
     // untracked — ORC timestamp stats are writer-zone sensitive). AVRO
-    // files carry no column statistics: no zone skipping, countRows
-    // falls back to a scan (conservative, never wrong). Bloom indexes
-    // and deletion vectors stay parquet-only (bitsets are sized from
-    // parquet footer row counts; DVs pin parquet row_index semantics).
-    // The `$partitions` view counts ORC rows from footers and AVRO rows
-    // from block headers (I/O-only, no decode).
+    // files carry no column statistics: zone stats are collected from
+    // the DATA at write time (r15). Bitsets and DV counts are sized
+    // from the per-file row counts zone collection produces for every
+    // format. The `$partitions` view counts ORC rows from footers and
+    // AVRO rows from block headers (I/O-only, no decode).
     options.get("file.format").foreach { f =>
       require(f == "parquet" || f == "orc" || f == "avro",
         s"file.format must be parquet, orc or avro, got $f")
-      // r16: deletion vectors compose with ORC — Spark's ORC reader has
-      // no `_metadata.row_index`, so ORC DV tables stamp a hidden
-      // write-time position column ([[OrcPosCol]]) into every data file
-      // instead. Positions exist from the FIRST commit by construction:
-      // `deletion-vectors` is an ImmutableOption, so it can only be set
-      // at create. AVRO stays refused: spark-avro fails reads on schema
-      // fields absent from the file, so the hidden-column trick cannot
-      // degrade conservatively there.
-      if (f == "avro") {
-        require(!options.get("deletion-vectors").contains("true"),
-          "deletion-vectors requires file.format=parquet or orc (avro " +
-            "reads cannot carry the hidden position column)")
-      }
+      // Deletion vectors are format-independent (r17, matching Paimon —
+      // `deletion-vectors.enabled` is DDL-exposed unconditionally):
+      // ORC and AVRO readers expose no `_metadata.row_index`, so DV
+      // tables of both formats stamp a hidden write-time position
+      // column ([[OrcPosCol]]) into every data file instead. Positions
+      // exist from the FIRST commit by construction: `deletion-vectors`
+      // is an ImmutableOption, so it can only be set at create —
+      // spark-avro's refusal of schema fields absent from a file can
+      // never trigger, because no data file of such a table predates
+      // the column.
       // bloom file indexes are format-independent since r16: the build
       // reads `_metadata.file_path` + the indexed columns through the
       // table's own source, and bitsets are sized from the per-file row
@@ -402,7 +403,9 @@ class GraftCatalog(private[sources] val spark: SparkSession,
               "bucket count (dynamic-bucket snapshots interleave hash-index " +
               "dirs the merge-free base/delta split cannot order)")
         }
-        Seq(DvFileCol, DvPosCol).foreach(c =>
+        // OrcPosCol: the write-time position stamp of ORC/AVRO DV data
+        // files — reserved on every DV table for uniformity
+        Seq(DvFileCol, DvPosCol, OrcPosCol).foreach(c =>
           require(!structType.fieldNames.contains(c),
             s"column name $c is reserved on deletion-vector tables"))
       }
@@ -1476,13 +1479,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       // DV sidecar frames stay parquet regardless of the table's data
       // format (position lists, not data)
       val fmt = if (frameKind == "dv") "parquet" else fileFormat(m)
-      // ORC DV tables: stamp the write-time positional identity into
-      // every data file (see [[OrcPosCol]] — ORC has no reader-side
-      // row_index; identity only needs to be stable and unique, and
-      // monotonically_increasing_id is partition-prefixed unique within
-      // the commit's job). Data files only: tombstones and sidecars are
-      // never DV victims.
-      val stamped = if (frameKind == "data" && fmt == "orc" &&
+      // ORC/AVRO DV tables: stamp the write-time positional identity
+      // into every data file (see [[OrcPosCol]] — neither reader has a
+      // `_metadata.row_index`; identity only needs to be stable and
+      // unique, and monotonically_increasing_id is partition-prefixed
+      // unique within the commit's job). Data files only: tombstones
+      // and sidecars are never DV victims.
+      val stamped = if (frameKind == "data" && fmt != "parquet" &&
           deletionVectors(m))
         toWrite.withColumn(OrcPosCol,
           org.apache.spark.sql.functions.monotonically_increasing_id())
@@ -2522,11 +2525,15 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     // identically); DV sidecar dirs alone are parquet-pinned (position
     // lists, not data)
     val fmt = if (fe.kind == "dv") "parquet" else fileFormat(m)
-    // ORC data files of DV tables carry their row identity as a stored
-    // column ([[OrcPosCol]], stamped at write — ORC has no reader-side
-    // `_metadata.row_index`); a meta-requesting read pulls it through
-    // the explicit schema and surfaces it as [[DvPosCol]] below.
-    val orcPos = withMeta && fmt == "orc" && fe.kind == "data"
+    // ORC/AVRO data files of DV tables carry their row identity as a
+    // stored column ([[OrcPosCol]], stamped at write — neither reader
+    // has a `_metadata.row_index`); a meta-requesting read pulls it
+    // through the explicit schema and surfaces it as [[DvPosCol]] below.
+    // DV tables only: a non-DV file never carries the column, and
+    // spark-avro refuses schema fields absent from the file (ORC would
+    // merely read nulls).
+    val orcPos = withMeta && fmt != "parquet" && fe.kind == "data" &&
+      deletionVectors(m)
     // Explicit write-time schema: without it, Spark's partition-dir
     // type inference would coerce string partition values that look
     // numeric ("0123" -> 123) and corrupt the round-trip.
@@ -2677,8 +2684,13 @@ class GraftCatalog(private[sources] val spark: SparkSession,
   /** Resolve an arbitrary `__ord`-tagged frame of row versions under the
     * table's merge engine — the ad-hoc analog of [[resolveFrames]] for
     * frames that are not snapshot entries (the write-time lookup
-    * producer's image ∪ patch fold). Tombstone-free input only. */
-  private[sources] def resolveVersions(m: ObjectNode, all: DataFrame): DataFrame = {
+    * producer's image ∪ patch fold). With `tombstones=true` the input
+    * may carry `__del`-flagged remove-record-on-delete rows, which the
+    * field-wise fold honors (versions at or below a key's latest
+    * tombstone are dead) — without the flag the input must be
+    * tombstone-free. */
+  private[sources] def resolveVersions(m: ObjectNode, all: DataFrame,
+      tombstones: Boolean = false): DataFrame = {
     val pk = primaryKey(m)
     val names = currentFields(m).map(_.name)
     mergeEngine(m) match {
@@ -2689,7 +2701,7 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           .orderBy(if (earliest) col("__ord").asc else col("__ord").desc)
         all.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).select(names.map(col): _*)
-      case engine => fieldwiseFold(m, all, engine)
+      case engine => fieldwiseFold(m, all, engine, tombstones = tombstones)
     }
   }
 
@@ -3462,15 +3474,25 @@ class GraftCatalog(private[sources] val spark: SparkSession,
           if (hasRetracts) {
             // refusal matrix: every aggregated field's function must
             // have an exact retraction; the rowkind column itself is
-            // carried data (its last_non_null fold keeps the last kind)
-            val bad = currentFields(m).map(_.name)
-              .filterNot(pk.contains).filterNot(_.equalsIgnoreCase(rk))
-              .filter(c => !RetractableAggs.contains(fieldAggregate(m, c)))
+            // carried data (its last_non_null fold keeps the last kind).
+            // Checked AT THE WRITE — accepting a retract the read-time
+            // fold cannot execute (e.g. collect over an unorderable
+            // element type, whose array_position removal would throw)
+            // would poison the table with a committed batch.
+            val bad = currentFields(m)
+              .filterNot(fd => pk.contains(fd.name))
+              .filterNot(_.name.equalsIgnoreCase(rk))
+              .filterNot(fd => GraftCatalog.retractableField(
+                fieldAggregate(m, fd.name),
+                TypeMapping.toSparkType(fd.trinoType)))
+              .map(_.name)
             require(bad.isEmpty,
               s"$schema.$table: retract rows (-U/-D) arrived but " +
                 s"field(s) ${bad.map(c => s"$c=${fieldAggregate(m, c)}")
                   .mkString(", ")} have no exact retraction " +
-                s"(only ${RetractableAggs.mkString("/")} retract; " +
+                s"(only ${RetractableAggs.mkString("/")} retract, and " +
+                "collect only over orderable element types — its fold " +
+                "removes occurrences via ordering-based equality; " +
                 "min/max/first/last/listagg/product/sketches cannot " +
                 "resurrect values a compacted prefix discarded — set " +
                 "aggregation.remove-record-on-delete=true or ignore-delete=true)")
@@ -4213,17 +4235,37 @@ object GraftCatalog {
     * FieldAggregator.retract; product additionally divides inexactly). */
   val RetractableAggs: Set[String] = Set("sum", "collect")
 
-  /** Write-time positional identity for ORC deletion-vector tables: a
-    * hidden long column stamped into every data file at write (Spark
-    * 4.1's ORC reader exposes no `_metadata.row_index` — only parquet
-    * overrides `metadataSchemaFields` with it). The DV contract needs a
-    * STABLE UNIQUE (file, position) row identity, not the physical row
-    * index: `monotonically_increasing_id()` evaluated once at write is
-    * unique within the commit's job (partition-id-prefixed), lands in
-    * the file bytes, and reads back identically forever. Paimon's row
-    * tracking stamps `_ROW_ID` into data files the same way. Invisible
-    * to user reads (frameFor maps columns by field id); surfaced as
-    * [[DvPosCol]] when a DV path asks for row identity on an ORC table. */
+  /** Does THIS field retract exactly? [[RetractableAggs]] membership
+    * plus the type-level caveat: collect's fold removes occurrences via
+    * `array_position`, whose ordering-based equality rejects unorderable
+    * element types (map, struct-of-map) at READ time — so a table that
+    * accepted such a -U/-D write would throw on every later read.
+    * Gate retraction on element orderability at the write and create
+    * gates instead (r17; the insert-only collect branch stays available
+    * for any element type via its ordinal-only comparator). */
+  def retractableField(fn: String,
+      dt: org.apache.spark.sql.types.DataType): Boolean = fn match {
+    case "sum" => true
+    case "collect" => dt match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et)
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Write-time positional identity for ORC and AVRO deletion-vector
+    * tables: a hidden long column stamped into every data file at write
+    * (Spark 4.1 exposes `_metadata.row_index` only for parquet — only
+    * the parquet source overrides `metadataSchemaFields` with it). The
+    * DV contract needs a STABLE UNIQUE (file, position) row identity,
+    * not the physical row index: `monotonically_increasing_id()`
+    * evaluated once at write is unique within the commit's job
+    * (partition-id-prefixed), lands in the file bytes, and reads back
+    * identically forever. Paimon's row tracking stamps `_ROW_ID` into
+    * data files the same way. Invisible to user reads (frameFor maps
+    * columns by field id); surfaced as [[DvPosCol]] when a DV path asks
+    * for row identity on an ORC/AVRO table. */
   val OrcPosCol = "__gpos"
 
   /** In-task merge of one bucket's delta rows: highest `__ord` wins per

@@ -570,10 +570,17 @@ trait GraftChangelog { self: GraftCatalog =>
       // (version frames semi-join the key set BEFORE the fold, so the
       // shuffle is O(touched keys' versions), never table-wide), and the
       // after image folds the staged patch batch onto it with the same
-      // engine (associative, so the two-layer fold equals the direct one).
-      val staged = ups.getOrElse(return None) // field-wise refuses deletes
+      // engine (associative, so the two-layer fold equals the direct
+      // one). A staged tombstone dir (r17 — `<engine>.remove-record-on-
+      // delete` routes deleteWhere / `-D` rowkind rows here) removes its
+      // keys from the after image; pairResolvedImages' full-outer `-D`
+      // arm then emits their before images. Within one snapshot the data
+      // and delete dirs are key-disjoint (the commit contract), so the
+      // anti-join cannot swallow a same-batch patch.
       val pk = primaryKey(m)
-      val keys = staged.select(pk.map(col): _*).distinct()
+      val delKeys = dels.map(_.select(pk.map(col): _*).distinct())
+      val keys = (ups.map(_.select(pk.map(col): _*)).toSeq ++ delKeys)
+        .reduce(_ unionByName _).distinct()
       val snaps0 = m.get("snapshots").asInstanceOf[ArrayNode]
       val headEs = if (snaps0.size() == 0) Seq.empty
         else filesOf(snaps0.get(snaps0.size() - 1))
@@ -581,14 +588,24 @@ trait GraftChangelog { self: GraftCatalog =>
       // keys can live in (field-wise tables are never bucketed — the
       // create guard pins bucket to deduplicate — so key-bound zones
       // are the pruning lever here, same as the DV rebuild's base scan);
-      // the semi-join then cuts rows, not bytes
+      // the semi-join then cuts rows, not bytes. HEAD tombstone dirs
+      // (earlier remove-record-on-delete commits) ride along so the
+      // resolve excludes each key's pre-tombstone versions — without
+      // them the before image would resurrect deleted keys (tombstone
+      // dirs carry no zones, so they union whole — conservative).
       val pre = keyBoundPrunedUnion(schema, table, m,
-          headEs.filter(_.kind == "data"), keys, pk)
-        .map(v => resolveVersions(m, v.join(keys, pk, "left_semi")))
+          headEs.filter(e => e.kind == "data" || e.kind == "delete"), keys, pk)
+        .map(v => resolveVersions(m, v.join(keys, pk, "left_semi"),
+          tombstones = headEs.exists(_.kind == "delete")))
         .getOrElse(emptyFrame(m))
-      val after = resolveVersions(m,
-        pre.withColumn("__ord", lit(0L)).unionByName(
-          staged.withColumn("__ord", lit(1L))))
+      val patched = ups match {
+        case Some(staged) => resolveVersions(m,
+          pre.withColumn("__ord", lit(0L)).unionByName(
+            staged.withColumn("__ord", lit(1L))))
+        case None => pre
+      }
+      val after = delKeys.map(patched.join(_, pk, "left_anti"))
+        .getOrElse(patched)
       return Some(pairResolvedImages(m, after, pre))
     }
     // lookup: full retraction pairs against the pre-commit image
@@ -634,8 +651,11 @@ trait GraftChangelog { self: GraftCatalog =>
    * RESOLVED images — `-U` the key's resolved row at `fromSnapshotId`,
    * `+U` at `toSnapshotId`. Keys touched in range whose resolved image
    * did not actually change (an all-null patch, an aggregation of zero,
-   * a first-row re-insert) emit NOTHING. No `-D` arm: these engines
-   * refuse deletes by construction.
+   * a first-row re-insert) emit NOTHING. Keys REMOVED in range (an
+   * `<engine>.remove-record-on-delete` tombstone — the changed-key set
+   * includes tombstone dirs, whose frames carry the victims' keys) emit
+   * `-D` with the full before image through pairResolvedImages'
+   * full-outer arm (r17).
    *
    * Cost: the delta files give the changed-key set (O(delta)); each side
    * then pays one resolved read SEMI-JOINED to those keys. That is the
@@ -663,12 +683,16 @@ trait GraftChangelog { self: GraftCatalog =>
     pairResolvedImages(m, after, before)
   }
 
-  /** Pair RESOLVED after/before images per key into `+I` / `-U`,`+U`
-    * changelog rows with net-zero suppression (images equal null-safe →
-    * nothing emitted). No `-D` arm: the field-wise engines refuse
-    * deletes, so a key can never leave the after image. Shared by
-    * [[fieldwiseChangelogFull]] (read-time) and the field-wise `lookup`
-    * producer (the same pairing paid once at write). */
+  /** Pair RESOLVED after/before images per key into `+I` / `-U`,`+U` /
+    * `-D` changelog rows with net-zero suppression (images equal
+    * null-safe → nothing emitted). The `-D` arm (r17): a key present
+    * only in the before image was REMOVED — field-wise engines reach
+    * this through `<engine>.remove-record-on-delete` tombstones
+    * (deleteWhere / `-D` rowkind rows), and the full-outer join emits
+    * its full before image, matching Paimon's full-compaction row
+    * kinds. Shared by [[fieldwiseChangelogFull]] (read-time) and the
+    * field-wise `lookup` producer (the same pairing paid once at
+    * write). */
   private def pairResolvedImages(m: ObjectNode, after: DataFrame,
       before: DataFrame): DataFrame = {
     val pk = primaryKey(m)
@@ -677,8 +701,11 @@ trait GraftChangelog { self: GraftCatalog =>
       "table has columns colliding with changelog scratch names (__pre_*, __e)")
     val preR = before.select(names.map(c => col(c).as(s"__pre_$c")): _*)
     val joined = after.join(preR,
-      pk.map(k => after(k) === col(s"__pre_$k")).reduce(_ && _), "left")
+      pk.map(k => after(k) === col(s"__pre_$k")).reduce(_ && _), "full_outer")
     val preExists = col(s"__pre_${pk.head}").isNotNull
+    // primary keys are non-null by contract, so a null after-side key
+    // marks a pre-only (deleted) row of the full-outer join
+    val postExists = after(pk.head).isNotNull
     // net-zero suppression: resolved images equal (null-safe) → no rows
     val changed = !(struct(names.map(col): _*) <=>
       struct(names.map(c => col(s"__pre_$c")): _*))
@@ -686,10 +713,12 @@ trait GraftChangelog { self: GraftCatalog =>
       names.map(c => (if (fromPre) col(s"__pre_$c") else col(c)).as(c)) :+
         lit(kind).as(RowKindCol): _*)
     joined
-      .filter(!preExists || changed)
+      .filter(!preExists || !postExists || changed)
       .select(explode(
-        when(preExists, array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
-          .otherwise(array(ev("+I", fromPre = false)))).as("__e"))
+        when(preExists && postExists,
+          array(ev("-U", fromPre = true), ev("+U", fromPre = false)))
+          .when(postExists, array(ev("+I", fromPre = false)))
+          .otherwise(array(ev("-D", fromPre = true)))).as("__e"))
       .select((names :+ RowKindCol).map(n => col(s"__e.$n").as(n)): _*)
   }
 

@@ -275,25 +275,45 @@ trait GraftMaintenance { self: GraftCatalog =>
       s"$schema.$table: tombstone dirs survived a DV build — " +
         "the covered invariant does not hold")
     val names = currentFields(m).map(_.name)
-    val live = dataEs.map(frameFor(schema, table, m, _,
-        withMeta = true, withBucket = true)).reduceOption(_ unionByName _)
+    // honor each inherited entry's RETIRED buckets (prior folds): their
+    // rows are dead to the head — without this they are re-read and
+    // re-anti-joined on every fold, and an empty-fold retirement (below)
+    // would re-select the same dead bytes forever
+    val inBuckets = dataEs.map { fe =>
+        val f = frameFor(schema, table, m, fe,
+          withMeta = true, withBucket = true)
+        if (fe.excludeBuckets.isEmpty) f
+        else f.filter(!col(BucketCol).isin(
+          fe.excludeBuckets.map(Integer.valueOf): _*))
+      }.reduceOption(_ unionByName _)
       .map(_.filter(col(BucketCol).isin(buckets.map(Integer.valueOf): _*)))
-      .map(all => if (dvEs.isEmpty) all
-        // the anti-join side shrinks to the chosen buckets' positions
-        else all.join(
-          dvPositionsInBuckets(dvFrame(schema, table, dvEs), buckets),
-          Seq(DvFileCol, DvPosCol), "left_anti"))
       .getOrElse(return snaps.get(snaps.size() - 1).get("id").asLong())
+    val live = (if (dvEs.isEmpty) inBuckets
+      // the anti-join side shrinks to the chosen buckets' positions
+      else inBuckets.join(
+        dvPositionsInBuckets(dvFrame(schema, table, dvEs), buckets),
+        Seq(DvFileCol, DvPosCol), "left_anti"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val perFile = live.groupBy(DvFileCol)
         .agg(org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()
-      // nothing lives in the chosen buckets: committing would land an
-      // empty fold dir plus retirement marks — a no-op snapshot per
-      // invocation (same short-circuit as buildDeletionVectors'
-      // nothing-superseded return)
-      if (perFile.isEmpty)
-        return snaps.get(snaps.size() - 1).get("id").asLong()
+      if (perFile.isEmpty) {
+        // Zero live rows in the chosen buckets. Distinguish two cases:
+        // buckets holding NO bytes at all are a true no-op (committing
+        // would land one empty snapshot per invocation); buckets whose
+        // rows are ALL deleted still hold dead files — commit the EMPTY
+        // fold so the retirement marks release those subtrees to
+        // expiration (without this, each invocation re-selects the same
+        // bucket, no-ops, and the dead bytes are never reclaimed). No
+        // DV pairing: there are no copied positions to tombstone; the
+        // next build re-covers the head.
+        if (inBuckets.isEmpty)
+          return snaps.get(snaps.size() - 1).get("id").asLong()
+        return commit(schema, table, live.select(names.map(col): _*),
+          keepExisting = true, compaction = true,
+          excludeBucketsFromPrior = buckets.toSet,
+          basisVersion = Some(basis))
+      }
       val files = perFile.map(_.getString(0)).toSeq.sorted
       val rows = perFile.map(_.getLong(1)).sum
       commit(schema, table, live.select(names.map(col): _*),

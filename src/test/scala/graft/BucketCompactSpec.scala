@@ -147,6 +147,48 @@ class BucketCompactSpec extends SparkSpecBase {
     assert(c.countRows("db", "t3dv") === Some(100L))
   }
 
+  test("a fully-dead bucket set (live rows all DV'd) still RETIRES its " +
+      "bytes instead of no-op-looping forever (r17)") {
+    import spark.implicits._
+    val (c, wh) = freshCatalog()
+    c.createTable("db", "dead", rows(1, "a").schema,
+      options = Map("bucket" -> "2", "deletion-vectors" -> "true"),
+      primaryKey = Seq("id"))
+    c.upsert("db", "dead", rows(100, "a").toDF())
+    c.deleteWhere("db", "dead", lit(true)) // every row dead
+    c.buildDeletionVectors("db", "dead")
+    val preId = c.snapshots("db", "dead").map(_.id).max
+    // the fold has zero live rows but the buckets hold dead bytes: the
+    // commit must land retirement marks (pre-r17 it returned the head id
+    // and the dead subtrees were never reclaimable)
+    val cid = c.compactBuckets("db", "dead", Seq(0, 1))
+    assert(cid > preId, "retirement must commit, not no-op")
+    assert(c.read("db", "dead").count() === 0)
+    // a SECOND invocation is now the true no-op — the loop terminates
+    assert(c.compactBuckets("db", "dead", Seq(0, 1)) === cid)
+    // expiration reclaims the retired subtrees
+    c.expireSnapshots("db", "dead", keepLast = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    (0 to 1).foreach(b => assert(
+      !fs.exists(new Path(s"$wh/db/dead/snap-1/__bucket=$b")),
+      s"dead bucket $b's bytes must be reclaimed"))
+    assert(c.read("db", "dead").count() === 0)
+    // buckets that NEVER held rows stay a true no-op on the DV fold
+    // path (no empty-snapshot churn)
+    c.createTable("db", "hollow", rows(1, "a").schema,
+      options = Map("bucket" -> "4", "deletion-vectors" -> "true"),
+      primaryKey = Seq("id"))
+    c.upsert("db", "hollow", rows(1, "a").toDF()) // id 0 → one bucket
+    c.deleteWhere("db", "hollow", col("id") === 0)
+    c.buildDeletionVectors("db", "hollow") // DVs live → DV fold path
+    val h = c.snapshots("db", "hollow").map(_.id).max
+    val neverHeld = (0 to 3).filter(b => !new java.io.File(
+      s"$wh/db/hollow/snap-1/__bucket=$b").exists)
+    assert(neverHeld.size === 3, s"one bucket holds id 0, got $neverHeld")
+    assert(c.compactBuckets("db", "hollow", neverHeld) === h)
+  }
+
   test("sequence.field arbitration survives per-bucket compaction: a late " +
       "small-sequence batch still loses to the compacted image") {
     import spark.implicits._

@@ -339,4 +339,115 @@ class ChangelogProducerSpec extends SparkSpecBase {
     val served2 = gc.readChangelogFull("db", "ag_f", c, c2)
     assert(rows(served2) === Seq("[2,5,+U]", "[2,7,-U]"))
   }
+
+  test("remove-record-on-delete × lookup producer (r17): tombstones emit " +
+      "-D with the full before image, CDC replica converges") {
+    val sch = spark.range(1).selectExpr("id",
+      "CAST(NULL AS BIGINT) AS total").schema
+    def mk(t: String, producer: Option[String]): Unit =
+      gc.createTable("db", t, sch,
+        options = Map("merge-engine" -> "aggregation",
+          "fields.total.aggregate-function" -> "sum",
+          "aggregation.remove-record-on-delete" -> "true") ++
+          producer.map("changelog-producer" -> _),
+        primaryKey = Seq("id"))
+    mk("agd_l", Some("lookup")); mk("agd_n", None)
+    import spark.implicits._
+    def hist(t: String): Unit = {
+      gc.upsert("db", t, Seq((1L, 5L), (2L, 7L), (3L, 2L)).toDF("id", "total"))
+      gc.upsert("db", t, Seq((1L, 3L)).toDF("id", "total"))       // snap 2
+      gc.deleteWhere("db", t, col("id") === 1)                    // snap 3
+      gc.upsert("db", t, Seq((1L, 100L), (2L, 1L)).toDF("id", "total")) // 4
+    }
+    hist("agd_l"); hist("agd_n")
+    assert(rows(gc.read("db", "agd_l")) === rows(gc.read("db", "agd_n")))
+    // the delete commit PERSISTED a -D carrying the folded before image
+    // (5+3) — the r16 gap: this key used to vanish from the changelog
+    val del = gc.readChangelogFull("db", "agd_l", 2, 3)
+    assert(!del.queryExecution.executedPlan.toString.contains("Join"))
+    assert(rows(del) === Seq("[1,8,-D]"))
+    // read-time parity on the producer-less twin (full-outer -D arm)
+    assert(rows(gc.readChangelogFull("db", "agd_n", 2, 3)) === Seq("[1,8,-D]"))
+    (1L to 4L).foreach { i =>
+      assert(rows(gc.readChangelogFull("db", "agd_l", i - 1, i)) ===
+        rows(gc.readChangelogFull("db", "agd_n", i - 1, i)),
+        s"range (${i - 1}, $i]")
+    }
+    // a replica applying per-commit batches converges — deleted keys
+    // now REACH the consumer instead of living forever
+    gc.createTable("db", "agd_repl", sch, primaryKey = Seq("id"))
+    (1L to 4L).foreach { i =>
+      gc.applyChangelog("db", "agd_repl",
+        gc.readChangelogFull("db", "agd_l", i - 1, i))
+    }
+    assert(rows(gc.read("db", "agd_repl")) === rows(gc.read("db", "agd_l")))
+    // collapsed full range: key 1's insert→delete→re-insert nets to one
+    // +I at the final image (the fold restarted after the tombstone)
+    assert(gc.readChangelogFull("db", "agd_l", 0, 4)
+      .filter(col("id") === 1).collect().map(_.toString).toSeq ===
+      Seq("[1,100,+I]"))
+    // a key deleted with NO later versions nets to -D over a spanning range
+    gc.deleteWhere("db", "agd_l", col("id") === 3)                 // snap 5
+    assert(rows(gc.readChangelogFull("db", "agd_l", 2, 5))
+      .filter(_.startsWith("[3,")) === Seq("[3,2,-D]"))
+  }
+
+  test("partial-update.remove-record-on-delete × lookup producer (r17): " +
+      "deleteWhere and -D rowkind rows materialize -D images") {
+    val sch = spark.range(1).selectExpr("id", "CAST(NULL AS STRING) AS a",
+      "CAST(NULL AS BIGINT) AS b").schema
+    def mk(t: String, producer: Option[String]): Unit =
+      gc.createTable("db", t, sch,
+        options = Map("merge-engine" -> "partial-update",
+          "partial-update.remove-record-on-delete" -> "true") ++
+          producer.map("changelog-producer" -> _),
+        primaryKey = Seq("id"))
+    mk("pud_l", Some("lookup")); mk("pud_n", None)
+    def up(t: String, sqlRows: String): Unit =
+      gc.upsert("db", t, spark.sql(
+        s"SELECT CAST(id AS BIGINT) id, CAST(a AS STRING) a, " +
+          s"CAST(b AS BIGINT) b FROM VALUES $sqlRows AS t(id, a, b)"))
+    def hist(t: String): Unit = {
+      up(t, "(1, 'x', 10), (2, 'y', 20)")                          // snap 1
+      up(t, "(1, NULL, 99)")                                       // snap 2
+      gc.deleteWhere("db", t, col("id") === 1)                     // snap 3
+      up(t, "(1, 'fresh', 7)")                                     // snap 4
+    }
+    hist("pud_l"); hist("pud_n")
+    assert(rows(gc.read("db", "pud_l")) === rows(gc.read("db", "pud_n")))
+    // the tombstone's -D carries the PATCHED image (a kept from snap 1)
+    val del = gc.readChangelogFull("db", "pud_l", 2, 3)
+    assert(!del.queryExecution.executedPlan.toString.contains("Join"))
+    assert(rows(del) === Seq("[1,x,99,-D]"))
+    (1L to 4L).foreach { i =>
+      assert(rows(gc.readChangelogFull("db", "pud_l", i - 1, i)) ===
+        rows(gc.readChangelogFull("db", "pud_n", i - 1, i)),
+        s"range (${i - 1}, $i]")
+    }
+    // the re-insert after the tombstone patches from SCRATCH (no ghost
+    // of the deleted row) and its +U/+I carries the fresh image
+    assert(rows(gc.readChangelogFull("db", "pud_l", 3, 4)) ===
+      Seq("[1,fresh,7,+I]"))
+  }
+
+  test("full-compaction producer (r17): a field-wise carrier diff spans " +
+      "remove-record-on-delete tombstones") {
+    val sch = spark.range(1).selectExpr("id",
+      "CAST(NULL AS BIGINT) AS total").schema
+    gc.createTable("db", "agd_f", sch,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.total.aggregate-function" -> "sum",
+        "aggregation.remove-record-on-delete" -> "true",
+        "changelog-producer" -> "full-compaction"),
+      primaryKey = Seq("id"))
+    import spark.implicits._
+    gc.upsert("db", "agd_f", Seq((1L, 5L), (2L, 7L)).toDF("id", "total"))
+    val c = gc.compact("db", "agd_f")
+    gc.deleteWhere("db", "agd_f", col("id") === 1)
+    gc.upsert("db", "agd_f", Seq((2L, 3L)).toDF("id", "total"))
+    val c2 = gc.compact("db", "agd_f")
+    val served = gc.readChangelogFull("db", "agd_f", c, c2)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"))
+    assert(rows(served) === Seq("[1,5,-D]", "[2,10,+U]", "[2,7,-U]"))
+  }
 }

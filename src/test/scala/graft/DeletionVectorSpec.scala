@@ -769,11 +769,104 @@ class DeletionVectorSpec extends SparkSpecBase {
       s"no bucket restriction in the lookup plan:\n${plan.take(2000)}")
   }
 
-  test("ORC DV: avro stays refused with the reason in the error") {
-    val e = intercept[IllegalArgumentException] {
-      gc.createTable("db", "avdv", batch(0, 0).schema,
-        options = Map("deletion-vectors" -> "true", "file.format" -> "avro"))
-    }
-    assert(e.getMessage.contains("parquet or orc"))
+  // ---- r17: deletion vectors on AVRO (same write-time stamp as ORC;
+  // DV is create-time structural, so every data file carries the
+  // position column from birth and spark-avro's missing-field refusal
+  // never triggers) ----
+
+  test("AVRO DV: append-only deleteWhere/update remove rows without " +
+      "rewriting data files; compaction materializes and re-stamps") {
+    newTable("av1", options = Map(
+      "deletion-vectors" -> "true", "file.format" -> "avro"))
+    gc.append("db", "av1", batch(1, 100).toDF())
+    gc.append("db", "av1", batch(101, 200).toDF())
+    val filesBefore = gc.read("db", "av1").inputFiles.toSet
+    assert(filesBefore.forall(_.endsWith(".avro")), filesBefore.take(3))
+    gc.deleteWhere("db", "av1", col("id") % 10 === 0)
+    val after = gc.read("db", "av1")
+    // the stamped identity column never surfaces in user reads
+    assert(after.columns.toSeq === Seq("id", "name", "grp"))
+    assert(after.count() === 180)
+    assert(after.filter(col("id") % 10 === 0).count() === 0)
+    // nothing rewritten: every pre-delete avro file still serves the scan
+    assert(filesBefore.subsetOf(after.inputFiles.toSet))
+    // second delete composes over the DV-applied image (no double count)
+    gc.deleteWhere("db", "av1", col("id") <= 20)
+    assert(gc.read("db", "av1").count() === 162)
+    assert(gc.countRows("db", "av1") === Some(162L)) // by subtraction
+    // update = atomic retract + replace
+    gc.update("db", "av1", col("id") === 55, Map("name" -> lit("upd55")))
+    assert(gc.read("db", "av1").count() === 162)
+    assert(gc.read("db", "av1").filter(col("id") === 55)
+      .select("name").head.getString(0) === "upd55")
+    // time travel to each image
+    assert(gc.read("db", "av1", snapshotId = Some(2)).count() === 200)
+    assert(gc.read("db", "av1", snapshotId = Some(3)).count() === 180)
+    // compaction materializes deletions, retires DVs, re-stamps files
+    gc.compact("db", "av1")
+    assert(gc.snapshotFileEntries("db", "av1").map(_.kind) === Seq("data"))
+    val post = gc.read("db", "av1")
+    assert(post.count() === 162)
+    assert(post.inputFiles.forall(_.endsWith(".avro")))
+    gc.deleteWhere("db", "av1", col("id") === 55)
+    assert(gc.read("db", "av1").count() === 161)
+  }
+
+  test("AVRO DV: PK build yields a merge-free hybrid read; post-build " +
+      "deltas arbitrate exactly; bucketed point lookups prune") {
+    gc.createTable("db", "avpk", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "file.format" -> "avro"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "avpk", batch(1, 100).toDF())
+    gc.upsert("db", "avpk", batch(1, 30).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", "avpk", col("id") > 90)
+    gc.buildDeletionVectors("db", "avpk")
+    assert(gc.snapshotFileEntries("db", "avpk").map(_.kind).sorted ===
+      Seq("data", "data", "dv"))
+    val df = gc.read("db", "avpk")
+    assert(df.count() === 90)
+    assert(df.filter(col("id") <= 30 && col("name").startsWith("u")).count() === 30)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    // post-build delta + incremental rebuild re-covers
+    gc.upsert("db", "avpk", batch(26, 40).toDF()
+      .withColumn("name", concat(lit("v"), col("id"))))
+    gc.deleteWhere("db", "avpk", col("id") <= 10)
+    val df2 = gc.read("db", "avpk")
+    assert(df2.count() === 80)
+    assert(df2.filter(col("name").startsWith("v")).count() === 15)
+    gc.buildDeletionVectors("db", "avpk")
+    val df3 = gc.read("db", "avpk")
+    assert(df3.count() === 80)
+    assert(!df3.queryExecution.executedPlan.toString.contains("Window"))
+    assert(df3.exceptAll(df2).count() === 0 && df2.exceptAll(df3).count() === 0)
+    // bucketed: merge-free read + bucket-pruned point lookup
+    gc.createTable("db", "avpkb", batch(0, 0).schema,
+      options = Map("deletion-vectors" -> "true", "file.format" -> "avro",
+        "bucket" -> "4"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "avpkb", batch(1, 100).toDF())
+    gc.upsert("db", "avpkb", batch(1, 30).toDF()
+      .withColumn("name", concat(lit("u"), col("id"))))
+    gc.deleteWhere("db", "avpkb", col("id") > 90)
+    gc.buildDeletionVectors("db", "avpkb")
+    val b = gc.read("db", "avpkb")
+    assert(b.count() === 90)
+    assert(!b.queryExecution.executedPlan.toString.contains("Window"))
+    val one = gc.readBucket("db", "avpkb",
+      gc.bucketFor("db", "avpkb", Seq(7L)))
+    assert(one.filter(col("id") === 7L).select("name").head.getString(0) === "u7")
+  }
+
+  test("AVRO DV: changelog resolves DV commits to full -D images") {
+    newTable("avcl", options = Map(
+      "deletion-vectors" -> "true", "file.format" -> "avro"))
+    gc.append("db", "avcl", batch(1, 50).toDF())
+    gc.deleteWhere("db", "avcl", col("id") <= 5)
+    val cl = gc.readChangelog("db", "avcl", 1, 2)
+    assert(cl.filter(col(GraftCatalog.RowKindCol) === "-D").count() === 5)
+    assert(cl.filter(col(GraftCatalog.RowKindCol) === "-D")
+      .select("name").collect().map(_.getString(0)).forall(_ != null),
+      "DV -D rows must carry the full before image")
   }
 }

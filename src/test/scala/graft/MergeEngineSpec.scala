@@ -573,6 +573,45 @@ class MergeEngineSpec extends SparkSpecBase {
       primaryKey = Seq("id")))
   }
 
+  test("collect retract gate (r17): unorderable element types refuse " +
+      "-U at the WRITE — an accepted retract would poison every read") {
+    import spark.implicits._
+    // array<map<string,bigint>>: collect concatenates fine insert-only
+    // (ordinal-only comparator), but the retract fold's array_position
+    // removal needs ordering-based equality, which maps don't have
+    val d = spark.sql("SELECT CAST(1 AS BIGINT) id, " +
+      "array(map('k', CAST(1 AS BIGINT))) ms, '+I' op")
+    // create-time gate: rowkind.field + collect-on-unorderable refuses
+    // without remove-record-on-delete / ignore-delete
+    val e = intercept[IllegalArgumentException](gc.createTable("db", "cmap0",
+      d.schema, options = Map("merge-engine" -> "aggregation",
+        "fields.ms.aggregate-function" -> "collect", "rowkind.field" -> "op"),
+      primaryKey = Seq("id")))
+    assert(e.getMessage.contains("remove-record-on-delete"))
+    // with remove-record-on-delete: -D (whole-row removal) is fine, but
+    // a -U retract refuses loudly and the table stays READABLE after
+    gc.createTable("db", "cmap", d.schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.ms.aggregate-function" -> "collect", "rowkind.field" -> "op",
+        "aggregation.remove-record-on-delete" -> "true"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "cmap", d)
+    val u = intercept[IllegalArgumentException](gc.upsert("db", "cmap",
+      d.withColumn("op", lit("-U"))))
+    assert(u.getMessage.contains("no exact retraction"))
+    assert(gc.read("db", "cmap").count() === 1, "refused write left no poison")
+    gc.upsert("db", "cmap", d.withColumn("op", lit("-D")))
+    assert(gc.read("db", "cmap").count() === 0)
+    gc.compact("db", "cmap")
+    // orderable element types still pass the create gate without rrod
+    val d2 = Seq((1L, Seq("a"), "+I")).toDF("id", "tags", "op")
+    gc.createTable("db", "cstr_ok", d2.schema,
+      options = Map("merge-engine" -> "aggregation",
+        "fields.tags.aggregate-function" -> "collect",
+        "rowkind.field" -> "op"),
+      primaryKey = Seq("id"))
+  }
+
   test("partial-update remove-record-on-delete: -D tombstones the key, " +
       "later patches re-build from scratch; -U refuses loudly") {
     import spark.implicits._
