@@ -266,14 +266,82 @@ object BpeTrainer {
         .orderBy(col("pair_count").desc, col("l"), col("r"))
         .limit(200)
     }),
-    // Full trainer on the corpus (batched scale mode) — deterministic
-    // but iterative, so it is spec-gated (BpeSpec replays a single-node
-    // reference) rather than SQL-oracled; registered for bench coverage.
+    // Full trainer on the corpus (batched scale mode). Deterministic AND
+    // SQL-oracled since r17: the batch-8 run is provably exact-sequential
+    // (BpeSpec asserts bit-equality vs single-merge replay), so a DuckDB
+    // oracle replaying 64 sequential argmax merges over the same
+    // dictionary must reproduce it row-for-row. ASCII-scoped like
+    // text_bpe_pairs (identical character semantics by construction; it
+    // also makes the oracle's control-char symbol delimiters collision-
+    // free).
     "text_bpe_train" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
-      train(wordCounts(d, minFreq = 2L), numMerges = 64, batch = 8)
+      train(wordCounts(d, minFreq = 2L).filter(col("w").rlike("^[ -~]+$")),
+          numMerges = 64, batch = 8)
         .orderBy("rank")
     }))
+
+  /**
+   * DuckDB replay of the 64-merge trainer (r17): sequential argmax BPE
+   * over the same dictionary, one unrolled CTE block per merge. Each
+   * word's symbol state is a string of individually wrapped symbols —
+   * `chr(31) || sym || chr(30)` concatenated — so applying merge (l, r)
+   * is ONE left-to-right non-overlapping `replace` of
+   * `␟l␞␟r␞` with `␟lr␞` (exactly the applyMerge fold's pass semantics:
+   * wrapping both ends of every symbol makes boundaries unambiguous even
+   * when one symbol is a prefix of another, and consecutive matches
+   * don't share characters, so `[a,a,a,a]` merges to `[aa,aa]` like the
+   * fold). The ASCII dictionary scope guarantees the control-char
+   * delimiters never collide with symbol bytes. The trainer's batch-8
+   * run is exact-sequential by construction (BpeSpec), so the replay is
+   * row-identical including pair counts and tie-breaks.
+   */
+  private def bpeTrainOracle: String = {
+    val numMerges = 64
+    // one merge round: current pair counts → argmax (count desc, l, r)
+    // → one replace over every word state
+    // MATERIALIZED: each round's state is referenced twice (pairs + next
+    // state) — DuckDB 1.0 inlines CTEs by default, which would re-evaluate
+    // the whole prefix exponentially across 64 rounds
+    val rounds = (1 to numMerges).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT sy[i] AS l, sy[i + 1] AS r, c
+         |  FROM (SELECT list_transform(list_filter(string_split(s, chr(30)),
+         |          x -> x <> ''), x -> substr(x, 2)) AS sy, c
+         |        FROM st${k - 1}),
+         |       unnest(range(1, len(sy))) AS u(i)
+         |), b$k AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(c) AS BIGINT) AS pc
+         |  FROM p$k GROUP BY l, r ORDER BY pc DESC, l, r LIMIT 1
+         |), st$k AS MATERIALIZED (
+         |  SELECT replace(s, chr(31) || b.l || chr(30) || chr(31) || b.r || chr(30),
+         |                    chr(31) || b.l || b.r || chr(30)) AS s, c
+         |  FROM st${k - 1}, b$k b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to numMerges).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS rank, l AS "left", r AS "right",
+         |  l || r AS merged, pc AS pair_count FROM b$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH toks AS (
+       |  SELECT unnest(regexp_extract_all(text,
+       |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS w
+       |  FROM documents
+       |), wc AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks
+       |  GROUP BY w
+       |  HAVING count(*) >= 2
+       |), st0 AS MATERIALIZED (
+       |  SELECT array_to_string(list_transform(regexp_extract_all(w, '.'),
+       |    x -> chr(31) || x || chr(30)), '') AS s, c
+       |  FROM wc
+       |  WHERE regexp_matches(w, '^[ -~]+$$') AND length(w) > 1
+       |),
+       |$rounds
+       |SELECT * FROM (
+       |$ranks
+       |) ORDER BY rank""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "text_bpe_pairs" ->
@@ -292,5 +360,6 @@ object BpeTrainer {
          |)
          |SELECT l, r, CAST(sum(c) AS BIGINT) AS pair_count
          |FROM pairs GROUP BY l, r
-         |ORDER BY pair_count DESC, l, r LIMIT 200""".stripMargin)
+         |ORDER BY pair_count DESC, l, r LIMIT 200""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracle)
 }

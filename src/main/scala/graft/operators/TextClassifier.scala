@@ -160,5 +160,78 @@ object TextClassifier {
         .orderBy("bucket")
     }))
 
-  def oracle: Map[String, String] = Map.empty
+  /**
+   * DuckDB replay of the 12-epoch trainer (r17): the fixed-point design
+   * makes the epochs SQL-replayable — per-doc float math folds over the
+   * doc's OWN bucket-sorted feature list (the oracle reduces the same
+   * term list left-to-right from an explicit 0.0 seed, matching the
+   * Catalyst `aggregate` fold op-for-op), the per-doc error quantizes to
+   * a 2^-24 fixed-point BIGINT via the same `floor`, and gradients are
+   * INTEGER sums — order-free, so DuckDB's aggregation order cannot
+   * diverge. Driver-side weight updates are replayed with the exact same
+   * expression shape `w - 0.5 * (g / 2^24 / n + 1e-4 * w)`. Weights ride
+   * between epochs as one 4097-element list. The only cross-engine float
+   * surfaces are exp/division, shared IEEE-754 doubles whose sub-ULP
+   * differences the fixed-point quantization absorbs.
+   */
+  private def classifierTrainOracle: String = {
+    val epochs = 12
+    // MATERIALIZED: each epoch's weight list feeds both the next epoch's
+    // scoring and its own update — DuckDB 1.0 inlines CTEs by default,
+    // which would re-evaluate the whole epoch chain exponentially
+    val rounds = (1 to epochs).map { k =>
+      s"""e$k AS MATERIALIZED (
+         |  SELECT bs, cs, CAST(floor((1.0 / (1.0 + exp(-(
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(bs, (b, i) ->
+         |        w${k - 1}.wl[b + 2] * CAST(cs[i] AS DOUBLE))),
+         |      (a, t) -> a + t)))) - y) * 16777216.0) AS BIGINT) AS e
+         |  FROM feats, w${k - 1}
+         |), g$k AS MATERIALIZED (
+         |  SELECT b, CAST(sum(e * c) AS BIGINT) AS g
+         |  FROM (SELECT e, unnest(bs) AS b, unnest(cs) AS c FROM e$k)
+         |  GROUP BY b
+         |), w$k AS MATERIALIZED (
+         |  SELECT list(w${k - 1}.wl[i + 1]
+         |    - 0.5 * (CAST(COALESCE(g$k.g, 0) AS DOUBLE) / 16777216.0 / nn.n
+         |             + CASE WHEN i = 0 THEN 0.0
+         |               ELSE 0.0001 * w${k - 1}.wl[i + 1] END)
+         |    ORDER BY i) AS wl
+         |  FROM range(0, 4097) r(i)
+         |  CROSS JOIN w${k - 1} CROSS JOIN nn
+         |  LEFT JOIN g$k ON g$k.b = i - 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fx AS (
+       |  SELECT id, y, b, count(*) AS c0 FROM (
+       |    SELECT doc_id AS id,
+       |      CAST(lang = 'en' AS DOUBLE) AS y,
+       |      unnest(CASE WHEN text IS NULL THEN NULL
+       |        ELSE list_append(list_transform(
+       |          regexp_extract_all(text, '[a-z]+'),
+       |          t -> CAST(CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)
+       |               % 4096 AS INTEGER)), -1) END) AS b
+       |    FROM documents)
+       |  GROUP BY id, y, b
+       |), feats AS MATERIALIZED (
+       |  SELECT id, y,
+       |    list(b ORDER BY b) AS bs,
+       |    list(CASE WHEN b = -1 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(c0 AS BIGINT) END ORDER BY b) AS cs
+       |  FROM fx GROUP BY id, y
+       |), nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats),
+       |w0 AS MATERIALIZED (
+       |  SELECT list(CAST(0.0 AS DOUBLE) ORDER BY i) AS wl
+       |  FROM range(0, 4097) r(i)),
+       |$rounds
+       |SELECT CAST(i - 1 AS INTEGER) AS bucket,
+       |  CAST(floor(w$epochs.wl[i + 1] * 16777216.0 + 0.5) AS BIGINT)
+       |    AS weight_fx
+       |FROM range(0, 4097) r(i) CROSS JOIN w$epochs
+       |WHERE CAST(floor(w$epochs.wl[i + 1] * 16777216.0 + 0.5) AS BIGINT) <> 0
+       |ORDER BY bucket""".stripMargin
+  }
+
+  def oracle: Map[String, String] =
+    Map("text_classifier_train" -> classifierTrainOracle)
 }
