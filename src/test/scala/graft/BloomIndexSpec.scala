@@ -261,4 +261,59 @@ class BloomIndexSpec extends SparkSpecBase {
         s"$fmt: absent value should prove empty")
     }
   }
+
+  test("planning-work tripwire at high file count (r17): a point lookup's " +
+      "metadata I/O is counter-bounded, a cached re-plan opens NOTHING") {
+    import graft.sources.{BloomIndex, FileStats}
+    // interleaved ids: every dir's id/name zones span the whole range, so
+    // only the bloom can drop files — the 10^5-file design scenario the
+    // counters must bound, scaled to 16 dirs × 8 files
+    val dirs = 16; val filesPerDir = 8
+    gc.createTable("db", "big", batch(0).schema,
+      options = Map("file-index.bloom-filter.columns" -> "name"))
+    (0 until dirs).foreach { d =>
+      gc.append("db", "big", spark.range(0, 2000)
+        .filter(col("id") % dirs === d)
+        .selectExpr("id", "concat('n', id) AS name", "id * 2 AS val")
+        .repartition(filesPerDir).toDF())
+    }
+    val total = gc.read("db", "big").inputFiles.length
+    assert(total === dirs * filesPerDir)
+    val z0 = GraftCatalog.zoneSidecarLoads.get()
+    val b0 = BloomIndex.sidecarLoads.get()
+    val f0 = FileStats.driverFooterReads.get()
+    val q1 = gc.readWhere("db", "big", col("name") === "n777")
+    assert(q1.count() === 1)
+    // planning WORK bounds — the latency story at 10^5 files:
+    //  - one zone sidecar open per DIR (never per file)
+    //  - at most one bloom sidecar open per ZONE-ADMITTED file
+    //  - zero driver-side footer opens, zero recursive listings (the
+    //    zone sidecar doubles as each dir's file listing; the planned
+    //    scan below gets explicit file subsets, nothing left to walk)
+    assert(GraftCatalog.zoneSidecarLoads.get() - z0 <= dirs)
+    assert(BloomIndex.sidecarLoads.get() - b0 <= total)
+    assert(FileStats.driverFooterReads.get() === f0)
+    // the executed scan reads only bloom-admitted files: the single true
+    // positive plus bounded false positives — never the table
+    assert(q1.inputFiles.length <= 1 + total / 16,
+      s"planned ${q1.inputFiles.length} of $total files")
+    // a second lookup with a different literal re-probes cached bitsets
+    // (bloom loads are lazy, so it may touch files the first literal
+    // never reached — but NEVER re-opens one): cumulative opens stay
+    // ≤ one per file, and zone sidecars are not re-read at all
+    val z1 = GraftCatalog.zoneSidecarLoads.get()
+    val q2 = gc.readWhere("db", "big", col("name") === "n1234")
+    assert(q2.count() === 1)
+    assert(GraftCatalog.zoneSidecarLoads.get() === z1,
+      "re-plan re-opened zone sidecars")
+    assert(BloomIndex.sidecarLoads.get() - b0 <= total,
+      "a bloom sidecar was opened twice — the per-(token,file) cache leaks")
+    assert(FileStats.driverFooterReads.get() === f0)
+    assert(q2.inputFiles.length <= 1 + total / 16)
+    // and a REPEAT of the same literal opens nothing anywhere
+    val b2 = BloomIndex.sidecarLoads.get()
+    assert(gc.readWhere("db", "big", col("name") === "n1234").count() === 1)
+    assert(BloomIndex.sidecarLoads.get() === b2, "repeat lookup re-opened bitsets")
+    assert(GraftCatalog.zoneSidecarLoads.get() === z1)
+  }
 }

@@ -342,4 +342,147 @@ class ConcurrentCommitSpec extends SparkSpecBase {
       s"dead staging dir not reclaimed, swept=$swept")
     assert(gc.read("db", "tkw").count() === 20)
   }
+
+  // ---- r17: crash injection across the COMPOSED r14–r16 feature
+  // matrix. Each feature's single-crash recovery is covered above; these
+  // kill a writer between the PAIRED steps two features share and assert
+  // every recovery path (readable table, converging re-run, orphan
+  // sweep). ----
+
+  /** Kill the n-th commit of `op` (commitTestHook fires after the data
+    * write, before any dir claim / manifest CAS). */
+  private def killNthCommit[A](n: Int)(op: => A): Throwable = {
+    var fired = 0
+    gc.commitTestHook = () => {
+      fired += 1
+      if (fired == n) throw new RuntimeException(s"simulated crash at commit $n")
+    }
+    try intercept[RuntimeException](op)
+    finally gc.commitTestHook = () => ()
+  }
+
+  test("crash between compactBucketsDv's paired commits (DV build landed, " +
+      "fold did not): readable, re-run converges, orphans sweep") {
+    gc.createTable("db", "cbx", rows(0, 0).schema,
+      options = Map("bucket" -> "2", "deletion-vectors" -> "true"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "cbx", rows(1, 100).toDF())
+    gc.deleteWhere("db", "cbx", col("id") % 5 === 0)
+    gc.buildDeletionVectors("db", "cbx")
+    gc.upsert("db", "cbx", rows(50, 60).toDF()
+      .withColumn("v", concat(lit("u"), col("id")))) // post-build delta
+    def img() = gc.read("db", "cbx").orderBy("id").collect().toSeq
+    val want = img()
+    // inside compactBuckets: commit 1 = the incremental DV build
+    // (covers the delta), commit 2 = the bucket fold — kill the fold
+    val e = killNthCommit(2)(gc.compactBuckets("db", "cbx", Seq(0, 1)))
+    assert(e.getMessage.contains("commit 2"))
+    // build landed, fold didn't: state readable and EXACT either way
+    assert(img() === want)
+    assert(!gc.snapshotFileEntries("db", "cbx").exists(_.kind == "delete"),
+      "the landed build must have retired the tombstone dirs")
+    // re-run converges: build no-ops, the fold lands
+    gc.compactBuckets("db", "cbx", Seq(0, 1))
+    assert(img() === want)
+    val post = gc.read("db", "cbx")
+    assert(!post.queryExecution.executedPlan.toString.contains("Window"),
+      "re-covered fold must read merge-free")
+    val swept = gc.sweepOrphanDirs("db", "cbx", graceMillis = 0L)
+    assert(swept.exists(_.startsWith(".staging-")),
+      s"dead fold staging dir not reclaimed, swept=$swept")
+    assert(img() === want)
+  }
+
+  test("crash between a changelog-producer carrier write and its commit: " +
+      "coverage has no hole, the replay re-materializes the carrier") {
+    gc.createTable("db", "clx", rows(0, 0).schema,
+      options = Map("changelog-producer" -> "lookup"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "clx", rows(1, 20).toDF()) // snap-1 + carrier
+    // the doomed upsert stages BOTH its data dir and its -cl carrier,
+    // then dies before any claim — neither must become visible
+    killNthCommit(1)(gc.upsert("db", "clx", rows(10, 30).toDF()
+      .withColumn("v", concat(lit("u"), col("id")))))
+    assert(gc.snapshots("db", "clx").map(_.id) === Seq(1L))
+    assert(gc.read("db", "clx").count() === 20)
+    // the producer index has no dangling coverage: the served range is
+    // exactly snap-1's carrier, still join-free
+    val served = gc.readChangelogFull("db", "clx", 0, 1)
+    assert(!served.queryExecution.executedPlan.toString.contains("Join"))
+    assert(served.count() === 20)
+    // replay lands WITH its carrier; the whole range stays file-served
+    gc.upsert("db", "clx", rows(10, 30).toDF()
+      .withColumn("v", concat(lit("u"), col("id"))))
+    val all = gc.readChangelogFull("db", "clx", 0, 2)
+    assert(!all.queryExecution.executedPlan.toString.contains("Join"),
+      "a coverage hole from the crashed carrier would force the resolve join")
+    assert(gc.read("db", "clx").count() === 30)
+    val swept = gc.sweepOrphanDirs("db", "clx", graceMillis = 0L)
+    assert(swept.count(_.startsWith(".staging-")) >= 2,
+      s"data + carrier staging dirs must both sweep, got $swept")
+    assert(gc.read("db", "clx").count() === 30)
+  }
+
+  test("crash before a dynamic-bucket commit lands its .dbidx delta: " +
+      "routing stays sticky, replay assigns without duplicates") {
+    gc.createTable("db", "dbx", rows(0, 0).schema,
+      options = Map("bucket" -> "-1", "dynamic-bucket.target-row-num" -> "20"),
+      primaryKey = Seq("id"))
+    gc.upsert("db", "dbx", rows(1, 50).toDF())
+    killNthCommit(1)(gc.upsert("db", "dbx", rows(25, 75).toDF()
+      .withColumn("v", concat(lit("u"), col("id")))))
+    // the dead delta's index rows were never referenced
+    assert(gc.read("db", "dbx").count() === 50)
+    assert(gc.read("db", "dbx").filter(col("v").startsWith("u")).count() === 0)
+    // replay: existing keys keep their ORIGINAL buckets (sticky), new
+    // keys get assigned — no key may split across buckets
+    gc.upsert("db", "dbx", rows(25, 75).toDF()
+      .withColumn("v", concat(lit("u"), col("id"))))
+    val df = gc.read("db", "dbx")
+    assert(df.count() === 75)
+    assert(df.select("id").distinct().count() === 75, "a key split across buckets")
+    assert(df.filter(col("id") === 30).select("v").head.getString(0) === "u30")
+    // one more sticky round-trip on a key from the crashed batch
+    gc.upsert("db", "dbx", rows(30, 30).toDF().withColumn("v", lit("z")))
+    assert(gc.read("db", "dbx").filter(col("id") === 30).count() === 1)
+    assert(gc.read("db", "dbx").filter(col("id") === 30)
+      .select("v").head.getString(0) === "z")
+  }
+
+  test("crash during a branch fast-forward's manifest publish: base " +
+      "untouched, branch intact, re-run adopts") {
+    val cat = new GraftCatalog(spark, warehouse)
+    cat.createTable("db", "ffx", rows(0, 0).schema, primaryKey = Seq("id"))
+    cat.upsert("db", "ffx", rows(1, 20).toDF())
+    cat.createBranch("db", "ffx", "work")
+    cat.upsert("db", "ffx$branch_work", rows(21, 40).toDF())
+    cat.upsert("db", "ffx$branch_work", rows(41, 50).toDF())
+    // fail the next manifest publish exactly once — the fast-forward's
+    // only mutation of the base lineage
+    val real = cat.commitLockImpl
+    cat.commitLockImpl = new graft.sources.CommitLock {
+      private var fired = false
+      override def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+          fc: org.apache.hadoop.fs.FileContext, src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path, prePublish: () => Unit): Boolean = {
+        if (!fired && dst.getName.startsWith("manifest-v")) {
+          fired = true
+          throw new RuntimeException("simulated crash in manifest publish")
+        }
+        real.publishIfAbsent(fs, fc, src, dst, prePublish)
+      }
+    }
+    val e = intercept[RuntimeException](cat.fastForward("db", "ffx", "work"))
+    assert(e.getMessage.contains("manifest publish"))
+    cat.commitLockImpl = real
+    // base untouched (fresh catalog = fresh manifest reads)
+    val reader = new GraftCatalog(spark, warehouse)
+    assert(reader.snapshots("db", "ffx").map(_.id) === Seq(1L))
+    assert(reader.read("db", "ffx").count() === 20)
+    assert(reader.read("db", "ffx$branch_work").count() === 50)
+    // re-run adopts the branch history atomically
+    cat.fastForward("db", "ffx", "work")
+    assert(reader.snapshots("db", "ffx").map(_.id) === Seq(1L, 2L, 3L))
+    assert(reader.read("db", "ffx").count() === 50)
+  }
 }
