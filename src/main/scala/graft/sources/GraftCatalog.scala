@@ -3996,6 +3996,8 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       finally detached.foreach { case (s, f) => s.set[JsonNode]("files", f) }
     manifestBytesWritten.addAndGet(bytes.length)
     lastManifestBytes.set(bytes.length)
+    GraftCatalog.manifestWritesGlobal.incrementAndGet()
+    GraftCatalog.manifestBytesGlobal.addAndGet(bytes.length)
     val out = fc.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE))
@@ -4113,6 +4115,15 @@ object GraftCatalog {
   private[sources] val headCache =
     new java.util.concurrent.ConcurrentHashMap[String, ObjectNode]()
   private[graft] val headCacheLoads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Process-wide commit-protocol counters (across ALL catalog
+    * instances — the per-instance `manifestBytesWritten` serves suite
+    * tripwires; these serve cost attribution over query closures that
+    * build their own catalogs, e.g. graft.WarehouseAttrib). */
+  private[graft] val manifestWritesGlobal =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val manifestBytesGlobal =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Drop every cached head under a (qualified) table-dir prefix —

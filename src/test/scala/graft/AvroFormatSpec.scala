@@ -91,15 +91,15 @@ class AvroFormatSpec extends SparkSpecBase {
     assert(spark.sql("SELECT v FROM ga.db.a3 WHERE id = 2").head().getString(0) === "b")
     assert(gc.fileFormatOf("db", "a3") === "avro")
     assert(spark.sql("SELECT count(*) FROM ga.db.a3 WHERE id >= 2").head().getLong(0) === 1)
-    // invalid avro codec refused; DVs need a readable position identity
-    // (parquet row_index / orc stamped column) — avro has neither.
-    // Bloom indexes are format-independent since r16 (BloomIndexSpec
-    // exercises the avro build + probe end-to-end).
+    // invalid avro codec refused. DVs compose since r17 (the ORC
+    // write-time position stamp transfers — DeletionVectorSpec has the
+    // avro lifecycle); bloom indexes are format-independent since r16
+    // (BloomIndexSpec exercises the avro build + probe end-to-end).
     val sch = Seq((1L, "x")).toDF("id", "v").schema
     intercept[IllegalArgumentException](gc.createTable("db", "abad1", sch,
       options = Map("file.format" -> "avro", "file.compression" -> "zlib")))
-    intercept[IllegalArgumentException](gc.createTable("db", "abad2", sch,
-      options = Map("file.format" -> "avro", "deletion-vectors" -> "true")))
+    gc.createTable("db", "advok", sch,
+      options = Map("file.format" -> "avro", "deletion-vectors" -> "true"))
     gc.createTable("db", "abloom", sch,
       options = Map("file.format" -> "avro",
         "file-index.bloom-filter.columns" -> "id"))
