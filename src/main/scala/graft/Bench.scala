@@ -9,13 +9,20 @@ object Bench {
     // bigger (GC pressure, spill risk) exactly as an undersized
     // spark.sql.shuffle.partitions would on a real cluster.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
+    // Ablation knob (r17, diagnostic only): SPARK_GRAFT_NO_EXTENSIONS=1
+    // benches WITHOUT the GraftExtensions rules, isolating per-action
+    // plan-time costs (stats pin, zone/bloom prune, runtime-filter
+    // estimation) from execution cost. Catalog/SQL queries that need
+    // the extensions will fail under it — use with SPARK_GRAFT_ONLY.
+    val noExt = sys.env.get("SPARK_GRAFT_NO_EXTENSIONS").contains("1")
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = (if (noExt) b0
+      else b0.config("spark.sql.extensions", "graft.plans.GraftExtensions"))
       // Let AQE re-plan partitioning INSIDE cached subplans: the dedup
       // family persists small intermediates (simhash families, band
       // tables), and without this flag those pin the static shuffle
