@@ -31,6 +31,20 @@ trait CommitLock {
    */
   def publishIfAbsent(fs: FileSystem, fc: FileContext, src: Path, dst: Path,
       prePublish: () => Unit = () => ()): Boolean
+
+  /**
+   * Release a claim this caller previously WON at `dst` but has since
+   * abandoned — the rebase path: a writer that won the `snap-N` dir claim
+   * but lost the manifest CAS renames its content onward to a higher
+   * ordinal, and `snap-N` must become claimable again. For the
+   * rename-based lock this is free (the dir itself is the claim, and the
+   * rename-away already vacated it); for store-backed locks the claim
+   * object must be deleted, otherwise every contested round burns an
+   * ordinal forever and writers diverge exactly when contention is
+   * highest. Only ever called for claims the caller itself won whose
+   * content has been moved away — never for a live published ordinal.
+   */
+  def release(fs: FileSystem, dst: Path): Unit = ()
 }
 
 /**
@@ -64,6 +78,11 @@ object ExclusiveRenameCommitLock extends CommitLock {
  */
 trait ConditionalPutStore {
   def putIfAbsent(key: String, value: Array[Byte]): Boolean
+
+  /** Delete `key` (S3 DELETE — unconditional, idempotent). Default no-op
+    * for stores that never reclaim claims; real deployments implement it
+    * so abandoned ordinals become claimable again. */
+  def delete(key: String): Unit = ()
 }
 
 /**
@@ -114,4 +133,10 @@ class ConditionalPutCommitLock(store: ConditionalPutStore) extends CommitLock {
       true
     }
   }
+
+  /** An abandoned claim releases its store key so the ordinal can be
+    * reclaimed by a later writer — without this, every contested rebase
+    * round burns ordinals and contention compounds itself. */
+  override def release(fs: FileSystem, dst: Path): Unit =
+    store.delete(dst.toString)
 }

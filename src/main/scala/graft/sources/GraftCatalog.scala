@@ -1837,6 +1837,14 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       val renamed = commitLockImpl.publishIfAbsent(fs, fc,
         fs.makeQualified(new Path(tablePath(schema, table), fromDir)), to,
         claimTestHook)
+      // Rebase path: `fromDir` was itself a previously WON ordinal claim
+      // (not the original staging dir) whose content just moved onward —
+      // release its claim so the ordinal is reclaimable. Without this,
+      // store-backed locks burn one ordinal per contested round and
+      // writers' targets diverge exactly when contention is highest.
+      if (renamed && !fromDir.startsWith("."))
+        commitLockImpl.release(fs,
+          fs.makeQualified(new Path(tablePath(schema, table), fromDir)))
       if (renamed && !markerAt(toDir))
         throw new IllegalStateException(
           s"$schema.$table: rename to $toDir reported success but the " +
@@ -1857,7 +1865,15 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     var curClDir = s"$dir-cl"
     var landId = id
     var attempts = 0
-    while (attempts < 20) {
+    // Additive commits retry to a TIME budget, not a fixed attempt count
+    // (Paimon's commit retries until a configurable deadline): under an
+    // N-writer storm each round has one winner, so any fixed small bound
+    // is a liveness cliff for the slowest writer. The attempt cap is a
+    // runaway backstop only. Non-retryable commits throw on their first
+    // conflict inside the loop, so the budget never delays an abort.
+    val retryDeadline = System.nanoTime() + commitRetryTimeoutMs * 1000000L
+    while (attempts < 10000 &&
+        (attempts == 0 || System.nanoTime() < retryDeadline)) {
       attempts += 1
       val target = s"snap-$landId"
       var ok = true
@@ -1904,11 +1920,20 @@ class GraftCatalog(private[sources] val spark: SparkSession,
       val head = if (fsnaps.size() == 0) 0L
         else fsnaps.get(fsnaps.size() - 1).get("id").asLong()
       landId = math.max(head + 1, landId + 1)
+      // Jittered exponential backoff before the next round: without it,
+      // N writers re-collide immediately and the slowest can lose every
+      // round (observed: 8-writer storms starving one writer). Jitter
+      // desynchronizes the herd; the cap keeps the common 2-writer case
+      // fast.
+      val cap = math.min(100L, 2L << math.min(attempts, 5))
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(1, cap + 1))
     }
     throw new IllegalStateException(
       s"$schema.$table: could not land a snapshot after $attempts " +
-        s"attempts (last target snap-$landId) — retry under less " +
-        "write contention, or remove dead writers' leftover dirs")
+        s"attempts over ${commitRetryTimeoutMs} ms (last target " +
+        s"snap-$landId) — retry under less write contention, raise the " +
+        "commit retry budget, or remove dead writers' leftover dirs")
   }
 
   /**
@@ -1929,6 +1954,11 @@ class GraftCatalog(private[sources] val spark: SparkSession,
     * copy+delete — exclusivity then comes from the store's conditional
     * put, not the filesystem. */
   private[graft] var commitLockImpl: CommitLock = ExclusiveRenameCommitLock
+
+  /** Retry budget for additive commits that lose the manifest CAS
+    * (Paimon's commit-retry deadline analog: `commit.retry-timeout`,
+    * not a fixed attempt count). Test seam + deployment knob. */
+  private[graft] var commitRetryTimeoutMs: Long = 120000L
 
   /** Test seam: runs after the commit's data write, before the manifest
     * CAS — lets a spec inject a concurrent commit deterministically. */

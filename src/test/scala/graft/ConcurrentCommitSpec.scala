@@ -205,17 +205,29 @@ class ConcurrentCommitSpec extends SparkSpecBase {
     assert(gc.read("db", "tsw").count() === 10)
   }
 
-  test("many writers: every append lands exactly once") {
-    gc.createTable("db", "tm", rows(0, 0).schema)
-    // real (non-injected) concurrency: 8 threads, one append each
-    val threads = (1 to 8).map { i =>
-      new Thread(() => {
-        val cat = new GraftCatalog(spark, warehouse)
-        cat.append("db", "tm", rows(i * 100L, i * 100L + 9).toDF())
-      })
+  /** Run one writer body per thread, join all, and RETHROW the first
+    * background failure: a commit protocol test must distinguish a loud
+    * commit failure (writer threw) from silent loss (writer "succeeded"
+    * but its snapshot is missing) — a bare Thread swallows the former. */
+  private def raceWriters(bodies: Seq[() => Unit]): Unit = {
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = bodies.map { b =>
+      new Thread(() => try b() catch { case t: Throwable => errs.add(t) })
     }
     threads.foreach(_.start())
     threads.foreach(_.join())
+    if (!errs.isEmpty) throw new AssertionError(
+      s"${errs.size} writer(s) failed loudly; first:", errs.peek())
+  }
+
+  test("many writers: every append lands exactly once") {
+    gc.createTable("db", "tm", rows(0, 0).schema)
+    // real (non-injected) concurrency: 8 threads, one append each
+    raceWriters((1 to 8).map { i => () =>
+      val cat = new GraftCatalog(spark, warehouse)
+      cat.append("db", "tm", rows(i * 100L, i * 100L + 9).toDF())
+      ()
+    })
     // every writer landed exactly once; ids are unique and strictly
     // increasing in commit order — contested claims may BURN ordinals
     // (claim order and CAS order can invert), so ids need not be
@@ -229,33 +241,65 @@ class ConcurrentCommitSpec extends SparkSpecBase {
     assert(gc.countRows("db", "tm") === Some(80L))
   }
 
+  /** The one-winner-per-key primitive an object store's If-None-Match
+    * put gives, with DELETE modeled (abandoned claims release their key
+    * — the protocol's ordinal-reclaim path depends on it). */
+  private def newMockStore() = new graft.sources.ConditionalPutStore {
+    private val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    override def putIfAbsent(key: String, value: Array[Byte]): Boolean =
+      keys.add(key)
+    override def delete(key: String): Unit = { keys.remove(key); () }
+  }
+
+  /** One 8-writer conditional-put commit storm against a fresh table;
+    * asserts exactly-once landing and exact content. */
+  private def condPutStorm(table: String): Unit = {
+    val store = newMockStore()
+    gc.createTable("db", table, rows(0, 0).schema)
+    raceWriters((1 to 8).map { i => () =>
+      val cat = new GraftCatalog(spark, warehouse)
+      cat.commitLockImpl = new graft.sources.ConditionalPutCommitLock(store)
+      cat.append("db", table, rows(i * 100L, i * 100L + 9).toDF())
+      ()
+    })
+    val ids = gc.snapshots("db", table).map(_.id)
+    assert(ids.length === 8 && ids === ids.sorted && ids.distinct.length === 8,
+      s"snapshot ids $ids")
+    assert(gc.read("db", table).count() === 80)
+    assert(gc.read("db", table).agg(sum("id")).head.getLong(0) ===
+      (1 to 8).map(i => (i * 100L until i * 100L + 10).sum).sum)
+  }
+
   test("conditional-put commit lock: object-store races land exactly once") {
     // S3-class path: exclusivity comes from the store's put-if-absent,
     // NOT from rename (ConditionalPutCommitLock takes no JVM lock and
-    // does a plain, non-exclusive move after winning the CAS). The mock
-    // store is the one-winner-per-key primitive an object store's
-    // If-None-Match put gives.
-    val store = new graft.sources.ConditionalPutStore {
-      private val keys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      override def putIfAbsent(key: String, value: Array[Byte]): Boolean =
-        keys.add(key)
+    // does a plain, non-exclusive move after winning the CAS).
+    condPutStorm("tcas")
+  }
+
+  test("soak: repeated commit storms land exactly once, every round") {
+    // The race tests are the suite's only timing-dependent paths (the
+    // crash-injection tests below fire deterministic hook seams), so the
+    // soak repeats exactly them: 20 conditional-put storms + 5
+    // rename-based storms, 8 writers each, fresh table per round. One
+    // lost snapshot in any round fails loudly with the round number.
+    (1 to 20).foreach { r =>
+      withClue(s"conditional-put soak round $r: ") { condPutStorm(s"tsoakc$r") }
     }
-    gc.createTable("db", "tcas", rows(0, 0).schema)
-    val threads = (1 to 8).map { i =>
-      new Thread(() => {
-        val cat = new GraftCatalog(spark, warehouse)
-        cat.commitLockImpl = new graft.sources.ConditionalPutCommitLock(store)
-        cat.append("db", "tcas", rows(i * 100L, i * 100L + 9).toDF())
-      })
+    (1 to 5).foreach { r =>
+      withClue(s"rename soak round $r: ") {
+        val t = s"tsoakr$r"
+        gc.createTable("db", t, rows(0, 0).schema)
+        raceWriters((1 to 8).map { i => () =>
+          new GraftCatalog(spark, warehouse)
+            .append("db", t, rows(i * 100L, i * 100L + 9).toDF())
+          ()
+        })
+        val ids = gc.snapshots("db", t).map(_.id)
+        assert(ids.length === 8 && ids.distinct.length === 8, s"ids $ids")
+        assert(gc.read("db", t).count() === 80)
+      }
     }
-    threads.foreach(_.start())
-    threads.foreach(_.join())
-    val ids = gc.snapshots("db", "tcas").map(_.id)
-    assert(ids.length === 8 && ids === ids.sorted && ids.distinct.length === 8,
-      s"snapshot ids $ids")
-    assert(gc.read("db", "tcas").count() === 80)
-    assert(gc.read("db", "tcas").agg(sum("id")).head.getLong(0) ===
-      (1 to 8).map(i => (i * 100L until i * 100L + 10).sum).sum)
   }
 
   test("conditional-put dead winner (move fails after CAS win) fails loudly") {
