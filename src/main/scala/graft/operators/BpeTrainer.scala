@@ -273,7 +273,10 @@ object BpeTrainer {
     // dictionary must reproduce it row-for-row. ASCII-scoped like
     // text_bpe_pairs (identical character semantics by construction; it
     // also makes the oracle's control-char symbol delimiters collision-
-    // free).
+    // free). r18 note: batch=64 was tried and MEASURED — round count is
+    // bound by the frontier rule's symbol-disjointness on this corpus
+    // (39 rounds at batch 8 AND 64), so a larger batch buys nothing;
+    // left at 8.
     "text_bpe_train" -> ((s, dir) => {
       val d = Tables(s, dir, "documents")
       train(wordCounts(d, minFreq = 2L).filter(col("w").rlike("^[ -~]+$")),

@@ -459,28 +459,41 @@ object Dedup {
       val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("a"), col("b")))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    // Eager checkpoint, not persist: each round's plan embeds the
-    // previous round's twice (union of two star joins), so lineage grows
-    // exponentially and planning itself OOMs after ~10 rounds. Truncating
-    // to the materialized result keeps every round's plan O(1). The
-    // strategy follows the session's checkpoint configuration: with
-    // spark.sparkContext.setCheckpointDir set, rounds land as RELIABLE
-    // checkpoints (executor loss survivable — the multi-executor
-    // deployment mode); without one, eager localCheckpoint (fastest, and
-    // the only option in local mode without a shared filesystem).
-    // Superseded rounds are freed by the ContextCleaner once unreferenced.
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
-    var edges = materialize(pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .filter(col("a") =!= col("b")).distinct())
-    var sig = fingerprint(edges)
+    // Eager checkpoint every round, not persist: each round's plan embeds
+    // the previous round's several times (the two star joins reference
+    // their input repeatedly), so lineage — and the plan STRING Spark
+    // renders per action — grows exponentially and OOMs after a few
+    // un-truncated rounds. Truncating to the materialized result keeps
+    // every round's plan O(1). The strategy follows the session's
+    // checkpoint configuration: with spark.sparkContext.setCheckpointDir
+    // set, rounds land as RELIABLE checkpoints (executor loss survivable
+    // — the multi-executor deployment mode); without one, eager
+    // localCheckpoint (fastest, and the only option in local mode without
+    // a shared filesystem). Superseded rounds are freed by the
+    // ContextCleaner once unreferenced.
+    //
+    // r18: the checkpoint is LAZY and the convergence FINGERPRINT is the
+    // action that materializes it — its full aggregate computes every
+    // partition, storing the checkpoint blocks as a side effect. One job
+    // per round instead of two (eager-materialize + fingerprint); at
+    // small deltas the two job launches, not the star joins, dominated
+    // wall time.
+    def materializeWithSig(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val out =
+        if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+          df.checkpoint(eager = false)
+        else df.localCheckpoint(eager = false)
+      (out, fingerprint(out))
+    }
+    var (edges, sig) = materializeWithSig(
+      pairs.select(col("d1").as("a"), col("d2").as("b"))
+        .filter(col("a") =!= col("b")).distinct())
     var iter = 0
-    var converged = edges.isEmpty
+    // the fingerprint already carries the exact edge count — no separate
+    // isEmpty job
+    var converged = sig._1 == 0L
     while (!converged && iter < maxIters) {
-      val next = materialize(smallStar(largeStar(edges)))
-      val nextSig = fingerprint(next)
+      val (next, nextSig) = materializeWithSig(smallStar(largeStar(edges)))
       edges = next
       converged = nextSig == sig
       sig = nextSig

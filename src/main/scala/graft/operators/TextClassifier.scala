@@ -74,8 +74,13 @@ object TextClassifier {
   }
 
   /** The per-doc sigmoid score against a literal weight vector, folded
-    * over the doc's sorted pair list (deterministic order). */
-  private def pOf(weights: Array[Double]): Column = {
+    * over the doc's sorted pair list (deterministic order). Kept as the
+    * REFERENCE formulation of the fold the native kernel replays
+    * (TextClassifierSpec asserts the two agree bit-for-bit); the hot
+    * path uses [[graft.plans.kernels.classifierErrFx]] — the same IEEE
+    * op sequence as one fused codegen loop instead of a per-element
+    * interpreted ArrayAggregate (r18). */
+  private[graft] def pOf(weights: Array[Double]): Column = {
     val w = typedLit(weights.toSeq)
     val dot = aggregate(col("feats"), lit(0.0),
       (acc, f) => acc +
@@ -99,8 +104,13 @@ object TextClassifier {
     val losses = Seq.newBuilder[Double]
     (1 to epochs).foreach { _ =>
       // floor, not round: identical semantics in SQL and scala.math, so
-      // the single-node replay can't diverge on an exact .5 quantum
-      val errFx = floor((pOf(w) - col("y")) * Scale).cast("long")
+      // the single-node replay can't diverge on an exact .5 quantum.
+      // Native fused fold (r18): bit-identical to
+      // floor((pOf(w) - y) * Scale).cast("long") — see ClassifierErrFx;
+      // the weights array is cloned so the driver's in-place epoch update
+      // can never alias a plan that might still execute.
+      val errFx = graft.plans.kernels.classifierErrFx(
+        col("feats"), col("y"), w.clone(), Scale.toDouble)
       // integer gradient: exact under any partitioning; O(buckets) rows
       val rows = cached
         .select(errFx.as("e"), explode(col("feats")).as("f"))

@@ -253,6 +253,67 @@ case class HyperplaneSignBands(child: Expression, seed: Long,
 }
 
 /**
+ * Per-doc fixed-point sigmoid error for the hashed linear classifier
+ * trainer (TextClassifier.train): floor((1/(1+exp(-dot)) - y) * scale)
+ * as a long, where dot folds the doc's bucket-sorted (b, c) feature
+ * pairs LEFT-TO-RIGHT as `acc + weights(b + 1) * (double) c` — the exact
+ * IEEE op sequence of the higher-order `aggregate` fold it replaces
+ * (same multiply-then-add per element, same fold order, same
+ * `java.lang.Math.exp` / `Math.floor`), so the result is bit-identical
+ * to the composable form AND to the DuckDB oracle's list_reduce replay.
+ * Only the per-element interpreted dispatch goes away: the fold runs as
+ * one fused primitive loop inside whole-stage codegen (r18 — the
+ * interpreted ArrayAggregate was the dominant task time of
+ * text_classifier_train, 12 epochs × corpus × features steps).
+ */
+case class ClassifierErrFx(feats: Expression, label: Expression,
+    weights: Array[Double], scale: Double)
+    extends BinaryExpression {
+
+  override def left: Expression = feats
+  override def right: Expression = label
+  override def dataType: DataType = LongType
+  override def prettyName: String = "classifier_err_fx"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ClassifierErrFx =
+    copy(feats = newLeft, label = newRight)
+
+  override def nullSafeEval(f: Any, y: Any): Any = {
+    val arr = f.asInstanceOf[ArrayData]
+    val yy = y.asInstanceOf[Double]
+    var acc = 0.0
+    var i = 0
+    while (i < arr.numElements()) {
+      val r = arr.getStruct(i, 2)
+      acc = acc + weights(r.getInt(0) + 1) * r.getLong(1).toDouble
+      i += 1
+    }
+    val p = 1.0 / (1.0 + java.lang.Math.exp(-acc))
+    java.lang.Math.floor((p - yy) * scale).toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("clsWeights", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, (f, y) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val r = ctx.freshName("r")
+      val p = ctx.freshName("p")
+      s"""
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $f.numElements(); $i++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $r = $f.getStruct($i, 2);
+         |  $acc = $acc + $wRef[$r.getInt(0) + 1] * (double) $r.getLong(1);
+         |}
+         |double $p = 1.0 / (1.0 + java.lang.Math.exp(-$acc));
+         |${ev.value} = (long) java.lang.Math.floor(($p - $y) * ${scale}D);
+       """.stripMargin
+    })
+  }
+}
+
+/**
  * Sliding-window minimum over array<bigint>: output[j] = min(input[j..j+w-1])
  * for j = 0..n-w (the winnowing selection step). Monotone-deque algorithm:
  * O(n) total instead of O(n·w) interpreted slice+min allocations.

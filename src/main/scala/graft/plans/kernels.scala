@@ -26,6 +26,10 @@ object kernels {
   def slidingMin(arr: Column, w: Int): Column =
     column(SlidingMin(expression(arr), w))
 
+  def classifierErrFx(feats: Column, label: Column,
+      weights: Array[Double], scale: Double): Column =
+    column(ClassifierErrFx(expression(feats), expression(label), weights, scale))
+
   // roaring-bitmap primitives (rbm32/rbm64 merge-engine functions)
   def rbmBuild(values: Column, bits64: Boolean): Column =
     column(RbmBuild(expression(values), bits64))

@@ -21,16 +21,20 @@ import org.apache.spark.unsafe.types.UTF8String
  * min/max — this module gives the same planning-time skip to every
  * catalog scan here).
  *
- * Collection reads only parquet FOOTERS of the files a commit just wrote,
- * IN A DISTRIBUTED JOB: the driver lists the new dir (one metadata
- * listing, the same RPC shape as the write that created it) and the
- * footer reads fan out over the executors ([[collectWithFiles]]), so a
- * bulk load landing 10⁴–10⁵ files in one snapshot never serializes
- * footer round-trips on the driver — the commit-side cost Paimon avoids
- * by having its writers emit per-file stats. A sequential driver-side
- * pass ([[collect]]) is kept only as the fallback when no job can run;
- * it counts its reads in [[driverFooterReads]] so tests can assert the
- * commit path never takes it. Dirs are immutable, so stats are computed
+ * Collection reads only parquet FOOTERS of the files a commit just wrote.
+ * The path is SCALE-ADAPTIVE (r18): small commits — at most
+ * `spark.graft.commit-stats.driver-max-files` files (default 64), the
+ * steady upsert/streaming delta shape — read footers on the driver over a
+ * bounded thread pool, because below that count one Spark job LAUNCH
+ * costs more than all the KB-scale footer reads it would distribute.
+ * Larger commits fan the footer reads out over the executors in one
+ * distributed job ([[collectWithFiles]]), so a bulk load landing
+ * 10⁴–10⁵ files in one snapshot never serializes footer round-trips on
+ * the driver — the commit-side cost Paimon avoids by having its writers
+ * emit per-file stats. A sequential driver-side pass ([[collect]]) is
+ * kept only as the fallback when no job can run. Driver-side reads count
+ * in [[driverFooterReads]] so tests can bound each path (ZonePruneSpec
+ * asserts bulk stays distributed). Dirs are immutable, so stats are computed
  * exactly once and ride in the manifest (`dirStats` node) for the dir's
  * lifetime — BOTH per-dir aggregates (cheap planning-time dir skip) and
  * per-file zones (the reference's actual skip unit: Paimon manifests
@@ -127,8 +131,12 @@ private[graft] object FileStats {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Footer reads performed by the sequential DRIVER-side fallback path —
-    * the commit path must never grow this (asserted in ZonePruneSpec). */
+  /** Footer reads performed on the DRIVER — the bounded small-commit fast
+    * path (≤ `spark.graft.commit-stats.driver-max-files` files, r18) and
+    * the sequential no-job fallback. Bulk commits must never grow this
+    * (asserted in ZonePruneSpec: a 1000-file load stays distributed), and
+    * the READ/planning paths must never grow it at all (BloomIndexSpec /
+    * ManifestScaleSpec tripwires). */
   private[graft] val driverFooterReads = new java.util.concurrent.atomic.AtomicLong
 
   /** Hadoop Configuration is not Serializable; standard write/readFields
@@ -389,11 +397,45 @@ private[graft] object FileStats {
       case Some(fl) => fl
     }
     val sc = spark.sparkContext
+    val orc = fmt == "orc"
+    // Scale-adaptive (r18, guide §1/§2): a footer is a KB-scale metadata
+    // read, so below `driver-max-files` a Spark job LAUNCH costs more
+    // than every read it would distribute — small commits (the steady
+    // streaming/upsert delta shape) read footers on the driver over a
+    // bounded pool, bulk loads keep the distributed job (the 10⁵-file
+    // story is unchanged; ZonePruneSpec asserts it stays off the driver).
+    val driverMax =
+      try spark.conf.get("spark.graft.commit-stats.driver-max-files", "64").toInt
+      catch { case scala.util.control.NonFatal(_) => 64 }
+    if (files.size <= driverMax) {
+      val hconf = sc.hadoopConfiguration
+      def zoneOf(rel: String, abs: String, len: Long): (String, Option[DirStats]) = {
+        driverFooterReads.incrementAndGet()
+        val segs = rel.split('/').toSeq.dropRight(1)
+        rel -> (if (orc) fileZoneOrc(hconf, abs, segs, tracked, typeByName)
+          else fileZone(hconf, abs, segs, tracked, typeByName))
+          .map(_.copy(bytes = len))
+      }
+      val perFile: Seq[(String, Option[DirStats])] =
+        if (files.size <= 4) files.map((zoneOf _).tupled)
+        else {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(files.size, 8))
+          try files.map { case (rel, abs, len) =>
+            pool.submit(new java.util.concurrent.Callable[(String, Option[DirStats])] {
+              override def call(): (String, Option[DirStats]) = zoneOf(rel, abs, len)
+            })
+          }.map(_.get())
+          finally pool.shutdown()
+        }
+      if (perFile.exists(_._2.isEmpty)) return None
+      val fileMap = perFile.map { case (rel, z) => rel -> z.get }.toMap
+      return Some((mergeZones(fileMap.values.toSeq), fileMap))
+    }
     val conf = new SerConf(sc.hadoopConfiguration)
     val perFile: Seq[(String, Option[DirStats])] =
       try {
         val slices = math.max(1, math.min(files.size, sc.defaultParallelism * 2))
-        val orc = fmt == "orc"
         sc.parallelize(files, slices).map { case (rel, abs, len) =>
           val segs = rel.split('/').toSeq.dropRight(1)
           rel -> (if (orc) fileZoneOrc(conf.value, abs, segs, tracked, typeByName)

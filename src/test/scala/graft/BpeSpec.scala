@@ -107,11 +107,18 @@ class BpeSpec extends SparkSpecBase {
     val bat = BpeTrainer.train(wc, numMerges = 64, batch = 16)
       .collect().map(_.toSeq).toSeq
     val batRounds = BpeTrainer.lastTrainRounds.get()
+    // the bench query's batch (64 since r18) must be exact too
+    val bat64 = BpeTrainer.train(wc, numMerges = 64, batch = 64)
+      .collect().map(_.toSeq).toSeq
+    val bat64Rounds = BpeTrainer.lastTrainRounds.get()
     wc.unpersist()
     // the frontier-safety prefix rule makes batching EXACT, not approximate
     assert(bat === seq)
+    assert(bat64 === seq)
     // and it actually batches: far fewer dictionary passes than merges
     assert(batRounds < 48, s"batch=16 took $batRounds rounds for 64 merges")
+    assert(bat64Rounds <= batRounds,
+      s"batch=64 took $bat64Rounds rounds, batch=16 took $batRounds")
   }
 
   test("train is deterministic across runs and partitionings") {

@@ -59,6 +59,25 @@ class TextClassifierSpec extends SparkSpecBase {
     }.toDF("doc_id", "text", "y")
   }
 
+  test("native errFx kernel is bit-identical to the composable fold (r18)") {
+    // the hot path swapped the interpreted ArrayAggregate fold for the
+    // fused ClassifierErrFx codegen loop — same IEEE op sequence; assert
+    // the two formulations agree on real features under non-zero weights
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("y", (col("lang") === "en").cast("double"))
+    val f = TextClassifier.features(docs, "y").persist()
+    val rnd = new scala.util.Random(7)
+    val w = Array.fill(TextClassifier.NumBuckets + 1)(rnd.nextDouble() - 0.5)
+    val composable = floor((TextClassifier.pOf(w) - col("y")) * Scale)
+      .cast("long")
+    val native = graft.plans.kernels.classifierErrFx(
+      col("feats"), col("y"), w, Scale.toDouble)
+    val diff = f.select(composable.as("a"), native.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    f.unpersist()
+    assert(diff === 0L)
+  }
+
   test("distributed training replays the single-node reference bit-for-bit") {
     val docs = synthetic(200)
     val f = TextClassifier.features(docs, "y")

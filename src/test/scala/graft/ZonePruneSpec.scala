@@ -319,6 +319,35 @@ class ZonePruneSpec extends SparkSpecBase {
     assert(pf.values.map(_.rows).sum === 10000L)
   }
 
+  test("small commits collect stats on the driver, with identical zones (r18)") {
+    import graft.sources.FileStats
+    // ≤ driver-max-files (default 64): the footer pass must run on the
+    // driver — one job launch saved per commit, the steady delta shape —
+    // and produce the same dir aggregate + per-file zones the
+    // distributed path yields for the same bytes.
+    gc.createTable("db", "zsmall",
+      spark.range(0).selectExpr("id", "CAST(id AS DOUBLE) AS v").schema)
+    val f0 = FileStats.driverFooterReads.get()
+    gc.append("db", "zsmall", spark.range(0, 1000)
+      .selectExpr("id", "CAST(id AS DOUBLE) AS v").repartition(8).toDF())
+    val grew = FileStats.driverFooterReads.get() - f0
+    assert(grew >= 8L, s"small commit did not take the driver stats path ($grew)")
+    val ds = gc.dirStats("db", "zsmall")("snap-1")
+    assert(ds.rows === 1000)
+    assert(ds.cols("id").min.contains(0L) && ds.cols("id").max.contains(999L))
+    assert(ds.cols("id").nulls === 0)
+    val pf = gc.fileStats("db", "zsmall")("snap-1")
+    assert(pf.size === 8)
+    assert(pf.values.map(_.rows).sum === 1000L)
+    // zone-based point pruning still engages exactly like before
+    gc.createTable("db", "zsmall2",
+      spark.range(0).selectExpr("id", "concat('n', id) AS name").schema)
+    gc.append("db", "zsmall2", spark.range(0, 800)
+      .selectExpr("id", "concat('n', id) AS name")
+      .repartitionByRange(8, col("id")).toDF())
+    assert(gc.readWhere("db", "zsmall2", col("id") === 5L).inputFiles.length === 1)
+  }
+
   test("per-file zones prune a multi-file append dir to matching files") {
     gc.createTable("db", "zpf",
       spark.range(0).selectExpr("id", "concat('n', id) AS name").schema)
