@@ -35,9 +35,17 @@ object JobProfile {
     val stages = new AtomicInteger
     val tasks = new AtomicInteger
     val taskMs = new AtomicLong
+    val verbose = sys.env.get("SPARK_GRAFT_PROFILE_VERBOSE").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
-        { jobs.incrementAndGet(); () }
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (verbose) {
+          val cs = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          val nTasks = j.stageInfos.map(_.numTasks).sum
+          println(s"[job] $cs stages=${j.stageInfos.size} tasks=$nTasks")
+        }
+        ()
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         { stages.incrementAndGet(); () }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {

@@ -45,9 +45,13 @@ object WarehouseAttrib {
     val rows = Targets.map { name =>
       val fn = SparkEntry.queries(name)
       // min-of-N wall time like Bench; counters from the LAST run (the
-      // per-run metadata work is identical — fresh warehouse each run)
+      // per-run metadata work is identical — fresh warehouse each run).
+      // Failed runs are excluded from the min and surface as "err" in
+      // the JSON line (r18, ADVICE): a broken query's fast-fail wall
+      // time must never masquerade as a fast attribution row.
       var mw = 0L; var mb = 0L; var zl = 0L; var bl = 0L; var fr = 0L
-      val secs = (1 to runs).map { _ =>
+      var err: Option[String] = None
+      val secs = (1 to runs).flatMap { _ =>
         spark.catalog.clearCache()
         val mw0 = GraftCatalog.manifestWritesGlobal.get()
         val mb0 = GraftCatalog.manifestBytesGlobal.get()
@@ -55,22 +59,26 @@ object WarehouseAttrib {
         val bl0 = BloomIndex.sidecarLoads.get()
         val fr0 = FileStats.driverFooterReads.get()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[attrib] $name failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[attrib] $name failed: ${e.getMessage}")
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200))
+          false }
         val sec = (System.nanoTime() - t0) / 1e9
         mw = GraftCatalog.manifestWritesGlobal.get() - mw0
         mb = GraftCatalog.manifestBytesGlobal.get() - mb0
         zl = GraftCatalog.zoneSidecarLoads.get() - zl0
         bl = BloomIndex.sidecarLoads.get() - bl0
         fr = FileStats.driverFooterReads.get() - fr0
-        sec
+        if (ok) Some(sec) else None
       }
-      val sec = secs.min
+      val sec = if (secs.nonEmpty) secs.min else -1.0
+      val errField = err.map(m => s""","err":"$m"""").getOrElse("")
       println(s"""{"query":"$name","sec":$sec,"manifest_writes":$mw,""" +
         s""""manifest_bytes":$mb,"zone_sidecar_loads":$zl,""" +
         s""""bloom_sidecar_loads":$bl,"driver_footer_reads":$fr,""" +
-        s""""bytes_per_manifest":${if (mw == 0) 0 else mb / mw}}""")
+        s""""bytes_per_manifest":${if (mw == 0) 0 else mb / mw}$errField}""")
       (name, sec, mw, mb)
     }
     val total = rows.map(_._2).sum

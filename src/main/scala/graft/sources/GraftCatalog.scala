@@ -3086,41 +3086,42 @@ class GraftCatalog(private[sources] val spark: SparkSession,
         else Seq.empty
       }
     def depthOf(fe: FileEntry) = if (fe.kind == "data") partCols.length else 0
+    // ONE listing per entry dir, shared by bucket enumeration and the
+    // per-leg skip decisions below (r18 — the flat layout used to probe
+    // fs.exists once per (dir, bucket) and build one discovery-backed
+    // frame per probe: O(dirs × buckets) driver listings per resolve,
+    // the dominant plan-construction cost of the bucketed family).
+    val present: Seq[(FileEntry, Set[Int])] = entries.map { fe =>
+      fe -> bucketsUnder(dirPath(schema, table, fe.dir), depthOf(fe)).toSet
+    }
     val wanted: Seq[Int] = onlyBuckets.getOrElse {
       val seen = mutable.SortedSet[Int](0 until n: _*)
-      entries.foreach { fe =>
-        seen ++= bucketsUnder(dirPath(schema, table, fe.dir), depthOf(fe))
-      }
+      present.foreach { case (_, ks) => seen ++= ks }
       seen.toSeq
     }
-    // Partitioned layout: one discovery-backed frame per entry dir with
-    // the bucket column RETAINED (partition values resolve from the
-    // `col=value` segments); each leg filters its bucket, so partition
-    // pruning on __bucket keeps per-leg I/O exact while every partition's
-    // slice of bucket k merges in ONE leg — sound because partition ⊆
-    // primary key makes cross-partition key spaces disjoint, and the
-    // sizing contract (one bucket per task) is unchanged from the flat
-    // layout.
-    val partFrames: Seq[(FileEntry, DataFrame)] =
-      if (partCols.isEmpty) Seq.empty
-      else entries.filter(fe => bucketsUnder(
-          dirPath(schema, table, fe.dir), depthOf(fe)).nonEmpty)
-        .map(fe => fe -> frameFor(schema, table, m, fe, withBucket = true))
+    // Flat AND partitioned layouts: one discovery-backed frame per entry
+    // dir with the bucket column RETAINED (`__bucket=k` — and, on
+    // partitioned data dirs, `col=value` — resolve as partition columns
+    // of the declared schema); each leg filters its bucket, so partition
+    // pruning on __bucket keeps per-leg I/O exact while the dir is
+    // LISTED once. Every partition's slice of bucket k merges in ONE leg
+    // — sound because partition ⊆ primary key makes cross-partition key
+    // spaces disjoint, and the sizing contract (one bucket per task) is
+    // unchanged.
+    val dirFrames: Seq[(FileEntry, Set[Int], DataFrame)] =
+      present.collect { case (fe, ks) if ks.nonEmpty =>
+        (fe, ks, frameFor(schema, table, m, fe, withBucket = true))
+      }
     val legs = wanted.flatMap { k =>
       // A dir whose entry RETIRES bucket k (per-bucket compaction folded
       // it into a later dir) contributes nothing to k's leg — dir-level
       // skip, zero I/O, exact because the compacted dir carries the
-      // resolved image of everything excluded.
-      val frames =
-        if (partCols.isEmpty) entries.flatMap { fe =>
-          val p = new Path(dirPath(schema, table, fe.dir), s"$BucketCol=$k")
-          if (fe.excludeBuckets.contains(k)) None
-          else if (fs.exists(p)) Some(frameFor(schema, table, m, fe, Some(p)))
-          else None
-        }
-        else partFrames.collect { case (fe, f) if !fe.excludeBuckets.contains(k) =>
+      // resolved image of everything excluded. Dirs without bucket k at
+      // all are skipped from the same shared listing.
+      val frames = dirFrames.collect {
+        case (fe, ks, f) if ks.contains(k) && !fe.excludeBuckets.contains(k) =>
           f.filter(col(BucketCol) === k).drop(BucketCol)
-        }
+      }
       if (frames.isEmpty) None
       else {
         val all = frames.reduce(_ unionByName _).coalesce(1)

@@ -237,6 +237,7 @@ trait GraftDynamicBucket { self: GraftCatalog =>
         .persist())
     val known = knownLoc.map(_.select("__kh", "__b"))
       .getOrElse(index.join(sized(allKeys), Seq("__kh")))
+    var rankCache: Option[DataFrame] = None
     val (assignment, newAssigned, nNew) =
       if (kind != "data") (known, None, 0L)
       else {
@@ -285,7 +286,6 @@ trait GraftDynamicBucket { self: GraftCatalog =>
           // ordered; DynamicBucketSpec asserts route parity), so
           // assignment stays deterministic — and no single-partition
           // window bottlenecks a billion-new-key backfill.
-          var rankCache: Option[DataFrame] = None
           val ranked =
             if (smallBatch)
               newKeys.withColumn("__rank", row_number().over(
@@ -314,21 +314,24 @@ trait GraftDynamicBucket { self: GraftCatalog =>
                   Seq("__pid"))
                 .withColumn("__rank", col("__off") + col("__lr"))
             }
-          // eager local checkpoint: batch-key-sized; materialized HERE so
-          // the delta never recomputes through the index lineage after
-          // the cache below is released
+          // LAZY local checkpoint: `asg`'s eager checkpoint below computes
+          // every partition of this frame in the same job, persisting its
+          // blocks then — one job launch instead of two (r18), still
+          // before any cache below is released, so the delta never
+          // recomputes through the index lineage.
           val assigned = ranked
             .join(org.apache.spark.sql.functions.broadcast(slotsDf),
               col("__rank") >= col("__lo") && col("__rank") <= col("__hi"))
             .select(col("__kh"), col("__b"))
-            .localCheckpoint(true)
-          rankCache.foreach(_.unpersist())
+            .localCheckpoint(false)
           (known.unionByName(assigned), Some(assigned), n)
         }
       }
     // eager local checkpoint: batch-key-sized (two longs per key); all
     // index reads complete here so its cache releases deterministically
+    // (this job also materializes the lazy `assigned` checkpoint above)
     val asg = assignment.localCheckpoint(true)
+    rankCache.foreach(_.unpersist())
     val newAsg = newAssigned
     def route(frame: DataFrame): DataFrame = {
       val cols = frame.columns
@@ -399,10 +402,13 @@ trait GraftDynamicBucket { self: GraftCatalog =>
             movedKeys.map(mk => nk.unionByName(mk.join(asg, Seq("__kh"))))
               .getOrElse(nk)
           }
+        // lazy checkpoint: the count right below materializes the blocks
+        // in the SAME job (r18 — the eager variant paid one extra job
+        // launch per commit on this path)
         val deltaDf = recordKeys.join(dfLoc, Seq("__kh"))
           .select(col("__kh") +: col("__b") +:
             partCols.zipWithIndex.map { case (c, i) => col(c).as(s"__p$i") }: _*)
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val nRec = deltaDf.count()
         if (nRec == 0) None else Some((deltaDf, nRec))
       }

@@ -307,7 +307,37 @@ trait GraftMaintenance { self: GraftCatalog =>
         // bucket, no-ops, and the dead bytes are never reclaimed). No
         // DV pairing: there are no copied positions to tombstone; the
         // next build re-covers the head.
-        if (inBuckets.isEmpty)
+        //
+        // held-bytes answered from METADATA (r18): the per-file zone
+        // sidecars double as each dir's file listing (one FS listing per
+        // sidecar-less dir as fallback) — never a second Spark scan of
+        // the unpersisted inBuckets plan, which doubled the chosen
+        // buckets' I/O on exactly this all-dead path.
+        val zones = fileStatsFrom(schema, table, m)
+        def relBucket(rel: String): Option[Int] =
+          rel.split('/').find(_.startsWith(s"$BucketCol="))
+            .flatMap(_.stripPrefix(s"$BucketCol=").toIntOption)
+        val chosen = buckets.toSet
+        val holdsBytes = dataEs.exists { fe =>
+          val inDir: Set[Int] = zones.get(fe.dir).filter(_.nonEmpty) match {
+            case Some(fm) => fm.keysIterator.flatMap(relBucket).toSet
+            case None =>
+              def walk(p: Path, d: Int): Seq[Int] =
+                if (!fs.exists(p)) Seq.empty
+                else fs.listStatus(p).toSeq.flatMap { st =>
+                  val nm = st.getPath.getName
+                  if (nm.startsWith(s"$BucketCol="))
+                    nm.stripPrefix(s"$BucketCol=").toIntOption
+                  else if (d > 0 && st.isDirectory && nm.contains("="))
+                    walk(st.getPath, d - 1)
+                  else Seq.empty
+                }
+              walk(dirPath(schema, table, fe.dir),
+                partitionColumns(m).length).toSet
+          }
+          (inDir -- fe.excludeBuckets).exists(chosen.contains)
+        }
+        if (!holdsBytes)
           return snaps.get(snaps.size() - 1).get("id").asLong()
         return commit(schema, table, live.select(names.map(col): _*),
           keepExisting = true, compaction = true,
